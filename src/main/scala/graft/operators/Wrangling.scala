@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-name sanitization and dictionary value mapping.
+  *
+  * Capability parity with the reference's data-wrangling surface
+  * (reference: `src/hds_functions/data_wrangling.py:15-120`), re-expressed as
+  * `DataFrame => DataFrame` combinators for use with `Dataset.transform`.
+  *
+  * Both operators are metadata-only / narrow: no shuffle is introduced, so they
+  * are free at any data scale (a rename is a driver-side schema operation; the
+  * map lookup is a codegen'd `GetMapValue` expression on a literal map).
+  */
+object Wrangling {
+
+  /** Sanitize a single column name: non-alphanumeric (and non-underscore)
+    * characters become `_`, a leading digit gets an `_` prefix, and the result
+    * is lowercased. Mirrors reference `data_wrangling.py:39-46`.
+    */
+  def cleanName(name: String): String = {
+    require(name.nonEmpty, "Column name must be non-empty")
+    val replaced = name.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+    val prefixed = if (replaced.head.isDigit) "_" + replaced else replaced
+    prefixed.toLowerCase
+  }
+
+  /** Clean all column names and make duplicates unique with `_2`, `_3`, ...
+    * suffixes.
+    *
+    * Deliberately replicates the reference's dedup quirk
+    * (`data_wrangling.py:49-58`): the suffix counter tracks occurrences of the
+    * *cleaned* base name only, so a suffixed name (e.g. `a_2`) can still
+    * collide with a column literally named `a_2`. Pure metadata operation —
+    * planned as a single `Project`, no job, no shuffle.
+    */
+  def cleanColumnNames(df: DataFrame): DataFrame = {
+    val cleaned = df.columns.map(cleanName)
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val unique = cleaned.map { c =>
+      val n = seen.getOrElse(c, 0) + 1
+      seen(c) = n
+      if (n == 1) c else s"${c}_$n"
+    }
+    df.toDF(unique.toIndexedSeq: _*)
+  }
+
+  /** Map values of `column` through a literal dictionary; unmatched keys
+    * yield null. If `newColumn` is non-empty the result is written there
+    * (error if it already exists), otherwise the source column is replaced
+    * in place. Mirrors reference `data_wrangling.py:64-120`.
+    *
+    * Implementation: a `map(lit(k1), lit(v1), ...)` literal indexed with the
+    * source column — a codegen'd `GetMapValue`, no UDF, no shuffle, safe to
+    * push through any plan. The dictionary is driver-side and assumed small
+    * (it is embedded in the plan); for lookup tables of millions of entries
+    * use a broadcast join instead.
+    */
+  def mapColumnValues(
+      df: DataFrame,
+      mapDict: Map[Any, Any],
+      column: String,
+      newColumn: String = ""
+  ): DataFrame = {
+    require(
+      df.columns.contains(column),
+      s"Column '$column' does not exist in the DataFrame."
+    )
+    require(mapDict.nonEmpty, "Empty mapping dictionary provided.")
+    require(
+      newColumn.isEmpty || !df.columns.contains(newColumn),
+      s"Column '$newColumn' already exists in the DataFrame."
+    )
+    val entries: Seq[Column] =
+      mapDict.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    val mapExpr = map(entries: _*)
+    val outName = if (newColumn.nonEmpty) newColumn else column
+    // try_element_at: missing keys yield null under both ANSI and legacy
+    // modes (plain element_at throws under ANSI, which Spark 4 enables by
+    // default).
+    df.withColumn(outName, try_element_at(mapExpr, df(column)))
+  }
+}

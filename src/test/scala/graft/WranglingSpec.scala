@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.Wrangling
+import org.apache.spark.sql.functions._
+
+/** Mirrors reference `tests/test_data_wrangling.py`. */
+class WranglingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cleanColumnNames sanitizes and lowercases") {
+    val df = Seq(("John", 30)).toDF("Col@Name!", "0@ther#Name")
+    val cleaned = Wrangling.cleanColumnNames(df)
+    assert(cleaned.columns.toSeq == Seq("col_name_", "_0_ther_name"))
+  }
+
+  test("cleanColumnNames dedupes duplicates with numeric suffixes") {
+    val df = Seq(("a", "b", "c")).toDF("A", "A", "A")
+    assert(
+      Wrangling.cleanColumnNames(df).columns.toSeq == Seq("a", "a_2", "a_3")
+    )
+  }
+
+  test("cleanColumnNames reference docstring example") {
+    val df = Seq(("John Doe", "John Doe", "John Doe"))
+      .toDF("Name", "0_N@me!", "0_N@me!")
+    // second/third clean to the same base name
+    val got = Wrangling.cleanColumnNames(df).columns.toSeq
+    assert(got == Seq("name", "_0_n_me_", "_0_n_me__2"))
+  }
+
+  test("cleanName quirk: suffixed name can collide with literal column") {
+    // dedup counts occurrences of the cleaned base name only
+    // (reference data_wrangling.py:49-58)
+    val df = Seq((1, 2, 3)).toDF("a", "a", "a_2")
+    assert(
+      Wrangling.cleanColumnNames(df).columns.toSeq == Seq("a", "a_2", "a_2")
+    )
+  }
+
+  test("cleanName idempotent and produces valid identifiers (property)") {
+    // ASCII-only: like the reference, lowercasing exotic unicode (e.g. 'İ')
+    // can emit combining marks, making the clean non-idempotent there too.
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val len = 1 + rnd.nextInt(20)
+      val s = Seq.fill(len)((' ' + rnd.nextInt(95)).toChar).mkString
+      val c = Wrangling.cleanName(s)
+      assert(Wrangling.cleanName(c) == c, s"not idempotent for '$s'") // idempotent
+      assert(!c.head.isDigit)
+      assert(c.forall(ch => ch.isLetterOrDigit || ch == '_'))
+    }
+  }
+
+  test("mapColumnValues maps values, unmatched to null (new column)") {
+    val df = Seq("A", "B", "C", "D").toDF("label")
+    val got = Wrangling.mapColumnValues(
+      df,
+      Map("A" -> "Apple", "B" -> "Banana", "C" -> "Cherry"),
+      "label",
+      "mapped"
+    )
+    checkAnswer(
+      got,
+      Seq(
+        ("A", "Apple"), ("B", "Banana"), ("C", "Cherry")
+      ).toDF("label", "mapped")
+        .union(Seq(("D", null.asInstanceOf[String])).toDF("label", "mapped"))
+    )
+  }
+
+  test("mapColumnValues overwrites in place when no new column given") {
+    val df = Seq("A", "X").toDF("label")
+    val got = Wrangling.mapColumnValues(df, Map("A" -> "Apple"), "label")
+    checkRows(got, Seq(org.apache.spark.sql.Row("Apple"), org.apache.spark.sql.Row(null)))
+  }
+
+  test("mapColumnValues error paths") {
+    val df = Seq("A").toDF("label")
+    intercept[IllegalArgumentException] {
+      Wrangling.mapColumnValues(df, Map("A" -> "x"), "missing")
+    }
+    intercept[IllegalArgumentException] {
+      Wrangling.mapColumnValues(df, Map.empty[Any, Any], "label")
+    }
+    intercept[IllegalArgumentException] {
+      Wrangling.mapColumnValues(df.withColumn("out", lit(1)), Map("A" -> "x"), "label", "out")
+    }
+  }
+}
