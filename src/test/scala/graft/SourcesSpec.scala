@@ -1,0 +1,177 @@
+package graft
+
+import graft.sources.{CsvUtils, JsonUtils, Tables}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Tables / CSV / JSON source-sink suites (reference has no tests for these;
+  * goldens follow the module docstrings). */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-sources").toString
+
+  test("json round trip with nested values") {
+    val path = s"$tmp/config.json"
+    val data = Map(
+      "orders" -> Map("database" -> "graft_db", "table_name" -> "orders_tbl"),
+      "flag" -> true,
+      "n" -> 3L,
+      "items" -> List("a", "b")
+    )
+    JsonUtils.writeJsonFile(data, path)
+    val back = JsonUtils.readJsonFile(path)
+    assert(back("flag") == true)
+    assert(back("n") == 3L)
+    assert(back("items") == List("a", "b"))
+    assert(
+      back("orders").asInstanceOf[Map[String, Any]]("database") == "graft_db"
+    )
+  }
+
+  test("json duplicate keys rejected") {
+    val path = s"$tmp/dup.json"
+    Files.writeString(
+      java.nio.file.Paths.get(path),
+      """{"a": 1, "a": 2}"""
+    )
+    intercept[IllegalArgumentException](JsonUtils.readJsonFile(path))
+  }
+
+  test("json write to missing directory raises") {
+    intercept[IllegalArgumentException] {
+      JsonUtils.writeJsonFile(Map("a" -> 1), "/nonexistent-dir-xyz/out.json")
+    }
+  }
+
+  test("csv write + read round trip keeps empty strings") {
+    val path = s"$tmp/roundtrip.csv"
+    val df = Seq(("John", "30", ""), ("Jane, M", "25", "x\"y"))
+      .toDF("name", "age", "note")
+    CsvUtils.writeCsvFile(df, path)
+    val back = CsvUtils.readCsvFile(spark, path)
+    checkRows(back, Seq(Row("John", "30", ""), Row("Jane, M", "25", "x\"y")))
+  }
+
+  test("csv write guards: too large, empty, missing dir") {
+    val df = (1 to 20).map(i => (i, s"n$i")).toDF("id", "name")
+    intercept[IllegalArgumentException] {
+      CsvUtils.writeCsvFile(df, s"$tmp/big.csv", maxRowsThreshold = 10)
+    }
+    intercept[IllegalArgumentException] {
+      CsvUtils.writeCsvFile(df.filter(lit(false)), s"$tmp/empty.csv")
+    }
+    intercept[IllegalArgumentException] {
+      CsvUtils.writeCsvFile(df, "/nonexistent-dir-xyz/out.csv")
+    }
+  }
+
+  test("createDictFromCsv single/multi/named value shapes + uniqueness") {
+    val path = s"$tmp/dict.csv"
+    Files.writeString(
+      java.nio.file.Paths.get(path),
+      "Name,Age,Gender\nJohn,30,Male\nAlice,25,Female\n"
+    )
+    val single = CsvUtils.createDictFromCsv(spark, path, "Name", Seq("Age"))
+    assert(single == Map("John" -> "30", "Alice" -> "25"))
+    val multi = CsvUtils.createDictFromCsv(spark, path, "Name", Seq("Age", "Gender"))
+    assert(multi("John") == List("30", "Male"))
+    val named = CsvUtils.createDictFromCsv(
+      spark, path, "Name", Seq("Age", "Gender"), retainColumnNames = true
+    )
+    assert(named("Alice") == Map("Age" -> "25", "Gender" -> "Female"))
+
+    Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/dup.csv"),
+      "Name,Age\nJohn,30\nJohn,31\n"
+    )
+    intercept[IllegalArgumentException] {
+      CsvUtils.createDictFromCsv(spark, s"$tmp/dup.csv", "Name", Seq("Age"))
+    }
+  }
+
+  test("saveTable + loadTable via catalog with archive filtering") {
+    val dirPath = s"$tmp/table_directory.json"
+    JsonUtils.writeJsonFile(
+      Map(
+        "cohort" -> Map("database" -> "graft_test_db", "table_name" -> "cohort_tbl"),
+        "cohort_latest" -> Map(
+          "database" -> "graft_test_db", "table_name" -> "cohort_tbl",
+          "archive_date" -> "latest"
+        ),
+        "cohort_v1" -> Map(
+          "database" -> "graft_test_db", "table_name" -> "cohort_tbl",
+          "archive_date" -> "2024-01-01"
+        ),
+        "cohort_upto" -> Map(
+          "database" -> "graft_test_db", "table_name" -> "cohort_tbl",
+          "max_archive_date" -> "2024-01-15"
+        )
+      ),
+      dirPath
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test_db")
+    val df = Seq(
+      (1, "2024-01-01"), (2, "2024-01-01"), (3, "2024-02-01"), (4, "2024-01-15")
+    ).toDF("id", "archived_on")
+
+    Tables.saveTable(df, "cohort", dirPath)
+    assert(Tables.loadTable(spark, "cohort", dirPath).count() == 4)
+    checkRows(
+      Tables.loadTable(spark, "cohort_latest", dirPath).select("id"),
+      Seq(Row(3))
+    )
+    checkRows(
+      Tables.loadTable(spark, "cohort_v1", dirPath).select("id").orderBy("id"),
+      Seq(Row(1), Row(2))
+    )
+    checkRows(
+      Tables.loadTable(spark, "cohort_upto", dirPath).select("id").orderBy("id"),
+      Seq(Row(1), Row(2), Row(4))
+    )
+    assert(
+      Tables.getArchiveVersions(
+        spark.table("graft_test_db.cohort_tbl")
+      ) == List("2024-01-01", "2024-01-15", "2024-02-01")
+    )
+    intercept[IllegalArgumentException] {
+      Tables.loadTable(spark, "nope", dirPath)
+    }
+  }
+
+  test("saveTable with partitioning writes partitioned table") {
+    val dirPath = s"$tmp/table_directory2.json"
+    JsonUtils.writeJsonFile(
+      Map("part" -> Map("database" -> "graft_test_db", "table_name" -> "part_tbl")),
+      dirPath
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test_db")
+    val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "grp")
+    Tables.saveTable(df, "part", dirPath, partitionBy = Seq("grp"))
+    assert(spark.table("graft_test_db.part_tbl").count() == 3)
+  }
+
+  test("standardise gdppr renames person id and cleans names") {
+    val raw = Seq((1L, "x")).toDF("NHS_NUMBER_DEID", "Some Col!")
+    val got = Tables.standardiseTable(raw, "gdppr")
+    assert(got.columns.toSeq == Seq("person_id", "some_col_"))
+  }
+
+  test("standardise vaccine_status parses packed dates and timestamps") {
+    val raw = Seq(
+      (1L, "20240115", "20250115", "20240115T12300000")
+    ).toDF("PERSON_ID_DEID", "recorded_date", "expiry_date", "date_and_time")
+    val got = Tables.standardiseTable(raw, "vaccine_status")
+    val row = got.collect()(0)
+    assert(row.getDate(1).toString == "2024-01-15")
+    assert(row.getDate(2).toString == "2025-01-15")
+    assert(row.getTimestamp(3).toString.startsWith("2024-01-15 12:30:00"))
+  }
+
+  test("standardise unknown method raises") {
+    intercept[IllegalArgumentException] {
+      Tables.standardiseTable(Seq((1, 2)).toDF("a", "b"), "nope")
+    }
+  }
+}
