@@ -1,0 +1,429 @@
+package graft
+
+import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** North-star scale queries (dedup / similarity / text analysis /
+  * sessionization / TPC-H-style analytics) and their DuckDB oracles.
+  *
+  * Oracle parity tactics:
+  *   - hashes are md5 hex (portable), string mins are ASCII-safe;
+  *   - double aggregation goes through DECIMAL (order-independent exact) or
+  *     sequential array folds identical on both engines;
+  *   - integer-typed columns are cast to matching widths (Spark `size` /
+  *     `row_number` are INT32; DuckDB `len`/`row_number` BIGINT);
+  *   - deterministic ORDER BY everywhere.
+  */
+object ScaleQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong` the column arrives as long
+    * nanos — truncate to microsecond timestamps (matching how DuckDB reads
+    * the same file into its microsecond TIMESTAMP). */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** Hyperplanes shared between the Spark ANN query and its generated
+    * oracle SQL. 6 planes => 64 buckets over 500-5000 vectors. */
+  private val AnnPlanes = Similarity.randomHyperplanes(numPlanes = 6, dim = 64)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary (headline bench query)
+    "q1_pricing" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val disc = lit(1) - col("l_discount").cast("decimal(4,2)")
+      val charge = disc * (lit(1) + col("l_tax").cast("decimal(4,2)"))
+      li.filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") * disc).cast("double").as("sum_disc_price"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") * charge).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q3-style segment revenue top-10 (3-way join headline)
+    "q3_top_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+          sum(
+            col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1) - col("l_discount").cast("decimal(4,2)"))
+          ).cast("double").as("revenue")
+        )
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // exact dedup: one event per (user, type), deterministic min event_id
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup
+        .exactDedup(
+          events(s, dir),
+          Seq("user_id", "event_type"),
+          Seq(col("event_id"))
+        )
+        .select("event_id", "user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    }),
+
+    // MinHash+LSH near-dedup over documents (portable md5 signatures)
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup
+        .dedupNearMinHash(
+          t(s, dir, "documents"),
+          "doc_id",
+          "text",
+          threshold = 0.9,
+          shingleK = 1,
+          numHashes = 16,
+          bands = 4
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // exact token-set Jaccard near-dup pairs via inverted index
+    "q_jaccard_pairs" -> ((s, dir) => {
+      Dedup
+        .ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 1, 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash signatures (xxhash64-based — rows-only check, no oracle)
+    "q_simhash" -> ((s, dir) => {
+      Dedup
+        .simHashSignatures(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // brute-force cosine top-10 for query vectors vec_id < 3
+    "q_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity
+        .cosineTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 10)
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"),
+          col("rank")
+        )
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed approximate top-5 (scale path; same planes as oracle)
+    "q_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity
+        .annTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 5, AnnPlanes)
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"),
+          col("rank")
+        )
+        .orderBy("query_id", "rank")
+    }),
+
+    // language-ID heuristic scores + argmax
+    "q_lang_id" -> ((s, dir) => {
+      TextAnalysis
+        .langId(t(s, dir, "documents"), "text")
+        .select("doc_id", "score_en", "score_es", "score_de", "score_fr", "lang_pred")
+        .orderBy("doc_id")
+    }),
+
+    // quality metrics
+    "q_quality" -> ((s, dir) => {
+      TextAnalysis
+        .qualityScore(t(s, dir, "documents"), "text")
+        .select(
+          "doc_id", "n_chars_calc", "n_tokens", "mean_token_len",
+          "punct_count", "stopword_ratio", "quality"
+        )
+        .orderBy("doc_id")
+    }),
+
+    // token counting (whitespace + BPE-ish regex)
+    "q_token_counts" -> ((s, dir) => {
+      TextAnalysis
+        .tokenCounts(t(s, dir, "documents"), "text")
+        .select("doc_id", "ws_tokens", "bpe_ish_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // document fingerprinting (md5 canonical + min-shingle)
+    "q_fingerprint" -> ((s, dir) => {
+      TextAnalysis
+        .fingerprints(t(s, dir, "documents"), "text")
+        .select("doc_id", "fp_md5", "fp_min_shingle")
+        .orderBy("doc_id")
+    }),
+
+    // gap sessionization (30 min)
+    "q_sessionize" -> ((s, dir) => {
+      Sessionize
+        .sessionize(events(s, dir), gapSeconds = 1800)
+        .orderBy("user_id", "session_id")
+    }),
+
+    // tumbling 1h event-time windows
+    "q_window_1h" -> ((s, dir) => {
+      Sessionize
+        .tumblingWindowAgg(events(s, dir), "1 hour")
+        .orderBy("window_start")
+    }),
+
+    // as-of: last prior 'view' before each 'purchase' per user
+    "q_asof_purchase_view" -> ((s, dir) => {
+      Sessionize
+        .asOfPrior(events(s, dir), "purchase", "view")
+        .select("event_id", "user_id", "ts", "last_prior_ts")
+        .orderBy("event_id")
+    })
+  )
+
+  /** DuckDB expression for cosine(a, b) over FLOAT[64] columns — identical
+    * fold order to VectorFunctions.cosineSimilarity. */
+  private def duckCosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  /** DuckDB literal for one hyperplane + its dot-product vs `embedding`. */
+  private def duckPlaneDot(plane: Seq[Double]): String = {
+    val lit = plane.mkString("[", ", ", "]")
+    s"list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i]))"
+  }
+
+  private val duckBucket: String =
+    AnnPlanes.zipWithIndex
+      .map { case (p, i) =>
+        s"(CASE WHEN ${duckPlaneDot(p)} > 0 THEN ${1 << i} ELSE 0 END)"
+      }
+      .mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_top_revenue" ->
+      """SELECT o_orderkey, o_orderdate,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q_dedup_minhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |), sg AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 16), j ->
+        |           list_min(list_transform(toks, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
+        |  FROM d
+        |), bd AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(0, 4), b ->
+        |           md5(array_to_string(sig[b*4+1:b*4+4], '|')))) AS band
+        |  FROM sg
+        |), pr AS (
+        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+        |  FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id
+        |), cl AS (
+        |  SELECT ia, ib,
+        |         len(list_filter(range(1, 17), i -> x.sig[i] = y.sig[i])) / 16.0 AS est
+        |  FROM pr JOIN sg x ON x.doc_id = ia JOIN sg y ON y.doc_id = ib
+        |), losers AS (
+        |  SELECT DISTINCT ib FROM cl WHERE est >= 0.9
+        |)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id NOT IN (SELECT ib FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS st FROM documents
+        |), inv AS (
+        |  SELECT doc_id, unnest(st) AS sh FROM s
+        |), shared AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), sz AS (
+        |  SELECT doc_id, len(st) AS n FROM s
+        |)
+        |SELECT ia AS id_a, ib AS id_b,
+        |       CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
+        |FROM shared JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+        |WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_cosine_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3
+         |), s AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |         ${duckCosine("q.embedding", "e.embedding")} AS c
+         |  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, c,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rn AS INT) AS rank
+         |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH eb AS (
+         |  SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings
+         |), q AS (
+         |  SELECT vec_id, embedding, bucket FROM eb WHERE vec_id < 3
+         |), s AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |         ${duckCosine("q.embedding", "e.embedding")} AS c
+         |  FROM q JOIN eb e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, c,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rn AS INT) AS rank
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_lang_id" -> {
+      def score(words: Seq[String]): String =
+        s"CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains([${words.map(w => s"'$w'").mkString(", ")}], t))) AS INT)"
+      val Seq(en, es, de, fr) = TextAnalysis.LangMarkers.map(_._2)
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |         ${score(en)} AS score_en,
+         |         ${score(es)} AS score_es,
+         |         ${score(de)} AS score_de,
+         |         ${score(fr)} AS score_fr
+         |  FROM documents
+         |)
+         |SELECT doc_id, score_en, score_es, score_de, score_fr,
+         |  CASE
+         |    WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
+         |    WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+         |    WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+         |    WHEN score_fr > 0 THEN 'fr'
+         |    ELSE 'unknown'
+         |  END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "q_quality" -> {
+      val en = TextAnalysis.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |         CAST(length(text) AS INT) AS n_chars_calc,
+         |         CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+         |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS punct_count,
+         |         CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains([$en], t))) AS INT) AS stops
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_chars_calc, n_tokens,
+         |       CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
+         |       punct_count,
+         |       CAST(stops AS DOUBLE) / n_tokens AS stopword_ratio,
+         |       ROUND(LEAST(1.0,
+         |         (CAST(stops AS DOUBLE) / n_tokens) * 2.0 +
+         |         (CASE WHEN n_tokens >= 20 AND n_tokens <= 2000 THEN 0.5 ELSE 0.2 END) +
+         |         (CASE WHEN punct_count = 0 THEN 0.1 ELSE 0.0 END)), 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(lower(text), ' ')) AS INT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS canon
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id, canon, string_split(canon, ' ') AS toks FROM c
+        |)
+        |SELECT doc_id, md5(canon) AS fp_md5,
+        |       CASE WHEN len(toks) >= 3 THEN
+        |         list_min(list_transform(range(0, len(toks) - 2), i ->
+        |           md5(array_to_string(toks[i+1:i+3], ' '))))
+        |       END AS fp_min_shingle
+        |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
+
+    "q_window_1h" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |       count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_asof_purchase_view" ->
+      """SELECT event_id, user_id, ts, last_prior_ts FROM (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_prior_ts
+        |  FROM events
+        |) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+  )
+}

@@ -59,8 +59,14 @@ object SparkEntry {
       .transform(d => Privacy.redactLowCounts(d, Seq("n_items"), 10))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * north-star scale extensions (§7). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    referenceQueries ++ ScaleQueries.queries
+
+  def oracleSql: Map[String, String] = referenceOracles ++ ScaleQueries.oracles
+
+  private lazy val referenceQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // O12 clean_column_names
     "q_clean_names" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -266,7 +272,7 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column names). */
-  def oracleSql: Map[String, String] = Map(
+  private lazy val referenceOracles: Map[String, String] = Map(
     "q_clean_names" ->
       """SELECT l_returnflag AS "ret_flag_", l_linestatus AS "_2line_status", count(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

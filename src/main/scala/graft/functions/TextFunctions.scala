@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for dedup / analysis pipelines, as pure Column
+  * expressions (codegen'd, per-row, no shuffle).
+  *
+  * Hashing is md5-hex over seeded strings — deliberately engine-portable
+  * (identical in DuckDB/Trino/Spark) so MinHash signatures and fingerprints
+  * can be oracle-checked bit-for-bit. md5 hex is ASCII, so lexicographic
+  * `array_min` ordering agrees across engines too. For throughput-critical
+  * paths where portability doesn't matter, `xxhash64`-based variants are
+  * provided (one 64-bit hash per shingle vs a 128-bit digest).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Word k-shingles as space-joined strings; empty array when fewer than k
+    * tokens. k=1 gives the token set itself (order-insensitive dedup). */
+  def shingles(text: Column, k: Int): Column = {
+    require(k >= 1, "shingle size must be >= 1")
+    if (k == 1) tokens(text)
+    else {
+      val toks = tokens(text)
+      when(
+        size(toks) >= k,
+        transform(
+          sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))
+        )
+      ).otherwise(array().cast("array<string>"))
+    }
+  }
+
+  /** Portable MinHash signature: component j = min over shingles of
+    * md5("<j>:<shingle>"). Returns array<string> of length numHashes.
+    * Collision-free in practice (128-bit) and engine-portable. */
+  def minHashSignature(shinglesCol: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shinglesCol, s => md5(concat(j.cast("string"), lit(":"), s))))
+    )
+
+  /** Fast MinHash signature via xxhash64 (array<bigint>). NOT portable to
+    * the DuckDB oracle — use for production-scale runs. */
+  def minHashSignatureFast(shinglesCol: Column, numHashes: Int): Column =
+    transform(
+      sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shinglesCol, s => xxhash64(j, s)))
+    )
+
+  /** LSH band keys: band b = md5 of the b-th r-sized slice of the signature
+    * (any element-type signature; elements joined with '|'). Two documents
+    * share a band key iff that signature slice is identical. */
+  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b =>
+        md5(
+          concat_ws(
+            "|",
+            transform(
+              slice(signature, b * rowsPerBand + lit(1), lit(rowsPerBand)),
+              _.cast("string")
+            )
+          )
+        )
+    )
+
+  /** Estimated Jaccard similarity between two equal-length MinHash
+    * signatures: fraction of matching components. */
+  def minHashSimilarity(sigA: Column, sigB: Column): Column =
+    aggregate(
+      zip_with(sigA, sigB, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0),
+      (acc, x) => acc + x
+    ).cast("double") / size(sigA)
+
+  /** 64-bit SimHash over tokens: bit b of the result is set iff the sum of
+    * (+1/-1) votes from each token's xxhash64 bit b is positive.
+    * Near-duplicate texts differ in few bits (compare via hamming). */
+  def simHash(tokensCol: Column): Column = {
+    // votes: per bit, fold +1/-1 across token hashes
+    val bitVotes = aggregate(
+      transform(tokensCol, t => xxhash64(t)),
+      array_repeat(lit(0), 64),
+      (acc, h) =>
+        zip_with(
+          acc,
+          transform(
+            sequence(lit(0), lit(63)),
+            b =>
+              when(
+                call_function("shiftright", h, b).bitwiseAND(1) === 1,
+                1
+              ).otherwise(-1)
+          ),
+          (a, v) => a + v
+        )
+    )
+    aggregate(
+      zip_with(
+        bitVotes,
+        sequence(lit(0), lit(63)),
+        (v, b) =>
+          when(v > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
+      ),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x)
+    )
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Canonical form for fingerprinting: lowercase, strip non-[a-z0-9 ],
+    * collapse whitespace, trim. */
+  def canonicalText(text: Column): Column =
+    trim(
+      regexp_replace(
+        regexp_replace(lower(text), "[^a-z0-9 ]", ""),
+        " +",
+        " "
+      )
+    )
+
+  /** Whole-document fingerprint: md5 of the canonical text. */
+  def fingerprint(text: Column): Column = md5(canonicalText(text))
+
+  /** Winnowing-style fingerprint: minimum shingle hash of the canonical
+    * text's k-shingles (stable under small edits away from the minimum). */
+  def minShingleFingerprint(text: Column, k: Int): Column =
+    array_min(transform(shingles(canonicalText(text), k), s => md5(s)))
+}

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns as pure Column
+  * expressions (higher-order functions — codegen'd, no UDFs, no shuffle).
+  *
+  * Elements are widened float→double before any arithmetic and folded
+  * sequentially (`aggregate` is a left fold), so results are deterministic
+  * and bit-identical to a sequential oracle evaluation.
+  */
+object VectorFunctions {
+
+  /** Sequential left-fold sum of a double array expression. */
+  private def fsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two float-array columns, computed in double. */
+  def dotProduct(a: Column, b: Column): Column =
+    fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** L2 norm of a float-array column, computed in double. */
+  def l2Norm(a: Column): Column =
+    sqrt(fsum(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  /** Cosine similarity of two float-array columns. Null/zero-norm inputs
+    * yield null via division semantics. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Squared Euclidean distance (double). */
+  def squaredDistance(a: Column, b: Column): Column =
+    fsum(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }))
+
+  /** Sign-bit LSH bucket for a vector under the given hyperplanes: bit p is
+    * set iff `v . plane(p) > 0`, packed into an int. Deterministic given the
+    * planes; used by `Similarity.annTopK` to prune the candidate set. */
+  def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (plane, p) =>
+        when(dotProduct(v, typedlit(plane)) > 0, lit(1 << p)).otherwise(lit(0))
+      }
+      .reduce(_ + _)
+}

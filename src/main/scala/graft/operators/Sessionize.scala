@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the batch `events` table: gap sessionization,
+  * tumbling windows, as-of (last-prior-event) joins (north-star extension;
+  * the streaming-shaped counterparts live in `graft.streaming`).
+  *
+  * Scale notes: every operator here shuffles exactly once, on `user_id`
+  * (sessionize/as-of windows) or the window-start key (tumbling agg) — the
+  * natural partitioning for event data; value sums go through DECIMAL for
+  * order-independent exactness.
+  */
+object Sessionize {
+
+  /** Assign gap-based sessions per user and aggregate one row per session:
+    * (user_id, session_id, session_start, session_end, n_events,
+    * total_value). A new session starts when the gap to the previous event
+    * exceeds `gapSeconds`. Ties on ts broken by event_id (deterministic). */
+  def sessionize(
+      events: DataFrame,
+      gapSeconds: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      valueCol: String = "value"
+  ): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val isNew = when(
+      prevTs.isNull ||
+        (unix_micros(col(tsCol)) - unix_micros(prevTs)) > gapSeconds * 1000000L,
+      1
+    ).otherwise(0)
+    events
+      .withColumn("__new_session", isNew)
+      .withColumn(
+        "session_id",
+        sum(col("__new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+      )
+      .groupBy(col(userCol), col("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)"))
+          .cast("double")
+          .as("total_value")
+      )
+  }
+
+  /** Tumbling event-time window aggregate using Spark's `window` function;
+    * emits window_start plus counts/distinct users/value sum. */
+  def tumblingWindowAgg(
+      events: DataFrame,
+      width: String = "1 hour",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"
+  ): DataFrame =
+    events
+      .groupBy(window(col(tsCol), width).as("__w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col(userCol)).as("n_users"),
+        sum(col(valueCol).cast("decimal(18,2)"))
+          .cast("double")
+          .as("total_value")
+      )
+      .select(
+        col("__w.start").as("window_start"),
+        col("n_events"),
+        col("n_users"),
+        col("total_value")
+      )
+
+  /** As-of enrichment: for each event of `targetType`, the timestamp of the
+    * user's most recent *strictly prior* event of `priorType` (null when
+    * none). Composed from a running conditional max over an ordered window —
+    * one shuffle on user, no join. */
+  def asOfPrior(
+      events: DataFrame,
+      targetType: String,
+      priorType: String,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      typeCol: String = "event_type"
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(userCol)
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn(
+        "last_prior_ts",
+        max(when(col(typeCol) === priorType, col(tsCol))).over(w)
+      )
+      .filter(col(typeCol) === targetType)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language ID, quality scoring,
+  * token counting, fingerprinting (north-star extension; SURVEY.md §7
+  * `graft.scale`). All per-row Column expressions — no shuffle, no UDFs.
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language for the n-gram/stopword heuristic.
+    * Deliberately small & explicit so the oracle SQL can embed them. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des")
+  )
+
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+
+  /** Language-ID heuristic: count marker-stopword hits per language, pick
+    * the argmax (first in LangMarkers order on ties), 'unknown' when no
+    * marker hits at all. Adds `lang_pred` plus per-language score columns
+    * `score_<lang>`. */
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = LangMarkers.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"score_$lang", markerCount(toks, words))
+    }
+    val scores = LangMarkers.map { case (lang, _) => col(s"score_$lang") }
+    val best = scores.reduce((a, b) => greatest(a, b))
+    val pred = LangMarkers
+      .foldRight(lit("unknown"): Column) { case ((lang, _), rest) =>
+        when(col(s"score_$lang") === best && best > 0, lit(lang)).otherwise(rest)
+      }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Quality heuristics: length, token count, mean token length, punctuation
+    * ratio, stopword ratio, and a composite `quality` in [0,1]. Integer
+    * counts and deterministic double arithmetic only (oracle-exact). */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nTokens = size(toks)
+    val punct = nChars - length(regexp_replace(text, "[.,!?;:]", ""))
+    val stops = markerCount(toks, LangMarkers.head._2)
+    df.withColumn("n_chars_calc", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn(
+        "mean_token_len",
+        (nChars - (nTokens - lit(1))).cast("double") / nTokens
+      )
+      .withColumn("punct_count", punct)
+      .withColumn("stopword_ratio", stops.cast("double") / nTokens)
+      .withColumn(
+        "quality",
+        round(
+          least(
+            lit(1.0),
+            (stops.cast("double") / nTokens) * 2.0 +
+              when(nTokens >= 20 && nTokens <= 2000, 0.5).otherwise(0.2) +
+              when(punct === 0, 0.1).otherwise(0.0)
+          ),
+          6
+        )
+      )
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other chars). */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    df.withColumn("ws_tokens", size(tokens(text)))
+      .withColumn(
+        "bpe_ish_tokens",
+        regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+      )
+  }
+
+  /** Document fingerprints: md5 of canonical text plus a winnowing-style
+    * min-shingle-hash (k=3). */
+  def fingerprints(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fp_md5", fingerprint(col(textCol)))
+      .withColumn("fp_min_shingle", minShingleFingerprint(col(textCol), 3))
+}

