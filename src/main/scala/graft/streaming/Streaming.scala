@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming counterparts of the batch event-time operators:
+  * watermarked tumbling windows, session windows, and custom
+  * flatMapGroupsWithState sessionization (north-star extension; the
+  * reference has no streaming surface — SURVEY.md §2.5).
+  *
+  * Scale notes: state is keyed by user/window — partitioned by the shuffle
+  * on the grouping key; watermarks bound state size; `session_window` uses
+  * Spark's native session-state store (merging windows under the hood).
+  */
+object Streaming {
+
+  /** Schema of the events table as read from a stream source (ts arrives as
+    * long nanos when the parquet stores TIMESTAMP(NANOS) and
+    * `spark.sql.legacy.parquet.nanosAsLong` is set). */
+  val EventsNanosSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)
+  ))
+
+  /** Streaming read of the events table from a scale-factor directory,
+    * normalizing ts to a microsecond timestamp column. (FileStreamSource
+    * requires a directory path, so we glob the single events.parquet file
+    * inside the sf dir.) */
+  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(EventsNanosSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Watermarked tumbling-window aggregate (append mode capable). */
+  def windowedCounts(
+      events: DataFrame,
+      width: String = "1 hour",
+      watermark: String = "2 hours"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("__w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")
+      )
+      .select(
+        col("__w.start").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        col("total_value")
+      )
+
+  /** Native session windows (gap-based) — the streaming equivalent of
+    * `Sessionize.sessionize`. */
+  def sessionWindows(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("__w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")
+      )
+      .select(
+        col("user_id"),
+        col("__w.start").as("session_start"),
+        col("__w.end").as("session_end"),
+        col("n_events"),
+        col("total_value")
+      )
+
+  /** Per-user running state for the custom-state path. */
+  case class UserRunningState(nEvents: Long, totalValue: Double)
+  case class UserUpdate(user_id: Long, n_events: Long, total_value: Double)
+  case class EventRow(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String
+  )
+
+  /** Custom stateful aggregation via flatMapGroupsWithState: emits the
+    * running (count, value-sum) per user on every micro-batch. Demonstrates
+    * the arbitrary-state API the native operators can't express. */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunningState, UserUpdate](
+        OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()
+      ) { (userId, rows, state: GroupState[UserRunningState]) =>
+        val prev = state.getOption.getOrElse(UserRunningState(0L, 0.0))
+        var n = prev.nEvents
+        var total = prev.totalValue
+        rows.foreach { r => n += 1; total += r.value }
+        state.update(UserRunningState(n, total))
+        Iterator.single(UserUpdate(userId, n, math.round(total * 100).toDouble / 100))
+      }
+      .toDF()
+  }
+
+  /** Run a streaming DataFrame to completion against the (static) source
+    * contents via a named memory sink; returns the collected result table.
+    * Complete mode keeps every window (test/demo harness). */
+  def runToMemorySink(
+      spark: SparkSession,
+      streamed: DataFrame,
+      queryName: String,
+      outputMode: String = "complete"
+  ): DataFrame = {
+    val q: StreamingQuery = streamed.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+
+/** Streaming (memory-sink) and multimodal plumbing suites. */
+class StreamingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed counts match the batch equivalent") {
+    val stream = Streaming.readEventsStream(spark, sfDir)
+    val got = Streaming.runToMemorySink(
+      spark,
+      Streaming.windowedCounts(stream, "1 hour"),
+      "win_counts"
+    )
+    val batch = graft.operators.Sessionize
+      .tumblingWindowAgg(
+        spark.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000"))),
+        "1 hour"
+      )
+    // streaming groups by (window, type); roll up to compare totals
+    val streamTotal = got.agg(sum("n_events")).collect()(0).getLong(0)
+    val batchTotal = batch.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(streamTotal == batchTotal)
+    assert(got.count() > 0)
+  }
+
+  test("streaming session windows produce per-user sessions") {
+    val stream = Streaming.readEventsStream(spark, sfDir)
+    val got = Streaming.runToMemorySink(
+      spark,
+      Streaming.sessionWindows(stream, "30 minutes"),
+      "sess_win"
+    )
+    assert(got.count() > 0)
+    // session bounds are ordered and counts positive
+    got.collect().foreach { r =>
+      assert(!r.getTimestamp(1).after(r.getTimestamp(2)))
+      assert(r.getLong(3) > 0)
+    }
+  }
+
+  test("flatMapGroupsWithState running totals cover every user") {
+    val stream = Streaming.readEventsStream(spark, sfDir)
+    val got = Streaming.runToMemorySink(
+      spark,
+      Streaming.runningUserTotals(stream),
+      "user_totals",
+      outputMode = "update"
+    )
+    val users = spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .select(countDistinct("user_id"))
+      .collect()(0)
+      .getLong(0)
+    assert(got.select("user_id").distinct().count() == users)
+  }
+
+  test("media table round trip: schema, features, determinism") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val media = Multimodal.toMediaTable(docs, "doc_id", "text")
+    assert(
+      media.schema.fields.map(_.name).toSeq == Seq("media_id", "media", "meta")
+    )
+    val feats = Multimodal.extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length == 50)
+    rows.foreach { f =>
+      assert(f.brightness > 0 && f.brightness <= 1.0)
+      assert(f.n_bytes > 0)
+    }
+    // deterministic: same input, same features
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(rows.map(_.brightness).toSeq == again.map(_.brightness).toSeq)
+  }
+
+  test("resize stub shrinks payload and updates metadata") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(5)
+    val media = Multimodal.toMediaTable(docs, "doc_id", "text")
+    val resized = Multimodal.resize(media, 8, 8)
+    resized.collect().foreach { r =>
+      val meta = r.getStruct(2)
+      assert(meta.getInt(1) == 8 && meta.getInt(2) == 8)
+      assert(r.getAs[Array[Byte]](1).length == meta.getLong(3))
+    }
+  }
+
+  test("frame sampling explodes stride-selected chunks") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(3)
+    val media = Multimodal.toMediaTable(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 16, stride = 2)
+    assert(frames.count() > 0)
+    frames.collect().foreach { r =>
+      assert(r.getInt(1) % 2 == 0)
+      assert(r.getAs[Array[Byte]](2).length <= 16)
+    }
+  }
+}
