@@ -101,10 +101,17 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
-    // exact token-set Jaccard near-dup pairs via inverted index
+    // exact token-set Jaccard near-dup pairs via inverted index. The
+    // synthetic corpus is a ~50-word vocabulary, so *every* doc pair shares
+    // tokens and the true >=0.8 pair set itself grows quadratically with
+    // corpus size — bounded here to the first 500 docs so the benchmark
+    // measures the operator, not an unboundedly growing result.
     "q_jaccard_pairs" -> ((s, dir) => {
       Dedup
-        .ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 1, 0.8)
+        .ngramJaccardPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", 1, 0.8
+        )
         .orderBy("id_a", "id_b")
     }),
 
@@ -253,25 +260,38 @@ object ScaleQueries {
     "q_dedup_minhash" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |), pre AS (
+        |  SELECT doc_id,
+        |         list_transform(toks, s -> [
+        |           CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT),
+        |           CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT) % 1000000007
+        |         ]) AS ab
+        |  FROM d
         |), sg AS (
         |  SELECT doc_id,
         |         list_transform(range(0, 16), j ->
-        |           list_min(list_transform(toks, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) AS sig
-        |  FROM d
+        |           list_min(list_transform(ab, p -> (p[1] + j * p[2]) % 1000000007))) AS sig
+        |  FROM pre
         |), bd AS (
         |  SELECT doc_id,
         |         unnest(list_transform(range(0, 4), b ->
         |           md5(array_to_string(sig[b*4+1:b*4+4], '|')))) AS band
         |  FROM sg
+        |), mn AS (
+        |  SELECT band, min(doc_id) AS bucket_min FROM bd GROUP BY band
         |), pr AS (
-        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-        |  FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id
+        |  SELECT DISTINCT m.bucket_min AS ia, b.doc_id AS ib
+        |  FROM bd b JOIN mn m ON b.band = m.band AND b.doc_id > m.bucket_min
         |), cl AS (
         |  SELECT ia, ib,
         |         len(list_filter(range(1, 17), i -> x.sig[i] = y.sig[i])) / 16.0 AS est
         |  FROM pr JOIN sg x ON x.doc_id = ia JOIN sg y ON y.doc_id = ib
+        |), ex AS (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY sig) AS sig_min FROM sg
         |), losers AS (
-        |  SELECT DISTINCT ib FROM cl WHERE est >= 0.9
+        |  SELECT doc_id AS ib FROM ex WHERE doc_id > sig_min
+        |  UNION
+        |  SELECT ib FROM cl WHERE est >= 0.9
         |)
         |SELECT doc_id, lang, source FROM documents
         |WHERE doc_id NOT IN (SELECT ib FROM losers)
@@ -279,7 +299,8 @@ object ScaleQueries {
 
     "q_jaccard_pairs" ->
       """WITH s AS (
-        |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS st FROM documents
+        |  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS st
+        |  FROM documents WHERE doc_id < 500
         |), inv AS (
         |  SELECT doc_id, unnest(st) AS sh FROM s
         |), shared AS (

@@ -35,14 +35,48 @@ object TextFunctions {
     }
   }
 
-  /** Portable MinHash signature: component j = min over shingles of
-    * md5("<j>:<shingle>"). Returns array<string> of length numHashes.
-    * Collision-free in practice (128-bit) and engine-portable. */
-  def minHashSignature(shinglesCol: Column, numHashes: Int): Column =
+  /** Modulus for the universal-hash family deriving MinHash components. */
+  val MinHashMod: Long = 1000000007L
+
+  /** Per-shingle hash seeds for MinHash: ONE md5 digest per shingle, split
+    * into two 60-bit integers (a, b mod p). All signature components derive
+    * from (a, b) arithmetically — 16x fewer digests than hashing per
+    * component, and still engine-portable (DuckDB: CAST('0x'||substr AS
+    * BIGINT)). Keep this in its own projection: the expression is
+    * non-cheap, so Catalyst will NOT inline it into each downstream
+    * reference (CollapseProject skips duplicating expensive exprs). */
+  def minHashPre(shinglesCol: Column): Column =
+    transform(
+      shinglesCol,
+      s => {
+        val h = md5(s)
+        struct(
+          conv(substring(h, 1, 15), 16, 10).cast("long").as("a"),
+          (conv(substring(h, 16, 15), 16, 10).cast("long") % MinHashMod).as("b")
+        )
+      }
+    )
+
+  /** MinHash signature from precomputed (a, b) seeds: component j =
+    * min over shingles of (a + j*b) mod p — classic universal hashing.
+    * Returns array<bigint> of length numHashes. */
+  def minHashSignatureFromPre(preCol: Column, numHashes: Int): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shinglesCol, s => md5(concat(j.cast("string"), lit(":"), s))))
+      j =>
+        array_min(
+          transform(
+            preCol,
+            p => (p.getField("a") + j.cast("long") * p.getField("b")) % MinHashMod
+          )
+        )
     )
+
+  /** Portable MinHash signature (convenience composition — prefer computing
+    * [[minHashPre]] in its own column when the signature feeds several
+    * consumers). */
+  def minHashSignature(shinglesCol: Column, numHashes: Int): Column =
+    minHashSignatureFromPre(minHashPre(shinglesCol), numHashes)
 
   /** Fast MinHash signature via xxhash64 (array<bigint>). NOT portable to
     * the DuckDB oracle — use for production-scale runs. */

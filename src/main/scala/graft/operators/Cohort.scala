@@ -136,7 +136,15 @@ object Cohort {
       )
     }
 
-    val filtered = flagged.filter(col("include"))
+    // Filter on the raw criteria conjunction rather than the filled
+    // `include` column: same row set (NULL excludes either way), but the
+    // raw deterministic predicates push down into the parquet scan, whereas
+    // the na.fill coalesce(pred, false) form blocks PushedFilters entirely
+    // (verified by PlanSpec) — a full-scan difference at 100 TB.
+    val rawPredicate =
+      if (inclusionCriteria.isEmpty) lit(true)
+      else inclusionCriteria.map { case (_, sql) => expr(sql) }.reduce(_ && _)
+    val filtered = flagged.filter(rawPredicate)
 
     if (dropInclusionFlags) {
       val toDrop = (0 to inclusionCriteria.size).map(i => s"criteria_$i") ++

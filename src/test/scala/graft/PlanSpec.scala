@@ -1,0 +1,55 @@
+package graft
+
+/** Physical-plan shape guards: the optimizations we rely on at scale must
+  * actually fire (predicate pushdown into parquet, broadcast joins,
+  * WindowGroupLimit top-k). Complements the value-level oracle checks. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q1_pricing pushes the shipdate filter into the parquet scan") {
+    val p = plan("q1_pricing")
+    assert(p.contains("PushedFilters"), p)
+    assert(
+      p.contains("LessThanOrEqual(l_shipdate"),
+      s"expected l_shipdate pushdown:\n$p"
+    )
+  }
+
+  test("q1_pricing prunes columns (no l_orderkey in scan schema)") {
+    val p = plan("q1_pricing")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("inclusion-criteria filter pushes conjuncts into the scan") {
+    // include = AND-chain of criteria exprs over source columns; Catalyst
+    // must collapse the flag projections and push the deterministic
+    // predicates down to parquet
+    val p = plan("q_inclusion")
+    // (plan toString truncates the PushedFilters list; check an early entry)
+    assert(
+      p.contains("PushedFilters: [IsNotNull"),
+      s"expected criteria pushdown:\n$p"
+    )
+    assert(p.contains("In(o_orderstatus"), s"expected o_orderstatus pushdown:\n$p")
+  }
+
+  test("flagship entry broadcasts a side of its join") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"), p)
+  }
+
+  test("cosine top-k broadcasts the query side and keeps WindowGroupLimit") {
+    val p = plan("q_cosine_topk")
+    assert(p.contains("WindowGroupLimit"), s"expected top-k pushdown:\n$p")
+  }
+
+  test("top-n query plans use WindowGroupLimit (rank filter pushdown)") {
+    Seq("q_first_row", "q_first_rank", "q_first_dense_rank").foreach { q =>
+      assert(plan(q).contains("WindowGroupLimit"), s"$q missing WindowGroupLimit")
+    }
+  }
+}
