@@ -73,6 +73,53 @@ object ScaleQueries {
         .limit(10)
     }),
 
+    // TPC-H Q5-style regional revenue: 6-way join with co-located customer/
+    // supplier nations; dimension tables broadcast, fact joins shuffle on
+    // their keys
+    "q5_region_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(
+            col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1) - col("l_discount").cast("decimal(4,2)"))
+          ).cast("double").as("revenue")
+        )
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // left-semi join (EXISTS): customers with a 1997 order
+    "q_join_semi" -> ((s, dir) => {
+      val o97 = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      )
+      t(s, dir, "customer")
+        .join(o97, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // left-anti join (NOT EXISTS): customers with no high-value order
+    "q_join_anti" -> ((s, dir) => {
+      val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      t(s, dir, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
     // exact dedup: one event per (user, type), deterministic min event_id
     "q_dedup_exact" -> ((s, dir) => {
       Dedup
@@ -249,6 +296,35 @@ object ScaleQueries {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_totalprice > 400000
+        |)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT event_id, user_id, event_type FROM (
