@@ -120,6 +120,42 @@ object ScaleQueries {
         .orderBy("c_custkey")
     }),
 
+    // set operations: union / intersect / except over customer key sets
+    "q_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_nationkey")
+      val bld = c.filter(col("c_mktsegment") === "BUILDING").select("c_nationkey")
+      val union = auto.union(bld).distinct().withColumn("op", lit("union"))
+      val inter = auto.intersect(bld).withColumn("op", lit("intersect"))
+      val minus = auto.except(bld).withColumn("op", lit("except"))
+      union.union(inter).union(minus).orderBy("op", "c_nationkey")
+    }),
+
+    // rollup: subtotals + grand total over (nation, segment)
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .rollup("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(
+          col("c_nationkey").asc_nulls_first,
+          col("c_mktsegment").asc_nulls_first
+        )
+    }),
+
+    // pivot: segment counts as columns per nation (reshape counterpart of
+    // the flowchart's unpivot)
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy("c_nationkey")
+        .pivot(
+          "c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        )
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("c_nationkey")
+    }),
+
     // exact dedup: one event per (user, type), deterministic min event_id
     "q_dedup_exact" -> ((s, dir) => {
       Dedup
@@ -296,6 +332,30 @@ object ScaleQueries {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH auto AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'),
+        |bld AS (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT c_nationkey, 'union' AS op FROM (SELECT DISTINCT c_nationkey FROM (SELECT * FROM auto UNION ALL SELECT * FROM bld))
+        |UNION ALL
+        |SELECT c_nationkey, 'intersect' AS op FROM (SELECT c_nationkey FROM auto INTERSECT SELECT c_nationkey FROM bld)
+        |UNION ALL
+        |SELECT c_nationkey, 'except' AS op FROM (SELECT c_nationkey FROM auto EXCEPT SELECT c_nationkey FROM bld)
+        |ORDER BY op, c_nationkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |FROM customer GROUP BY ROLLUP(c_nationkey, c_mktsegment)
+        |ORDER BY c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT c_nationkey,
+        |  count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
+        |  count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS "BUILDING",
+        |  count(*) FILTER (WHERE c_mktsegment = 'FURNITURE') AS "FURNITURE",
+        |  count(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD') AS "HOUSEHOLD",
+        |  count(*) FILTER (WHERE c_mktsegment = 'MACHINERY') AS "MACHINERY"
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT n_name,
