@@ -226,11 +226,18 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard similarity for pairs sharing at least one shingle,
-    * via an inverted index join: explode distinct shingles, count shared
-    * shingles per pair, join per-document set sizes. Returns pairs with
-    * jaccard >= threshold. Shuffles (shingle, id) pairs — bounded by corpus
-    * token count, never quadratic in documents. */
+  /** Exact n-gram Jaccard similarity pairs with `jaccard >= threshold`.
+    *
+    * Candidate generation uses PPJoin-style prefix filtering, which is
+    * EXACT: under any global token order, two sets with Jaccard >= t must
+    * share a token within their first `|X| - ceil(t*|X|) + 1` tokens, so
+    * indexing only those prefixes yields a candidate superset of the true
+    * result. We order tokens by ascending document frequency (rarest
+    * first), which concentrates the index on discriminative tokens — the
+    * inverted-index join over full sets degrades toward all-pairs when the
+    * vocabulary is small relative to the corpus. Verification recomputes
+    * the exact Jaccard from the shared-token counts over full sets for the
+    * candidate pairs only. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -245,9 +252,40 @@ object Dedup {
     val sizes = sets.select(col("__id"), size(col("__set")).as("__n"))
     val inverted = sets.select(col("__id"), explode(col("__set")).as("__shingle"))
 
-    val shared = inverted
-      .join(inverted.select(col("__id").as("__id2"), col("__shingle")), Seq("__shingle"))
+    // global order: (document frequency asc, token) — rarest first
+    val dfreq = inverted.groupBy("__shingle").agg(count(lit(1)).as("__df"))
+    val prefixInv = inverted
+      .join(dfreq, Seq("__shingle"))
+      .withColumn(
+        "__pos",
+        row_number().over(
+          Window.partitionBy("__id").orderBy(col("__df"), col("__shingle"))
+        )
+      )
+      .join(sizes, Seq("__id"))
+      // Jaccard-safe prefix length: n - ceil(t*n) + 1. The epsilon keeps
+      // the prefix conservative when t*n is mathematically integral but
+      // floats a hair above it (5 * 0.8 -> 4.0000000000000002, whose ceil
+      // would shorten the prefix and drop true pairs); a longer prefix only
+      // adds candidates, never loses them.
+      .filter(
+        col("__pos") <= col("__n") - ceil(col("__n") * threshold - 1e-9) + 1
+      )
+      .select(col("__id"), col("__shingle"))
+
+    val candidates = prefixInv
+      .join(prefixInv.select(col("__id").as("__id2"), col("__shingle")), Seq("__shingle"))
       .filter(col("__id") < col("__id2"))
+      .select("__id", "__id2")
+      .distinct()
+
+    // exact verification: shared-token counts over FULL sets for candidates
+    val shared = candidates
+      .join(inverted, Seq("__id"))
+      .join(
+        inverted.select(col("__id").as("__id2"), col("__shingle")),
+        Seq("__id2", "__shingle")
+      )
       .groupBy("__id", "__id2")
       .agg(count(lit(1)).as("__shared"))
 

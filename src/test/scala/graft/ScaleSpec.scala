@@ -72,6 +72,34 @@ class ScaleSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("prefix-filtered jaccard matches brute force on real documents") {
+    val d = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 120)
+    val got = Dedup
+      .ngramJaccardPairs(d, "doc_id", "text", 1, 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // brute force driver-side over all pairs
+    val sets = d
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").toSet)
+    val expected = (for {
+      (ia, sa) <- sets
+      (ib, sb) <- sets
+      if ia < ib
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.8
+    } yield (ia, ib) -> j).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, j) =>
+      assert(math.abs(got(k) - j) < 1e-12, s"pair $k")
+    }
+  }
+
   test("simhash of identical token multisets is equal; near dup is close") {
     val sigs = Dedup
       .simHashSignatures(docs, "doc_id", "text")
