@@ -24,10 +24,24 @@ object VectorFunctions {
   def l2Norm(a: Column): Column =
     sqrt(fsum(transform(a, x => x.cast("double") * x.cast("double"))))
 
-  /** Cosine similarity of two float-array columns. Null/zero-norm inputs
-    * yield null via division semantics. */
+  /** Cosine similarity of two float-array columns (composable higher-order
+    * form; see [[cosineSimilarityNative]] for the codegen'd hot-path
+    * version with identical results). */
   def cosineSimilarity(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine similarity as a native Catalyst expression — one codegen'd loop
+    * instead of interpreted lambda chains; bit-identical to
+    * [[cosineSimilarity]] (same sequential double accumulation). */
+  def cosineSimilarityNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.plans.CosineSimilarityExpr(
+        GraftSqlBridge.expression(a),
+        GraftSqlBridge.expression(b)
+      )
+    )
+  }
 
   /** Squared Euclidean distance (double). */
   def squaredDistance(a: Column, b: Column): Column =

@@ -327,7 +327,7 @@ object Dedup {
       .select(
         col("id_a"),
         col("id_b"),
-        cosineSimilarity(col("v_a"), col("v_b")).as("cosine")
+        cosineSimilarityNative(col("v_a"), col("v_b")).as("cosine")
       )
       .distinct()
       .filter(col("cosine") >= threshold)

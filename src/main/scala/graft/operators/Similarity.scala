@@ -50,7 +50,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("neighbor_id"),
-        cosineSimilarity(col("__qv"), col("__nv")).as("cosine")
+        cosineSimilarityNative(col("__qv"), col("__nv")).as("cosine")
       )
     TopN
       .firstRow(
@@ -90,7 +90,7 @@ object Similarity {
       .select(
         col("query_id"),
         col("neighbor_id"),
-        cosineSimilarity(col("__qv"), col("__nv")).as("cosine")
+        cosineSimilarityNative(col("__qv"), col("__nv")).as("cosine")
       )
     TopN.firstRow(
       scored,

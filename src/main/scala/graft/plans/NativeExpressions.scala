@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot path.
+  *
+  * The composable `VectorFunctions.cosineSimilarity` (zip_with + aggregate)
+  * is semantically right but higher-order lambdas are interpreted per
+  * element, which dominates brute-force similarity search cost. This
+  * expression computes the same value in one tight codegen'd loop —
+  * identical arithmetic order (sequential left-to-right double
+  * accumulation), so results are bit-for-bit equal to the HOF form and to
+  * the DuckDB oracle's sequential list_sum.
+  *
+  * This is the (b) tier of the extension preference order (compose
+  * built-ins > custom Expression > custom plan node): built-ins express the
+  * semantics but not the performance.
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression
+    with Serializable {
+
+  // ExpectsInputTypes is off-limits outside the sql package
+  // (AbstractDataType is private[sql]); validate manually instead.
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"cosine_similarity_native expects two array<float> inputs, got $l and $r"
+        )
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |double $na = 0.0;
+         |double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y;
+         |  $na += $x * $x;
+         |  $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "cosine_similarity_native"
+}

@@ -138,6 +138,22 @@ class ScaleSpec extends SparkSpec {
     assert(got(2)._1 == 2L && math.abs(got(2)._2) < 1e-12)
   }
 
+  test("native cosine expression is bit-identical to the HOF form") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val a = e.select(col("vec_id"), col("embedding").as("va")).filter(col("vec_id") < 50)
+    val b = e.select(col("vec_id").as("vb_id"), col("embedding").as("vb"))
+      .filter(col("vb_id") >= 50 && col("vb_id") < 100)
+    val pairs = a.crossJoin(b)
+    val diffs = pairs
+      .select(
+        graft.functions.VectorFunctions.cosineSimilarity(col("va"), col("vb")).as("hof"),
+        graft.functions.VectorFunctions.cosineSimilarityNative(col("va"), col("vb")).as("native")
+      )
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diffs == 0, "native cosine diverged from HOF fold")
+  }
+
   test("annTopK recalls the exact top-1 on real embeddings") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val planes = Similarity.randomHyperplanes(4, 64)
