@@ -63,6 +63,81 @@ object Similarity {
       )
   }
 
+  /** IVF-style approximate top-k: coarse-quantize the corpus with k-means
+    * (MLlib, deterministic seed), then search only the `nProbe` centroids
+    * nearest to each query. The inverted-file analogue of [[annTopK]]'s
+    * hyperplane buckets — better-balanced cells on clustered data, at the
+    * cost of a training pass. Centroid assignment is a broadcast of k
+    * centroid vectors; the search joins queries to their probed cells only.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 2,
+      seed: Long = 42L
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val featurized = corpus.withColumn("__features", array_to_vector(col(vecCol)))
+    val model = new KMeans()
+      .setK(nCells)
+      .setSeed(seed)
+      .setFeaturesCol("__features")
+      .setPredictionCol("__cell")
+      .fit(featurized)
+
+    val assigned = model
+      .transform(featurized)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"), col("__cell"))
+
+    // each query probes its nProbe nearest centroids
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat).toSeq)
+    }.toSeq
+    val centroidDf = corpus.sparkSession
+      .createDataFrame(centroids)
+      .toDF("__cell", "__centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val probed = q
+      .crossJoin(broadcast(centroidDf))
+      .withColumn(
+        "__dist",
+        squaredDistance(col("__qv"), col("__centroid").cast("array<float>"))
+      )
+      .withColumn(
+        "__rank",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")
+            .orderBy(col("__dist"), col("__cell"))
+        )
+      )
+      .filter(col("__rank") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__cell"))
+
+    val scored = assigned
+      .join(broadcast(probed), Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosineSimilarityNative(col("__qv"), col("__nv")).as("cosine")
+      )
+    TopN.firstRow(
+      scored,
+      n = k,
+      partitionBy = Seq(col("query_id")),
+      orderBy = Seq(col("cosine").desc, col("neighbor_id")),
+      returnIndexColumn = true,
+      indexColumnName = "rank"
+    )
+  }
+
   /** Approximate cosine top-k: candidates restricted to the query's
     * hyperplane-LSH bucket. Lower cost, recall controlled by plane count
     * (fewer planes => bigger buckets => higher recall & cost). */

@@ -81,6 +81,17 @@ object Streaming {
         col("total_value")
       )
 
+  /** Streaming exact dedup: drops duplicate event_ids within the watermark
+    * horizon (state bounded by the watermark — the streaming counterpart of
+    * `Dedup.exactDedup`). */
+  def dedupEvents(
+      events: DataFrame,
+      watermark: String = "2 hours"
+  ): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user running state for the custom-state path. */
   case class UserRunningState(nEvents: Long, totalValue: Double)
   case class UserUpdate(user_id: Long, n_events: Long, total_value: Double)

@@ -177,6 +177,21 @@ class ScaleSpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("ivfTopK returns sane ranked neighbors from probed cells") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 2)
+    val got = Similarity
+      .ivfTopK(e, q, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2)
+      .collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(3)).sorted
+      assert(ranks.head == 1 && ranks.length <= 5)
+      // cosine is within [-1, 1] + fp slack
+      rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.000001))
+    }
+  }
+
   test("langId picks the language with most marker hits") {
     val df = Seq(
       (1L, "the cat and the dog of a house"),

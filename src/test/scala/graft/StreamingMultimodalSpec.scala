@@ -59,6 +59,19 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got.select("user_id").distinct().count() == users)
   }
 
+  test("streaming dedup drops duplicate event ids") {
+    val stream = Streaming.readEventsStream(spark, sfDir)
+    val got = Streaming.runToMemorySink(
+      spark,
+      Streaming.dedupEvents(stream),
+      "dedup_events",
+      outputMode = "append"
+    )
+    val total = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(got.count() == total) // source has unique ids; all survive
+    assert(got.select("event_id").distinct().count() == total)
+  }
+
   test("media table round trip: schema, features, determinism") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
     val media = Multimodal.toMediaTable(docs, "doc_id", "text")
