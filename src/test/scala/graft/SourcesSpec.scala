@@ -152,6 +152,36 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("graft_test_db.part_tbl").count() == 3)
   }
 
+  test("resolvePath: absolute, project-relative, repo-relative modes") {
+    import graft.sources.{Paths => GPaths}
+    assert(GPaths.resolvePath("/abs/x.csv") == "/abs/x.csv")
+    assert(
+      GPaths.resolvePath("./cfg/x.json", projectFolder = Some("/proj")) ==
+        "/proj/cfg/x.json"
+    )
+    assert(
+      GPaths.resolvePath("data/x.csv", repoRoot = Some("/repo")) ==
+        "/repo/data/x.csv"
+    )
+    intercept[IllegalArgumentException] {
+      GPaths.resolvePath("./x", projectFolder = None)
+    }
+  }
+
+  test("findProjectFolder walks up to the marker") {
+    import graft.sources.{Paths => GPaths}
+    val root = Files.createTempDirectory("graft-proj")
+    val nested = root.resolve("a/b/c")
+    Files.createDirectories(nested)
+    Files.writeString(root.resolve(".dbxproj"), "")
+    assert(
+      GPaths.findProjectFolder(nested.toString) ==
+        Some(root.toRealPath().toString) ||
+        GPaths.findProjectFolder(nested.toString) == Some(root.toString)
+    )
+    assert(GPaths.findProjectFolder("/tmp", "no-such-marker-xyz").isEmpty)
+  }
+
   test("standardise gdppr renames person id and cleans names") {
     val raw = Seq((1L, "x")).toDF("NHS_NUMBER_DEID", "Some Col!")
     val got = Tables.standardiseTable(raw, "gdppr")
