@@ -282,6 +282,13 @@ object ScaleQueries {
         .orderBy("window_start")
     }),
 
+    // sliding 1h windows every 30 min (each event in 2 windows)
+    "q_window_sliding" -> ((s, dir) => {
+      Sessionize
+        .slidingWindowAgg(events(s, dir), "1 hour", "30 minutes")
+        .orderBy("window_start")
+    }),
+
     // as-of: last prior 'view' before each 'purchase' per user
     "q_asof_purchase_view" -> ((s, dir) => {
       Sessionize
@@ -573,6 +580,18 @@ object ScaleQueries {
         |       count(DISTINCT user_id) AS n_users,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_window_sliding" ->
+      """WITH w AS (
+        |  SELECT unnest([
+        |    CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP),
+        |    CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800 - 1800) AS TIMESTAMP)
+        |  ]) AS window_start, value
+        |  FROM events
+        |)
+        |SELECT window_start, count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_asof_purchase_view" ->
       """SELECT event_id, user_id, ts, last_prior_ts FROM (

@@ -78,6 +78,29 @@ object Sessionize {
         col("total_value")
       )
 
+  /** Sliding event-time window aggregate: windows of `width` starting every
+    * `slide` (each event lands in width/slide windows). */
+  def slidingWindowAgg(
+      events: DataFrame,
+      width: String = "1 hour",
+      slide: String = "30 minutes",
+      valueCol: String = "value",
+      tsCol: String = "ts"
+  ): DataFrame =
+    events
+      .groupBy(window(col(tsCol), width, slide).as("__w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,2)"))
+          .cast("double")
+          .as("total_value")
+      )
+      .select(
+        col("__w.start").as("window_start"),
+        col("n_events"),
+        col("total_value")
+      )
+
   /** As-of enrichment: for each event of `targetType`, the timestamp of the
     * user's most recent *strictly prior* event of `priorType` (null when
     * none). Composed from a running conditional max over an ordered window —

@@ -7,6 +7,14 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("entry also works under ANSI mode (driver may use a default session)") {
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      assert(SparkEntry.entry(spark).count() > 0)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("every query runs on sf0.001 and oracle coverage is complete") {
     val missingOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val extraOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
