@@ -98,14 +98,18 @@ object Tables {
     method.map(standardiseTable(df, _)).getOrElse(df)
   }
 
-  /** Save to a catalog table: overwrite mode with schema overwrite and
-    * optional write-side partitioning. Mirrors reference
-    * `table_management.py:91-138`. */
+  /** Save to a catalog table: overwrite mode with schema overwrite,
+    * optional write-side partitioning (mirrors reference
+    * `table_management.py:91-138`), and optional bucketing — the 100 TB
+    * extension: two tables bucketed+sorted on the same join key join with
+    * NO shuffle (SortMergeJoin without Exchange; asserted in SourcesSpec).
+    */
   def saveTable(
       df: DataFrame,
       table: String,
       tableDirectory: String,
-      partitionBy: Seq[String] = Nil
+      partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None
   ): Unit = {
     val directory = readTableDirectory(tableDirectory)
     val ref = directory.getOrElse(
@@ -114,10 +118,14 @@ object Tables {
         s"Table key '$table' not found in table_directory"
       )
     )
-    val writer = df.write.mode("overwrite").option("overwriteSchema", "true")
-    val partitioned =
-      if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
-    partitioned.saveAsTable(s"${ref.database}.${ref.tableName}")
+    var writer = df.write.mode("overwrite").option("overwriteSchema", "true")
+    if (partitionBy.nonEmpty) writer = writer.partitionBy(partitionBy: _*)
+    bucketBy.foreach { case (n, cols) =>
+      writer = writer
+        .bucketBy(n, cols.head, cols.tail: _*)
+        .sortBy(cols.head, cols.tail: _*)
+    }
+    writer.saveAsTable(s"${ref.database}.${ref.tableName}")
   }
 
   /** Distinct archive versions as sorted strings.

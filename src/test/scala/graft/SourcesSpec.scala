@@ -152,6 +152,30 @@ class SourcesSpec extends SparkSpec {
     assert(spark.table("graft_test_db.part_tbl").count() == 3)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val dirPath = s"$tmp/table_directory3.json"
+    JsonUtils.writeJsonFile(
+      Map(
+        "facts" -> Map("database" -> "graft_test_db", "table_name" -> "facts_b"),
+        "dims" -> Map("database" -> "graft_test_db", "table_name" -> "dims_b")
+      ),
+      dirPath
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test_db")
+    val facts = (1 to 1000).map(i => (i.toLong % 100, s"f$i")).toDF("key", "payload")
+    val dims = (0L until 100L).map(i => (i, s"d$i")).toDF("key", "label")
+    Tables.saveTable(facts, "facts", dirPath, bucketBy = Some((8, Seq("key"))))
+    Tables.saveTable(dims, "dims", dirPath, bucketBy = Some((8, Seq("key"))))
+
+    val joined = spark
+      .table("graft_test_db.facts_b")
+      .join(spark.table("graft_test_db.dims_b").hint("merge"), Seq("key"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == 1000)
+  }
+
   test("resolvePath: absolute, project-relative, repo-relative modes") {
     import graft.sources.{Paths => GPaths}
     assert(GPaths.resolvePath("/abs/x.csv") == "/abs/x.csv")
