@@ -192,6 +192,17 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin returns exactly the rows of the plain join") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    val plain = li.join(o, Seq("l_orderkey"))
+    val salted = graft.operators.Joins.saltedJoin(li, o, Seq("l_orderkey"), 4)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("langId picks the language with most marker hits") {
     val df = Seq(
       (1L, "the cat and the dog of a house"),
