@@ -17,15 +17,26 @@ object Bench {
     // the first measured query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
+    // a failing query must surface as an error, never as a (fast) timing
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName + ": " + e.getMessage) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .collect { case (k, v, None) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results
+      .collect { case (k, _, Some(e)) =>
+        s"\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
+      }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ok":${results.count(_._3.isEmpty)},"failed":${results.count(_._3.nonEmpty)},"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

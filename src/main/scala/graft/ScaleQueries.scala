@@ -37,6 +37,16 @@ object ScaleQueries {
     * oracle SQL. 6 planes => 64 buckets over 500-5000 vectors. */
   private val AnnPlanes = Similarity.randomHyperplanes(numPlanes = 6, dim = 64)
 
+  /** Independent banks for the OR-amplified multi-band ANN query. Sized from
+    * the measured data: the synthetic embeddings are near-random (median
+    * top-5 cosine 0.32 => per-plane match probability m ~ 0.60), so 16 banks
+    * of 3 planes gives predicted recall 1-(1-m^3)^16 ~ 0.98 (ScaleSpec
+    * asserts >= 0.9). On real clustered corpora (m -> 1 for true near-dups)
+    * far fewer banks reach the same recall — the bank count IS the
+    * recall/cost dial. */
+  private val AnnBanks =
+    Similarity.randomHyperplaneBanks(numBanks = 16, planesPerBank = 3, dim = 64)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary (headline bench query)
     "q1_pricing" -> ((s, dir) => {
@@ -184,6 +194,26 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // MinHash near-dedup with full transitive clustering: connected
+    // components over the candidate-pair graph, one survivor (the min id)
+    // per cluster — the CCNet-style semantics. Oracle computes reachability
+    // with a recursive CTE.
+    "q_dedup_minhash_cc" -> ((s, dir) => {
+      Dedup
+        .dedupNearMinHash(
+          t(s, dir, "documents"),
+          "doc_id",
+          "text",
+          threshold = 0.9,
+          shingleK = 1,
+          numHashes = 16,
+          bands = 4,
+          transitive = true
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // exact token-set Jaccard near-dup pairs via inverted index. The
     // synthetic corpus is a ~50-word vocabulary, so *every* doc pair shares
     // tokens and the true >=0.8 pair set itself grows quadratically with
@@ -198,11 +228,24 @@ object ScaleQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // SimHash signatures (xxhash64-based — rows-only check, no oracle)
+    // SimHash signatures (portable md5 bit-votes — oracle-checked)
     "q_simhash" -> ((s, dir) => {
       Dedup
         .simHashSignatures(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // SimHash near-dup pairs: quarter-bucketed candidates, exact for
+    // hamming <= 3 (pigeonhole) — oracle is the brute-force pair set, which
+    // proves the bucketing loses nothing. Bounded like q_jaccard_pairs: the
+    // ~50-word-vocabulary corpus makes the true pair set itself quadratic.
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup
+        .simHashCandidatePairs(
+          t(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", maxHamming = 3
+        )
+        .orderBy("id_a", "id_b")
     }),
 
     // brute-force cosine top-10 for query vectors vec_id < 3
@@ -224,6 +267,50 @@ object ScaleQueries {
       val e = t(s, dir, "embeddings")
       Similarity
         .annTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 5, AnnPlanes)
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"),
+          col("rank")
+        )
+        .orderBy("query_id", "rank")
+    }),
+
+    // embedding near-dup pairs in shared LSH buckets (cosine >= 0.8)
+    "q_embed_dedup" -> ((s, dir) => {
+      Dedup
+        .embeddingDedupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", AnnPlanes, 0.8
+        )
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // IVF (k-means cells) approximate top-5. KMeans training is not
+    // SQL-expressible, so this is a rows-only driver check; the quantitative
+    // gate is the ScaleSpec recall assertion vs exact cosineTopK (>= 0.6
+    // with 8 cells / 3 probes at sf0.01).
+    "q_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity
+        .ivfTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 5, nCells = 8, nProbe = 3)
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"),
+          col("rank")
+        )
+        .orderBy("query_id", "rank")
+    }),
+
+    // OR-amplified multi-band LSH top-5 (recall dial over q_ann_topk)
+    "q_ann_multiband" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity
+        .annTopKMultiBand(
+          e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 5, AnnBanks
+        )
         .select(
           col("query_id"),
           col("neighbor_id"),
@@ -312,12 +399,88 @@ object ScaleQueries {
     s"list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i]))"
   }
 
-  private val duckBucket: String =
-    AnnPlanes.zipWithIndex
+  /** DuckDB CTE chain computing the portable SimHash signature table
+    * (doc_id, simhash) — mirrors Dedup.simHashSignatures bit-for-bit: md5
+    * split into two 32-bit halves, per-bit majority vote over tokens, bit 63
+    * assembled as Long.MinValue to stay in signed-64 range. */
+  private def duckSimHashSig(where: String): String = {
+    val votes = (0 until 64)
+      .map { b =>
+        val src = if (b < 32) s"(hi >> $b)" else s"(lo >> ${b - 32})"
+        s"SUM($src & 1) AS v$b"
+      }
+      .mkString(", ")
+    val terms = (0 until 64)
+      .map { b =>
+        val term = if (b == 63) "-9223372036854775808" else (1L << b).toString
+        s"(CASE WHEN 2*v$b > n THEN $term ELSE 0 END)"
+      }
+      .mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+       |  FROM documents $where
+       |), h AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS hi,
+       |         CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS lo
+       |  FROM tok
+       |), v AS (
+       |  SELECT doc_id, count(*) AS n, $votes FROM h GROUP BY doc_id
+       |), sh AS (
+       |  SELECT doc_id, $terms AS simhash FROM v
+       |)""".stripMargin
+  }
+
+  /** Shared DuckDB CTE chain for the MinHash dedup oracles — mirrors
+    * Dedup.minHashSignatures + bucket-minimum candidate pairing: tokens ->
+    * md5-derived (a, b) seeds -> 16-component signatures -> 4 band keys ->
+    * bucket-min pairs with full-signature agreement (`cl`), plus the exact
+    * identical-signature pass (`ex`). NULL-text docs have no shingles:
+    * Spark's explode drops them from the signature table so they are always
+    * retained; the WHERE mirrors that (without it DuckDB would give them a
+    * shared NULL signature and drop all but one). */
+  private val duckMinHashCommon: String =
+    """d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), pre AS (
+      |  SELECT doc_id,
+      |         list_transform(toks, s -> [
+      |           CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT),
+      |           CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT) % 1000000007
+      |         ]) AS ab
+      |  FROM d
+      |), sg AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, 16), j ->
+      |           list_min(list_transform(ab, p -> (p[1] + j * p[2]) % 1000000007))) AS sig
+      |  FROM pre
+      |), bd AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(0, 4), b ->
+      |           md5(array_to_string(sig[b*4+1:b*4+4], '|')))) AS band
+      |  FROM sg
+      |), mn AS (
+      |  SELECT band, min(doc_id) AS bucket_min FROM bd GROUP BY band
+      |), pr AS (
+      |  SELECT DISTINCT m.bucket_min AS ia, b.doc_id AS ib
+      |  FROM bd b JOIN mn m ON b.band = m.band AND b.doc_id > m.bucket_min
+      |), cl AS (
+      |  SELECT ia, ib,
+      |         len(list_filter(range(1, 17), i -> x.sig[i] = y.sig[i])) / 16.0 AS est
+      |  FROM pr JOIN sg x ON x.doc_id = ia JOIN sg y ON y.doc_id = ib
+      |), ex AS (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY sig) AS sig_min FROM sg
+      |)""".stripMargin
+
+  private def duckBucketFor(planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex
       .map { case (p, i) =>
         s"(CASE WHEN ${duckPlaneDot(p)} > 0 THEN ${1 << i} ELSE 0 END)"
       }
       .mkString(" + ")
+
+  private val duckBucket: String = duckBucketFor(AnnPlanes)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing" ->
@@ -401,44 +564,37 @@ object ScaleQueries {
         |) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
     "q_dedup_minhash" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
-        |), pre AS (
-        |  SELECT doc_id,
-        |         list_transform(toks, s -> [
-        |           CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT),
-        |           CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT) % 1000000007
-        |         ]) AS ab
-        |  FROM d
-        |), sg AS (
-        |  SELECT doc_id,
-        |         list_transform(range(0, 16), j ->
-        |           list_min(list_transform(ab, p -> (p[1] + j * p[2]) % 1000000007))) AS sig
-        |  FROM pre
-        |), bd AS (
-        |  SELECT doc_id,
-        |         unnest(list_transform(range(0, 4), b ->
-        |           md5(array_to_string(sig[b*4+1:b*4+4], '|')))) AS band
-        |  FROM sg
-        |), mn AS (
-        |  SELECT band, min(doc_id) AS bucket_min FROM bd GROUP BY band
-        |), pr AS (
-        |  SELECT DISTINCT m.bucket_min AS ia, b.doc_id AS ib
-        |  FROM bd b JOIN mn m ON b.band = m.band AND b.doc_id > m.bucket_min
-        |), cl AS (
-        |  SELECT ia, ib,
-        |         len(list_filter(range(1, 17), i -> x.sig[i] = y.sig[i])) / 16.0 AS est
-        |  FROM pr JOIN sg x ON x.doc_id = ia JOIN sg y ON y.doc_id = ib
-        |), ex AS (
-        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY sig) AS sig_min FROM sg
-        |), losers AS (
-        |  SELECT doc_id AS ib FROM ex WHERE doc_id > sig_min
-        |  UNION
-        |  SELECT ib FROM cl WHERE est >= 0.9
-        |)
-        |SELECT doc_id, lang, source FROM documents
-        |WHERE doc_id NOT IN (SELECT ib FROM losers)
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH $duckMinHashCommon, losers AS (
+         |  SELECT doc_id AS ib FROM ex WHERE doc_id > sig_min
+         |  UNION
+         |  SELECT ib FROM cl WHERE est >= 0.9
+         |)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT ib FROM losers)
+         |ORDER BY doc_id""".stripMargin,
+
+    // transitive variant: reachability over the qualifying pair graph via a
+    // recursive CTE; a doc loses iff any strictly smaller id is reachable
+    "q_dedup_minhash_cc" ->
+      s"""WITH RECURSIVE $duckMinHashCommon, e AS (
+         |  SELECT ia AS a, ib AS b FROM cl WHERE est >= 0.9
+         |  UNION
+         |  SELECT ib AS a, ia AS b FROM cl WHERE est >= 0.9
+         |), reach AS (
+         |  SELECT a AS src, b AS dst FROM e
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst
+         |), comp AS (
+         |  SELECT src AS id, least(src, min(dst)) AS component
+         |  FROM reach GROUP BY src
+         |), losers AS (
+         |  SELECT doc_id AS ib FROM ex WHERE doc_id > sig_min
+         |  UNION
+         |  SELECT id AS ib FROM comp WHERE id > component
+         |)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT ib FROM losers)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_jaccard_pairs" ->
       """WITH s AS (
@@ -458,6 +614,18 @@ object ScaleQueries {
         |FROM shared JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
         |WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_simhash" ->
+      s"""WITH ${duckSimHashSig("")}
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_pairs" ->
+      s"""WITH ${duckSimHashSig("WHERE doc_id < 500")}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_cosine_topk" ->
       s"""WITH q AS (
@@ -490,6 +658,39 @@ object ScaleQueries {
          |)
          |SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rn AS INT) AS rank
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_dedup" ->
+      s"""WITH eb AS (
+         |  SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings
+         |), p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS c
+         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p
+         |WHERE c >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_multiband" -> {
+      val bucketCols = AnnBanks.zipWithIndex
+        .map { case (planes, i) => s"${duckBucketFor(planes)} AS b$i" }
+        .mkString(", ")
+      val orCond = AnnBanks.indices.map(i => s"e.b$i = q.b$i").mkString(" OR ")
+      s"""WITH eb AS (
+         |  SELECT vec_id, embedding, $bucketCols FROM embeddings
+         |), q AS (
+         |  SELECT * FROM eb WHERE vec_id < 3
+         |), s AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |         ${duckCosine("q.embedding", "e.embedding")} AS c
+         |  FROM q JOIN eb e ON ($orCond) AND e.vec_id <> q.vec_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, c,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rn AS INT) AS rank
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "q_lang_id" -> {
       def score(words: Seq[String]): String =

@@ -115,7 +115,12 @@ object TextFunctions {
 
   /** 64-bit SimHash over tokens: bit b of the result is set iff the sum of
     * (+1/-1) votes from each token's xxhash64 bit b is positive.
-    * Near-duplicate texts differ in few bits (compare via hamming). */
+    * Near-duplicate texts differ in few bits (compare via hamming).
+    *
+    * This nested-HOF form is the executable SPEC (interpreted per lambda —
+    * do not put it in a hot path); production corpus runs use
+    * `Dedup.simHashSignatures`, an explode -> codegen'd bit-vote aggregate
+    * asserted bit-identical to this form. */
   def simHash(tokensCol: Column): Column = {
     // votes: per bit, fold +1/-1 across token hashes
     val bitVotes = aggregate(

@@ -141,10 +141,25 @@ object Cohort {
     // raw deterministic predicates push down into the parquet scan, whereas
     // the na.fill coalesce(pred, false) form blocks PushedFilters entirely
     // (verified by PlanSpec) — a full-scan difference at 100 TB.
-    val rawPredicate =
-      if (inclusionCriteria.isEmpty) lit(true)
-      else inclusionCriteria.map { case (_, sql) => expr(sql) }.reduce(_ && _)
-    val filtered = flagged.filter(rawPredicate)
+    //
+    // Re-evaluating the raw expressions is only sound when they are
+    // deterministic; with e.g. rand()-based sampling criteria the surviving
+    // rows could disagree with their flag columns, so those fall back to
+    // filtering on the computed `include` flag (no pushdown — correct over
+    // fast, and Catalyst would refuse to push a non-deterministic predicate
+    // anyway).
+    val rawExprs = inclusionCriteria.map { case (_, sql) => expr(sql) }
+    val allDeterministic = inclusionCriteria.isEmpty ||
+      cohort
+        .select(rawExprs: _*)
+        .queryExecution
+        .analyzed
+        .expressions
+        .forall(_.deterministic)
+    val filtered =
+      if (inclusionCriteria.isEmpty) flagged
+      else if (allDeterministic) flagged.filter(rawExprs.reduce(_ && _))
+      else flagged.filter(col("include"))
 
     if (dropInclusionFlags) {
       val toDrop = (0 to inclusionCriteria.size).map(i => s"criteria_$i") ++

@@ -107,9 +107,22 @@ object Dedup {
       portable: Boolean = true,
       representativesOnly: Boolean = false
   ): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, textCol, shingleK, numHashes, portable)
+    minHashCandidatePairsFromSigs(sigs, numHashes, bands, representativesOnly)
+  }
+
+  /** [[minHashCandidatePairs]] over a PRECOMPUTED signature table
+    * (__id, __sig) — lets callers that also need the signatures for other
+    * passes (e.g. [[dedupNearMinHash]]'s exact-signature pass) scan and
+    * hash the corpus exactly once. */
+  def minHashCandidatePairsFromSigs(
+      sigs: DataFrame,
+      numHashes: Int,
+      bands: Int,
+      representativesOnly: Boolean = false
+  ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sigs = minHashSignatures(df, idCol, textCol, shingleK, numHashes, portable)
     val banded = sigs.select(
       col("__id"),
       explode(lshBands(col("__sig"), bands, r)).as("__band")
@@ -146,7 +159,13 @@ object Dedup {
     * to a lower-id row with estimated Jaccard >= threshold. Candidates come
     * from bucket-minimum representative pairing (O(bands) pairs per doc —
     * see minHashCandidatePairs), the scalable standard for corpus dedup;
-    * full transitive clustering would need iterative connected components.
+    * set `transitive = true` for full connected-component clustering.
+    *
+    * The corpus is scanned twice in total: once to build signatures (shared
+    * by the exact-signature pass AND the banding pass) and once for the
+    * final anti-join that re-reads the full-width rows. Rows with NULL text
+    * have no shingles, so they produce no signature and are always RETAINED
+    * (a null document cannot be a near-duplicate of anything).
     */
   def dedupNearMinHash(
       df: DataFrame,
@@ -156,50 +175,120 @@ object Dedup {
       shingleK: Int = 1,
       numHashes: Int = 16,
       bands: Int = 4,
-      portable: Boolean = true
+      portable: Boolean = true,
+      transitive: Boolean = false
   ): DataFrame = {
+    // ONE signature computation feeds both passes below (shingle + md5 over
+    // the corpus is the dominant cost at scale — never pay it twice)
+    val sigs = minHashSignatures(df, idCol, textCol, shingleK, numHashes, portable)
+
     // Pass 1 (exact, linear): rows sharing a FULL signature are certain
     // dups (est = 1.0) — group by signature, drop everything above the
     // group minimum. Catches arbitrarily large duplicate clusters without
     // any pair enumeration.
     val w = Window.partitionBy("__sig")
-    val exactLosers =
-      minHashSignatures(df, idCol, textCol, shingleK, numHashes, portable)
-        .withColumnRenamed("__id", "__loser")
-        .withColumn("__min", min("__loser").over(w))
-        .filter(col("__loser") > col("__min"))
-        .select("__loser")
+    val exactLosers = sigs
+      .withColumnRenamed("__id", "__loser")
+      .withColumn("__min", min("__loser").over(w))
+      .filter(col("__loser") > col("__min"))
+      .select("__loser")
 
     // Pass 2 (approximate, linear): bucket-minimum candidate pairs for
     // near-but-not-identical signatures above the threshold.
-    val nearLosers = minHashCandidatePairs(
-      df, idCol, textCol, shingleK, numHashes, bands, portable,
-      representativesOnly = true
-    )
-      .filter(col("est_jaccard") >= threshold)
-      .select(col("id_b").as("__loser"))
+    val nearPairs =
+      minHashCandidatePairsFromSigs(sigs, numHashes, bands, representativesOnly = true)
+        .filter(col("est_jaccard") >= threshold)
+    val nearLosers =
+      if (transitive) {
+        // cluster label = min reachable id over the candidate-pair edges;
+        // everything above its cluster minimum is a loser (A~B~C drops both
+        // B and C even when A and C share no direct pair)
+        Graphs
+          .connectedComponentsByMinLabel(nearPairs.select("id_a", "id_b"), "id_a", "id_b")
+          .filter(col("id") > col("component"))
+          .select(col("id").as("__loser"))
+      } else {
+        nearPairs.select(col("id_b").as("__loser"))
+      }
 
     val losers = exactLosers.union(nearLosers).distinct()
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 
-  /** Per-row 64-bit SimHash signatures (id, simhash). */
-  def simHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol),
-      simHash(tokens(col(textCol))).as("simhash")
+  /** Per-row 64-bit SimHash signatures (id, simhash), computed as
+    * explode-tokens -> codegen'd hash aggregate with one bit-vote `sum`
+    * column per signature bit — the same reformulation that took MinHash out
+    * of interpreted higher-order functions (see [[minHashSignatures]]); the
+    * nested-HOF spec form lives in `TextFunctions.simHash` and the fast
+    * variant here is asserted bit-identical to it. Bit b of the result is
+    * set iff more token hashes have bit b set than clear (ties -> 0), with
+    * token multiplicity counted.
+    *
+    * @param portable md5-derived hash bits (two 32-bit halves of the
+    *   digest — identical in DuckDB, so signatures oracle-check
+    *   bit-for-bit) vs xxhash64 bits (faster; matches
+    *   `TextFunctions.simHash`). Docs with NULL text drop out (no tokens to
+    *   vote — they cannot be near-duplicates of anything).
+    */
+  def simHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      portable: Boolean = true
+  ): DataFrame = {
+    val exploded = df.select(
+      col(idCol).as("__id"),
+      explode(tokens(col(textCol))).as("__t")
     )
+    // 64 hash bits per token, as plain codegen'd long arithmetic
+    val (hashed, bit) =
+      if (portable) {
+        val h = md5(col("__t"))
+        val src = exploded.select(
+          col("__id"),
+          conv(substring(h, 1, 8), 16, 10).cast("long").as("__hi"),
+          conv(substring(h, 9, 8), 16, 10).cast("long").as("__lo")
+        )
+        val f = (b: Int) =>
+          if (b < 32) shiftright(col("__hi"), b).bitwiseAND(lit(1L))
+          else shiftright(col("__lo"), b - 32).bitwiseAND(lit(1L))
+        (src, f)
+      } else {
+        val src = exploded.select(col("__id"), xxhash64(col("__t")).as("__h"))
+        val f = (b: Int) => shiftright(col("__h"), b).bitwiseAND(lit(1L))
+        (src, f)
+      }
+    // one-pass hash aggregate: token count + 64 per-bit one-counts
+    // (map-side partial agg absorbs the explode before any shuffle)
+    val aggCols = count(lit(1)).as("__n") +:
+      (0 until 64).map(b => sum(bit(b)).as(s"__v$b"))
+    val votes = hashed.groupBy("__id").agg(aggCols.head, aggCols.tail: _*)
+    // bit set iff ones outnumber zeros (2*ones > n); bit 63 contributes the
+    // sign bit, added as Long.MinValue so the sum stays in range
+    val assembled = (0 until 64)
+      .map { b =>
+        val set = col(s"__v$b") * 2 > col("__n")
+        val term = if (b == 63) lit(Long.MinValue) else lit(1L << b)
+        when(set, term).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+    votes.select(col("__id").as(idCol), assembled.as("simhash"))
+  }
 
   /** Near-duplicate pairs by SimHash: bucket on 16-bit quarters (a pair
     * within hamming distance 3 of 64 bits must agree on at least one
-    * quarter), then verify hamming <= maxHamming in-bucket. */
+    * quarter — pigeonhole over 4 quarters), then verify hamming <=
+    * maxHamming in-bucket. The quarter guarantee makes the result EXACT for
+    * maxHamming <= 3: every qualifying pair shares a bucket, and the final
+    * filter keeps exactly the pairs within distance. */
   def simHashCandidatePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      portable: Boolean = true
   ): DataFrame = {
-    val sigs = simHashSignatures(df, idCol, textCol)
+    val sigs = simHashSignatures(df, idCol, textCol, portable)
       .select(col(idCol).as("__id"), col("simhash"))
     val banded = sigs.withColumn(
       "__band",

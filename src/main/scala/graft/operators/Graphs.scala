@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Minimal distributed graph utilities for dedup clustering (north-star
+  * extension; no reference counterpart).
+  *
+  * Scale design: connected components via iterative min-label propagation —
+  * each round is one shuffle-join of the (skinny) edge list against the
+  * (id, component) label table, so the cost is O(diameter) joins over
+  * 2-column rows. Near-dup candidate graphs from bucket-minimum LSH pairing
+  * are star-shaped (every member links to its bucket minimum), so the
+  * diameter — and the iteration count — stays tiny regardless of corpus
+  * size. For adversarial long-chain graphs the classic large-star/small-star
+  * algorithm halves the diameter per round; not needed for LSH dedup.
+  */
+object Graphs {
+
+  /** Connected components of the undirected graph given as an edge list:
+    * returns (id, component) for every vertex that appears in an edge,
+    * where `component` is the MINIMUM vertex id reachable from `id`.
+    * Vertices with no edges are their own singleton components and are NOT
+    * emitted (callers treat absence as identity).
+    *
+    * Driver-side iteration control (one comparison per round) with
+    * `localCheckpoint` truncating the plan lineage each round — without it
+    * the iterated join plan grows exponentially. Label sums decrease
+    * strictly monotonically until the fixpoint, so convergence is detected
+    * by an unchanged checksum rather than a row-by-row diff.
+    */
+  def connectedComponentsByMinLabel(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIterations: Int = 20
+  ): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = sym
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var prevSum = checksum(labels)
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val neighborMin = sym
+        .join(labels, sym("dst") === labels("id"))
+        .groupBy("src")
+        .agg(min("component").as("__nmin"))
+      val updated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(
+          labels("id"),
+          least(col("component"), coalesce(col("__nmin"), col("component")))
+            .as("component")
+        )
+        .localCheckpoint()
+      val newSum = checksum(updated)
+      converged = newSum == prevSum
+      prevSum = newSum
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** Exact decimal sum of labels — strictly decreases while any label can
+    * still propagate, so equality across rounds proves the fixpoint. */
+  private def checksum(labels: DataFrame): java.math.BigDecimal =
+    labels
+      .agg(sum(col("component").cast("decimal(38,0)")))
+      .head()
+      .getDecimal(0)
+}

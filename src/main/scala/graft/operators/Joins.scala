@@ -30,12 +30,17 @@ object Joins {
       saltFactor: Int = 8
   ): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
-    // deterministic per-row salt: hash every column so identical rows
-    // spread only when the whole row repeats (no RNG — keeps reruns and
-    // tests stable)
+    // per-row salt: hash every column PLUS a per-row ordinal so that fully
+    // identical repeated rows (the worst skew: one hot row duplicated
+    // millions of times) still fan out across salt buckets. No RNG — the
+    // salt depends only on row content and scan position, and ANY salt
+    // value joins correctly because the small side carries all of them.
     val salted = skewed.withColumn(
       "__salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltFactor)).cast("int")
+      pmod(
+        xxhash64(skewed.columns.map(col) :+ monotonically_increasing_id(): _*),
+        lit(saltFactor)
+      ).cast("int")
     )
     val salts = replicated.crossJoin(
       broadcast(

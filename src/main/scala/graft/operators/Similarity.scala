@@ -27,6 +27,16 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)((rnd.nextInt(2001) - 1000) / 1000.0))
   }
 
+  /** Independent hyperplane banks for OR-amplified LSH ([[annTopKMultiBand]]):
+    * bank i uses seed + i, so banks are uncorrelated but reproducible. */
+  def randomHyperplaneBanks(
+      numBanks: Int,
+      planesPerBank: Int,
+      dim: Int,
+      seed: Long = 42L
+  ): Seq[Seq[Seq[Double]]] =
+    Seq.tabulate(numBanks)(i => randomHyperplanes(planesPerBank, dim, seed + i))
+
   /** Exact cosine top-k neighbors for each query vector (brute force).
     *
     * @param queries  small DataFrame (query_id, query vector) — broadcast
@@ -167,6 +177,64 @@ object Similarity {
         col("neighbor_id"),
         cosineSimilarityNative(col("__qv"), col("__nv")).as("cosine")
       )
+    TopN.firstRow(
+      scored,
+      n = k,
+      partitionBy = Seq(col("query_id")),
+      orderBy = Seq(col("cosine").desc, col("neighbor_id")),
+      returnIndexColumn = true,
+      indexColumnName = "rank"
+    )
+  }
+
+  /** OR-amplified hyperplane LSH top-k — the recall dial [[annTopK]] lacks:
+    * each of `planeSets.size` independent hyperplane banks buckets every
+    * vector, and a corpus vector is a candidate for a query if ANY bank puts
+    * them in the same bucket (the same OR construction as MinHash bands —
+    * a single flipped plane no longer loses the candidate). With B banks of
+    * p planes and match probability m = 1 - theta/pi per plane, candidate
+    * recall is 1 - (1 - m^p)^B: more banks => higher recall, linearly more
+    * candidate rows.
+    *
+    * Scale shape: per-row bucket computation (no shuffle), explode to B
+    * skinny (bank:bucket, id) rows, hash join against the broadcast query
+    * side, then a (query_id, neighbor_id) agg to dedupe pairs found by
+    * several banks BEFORE the top-k window — each pair is scored once per
+    * discovering bank but ranked once.
+    */
+  def annTopKMultiBand(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planeSets: Seq[Seq[Seq[Double]]]
+  ): DataFrame = {
+    require(planeSets.nonEmpty, "need at least one hyperplane bank")
+    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
+      val bands = planeSets.zipWithIndex.map { case (planes, i) =>
+        concat_ws(":", lit(i), hyperplaneBucket(col(vecCol), planes))
+      }
+      df.select(
+        col(idCol).as(id),
+        col(vecCol).as(vec),
+        explode(array(bands: _*)).as("__bucket")
+      )
+    }
+    val q = banded(queries, "query_id", "__qv")
+    val c = banded(corpus, "neighbor_id", "__nv")
+    val scored = c
+      .join(broadcast(q), Seq("__bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosineSimilarityNative(col("__qv"), col("__nv")).as("cosine")
+      )
+      // banks overlap: collapse duplicate pairs (identical cosine) before
+      // ranking so no neighbor appears twice in a query's top-k
+      .groupBy("query_id", "neighbor_id")
+      .agg(min("cosine").as("cosine"))
     TopN.firstRow(
       scored,
       n = k,

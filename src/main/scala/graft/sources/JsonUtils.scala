@@ -70,7 +70,14 @@ object JsonUtils {
       case b: Boolean => b.toString
       case i: Int     => i.toString
       case l: Long    => l.toString
-      case d: Double  => if (d == d.floor && !d.isInfinite) f"$d%.1f" else d.toString
+      case d: Double  =>
+        // Locale.ROOT: f"$d%.1f" would use the JVM default locale and emit
+        // "1,0" (invalid JSON) on comma-decimal locales. Whole doubles too
+        // large for the %.1f path (|d| >= 1e16, where floor equality stops
+        // being meaningful) fall through to scientific notation.
+        if (d == d.floor && !d.isInfinite && math.abs(d) < 1e16)
+          String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+        else d.toString
       case m: Map[_, _] =>
         if (m.isEmpty) "{}"
         else

@@ -41,6 +41,27 @@ class CohortSpec extends SparkSpec {
     )
   }
 
+  test("non-deterministic criteria filter on include so flags stay consistent") {
+    // rand()-based sampling criterion: re-evaluating the raw expression in
+    // the filter would let surviving rows disagree with their flag columns;
+    // the fallback filters on the computed `include` flag instead.
+    val many = spark.range(2000).toDF("row_id")
+      .withColumn("person_id", col("row_id"))
+    val got = Cohort
+      .applyInclusionCriteria(
+        many,
+        Seq("sampled" -> "rand(7) < 0.5", "even" -> "row_id % 2 = 0"),
+        dropInclusionFlags = false
+      )
+      .select("sampled", "even", "include")
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2),
+        "surviving row disagrees with its flag columns")
+    }
+  }
+
   test("createInclusionColumns null expression results become false") {
     val flagged = Cohort.createInclusionColumns(cohort, criteria)
     checkRows(

@@ -15,6 +15,18 @@ class EntrySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
 
+  test("date DSL query is ANSI-proof (Spark 4 default session)") {
+    // `expr("date + int")` semantics differ under ANSI; the DSL must emit
+    // date_add-style arithmetic that is identical in both modes.
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      val legacy = SparkEntry.queries("q_date_dsl")(spark, sfDir).collect()
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      val ansi = SparkEntry.queries("q_date_dsl")(spark, sfDir).collect()
+      assert(ansi.sameElements(legacy), "q_date_dsl diverges under ANSI mode")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("every query runs on sf0.001 and oracle coverage is complete") {
     val missingOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val extraOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -100,6 +100,67 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("agg-form simhash (fast mode) is bit-identical to the HOF spec form") {
+    val d = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 200)
+    val hof = d
+      .select(
+        col("doc_id"),
+        TextFunctions.simHash(TextFunctions.tokens(col("text"))).as("simhash")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val agg = Dedup
+      .simHashSignatures(d, "doc_id", "text", portable = false)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(agg.keySet == hof.keySet)
+    agg.foreach { case (id, s) =>
+      assert(s == hof(id), s"simhash mismatch for doc $id")
+    }
+  }
+
+  test("connected components: min label over chains, separate components") {
+    // chain 1-2-3 plus pair 7-9; 5 appears only via self-free edge list
+    val edges = Seq((2L, 1L), (2L, 3L), (9L, 7L)).toDF("a", "b")
+    val got = graft.operators.Graphs
+      .connectedComponentsByMinLabel(edges, "a", "b")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("transitive dedup drops B linked only through C (A~C, B~C edges)") {
+    // A~B~C via shared neighbor: edges (1,3) and (2,3). Direct pair (1,2)
+    // absent. Non-transitive keeps 2 (it never appears as id_b); transitive
+    // assigns {1,2,3} one component with min 1 and drops both 2 and 3.
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val comp = graft.operators.Graphs
+      .connectedComponentsByMinLabel(edges, "id_a", "id_b")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(comp(2L) == 1L && comp(3L) == 1L && comp(1L) == 1L)
+  }
+
+  test("dedupNearMinHash transitive retention is a subset keeping minima") {
+    val d = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 300)
+    val plain = Dedup
+      .dedupNearMinHash(d, "doc_id", "text", threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val trans = Dedup
+      .dedupNearMinHash(d, "doc_id", "text", threshold = 0.9, transitive = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trans.subsetOf(plain), "transitive mode must only drop more")
+    assert(trans.contains(plain.min))
+  }
+
   test("simhash of identical token multisets is equal; near dup is close") {
     val sigs = Dedup
       .simHashSignatures(docs, "doc_id", "text")
@@ -175,6 +236,50 @@ class ScaleSpec extends SparkSpec {
       assert(rows.forall(r => r.getDouble(2) <= 1.000001))
     }
     assert(exact.nonEmpty)
+  }
+
+  private def recallAt(
+      exact: Map[Long, Set[Long]],
+      approx: Map[Long, Set[Long]]
+  ): Double = {
+    val hits = exact.map { case (q, truth) =>
+      (truth & approx.getOrElse(q, Set.empty)).size.toDouble / truth.size
+    }
+    hits.sum / hits.size
+  }
+
+  private def topKSets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+    rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  test("multi-band ANN reaches recall@5 >= 0.9 vs exact top-k") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = topKSets(
+      Similarity.cosineTopK(e, q, "vec_id", "embedding", 5).collect()
+    )
+    // near-random embeddings: median top-5 cosine ~0.32 => m ~ 0.60/plane;
+    // 16 banks x 3 planes => predicted recall 1-(1-m^3)^16 ~ 0.98
+    val banks = Similarity.randomHyperplaneBanks(16, 3, 64)
+    val multi = topKSets(
+      Similarity.annTopKMultiBand(e, q, "vec_id", "embedding", 5, banks).collect()
+    )
+    val r = recallAt(exact, multi)
+    assert(r >= 0.9, s"multi-band recall@5 = $r, expected >= 0.9")
+  }
+
+  test("ivfTopK recall@5 vs exact top-k meets the probe-limited bound") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = topKSets(
+      Similarity.cosineTopK(e, q, "vec_id", "embedding", 5).collect()
+    )
+    val ivf = topKSets(
+      Similarity
+        .ivfTopK(e, q, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 3)
+        .collect()
+    )
+    val r = recallAt(exact, ivf)
+    assert(r >= 0.6, s"ivf recall@5 = $r, expected >= 0.6 (8 cells, 3 probes)")
   }
 
   test("ivfTopK returns sane ranked neighbors from probed cells") {
