@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Sessionize, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -164,6 +164,29 @@ object ScaleQueries {
         .agg(count(lit(1)))
         .na.fill(0L)
         .orderBy("c_nationkey")
+    }),
+
+    // salted join under deliberate 90% key skew: lineitem rows collapse onto
+    // hot group 0, the small dim side replicates per salt value, and the
+    // aggregate proves result equivalence with the plain join (the oracle).
+    // ScaleSpec asserts the hot key spans multiple partitions post-join.
+    "q_skew_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(
+          when(col("l_orderkey") % 100 < 90, lit(0L))
+            .otherwise(col("l_orderkey") % 100).as("grp"),
+          col("l_quantity")
+        )
+      val dim = s.range(100)
+        .select(col("id").as("grp"), concat(lit("g"), col("id")).as("grp_label"))
+      Joins
+        .saltedJoin(li, dim, Seq("grp"), saltFactor = 8)
+        .groupBy("grp", "grp_label")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty")
+        )
+        .orderBy("grp")
     }),
 
     // exact dedup: one event per (user, type), deterministic min event_id
@@ -555,6 +578,20 @@ object ScaleQueries {
         |    AND o.o_totalprice > 400000
         |)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_skew_join" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+        |              ELSE l_orderkey % 100 END AS grp,
+        |         l_quantity
+        |  FROM lineitem
+        |), dim AS (
+        |  SELECT range AS grp, 'g' || range AS grp_label FROM range(100)
+        |)
+        |SELECT grp, grp_label, count(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM li JOIN dim USING (grp)
+        |GROUP BY grp, grp_label ORDER BY grp""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT event_id, user_id, event_type FROM (

@@ -8,13 +8,15 @@ import org.apache.spark.sql.functions._
   * resize / frame-sample run as partition-local typed transforms
   * (north-star extension).
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode kernels below are ===== STUBS =====: deterministic fakes that
-  * stand in for libjpeg/ffmpeg calls. Everything around them — schema
-  * shape, metadata struct, per-partition batched execution, null handling —
-  * is the real plumbing a cluster job would use. Swap `stubDecodeBytes`
-  * with a real codec and the pipeline is production-shaped: mapPartitions
-  * keeps decoding off the driver, one task per input split, no shuffle.
+  * IMAGE decoding is REAL: `javax.imageio` (in the JDK — no extra
+  * dependency) decodes PNG / BMP / GIF / JPEG payloads on the executors,
+  * and feature extraction / resize operate on actual pixels. Audio/video
+  * codecs are NOT available in this environment, so those kernels remain
+  * ===== STUBS =====: deterministic fakes that stand in for ffmpeg calls.
+  * Everything around them — schema shape, metadata struct, per-partition
+  * batched execution, null handling — is the real plumbing a cluster job
+  * would use: mapPartitions keeps decoding off the driver, one task per
+  * input split, no shuffle.
   */
 object Multimodal {
 
@@ -43,10 +45,53 @@ object Multimodal {
       ).as("meta")
     )
 
-  /** ===== STUB ===== deterministic fake decoder: pretends to decode a
-    * compressed image into luma statistics. A real implementation calls the
-    * codec here (the only line that changes); signature and batch shape are
-    * the production ones. */
+  /** Real image decode via the JDK's ImageIO: returns (brightness in [0,1],
+    * edge density in [0,1], width, height) from actual pixels — brightness
+    * is mean Rec.601 luma, edge density the fraction of horizontal neighbor
+    * pairs whose luma differs by > 32/255. Returns None when the payload is
+    * not a decodable image (caller falls back to [[stubDecodeBytes]]).
+    * ImageIO's disk cache is disabled: executor-side decode must not write
+    * scratch files. */
+  private def decodeImageFeatures(
+      bytes: Array[Byte]
+  ): Option[(Double, Double, Int, Int)] = {
+    if (bytes == null || bytes.isEmpty) None
+    else {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0.0
+        var edges = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          var prev = -1.0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            sum += luma
+            if (prev >= 0 && math.abs(luma - prev) > 32) edges += 1
+            prev = luma
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some((sum / n / 255.0, edges.toDouble / n, w, h))
+      }
+    }
+  }
+
+  /** ===== STUB ===== deterministic fake decoder for NON-image payloads
+    * (audio/video codecs are unavailable here): fakes luma statistics from
+    * raw bytes. A real implementation calls ffmpeg here (the only line that
+    * changes); signature and batch shape are the production ones. */
   private def stubDecodeBytes(bytes: Array[Byte]): (Double, Double) = {
     if (bytes == null || bytes.isEmpty) (0.0, 0.0)
     else {
@@ -64,32 +109,77 @@ object Multimodal {
   }
 
   /** Decode + feature-extract: partition-local, batched, executor-side.
-    * (Real pipelines would hold a codec context per partition — exactly the
-    * shape mapPartitions provides: init once per task, stream the rows.) */
+    * Image payloads (format starting with "image/") are decoded for real;
+    * other formats use the stub kernel. (Real pipelines
+    * hold a codec context per partition — exactly the shape mapPartitions
+    * provides: init once per task, stream the rows.) */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
-      // per-partition init of the (stub) decoder context happens here
+      // per-partition init of the decoder context happens here
       rows.map { r =>
-        val (brightness, edges) = stubDecodeBytes(r.media)
+        val real =
+          if (r.meta.format != null && r.meta.format.startsWith("image/"))
+            decodeImageFeatures(r.media)
+          else None
+        val (brightness, edges) = real
+          .map { case (b, e, _, _) => (b, e) }
+          .getOrElse(stubDecodeBytes(r.media))
         MediaFeatures(r.media_id, r.meta.format, r.meta.nBytes, brightness, edges)
       }
     }
   }
 
-  /** ===== STUB ===== resize: real impl re-encodes pixels; the fake keeps a
-    * deterministic prefix so tests can assert payload/metadata coherence. */
+  /** Resize. Image payloads are REALLY resized: decode via ImageIO,
+    * bilinear-draw onto a width x height canvas, re-encode as PNG (the
+    * JDK's lossless writer, so round-trips are exact). Non-image payloads
+    * keep the ===== STUB ===== behavior (deterministic prefix truncation)
+    * so tests can assert payload/metadata coherence without codecs. */
   def resize(media: DataFrame, width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0, "width and height must be positive")
     val spark = media.sparkSession
     import spark.implicits._
-    media.as[MediaRow].map { r =>
-      val target = math.max(1, math.min(r.media.length, width * height / 16))
-      MediaRow(
-        r.media_id,
-        java.util.Arrays.copyOf(r.media, target),
-        MediaMeta(r.meta.format, width, height, target.toLong)
-      )
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val realImage =
+          if (r.meta.format != null && r.meta.format.startsWith("image/")) {
+            javax.imageio.ImageIO.setUseCache(false)
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+              catch { case _: java.io.IOException => null }
+            Option(img).map { src =>
+              val dst = new java.awt.image.BufferedImage(
+                width, height, java.awt.image.BufferedImage.TYPE_INT_RGB
+              )
+              val g = dst.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR
+              )
+              g.drawImage(src, 0, 0, width, height, null)
+              g.dispose()
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", out)
+              out.toByteArray
+            }
+          } else None
+        realImage match {
+          case Some(png) =>
+            MediaRow(
+              r.media_id,
+              png,
+              MediaMeta("image/png", width, height, png.length.toLong)
+            )
+          case None =>
+            val target = math.max(1, math.min(r.media.length, width * height / 16))
+            MediaRow(
+              r.media_id,
+              java.util.Arrays.copyOf(r.media, target),
+              MediaMeta(r.meta.format, width, height, target.toLong)
+            )
+        }
+      }
     }.toDF()
   }
 

@@ -297,6 +297,37 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin spreads a hot key across multiple partitions") {
+    // 90% of rows share grp=0; after salting, no single reducer may hold
+    // the hot key. AQE is disabled so its small-data partition coalescing
+    // doesn't collapse the spread, and auto-broadcast is disabled to force
+    // the big-big shuffle join that salting exists for (a broadcastable
+    // small side never shuffles the skewed side in the first place).
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(
+          when(col("l_orderkey") % 100 < 90, lit(0L))
+            .otherwise(col("l_orderkey") % 100).as("grp"),
+          col("l_quantity")
+        )
+      val dim = spark.range(100).select(col("id").as("grp"))
+      val joined = graft.operators.Joins.saltedJoin(li, dim, Seq("grp"), 8)
+      val hotParts = joined
+        .filter(col("grp") === 0L)
+        .select(spark_partition_id().as("p"))
+        .distinct()
+        .count()
+      assert(hotParts > 1, s"hot key landed in $hotParts partition(s)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("saltedJoin returns exactly the rows of the plain join") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_orderkey", "l_partkey", "l_quantity")

@@ -101,6 +101,57 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Real PNG built in-memory: left half black, right half white — known
+    * brightness (0.5) and exactly one luma edge per row. */
+  private def halfWhitePng(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB
+    )
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real PNG decode: feature extraction reads actual pixels") {
+    import spark.implicits._
+    val png = halfWhitePng(16, 8)
+    val media = Seq(
+      Multimodal.MediaRow(
+        1L, png, Multimodal.MediaMeta("image/png", 16, 8, png.length.toLong)
+      )
+    ).toDF()
+    val f = Multimodal.extractFeatures(media).collect()(0)
+    // half black / half white: mean luma = 0.5 exactly (0 and 255 average);
+    // one >32/255 horizontal transition per row => 8 edges / 128 pixels
+    assert(math.abs(f.brightness - 0.5) < 0.01, s"brightness ${f.brightness}")
+    assert(math.abs(f.edge_density - 8.0 / 128) < 1e-12, s"edges ${f.edge_density}")
+    assert(f.format == "image/png" && f.n_bytes == png.length.toLong)
+  }
+
+  test("real PNG resize: output decodes at target dimensions") {
+    import spark.implicits._
+    val png = halfWhitePng(16, 8)
+    val media = Seq(
+      Multimodal.MediaRow(
+        7L, png, Multimodal.MediaMeta("image/png", 16, 8, png.length.toLong)
+      )
+    ).toDF()
+    val r = Multimodal.resize(media, 4, 4).collect()(0)
+    val bytes = r.getAs[Array[Byte]](1)
+    val meta = r.getStruct(2)
+    assert(meta.getString(0) == "image/png")
+    assert(meta.getInt(1) == 4 && meta.getInt(2) == 4)
+    assert(meta.getLong(3) == bytes.length.toLong)
+    val round = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(round.getWidth == 4 && round.getHeight == 4)
+    // still half dark / half bright after bilinear downscale
+    val leftLuma = round.getRGB(0, 0) & 0xff
+    val rightLuma = round.getRGB(3, 0) & 0xff
+    assert(leftLuma < 64 && rightLuma > 191, s"left $leftLuma right $rightLuma")
+  }
+
   test("frame sampling explodes stride-selected chunks") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(3)
     val media = Multimodal.toMediaTable(docs, "doc_id", "text")
