@@ -271,6 +271,15 @@ object ScaleQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // SimHash near-dedup: exact-signature pass + quarter-bucket-minimum
+    // pairs within hamming <= 3 (the SimHash counterpart of q_dedup_minhash)
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup
+        .dedupNearSimHash(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // brute-force cosine top-10 for query vectors vec_id < 3
     "q_cosine_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -695,6 +704,32 @@ object ScaleQueries {
          |)
          |SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rn AS INT) AS rank
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH ${duckSimHashSig("")}, bd AS (
+         |  SELECT doc_id,
+         |         CAST(q AS VARCHAR) || ':' ||
+         |           CAST(((simhash >> (q*16)) & 65535) AS VARCHAR) AS band
+         |  FROM sh, range(0, 4) t(q)
+         |), mn AS (
+         |  SELECT band, min(doc_id) AS bmin FROM bd GROUP BY band
+         |), pr AS (
+         |  SELECT DISTINCT m.bmin AS ia, b.doc_id AS ib
+         |  FROM bd b JOIN mn m ON b.band = m.band AND b.doc_id > m.bmin
+         |), hd AS (
+         |  SELECT ia, ib FROM pr
+         |  JOIN sh x ON x.doc_id = ia JOIN sh y ON y.doc_id = ib
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |), ex AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY simhash) AS smin FROM sh
+         |), losers AS (
+         |  SELECT doc_id AS ib FROM ex WHERE doc_id > smin
+         |  UNION
+         |  SELECT ib FROM hd
+         |)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT ib FROM losers)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_embed_dedup" ->
       s"""WITH eb AS (

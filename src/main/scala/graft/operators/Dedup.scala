@@ -130,9 +130,13 @@ object Dedup {
 
     val pairs =
       if (representativesOnly) {
-        val w = Window.partitionBy("__band")
+        // bucket minima via groupBy + join, NOT a window: a window puts a
+        // whole hot bucket in one task (giant duplicate clusters = one huge
+        // band group), while the aggregate combines map-side and the join
+        // on __band stays splittable under AQE skew handling.
+        val mins = banded.groupBy("__band").agg(min("__id").as("__min"))
         banded
-          .withColumn("__min", min("__id").over(w))
+          .join(mins, Seq("__band"))
           .filter(col("__id") > col("__min"))
           .select(col("__min").as("id_a"), col("__id").as("id_b"))
           .distinct()
@@ -185,13 +189,13 @@ object Dedup {
     // Pass 1 (exact, linear): rows sharing a FULL signature are certain
     // dups (est = 1.0) — group by signature, drop everything above the
     // group minimum. Catches arbitrarily large duplicate clusters without
-    // any pair enumeration.
-    val w = Window.partitionBy("__sig")
+    // any pair enumeration. groupBy + join rather than a window so a giant
+    // identical-signature cluster never lands in a single task.
+    val sigMins = sigs.groupBy("__sig").agg(min("__id").as("__min"))
     val exactLosers = sigs
-      .withColumnRenamed("__id", "__loser")
-      .withColumn("__min", min("__loser").over(w))
-      .filter(col("__loser") > col("__min"))
-      .select("__loser")
+      .join(sigMins, Seq("__sig"))
+      .filter(col("__id") > col("__min"))
+      .select(col("__id").as("__loser"))
 
     // Pass 2 (approximate, linear): bucket-minimum candidate pairs for
     // near-but-not-identical signatures above the threshold.
@@ -313,6 +317,75 @@ object Dedup {
       )
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Remove SimHash near-duplicates: the SimHash counterpart of
+    * [[dedupNearMinHash]], with the same two-pass scalable shape.
+    *
+    * Pass 1 (exact, linear): rows with an IDENTICAL 64-bit signature keep
+    * only the minimum id — handles arbitrarily large duplicate clusters
+    * with zero pair enumeration. Pass 2 (approximate, linear): each doc is
+    * paired only with the MINIMUM id of each of its four 16-bit quarter
+    * buckets (O(4) pairs per doc, never all-pairs) and dropped when that
+    * representative is within `maxHamming`. Like MinHash bucket-min
+    * pairing this is the scalable approximation of "drop iff a smaller-id
+    * doc is within distance"; `transitive = true` upgrades to full
+    * connected-component clustering over the qualifying pairs.
+    */
+  def dedupNearSimHash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      portable: Boolean = true,
+      transitive: Boolean = false
+  ): DataFrame = {
+    val sigs = simHashSignatures(df, idCol, textCol, portable)
+      .select(col(idCol).as("__id"), col("simhash"))
+
+    // groupBy-min + join, not windows: identical-signature clusters and hot
+    // quarter buckets would otherwise serialize into single tasks (see
+    // dedupNearMinHash) — the aggregate combines map-side and the joins
+    // stay splittable under AQE skew handling.
+    val simMins = sigs.groupBy("simhash").agg(min("__id").as("__min"))
+    val exactLosers = sigs
+      .join(simMins, Seq("simhash"))
+      .filter(col("__id") > col("__min"))
+      .select(col("__id").as("__loser"))
+
+    val banded = sigs.withColumn(
+      "__band",
+      explode(
+        array((0 until 4).map { q =>
+          concat_ws(
+            ":",
+            lit(q),
+            shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xffffL))
+          )
+        }: _*)
+      )
+    )
+    val bandMins = banded.groupBy("__band").agg(min("__id").as("__minId"))
+    val repPairs = banded
+      .join(bandMins, Seq("__band"))
+      .filter(col("__id") > col("__minId"))
+      .select(col("__minId").as("id_a"), col("__id").as("id_b"))
+      .distinct()
+      .join(sigs.select(col("__id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+      .filter(hammingDistance(col("sh_a"), col("sh_b")) <= maxHamming)
+      .select("id_a", "id_b")
+
+    val nearLosers =
+      if (transitive)
+        Graphs
+          .connectedComponentsByMinLabel(repPairs, "id_a", "id_b")
+          .filter(col("id") > col("component"))
+          .select(col("id").as("__loser"))
+      else repPairs.select(col("id_b").as("__loser"))
+
+    val losers = exactLosers.union(nearLosers).distinct()
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 
   /** Exact n-gram Jaccard similarity pairs with `jaccard >= threshold`.

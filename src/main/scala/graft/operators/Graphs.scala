@@ -55,11 +55,25 @@ object Graphs {
         .join(labels, sym("dst") === labels("id"))
         .groupBy("src")
         .agg(min("component").as("__nmin"))
-      val updated = labels
+      val stepped = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(
-          labels("id"),
+          labels("id").as("id"),
           least(col("component"), coalesce(col("__nmin"), col("component")))
+            .as("component")
+        )
+      // pointer jumping: also replace each label by ITS label (labels are
+      // vertex ids, so the label table doubles as a parent table). This
+      // shortcuts label chains, squaring propagation distance per round —
+      // convergence in O(log diameter) iterations instead of O(diameter),
+      // the difference between 4 rounds and dozens on chained clusters.
+      val parents = labels
+        .select(col("id").as("__pid"), col("component").as("__pcomp"))
+      val updated = stepped
+        .join(parents, stepped("component") === col("__pid"), "left")
+        .select(
+          stepped("id"),
+          least(stepped("component"), coalesce(col("__pcomp"), stepped("component")))
             .as("component")
         )
         .localCheckpoint()

@@ -88,15 +88,20 @@ object Similarity {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 2,
-      seed: Long = 42L
+      seed: Long = 42L,
+      maxIter: Int = 8
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val featurized = corpus.withColumn("__features", array_to_vector(col(vecCol)))
+    // coarse quantization only needs roughly-placed centroids, not a
+    // converged clustering — cap the training iterations (MLlib defaults
+    // to 20); recall is governed by nProbe and asserted in ScaleSpec
     val model = new KMeans()
       .setK(nCells)
       .setSeed(seed)
+      .setMaxIter(maxIter)
       .setFeaturesCol("__features")
       .setPredictionCol("__cell")
       .fit(featurized)

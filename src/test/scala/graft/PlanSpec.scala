@@ -52,4 +52,26 @@ class PlanSpec extends SparkSpec {
       assert(plan(q).contains("WindowGroupLimit"), s"$q missing WindowGroupLimit")
     }
   }
+
+  test("simhash signatures stay in a codegen'd hash aggregate (no HOF eval)") {
+    val p = plan("q_simhash")
+    assert(p.contains("HashAggregate"), s"expected hash aggregate:\n$p")
+    // the interpreted higher-order path would show ArrayTransform/
+    // ArrayAggregate nodes evaluating per token — the bit-vote aggregate
+    // must not contain any
+    assert(
+      !p.contains("aggregate(") && !p.contains("ArrayAggregate"),
+      s"interpreted HOF leaked into the simhash plan:\n$p"
+    )
+  }
+
+  test("multi-band ANN broadcasts the banded query side") {
+    val p = plan("q_ann_multiband")
+    assert(
+      p.contains("BroadcastHashJoin"),
+      s"expected broadcast bucket join:\n$p"
+    )
+    assert(p.contains("WindowGroupLimit"), s"expected top-k pushdown:\n$p")
+  }
+
 }

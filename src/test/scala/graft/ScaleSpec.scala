@@ -181,6 +181,18 @@ class ScaleSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("dedupNearSimHash drops the shuffled duplicate, keeps distinct docs") {
+    val got = Dedup
+      .dedupNearSimHash(docs, "doc_id", "text", maxHamming = 3)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    // docs 1 and 2 have identical token multisets => identical simhash
+    assert(got.contains(1L) && !got.contains(2L))
+    assert(got.contains(3L) && got.contains(5L))
+  }
+
   test("cosine similarity matches hand computation") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),
