@@ -408,6 +408,43 @@ object ScaleQueries {
         .orderBy("window_start")
     }),
 
+    // bin-bucketed interval join: 37-minute windows every 2h13m across the
+    // events month, aggregated per window. Odd sizes make intervals span
+    // multiple 15-minute bins, exercising the explode path.
+    "q_range_join" -> ((s, dir) => {
+      val iv = s.range(325).select(
+        timestamp_seconds(lit(1704067200L) + col("id") * 7980).as("w_start"),
+        timestamp_seconds(lit(1704067200L) + col("id") * 7980 + 2220).as("w_end")
+      )
+      Joins
+        .rangeJoin(events(s, dir), "ts", iv, "w_start", "w_end", binSeconds = 900)
+        .groupBy("w_start", "w_end")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value")
+        )
+        .orderBy("w_start")
+    }),
+
+    // exact linear-interpolation percentiles per order status
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").as("__p"),
+          count(lit(1)).as("n")
+        )
+        .select(
+          col("o_orderstatus"),
+          round(element_at(col("__p"), 1), 4).as("p25"),
+          round(element_at(col("__p"), 2), 4).as("p50"),
+          round(element_at(col("__p"), 3), 4).as("p75"),
+          col("n")
+        )
+        .orderBy("o_orderstatus")
+    }),
+
     // as-of: last prior 'view' before each 'purchase' per user
     "q_asof_purchase_view" -> ((s, dir) => {
       Sessionize
@@ -865,6 +902,26 @@ object ScaleQueries {
         |SELECT window_start, count(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_range_join" ->
+      """WITH iv AS (
+        |  SELECT CAST(to_timestamp(1704067200 + range*7980) AS TIMESTAMP) AS w_start,
+        |         CAST(to_timestamp(1704067200 + range*7980 + 2220) AS TIMESTAMP) AS w_end
+        |  FROM range(325)
+        |)
+        |SELECT w_start, w_end, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM iv JOIN events e ON e.ts >= iv.w_start AND e.ts < iv.w_end
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+        |       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+        |       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_asof_purchase_view" ->
       """SELECT event_id, user_id, ts, last_prior_ts FROM (

@@ -51,4 +51,48 @@ object Joins {
       .join(salts, keys :+ "__salt")
       .drop("__salt")
   }
+
+  /** Interval (range) join: pairs each fact row with every interval row
+    * whose `[start, end)` contains the fact's timestamp.
+    *
+    * A naive theta-join (`ts >= start AND ts < end`) has no equi-key, so
+    * Spark plans a broadcast-nested-loop — O(|facts| x |intervals|) and a
+    * non-starter at scale. The classic fix is bin bucketing: each fact maps
+    * to exactly ONE time bin of `binSeconds`, each interval EXPLODES across
+    * every bin it overlaps, and the join becomes an equi-join on the bin
+    * key followed by the exact containment filter. Cost is
+    * |facts| + |intervals| x avgBinsPerInterval shuffled rows — linear, and
+    * the bin key shuffles/AQE-splits like any other. Each qualifying pair
+    * matches exactly once (the fact's single bin). Pick `binSeconds` near
+    * the typical interval length so intervals explode into O(1) bins.
+    *
+    * Assumes epoch-nonnegative timestamps (floor-vs-truncate agree).
+    */
+  def rangeJoin(
+      facts: DataFrame,
+      factTimeCol: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      binSeconds: Long = 3600L
+  ): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val fb = facts.withColumn(
+      "__bin",
+      floor(unix_timestamp(col(factTimeCol)) / binSeconds).cast("long")
+    )
+    val ib = intervals.withColumn(
+      "__bin",
+      explode(
+        sequence(
+          floor(unix_timestamp(col(startCol)) / binSeconds).cast("long"),
+          // end is exclusive: a bin is covered iff it starts before `end`
+          floor((unix_timestamp(col(endCol)) - 1) / binSeconds).cast("long")
+        )
+      )
+    )
+    fb.join(ib, Seq("__bin"))
+      .filter(col(factTimeCol) >= col(startCol) && col(factTimeCol) < col(endCol))
+      .drop("__bin")
+  }
 }

@@ -65,6 +65,14 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("range join stays an equi-join on bins, never a nested loop") {
+    val p = plan("q_range_join")
+    assert(
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degenerated to a product:\n$p"
+    )
+  }
+
   test("multi-band ANN broadcasts the banded query side") {
     val p = plan("q_ann_multiband")
     assert(

@@ -309,6 +309,28 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin matches exact containment incl. boundaries and multi-bin spans") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val facts = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // == start: included
+      (2L, ts("2024-01-01 10:36:59")), // inside, last second
+      (3L, ts("2024-01-01 10:37:00")), // == end: excluded
+      (4L, ts("2024-01-01 11:59:00")), // inside second interval (spans 3 bins)
+      (5L, ts("2024-01-01 09:59:59"))  // before everything
+    ).toDF("event_id", "ts")
+    val intervals = Seq(
+      (10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:37:00")),
+      (20L, ts("2024-01-01 11:50:00"), ts("2024-01-01 12:20:00"))
+    ).toDF("iv_id", "w_start", "w_end")
+    val got = graft.operators.Joins
+      .rangeJoin(facts, "ts", intervals, "w_start", "w_end", binSeconds = 900)
+      .select("event_id", "iv_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got == Set((1L, 10L), (2L, 10L), (4L, 20L)))
+  }
+
   test("saltedJoin spreads a hot key across multiple partitions") {
     // 90% of rows share grp=0; after salting, no single reducer may hold
     // the hot key. AQE is disabled so its small-data partition coalescing
