@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Joins, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Joins, Sessionize, Similarity, Splits, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -187,6 +187,66 @@ object ScaleQueries {
           sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty")
         )
         .orderBy("grp")
+    }),
+
+    // deterministic hash-based train/val/test split (80/10/10 by order key)
+    "q_hash_split" -> ((s, dir) => {
+      Splits
+        .hashSplit(
+          t(s, dir, "orders"),
+          "o_orderkey",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        )
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total")
+        )
+        .orderBy("split")
+    }),
+
+    // exact fuzzy pairs: levenshtein <= 2 with length-banded candidates
+    "q_fuzzy_pairs" -> ((s, dir) => {
+      Dedup
+        .fuzzyStringPairs(
+          t(s, dir, "customer").filter(col("c_custkey") <= 300),
+          "c_custkey", "c_name", maxDist = 2
+        )
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ranking-function battery per customer: lag/lead/ntile/percent_rank/
+    // cume_dist over a deterministic (price, key) order
+    "q_window_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 200)
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          col("o_totalprice"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume")
+        )
+        .orderBy("o_custkey", "o_totalprice", "o_orderkey")
+    }),
+
+    // full cube with grouping_id (subtotals on every dimension combination)
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .cube("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(
+          col("gid"),
+          col("c_nationkey").asc_nulls_first,
+          col("c_mktsegment").asc_nulls_first
+        )
     }),
 
     // exact dedup: one event per (user, type), deterministic min event_id
@@ -624,6 +684,48 @@ object ScaleQueries {
         |    AND o.o_totalprice > 400000
         |)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_hash_split" ->
+      """WITH b AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bk,
+        |         o_totalprice
+        |  FROM orders
+        |)
+        |SELECT CASE WHEN bk < 8000 THEN 'train'
+        |            WHEN bk < 9000 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_fuzzy_pairs" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 300
+        |)
+        |SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM c a JOIN c b
+        |  ON a.c_custkey < b.c_custkey
+        | AND abs(length(a.c_name) - length(b.c_name)) <= 2
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM orders WHERE o_custkey <= 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin,
+
+    "q_cube" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |       CAST(GROUPING(c_nationkey, c_mktsegment) AS BIGINT) AS gid
+        |FROM customer GROUP BY CUBE(c_nationkey, c_mktsegment)
+        |ORDER BY gid, c_nationkey NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
 
     "q_skew_join" ->
       """WITH li AS (

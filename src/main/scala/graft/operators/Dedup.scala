@@ -466,6 +466,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact fuzzy-match pairs: (id_a < id_b) with
+    * `levenshtein(str_a, str_b) <= maxDist`.
+    *
+    * Candidate generation is length banding, which is EXACT: edit distance
+    * is bounded below by the length difference, so each left row only needs
+    * partners whose length lies in `[len - maxDist, len + maxDist]`. The
+    * left side explodes into those 2*maxDist+1 length keys and the join is
+    * an equi-join on length — linear in the input for bounded-length
+    * strings, where the naive formulation is an all-pairs product. The
+    * (expensive, codegen'd) levenshtein verification runs only on
+    * candidates. */
+  def fuzzyStringPairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDist: Int = 2
+  ): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val rows = df.select(
+      col(idCol).as("__id"),
+      col(strCol).as("__s"),
+      length(col(strCol)).as("__len")
+    )
+    val left = rows.withColumn(
+      "__lenKey",
+      explode(sequence(col("__len") - maxDist, col("__len") + maxDist))
+    )
+    val right = rows.select(
+      col("__id").as("__id2"),
+      col("__s").as("__s2"),
+      col("__len").as("__lenKey")
+    )
+    left
+      .join(right, Seq("__lenKey"))
+      .filter(col("__id") < col("__id2"))
+      .select(
+        col("__id").as("id_a"),
+        col("__id2").as("id_b"),
+        levenshtein(col("__s"), col("__s2")).as("dist")
+      )
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold among candidates
     * sharing a hyperplane-LSH bucket (see Similarity.annTopK for the
     * bucketing rationale). */

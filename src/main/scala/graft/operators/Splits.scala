@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines (north-star
+  * extension; no reference counterpart).
+  *
+  * `randomSplit` is reproducible only for a fixed partitioning of a fixed
+  * file set — re-ingesting, compacting, or re-partitioning the corpus
+  * reassigns rows. Hash splitting assigns each row by a pure function of
+  * its KEY, so the assignment is stable across runs, engines, repartitions
+  * and even languages (md5 is universal), rows with the same key always
+  * land in the same split (no train/test leakage across duplicates of an
+  * entity), and new data lands proportionally. This is the standard way to
+  * hold out validation data at corpus scale.
+  */
+object Splits {
+
+  /** Number of hash buckets the unit interval is quantized into. */
+  val Buckets: Long = 10000L
+
+  /** Bucket in [0, Buckets) from the md5 of the key (+ optional salt):
+    * pure per-row expression — codegen'd, no shuffle, engine-portable
+    * (DuckDB: `CAST('0x'||substr(md5(k),1,15) AS BIGINT) % 10000`). */
+  def hashBucket(key: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15), 16, 10)
+      .cast("long") % Buckets
+
+  /** Assign a split label per row: `fractions` are (label, fraction) pairs
+    * consumed in order; any remainder falls into `defaultLabel`. Fractions
+    * are quantized to 1/10000 (the cumulative thresholds are integers, so
+    * an oracle can reproduce the assignment exactly).
+    *
+    * @param salt vary to draw an independent split from the same keys
+    *             (e.g. per experiment) without touching the data
+    */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      fractions: Seq[(String, Double)],
+      splitCol: String = "split",
+      defaultLabel: String = "rest",
+      salt: String = ""
+  ): DataFrame = {
+    require(fractions.nonEmpty, "at least one (label, fraction) required")
+    require(fractions.forall(_._2 > 0), "fractions must be positive")
+    val total = fractions.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
+
+    val thresholds = fractions
+      .scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * Buckets) }
+      .tail
+    val bucket = hashBucket(col(keyCol), salt)
+    val label = fractions.zip(thresholds).reverse.foldLeft(lit(defaultLabel)) {
+      case (elseCol, ((name, _), upper)) =>
+        when(bucket < lit(upper), lit(name)).otherwise(elseCol)
+    }
+    df.withColumn(splitCol, label)
+  }
+}

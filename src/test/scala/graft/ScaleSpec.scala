@@ -309,6 +309,72 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("hashSplit is deterministic, leak-free, and near the requested fractions") {
+    import graft.operators.Splits
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val split = Splits.hashSplit(
+      orders, "o_orderkey", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    )
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    assert(math.abs(counts("train") / total - 0.8) < 0.05, counts.toString)
+    assert(math.abs(counts("val") / total - 0.1) < 0.05, counts.toString)
+    // deterministic: re-running assigns identical labels
+    val again = Splits.hashSplit(
+      orders, "o_orderkey", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    )
+    assert(
+      split.select("o_orderkey", "split")
+        .exceptAll(again.select("o_orderkey", "split")).isEmpty
+    )
+    // same key always lands in the same split (no leakage across dup keys)
+    val dup = orders.union(orders)
+    val perKey = Splits.hashSplit(
+      dup, "o_orderkey", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    )
+      .groupBy("o_orderkey")
+      .agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1)
+    assert(perKey.isEmpty, "a key was assigned two different splits")
+    // a different salt draws a different split
+    val salted = Splits.hashSplit(
+      orders, "o_orderkey", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      salt = "exp2"
+    )
+    assert(
+      split.select("o_orderkey", "split")
+        .exceptAll(salted.select("o_orderkey", "split")).count() > 0
+    )
+  }
+
+  test("fuzzyStringPairs equals brute-force levenshtein pairs") {
+    val df = Seq(
+      (1L, "kitten"), (2L, "sitten"), (3L, "sittin"),
+      (4L, "completely-different"), (5L, "kitte"), (6L, "mitten")
+    ).toDF("id", "name")
+    val got = Dedup.fuzzyStringPairs(df, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val names = Map(1L -> "kitten", 2L -> "sitten", 3L -> "sittin",
+      4L -> "completely-different", 5L -> "kitte", 6L -> "mitten")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        )
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ia, sa) <- names; (ib, sb) <- names
+      if ia < ib && lev(sa, sb) <= 2
+    } yield (ia, ib) -> lev(sa, sb)).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
   test("rangeJoin matches exact containment incl. boundaries and multi-bin spans") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val facts = Seq(
