@@ -92,6 +92,42 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Schema of the documents table for stream reads. */
+  val DocumentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  /** Streaming read of the documents table from a scale-factor directory. */
+  def readDocumentsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(DocumentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+
+  /** Streaming ingest-time dedup by content fingerprint: drops any document
+    * whose canonical-text md5 was already seen within the watermark horizon
+    * — the streaming counterpart of exact content dedup for a training-data
+    * ingest pipeline. Documents carry no event time, so rows are stamped
+    * with the processing-time clock and the watermark bounds the fingerprint
+    * state store exactly like the batch dedup bounds its shuffle. */
+  def dedupDocumentsByFingerprint(
+      docs: DataFrame,
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    docs
+      .withColumn(
+        "__fp",
+        graft.functions.TextFunctions.fingerprint(col("text"))
+      )
+      .withColumn("__ingest_ts", current_timestamp())
+      .withWatermark("__ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp", "__ingest_ts")
+
   /** Per-user running state for the custom-state path. */
   case class UserRunningState(nEvents: Long, totalValue: Double)
   case class UserUpdate(user_id: Long, n_events: Long, total_value: Double)

@@ -72,6 +72,29 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got.select("event_id").distinct().count() == total)
   }
 
+  test("streaming fingerprint dedup keeps one doc per canonical text") {
+    val stream = Streaming.readDocumentsStream(spark, sfDir)
+    val got = Streaming.runToMemorySink(
+      spark,
+      Streaming.dedupDocumentsByFingerprint(stream),
+      "dedup_docs_fp",
+      outputMode = "append"
+    )
+    // ground truth from the batch side: distinct canonical fingerprints
+    val distinctFps = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .distinct()
+      .count()
+    assert(got.count() == distinctFps)
+    // survivors are fingerprint-unique
+    val survivors = got
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .distinct()
+      .count()
+    assert(survivors == got.count())
+  }
+
   test("media table round trip: schema, features, determinism") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
     val media = Multimodal.toMediaTable(docs, "doc_id", "text")
