@@ -73,6 +73,22 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("fuzzy pairs join on the length band, never a product") {
+    val p = plan("q_fuzzy_pairs")
+    assert(
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"length-banded join degenerated to a product:\n$p"
+    )
+  }
+
+  test("window-function query pushes its customer filter into the scan") {
+    val p = plan("q_window_funcs")
+    assert(
+      p.contains("LessThanOrEqual(o_custkey"),
+      s"expected o_custkey pushdown:\n$p"
+    )
+  }
+
   test("multi-band ANN broadcasts the banded query side") {
     val p = plan("q_ann_multiband")
     assert(
