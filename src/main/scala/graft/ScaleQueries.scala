@@ -447,6 +447,21 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus vocabulary: top-25 terms by document frequency
+    "q_top_terms" -> ((s, dir) => {
+      TextAnalysis
+        .topTerms(t(s, dir, "documents"), "doc_id", "text", 25)
+        .orderBy("rank")
+    }),
+
+    // per-document top-3 TF-IDF terms (smooth ln(N/df), rounded to 6dp)
+    "q_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .tfIdfTopTerms(docs, "doc_id", "text", docs.count(), n = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     // gap sessionization (30 min)
     "q_sessionize" -> ((s, dir) => {
       Sessionize
@@ -967,6 +982,39 @@ object ScaleQueries {
         |           md5(array_to_string(toks[i+1:i+3], ' '))))
         |       END AS fp_min_shingle
         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "q_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+        |), st AS (
+        |  SELECT term, count(*) AS coll_freq, count(DISTINCT doc_id) AS doc_freq
+        |  FROM tok GROUP BY term
+        |), r AS (
+        |  SELECT term, coll_freq, doc_freq,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY doc_freq DESC, coll_freq DESC, term) AS INT) AS rank
+        |  FROM st
+        |)
+        |SELECT term, coll_freq, doc_freq, rank FROM r
+        |WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+        |), s AS (
+        |  SELECT doc_id, term, tf, df,
+        |         ROUND(tf * ln((SELECT count(*) FROM documents) / df), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (term)
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |  FROM s
+        |)
+        |SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rank
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_sessionize" ->
       """WITH o AS (

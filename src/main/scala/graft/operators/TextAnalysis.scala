@@ -88,4 +88,73 @@ object TextAnalysis {
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fp_md5", fingerprint(col(textCol)))
       .withColumn("fp_min_shingle", minShingleFingerprint(col(textCol), 3))
+
+  /** Corpus term statistics — vocabulary building: top-k terms by document
+    * frequency with collection frequency alongside.
+    *
+    * Scale shape: explode -> per-(doc, term) dedupe happens inside ONE hash
+    * aggregate keyed by term (count(*) = collection freq, count(distinct
+    * doc) = doc freq) with map-side partial aggregation absorbing the
+    * explode; the global top-k is a WindowGroupLimit-bounded rank, not a
+    * full sort. */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val exploded = df.select(
+      col(idCol).as("__doc"),
+      explode(tokens(col(textCol))).as("term")
+    )
+    val stats = exploded
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("coll_freq"),
+        countDistinct("__doc").as("doc_freq")
+      )
+    TopN.firstRow(
+      stats,
+      n = k,
+      orderBy = Seq(col("doc_freq").desc, col("coll_freq").desc, col("term")),
+      returnIndexColumn = true,
+      indexColumnName = "rank"
+    )
+  }
+
+  /** Per-document top-n TF-IDF terms (smooth IDF: ln(N / df)).
+    *
+    * Two hash aggregates — term frequency per (doc, term), document
+    * frequency per term — a broadcast-size join of df stats when the
+    * vocabulary is small (Catalyst decides), and a WindowGroupLimit top-n
+    * per doc. The docCount is taken as a parameter so the caller controls
+    * the (single, cheap) count action. Scores are rounded to 6 decimals:
+    * ln() may differ in the last ulp across engines/libms. */
+  def tfIdfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      docCount: Long,
+      n: Int = 3
+  ): DataFrame = {
+    val exploded = df.select(
+      col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term")
+    )
+    val tf = exploded.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = exploded
+      .select("doc_id", "term")
+      .distinct()
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(dfreq, Seq("term"))
+      .withColumn(
+        "tfidf",
+        round(col("tf") * log(lit(docCount.toDouble) / col("df")), 6)
+      )
+    TopN.firstRow(
+      scored.select("doc_id", "term", "tf", "df", "tfidf"),
+      n = n,
+      partitionBy = Seq(col("doc_id")),
+      orderBy = Seq(col("tfidf").desc, col("term")),
+      returnIndexColumn = true,
+      indexColumnName = "rank"
+    )
+  }
 }

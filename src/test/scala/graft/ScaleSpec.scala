@@ -439,6 +439,26 @@ class ScaleSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("tfIdfTopTerms ranks by hand-computed tf*ln(N/df)") {
+    val df = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry durian")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .tfIdfTopTerms(df, "doc_id", "text", docCount = 3, n = 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(4)))
+      .toMap
+    // doc 1: apple tf=2 df=1 -> 2*ln(3); doc 3: durian tf=1 df=1 -> ln(3)
+    assert(got(1L)._1 == "apple")
+    assert(math.abs(got(1L)._2 - math.round(2 * math.log(3.0) * 1e6) / 1e6) < 1e-9)
+    assert(got(3L)._1 == "durian")
+    val top = TextAnalysis.topTerms(df, "doc_id", "text", 2).collect()
+    // banana and cherry tie at doc_freq 2; banana wins the name tie-break
+    assert(top(0).getString(0) == "banana" && top(1).getString(0) == "cherry")
+  }
+
   test("langId picks the language with most marker hits") {
     val df = Seq(
       (1L, "the cat and the dog of a house"),
