@@ -520,6 +520,38 @@ object ScaleQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // deterministic stratified sampling: per-language keep rates
+    "q_stratified_sample" -> ((s, dir) => {
+      Splits
+        .stratifiedHashSample(
+          t(s, dir, "documents"), "doc_id", "lang",
+          Seq("en" -> 0.5, "es" -> 0.25), defaultFraction = 0.1
+        )
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+        .orderBy("lang")
+    }),
+
+    // two-table as-of join: each purchase enriched with the latest view at
+    // or before it (union-merge, one shuffle; oracle = DuckDB ASOF JOIN)
+    "q_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = Dedup
+        .exactDedup(
+          ev.filter(col("event_type") === "view")
+            .select("user_id", "ts", "value", "event_id"),
+          Seq("user_id", "ts"),
+          Seq(col("event_id"))
+        )
+        .select("user_id", "ts", "value")
+      Joins
+        .asOfJoin(purchases, views, "user_id", "ts", "ts", Seq("value", "ts"))
+        .orderBy("event_id")
+    }),
+
     // as-of: last prior 'view' before each 'purchase' per user
     "q_asof_purchase_view" -> ((s, dir) => {
       Sessionize
@@ -982,6 +1014,30 @@ object ScaleQueries {
         |           md5(array_to_string(toks[i+1:i+3], ' '))))
         |       END AS fp_min_shingle
         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT * FROM documents
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 <
+        |        CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500 ELSE 1000 END
+        |)
+        |SELECT lang, count(*) AS n, min(doc_id) AS min_id
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH v0 AS (
+        |  SELECT user_id, ts, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'view'
+        |), vd AS (
+        |  SELECT user_id, ts, value FROM v0 WHERE rn = 1
+        |), p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       vd.value AS asof_value, vd.ts AS asof_ts
+        |FROM p ASOF LEFT JOIN vd ON p.user_id = vd.user_id AND p.ts >= vd.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_top_terms" ->
       """WITH tok AS (

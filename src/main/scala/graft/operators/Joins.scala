@@ -95,4 +95,65 @@ object Joins {
       .filter(col(factTimeCol) >= col(startCol) && col(factTimeCol) < col(endCol))
       .drop("__bin")
   }
+
+  /** Two-table as-of join (trades/quotes style): each left row is enriched
+    * with `rightValueCols` from the LATEST right row whose `rightTimeCol`
+    * is `<=` the left row's `leftTimeCol`, matched on `keyCol`; left rows
+    * with no prior right row get nulls (left-join semantics). Output
+    * columns are the left columns plus `<prefix><valueCol>` for each right
+    * value.
+    *
+    * Scale shape: the classic union-merge — tag the sides, union on
+    * (key, time), and take a running `last(value, ignoreNulls)` over one
+    * window per key. ONE shuffle on the key, no range join, no per-key
+    * loop; at equal timestamps the right row sorts first so the match is
+    * inclusive. Right rows should be unique per (key, time) — pre-dedupe
+    * (e.g. `Dedup.exactDedup`) to make the chosen value deterministic.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightValueCols: Seq[String],
+      prefix: String = "asof_"
+  ): DataFrame = {
+    require(rightValueCols.nonEmpty, "at least one right value column")
+    import org.apache.spark.sql.expressions.Window
+
+    val leftCols = left.columns.toSeq
+    val lTagged = left.select(
+      Seq(
+        col(keyCol).as("__k"),
+        col(leftTimeCol).as("__t"),
+        lit(1).as("__side")
+      ) ++ leftCols.map(col) ++ rightValueCols.map { c =>
+        lit(null).cast(right.schema(c).dataType).as(s"__rv_$c")
+      }: _*
+    )
+    val rTagged = right.select(
+      Seq(
+        col(keyCol).as("__k"),
+        col(rightTimeCol).as("__t"),
+        lit(0).as("__side")
+      ) ++ leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightValueCols.map(c => col(c).as(s"__rv_$c")): _*
+    )
+
+    val w = Window
+      .partitionBy("__k")
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightValueCols.foldLeft(lTagged.unionByName(rTagged)) {
+      case (d, c) =>
+        d.withColumn(s"__last_$c", last(col(s"__rv_$c"), ignoreNulls = true).over(w))
+    }
+    filled
+      .filter(col("__side") === 1)
+      .select(
+        leftCols.map(col) ++
+          rightValueCols.map(c => col(s"__last_$c").as(s"$prefix$c")): _*
+      )
+  }
 }

@@ -58,4 +58,35 @@ object Splits {
     }
     df.withColumn(splitCol, label)
   }
+
+  /** Deterministic stratified sampling: keep a row iff its key's hash
+    * bucket falls below the fraction threshold of its stratum. Same
+    * stability guarantees as [[hashSplit]] (reproducible, leak-free per
+    * key, engine-portable), with a per-stratum rate — e.g. downsample the
+    * dominant language while keeping all of a rare one.
+    *
+    * @param fractions (stratumValue, keepFraction) pairs; strata not listed
+    *                  fall back to `defaultFraction`
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      fractions: Seq[(String, Double)],
+      defaultFraction: Double = 0.0,
+      salt: String = ""
+  ): DataFrame = {
+    require(
+      (fractions.map(_._2) :+ defaultFraction).forall(f => f >= 0 && f <= 1),
+      "fractions must be within [0, 1]"
+    )
+    val bucket = hashBucket(col(keyCol), salt)
+    val threshold = fractions.foldRight(
+      lit(math.round(defaultFraction * Buckets)): Column
+    ) { case ((stratum, f), elseCol) =>
+      when(col(strataCol) === stratum, lit(math.round(f * Buckets)))
+        .otherwise(elseCol)
+    }
+    df.filter(bucket < threshold)
+  }
 }

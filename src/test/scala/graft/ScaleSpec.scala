@@ -375,6 +375,43 @@ class ScaleSpec extends SparkSpec {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("asOfJoin picks the latest right row at-or-before each left row") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val trades = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 10:05:00")),
+      (3L, 20L, ts("2024-01-01 10:00:00")) // no quote for key 20
+    ).toDF("trade_id", "k", "t")
+    val quotes = Seq(
+      (10L, ts("2024-01-01 09:59:00"), 1.0),
+      (10L, ts("2024-01-01 10:05:00"), 2.0), // equal ts: inclusive match
+      (10L, ts("2024-01-01 10:06:00"), 3.0)  // after: never matched
+    ).toDF("k", "qt", "px")
+    val got = graft.operators.Joins
+      .asOfJoin(trades, quotes, "k", "t", "qt", Seq("px"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    assert(got == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None))
+  }
+
+  test("stratifiedHashSample applies per-stratum rates deterministically") {
+    import graft.operators.Splits
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sampled = Splits.stratifiedHashSample(
+      docs, "doc_id", "lang", Seq("en" -> 1.0), defaultFraction = 0.0
+    )
+    // rate 1.0 keeps every 'en' doc, rate 0.0 drops every other language
+    val en = docs.filter(col("lang") === "en").count()
+    assert(sampled.count() == en)
+    assert(sampled.filter(col("lang") =!= "en").count() == 0)
+    // determinism: identical output on rerun
+    val again = Splits.stratifiedHashSample(
+      docs, "doc_id", "lang", Seq("en" -> 1.0), defaultFraction = 0.0
+    )
+    assert(sampled.exceptAll(again).isEmpty)
+  }
+
   test("rangeJoin matches exact containment incl. boundaries and multi-bin spans") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val facts = Seq(
