@@ -77,17 +77,21 @@ object Joins {
       binSeconds: Long = 3600L
   ): DataFrame = {
     require(binSeconds > 0, "binSeconds must be positive")
+    // bin on MICROSECONDS: second-granularity unix_timestamp truncates a
+    // fractional-second `end`, under-covering its final bin and silently
+    // dropping facts between the whole second and the true exclusive end
+    val binMicros = binSeconds * 1000000L
     val fb = facts.withColumn(
       "__bin",
-      floor(unix_timestamp(col(factTimeCol)) / binSeconds).cast("long")
+      floor(unix_micros(col(factTimeCol)) / binMicros).cast("long")
     )
     val ib = intervals.withColumn(
       "__bin",
       explode(
         sequence(
-          floor(unix_timestamp(col(startCol)) / binSeconds).cast("long"),
+          floor(unix_micros(col(startCol)) / binMicros).cast("long"),
           // end is exclusive: a bin is covered iff it starts before `end`
-          floor((unix_timestamp(col(endCol)) - 1) / binSeconds).cast("long")
+          floor((unix_micros(col(endCol)) - 1) / binMicros).cast("long")
         )
       )
     )

@@ -434,6 +434,21 @@ class ScaleSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (2L, 10L), (4L, 20L)))
   }
 
+  test("rangeJoin handles fractional-second interval ends (microsecond bins)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // interval ends mid-second just after a bin boundary; the fact sits
+    // between the whole second and the true exclusive end — second-
+    // granularity binning would drop it
+    val facts = Seq((1L, ts("2024-01-01 10:15:00.2"))).toDF("event_id", "ts")
+    val intervals = Seq(
+      (10L, ts("2024-01-01 10:10:00"), ts("2024-01-01 10:15:00.5"))
+    ).toDF("iv_id", "w_start", "w_end")
+    val got = graft.operators.Joins
+      .rangeJoin(facts, "ts", intervals, "w_start", "w_end", binSeconds = 900)
+      .count()
+    assert(got == 1, "fact inside the fractional-second tail was dropped")
+  }
+
   test("saltedJoin spreads a hot key across multiple partitions") {
     // 90% of rows share grp=0; after salting, no single reducer may hold
     // the hot key. AQE is disabled so its small-data partition coalescing
