@@ -371,22 +371,36 @@ object ScaleQueries {
     // embedding near-dup pairs in shared LSH buckets (cosine >= 0.8)
     "q_embed_dedup" -> ((s, dir) => {
       Dedup
+        // 0.4 is below near-dup territory, deliberately: the synthetic
+        // embeddings top out at pairwise cosine 0.51, so a realistic 0.8+
+        // threshold returns zero rows — a trivially-green oracle. 0.4
+        // yields a real pair set that actually exercises the bucket-join
+        // and threshold logic.
         .embeddingDedupPairs(
-          t(s, dir, "embeddings"), "vec_id", "embedding", AnnPlanes, 0.8
+          t(s, dir, "embeddings"), "vec_id", "embedding", AnnPlanes, 0.4
         )
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
 
-    // IVF (k-means cells) approximate top-5. KMeans training is not
-    // SQL-expressible, so this is a rows-only driver check; the quantitative
-    // gate is the ScaleSpec recall assertion vs exact cosineTopK (>= 0.6
-    // with 8 cells / 3 probes at sf0.01).
+    // IVF approximate top-5 with a deterministic codebook: centroids are
+    // the corpus vectors at vec_id % 64 == 0 (8 cells at sf0.01), cosine
+    // assignment/probing — fully SQL-expressible, so unlike k-means IVF
+    // this variant is oracle-checked end to end. The k-means-trained path
+    // (Similarity.ivfTopK) shares this exact search code and is gated by
+    // the ScaleSpec recall assertion instead.
     "q_ivf_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      val centroids = e
+        .filter(col("vec_id") % 64 === 0)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Float]](0).toSeq)
+        .toSeq
       Similarity
-        .ivfTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding",
-          k = 5, nCells = 8, nProbe = 3)
+        .ivfTopKWithCentroids(e, e.filter(col("vec_id") < 3), "vec_id",
+          "embedding", k = 5, centroids, nProbe = 3)
         .select(
           col("query_id"),
           col("neighbor_id"),
@@ -568,6 +582,16 @@ object ScaleQueries {
       s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
+
+  /** DuckDB expression for squared Euclidean distance over FLOAT[64]
+    * columns — identical fold order to VectorFunctions.squaredDistance
+    * (the difference is written out as d*d, NOT pow(d, 2), so the
+    * arithmetic matches the Spark loop bit-for-bit). */
+  private def duckSqDist(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+       | i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |    * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+      .replaceAll("\n", "")
 
   /** DuckDB literal for one hyperplane + its dot-product vs `embedding`. */
   private def duckPlaneDot(plane: Seq[Double]): String = {
@@ -926,7 +950,43 @@ object ScaleQueries {
          |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |)
          |SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p
-         |WHERE c >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+         |WHERE c >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    // deterministic-codebook IVF: centroids = corpus vectors at
+    // vec_id % 64 == 0 (cell = rank of centroid id), squared-Euclidean
+    // assignment (argmin, ties -> lowest cell), nProbe=3, cosine top-5
+    "q_ivf_topk" ->
+      s"""WITH cent AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
+         |         embedding AS cv
+         |  FROM embeddings WHERE vec_id % 64 = 0
+         |), ac AS (
+         |  SELECT e.vec_id, e.embedding, c.cell,
+         |         ${duckSqDist("e.embedding", "c.cv")} AS cd
+         |  FROM embeddings e CROSS JOIN cent c
+         |), assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT vec_id, embedding, cell,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rn
+         |    FROM ac
+         |  ) WHERE rn = 1
+         |), probe AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+         |    SELECT vec_id, embedding, cell,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rn
+         |    FROM ac WHERE vec_id < 3
+         |  ) WHERE rn <= 3
+         |), s AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         ${duckCosine("p.qv", "a.embedding")} AS c
+         |  FROM probe p JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, c,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rn AS INT) AS rank
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_ann_multiband" -> {
       val bucketCols = AnnBanks.zipWithIndex

@@ -50,6 +50,18 @@ object VectorFunctions {
       d * d
     }))
 
+  /** Squared Euclidean distance as a native Catalyst expression — one
+    * codegen'd loop, bit-identical to [[squaredDistance]]. */
+  def squaredDistanceNative(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.plans.SquaredDistanceExpr(
+        GraftSqlBridge.expression(a),
+        GraftSqlBridge.expression(b)
+      )
+    )
+  }
+
   /** Sign-bit LSH bucket for a vector under the given hyperplanes: bit p is
     * set iff `v . plane(p) > 0`, packed into an int. Deterministic given the
     * planes; used by `Similarity.annTopK` to prune the candidate set. */

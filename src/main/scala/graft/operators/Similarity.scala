@@ -74,11 +74,11 @@ object Similarity {
   }
 
   /** IVF-style approximate top-k: coarse-quantize the corpus with k-means
-    * (MLlib, deterministic seed), then search only the `nProbe` centroids
+    * (MLlib, deterministic seed), then search only the `nProbe` cells
     * nearest to each query. The inverted-file analogue of [[annTopK]]'s
     * hyperplane buckets — better-balanced cells on clustered data, at the
-    * cost of a training pass. Centroid assignment is a broadcast of k
-    * centroid vectors; the search joins queries to their probed cells only.
+    * cost of a training pass. Delegates cell assignment and the probed
+    * search to [[ivfTopKWithCentroids]] (cosine metric).
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -106,30 +106,71 @@ object Similarity {
       .setPredictionCol("__cell")
       .fit(featurized)
 
-    val assigned = model
-      .transform(featurized)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"), col("__cell"))
+    val centroids = model.clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k, centroids, nProbe)
+  }
 
-    // each query probes its nProbe nearest centroids
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat).toSeq)
-    }.toSeq
-    val centroidDf = corpus.sparkSession
-      .createDataFrame(centroids)
-      .toDF("__cell", "__centroid")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val probed = q
-      .crossJoin(broadcast(centroidDf))
+  /** IVF top-k with EXPLICIT centroids (cell i = `centroids(i)`): every
+    * corpus vector is assigned to its nearest centroid by squared Euclidean
+    * distance (ties → lowest cell — the k-means quantization metric), each
+    * query probes its `nProbe` nearest cells, and only those cells are
+    * searched (ranking within cells is cosine).
+    *
+    * Separated from the k-means training so the quantizer is pluggable —
+    * with deterministically CHOSEN centroids (e.g. a fixed arithmetic
+    * subsequence of corpus vectors) the whole operator becomes
+    * SQL-expressible and oracle-checkable, which MLlib training is not.
+    *
+    * Scale shape: centroids are driver-side literals (an IVF codebook is
+    * small by construction), so assignment is a pure per-row codegen'd
+    * expression (one native squared-distance loop per centroid) — no
+    * shuffle, no join against a centroid table; the probed query side is
+    * broadcast and per-query top-k rides `WindowGroupLimit`.
+    */
+  def ivfTopKWithCentroids(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: Seq[Seq[Float]],
+      nProbe: Int
+  ): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(nProbe >= 1, "nProbe must be >= 1")
+
+    // one native squared distance per centroid, materialized once per row in
+    // its own projection (CollapseProject will not duplicate non-cheap
+    // expressions)
+    def centroidDists(v: Column): Column =
+      array(centroids.map(c => squaredDistanceNative(v, typedlit(c))): _*)
+
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+      .withColumn("__cd", centroidDists(col("__nv")))
+      // argmin: first index attaining the min — ties break to the lowest cell
       .withColumn(
-        "__dist",
-        squaredDistance(col("__qv"), col("__centroid").cast("array<float>"))
+        "__cell",
+        (array_position(col("__cd"), array_min(col("__cd"))) - 1).cast("int")
+      )
+      .drop("__cd")
+
+    // each query probes its nProbe nearest cells (queries are few — the
+    // window over (query, cell) rows is trivially small)
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__cd", centroidDists(col("__qv")))
+      .select(
+        col("query_id"),
+        col("__qv"),
+        posexplode(col("__cd")).as(Seq("__cell", "__qd"))
       )
       .withColumn(
         "__rank",
-        org.apache.spark.sql.functions.row_number().over(
+        row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy("query_id")
-            .orderBy(col("__dist"), col("__cell"))
+            .orderBy(col("__qd"), col("__cell"))
         )
       )
       .filter(col("__rank") <= nProbe)

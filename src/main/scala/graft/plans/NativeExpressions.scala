@@ -89,3 +89,64 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_similarity_native"
 }
+
+/** Squared Euclidean distance between two `array<float>` vectors in one
+  * codegen'd loop — same rationale and arithmetic contract as
+  * [[CosineSimilarityExpr]] (sequential double accumulation, bit-identical
+  * to the HOF `VectorFunctions.squaredDistance` and to a DuckDB
+  * `list_sum(list_transform(...))` fold). Hot path: IVF cell assignment
+  * evaluates one of these per centroid per corpus row. */
+case class SquaredDistanceExpr(left: Expression, right: Expression)
+    extends BinaryExpression
+    with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"squared_distance_native expects two array<float> inputs, got $l and $r"
+        )
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "squared_distance_native"
+}

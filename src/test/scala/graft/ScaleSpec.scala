@@ -227,6 +227,21 @@ class ScaleSpec extends SparkSpec {
     assert(diffs == 0, "native cosine diverged from HOF fold")
   }
 
+  test("native squared distance is bit-identical to the HOF form") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val a = e.select(col("vec_id"), col("embedding").as("va")).filter(col("vec_id") < 50)
+    val b = e.select(col("vec_id").as("vb_id"), col("embedding").as("vb"))
+      .filter(col("vb_id") >= 50 && col("vb_id") < 100)
+    val diffs = a.crossJoin(b)
+      .select(
+        graft.functions.VectorFunctions.squaredDistance(col("va"), col("vb")).as("hof"),
+        graft.functions.VectorFunctions.squaredDistanceNative(col("va"), col("vb")).as("native")
+      )
+      .filter(col("hof") =!= col("native"))
+      .count()
+    assert(diffs == 0, "native squared distance diverged from HOF fold")
+  }
+
   test("annTopK recalls the exact top-1 on real embeddings") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val planes = Similarity.randomHyperplanes(4, 64)
