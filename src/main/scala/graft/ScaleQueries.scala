@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Joins, Sessionize, Similarity, Splits, TextAnalysis}
+import graft.operators.{Decontam, Dedup, Joins, Sessionize, Similarity, Splits, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -461,6 +461,55 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // train/test decontamination report: held-out set = doc_id % 10 == 0,
+    // contamination = sharing any word 3-gram with it
+    "q_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontam
+        .contaminationReport(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id",
+          "text",
+          n = 3
+        )
+        .select("doc_id", "n_shared_grams", "contaminated")
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition metrics over word 2-grams
+    "q_repetition" -> ((s, dir) => {
+      TextAnalysis
+        .repetitionStats(t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .select(
+          "doc_id", "total_ngrams", "top_ngram_count",
+          "top_ngram_frac", "dup_ngram_frac"
+        )
+        .orderBy("doc_id")
+    }),
+
+    // PII-style regex redaction chain (emails, integer literals, a stopword
+    // set), verified via match counts + md5 of the redacted text
+    "q_redact_text" -> ((s, dir) => {
+      TextAnalysis
+        .redactPatterns(
+          t(s, dir, "documents"),
+          "text",
+          Seq(
+            "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "[EMAIL]",
+            "\\b[0-9]+\\b" -> "[NUM]",
+            "\\b(the|a|and)\\b" -> "[W]"
+          ),
+          "redacted"
+        )
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit("\\b(the|a|and)\\b")).as("n_stop_matches"),
+          md5(col("redacted")).as("redacted_md5")
+        )
+        .orderBy("doc_id")
+    }),
+
     // corpus vocabulary: top-25 terms by document frequency
     "q_top_terms" -> ((s, dir) => {
       TextAnalysis
@@ -870,6 +919,58 @@ object ScaleQueries {
         |FROM shared JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
         |WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // word 3-grams via inclusive list slices: gram i = t[i:i+2], i in
+    // [1, len-2] (range end is exclusive; empty when len < 3 — matching
+    // Spark's shingles() on short docs)
+    "q_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), ng AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS g
+        |  FROM toks
+        |), te AS (
+        |  SELECT DISTINCT unnest(g) AS gram FROM ng WHERE doc_id % 10 = 0
+        |), sh AS (
+        |  SELECT x.doc_id, count(*) AS n FROM (
+        |    SELECT doc_id, unnest(g) AS gram FROM ng WHERE doc_id % 10 <> 0
+        |  ) x JOIN te USING (gram) GROUP BY 1
+        |)
+        |SELECT d.doc_id, COALESCE(sh.n, 0) AS n_shared_grams,
+        |       COALESCE(sh.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
+        |WHERE d.doc_id % 10 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), ng AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t)),
+        |           i -> array_to_string(t[i:i+1], ' '))) AS gram
+        |  FROM toks
+        |), pg AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM ng GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS total_ngrams,
+        |       CAST(max(c) AS BIGINT) AS top_ngram_count,
+        |       ROUND(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_ngram_frac,
+        |       ROUND(CAST(COALESCE(sum(c) FILTER (WHERE c > 1), 0) AS DOUBLE)
+        |             / CAST(sum(c) AS DOUBLE), 6) AS dup_ngram_frac
+        |FROM pg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_redact_text" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|and)\b')) AS INT) AS n_stop_matches,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]+\b', '[NUM]', 'g'),
+        |    '\b(the|a|and)\b', '[W]', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_simhash" ->
       s"""WITH ${duckSimHashSig("")}

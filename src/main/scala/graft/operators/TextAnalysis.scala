@@ -117,6 +117,72 @@ object TextAnalysis {
     )
   }
 
+  /** Gopher-style within-document repetition metrics over word `n`-grams:
+    * for each document, the total n-gram occurrence count, the count of the
+    * single most frequent n-gram (ties don't matter — only the max count is
+    * used), the fraction of occurrences taken by that top n-gram, and the
+    * fraction of occurrences belonging to any n-gram that repeats. High
+    * values of either fraction are the classic boilerplate/spam signal
+    * (Gopher used e.g. top-2-gram fraction > 0.2 as a drop rule — apply
+    * thresholds downstream with a plain filter).
+    *
+    * Documents with fewer than `n` tokens have no n-grams and are absent
+    * from the result (join the output back to the corpus if a row per doc
+    * is needed).
+    *
+    * Scale shape: explode → two chained hash aggregates, (doc, gram) then
+    * (doc) — both with map-side partial aggregation, shuffled on keys that
+    * subdivide documents, so no single hot task even on giant docs.
+    */
+  def repetitionStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2
+  ): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val perGram = df
+      .select(col(idCol), explode(shingles(col(textCol), n)).as("__gram"))
+      .groupBy(col(idCol), col("__gram"))
+      .agg(count(lit(1)).as("__c"))
+    perGram
+      .groupBy(col(idCol))
+      .agg(
+        sum("__c").as("total_ngrams"),
+        max("__c").as("top_ngram_count"),
+        coalesce(sum(when(col("__c") > 1, col("__c"))), lit(0L))
+          .as("__dup_occurrences")
+      )
+      .withColumn(
+        "top_ngram_frac",
+        round(col("top_ngram_count").cast("double") / col("total_ngrams"), 6)
+      )
+      .withColumn(
+        "dup_ngram_frac",
+        round(col("__dup_occurrences").cast("double") / col("total_ngrams"), 6)
+      )
+      .drop("__dup_occurrences")
+  }
+
+  /** Redact every match of each (regex, replacement) pair from `textCol`,
+    * applied in order, into `outCol` — PII scrubbing / boilerplate removal
+    * as one per-row codegen'd expression chain (Spark's `regexp_replace`
+    * replaces ALL occurrences). Patterns should stick to the RE2-compatible
+    * subset of Java regex (character classes, alternation, `\b`, counted
+    * repetition) if results must be reproducible on other engines. */
+  def redactPatterns(
+      df: DataFrame,
+      textCol: String,
+      patterns: Seq[(String, String)],
+      outCol: String = "redacted"
+  ): DataFrame = {
+    require(patterns.nonEmpty, "at least one (pattern, replacement) required")
+    val redacted = patterns.foldLeft(col(textCol)) {
+      case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+    }
+    df.withColumn(outCol, redacted)
+  }
+
   /** Per-document top-n TF-IDF terms (smooth IDF: ln(N / df)).
     *
     * Two hash aggregates — term frequency per (doc, term), document

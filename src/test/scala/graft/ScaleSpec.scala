@@ -227,6 +227,64 @@ class ScaleSpec extends SparkSpec {
     assert(diffs == 0, "native cosine diverged from HOF fold")
   }
 
+  test("decontaminate drops exactly the train docs sharing a test n-gram") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),      // shares "beta gamma delta"
+      (2L, "epsilon zeta eta theta"),      // no shared 3-gram
+      (3L, "iota beta gamma delta kappa")  // shares "beta gamma delta"
+    ).toDF("doc_id", "text")
+    val test = Seq((100L, "zzz beta gamma delta yyy")).toDF("doc_id", "text")
+
+    val kept = graft.operators.Decontam
+      .decontaminate(train, test, "doc_id", "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L))
+
+    val report = graft.operators.Decontam
+      .contaminationReport(train, test, "doc_id", "text", n = 3)
+      .select("doc_id", "n_shared_grams", "contaminated")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    // doc 1 shares "beta gamma delta" and doc 3 shares it too (1 distinct
+    // gram each); doc 2 shares none
+    assert(report.toSeq == Seq((1L, 1L, true), (2L, 0L, false), (3L, 1L, true)))
+  }
+
+  test("repetitionStats computes hand-checked 2-gram fractions") {
+    val df = Seq(
+      (1L, "a b a b a"), // 2-grams: ab, ba, ab, ba -> total 4, top 2, all dup
+      (2L, "x y z")      // 2-grams: xy, yz -> total 2, top 1, none dup
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .repetitionStats(df, "doc_id", "text", n = 2)
+      .select("doc_id", "total_ngrams", "top_ngram_count", "top_ngram_frac", "dup_ngram_frac")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 4L, 2L, 0.5, 1.0), (2L, 2L, 1L, 0.5, 0.0)))
+    // a doc shorter than n has no n-grams and is absent
+    val short = TextAnalysis
+      .repetitionStats(Seq((9L, "solo")).toDF("doc_id", "text"), "doc_id", "text", n = 2)
+    assert(short.count() == 0)
+  }
+
+  test("redactPatterns applies every pattern in order, all occurrences") {
+    val df = Seq((1L, "mail bob@x.io and bob@y.org num 42 the end")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .redactPatterns(
+        df,
+        "text",
+        Seq(
+          "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "[EMAIL]",
+          "\\b[0-9]+\\b" -> "[NUM]",
+          "\\bthe\\b" -> "[W]"
+        )
+      )
+      .select("redacted").head().getString(0)
+    assert(got == "mail [EMAIL] and [EMAIL] num [NUM] [W] end")
+  }
+
   test("native squared distance is bit-identical to the HOF form") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val a = e.select(col("vec_id"), col("embedding").as("va")).filter(col("vec_id") < 50)
