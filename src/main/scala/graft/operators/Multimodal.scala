@@ -88,10 +88,65 @@ object Multimodal {
     }
   }
 
-  /** ===== STUB ===== deterministic fake decoder for NON-image payloads
-    * (audio/video codecs are unavailable here): fakes luma statistics from
-    * raw bytes. A real implementation calls ffmpeg here (the only line that
-    * changes); signature and batch shape are the production ones. */
+  /** Real audio decode via the JDK's `javax.sound.sampled` (WAV/AIFF/AU
+    * PCM — no extra dependency): returns (RMS level in [0,1],
+    * zero-crossing rate in [0,1]) over the first channel's samples — the
+    * standard cheap loudness/pitchiness features. Returns None when the
+    * payload is not a decodable audio stream (caller falls back to
+    * [[stubDecodeBytes]]). */
+  private def decodeAudioFeatures(bytes: Array[Byte]): Option[(Double, Double)] = {
+    if (bytes == null || bytes.isEmpty) None
+    else {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException                               => null
+        }
+      if (in == null) None
+      else
+        try {
+          val fmt = in.getFormat
+          val pcmSigned = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16
+          if (!pcmSigned) None // keep the kernel minimal: 16-bit PCM only
+          else {
+            val data = in.readAllBytes()
+            val channels = fmt.getChannels
+            val frameBytes = 2 * channels
+            val n = data.length / frameBytes
+            if (n == 0) Some((0.0, 0.0))
+            else {
+              var sumSq = 0.0
+              var crossings = 0L
+              var prevNeg = false
+              var i = 0
+              while (i < n) {
+                val off = i * frameBytes
+                // first channel, respecting stream endianness
+                val s =
+                  if (fmt.isBigEndian)
+                    ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+                  else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+                val x = s / 32768.0
+                sumSq += x * x
+                val neg = x < 0
+                if (i > 0 && neg != prevNeg) crossings += 1
+                prevNeg = neg
+                i += 1
+              }
+              Some((math.sqrt(sumSq / n), crossings.toDouble / n))
+            }
+          }
+        } finally in.close()
+    }
+  }
+
+  /** ===== STUB ===== deterministic fake decoder for VIDEO payloads (no
+    * video codecs exist in the JDK): fakes luma statistics from raw bytes.
+    * A real implementation calls ffmpeg here (the only line that changes);
+    * signature and batch shape are the production ones. */
   private def stubDecodeBytes(bytes: Array[Byte]): (Double, Double) = {
     if (bytes == null || bytes.isEmpty) (0.0, 0.0)
     else {
@@ -109,23 +164,27 @@ object Multimodal {
   }
 
   /** Decode + feature-extract: partition-local, batched, executor-side.
-    * Image payloads (format starting with "image/") are decoded for real;
-    * other formats use the stub kernel. (Real pipelines
-    * hold a codec context per partition — exactly the shape mapPartitions
-    * provides: init once per task, stream the rows.) */
+    * Image payloads (format starting with "image/") and audio payloads
+    * (format starting with "audio/") are decoded for real (ImageIO /
+    * javax.sound); other formats use the stub kernel. For audio the
+    * `brightness` slot carries the RMS level and `edge_density` the
+    * zero-crossing rate — the same "level + activity" pair. (Real
+    * pipelines hold a codec context per partition — exactly the shape
+    * mapPartitions provides: init once per task, stream the rows.) */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       // per-partition init of the decoder context happens here
       rows.map { r =>
+        val fmt = r.meta.format
         val real =
-          if (r.meta.format != null && r.meta.format.startsWith("image/"))
-            decodeImageFeatures(r.media)
+          if (fmt != null && fmt.startsWith("image/"))
+            decodeImageFeatures(r.media).map { case (b, e, _, _) => (b, e) }
+          else if (fmt != null && fmt.startsWith("audio/"))
+            decodeAudioFeatures(r.media)
           else None
-        val (brightness, edges) = real
-          .map { case (b, e, _, _) => (b, e) }
-          .getOrElse(stubDecodeBytes(r.media))
+        val (brightness, edges) = real.getOrElse(stubDecodeBytes(r.media))
         MediaFeatures(r.media_id, r.meta.format, r.meta.nBytes, brightness, edges)
       }
     }

@@ -175,6 +175,44 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(leftLuma < 64 && rightLuma > 191, s"left $leftLuma right $rightLuma")
   }
 
+  /** Real 16-bit PCM WAV built in-memory: a full-scale square wave at
+    * sampleRate/(2*halfPeriod) Hz — RMS exactly 1.0 (every sample is
+    * ±32767/32768 ~ 1) and one zero crossing every halfPeriod samples. */
+  private def squareWav(nSamples: Int, halfPeriod: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      val v: Short = if ((i / halfPeriod) % 2 == 0) 32767 else -32767
+      pcm(2 * i) = (v & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong
+      ),
+      AudioFileFormat.Type.WAVE,
+      out
+    )
+    out.toByteArray
+  }
+
+  test("real WAV decode: feature extraction reads actual samples") {
+    import spark.implicits._
+    val wav = squareWav(nSamples = 800, halfPeriod = 8)
+    val media = Seq(
+      Multimodal.MediaRow(
+        2L, wav, Multimodal.MediaMeta("audio/wav", 0, 0, wav.length.toLong)
+      )
+    ).toDF()
+    val f = Multimodal.extractFeatures(media).collect()(0)
+    // full-scale square wave: RMS = 32767/32768; crossings every 8th sample
+    assert(math.abs(f.brightness - 32767.0 / 32768.0) < 1e-9, s"rms ${f.brightness}")
+    assert(math.abs(f.edge_density - (800 / 8 - 1) / 800.0) < 1e-9, s"zcr ${f.edge_density}")
+    assert(f.format == "audio/wav" && f.n_bytes == wav.length.toLong)
+  }
+
   test("frame sampling explodes stride-selected chunks") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(3)
     val media = Multimodal.toMediaTable(docs, "doc_id", "text")
