@@ -98,4 +98,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected top-k pushdown:\n$p")
   }
 
+  test("decontamination joins the corpus against a broadcast gram set") {
+    // the report path: gram join must be broadcast (test set is small)
+    val p = plan("q_decontam")
+    assert(
+      p.contains("BroadcastHashJoin"),
+      s"expected broadcast gram join:\n$p"
+    )
+    // the filtering path: a broadcast LEFT SEMI against the gram set
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dp = graft.operators.Decontam
+      .decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3
+      )
+      .queryExecution.executedPlan.toString
+    assert(
+      dp.contains("BroadcastHashJoin") && dp.contains("LeftSemi"),
+      s"expected broadcast semi-join against the test gram set:\n$dp"
+    )
+  }
+
+  test("ivf assignment is expression-only: no centroid-table join") {
+    val p = plan("q_ivf_topk")
+    // corpus->cell assignment must be a projection (native squared-distance
+    // array), so the ONLY joins are the broadcast probe join and nothing
+    // shuffles the corpus by cell twice
+    assert(p.contains("squared_distance_native"), s"expected native expr:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe join:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"expected top-k pushdown:\n$p")
+  }
+
+  test("repetition stats aggregate with map-side partials") {
+    val p = plan("q_repetition")
+    assert(p.contains("HashAggregate"), s"expected hash aggregates:\n$p")
+    assert(
+      !p.contains("ArrayAggregate"),
+      s"interpreted HOF leaked into the repetition plan:\n$p"
+    )
+  }
+
 }
