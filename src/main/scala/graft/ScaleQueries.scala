@@ -461,6 +461,17 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // asymmetric 2-gram containment pairs (contained-in detection) over
+    // the same bounded slice as q_jaccard_pairs
+    "q_containment" -> ((s, dir) => {
+      Dedup
+        .containmentPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", 2, 0.9
+        )
+        .orderBy("id_a", "id_b")
+    }),
+
     // train/test decontamination report: held-out set = doc_id % 10 == 0,
     // contamination = sharing any word 3-gram with it
     "q_decontam" -> ((s, dir) => {
@@ -918,6 +929,28 @@ object ScaleQueries {
         |       CAST(c AS DOUBLE) / (x.n + y.n - c) AS jaccard
         |FROM shared JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
         |WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents WHERE doc_id < 500
+        |), s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
+        |    i -> array_to_string(t[i:i+1], ' '))) AS st
+        |  FROM toks
+        |), inv AS (
+        |  SELECT doc_id, unnest(st) AS sh FROM s
+        |), shared AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |), sz AS (
+        |  SELECT doc_id, len(st) AS n FROM s
+        |)
+        |SELECT ia AS id_a, ib AS id_b, CAST(c AS DOUBLE) / x.n AS containment
+        |FROM shared JOIN sz x ON x.doc_id = ia
+        |WHERE CAST(c AS DOUBLE) / x.n >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
 
     // word 3-grams via inclusive list slices: gram i = t[i:i+2], i in

@@ -400,6 +400,80 @@ object Dedup {
     * vocabulary is small relative to the corpus. Verification recomputes
     * the exact Jaccard from the shared-token counts over full sets for the
     * candidate pairs only. */
+  /** Exact asymmetric containment pairs: C(a→b) = |Sa ∩ Sb| / |Sa| >=
+    * `threshold` for a != b over distinct `shingleK`-gram sets — finds
+    * documents that are (near-)subsets of others: quotes, excerpts,
+    * boilerplate inclusion. Unlike Jaccard this is direction-sensitive (a
+    * tiny doc inside a huge one scores 1.0 on containment but near 0 on
+    * Jaccard), which is why dedup pipelines need both.
+    *
+    * Prefix filtering on the CONTAINED side only: if a shares none of its
+    * (n - ceil(t*n) + 1) globally-rarest shingles with b, then fewer than
+    * t*n of its shingles can be in b — so candidates come from
+    * prefix(a) x full(b), then exact shared counts over full sets verify.
+    * Same scale shape as [[ngramJaccardPairs]]: skinny (shingle, id) joins,
+    * per-doc windows only for prefix ranking, hash aggregates elsewhere.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 2,
+      threshold: Double = 0.9
+  ): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val sets = df.select(
+      col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), shingleK)).as("__set")
+    )
+    val sizes = sets.select(col("__id"), size(col("__set")).as("__n"))
+    val inverted = sets.select(col("__id"), explode(col("__set")).as("__shingle"))
+
+    val dfreq = inverted.groupBy("__shingle").agg(count(lit(1)).as("__df"))
+    val prefixInv = inverted
+      .join(dfreq, Seq("__shingle"))
+      .withColumn(
+        "__pos",
+        row_number().over(
+          Window.partitionBy("__id").orderBy(col("__df"), col("__shingle"))
+        )
+      )
+      .join(sizes, Seq("__id"))
+      // same epsilon guard as ngramJaccardPairs: keep the prefix
+      // conservative when t*n floats a hair above an integer
+      .filter(
+        col("__pos") <= col("__n") - ceil(col("__n") * threshold - 1e-9) + 1
+      )
+      .select(col("__id"), col("__shingle"))
+
+    val candidates = prefixInv
+      .join(
+        inverted.select(col("__id").as("__id2"), col("__shingle")),
+        Seq("__shingle")
+      )
+      .filter(col("__id") =!= col("__id2"))
+      .select("__id", "__id2")
+      .distinct()
+
+    val shared = candidates
+      .join(inverted, Seq("__id"))
+      .join(
+        inverted.select(col("__id").as("__id2"), col("__shingle")),
+        Seq("__id2", "__shingle")
+      )
+      .groupBy("__id", "__id2")
+      .agg(count(lit(1)).as("__shared"))
+
+    shared
+      .join(sizes, Seq("__id"))
+      .select(
+        col("__id").as("id_a"),
+        col("__id2").as("id_b"),
+        (col("__shared").cast("double") / col("__n")).as("containment")
+      )
+      .filter(col("containment") >= threshold)
+  }
+
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,

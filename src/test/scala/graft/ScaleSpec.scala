@@ -227,6 +227,45 @@ class ScaleSpec extends SparkSpec {
     assert(diffs == 0, "native cosine diverged from HOF fold")
   }
 
+  test("containmentPairs equals brute-force containment on real documents") {
+    val d = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 120)
+    val got = Dedup
+      .containmentPairs(d, "doc_id", "text", shingleK = 2, threshold = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // brute force: distinct 2-gram sets, all ordered pairs
+    val sets = d
+      .select(
+        col("doc_id"),
+        array_distinct(TextFunctions.shingles(col("text"), 2)).as("s")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[String]](1).toSet))
+    val want = (for {
+      (ia, sa) <- sets
+      (ib, sb) <- sets
+      if ia != ib
+      c = (sa & sb).size.toDouble / sa.size
+      if c >= 0.9
+    } yield (ia, ib, c)).toSet
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
+
+  test("containment is direction-sensitive: subset scores 1.0 one way") {
+    val df = Seq(
+      (1L, "a b c d e"),            // 2-grams: ab bc cd de
+      (2L, "a b c d e f g h i j")   // superset of 1's grams
+    ).toDF("doc_id", "text")
+    val pairs = Dedup
+      .containmentPairs(df, "doc_id", "text", shingleK = 2, threshold = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)), pairs.mkString(","))
+  }
+
   test("decontaminate drops exactly the train docs sharing a test n-gram") {
     val train = Seq(
       (1L, "alpha beta gamma delta"),      // shares "beta gamma delta"
