@@ -128,6 +128,37 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp", "__ingest_ts")
 
+  /** Streaming ingest-time decontamination: drop streamed documents that
+    * share any word n-gram with a STATIC held-out set — the streaming
+    * counterpart of `Decontam.decontaminate`. The eval gram set is small
+    * by construction, so it is collected ONCE at plan-build time and the
+    * whole filter becomes a stateless per-row `arrays_overlap` against a
+    * literal array: no per-batch join, no state store, no watermark.
+    * Documents with NULL text have no n-grams and are retained (matching
+    * the batch anti-join semantics). */
+  def decontaminateStream(
+      docs: DataFrame,
+      staticTest: DataFrame,
+      textCol: String = "text",
+      n: Int = 3
+  ): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    val testGrams: Seq[String] = staticTest
+      .select(explode(shingles(col(textCol), n)).as("__gram"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    if (testGrams.isEmpty) docs
+    else
+      docs.filter(
+        coalesce(
+          !arrays_overlap(shingles(col(textCol), n), typedlit(testGrams)),
+          lit(true)
+        )
+      )
+  }
+
   /** Per-user running state for the custom-state path. */
   case class UserRunningState(nEvents: Long, totalValue: Double)
   case class UserUpdate(user_id: Long, n_events: Long, total_value: Double)

@@ -95,6 +95,28 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(survivors == got.count())
   }
 
+  test("streaming decontamination equals the batch anti-join") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val staticTest = docs.filter(col("doc_id") % 10 === 0)
+    val stream = Streaming
+      .readDocumentsStream(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 0)
+    val got = Streaming.runToMemorySink(
+      spark,
+      Streaming.decontaminateStream(stream, staticTest, "text", n = 3),
+      "decontam_stream",
+      outputMode = "append"
+    )
+    val batch = graft.operators.Decontam
+      .decontaminate(
+        docs.filter(col("doc_id") % 10 =!= 0), staticTest, "doc_id", "text", n = 3
+      )
+    val gotIds = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == batchIds, s"stream kept ${gotIds.size}, batch ${batchIds.size}")
+    assert(gotIds.nonEmpty && gotIds.size < 450) // some dropped, some kept
+  }
+
   test("media table round trip: schema, features, determinism") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
     val media = Multimodal.toMediaTable(docs, "doc_id", "text")
