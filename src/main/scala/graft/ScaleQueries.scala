@@ -461,6 +461,23 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // k-anonymity suppression on (nation, segment) quasi identifiers
+    "q_kanon" -> ((s, dir) => {
+      graft.operators.Privacy
+        .kAnonymize(t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 12)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // ... and the suppressed-group report
+    "q_kanon_violations" -> ((s, dir) => {
+      graft.operators.Privacy
+        .kAnonymityViolations(
+          t(s, dir, "customer"), Seq("c_nationkey", "c_mktsegment"), k = 12
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    }),
+
     // asymmetric 2-gram containment pairs (contained-in detection) over
     // the same bounded slice as q_jaccard_pairs
     "q_containment" -> ((s, dir) => {
@@ -930,6 +947,21 @@ object ScaleQueries {
         |FROM shared JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
         |WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_kanon" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment FROM customer
+        |  GROUP BY 1, 2 HAVING count(*) >= 12
+        |)
+        |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+        |FROM customer c SEMI JOIN g
+        |  ON c.c_nationkey = g.c_nationkey AND c.c_mktsegment = g.c_mktsegment
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "q_kanon_violations" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS group_size
+        |FROM customer GROUP BY 1, 2 HAVING count(*) < 12
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     "q_containment" ->
       """WITH toks AS (

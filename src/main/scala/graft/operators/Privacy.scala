@@ -37,6 +37,52 @@ object Privacy {
     }
   }
 
+  /** k-anonymity suppression over quasi-identifier columns: drop every row
+    * whose quasi-identifier combination occurs fewer than `k` times — after
+    * this, any attacker matching on the quasi identifiers finds at least
+    * `k` candidate rows. The natural companion to [[redactLowCounts]] when
+    * the unit of disclosure is the ROW, not an aggregate cell
+    * (north-star extension; the reference stops at cell-level SDC).
+    *
+    * Scale shape: one hash aggregate on the quasi-identifier key (map-side
+    * combined) and a broadcast-or-shuffle join back on the same key — the
+    * group-size table is |distinct combinations|, usually tiny relative to
+    * the data.
+    */
+  def kAnonymize(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, "k must be a positive integer.")
+    require(quasiCols.nonEmpty, "At least one quasi-identifier column required.")
+    quasiCols.foreach { c =>
+      require(
+        df.columns.contains(c),
+        s"Column '$c' does not exist in the DataFrame."
+      )
+    }
+    val bigEnough = df
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= k)
+      .drop("__n")
+    df.join(bigEnough, quasiCols, "left_semi")
+  }
+
+  /** The complement report: quasi-identifier combinations occurring fewer
+    * than `k` times, with their sizes — what [[kAnonymize]] suppressed. */
+  def kAnonymityViolations(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, "k must be a positive integer.")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
+
   /** Redact values `< threshold` in the listed columns, replacing them with
     * `redactionValue` (null when None). A string redaction value implicitly
     * widens the column to string — deliberate parity with the reference

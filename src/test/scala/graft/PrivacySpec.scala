@@ -20,6 +20,46 @@ class PrivacySpec extends SparkSpec {
     checkRows(got, Seq(Row(1, 5L, 10L), Row(2, 15L, 20L)))
   }
 
+  test("kAnonymize keeps exactly the rows in groups of size >= k") {
+    val df = Seq(
+      (1, "us", "a"), (2, "us", "a"), (3, "us", "a"), // group of 3
+      (4, "us", "b"), (5, "us", "b"),                 // group of 2
+      (6, "de", "a")                                  // group of 1
+    ).toDF("id", "country", "seg")
+    val got = Privacy
+      .kAnonymize(df, Seq("country", "seg"), k = 2)
+      .select("id").collect().map(_.getInt(0)).sorted
+    assert(got.toSeq == Seq(1, 2, 3, 4, 5))
+    val strict = Privacy
+      .kAnonymize(df, Seq("country", "seg"), k = 3)
+      .select("id").collect().map(_.getInt(0)).sorted
+    assert(strict.toSeq == Seq(1, 2, 3))
+    // every surviving quasi-combination really occurs >= k times
+    val sizes = Privacy
+      .kAnonymize(df, Seq("country", "seg"), k = 2)
+      .groupBy("country", "seg").count().collect().map(_.getLong(2))
+    assert(sizes.forall(_ >= 2))
+  }
+
+  test("kAnonymityViolations reports the suppressed groups with sizes") {
+    val df = Seq(
+      (1, "us", "a"), (2, "us", "a"), (3, "us", "b"), (4, "de", "a")
+    ).toDF("id", "country", "seg")
+    val got = Privacy
+      .kAnonymityViolations(df, Seq("country", "seg"), k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(("de", "a", 1L), ("us", "b", 1L)))
+  }
+
+  test("kAnonymize validates its arguments") {
+    val df = Seq((1, "x")).toDF("id", "c")
+    intercept[IllegalArgumentException](Privacy.kAnonymize(df, Seq("c"), 0))
+    intercept[IllegalArgumentException](Privacy.kAnonymize(df, Seq.empty, 2))
+    intercept[IllegalArgumentException](Privacy.kAnonymize(df, Seq("nope"), 2))
+  }
+
   test("roundCountsToMultiple properties: divisible and within half-multiple") {
     val rnd = new scala.util.Random(42)
     val samples = Seq.fill(30)((rnd.nextInt(1000000), 1 + rnd.nextInt(100)))
