@@ -461,6 +461,17 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic mixture upsampling: src0 x2.5, src1 x0.5, others x1
+    "q_weighted_repeat" -> ((s, dir) => {
+      Splits
+        .weightedRepeat(
+          t(s, dir, "documents"), "doc_id", "source",
+          Seq("src0" -> 2.5, "src1" -> 0.5)
+        )
+        .select("doc_id", "source", "copy_id")
+        .orderBy("doc_id", "copy_id")
+    }),
+
     // k-anonymity suppression on (nation, segment) quasi identifiers
     "q_kanon" -> ((s, dir) => {
       graft.operators.Privacy
@@ -947,6 +958,20 @@ object ScaleQueries {
         |FROM shared JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
         |WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // reps = floor(w) + (md5 bucket < frac(w)*10000); one row per copy
+    "q_weighted_repeat" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END)
+        |         + (CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 <
+        |                 (CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 5000 ELSE 0 END)
+        |            THEN 1 ELSE 0 END) AS reps
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, CAST(unnest(range(reps)) AS BIGINT) AS copy_id
+        |FROM r WHERE reps > 0
+        |ORDER BY doc_id, copy_id""".stripMargin,
 
     "q_kanon" ->
       """WITH g AS (

@@ -59,6 +59,54 @@ object Splits {
     df.withColumn(splitCol, label)
   }
 
+  /** Deterministic mixture upsampling for corpus blending: each row is
+    * repeated according to its stratum's weight — `floor(w)` whole copies,
+    * plus one more iff the row's hash bucket falls below the fractional
+    * part (so a weight of 2.5 yields 2 copies for every row and a third
+    * copy for a deterministic half of them). Weights < 1 downsample the
+    * stratum (0.5 → half the rows appear once, half disappear). This is
+    * the "epochs per source" knob of LLM data mixing, with [[hashSplit]]'s
+    * stability guarantees: reproducible across runs/partitionings, and the
+    * SAME rows gain the extra copy every time.
+    *
+    * Output: the input columns plus `copyCol` (0-based copy index) — one
+    * output row per copy. Pure per-row expressions + an explode; no
+    * shuffle.
+    */
+  def weightedRepeat(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      weights: Seq[(String, Double)],
+      defaultWeight: Double = 1.0,
+      copyCol: String = "copy_id",
+      salt: String = ""
+  ): DataFrame = {
+    require(
+      (weights.map(_._2) :+ defaultWeight).forall(_ >= 0),
+      "weights must be non-negative"
+    )
+    val bucket = hashBucket(col(keyCol), salt)
+    def wholeOf(w: Double): Long = math.floor(w).toLong
+    def fracThreshOf(w: Double): Long = math.round((w - math.floor(w)) * Buckets)
+    val whole = weights.foldRight(lit(wholeOf(defaultWeight)): Column) {
+      case ((stratum, w), elseCol) =>
+        when(col(strataCol) === stratum, lit(wholeOf(w))).otherwise(elseCol)
+    }
+    val fracThresh = weights.foldRight(lit(fracThreshOf(defaultWeight)): Column) {
+      case ((stratum, w), elseCol) =>
+        when(col(strataCol) === stratum, lit(fracThreshOf(w))).otherwise(elseCol)
+    }
+    val reps = whole + when(bucket < fracThresh, 1L).otherwise(0L)
+    df.withColumn(
+      copyCol,
+      explode(
+        when(reps > 0, sequence(lit(0L), reps - 1))
+          .otherwise(array().cast("array<bigint>"))
+      )
+    )
+  }
+
   /** Deterministic stratified sampling: keep a row iff its key's hash
     * bucket falls below the fraction threshold of its stratum. Same
     * stability guarantees as [[hashSplit]] (reproducible, leak-free per

@@ -227,6 +227,36 @@ class ScaleSpec extends SparkSpec {
     assert(diffs == 0, "native cosine diverged from HOF fold")
   }
 
+  test("weightedRepeat repeats per-stratum weights deterministically") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val got = graft.operators.Splits
+      .weightedRepeat(d, "doc_id", "source", Seq("src0" -> 2.5, "src1" -> 0.5))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("copies"), max("copy_id").as("max_copy"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, src, copies, maxCopy) =>
+      assert(maxCopy == copies - 1, s"copy ids must be 0..n-1 for doc $id")
+      src match {
+        case "src0" => assert(copies == 2 || copies == 3, s"doc $id: $copies")
+        case "src1" => assert(copies == 1, s"doc $id: $copies") // 0-copy rows absent
+        case _      => assert(copies == 1, s"doc $id: $copies")
+      }
+    }
+    // weight-0.5 strata drop about half their rows entirely
+    val src1In = d.filter(col("source") === "src1").count()
+    val src1Out = got.count(_._2 == "src1")
+    assert(src1Out < src1In && src1Out > 0, s"$src1Out of $src1In")
+    // determinism: identical copy multiset on a second evaluation
+    val again = graft.operators.Splits
+      .weightedRepeat(d, "doc_id", "source", Seq("src0" -> 2.5, "src1" -> 0.5))
+      .groupBy("doc_id").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.groupBy(_._1).view.mapValues(_.map(_._3).sum).toSet ==
+      again.map(t => (t._1, t._2)))
+  }
+
   test("containmentPairs equals brute-force containment on real documents") {
     val d = spark.read
       .parquet(s"$sfDir/documents.parquet")
