@@ -461,6 +461,19 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // wide-to-long reshape of lineitem rate columns (bounded slice)
+    "q_melt" -> ((s, dir) => {
+      graft.operators.Wrangling
+        .melt(
+          t(s, dir, "lineitem")
+            .filter(col("l_orderkey") < 100)
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"),
+          idCols = Seq("l_orderkey", "l_linenumber"),
+          valueCols = Seq("l_quantity", "l_discount", "l_tax")
+        )
+        .orderBy("l_orderkey", "l_linenumber", "variable")
+    }),
+
     // deterministic mixture upsampling: src0 x2.5, src1 x0.5, others x1
     "q_weighted_repeat" -> ((s, dir) => {
       Splits
@@ -958,6 +971,20 @@ object ScaleQueries {
         |FROM shared JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
         |WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_melt" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey < 100
+        |)
+        |SELECT * FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS variable, l_quantity AS value FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM li
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM li
+        |)
+        |ORDER BY l_orderkey, l_linenumber, variable""".stripMargin,
 
     // reps = floor(w) + (md5 bucket < frac(w)*10000); one row per copy
     "q_weighted_repeat" ->

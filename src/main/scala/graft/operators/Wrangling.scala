@@ -46,6 +46,39 @@ object Wrangling {
     df.toDF(unique.toIndexedSeq: _*)
   }
 
+  /** Wide-to-long reshape (pandas `melt` / SQL UNPIVOT): each row of the
+    * listed `valueCols` becomes one output row `(idCols..., varCol,
+    * valueCol)`. Values are implicitly cast to a common type by `unpivot`
+    * (pass compatible columns or cast first). Narrow operation — planned as
+    * Spark's native `Unpivot` (an Expand), no shuffle.
+    *
+    * `dropNulls` mirrors pandas semantics when false: by default Spark's
+    * unpivot KEEPS null values; set true to drop them.
+    */
+  def melt(
+      df: DataFrame,
+      idCols: Seq[String],
+      valueCols: Seq[String],
+      varCol: String = "variable",
+      valueCol: String = "value",
+      dropNulls: Boolean = false
+  ): DataFrame = {
+    require(valueCols.nonEmpty, "At least one value column required.")
+    (idCols ++ valueCols).foreach { c =>
+      require(
+        df.columns.contains(c),
+        s"Column '$c' does not exist in the DataFrame."
+      )
+    }
+    val out = df.unpivot(
+      idCols.map(col).toArray,
+      valueCols.map(col).toArray,
+      varCol,
+      valueCol
+    )
+    if (dropNulls) out.filter(col(valueCol).isNotNull) else out
+  }
+
   /** Map values of `column` through a literal dictionary; unmatched keys
     * yield null. If `newColumn` is non-empty the result is written there
     * (error if it already exists), otherwise the source column is replaced

@@ -86,4 +86,30 @@ class WranglingSpec extends SparkSpec {
       Wrangling.mapColumnValues(df.withColumn("out", lit(1)), Map("A" -> "x"), "label", "out")
     }
   }
+
+  test("melt reshapes wide to long, keeping nulls unless asked") {
+    val df = Seq(
+      (1, Some(10.0), Some(20.0)),
+      (2, Some(30.0), None)
+    ).toDF("id", "a", "b")
+    val long = Wrangling.melt(df, Seq("id"), Seq("a", "b"))
+    checkRows(
+      long.orderBy("id", "variable"),
+      Seq(
+        org.apache.spark.sql.Row(1, "a", 10.0),
+        org.apache.spark.sql.Row(1, "b", 20.0),
+        org.apache.spark.sql.Row(2, "a", 30.0),
+        org.apache.spark.sql.Row(2, "b", null)
+      )
+    )
+    assert(
+      Wrangling.melt(df, Seq("id"), Seq("a", "b"), dropNulls = true).count() == 3
+    )
+    intercept[IllegalArgumentException] {
+      Wrangling.melt(df, Seq("id"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Wrangling.melt(df, Seq("id"), Seq("nope"))
+    }
+  }
 }
