@@ -383,6 +383,18 @@ object ScaleQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // OR-amplified multi-band embedding near-dup pairs (recall dial over
+    // q_embed_dedup: 16 banks x 3 planes recover nearly all >= 0.4 pairs
+    // where the single 6-plane bucket finds a handful)
+    "q_embed_dedup_mb" -> ((s, dir) => {
+      Dedup
+        .embeddingDedupPairsMultiBand(
+          t(s, dir, "embeddings"), "vec_id", "embedding", AnnBanks, 0.4
+        )
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // IVF approximate top-5 with a deterministic codebook: centroids are
     // the corpus vectors at vec_id % 64 == 0 (8 cells at sf0.01), cosine
     // assignment/probing — fully SQL-expressible, so unlike k-means IVF
@@ -1205,6 +1217,22 @@ object ScaleQueries {
          |)
          |SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rn AS INT) AS rank
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_dedup_mb" -> {
+      val bucketCols = AnnBanks.zipWithIndex
+        .map { case (planes, i) => s"${duckBucketFor(planes)} AS b$i" }
+        .mkString(", ")
+      val orCond = AnnBanks.indices.map(i => s"a.b$i = b.b$i").mkString(" OR ")
+      s"""WITH eb AS (
+         |  SELECT vec_id, embedding, $bucketCols FROM embeddings
+         |), p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS c
+         |  FROM eb a JOIN eb b ON ($orCond) AND a.vec_id < b.vec_id
+         |)
+         |SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p
+         |WHERE c >= 0.4 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q_ann_multiband" -> {
       val bucketCols = AnnBanks.zipWithIndex

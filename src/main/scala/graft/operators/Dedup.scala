@@ -587,6 +587,46 @@ object Dedup {
   /** Embedding near-duplicate pairs: cosine >= threshold among candidates
     * sharing a hyperplane-LSH bucket (see Similarity.annTopK for the
     * bucketing rationale). */
+  /** OR-amplified multi-band variant of [[embeddingDedupPairs]] — the
+    * recall dial: each of `planeSets.size` independent hyperplane banks
+    * buckets every vector, a pair is a candidate if ANY bank co-buckets it
+    * (1 - (1 - m^p)^B candidate recall vs m^p single-bank), and candidates
+    * found by several banks are collapsed before the threshold filter.
+    * Same scale shape as `Similarity.annTopKMultiBand`: per-row bucket
+    * computation, explode to B skinny rows, equi-join per (bank:bucket).
+    */
+  def embeddingDedupPairsMultiBand(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planeSets: Seq[Seq[Seq[Double]]],
+      threshold: Double = 0.95
+  ): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(planeSets.nonEmpty, "need at least one hyperplane bank")
+    val bands = planeSets.zipWithIndex.map { case (planes, i) =>
+      concat_ws(":", lit(i), hyperplaneBucket(col(vecCol), planes))
+    }
+    val banded = df.select(
+      col(idCol).as("__id"),
+      col(vecCol).as("__v"),
+      explode(array(bands: _*)).as("__bucket")
+    )
+    val a = banded.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("v_a"))
+    val b = banded.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("v_b"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        cosineSimilarityNative(col("v_a"), col("v_b")).as("cosine")
+      )
+      // banks overlap: collapse duplicate discoveries (identical cosine)
+      .groupBy("id_a", "id_b")
+      .agg(min("cosine").as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   def embeddingDedupPairs(
       df: DataFrame,
       idCol: String,

@@ -227,6 +227,30 @@ class ScaleSpec extends SparkSpec {
     assert(diffs == 0, "native cosine diverged from HOF fold")
   }
 
+  test("multi-band embedding dedup recalls >= 0.8 of true pairs") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val banks = Similarity.randomHyperplaneBanks(16, 3, 64)
+    // ground truth: all pairs with cosine >= 0.4 (brute force)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val truth = a
+      .join(b, col("ia") < col("ib"))
+      .select(
+        col("ia"), col("ib"),
+        VectorFunctions.cosineSimilarityNative(col("va"), col("vb")).as("c")
+      )
+      .filter(col("c") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup
+      .embeddingDedupPairsMultiBand(e, "vec_id", "embedding", banks, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), "multi-band must never invent pairs")
+    if (truth.nonEmpty) {
+      val recall = got.size.toDouble / truth.size
+      assert(recall >= 0.8, s"recall $recall (${got.size}/${truth.size})")
+    }
+  }
+
   test("weightedRepeat repeats per-stratum weights deterministically") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val got = graft.operators.Splits
