@@ -385,11 +385,17 @@ object ScaleQueries {
 
     // OR-amplified multi-band embedding near-dup pairs (recall dial over
     // q_embed_dedup: 16 banks x 3 planes recover nearly all >= 0.4 pairs
-    // where the single 6-plane bucket finds a handful)
+    // where the single 6-plane bucket finds a handful). Input bounded to
+    // the first 1000 vectors for the same reason as q_jaccard_pairs: on
+    // near-random embeddings with 8 buckets/bank the candidate (and true)
+    // pair set grows quadratically with corpus size, so an unbounded bench
+    // would measure result-set growth, not the operator. Real corpora tune
+    // planes-per-bank up (smaller buckets) as size grows.
     "q_embed_dedup_mb" -> ((s, dir) => {
       Dedup
         .embeddingDedupPairsMultiBand(
-          t(s, dir, "embeddings"), "vec_id", "embedding", AnnBanks, 0.4
+          t(s, dir, "embeddings").filter(col("vec_id") < 1000),
+          "vec_id", "embedding", AnnBanks, 0.4
         )
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy("id_a", "id_b")
@@ -1225,6 +1231,7 @@ object ScaleQueries {
       val orCond = AnnBanks.indices.map(i => s"a.b$i = b.b$i").mkString(" OR ")
       s"""WITH eb AS (
          |  SELECT vec_id, embedding, $bucketCols FROM embeddings
+         |  WHERE vec_id < 1000
          |), p AS (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |         ${duckCosine("a.embedding", "b.embedding")} AS c

@@ -594,6 +594,13 @@ object Dedup {
     * found by several banks are collapsed before the threshold filter.
     * Same scale shape as `Similarity.annTopKMultiBand`: per-row bucket
     * computation, explode to B skinny rows, equi-join per (bank:bucket).
+    *
+    * SIZE THE BANKS to the corpus: candidates grow as
+    * B * sum(bucket_size^2), so planes-per-bank must rise with corpus size
+    * (each extra plane halves expected bucket size) — banks buy recall,
+    * planes bound the per-bucket quadratic cost. With near-random vectors
+    * and few planes this degenerates toward all-pairs; true near-dup
+    * corpora concentrate pairs in tiny buckets and stay cheap.
     */
   def embeddingDedupPairsMultiBand(
       df: DataFrame,
