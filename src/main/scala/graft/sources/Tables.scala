@@ -109,7 +109,8 @@ object Tables {
       table: String,
       tableDirectory: String,
       partitionBy: Seq[String] = Nil,
-      bucketBy: Option[(Int, Seq[String])] = None
+      bucketBy: Option[(Int, Seq[String])] = None,
+      format: String = "parquet"
   ): Unit = {
     val directory = readTableDirectory(tableDirectory)
     val ref = directory.getOrElse(
@@ -118,7 +119,10 @@ object Tables {
         s"Table key '$table' not found in table_directory"
       )
     )
-    var writer = df.write.mode("overwrite").option("overwriteSchema", "true")
+    var writer = df.write
+      .mode("overwrite")
+      .option("overwriteSchema", "true")
+      .format(format)
     if (partitionBy.nonEmpty) writer = writer.partitionBy(partitionBy: _*)
     bucketBy.foreach { case (n, cols) =>
       writer = writer

@@ -159,6 +159,44 @@ object Streaming {
       )
   }
 
+  /** Watermarked STREAM-STREAM interval join: each purchase event joined to
+    * the same user's view events in the preceding `lookback` — the
+    * canonical attribution join. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can expire buffered
+    * rows from the join state store (unbounded state otherwise). Inner
+    * join: matches emit as soon as both sides arrive.
+    */
+  def purchasesWithRecentViews(
+      events: DataFrame,
+      watermark: String = "2 hours",
+      lookback: String = "1 hour"
+  ): DataFrame = {
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id")
+      )
+      .withWatermark("purchase_ts", watermark)
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id").as("__vu"),
+        col("ts").as("view_ts"),
+        col("event_id").as("view_id")
+      )
+      .withWatermark("view_ts", watermark)
+    purchases
+      .join(
+        views,
+        col("user_id") === col("__vu") &&
+          col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback") &&
+          col("view_ts") <= col("purchase_ts")
+      )
+      .drop("__vu")
+  }
+
   /** Per-user running state for the custom-state path. */
   case class UserRunningState(nEvents: Long, totalValue: Double)
   case class UserUpdate(user_id: Long, n_events: Long, total_value: Double)

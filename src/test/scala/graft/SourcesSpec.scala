@@ -150,6 +150,34 @@ class SourcesSpec extends SparkSpec {
     val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "grp")
     Tables.saveTable(df, "part", dirPath, partitionBy = Seq("grp"))
     assert(spark.table("graft_test_db.part_tbl").count() == 3)
+    // partition pruning: a filter on the partition column must reach the
+    // scan as a PartitionFilter (only matching directories read at scale)
+    val pruned = spark.table("graft_test_db.part_tbl").filter(col("grp") === "a")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(
+      plan.contains("PartitionFilters") && plan.contains("grp"),
+      s"expected partition pruning on grp:\n$plan"
+    )
+    assert(pruned.count() == 2)
+  }
+
+  test("saveTable supports ORC format round trip") {
+    val dirPath = s"$tmp/table_directory_orc.json"
+    JsonUtils.writeJsonFile(
+      Map("orc_t" -> Map("database" -> "graft_test_db", "table_name" -> "orc_tbl")),
+      dirPath
+    )
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_test_db")
+    val df = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    Tables.saveTable(df, "orc_t", dirPath, format = "orc")
+    val meta = spark.sql("DESCRIBE EXTENDED graft_test_db.orc_tbl")
+      .filter(col("col_name") === "Provider")
+      .collect()
+    assert(meta.nonEmpty && meta(0).getString(1).toLowerCase.contains("orc"))
+    checkRows(
+      Tables.loadTable(spark, "orc_t", dirPath).orderBy("id"),
+      Seq(Row(1, "x"), Row(2, "y"))
+    )
   }
 
   test("bucketed tables join without a shuffle (co-located join)") {

@@ -95,6 +95,35 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(survivors == got.count())
   }
 
+  test("stream-stream interval join equals the batch join") {
+    val stream = Streaming.readEventsStream(spark, sfDir)
+    val got = Streaming.runToMemorySink(
+      spark,
+      Streaming.purchasesWithRecentViews(stream),
+      "purchase_views",
+      outputMode = "append"
+    )
+    val ev = spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"), col("event_id").as("vid"))
+    val batch = p.join(
+      v,
+      col("user_id") === col("vu") &&
+        col("vts") >= col("pts") - expr("INTERVAL 1 hour") &&
+        col("vts") <= col("pts")
+    )
+    val gotPairs = got.select("purchase_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = batch.select("pid", "vid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == batchPairs, s"stream ${gotPairs.size} vs batch ${batchPairs.size}")
+    assert(gotPairs.nonEmpty)
+  }
+
   test("streaming decontamination equals the batch anti-join") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val staticTest = docs.filter(col("doc_id") % 10 === 0)
