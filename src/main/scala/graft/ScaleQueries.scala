@@ -595,6 +595,31 @@ object ScaleQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // dense hourly series per user with zero-filled gaps (bounded users)
+    "q_gap_fill" -> ((s, dir) => {
+      Sessionize
+        .fillTimeGaps(
+          events(s, dir).filter(col("user_id") < 20),
+          "user_id", "ts", bucketSeconds = 3600L
+        )
+        .orderBy("user_id", "bucket_start")
+    }),
+
+    // distributional moments per group: corr / stddev / avg (bounded
+    // magnitudes; co-moment merge order can differ in the last ulp across
+    // engines, so everything is rounded to 6dp)
+    "q_stats_moments" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qty_disc"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("n")
+        )
+        .orderBy("l_returnflag")
+    }),
+
     // gap sessionization (30 min)
     "q_sessionize" -> ((s, dir) => {
       Sessionize
@@ -1402,6 +1427,31 @@ object ScaleQueries {
         |       count(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS b
+        |  FROM events WHERE user_id < 20
+        |), c AS (
+        |  SELECT user_id, b, count(*) AS n FROM e GROUP BY 1, 2
+        |), s AS (
+        |  SELECT user_id, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1
+        |), ab AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1)) AS b FROM s
+        |)
+        |SELECT ab.user_id,
+        |       CAST(to_timestamp(ab.b * 3600) AS TIMESTAMP) AS bucket_start,
+        |       COALESCE(c.n, 0) AS n_events
+        |FROM ab LEFT JOIN c ON c.user_id = ab.user_id AND c.b = ab.b
+        |ORDER BY ab.user_id, bucket_start""".stripMargin,
+
+    "q_stats_moments" ->
+      """SELECT l_returnflag,
+        |       ROUND(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+        |       ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+        |       ROUND(avg(l_quantity), 6) AS avg_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_window_1h" ->
       """SELECT date_trunc('hour', ts) AS window_start,

@@ -125,4 +125,48 @@ object Sessionize {
       )
       .filter(col(typeCol) === targetType)
   }
+
+  /** Dense time series per key: one row for EVERY `bucketSeconds` bucket
+    * between a key's first and last event, zero-filled where no events
+    * fall — the resample/gap-fill step before windowed feature extraction
+    * or anomaly detection (missing buckets are invisible to a plain
+    * groupBy).
+    *
+    * Scale shape: per-key bucket counts (one hash aggregate), per-key
+    * [min, max] span (second aggregate over the counts — input is already
+    * one row per non-empty bucket), explode of each key's bucket range,
+    * and a (key, bucket) join back. The explode fans out only to
+    * span/bucketSeconds rows per key — bounded by time coverage, not data
+    * volume; everything shuffles on keys that subdivide the data.
+    */
+  def fillTimeGaps(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      bucketSeconds: Long = 3600L
+  ): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val binMicros = bucketSeconds * 1000000L
+    val counts = events
+      .select(
+        col(keyCol),
+        floor(unix_micros(col(tsCol)) / binMicros).cast("long").as("__bucket")
+      )
+      .groupBy(col(keyCol), col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+    val spans = counts
+      .groupBy(col(keyCol))
+      .agg(min("__bucket").as("__lo"), max("__bucket").as("__hi"))
+    spans
+      .select(
+        col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"))).as("__bucket")
+      )
+      .join(counts, Seq(keyCol, "__bucket"), "left")
+      .select(
+        col(keyCol),
+        timestamp_micros(col("__bucket") * binMicros).as("bucket_start"),
+        coalesce(col("__n"), lit(0L)).as("n_events")
+      )
+  }
 }

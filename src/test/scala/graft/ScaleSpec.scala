@@ -251,6 +251,27 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("fillTimeGaps emits zero rows for empty buckets in each key's span") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:50:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 03:05:00")), // gap: hours 1, 2
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 05:30:00"))  // single bucket
+    ).toDF("user_id", "ts")
+    val got = Sessionize
+      .fillTimeGaps(df, "user_id", "ts", 3600L)
+      .orderBy("user_id", "bucket_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01 00:00:00.0", 2L),
+      (1L, "2024-01-01 01:00:00.0", 0L),
+      (1L, "2024-01-01 02:00:00.0", 0L),
+      (1L, "2024-01-01 03:00:00.0", 1L),
+      (2L, "2024-01-01 05:00:00.0", 1L)
+    ))
+  }
+
   test("weightedRepeat repeats per-stratum weights deterministically") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     val got = graft.operators.Splits
