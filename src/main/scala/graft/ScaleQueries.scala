@@ -716,6 +716,39 @@ object ScaleQueries {
         .asOfPrior(events(s, dir), "purchase", "view")
         .select("event_id", "user_id", "ts", "last_prior_ts")
         .orderBy("event_id")
+    }),
+
+    // C4-style chunk dedup: drop 10-token chunks occurring > 2 times
+    // corpus-wide, reassemble the surviving text (md5 keeps rows skinny)
+    "q_chunk_dedup" -> ((s, dir) => {
+      TextAnalysis
+        .chunkDedup(
+          t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 10, maxFreq = 2
+        )
+        .select(
+          col("doc_id"), col("kept_chunks"), col("dropped_chunks"),
+          md5(col("clean_text")).as("clean_md5")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // unigram LM quality: mean token log-prob under the corpus model
+    "q_unigram_logprob" -> ((s, dir) => {
+      TextAnalysis
+        .unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // sequence packing: per-source token streams cut into 512-token blocks
+    "q_pack_sequences" -> ((s, dir) => {
+      Splits
+        .packSequences(
+          t(s, dir, "documents"), "doc_id", "text", "source",
+          blockTokens = 512
+        )
+        .select("doc_id", "source", "n_tokens", "block_id", "block_offset")
+        .orderBy("doc_id")
     })
   )
 
@@ -1499,6 +1532,61 @@ object ScaleQueries {
         |           PARTITION BY user_id ORDER BY ts, event_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_prior_ts
         |  FROM events
-        |) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+        |) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_chunk_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), chunks AS (
+        |  SELECT doc_id, i AS chunk_id,
+        |         array_to_string(t[(i*10+1):(i*10+10)], ' ') AS chunk
+        |  FROM toks, unnest(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) AS u(i)
+        |), freq AS (
+        |  SELECT md5(chunk) AS h, count(*) AS freq FROM chunks GROUP BY 1
+        |)
+        |SELECT c.doc_id,
+        |       CAST(count(*) FILTER (f.freq <= 2) AS INT) AS kept_chunks,
+        |       CAST(count(*) FILTER (f.freq > 2) AS INT) AS dropped_chunks,
+        |       md5(coalesce(
+        |         string_agg(c.chunk, ' ' ORDER BY c.chunk_id)
+        |           FILTER (f.freq <= 2), '')) AS clean_md5
+        |FROM chunks c JOIN freq f ON md5(c.chunk) = f.h
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL
+        |), vocab AS (
+        |  SELECT term, count(*) AS cnt FROM toks GROUP BY 1
+        |), model AS (
+        |  SELECT term,
+        |         ln(CAST(cnt AS DOUBLE)) -
+        |           ln(CAST((SELECT sum(cnt) FROM vocab) AS DOUBLE)) AS lp
+        |  FROM vocab
+        |)
+        |SELECT t.doc_id, CAST(count(*) AS INT) AS n_tokens,
+        |       ROUND(avg(m.lp), 6) AS avg_logprob
+        |FROM toks t JOIN model m USING (term)
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens
+        |  FROM documents WHERE text IS NOT NULL
+        |), r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(sum(n_tokens) OVER (
+        |           PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           - n_tokens AS start_off
+        |  FROM d
+        |)
+        |SELECT doc_id, source, n_tokens,
+        |       start_off // 512 AS block_id,
+        |       start_off % 512 AS block_offset
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -137,4 +137,48 @@ object Splits {
     }
     df.filter(bucket < threshold)
   }
+
+  /** Sequence-packing plan for training batches: concatenate documents in
+    * a deterministic order within each shard and cut the token stream into
+    * fixed-size blocks. Each document is assigned the block where its
+    * first token lands (`block_id`) and its token offset within that block
+    * — exactly the metadata a pack-and-split loader (GPT-style
+    * concatenate-then-chunk) needs to locate every document, without
+    * materializing the packed text.
+    *
+    * Packing is per-shard (`shardCol`), the standard practice: a global
+    * token order would serialize the corpus through one partition, while
+    * per-shard streams pack independently and in parallel. Order within a
+    * shard follows `orderCol` ascending (must be unique per shard for a
+    * deterministic result).
+    *
+    * Scale shape: one shuffle on the shard key for the running-sum window;
+    * token counting is per-row codegen'd. Shards are the parallelism unit
+    * — size them like file shards (thousands of docs), not like sources.
+    */
+  def packSequences(
+      df: DataFrame,
+      orderCol: String,
+      textCol: String,
+      shardCol: String,
+      blockTokens: Int
+  ): DataFrame = {
+    require(blockTokens >= 1, "blockTokens must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol))
+      .orderBy(col(orderCol))
+    val nTokens = size(split(lower(col(textCol)), " "))
+    val startOffset =
+      coalesce(sum(nTokens.cast("long")).over(w) - nTokens, lit(0L))
+    df.filter(col(textCol).isNotNull)
+      .withColumn("n_tokens", nTokens)
+      .withColumn(
+        "block_id",
+        (startOffset / lit(blockTokens.toLong)).cast("long")
+      )
+      .withColumn(
+        "block_offset",
+        (startOffset % lit(blockTokens.toLong)).cast("long")
+      )
+  }
 }

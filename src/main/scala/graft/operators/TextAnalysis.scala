@@ -183,6 +183,108 @@ object TextAnalysis {
     df.withColumn(outCol, redacted)
   }
 
+  /** C4-style cross-document chunk dedup: split each document into
+    * fixed-size token chunks (the no-newline analog of C4's "remove any
+    * line that occurs more than N times in the corpus"), count each
+    * chunk's occurrences corpus-wide, drop chunks above `maxFreq`, and
+    * reassemble the surviving text in original order. Documents whose
+    * chunks are all boilerplate come back with `kept_chunks = 0` and empty
+    * text — every input document gets exactly one output row.
+    *
+    * Null-text documents are excluded (the split/reassemble contract is
+    * undefined for them); filter or coalesce upstream if they must
+    * survive.
+    *
+    * Scale shape: chunking is per-row codegen'd; the corpus frequency
+    * table is one hash aggregate keyed by the chunk's md5 (map-side
+    * combine absorbs within-partition repeats), and the join back ships
+    * only the 32-char digest as key. Reassembly is a hash aggregate per
+    * document; per-doc chunk lists are small (doc_tokens / chunkTokens),
+    * so collect_list stays bounded. At 100 TB the only large shuffles are
+    * keyed by chunk-hash and doc id — both well distributed.
+    */
+  def chunkDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 10,
+      maxFreq: Long = 2
+  ): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    require(maxFreq >= 1, "maxFreq must be >= 1")
+    val toks = tokens(col(textCol))
+    val chunked = df
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(
+              lit(0),
+              ceil(size(toks).cast("double") / chunkTokens).cast("int") - 1
+            ),
+            i =>
+              array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")
+          )
+        ).as(Seq("chunk_id", "chunk"))
+      )
+      .withColumn("__h", md5(col("chunk")))
+    val freq = chunked.groupBy("__h").agg(count(lit(1)).as("__freq"))
+    chunked
+      .join(freq, "__h")
+      .withColumn("__keep", col("__freq") <= maxFreq)
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("__keep"), 1).otherwise(0)).cast("int").as("kept_chunks"),
+        sum(when(col("__keep"), 0).otherwise(1)).cast("int").as("dropped_chunks"),
+        array_join(
+          transform(
+            array_sort(
+              collect_list(
+                when(col("__keep"), struct(col("chunk_id"), col("chunk")))
+              )
+            ),
+            x => x.getField("chunk")
+          ),
+          " "
+        ).as("clean_text")
+      )
+  }
+
+  /** Unigram language-model quality score: fit a corpus unigram model
+    * (term -> count / total) in one pass and score each document by its
+    * mean token log-probability. The classic cheap "model-based" quality
+    * signal — gibberish and rare-token spam score far below fluent text.
+    * Returns (id, n_tokens, avg_logprob), logprob rounded to 6 decimals
+    * (ln differs in the last ulp across libms).
+    *
+    * Scale shape: one explode -> hash aggregate builds the vocabulary
+    * (at most |vocab| rows — tiny next to the corpus), the total token
+    * count rides a one-row broadcast cross join, and scoring joins each
+    * token to the broadcast vocabulary — no shuffle of the corpus beyond
+    * the per-document aggregate. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("__term"))
+    val vocab = exploded.groupBy("__term").agg(count(lit(1)).as("__cnt"))
+    val total = vocab.agg(sum("__cnt").as("__total"))
+    val model = vocab
+      .crossJoin(broadcast(total))
+      .select(
+        col("__term"),
+        (log(col("__cnt").cast("double")) - log(col("__total").cast("double")))
+          .as("__lp")
+      )
+    exploded
+      .join(broadcast(model), "__term")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        round(avg("__lp"), 6).as("avg_logprob")
+      )
+  }
+
   /** Per-document top-n TF-IDF terms (smooth IDF: ln(N / df)).
     *
     * Two hash aggregates — term frequency per (doc, term), document

@@ -302,6 +302,74 @@ class ScaleSpec extends SparkSpec {
       again.map(t => (t._1, t._2)))
   }
 
+  test("chunkDedup drops corpus-frequent chunks and reassembles in order") {
+    val df = Seq(
+      (1L, "a b x x c d"), // chunks: "a b", "x x", "c d"
+      (2L, "x x e f"), // "x x" occurs twice corpus-wide -> dropped at maxFreq=1
+      (3L, "g h")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .chunkDedup(df, "doc_id", "text", chunkTokens = 2, maxFreq = 1)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(
+      got.toSeq == Seq(
+        (1L, 2, 1, "a b c d"),
+        (2L, 1, 1, "e f"),
+        (3L, 1, 0, "g h")
+      )
+    )
+  }
+
+  test("chunkDedup keeps fully-boilerplate docs as empty rows") {
+    val df = Seq((1L, "x x"), (2L, "x x"), (3L, "y z")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .chunkDedup(df, "doc_id", "text", chunkTokens = 2, maxFreq = 1)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+    assert(got.toSeq == Seq((1L, 0, ""), (2L, 0, ""), (3L, 1, "y z")))
+  }
+
+  test("unigramLogProb scores rare-token docs below common-token docs") {
+    val df = Seq((1L, "a a a a"), (2L, "a a a b")).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .unigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // corpus: a x7, b x1, total 8. doc1 = ln(7/8); doc2 = (3 ln(7/8) + ln(1/8))/4
+    assert(got(0) == ((1L, 4, -0.133531)))
+    assert(got(1) == ((2L, 4, -0.620009)))
+    assert(got(0)._3 > got(1)._3)
+  }
+
+  test("packSequences assigns blocks by per-shard running token count") {
+    val df = Seq(
+      (1L, "a b c", "s"), // starts at 0 -> block 0, offset 0
+      (2L, "d e f", "s"), // starts at 3 -> block 0, offset 3
+      (3L, "g", "s"), // starts at 6 -> block 1, offset 2
+      (4L, "h i j k l", "s"), // starts at 7 -> block 1, offset 3
+      (5L, "m n", "t") // other shard packs independently from 0
+    ).toDF("doc_id", "text", "src")
+    val got = graft.operators.Splits
+      .packSequences(df, "doc_id", "text", "src", blockTokens = 4)
+      .select("doc_id", "n_tokens", "block_id", "block_offset")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(
+      got.toSeq == Seq(
+        (1L, 3, 0L, 0L),
+        (2L, 3, 0L, 3L),
+        (3L, 1, 1L, 2L),
+        (4L, 5, 1L, 3L),
+        (5L, 2, 0L, 0L)
+      )
+    )
+  }
+
   test("containmentPairs equals brute-force containment on real documents") {
     val d = spark.read
       .parquet(s"$sfDir/documents.parquet")
