@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Decontam, Dedup, Joins, Sessionize, Similarity, Splits, TextAnalysis}
+import graft.operators.{Decontam, Dedup, Graphs, Joins, Sessionize, Similarity, Splits, Stats, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -749,6 +749,56 @@ object ScaleQueries {
         )
         .select("doc_id", "source", "n_tokens", "block_id", "block_offset")
         .orderBy("doc_id")
+    }),
+
+    // 20-bin fixed-width price histogram (edge bins clamp out-of-range)
+    "q_histogram" -> ((s, dir) => {
+      Stats
+        .histogram(t(s, dir, "lineitem"), "l_extendedprice", 900.0, 105000.0, 20)
+        .orderBy("bin")
+    }),
+
+    // per-group winsorization at [p05, p95]: clip counts + clipped mean
+    "q_winsorize" -> ((s, dir) => {
+      Stats
+        .winsorize(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+          0.05, 0.95
+        )
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("__p_lo"), 1).otherwise(0))
+            .as("n_lo"),
+          sum(when(col("l_extendedprice") > col("__p_hi"), 1).otherwise(0))
+            .as("n_hi"),
+          min("__p_lo").as("p_lo"),
+          min("__p_hi").as("p_hi"),
+          round(
+            sum(col("l_extendedprice_wins").cast("decimal(18,6)"))
+              .cast("double") / count(lit(1)),
+            4
+          ).as("avg_wins")
+        )
+        .orderBy("l_returnflag")
+    }),
+
+    // 3-iteration PageRank over a symmetric supplier-derived graph
+    "q_pagerank" -> ((s, dir) => {
+      val base = t(s, dir, "supplier")
+        .select(
+          col("s_nationkey").cast("long").as("a"),
+          (col("s_suppkey") % 25).cast("long").as("b")
+        )
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      val edges = base
+        .select(col("a").as("src"), col("b").as("dst"))
+        .union(base.select(col("b").as("src"), col("a").as("dst")))
+      Graphs
+        .pageRank(edges, "src", "dst", iterations = 3, damping = 0.85)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+        .orderBy("id")
     })
   )
 
@@ -1587,6 +1637,76 @@ object ScaleQueries {
         |SELECT doc_id, source, n_tokens,
         |       start_off // 512 AS block_id,
         |       start_off % 512 AS block_offset
-        |FROM r ORDER BY doc_id""".stripMargin
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_histogram" ->
+      """WITH p AS (
+        |  SELECT CAST(900.0 AS DOUBLE) AS lo,
+        |         (CAST(105000.0 AS DOUBLE) - CAST(900.0 AS DOUBLE)) / 20 AS w
+        |), b AS (
+        |  SELECT CAST(least(19, greatest(0,
+        |           CAST(floor((l_extendedprice - p.lo) / p.w) AS BIGINT)
+        |         )) AS INT) AS bin
+        |  FROM lineitem, p WHERE l_extendedprice IS NOT NULL
+        |)
+        |SELECT bin,
+        |       ROUND((SELECT lo FROM p) + bin * (SELECT w FROM p), 6) AS bin_lo,
+        |       ROUND((SELECT lo FROM p) + (bin + 1) * (SELECT w FROM p), 6) AS bin_hi,
+        |       count(*) AS n
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH bounds AS (
+        |  SELECT l_returnflag,
+        |         ROUND(quantile_cont(l_extendedprice, 0.05), 6) AS b_lo,
+        |         ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS b_hi
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |       CAST(sum(CASE WHEN l_extendedprice < b_lo THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_lo,
+        |       CAST(sum(CASE WHEN l_extendedprice > b_hi THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_hi,
+        |       min(b_lo) AS p_lo, min(b_hi) AS p_hi,
+        |       ROUND(CAST(sum(CAST(least(greatest(l_extendedprice, b_lo), b_hi)
+        |                          AS DECIMAL(18,6))) AS DOUBLE) / count(*),
+        |             4) AS avg_wins
+        |FROM lineitem l JOIN bounds USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH base AS (
+        |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS a,
+        |         CAST(s_suppkey % 25 AS BIGINT) AS b
+        |  FROM supplier
+        |  WHERE CAST(s_nationkey AS BIGINT) <> CAST(s_suppkey % 25 AS BIGINT)
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM base
+        |  UNION
+        |  SELECT b AS src, a AS dst FROM base
+        |), nodes AS (SELECT DISTINCT src AS id FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg
+        |        FROM e GROUP BY 1),
+        |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        |r1 AS (SELECT nodes.id,
+        |         (1 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(f.inflow, 0) AS rank
+        |       FROM nodes LEFT JOIN (
+        |         SELECT e.dst AS id, sum(r.rank / d.outdeg) AS inflow
+        |         FROM e JOIN r0 r ON e.src = r.id JOIN deg d ON e.src = d.src
+        |         GROUP BY 1) f ON nodes.id = f.id),
+        |r2 AS (SELECT nodes.id,
+        |         (1 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(f.inflow, 0) AS rank
+        |       FROM nodes LEFT JOIN (
+        |         SELECT e.dst AS id, sum(r.rank / d.outdeg) AS inflow
+        |         FROM e JOIN r1 r ON e.src = r.id JOIN deg d ON e.src = d.src
+        |         GROUP BY 1) f ON nodes.id = f.id),
+        |r3 AS (SELECT nodes.id,
+        |         (1 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(f.inflow, 0) AS rank
+        |       FROM nodes LEFT JOIN (
+        |         SELECT e.dst AS id, sum(r.rank / d.outdeg) AS inflow
+        |         FROM e JOIN r2 r ON e.src = r.id JOIN deg d ON e.src = d.src
+        |         GROUP BY 1) f ON nodes.id = f.id)
+        |SELECT id, ROUND(rank, 6) AS rank FROM r3 ORDER BY id""".stripMargin
   )
 }

@@ -93,4 +93,76 @@ object Graphs {
       .agg(sum(col("component").cast("decimal(38,0)")))
       .head()
       .getDecimal(0)
+
+  /** Fixed-iteration PageRank over a directed edge list (duplicate edges
+    * collapse to one). Returns (id, rank) for every vertex appearing in an
+    * edge; ranks sum to 1. Dangling vertices (no out-edges) redistribute
+    * their mass uniformly, the standard correction — so rank mass is
+    * conserved every iteration.
+    *
+    * Scale shape: each iteration is one join of the skinny edge list
+    * against the (id, rank/outdeg) contribution table followed by a hash
+    * aggregate on the destination — the same shuffle pattern as the
+    * min-label rounds above, O(iterations) passes with `localCheckpoint`
+    * truncating lineage. The dangling-mass term costs one scalar aggregate
+    * per iteration (a driver action over the tiny label table). Fixed
+    * iteration count, not convergence-tested: ranking applications
+    * (centrality features, crawl prioritization) use 3-20 iterations and a
+    * deterministic cost matters more than the last decimal.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int = 10,
+      damping: Double = 0.85
+  ): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(damping > 0 && damping < 1, "damping must be in (0, 1)")
+    val e = edges
+      .select(
+        col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst")
+      )
+      .distinct()
+      .localCheckpoint()
+    val nodes = e
+      .select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count().toDouble
+    // distinct key name: outDeg derives from e, so joining on src === src
+    // would resolve both sides to the SAME attribute (ambiguous self-join)
+    val outDeg = e
+      .groupBy("src")
+      .agg(count(lit(1)).cast("double").as("__outdeg"))
+      .withColumnRenamed("src", "__osrc")
+      .localCheckpoint()
+
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val danglingSum = ranks
+        .join(outDeg, ranks("id") === col("__osrc"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0)))
+        .head()
+        .getDouble(0)
+      val contribs = e
+        .join(ranks, e("src") === ranks("id"))
+        .join(outDeg, e("src") === col("__osrc"))
+        .select(e("dst").as("id"), (col("rank") / col("__outdeg")).as("__c"))
+        .groupBy("id")
+        .agg(sum("__c").as("__inflow"))
+      ranks = nodes
+        .join(contribs, Seq("id"), "left")
+        .select(
+          col("id"),
+          (lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("__inflow"), lit(0.0)) + lit(danglingSum / n)))
+            .as("rank")
+        )
+        .localCheckpoint()
+    }
+    ranks
+  }
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributional statistics over large columns (north-star extension; no
+  * reference counterpart): fixed-width histograms and percentile
+  * winsorization — the building blocks of corpus profiling (length/score
+  * distributions) and outlier-robust feature scaling.
+  *
+  * Everything is expressed as codegen'd per-row arithmetic plus hash
+  * aggregates; the only shuffles are keyed by bin or group. Bounds are
+  * computed once on a tiny per-group table and broadcast back — the big
+  * side streams through unchanged.
+  */
+object Stats {
+
+  /** Fixed-width histogram of `valueCol` over [lo, hi): `nBins` equal bins,
+    * bin i covering [lo + i*w, lo + (i+1)*w). Out-of-range values clamp
+    * into the edge bins (so counts always total the non-null row count);
+    * drop them upstream if truncation is wanted. Returns one row per
+    * OCCUPIED bin: (bin, bin_lo, bin_hi, n) — join against a generated
+    * bin spine if empty bins must appear.
+    *
+    * Scale shape: one map-side-combined hash aggregate on the bin index —
+    * at most nBins rows reach the shuffle per partition. */
+  def histogram(
+      df: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int
+  ): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    require(hi > lo, "hi must be > lo")
+    val v = col(valueCol).cast("double")
+    val width = (lit(hi) - lit(lo)) / lit(nBins)
+    val bin = least(
+      lit(nBins - 1),
+      greatest(lit(0), floor((v - lit(lo)) / width))
+    ).cast("int")
+    df.filter(v.isNotNull)
+      .select(bin.as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", round(lit(lo) + col("bin") * width, 6))
+      .withColumn("bin_hi", round(lit(lo) + (col("bin") + 1) * width, 6))
+      .select("bin", "bin_lo", "bin_hi", "n")
+  }
+
+  /** Winsorize `valueCol` within each group: clip to the group's exact
+    * [pLow, pHigh] percentiles (linear interpolation, bounds rounded to 6
+    * decimals so the clip thresholds are engine-reproducible). Adds
+    * `<valueCol>_wins` (clipped value), `__p_lo`, `__p_hi`.
+    *
+    * Scale shape: the bounds table has one row per group — computed with
+    * one aggregate over the big side, then broadcast; the data side
+    * streams through a per-row least/greatest with no extra shuffle. */
+  def winsorize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      pLow: Double = 0.05,
+      pHigh: Double = 0.95
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(
+      pLow >= 0 && pHigh <= 1 && pLow < pHigh,
+      "need 0 <= pLow < pHigh <= 1"
+    )
+    val bounds = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        round(expr(s"percentile($valueCol, ${pLow}D)"), 6).as("__p_lo"),
+        round(expr(s"percentile($valueCol, ${pHigh}D)"), 6).as("__p_hi")
+      )
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(
+        s"${valueCol}_wins",
+        least(greatest(col(valueCol), col("__p_lo")), col("__p_hi"))
+      )
+  }
+}

@@ -370,6 +370,72 @@ class ScaleSpec extends SparkSpec {
     )
   }
 
+  test("histogram bins with edge clamping") {
+    val df = (0 until 10).map(i => Tuple1(i.toDouble)).toDF("v")
+      .union(Seq(Tuple1(-5.0), Tuple1(99.0)).toDF("v"))
+    val got = graft.operators.Stats
+      .histogram(df, "v", 0.0, 10.0, 5)
+      .orderBy("bin")
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(
+      got.toSeq == Seq(
+        (0, 0.0, 2.0, 3L), // 0, 1 and the clamped -5
+        (1, 2.0, 4.0, 2L),
+        (2, 4.0, 6.0, 2L),
+        (3, 6.0, 8.0, 2L),
+        (4, 8.0, 10.0, 3L) // 8, 9 and the clamped 99
+      )
+    )
+  }
+
+  test("winsorize clips to per-group rounded percentiles") {
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val got = graft.operators.Stats
+      .winsorize(df, Seq("grp"), "v", 0.1, 0.9)
+      .orderBy("v")
+      .collect()
+      .map(r => (r.getDouble(1), r.getDouble(4))) // v, v_wins
+    // percentile(0.1) = 1.9, percentile(0.9) = 9.1 (linear interpolation)
+    assert(got.map(_._2).min == 1.9 && got.map(_._2).max == 9.1)
+    assert(got.count { case (v, w) => v != w } == 2) // only 1.0 and 10.0 clip
+    got.foreach { case (v, w) => assert(w == math.min(math.max(v, 1.9), 9.1)) }
+  }
+
+  test("pageRank matches a driver-side reference incl. dangling mass") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (1L, 2L))
+    def ref(iters: Int, d: Double): Map[Long, Double] = {
+      val e = edges.distinct
+      val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+      val n = nodes.size.toDouble
+      val out = e.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+      var r = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to iters) {
+        val dangling = nodes.filterNot(out.contains).map(r).sum
+        val inflow = e
+          .groupBy(_._2)
+          .view
+          .mapValues(_.map { case (s, _) => r(s) / out(s) }.sum)
+          .toMap
+        r = nodes
+          .map(v => v -> ((1 - d) / n + d * (inflow.getOrElse(v, 0.0) + dangling / n)))
+          .toMap
+      }
+      r
+    }
+    val expected = ref(5, 0.85)
+    val got = graft.operators.Graphs
+      .pageRank(edges.toDF("src", "dst"), "src", "dst", iterations = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, rank) =>
+      assert(math.abs(rank - expected(id)) < 1e-9, s"node $id")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "rank mass conserved")
+  }
+
   test("containmentPairs equals brute-force containment on real documents") {
     val d = spark.read
       .parquet(s"$sfDir/documents.parquet")
