@@ -783,6 +783,16 @@ object ScaleQueries {
         .orderBy("l_returnflag")
     }),
 
+    // long-format data-quality profile over mixed column types
+    "q_profile" -> ((s, dir) => {
+      Stats
+        .profile(
+          t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+        )
+        .orderBy("column")
+    }),
+
     // 3-iteration PageRank over a symmetric supplier-derived graph
     "q_pagerank" -> ((s, dir) => {
       val base = t(s, dir, "supplier")
@@ -1673,6 +1683,19 @@ object ScaleQueries {
         |             4) AS avg_wins
         |FROM lineitem l JOIN bounds USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_value,
+           |       CAST(max($c) AS VARCHAR) AS max_value
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+        .map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "q_pagerank" ->
       """WITH base AS (

@@ -70,4 +70,51 @@ object Decontam {
       .distinct()
     train.join(contaminatedIds, Seq(idCol), "left_anti")
   }
+
+  /** Sketch-based decontamination for when even the eval n-gram set is too
+    * large to broadcast exactly: compile the eval grams into a Bloom
+    * filter (constant size for a chosen false-positive rate) and drop
+    * every training doc with at least one probable-member gram.
+    *
+    * Bloom filters have NO false negatives, so every truly contaminated
+    * document is guaranteed dropped; false positives over-drop a bounded
+    * fraction (~ fpp per distinct gram) of clean docs — the safe direction
+    * for leakage control. The result is therefore a SUBSET of
+    * [[decontaminate]]'s and the only probabilistic operator in this
+    * object; use the exact form whenever the eval set broadcasts.
+    *
+    * Scale shape: one filter-side aggregate builds the sketch (driver
+    * merge of per-partition filters), then the corpus streams once
+    * through explode → membership test → distinct-id anti-join. The
+    * membership probe is a broadcast of one fixed-size bit array no
+    * matter how many eval grams exist. */
+  def bloomDecontaminate(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      fpp: Double = 0.001
+  ): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val grams = test
+      .select(explode(shingles(col(textCol), n)).as("__gram"))
+      .distinct()
+    val numGrams = grams.count()
+    if (numGrams == 0) train
+    else {
+      val bf = grams.stat.bloomFilter("__gram", numGrams, fpp)
+      val bfBc = train.sparkSession.sparkContext.broadcast(bf)
+      val mightContain = udf { s: String =>
+        s != null && bfBc.value.mightContainString(s)
+      }
+      val hitIds = train
+        .select(col(idCol), explode(shingles(col(textCol), n)).as("__gram"))
+        .filter(mightContain(col("__gram")))
+        .select(idCol)
+        .distinct()
+      train.join(hitIds, Seq(idCol), "left_anti")
+    }
+  }
 }

@@ -80,4 +80,58 @@ object Stats {
         least(greatest(col(valueCol), col("__p_lo")), col("__p_hi"))
       )
   }
+
+  /** Data-quality profile: one long-format row per requested column with
+    * total rows, null count, distinct count, and min/max rendered as
+    * strings (so heterogeneous column types share one schema).
+    *
+    * `approxDistinct = false` uses exact `count(distinct)` — Spark plans
+    * the multi-column distinct through an Expand (input multiplied by
+    * |cols|+1), which is exact but costs a wide shuffle. At corpus scale
+    * pass `approxDistinct = true`: HyperLogLog++ sketches merge map-side,
+    * profiling any number of columns in ONE streaming pass with no Expand
+    * (~2% default relative error, asserted in tests). */
+  def profile(
+      df: DataFrame,
+      cols: Seq[String],
+      approxDistinct: Boolean = false
+  ): DataFrame = {
+    require(cols.nonEmpty, "at least one column required")
+    cols.foreach(c =>
+      require(df.columns.contains(c), s"no such column: $c")
+    )
+    def nd(c: String) =
+      if (approxDistinct) approx_count_distinct(col(c))
+      else countDistinct(col(c))
+    val aggCols = count(lit(1)).as("__n") +: cols.flatMap(c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        nd(c).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c")
+      )
+    )
+    val agg = df.agg(aggCols.head, aggCols.tail: _*)
+    val entries = array(
+      cols.map(c =>
+        struct(
+          lit(c).as("column"),
+          col(s"__nulls_$c").as("n_null"),
+          col(s"__nd_$c").as("n_distinct"),
+          col(s"__min_$c").as("min_value"),
+          col(s"__max_$c").as("max_value")
+        )
+      ): _*
+    )
+    agg
+      .select(col("__n").as("n"), explode(entries).as("__p"))
+      .select(
+        col("__p.column").as("column"),
+        col("n"),
+        col("__p.n_null").as("n_null"),
+        col("__p.n_distinct").as("n_distinct"),
+        col("__p.min_value").as("min_value"),
+        col("__p.max_value").as("max_value")
+      )
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Decontam, Dedup, Sessionize, Similarity, TextAnalysis}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -434,6 +434,70 @@ class ScaleSpec extends SparkSpec {
       assert(math.abs(rank - expected(id)) < 1e-9, s"node $id")
     }
     assert(math.abs(got.values.sum - 1.0) < 1e-9, "rank mass conserved")
+  }
+
+  test("profile reports nulls, distincts, and stringified min/max per column") {
+    val df = Seq(
+      (1L, Some(2.5), "b"),
+      (2L, None, "a"),
+      (3L, Some(2.5), "c")
+    ).toDF("id", "v", "s")
+    val got = graft.operators.Stats
+      .profile(df, Seq("id", "v", "s"))
+      .orderBy("column")
+      .collect()
+      .map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5))
+      )
+    assert(
+      got.toSeq == Seq(
+        ("id", 3L, 0L, 3L, "1", "3"),
+        ("s", 3L, 0L, 3L, "a", "c"),
+        ("v", 3L, 1L, 1L, "2.5", "2.5")
+      )
+    )
+  }
+
+  test("profile approx-distinct mode stays within 5% of exact on real data") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cols = Seq("doc_id", "lang", "source", "n_chars")
+    def distincts(approx: Boolean): Map[String, Long] = graft.operators.Stats
+      .profile(d, cols, approxDistinct = approx)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(3))
+      .toMap
+    val exact = distincts(approx = false)
+    val est = distincts(approx = true)
+    cols.foreach { c =>
+      val err = math.abs(est(c) - exact(c)).toDouble / math.max(exact(c), 1L)
+      assert(err <= 0.05, s"$c: est ${est(c)} vs exact ${exact(c)}")
+    }
+  }
+
+  test("bloomDecontaminate drops every truly contaminated doc (no false negatives)") {
+    val test = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma shared here"), // contaminated (3-gram overlap)
+      (2L, "beta gamma delta also shared"), // contaminated
+      (3L, "totally unrelated clean words"),
+      (4L, "nothing in common either way")
+    ).toDF("doc_id", "text")
+    val exact = Decontam
+      .decontaminate(train, test, "doc_id", "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = Decontam
+      .bloomDecontaminate(train, test, "doc_id", "text", n = 3, fpp = 0.001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(3L, 4L))
+    // bloom keeps a subset of the exactly-clean docs: false positives may
+    // over-drop, but contaminated ids 1 and 2 can never survive
+    assert(bloom.subsetOf(exact))
+    assert(!bloom.contains(1L) && !bloom.contains(2L))
+    // empty eval set is the identity
+    val noop = Decontam.bloomDecontaminate(
+      train, test.filter(col("doc_id") < 0L), "doc_id", "text", n = 3)
+    assert(noop.count() == train.count())
   }
 
   test("containmentPairs equals brute-force containment on real documents") {
