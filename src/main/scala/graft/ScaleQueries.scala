@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Decontam, Dedup, Graphs, Joins, Sessionize, Similarity, Splits, Stats, TextAnalysis}
+import graft.operators.{Decontam, Dedup, Graphs, Joins, Sessionize, Similarity, Splits, Stats, TextAnalysis, Wrangling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -781,6 +781,21 @@ object ScaleQueries {
           ).as("avg_wins")
         )
         .orderBy("l_returnflag")
+    }),
+
+    // text canonicalization: lowercase, strip control+punct, collapse ws
+    "q_normalize" -> ((s, dir) => {
+      Wrangling
+        .normalizeText(
+          t(s, dir, "documents").filter(col("text").isNotNull),
+          "text", stripPunctuation = true, outCol = "norm"
+        )
+        .select(
+          col("doc_id"),
+          md5(col("norm")).as("norm_md5"),
+          length(col("norm")).as("n_chars_norm")
+        )
+        .orderBy("doc_id")
     }),
 
     // long-format data-quality profile over mixed column types
@@ -1683,6 +1698,20 @@ object ScaleQueries {
         |             4) AS avg_wins
         |FROM lineitem l JOIN bounds USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_normalize" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+        |      '[!-/:-@\[-`{-~]', ' ', 'g'),
+        |    ' +', ' ', 'g'))) AS norm_md5,
+        |  CAST(length(trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(lower(text), '[\x00-\x1f\x7f]', ' ', 'g'),
+        |      '[!-/:-@\[-`{-~]', ' ', 'g'),
+        |    ' +', ' ', 'g'))) AS INT) AS n_chars_norm
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     "q_profile" -> {
       def one(c: String) =

@@ -140,13 +140,24 @@ object Graphs {
       .withColumnRenamed("src", "__osrc")
       .localCheckpoint()
 
+    // one up-front action decides whether the per-iteration dangling-mass
+    // aggregate (a driver action per round) is needed at all — symmetric
+    // graphs (the common dedup/similarity case) skip it entirely
+    val hasDangling = nodes
+      .join(outDeg, nodes("id") === col("__osrc"), "left_anti")
+      .limit(1)
+      .count() > 0
+
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
-      val danglingSum = ranks
-        .join(outDeg, ranks("id") === col("__osrc"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0)))
-        .head()
-        .getDouble(0)
+      val danglingSum =
+        if (!hasDangling) 0.0
+        else
+          ranks
+            .join(outDeg, ranks("id") === col("__osrc"), "left_anti")
+            .agg(coalesce(sum("rank"), lit(0.0)))
+            .head()
+            .getDouble(0)
       val contribs = e
         .join(ranks, e("src") === ranks("id"))
         .join(outDeg, e("src") === col("__osrc"))

@@ -114,4 +114,33 @@ object Wrangling {
     // default).
     df.withColumn(outName, try_element_at(mapExpr, df(column)))
   }
+
+  /** Canonicalize raw text for dedup/fingerprint stability: lowercase,
+    * strip control characters, optionally strip punctuation, collapse
+    * whitespace runs to single spaces, and trim. Exactly the
+    * normalization applied before hashing in web-corpus dedup pipelines —
+    * raw text is kept alongside (`outCol` defaults to `<textCol>_norm`)
+    * so display text is never destroyed.
+    *
+    * Per-row codegen'd regexp chain, no shuffle. The regexes stick to the
+    * RE2-portable subset (character classes only) so the same
+    * normalization is reproducible on other engines.
+    */
+  def normalizeText(
+      df: DataFrame,
+      textCol: String,
+      stripPunctuation: Boolean = false,
+      outCol: String = ""
+  ): DataFrame = {
+    require(df.columns.contains(textCol), s"Column '$textCol' does not exist in the DataFrame.")
+    val outName = if (outCol.nonEmpty) outCol else s"${textCol}_norm"
+    val lowered = lower(col(textCol))
+    val noControl = regexp_replace(lowered, "[\\x00-\\x1f\\x7f]", " ")
+    val noPunct =
+      if (stripPunctuation)
+        regexp_replace(noControl, "[!-/:-@\\[-`{-~]", " ")
+      else noControl
+    val collapsed = trim(regexp_replace(noPunct, " +", " "))
+    df.withColumn(outName, collapsed)
+  }
 }

@@ -140,4 +140,23 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("unigram scoring joins tokens against a broadcast model") {
+    val p = plan("q_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast model join:\n$p")
+  }
+
+  test("winsorize clips against broadcast per-group bounds") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast bounds join:\n$p")
+  }
+
+  test("chunk dedup never degenerates to a product join") {
+    val p = plan("q_chunk_dedup")
+    assert(
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chunk-frequency join must stay an equi-join:\n$p"
+    )
+    assert(p.contains("HashAggregate"), s"expected hash aggregates:\n$p")
+  }
+
 }

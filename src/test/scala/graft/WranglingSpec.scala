@@ -112,4 +112,30 @@ class WranglingSpec extends SparkSpec {
       Wrangling.melt(df, Seq("id"), Seq("nope"))
     }
   }
+
+  test("normalizeText lowercases, strips control/punct, collapses spaces") {
+    val df = Seq(
+      (1L, "Hello,  WORLD!\tthis\nis text"),
+      (2L, "  already clean  "),
+      (3L, "punct-only: ?!.")
+    ).toDF("doc_id", "text")
+    val kept = Wrangling
+      .normalizeText(df, "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(_.getString(2))
+    // punctuation retained without stripPunctuation
+    assert(kept(0) == "hello, world! this is text")
+    val stripped = Wrangling
+      .normalizeText(df, "text", stripPunctuation = true, outCol = "norm")
+      .orderBy("doc_id")
+      .collect()
+      .map(_.getString(2))
+    assert(stripped(0) == "hello world this is text")
+    assert(stripped(1) == "already clean")
+    assert(stripped(2) == "punct only") // all-symbol tail collapses away
+    intercept[IllegalArgumentException] {
+      Wrangling.normalizeText(df, "nope")
+    }
+  }
 }
