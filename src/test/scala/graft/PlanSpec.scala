@@ -150,6 +150,58 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast bounds join:\n$p")
   }
 
+  test("GraftExtensions registers native functions for SQL text") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark
+      .sql(
+        """SELECT
+          |  cosine_similarity_native(
+          |    array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+          |    array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+          |  squared_distance_native(
+          |    array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |    array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS d
+          |""".stripMargin
+      )
+      .head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 4.0)
+    // arity is validated at the SQL layer
+    intercept[Exception] {
+      spark.sql("SELECT cosine_similarity_native(array(1.0D))").collect()
+    }
+  }
+
+  test("RewriteHofVectorMath swaps HOF folds for native expressions") {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+    def q(d: org.apache.spark.sql.DataFrame) = d.select(
+      col("vec_id"),
+      VectorFunctions
+        .cosineSimilarity(col("embedding"), org.apache.spark.sql.functions
+          .reverse(col("embedding")))
+        .as("c"),
+      VectorFunctions
+        .squaredDistance(col("embedding"), org.apache.spark.sql.functions
+          .reverse(col("embedding")))
+        .as("d")
+    )
+    val plain = q(df).collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        prev :+ graft.plans.RewriteHofVectorMath
+      val rewritten = q(df)
+      val p = rewritten.queryExecution.executedPlan.toString
+      assert(p.contains("cosine_similarity_native"), s"cosine not rewritten:\n$p")
+      assert(p.contains("squared_distance_native"), s"sqdist not rewritten:\n$p")
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(got.sameElements(plain), "rewrite must be bit-identical")
+    } finally {
+      spark.experimental.extraOptimizations = prev
+    }
+  }
+
   test("chunk dedup never degenerates to a product join") {
     val p = plan("q_chunk_dedup")
     assert(
