@@ -783,6 +783,53 @@ object ScaleQueries {
         .orderBy("l_returnflag")
     }),
 
+    // TPC-H Q7-style nation-pair shipping volume: nation dims filter FIRST
+    // (broadcast), so the fact join only carries the two nations' rows
+    "q7_nation_volume" -> ((s, dir) => {
+      val nations = Seq("NATION_1", "NATION_2")
+      val su = t(s, dir, "supplier")
+        .join(
+          broadcast(
+            t(s, dir, "nation")
+              .filter(col("n_name").isin(nations: _*))
+              .select(col("n_nationkey"), col("n_name").as("supp_nation"))
+          ),
+          col("s_nationkey") === col("n_nationkey")
+        )
+        .select("s_suppkey", "supp_nation")
+      val cu = t(s, dir, "customer")
+        .join(
+          broadcast(
+            t(s, dir, "nation")
+              .filter(col("n_name").isin(nations: _*))
+              .select(col("n_nationkey"), col("n_name").as("cust_nation"))
+          ),
+          col("c_nationkey") === col("n_nationkey")
+        )
+        .select("c_custkey", "cust_nation")
+      t(s, dir, "lineitem")
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(
+          t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey")
+        )
+        .join(cu, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(
+          col("supp_nation"),
+          col("cust_nation"),
+          year(col("l_shipdate")).as("l_year")
+        )
+        .agg(
+          sum(
+            col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1.0).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+          ).cast("double").as("revenue"),
+          count(lit(1)).as("n")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // text canonicalization: lowercase, strip control+punct, collapse ws
     "q_normalize" -> ((s, dir) => {
       Wrangling
@@ -1698,6 +1745,25 @@ object ScaleQueries {
         |             4) AS avg_wins
         |FROM lineitem l JOIN bounds USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS INT) AS l_year,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |                (CAST(1.0 AS DECIMAL(4,2)) -
+        |                 CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     "q_normalize" ->
       """SELECT doc_id,

@@ -202,6 +202,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q7 nation-pair volume broadcasts the filtered dimension sides") {
+    val p = plan("q7_nation_volume")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast dims:\n$p")
+    assert(
+      p.contains("PushedFilters"),
+      s"expected nation-name filter at the scan:\n$p"
+    )
+  }
+
   test("chunk dedup never degenerates to a product join") {
     val p = plan("q_chunk_dedup")
     assert(
