@@ -830,6 +830,24 @@ object ScaleQueries {
         .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
+    // archive upsert: latest-version-wins merge, update side wins ties
+    "q_upsert_archive" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val existing = orders.filter(col("o_orderkey") % 3 =!= 0)
+      val updates = orders
+        .filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      graft.sources.Tables
+        .upsertArchive(existing, updates, Seq("o_orderkey"), "o_orderdate")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderkey")
+    }),
+
+    // corpus duplication health check (one-row summary)
+    "q_dup_report" -> ((s, dir) => {
+      Dedup.duplicationReport(t(s, dir, "documents"), "text")
+    }),
+
     // text canonicalization: lowercase, strip control+punct, collapse ws
     "q_normalize" -> ((s, dir) => {
       Wrangling
@@ -1764,6 +1782,39 @@ object ScaleQueries {
         |  AND n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_upsert_archive" ->
+      """WITH existing AS (
+        |  SELECT *, 0 AS src FROM orders WHERE o_orderkey % 3 <> 0
+        |), updates AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice * 2 AS o_totalprice, o_orderdate,
+        |         o_orderpriority, 1 AS src
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |), u AS (
+        |  SELECT * FROM existing UNION ALL SELECT * FROM updates
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_orderkey
+        |    ORDER BY o_orderdate DESC, src DESC) AS rn
+        |  FROM u
+        |)
+        |SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM r WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "q_dup_report" ->
+      """WITH clusters AS (
+        |  SELECT md5(text) AS h, count(*) AS size
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1
+        |)
+        |SELECT CAST(sum(size) AS BIGINT) AS n_docs,
+        |       count(*) AS n_unique,
+        |       CAST(coalesce(sum(CASE WHEN size > 1 THEN size END), 0)
+        |            AS BIGINT) AS n_dup_docs,
+        |       ROUND(CAST(coalesce(sum(CASE WHEN size > 1 THEN size END), 0)
+        |                  AS DOUBLE) / CAST(sum(size) AS DOUBLE), 6) AS dup_frac,
+        |       CAST(max(size) AS BIGINT) AS max_cluster
+        |FROM clusters""".stripMargin,
 
     "q_normalize" ->
       """SELECT doc_id,

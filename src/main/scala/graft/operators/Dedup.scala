@@ -36,6 +36,39 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** One-row corpus duplication summary: document count, distinct-content
+    * count (by md5 of the raw text), how many documents belong to a
+    * cluster of exact duplicates, the duplicated fraction, and the
+    * largest cluster size — the "how duplicated is my corpus" health
+    * check run before choosing dedup thresholds. Null-text documents are
+    * excluded.
+    *
+    * Scale shape: one hash aggregate keyed by content digest (map-side
+    * combine collapses within-partition repeats), then a single-row
+    * global aggregate over the (small) cluster-size table. */
+  def duplicationReport(
+      df: DataFrame,
+      textCol: String
+  ): DataFrame = {
+    val clusters = df
+      .filter(col(textCol).isNotNull)
+      .select(md5(col(textCol)).as("__h"))
+      .groupBy("__h")
+      .agg(count(lit(1)).as("__size"))
+    clusters.agg(
+      sum("__size").as("n_docs"),
+      count(lit(1)).as("n_unique"),
+      coalesce(sum(when(col("__size") > 1, col("__size"))), lit(0L))
+        .as("n_dup_docs"),
+      round(
+        coalesce(sum(when(col("__size") > 1, col("__size"))), lit(0L))
+          .cast("double") / sum("__size"),
+        6
+      ).as("dup_frac"),
+      max("__size").as("max_cluster")
+    )
+  }
+
   /** MinHash signature table (__id, __sig array) computed as
     * explode-shingles -> codegen'd hash aggregate with one `min` column per
     * signature component. This stays fully inside whole-stage codegen

@@ -132,6 +132,40 @@ object Tables {
     writer.saveAsTable(s"${ref.database}.${ref.tableName}")
   }
 
+  /** Upsert a batch of updates into an archive snapshot: rows join by
+    * `keys`, the row with the greatest `versionCol` wins, and on version
+    * ties the UPDATE side wins (so re-applying the same batch is
+    * idempotent and corrections with unchanged timestamps take effect).
+    * Columns are matched by name; updates must carry the same schema.
+    *
+    * This is the compaction step of the reference's archive model
+    * (`table_management.py:42-58` archive_date snapshots): fold the new
+    * snapshot into the running "latest" table instead of keeping every
+    * version forever.
+    *
+    * Scale shape: one union (no shuffle) + one WindowGroupLimit-bounded
+    * row_number per key — the same single-shuffle pattern as exactDedup;
+    * AQE splits skewed keys.
+    */
+  def upsertArchive(
+      existing: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      versionCol: String
+  ): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
+    require(
+      existing.columns.sorted.sameElements(updates.columns.sorted),
+      "existing and updates must have the same columns"
+    )
+    val tagged = existing
+      .withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    graft.operators.Dedup
+      .exactDedup(tagged, keys, Seq(col(versionCol).desc, col("__src").desc))
+      .drop("__src")
+  }
+
   /** Distinct archive versions as sorted strings.
     * Mirrors reference `table_management.py:141-159`. */
   def getArchiveVersions(

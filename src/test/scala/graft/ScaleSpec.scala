@@ -302,6 +302,19 @@ class ScaleSpec extends SparkSpec {
       again.map(t => (t._1, t._2)))
   }
 
+  test("duplicationReport summarizes exact-dup clusters") {
+    val df = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "unique one"), (5L, "unique two"), (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = Dedup.duplicationReport(df, "text").head()
+    assert(r.getLong(0) == 5L) // n_docs (null excluded)
+    assert(r.getLong(1) == 3L) // n_unique
+    assert(r.getLong(2) == 3L) // n_dup_docs
+    assert(r.getDouble(3) == 0.6) // dup_frac
+    assert(r.getLong(4) == 3L) // max_cluster
+  }
+
   test("chunkDedup drops corpus-frequent chunks and reassembles in order") {
     val df = Seq(
       (1L, "a b x x c d"), // chunks: "a b", "x x", "c d"

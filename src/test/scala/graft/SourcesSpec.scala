@@ -256,4 +256,34 @@ class SourcesSpec extends SparkSpec {
       Tables.standardiseTable(Seq((1, 2)).toDF("a", "b"), "nope")
     }
   }
+
+  test("upsertArchive: newest version wins, update side wins ties") {
+    val existing = Seq(
+      (1L, "old", 10), // updated with a NEWER version -> replaced
+      (2L, "keep", 30), // existing is newer than the update -> kept
+      (3L, "tie-old", 40) // same version in both -> update wins
+    ).toDF("k", "v", "ver")
+    val updates = Seq(
+      (1L, "new", 20),
+      (2L, "stale", 25),
+      (3L, "tie-new", 40),
+      (4L, "insert", 5) // brand-new key -> inserted
+    ).toDF("k", "v", "ver")
+    val got = Tables
+      .upsertArchive(existing, updates, Seq("k"), "ver")
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(
+      got.toSeq == Seq(
+        (1L, "new", 20),
+        (2L, "keep", 30),
+        (3L, "tie-new", 40),
+        (4L, "insert", 5)
+      )
+    )
+    intercept[IllegalArgumentException] {
+      Tables.upsertArchive(existing, updates.drop("v"), Seq("k"), "ver")
+    }
+  }
 }
