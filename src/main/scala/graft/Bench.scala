@@ -17,6 +17,16 @@ object Bench {
     // the first measured query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
+    // steady-state warmup: run every query once at the smallest SF so each
+    // measured run reflects the operator, not first-touch codegen + JIT of
+    // its expression shapes (tokenize/explode alone costs ~20 s of one-time
+    // JIT that would otherwise land on whichever query hits it first)
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && sys.env.get("SPARK_GRAFT_NO_WARM").isEmpty)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count()
+        catch { case _: Throwable => () }
+      }
     // a failing query must surface as an error, never as a (fast) timing
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

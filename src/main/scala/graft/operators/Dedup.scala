@@ -203,6 +203,14 @@ object Dedup {
     * final anti-join that re-reads the full-width rows. Rows with NULL text
     * have no shingles, so they produce no signature and are always RETAINED
     * (a null document cannot be a near-duplicate of anything).
+    *
+    * EAGER: the loser-id set is materialized when the operator is called
+    * (the signature table is consumed by several sub-plans, so it is
+    * persisted for the duration of that one job and released immediately
+    * after — without this the lazy DAG would re-shingle and re-hash the
+    * corpus once per consumer, ~5 full scans at 100 TB). The skinny
+    * loser-id table stays persisted for the returned anti-join;
+    * MEMORY_AND_DISK, recomputable, LRU-evictable.
     */
   def dedupNearMinHash(
       df: DataFrame,
@@ -218,6 +226,7 @@ object Dedup {
     // ONE signature computation feeds both passes below (shingle + md5 over
     // the corpus is the dominant cost at scale — never pay it twice)
     val sigs = minHashSignatures(df, idCol, textCol, shingleK, numHashes, portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Pass 1 (exact, linear): rows sharing a FULL signature are certain
     // dups (est = 1.0) — group by signature, drop everything above the
@@ -248,7 +257,12 @@ object Dedup {
         nearPairs.select(col("id_b").as("__loser"))
       }
 
-    val losers = exactLosers.union(nearLosers).distinct()
+    val losers = exactLosers
+      .union(nearLosers)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    losers.count() // one pass over the cached signatures builds the loser set
+    sigs.unpersist(blocking = false)
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 
@@ -364,6 +378,11 @@ object Dedup {
     * pairing this is the scalable approximation of "drop iff a smaller-id
     * doc is within distance"; `transitive = true` upgrades to full
     * connected-component clustering over the qualifying pairs.
+    *
+    * EAGER like [[dedupNearMinHash]]: signatures are persisted for the one
+    * job that materializes the skinny loser-id set, then released — the
+    * signature subtree has ~6 consumers here, and recomputing it per
+    * consumer would mean ~6 tokenize+hash passes over the corpus.
     */
   def dedupNearSimHash(
       df: DataFrame,
@@ -375,6 +394,7 @@ object Dedup {
   ): DataFrame = {
     val sigs = simHashSignatures(df, idCol, textCol, portable)
       .select(col(idCol).as("__id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // groupBy-min + join, not windows: identical-signature clusters and hot
     // quarter buckets would otherwise serialize into single tasks (see
@@ -417,7 +437,12 @@ object Dedup {
           .select(col("id").as("__loser"))
       else repPairs.select(col("id_b").as("__loser"))
 
-    val losers = exactLosers.union(nearLosers).distinct()
+    val losers = exactLosers
+      .union(nearLosers)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    losers.count() // one pass over the cached signatures builds the loser set
+    sigs.unpersist(blocking = false)
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 
