@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Decontam, Dedup, Graphs, Joins, Sessionize, Similarity, Splits, Stats, TextAnalysis, Wrangling}
+import graft.operators.{Decontam, Dedup, Graphs, Joins, Layout, Sessionize, Similarity, Splits, Stats, TextAnalysis, Wrangling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -889,6 +889,54 @@ object ScaleQueries {
         .pageRank(edges, "src", "dst", iterations = 3, damping = 0.85)
         .select(col("id"), round(col("rank"), 6).as("rank"))
         .orderBy("id")
+    }),
+
+    // schema-on-read JSON extraction from the event-properties column,
+    // aggregated per event type
+    "q_json_extract" -> ((s, dir) => {
+      Wrangling
+        .parseJsonColumn(events(s, dir), "props", "k INT")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k").cast("long")).as("sum_k"),
+          min("k").as("min_k"),
+          max("k").as("max_k")
+        )
+        .orderBy("event_type")
+    }),
+
+    // deterministic per-group sample: 3 docs per (lang, source) stratum
+    // under md5-hash order of doc_id
+    "q_group_sample" -> ((s, dir) => {
+      Splits
+        .groupSample(t(s, dir, "documents"), Seq("lang", "source"), "doc_id", 3)
+        .select("doc_id", "lang", "source")
+        .orderBy("lang", "source", "doc_id")
+    }),
+
+    // Morton (Z-order) codes for write-time two-column clustering
+    "q_zorder" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          Layout
+            .mortonCode(col("l_partkey"), col("l_suppkey"))
+            .as("zcode")
+        )
+        .orderBy("zcode", "l_orderkey", "l_linenumber")
+    }),
+
+    // Johnson-Lindenstrauss random projection 64 -> 8 dims (long format)
+    "q_random_projection" -> ((s, dir) => {
+      Similarity
+        .randomProjection(
+          t(s, dir, "embeddings").filter(col("vec_id") < 200),
+          "vec_id", "embedding", inDims = 64, outDims = 8
+        )
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id", "dim")
     })
   )
 
@@ -1876,6 +1924,57 @@ object ScaleQueries {
         |         SELECT e.dst AS id, sum(r.rank / d.outdeg) AS inflow
         |         FROM e JOIN r2 r ON e.src = r.id JOIN deg d ON e.src = d.src
         |         GROUP BY 1) f ON nodes.id = f.id)
-        |SELECT id, ROUND(rank, 6) AS rank FROM r3 ORDER BY id""".stripMargin
+        |SELECT id, ROUND(rank, 6) AS rank FROM r3 ORDER BY id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_group_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |         row_number() OVER (
+        |           PARTITION BY lang, source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 3 ORDER BY lang, source, doc_id""".stripMargin,
+
+    "q_zorder" ->
+      """WITH s AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         l_partkey & 65535 AS x0, l_suppkey & 65535 AS y0
+        |  FROM lineitem
+        |), a AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         (x0 | (x0 << 8)) & 16711935 AS x1,
+        |         (y0 | (y0 << 8)) & 16711935 AS y1 FROM s
+        |), b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         (x1 | (x1 << 4)) & 252645135 AS x2,
+        |         (y1 | (y1 << 4)) & 252645135 AS y2 FROM a
+        |), c AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         (x2 | (x2 << 2)) & 858993459 AS x3,
+        |         (y2 | (y2 << 2)) & 858993459 AS y3 FROM b
+        |), d AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         (x3 | (x3 << 1)) & 1431655765 AS x4,
+        |         (y3 | (y3 << 1)) & 1431655765 AS y4 FROM c
+        |)
+        |SELECT l_orderkey, l_linenumber, x4 | (y4 << 1) AS zcode
+        |FROM d ORDER BY zcode, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_random_projection" ->
+      """SELECT vec_id, CAST(j AS INT) AS dim,
+        |  CAST(list_sum(list_transform(range(1, 65), i ->
+        |    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000000) AS BIGINT)
+        |    * (1 - 2 * (CAST('0x' || substr(md5((i-1) || ':' || j), 1, 1) AS BIGINT) % 2))
+        |  )) AS DOUBLE) / 10000000.0 AS value
+        |FROM embeddings, range(0, 8) r(j)
+        |WHERE vec_id < 200
+        |ORDER BY vec_id, dim""".stripMargin
   )
 }

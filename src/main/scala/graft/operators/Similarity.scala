@@ -290,4 +290,56 @@ object Similarity {
       indexColumnName = "rank"
     )
   }
+
+  /** Johnson–Lindenstrauss random projection of an embedding column to
+    * `outDims` dimensions, in LONG format `(id, dim, value)` with
+    * `value_j = sum_i emb[i] * sign(i, j)` and ±1 signs from md5 parity of
+    * `"i:j"` — deterministic and engine-portable (no RNG state), the
+    * standard cheap sketch before LSH/ANN when raw dimensionality makes
+    * hashing or distance evaluation the bottleneck. Components are
+    * floor-quantized to 1e-7 and summed as integers, so the result is
+    * bit-identical regardless of partitioning/summation order (and across
+    * engines — IEEE double multiply + floor has no rounding-mode
+    * ambiguity, unlike decimal casts). The quantization error is orders of
+    * magnitude below JL distortion.
+    *
+    * Scale shape: posexplode the vector, broadcast-join the (inDims x
+    * outDims) sign matrix — built once, a few KB — and hash-aggregate on
+    * (id, dim). Partial aggregation collapses the inDims x outDims row
+    * expansion map-side, so the single shuffle carries only outDims rows
+    * per vector.
+    */
+  def randomProjection(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      inDims: Int,
+      outDims: Int
+  ): DataFrame = {
+    require(inDims >= 1 && outDims >= 1, "dimensions must be >= 1")
+    val spark = df.sparkSession
+    val signs = spark
+      .range(inDims)
+      .select(col("id").cast("int").as("__i"))
+      .crossJoin(spark.range(outDims).select(col("id").cast("int").as("dim")))
+      .select(
+        col("__i"),
+        col("dim"),
+        (lit(1) - lit(2) * (conv(
+          substring(md5(concat_ws(":", col("__i"), col("dim"))), 1, 1),
+          16,
+          10
+        ).cast("int") % 2)).as("__sign")
+      )
+    df.select(
+        col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("__i", "__v"))
+      )
+      .join(broadcast(signs), Seq("__i"))
+      .groupBy("id", "dim")
+      .agg(
+        (sum(floor(col("__v").cast("double") * lit(1e7)).cast("long") * col("__sign"))
+          .cast("double") / lit(1e7)).as("value")
+      )
+  }
 }

@@ -181,4 +181,31 @@ object Splits {
         (startOffset % lit(blockTokens.toLong)).cast("long")
       )
   }
+
+  /** Deterministic per-group sample: the first `n` rows of each group
+    * under md5-hash order of `idCol` — a stable shuffle of each group
+    * that is reproducible across runs and engines and uncorrelated with
+    * any natural ordering (insertion time, id ranges), which is what makes
+    * it a SAMPLE rather than a head. Ties on the full digest are broken by
+    * the id itself, so the result is unique even under hash collisions.
+    *
+    * One shuffle on the group key; the rank filter rewrites to
+    * WindowGroupLimit, so per-partition state never exceeds n rows per
+    * group regardless of group size — safe for billion-row groups.
+    */
+  def groupSample(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      n: Int
+  ): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(groupCols.nonEmpty, "at least one group column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

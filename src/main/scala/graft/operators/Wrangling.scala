@@ -143,4 +143,37 @@ object Wrangling {
     val collapsed = trim(regexp_replace(noPunct, " +", " "))
     df.withColumn(outName, collapsed)
   }
+
+  /** Schema-on-read for a semi-structured JSON string column (the classic
+    * event-properties pattern): parse `column` with an explicit DDL schema
+    * and promote each top-level field to its own typed column named
+    * `<prefix><field>`. Malformed rows yield nulls in every promoted
+    * column (Spark's PERMISSIVE parse mode) rather than failing the job —
+    * at corpus scale some malformed payloads are a certainty.
+    *
+    * Per-row codegen'd `JsonToStructs` parse, no shuffle; column pruning
+    * still reaches the scan, so a query touching only promoted fields
+    * reads just the JSON column plus whatever else it names.
+    */
+  def parseJsonColumn(
+      df: DataFrame,
+      column: String,
+      ddlSchema: String,
+      prefix: String = "",
+      dropSource: Boolean = false
+  ): DataFrame = {
+    require(df.columns.contains(column), s"Column '$column' does not exist in the DataFrame.")
+    val struct = org.apache.spark.sql.types.StructType.fromDDL(ddlSchema)
+    val fieldNames = struct.fields.map(_.name)
+    val clashes = fieldNames.map(prefix + _).filter(df.columns.contains)
+    require(
+      clashes.isEmpty,
+      s"Parsed field column(s) ${clashes.mkString(", ")} already exist in the DataFrame."
+    )
+    val parsed = from_json(col(column), struct)
+    val withFields = fieldNames.foldLeft(df) { (d, f) =>
+      d.withColumn(prefix + f, parsed.getField(f))
+    }
+    if (dropSource) withFields.drop(column) else withFields
+  }
 }

@@ -1028,4 +1028,83 @@ class ScaleSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(pairs.length == 1)
   }
+
+  test("mortonCode interleaves bits and zorderBy preserves the row multiset") {
+    import graft.operators.Layout
+    // morton(5, 3): spread(0b101)=0b10001=17, spread(0b011)=0b101=5 -> 17|10
+    val got = spark
+      .range(1)
+      .select(
+        Layout.mortonCode(lit(5L), lit(3L)).as("m1"),
+        Layout.mortonCode(lit(0xffffL), lit(0L)).as("m2"),
+        Layout.mortonCode(lit(0L), lit(0xffffL)).as("m3"),
+        // masking: only the low 16 bits participate
+        Layout.mortonCode(lit(0x10005L), lit(3L)).as("m4")
+      )
+      .head()
+    assert(got.getLong(0) == 27L)
+    assert(got.getLong(1) == 0x55555555L)
+    assert(got.getLong(2) == 0xaaaaaaaaL)
+    assert(got.getLong(3) == 27L)
+
+    val df = Seq((3L, 7L, "a"), (1L, 1L, "b"), (500L, 2L, "c"), (2L, 300L, "d"))
+      .toDF("x", "y", "tag")
+    val z = Layout.zorderBy(df, "x", "y", numPartitions = 2)
+    assert(z.rdd.getNumPartitions == 2)
+    assert(
+      z.collect().map(_.getString(2)).sorted.toSeq == Seq("a", "b", "c", "d")
+    )
+    // within each partition rows are sorted by their morton code
+    val codes = z
+      .select(graft.operators.Layout.mortonCode(col("x"), col("y")).as("m"))
+      .withColumn("p", spark_partition_id())
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(0)))
+    codes.groupBy(_._1).values.foreach { part =>
+      val ms = part.map(_._2).toSeq
+      assert(ms == ms.sorted)
+    }
+  }
+
+  test("groupSample takes n deterministic rows per group") {
+    import graft.operators.Splits
+    val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("id", "grp")
+    val s1 = Splits.groupSample(df, Seq("grp"), "id", 5)
+    assert(s1.groupBy("grp").count().collect().forall(_.getLong(1) == 5L))
+    val s2 = Splits.groupSample(df, Seq("grp"), "id", 5)
+    assert(s1.collect().map(_.getLong(0)).sorted.sameElements(s2.collect().map(_.getLong(0)).sorted))
+    // n larger than the group returns the whole group
+    val all = Splits.groupSample(df.filter(col("id") <= 3), Seq("grp"), "id", 10)
+    assert(all.count() == 3)
+  }
+
+  test("randomProjection matches a brute-force JL sketch") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.25f, 2.0f)),
+      (2L, Seq(-0.1f, 0.0f, 3.5f))
+    )
+    val got = Similarity
+      .randomProjection(vecs.toDF("id", "emb"), "id", "emb", inDims = 3, outDims = 2)
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2)))
+      .toMap
+    assert(got.size == 4)
+    def sign(i: Int, j: Int): Int = {
+      val digest = java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8"))
+      val hexDigit = (digest(0) >> 4) & 0xf
+      1 - 2 * (hexDigit % 2)
+    }
+    for {
+      (id, emb) <- vecs
+      j <- 0 until 2
+    } {
+      val expected = emb.zipWithIndex.map { case (v, i) =>
+        math.floor(v.toDouble * 1e7).toLong * sign(i, j)
+      }.sum / 1e7
+      assert(got((id, j)) == expected, s"id=$id dim=$j")
+    }
+  }
 }

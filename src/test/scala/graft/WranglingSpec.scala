@@ -138,4 +138,31 @@ class WranglingSpec extends SparkSpec {
       Wrangling.normalizeText(df, "nope")
     }
   }
+
+  test("parseJsonColumn promotes typed fields; malformed rows yield nulls") {
+    val df = Seq(
+      (1L, """{"k": 7, "tag": "a"}"""),
+      (2L, """{"k": 9}"""),
+      (3L, "not json at all"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "props")
+    val got = Wrangling
+      .parseJsonColumn(df, "props", "k INT, tag STRING")
+      .orderBy("id")
+      .collect()
+    assert(got.map(r => Option(r.get(2))).toSeq ==
+      Seq(Some(7), Some(9), None, None))
+    assert(got(0).getString(3) == "a")
+    assert(got(1).get(3) == null)
+    // prefixed + source-dropped variant
+    val pref = Wrangling.parseJsonColumn(df, "props", "k INT", prefix = "p_", dropSource = true)
+    assert(pref.columns.toSeq == Seq("id", "p_k"))
+    // clash with an existing column is rejected
+    intercept[IllegalArgumentException] {
+      Wrangling.parseJsonColumn(df, "props", "id INT")
+    }
+    intercept[IllegalArgumentException] {
+      Wrangling.parseJsonColumn(df, "nope", "k INT")
+    }
+  }
 }
