@@ -937,6 +937,33 @@ object ScaleQueries {
         )
         .withColumnRenamed("id", "vec_id")
         .orderBy("vec_id", "dim")
+    }),
+
+    // overlapping token-window chunking (embedding / long-context prep)
+    "q_chunk_text" -> ((s, dir) => {
+      TextAnalysis
+        .chunkText(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", chunkTokens = 20, overlapTokens = 5
+        )
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // self-perplexity under the corpus's own MLE bigram model
+    "q_bigram_logprob" -> ((s, dir) => {
+      TextAnalysis
+        .bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // exact-moment z-score standardization (stats over the FULL table,
+    // output bounded for the dump)
+    "q_standardize" -> ((s, dir) => {
+      Stats
+        .standardize(t(s, dir, "lineitem"), Seq("l_quantity", "l_extendedprice"))
+        .filter(col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity_z", "l_extendedprice_z")
+        .orderBy("l_orderkey", "l_linenumber")
     })
   )
 
@@ -1807,7 +1834,7 @@ object ScaleQueries {
         |            AS BIGINT) AS n_hi,
         |       min(b_lo) AS p_lo, min(b_hi) AS p_hi,
         |       ROUND(CAST(sum(CAST(least(greatest(l_extendedprice, b_lo), b_hi)
-        |                          AS DECIMAL(18,6))) AS DOUBLE) / count(*),
+        |                          AS DECIMAL(19,4))) AS DOUBLE) / count(*),
         |             4) AS avg_wins
         |FROM lineitem l JOIN bounds USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1975,6 +2002,59 @@ object ScaleQueries {
         |  )) AS DOUBLE) / 10000000.0 AS value
         |FROM embeddings, range(0, 8) r(j)
         |WHERE vec_id < 200
-        |ORDER BY vec_id, dim""".stripMargin
+        |ORDER BY vec_id, dim""".stripMargin,
+
+    "q_chunk_text" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 300
+        |), st AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, greatest(len(toks) - 1, 0) + 1, 15)) AS start
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(start / 15 AS INT) AS chunk_id,
+        |       array_to_string(toks[start + 1 : start + 20], ' ') AS chunk_text,
+        |       CAST(len(toks[start + 1 : start + 20]) AS INT) AS n_chunk_tokens
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_bigram_logprob" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(2, len(toks) + 1),
+        |                               i -> toks[i-1] || chr(1) || toks[i])) AS big
+        |  FROM d WHERE len(toks) >= 2
+        |), bc AS (
+        |  SELECT big, count(*) AS c FROM bg GROUP BY big
+        |), cc AS (
+        |  SELECT string_split(big, chr(1))[1] AS prev, sum(c) AS ctx
+        |  FROM bc GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+        |       ROUND(avg(ln(CAST(bc.c AS DOUBLE)) - ln(CAST(cc.ctx AS DOUBLE))), 6)
+        |         AS avg_bigram_logprob
+        |FROM bg JOIN bc USING (big)
+        |JOIN cc ON string_split(big, chr(1))[1] = cc.prev
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_standardize" ->
+      """WITH st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS s_q,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS ss_q,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS s_e,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS ss_e
+        |  FROM lineitem
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  ROUND((CAST(l_quantity AS DOUBLE) - s_q/n)
+        |        / sqrt((ss_q - s_q*s_q/n)/(n-1)), 6) AS l_quantity_z,
+        |  ROUND((CAST(l_extendedprice AS DOUBLE) - s_e/n)
+        |        / sqrt((ss_e - s_e*s_e/n)/(n-1)), 6) AS l_extendedprice_z
+        |FROM lineitem, st WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

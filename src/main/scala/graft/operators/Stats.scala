@@ -134,4 +134,82 @@ object Stats {
         col("__p.max_value").as("max_value")
       )
   }
+
+  /** Z-score standardization: adds `<c>_z = (x - mean) / stddev` for each
+    * listed numeric column (sample stddev, n-1). The sums `sum(x)` and
+    * `sum(x^2)` are accumulated in DECIMAL — EXACT and independent of
+    * partitioning, so the usual float-sum drift that makes standardized
+    * features differ run-to-run (and engine-to-engine) cannot happen; the
+    * moments themselves are then plain IEEE double arithmetic over those
+    * exact sums. Constant columns (stddev 0) standardize to NULL.
+    * Z-scores are rounded to `scale` decimals (default 6) for cross-engine
+    * reproducibility of the final division/sqrt.
+    *
+    * Scale shape: ONE global aggregate produces a single stats row for all
+    * columns, broadcast back via a crossJoin; the data side streams
+    * through per-row arithmetic with no extra shuffle.
+    */
+  def standardize(
+      df: DataFrame,
+      cols: Seq[String],
+      scale: Int = 6
+  ): DataFrame = {
+    require(cols.nonEmpty, "at least one column required")
+    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    def d(c: String) = col(c).cast("decimal(19,4)")
+    val aggCols = count(lit(1)).cast("double").as("__n") +: cols.flatMap(c =>
+      Seq(
+        sum(d(c)).cast("double").as(s"__s_$c"),
+        sum(d(c) * d(c)).cast("double").as(s"__ss_$c")
+      )
+    )
+    val stats = df.agg(aggCols.head, aggCols.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    cols
+      .foldLeft(joined) { (acc, c) =>
+        val n = col("__n")
+        val mean = col(s"__s_$c") / n
+        // sample variance over the exact sums:
+        // (sum(x^2) - sum(x)^2 / n) / (n - 1)
+        val varS = (col(s"__ss_$c") - col(s"__s_$c") * col(s"__s_$c") / n) /
+          (n - lit(1.0))
+        val std = sqrt(varS)
+        acc.withColumn(
+          s"${c}_z",
+          round((col(c).cast("double") - mean) / when(std > 0, std), scale)
+        )
+      }
+      .drop("__n" +: cols.flatMap(c => Seq(s"__s_$c", s"__ss_$c")): _*)
+  }
+
+  /** Approximate per-group percentiles for corpus scale: Spark's
+    * `percentile_approx` (KLL-style mergeable sketch) with an `accuracy`
+    * dial — one streaming pass, map-side mergeable state of
+    * O(accuracy) per group, versus the exact percentile's full sort. Use
+    * when groups hold billions of rows; tests assert the sketch lands
+    * within one histogram bin of the exact answer. Probabilistic ->
+    * deliberately NOT an oracle query (same policy as Bloom
+    * decontamination). */
+  def approxPercentiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      percentiles: Seq[Double],
+      accuracy: Int = 10000
+  ): DataFrame = {
+    require(percentiles.nonEmpty, "at least one percentile")
+    require(
+      percentiles.forall(p => p >= 0 && p <= 1),
+      "percentiles must be within [0, 1]"
+    )
+    val pcts = array(percentiles.map(lit): _*)
+    val base =
+      if (groupCols.isEmpty) df.groupBy()
+      else df.groupBy(groupCols.map(col): _*)
+    base
+      .agg(
+        percentile_approx(col(valueCol).cast("double"), pcts, lit(accuracy))
+          .as("percentiles")
+      )
+  }
 }

@@ -325,4 +325,86 @@ object TextAnalysis {
       indexColumnName = "rank"
     )
   }
+
+  /** Split each document into overlapping fixed-size token windows — the
+    * standard preprocessing before embedding or long-context packing.
+    * Output: one row per chunk with `(chunk_id, chunk_text, n_chunk_tokens)`
+    * alongside the original id; chunk i starts at token
+    * `i * (chunkTokens - overlapTokens)` and carries up to `chunkTokens`
+    * tokens (the final chunk may be shorter). NULL-text rows produce no
+    * chunks.
+    *
+    * Per-row `sequence` + `explode` + `slice` — linear output (~1/stride
+    * expansion), no shuffle, stays inside codegen.
+    */
+  def chunkText(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlapTokens: Int = 0
+  ): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    require(
+      overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "overlapTokens must be in [0, chunkTokens)"
+    )
+    val stride = chunkTokens - overlapTokens
+    val toks = tokens(col(textCol))
+    df.filter(col(textCol).isNotNull)
+      .withColumn("__toks", toks)
+      .withColumn(
+        "__start",
+        explode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(stride)))
+      )
+      .withColumn("__chunk", slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+      .select(
+        col(idCol),
+        (col("__start") / stride).cast("int").as("chunk_id"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        size(col("__chunk")).as("n_chunk_tokens")
+      )
+  }
+
+  /** Per-document mean bigram log-probability under the corpus's own
+    * maximum-likelihood bigram model:
+    * `avg over i>0 of ln( c(w[i-1], w[i]) / c_ctx(w[i-1]) )` where both
+    * counts come from the scored corpus itself (self-perplexity). A
+    * sharper fluency/repetitiveness signal than [[unigramLogProb]]:
+    * documents whose transitions are corpus-typical score near 0,
+    * word-salad scores very negative. Single-token and NULL documents are
+    * dropped (no bigrams to score).
+    *
+    * Scale shape: one shuffle on the doc id for the lag window that forms
+    * bigram occurrences, two hash aggregates for the model counts, and a
+    * shuffle join of occurrences against the bigram model (vocab^2 can
+    * exceed broadcast size — Catalyst broadcasts when it fits). ln() is
+    * per-row; the mean is rounded to 6 decimals (last-ulp libm variance).
+    */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__pos"))
+    val occ = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__cur")))
+      .withColumn("__prev", lag("__cur", 1).over(w))
+      .filter(col("__prev").isNotNull)
+    val bigrams = occ.groupBy("__prev", "__cur").agg(count(lit(1)).as("__bc"))
+    val contexts = bigrams.groupBy("__prev").agg(sum("__bc").as("__cc"))
+    val model = bigrams
+      .join(contexts, Seq("__prev"))
+      .select(
+        col("__prev"),
+        col("__cur"),
+        (log(col("__bc").cast("double")) - log(col("__cc").cast("double"))).as("__lp")
+      )
+    occ
+      .join(model, Seq("__prev", "__cur"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_bigrams"),
+        round(avg("__lp"), 6).as("avg_bigram_logprob")
+      )
+  }
 }

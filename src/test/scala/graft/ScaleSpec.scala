@@ -1078,6 +1078,79 @@ class ScaleSpec extends SparkSpec {
     assert(all.count() == 3)
   }
 
+  test("chunkText windows overlap and cover every token") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, (1 to 12).map(i => s"w$i").mkString(" ")), // 12 tokens
+      (2L, "solo"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .chunkText(df, "doc_id", "text", chunkTokens = 5, overlapTokens = 2)
+      .orderBy("doc_id", "chunk_id")
+      .collect()
+    // doc 1: starts 0,3,6,9 -> 4 chunks; doc 2: one chunk; doc 3: none
+    assert(got.length == 5)
+    val c1 = got.filter(_.getLong(0) == 1L)
+    assert(c1.map(_.getString(2)).toSeq == Seq(
+      "w1 w2 w3 w4 w5", "w4 w5 w6 w7 w8", "w7 w8 w9 w10 w11", "w10 w11 w12"
+    ))
+    assert(c1.map(_.getInt(3)).toSeq == Seq(5, 5, 5, 3))
+    assert(got.filter(_.getLong(0) == 2L).head.getString(2) == "solo")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkText(df, "doc_id", "text", 3, 3)
+    }
+  }
+
+  test("bigramLogProb scores corpus-typical transitions near zero") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "a b a b"),   // bigrams: ab, ba, ab
+      (2L, "a b"),       // ab
+      (3L, "a c"),       // ac
+      (4L, "x")          // no bigrams -> dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .bigramLogProb(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    // model: c(a,b)=3, c(b,a)=1, c(a,c)=1; ctx(a)=4, ctx(b)=1
+    val lpAB = math.log(3.0 / 4.0)
+    val lpBA = math.log(1.0 / 1.0)
+    val lpAC = math.log(1.0 / 4.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 == 3 && math.abs(got(1L)._2 - r6((2 * lpAB + lpBA) / 3)) < 1e-9)
+    assert(got(2L) == ((1, r6(lpAB))))
+    assert(got(3L) == ((1, r6(lpAC))))
+  }
+
+  test("standardize yields zero-mean unit-variance columns; constant -> null") {
+    import graft.operators.Stats
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+      .map(v => (v, 7.5))
+      .toDF("x", "const")
+    val z = Stats.standardize(df, Seq("x", "const")).collect()
+    val xs = z.map(_.getDouble(2))
+    assert(math.abs(xs.sum) < 1e-9)
+    // sample stddev of 1..5 is sqrt(2.5); z of 5 = 2/sqrt(2.5)
+    assert(math.abs(xs.max - 2.0 / math.sqrt(2.5)) < 1e-6)
+    assert(z.forall(_.isNullAt(3)), "constant column must standardize to null")
+    intercept[IllegalArgumentException] { Stats.standardize(df, Seq("nope")) }
+  }
+
+  test("approxPercentiles lands close to exact percentiles") {
+    import graft.operators.Stats
+    val df = (1 to 10000).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val got = Stats
+      .approxPercentiles(df, Seq("grp"), "v", Seq(0.5, 0.9), accuracy = 10000)
+      .head()
+      .getSeq[Double](1)
+    assert(math.abs(got(0) - 5000) <= 10, s"p50 was ${got(0)}")
+    assert(math.abs(got(1) - 9000) <= 10, s"p90 was ${got(1)}")
+  }
+
   test("randomProjection matches a brute-force JL sketch") {
     import graft.operators.Similarity
     val vecs = Seq(
