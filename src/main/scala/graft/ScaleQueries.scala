@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Decontam, Dedup, Graphs, Joins, Layout, Sessionize, Similarity, Splits, Stats, TextAnalysis, Wrangling}
+import graft.operators.{Decontam, Dedup, Graphs, Joins, Layout, Sessionize, Similarity, Splits, Stats, TextAnalysis, TopN, Wrangling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -954,6 +954,34 @@ object ScaleQueries {
       TextAnalysis
         .bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // incremental ingestion dedup: batch (doc_id >= 250) cleaned against
+    // the stored signatures of an existing corpus (doc_id < 250) — corpus
+    // text is never rescanned
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpusSigs = Dedup.minHashSignatures(
+        docs.filter(col("doc_id") < 250), "doc_id", "text",
+        shingleK = 1, numHashes = 16, portable = true
+      )
+      Dedup
+        .dedupNearMinHashIncremental(
+          docs.filter(col("doc_id") >= 250), "doc_id", "text",
+          corpusSigs, threshold = 0.9, shingleK = 1, numHashes = 16, bands = 4
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // exact top-2 heaviest event types per user (heavy hitters)
+    "q_heavy_hitters" -> ((s, dir) => {
+      TopN
+        .heavyHitters(
+          events(s, dir).filter(col("user_id") < 50),
+          Seq("user_id"), "event_type", 2
+        )
+        .orderBy("user_id", "rank")
     }),
 
     // exact-moment z-score standardization (stats over the FULL table,
@@ -2055,6 +2083,52 @@ object ScaleQueries {
         |  ROUND((CAST(l_extendedprice AS DOUBLE) - s_e/n)
         |        / sqrt((ss_e - s_e*s_e/n)/(n-1)), 6) AS l_extendedprice_z
         |FROM lineitem, st WHERE l_orderkey < 100
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT user_id, event_type, n, CAST(rank AS INT) AS rank FROM (
+        |  SELECT user_id, event_type, count(*) AS n,
+        |         row_number() OVER (
+        |           PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rank
+        |  FROM events WHERE user_id < 50 GROUP BY user_id, event_type
+        |) WHERE rank <= 2 ORDER BY user_id, rank""".stripMargin,
+
+    "q_dedup_incremental" ->
+      s"""WITH $duckMinHashCommon, cs AS (
+         |  SELECT doc_id, sig FROM sg WHERE doc_id < 250
+         |), bs AS (
+         |  SELECT doc_id, sig FROM sg WHERE doc_id >= 250
+         |), cbd AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+         |    md5(array_to_string(sig[b*4+1:b*4+4], '|')))) AS band FROM cs
+         |), bbd AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+         |    md5(array_to_string(sig[b*4+1:b*4+4], '|')))) AS band FROM bs
+         |), cmn AS (SELECT band, min(doc_id) AS cid FROM cbd GROUP BY band),
+         |acorp AS (SELECT DISTINCT b.doc_id FROM bs b JOIN cs c ON b.sig = c.sig),
+         |bpair AS (SELECT DISTINCT bb.doc_id, m.cid
+         |          FROM bbd bb JOIN cmn m ON bb.band = m.band),
+         |bnear AS (
+         |  SELECT DISTINCT p.doc_id FROM bpair p
+         |  JOIN cs c ON c.doc_id = p.cid JOIN bs b ON b.doc_id = p.doc_id
+         |  WHERE len(list_filter(range(1, 17), i -> b.sig[i] = c.sig[i])) / 16.0 >= 0.9
+         |), ex2 AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY sig) AS m FROM bs
+         |  ) WHERE doc_id > m
+         |), bmn AS (SELECT band, min(doc_id) AS bmin FROM bbd GROUP BY band),
+         |bpr2 AS (SELECT DISTINCT m.bmin AS ia, b.doc_id AS ib
+         |         FROM bbd b JOIN bmn m ON b.band = m.band AND b.doc_id > m.bmin),
+         |bcl AS (
+         |  SELECT DISTINCT ib FROM bpr2
+         |  JOIN bs x ON x.doc_id = ia JOIN bs y ON y.doc_id = ib
+         |  WHERE len(list_filter(range(1, 17), i -> x.sig[i] = y.sig[i])) / 16.0 >= 0.9
+         |), losers AS (
+         |  SELECT doc_id FROM acorp UNION SELECT doc_id FROM bnear
+         |  UNION SELECT doc_id FROM ex2 UNION SELECT ib AS doc_id FROM bcl
+         |)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin
   )
 }

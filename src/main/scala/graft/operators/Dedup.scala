@@ -266,6 +266,89 @@ object Dedup {
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Incremental MinHash dedup: clean a NEW batch against an EXISTING
+    * corpus using only the corpus's stored signature table — the
+    * production ingestion shape, where re-shingling petabytes of already-
+    * accepted documents per batch is a non-starter. `corpusSigs` is the
+    * `(__id, __sig)` output of [[minHashSignatures]] from previous runs
+    * (store it alongside the corpus; ~8*numHashes bytes per doc). Batch
+    * ids must be disjoint from corpus ids.
+    *
+    * A batch row is dropped iff:
+    *   (a) its signature equals some corpus signature (certain dup),
+    *   (b) an LSH band bucket links it to the MINIMUM-id corpus doc of
+    *       that bucket with estimated Jaccard >= threshold (bucket-min
+    *       representative pairing — same approximation as
+    *       [[dedupNearMinHash]], O(bands) pairs per doc), or
+    *   (c) it duplicates an earlier batch row (standard in-batch passes).
+    * To update the store, append `minHashSignatures(kept, ...)` (or
+    * semi-join the batch signature table on the kept ids) after the run.
+    *
+    * Cost: ONE scan of the batch text + skinny joins against the corpus
+    * signature table; the corpus text is never read. EAGER like
+    * [[dedupNearMinHash]] and for the same reason.
+    */
+  def dedupNearMinHashIncremental(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusSigs: DataFrame,
+      threshold: Double = 0.9,
+      shingleK: Int = 1,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      portable: Boolean = true
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val batchSigs =
+      minHashSignatures(newDocs, idCol, textCol, shingleK, numHashes, portable)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // (a) exact vs corpus: semi join on the full signature
+    val exactVsCorpus = batchSigs
+      .join(corpusSigs.select("__sig"), Seq("__sig"), "left_semi")
+      .select(col("__id").as("__loser"))
+
+    // (b) banded vs corpus: per band bucket, the batch doc pairs with the
+    // minimum corpus id sharing it; verify full-signature agreement
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(col("__id"), col("__sig"), explode(lshBands(col("__sig"), bands, r)).as("__band"))
+    val corpusMins = banded(corpusSigs).groupBy("__band").agg(min("__id").as("__cid"))
+    val nearVsCorpus = banded(batchSigs)
+      .join(corpusMins, Seq("__band"))
+      .select(col("__id"), col("__sig"), col("__cid"))
+      .distinct()
+      .join(
+        corpusSigs.select(col("__id").as("__cid"), col("__sig").as("__csig")),
+        Seq("__cid")
+      )
+      .filter(minHashSimilarity(col("__sig"), col("__csig")) >= threshold)
+      .select(col("__id").as("__loser"))
+
+    // (c) in-batch: identical-signature pass + bucket-min near pass, as in
+    // dedupNearMinHash
+    val sigMins = batchSigs.groupBy("__sig").agg(min("__id").as("__min"))
+    val exactInBatch = batchSigs
+      .join(sigMins, Seq("__sig"))
+      .filter(col("__id") > col("__min"))
+      .select(col("__id").as("__loser"))
+    val nearInBatch =
+      minHashCandidatePairsFromSigs(batchSigs, numHashes, bands, representativesOnly = true)
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("id_b").as("__loser"))
+
+    val losers = exactVsCorpus
+      .union(nearVsCorpus)
+      .union(exactInBatch)
+      .union(nearInBatch)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    losers.count()
+    batchSigs.unpersist(blocking = false)
+    newDocs.join(losers, newDocs(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Per-row 64-bit SimHash signatures (id, simhash), computed as
     * explode-tokens -> codegen'd hash aggregate with one bit-vote `sum`
     * column per signature bit — the same reformulation that took MinHash out

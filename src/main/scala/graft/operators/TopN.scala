@@ -110,4 +110,36 @@ object TopN {
       indexColumnName: String = "dense_rank_index"
   ): DataFrame =
     selectTopRows(df, DenseRank, n, partitionBy, orderBy, returnIndexColumn, indexColumnName)
+
+  /** Exact heavy hitters: the `k` most frequent `valueCol` values within
+    * each group, with their counts (`n`) and rank. Ties break toward the
+    * smaller value for determinism (north-star extension — the
+    * "top domains per language" / "top event types per user" shape).
+    *
+    * Scale shape: one map-side-combined hash aggregate on
+    * (group, value) — the only pass over the full data — then a
+    * WindowGroupLimit top-k over the much smaller (group, value) count
+    * table. No global sort, no per-group collect; a group with a billion
+    * rows but few distinct values costs one combiner cell per value.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(groupCols.nonEmpty, "at least one group column")
+    val counts = df
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    firstRow(
+      counts,
+      n = k,
+      partitionBy = groupCols.map(col),
+      orderBy = Seq(col("n").desc, col(valueCol)),
+      returnIndexColumn = true,
+      indexColumnName = "rank"
+    )
+  }
 }

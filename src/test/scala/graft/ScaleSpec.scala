@@ -1078,6 +1078,43 @@ class ScaleSpec extends SparkSpec {
     assert(all.count() == 3)
   }
 
+  test("incremental minhash dedup drops corpus dups and in-batch dups only") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark engines")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "dog lazy the over jumps fox brown quick the"), // dup of corpus 1
+      (11L, "a genuinely novel document about distributed joins"),
+      (12L, "novel document about distributed joins a genuinely"), // dup of 11
+      (13L, "entirely fresh text mentioning watermarks and state")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(corpus, "doc_id", "text", 1, 16, portable = true)
+    val kept = Dedup
+      .dedupNearMinHashIncremental(batch, "doc_id", "text", sigs, threshold = 0.9)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    assert(kept.toSeq == Seq(11L, 13L))
+  }
+
+  test("heavyHitters returns per-group top values by frequency") {
+    import graft.operators.TopN
+    val df = Seq(
+      ("u1", "view"), ("u1", "view"), ("u1", "click"), ("u1", "buy"), ("u1", "buy"), ("u1", "buy"),
+      ("u2", "view")
+    ).toDF("user", "ev")
+    val got = TopN
+      .heavyHitters(df, Seq("user"), "ev", 2)
+      .orderBy("user", "rank")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      ("u1", "buy", 3L, 1), ("u1", "view", 2L, 2), ("u2", "view", 1L, 1)
+    ))
+  }
+
   test("chunkText windows overlap and cover every token") {
     import graft.operators.TextAnalysis
     val df = Seq(
