@@ -220,4 +220,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), s"expected hash aggregates:\n$p")
   }
 
+  test("group sample and heavy hitters keep WindowGroupLimit (bounded state)") {
+    assert(plan("q_group_sample").contains("WindowGroupLimit"))
+    assert(plan("q_heavy_hitters").contains("WindowGroupLimit"))
+  }
+
+  test("json extraction prunes the scan to the touched columns") {
+    val p = plan("q_json_extract")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("props"), readSchema)
+    assert(!readSchema.contains("value"), s"untouched column read:\n$readSchema")
+  }
+
+  test("zorderBy range-partitions by the morton code") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val p = graft.operators.Layout
+      .zorderBy(df, "l_partkey", "l_suppkey", numPartitions = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), s"expected range exchange:\n$p")
+    assert(p.contains("Sort"), s"expected per-partition sort:\n$p")
+  }
+
+  test("random projection broadcasts the sign matrix and aggregates map-side") {
+    val p = plan("q_random_projection")
+    assert(p.contains("BroadcastHashJoin"), s"sign matrix must broadcast:\n$p")
+    assert(p.contains("partial"), s"expected partial aggregation:\n$p")
+  }
+
+  test("incremental dedup joins skinny signature tables, never a product") {
+    val p = plan("q_dedup_incremental")
+    assert(
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"signature joins must stay equi-joins:\n$p"
+    )
+  }
+
 }
