@@ -252,6 +252,26 @@ object SparkEntry {
       Tables.archiveVersionsDF(versioned, "archived_on")
     }),
 
+    // retention: keep the newest 3 archive snapshots only
+    "q_archive_retention" -> ((s, dir) => {
+      val versioned = t(s, dir, "orders")
+        .withColumn(
+          "archived_on",
+          date_trunc("month", col("o_orderdate")).cast("date")
+        )
+        .select("o_orderkey", "archived_on", "o_totalprice")
+      Tables
+        .retainArchiveVersions(versioned, 3)
+        .groupBy(col("archived_on").cast("string").as("archived_on"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .as("total_price")
+        )
+        .orderBy("archived_on")
+    }),
+
     // O17 standardise_table (deaths variant: renames + packed-date parsing)
     "q_standardise_deaths" -> ((s, dir) => {
       val raw = t(s, dir, "orders").select(
@@ -371,6 +391,18 @@ object SparkEntry {
     "q_archive_versions" ->
       """SELECT DISTINCT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS archived_on
         |FROM orders ORDER BY archived_on""".stripMargin,
+
+    "q_archive_retention" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS archived_on, o_totalprice
+        |  FROM orders
+        |), keep AS (
+        |  SELECT DISTINCT archived_on FROM t ORDER BY archived_on DESC LIMIT 3
+        |)
+        |SELECT CAST(archived_on AS VARCHAR) AS archived_on, count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM t WHERE archived_on IN (SELECT archived_on FROM keep)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_standardise_deaths" ->
       """SELECT o_custkey AS person_id,

@@ -186,6 +186,29 @@ object Tables {
       .distinct()
       .orderBy(versionColumn)
 
+  /** Retention: keep only rows belonging to the newest `k` archive
+    * versions — the vacuum companion to [[upsertArchive]] (drop
+    * snapshots older than the retention horizon before compaction).
+    *
+    * Scale shape: the distinct-version table is tiny (one row per
+    * snapshot) and broadcast back as a semi join; when the table is
+    * written `partitionBy(versionCol)` the semi join's literal set prunes
+    * partitions at the scan, so retention never reads the dropped
+    * snapshots' files. */
+  def retainArchiveVersions(
+      df: DataFrame,
+      k: Int,
+      versionCol: String = "archived_on"
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val newest = df
+      .select(col(versionCol))
+      .distinct()
+      .orderBy(col(versionCol).desc)
+      .limit(k)
+    df.join(broadcast(newest), Seq(versionCol), "left_semi")
+  }
+
   private val yyyymmdd = "yyyyMMdd"
 
   /** Dispatch table of per-dataset standardisers (rename person-ID column to

@@ -246,4 +246,42 @@ object Streaming {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** Streaming heavy hitters: the top `k` event types per tumbling window,
+    * re-ranked on every trigger. A sort/rank is not expressible inside a
+    * streaming aggregation, so this uses the standard two-tier production
+    * shape: stateful windowed counting in the stream, ranking in
+    * `foreachBatch` over each emitted snapshot, with `sink` receiving the
+    * ranked rows (window_start, event_type, n_events, rank) per trigger.
+    *
+    * Complete output mode keeps every window in state — right for
+    * dashboard-style bounded window ranges; for unbounded retention switch
+    * the caller to update mode and upsert into a serving table before
+    * ranking. Runs until `AvailableNow` drains the source.
+    */
+  def heavyHittersPerWindow(
+      events: DataFrame,
+      k: Int,
+      width: String = "1 hour",
+      watermark: String = "2 hours"
+  )(sink: DataFrame => Unit): Unit = {
+    val counts = windowedCounts(events, width, watermark)
+    val q = counts.writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(
+          graft.operators.TopN.firstRow(
+            batch,
+            n = k,
+            partitionBy = Seq(col("window_start")),
+            orderBy = Seq(col("n_events").desc, col("event_type")),
+            returnIndexColumn = true,
+            indexColumnName = "rank"
+          )
+        )
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

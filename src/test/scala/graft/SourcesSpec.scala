@@ -286,4 +286,22 @@ class SourcesSpec extends SparkSpec {
       Tables.upsertArchive(existing, updates.drop("v"), Seq("k"), "ver")
     }
   }
+
+  test("retainArchiveVersions keeps only the newest k snapshots") {
+    val archive = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-01"),
+      (3L, "2024-02-01"), (4L, "2024-03-01"), (5L, "2024-04-01")
+    ).toDF("id", "archived_on")
+    val kept = Tables
+      .retainArchiveVersions(archive, 2)
+      .collect()
+      .map(_.getAs[Long]("id"))
+      .sorted
+    assert(kept.toSeq == Seq(4L, 5L))
+    // k larger than the snapshot count keeps everything
+    assert(Tables.retainArchiveVersions(archive, 10).count() == 5)
+    intercept[IllegalArgumentException] {
+      Tables.retainArchiveVersions(archive, 0)
+    }
+  }
 }

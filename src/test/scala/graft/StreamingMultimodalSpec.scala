@@ -43,6 +43,41 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("streaming heavy hitters rank equals the batch ranking") {
+    val stream = Streaming.readEventsStream(spark, sfDir)
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Array[org.apache.spark.sql.Row]]
+    Streaming.heavyHittersPerWindow(stream, k = 2, width = "1 hour") { ranked =>
+      snaps += ranked.collect()
+    }
+    assert(snaps.nonEmpty)
+    val last = snaps.last
+    assert(last.nonEmpty)
+    // ground truth: batch windowed counts ranked the same way
+    val batchCounts = spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour").as("__w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("__w.start").as("window_start"), col("event_type"), col("n_events"))
+    val expect = graft.operators.TopN
+      .firstRow(
+        batchCounts,
+        n = 2,
+        partitionBy = Seq(col("window_start")),
+        orderBy = Seq(col("n_events").desc, col("event_type")),
+        returnIndexColumn = true,
+        indexColumnName = "rank"
+      )
+      .select("window_start", "event_type", "rank")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getInt(2)))
+      .toSet
+    val got = last
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getAs[Int]("rank")))
+      .toSet
+    assert(got == expect)
+  }
+
   test("flatMapGroupsWithState running totals cover every user") {
     val stream = Streaming.readEventsStream(spark, sfDir)
     val got = Streaming.runToMemorySink(
