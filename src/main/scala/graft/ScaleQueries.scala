@@ -956,6 +956,21 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // sparse TF-IDF cosine document pairs via inverted index
+    "q_tfidf_pairs" -> ((s, dir) => {
+      TextAnalysis
+        .tfidfCosinePairs(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", docCount = 300, threshold = 0.8, maxDfFraction = 0.5
+        )
+        .orderBy("id_a", "id_b")
+    }),
+
+    // key-skew diagnostic (the "do I need a salted join" one-row report)
+    "q_key_skew" -> ((s, dir) => {
+      Stats.keySkewReport(events(s, dir), Seq("event_type"))
+    }),
+
     // incremental ingestion dedup: batch (doc_id >= 250) cleaned against
     // the stored signatures of an existing corpus (doc_id < 250) — corpus
     // text is never rescanned
@@ -2084,6 +2099,45 @@ object ScaleQueries {
         |        / sqrt((ss_e - s_e*s_e/n)/(n-1)), 6) AS l_extendedprice_z
         |FROM lineitem, st WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_tfidf_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 300
+        |), tf AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT t, count(*) AS df FROM tf GROUP BY 1
+        |), w AS (
+        |  SELECT tf.doc_id, tf.t,
+        |         CAST(FLOOR(CAST(tf AS DOUBLE) * ln(300.0 / df) * 100000) AS BIGINT) AS q
+        |  FROM tf JOIN dfq USING (t) WHERE df <= 0.5 * 300
+        |), nrm AS (
+        |  SELECT doc_id, SUM(q*q) AS ss FROM w GROUP BY 1
+        |), dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.q * b.q) AS dot
+        |  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT id_a, id_b,
+        |         ROUND(CAST(dot AS DOUBLE) /
+        |               (sqrt(CAST(x.ss AS DOUBLE)) * sqrt(CAST(y.ss AS DOUBLE))), 6) AS cosine
+        |  FROM dots JOIN nrm x ON x.doc_id = id_a JOIN nrm y ON y.doc_id = id_b
+        |)
+        |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_key_skew" ->
+      """WITH c AS (
+        |  SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS n
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |       CAST(MAX(n) AS BIGINT) AS max_count,
+        |       (SELECT key FROM c ORDER BY n DESC, key DESC LIMIT 1) AS top_key,
+        |       ROUND(CAST(MAX(n) AS DOUBLE) / (CAST(SUM(n) AS DOUBLE) / count(*)), 6) AS skew_ratio,
+        |       ROUND(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS top_fraction
+        |FROM c""".stripMargin,
 
     "q_heavy_hitters" ->
       """SELECT user_id, event_type, n, CAST(rank AS INT) AS rank FROM (

@@ -182,6 +182,36 @@ object Stats {
       .drop("__n" +: cols.flatMap(c => Seq(s"__s_$c", s"__ss_$c")): _*)
   }
 
+  /** One-row key-skew diagnostic for a prospective join/aggregation key:
+    * row count, distinct keys, the hottest key (rendered as a string) with
+    * its count and share, and the max/mean ratio — the "do I need
+    * [[Joins.saltedJoin]] or AQE skew handling here?" check run before
+    * shipping a 100 TB join. A skew_ratio near 1 means uniform keys; a
+    * ratio of hundreds means one reducer will own the job's tail latency.
+    *
+    * Scale shape: one map-side-combined hash aggregate on the key, then a
+    * single-row global aggregate with a max_by over the (much smaller)
+    * count table. */
+  def keySkewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    keyCols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    val counts = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(
+        concat_ws("|", keyCols.map(c => col(c).cast("string")): _*).as("__key"),
+        col("__n")
+      )
+    counts.agg(
+      sum("__n").as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max("__n").as("max_count"),
+      max_by(col("__key"), struct(col("__n"), col("__key"))).as("top_key"),
+      round(max("__n") / (sum("__n") / count(lit(1))), 6).as("skew_ratio"),
+      round(max("__n").cast("double") / sum("__n"), 6).as("top_fraction")
+    )
+  }
+
   /** Approximate per-group percentiles for corpus scale: Spark's
     * `percentile_approx` (KLL-style mergeable sketch) with an `accuracy`
     * dial — one streaming pass, map-side mergeable state of

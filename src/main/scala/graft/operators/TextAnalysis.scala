@@ -326,6 +326,81 @@ object TextAnalysis {
     )
   }
 
+  /** Document-pair cosine similarity over sparse TF-IDF vectors — the
+    * lexical near-duplicate / related-document detector that needs no
+    * embeddings. Weight w(d,t) = tf * ln(N/df); pairs with cosine >=
+    * `threshold` are returned as (id_a, id_b, cosine), id_a < id_b.
+    *
+    * Exactness across engines: weights are floor-quantized to 1e-5 and
+    * dot products / norms accumulated as INTEGERS, so the sums are
+    * order-independent (the 1e-5 quantization error is far below any
+    * useful threshold granularity). The final divide/sqrt is one double
+    * op, rounded to 6 decimals.
+    *
+    * Scale shape: inverted-index self-join on the term — only (term, id,
+    * weight) rows shuffle, never documents. Terms with document frequency
+    * above `maxDfFraction` are dropped from the INDEX (ubiquitous terms
+    * dominate join fan-out ~df^2 while contributing ~zero idf weight);
+    * note cosines are then computed over the pruned vocabulary, the
+    * standard stop-term tradeoff. Set it to 1.0 for exact full-vocabulary
+    * cosines.
+    */
+  def tfidfCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      docCount: Long,
+      threshold: Double,
+      maxDfFraction: Double = 0.5
+  ): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    require(
+      maxDfFraction > 0 && maxDfFraction <= 1,
+      "maxDfFraction must be in (0, 1]"
+    )
+    val exploded = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("__t"))
+    val tf = exploded.groupBy("__id", "__t").agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val weights = tf
+      .join(dfreq, Seq("__t"))
+      .filter(col("__df") <= lit(maxDfFraction) * lit(docCount.toDouble))
+      .select(
+        col("__t"),
+        col("__id"),
+        floor(
+          col("__tf").cast("double") *
+            log(lit(docCount.toDouble) / col("__df").cast("double")) * lit(1e5)
+        ).cast("long").as("__q")
+      )
+    val norms = weights
+      .groupBy("__id")
+      .agg(sum(col("__q") * col("__q")).as("__ss"))
+    val dots = weights
+      .select(col("__t"), col("__id").as("id_a"), col("__q").as("__qa"))
+      .join(
+        weights.select(col("__t"), col("__id").as("id_b"), col("__q").as("__qb")),
+        Seq("__t")
+      )
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("__qa") * col("__qb")).as("__dot"))
+    dots
+      .join(norms.select(col("__id").as("id_a"), col("__ss").as("__ssa")), Seq("id_a"))
+      .join(norms.select(col("__id").as("id_b"), col("__ss").as("__ssb")), Seq("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(
+          col("__dot").cast("double") /
+            (sqrt(col("__ssa").cast("double")) * sqrt(col("__ssb").cast("double"))),
+          6
+        ).as("cosine")
+      )
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Split each document into overlapping fixed-size token windows — the
     * standard preprocessing before embedding or long-context packing.
     * Output: one row per chunk with `(chunk_id, chunk_text, n_chunk_tokens)`

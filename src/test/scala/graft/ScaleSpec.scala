@@ -1078,6 +1078,46 @@ class ScaleSpec extends SparkSpec {
     assert(all.count() == 3)
   }
 
+  test("tfidfCosinePairs: identical docs score 1, disjoint docs are absent") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"), // same bag -> cosine 1
+      (3L, "epsilon zeta eta theta"), // disjoint from 1/2
+      (4L, "alpha beta gamma iota")   // strong overlap with 1
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis
+      .tfidfCosinePairs(df, "doc_id", "text", docCount = 4, threshold = 0.1,
+        maxDfFraction = 1.0)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+    assert(pairs((1L, 4L)) > 0.1 && pairs((1L, 4L)) < 1.0)
+    // ubiquitous-term pruning: df=4 terms are dropped from the index
+    val pruned = TextAnalysis
+      .tfidfCosinePairs(
+        df.withColumn("text", concat(col("text"), lit(" common"))),
+        "doc_id", "text", docCount = 4, threshold = 0.01, maxDfFraction = 0.9
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pruned.contains((1L, 3L)), "all-docs term must not link disjoint docs")
+  }
+
+  test("keySkewReport flags the hot key") {
+    import graft.operators.Stats
+    val df = (Seq.fill(8)("hot") ++ Seq("a", "b", "c", "d")).toDF("k")
+    val r = Stats.keySkewReport(df, Seq("k")).head()
+    assert(r.getAs[Long]("n_rows") == 12L)
+    assert(r.getAs[Long]("n_keys") == 5L)
+    assert(r.getAs[Long]("max_count") == 8L)
+    assert(r.getAs[String]("top_key") == "hot")
+    // max/avg = 8 / (12/5)
+    assert(math.abs(r.getAs[Double]("skew_ratio") - 8.0 / 2.4) < 1e-6)
+    assert(math.abs(r.getAs[Double]("top_fraction") - 8.0 / 12) < 1e-6)
+  }
+
   test("incremental minhash dedup drops corpus dups and in-batch dups only") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
