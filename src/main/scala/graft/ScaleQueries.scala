@@ -971,6 +971,20 @@ object ScaleQueries {
       Stats.keySkewReport(events(s, dir), Seq("event_type"))
     }),
 
+    // equi-depth quartile binning without a global sort
+    "q_equidepth" -> ((s, dir) => {
+      Stats
+        .equiDepthBins(t(s, dir, "lineitem"), "l_extendedprice", 4, outCol = "bin")
+        .groupBy("bin")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .as("total")
+        )
+        .orderBy("bin")
+    }),
+
     // incremental ingestion dedup: batch (doc_id >= 250) cleaned against
     // the stored signatures of an existing corpus (doc_id < 250) — corpus
     // text is never rescanned
@@ -2126,6 +2140,22 @@ object ScaleQueries {
         |)
         |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_equidepth" ->
+      """WITH b AS (
+        |  SELECT [ROUND(quantile_cont(l_extendedprice, 0.25), 6),
+        |          ROUND(quantile_cont(l_extendedprice, 0.5), 6),
+        |          ROUND(quantile_cont(l_extendedprice, 0.75), 6)] AS bounds
+        |  FROM lineitem
+        |)
+        |SELECT bin, count(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT l_extendedprice,
+        |         CAST(1 + len(list_filter(bounds, x -> l_extendedprice > x)) AS INT) AS bin
+        |  FROM lineitem, b
+        |)
+        |GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_key_skew" ->
       """WITH c AS (

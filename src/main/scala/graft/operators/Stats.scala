@@ -182,6 +182,42 @@ object Stats {
       .drop("__n" +: cols.flatMap(c => Seq(s"__s_$c", s"__ss_$c")): _*)
   }
 
+  /** Equal-frequency (equi-depth) binning: adds `<valueCol>_bin` in
+    * 1..nBins where bin boundaries are the exact 1/n..(n-1)/n percentiles
+    * (linear interpolation, rounded to 6 decimals like [[winsorize]] so
+    * they are engine-reproducible). A value lands in bin
+    * `1 + #(boundaries strictly below it)` — values exactly on a boundary
+    * go to the lower bin.
+    *
+    * Scale shape: deliberately NOT `ntile` — ntile needs a single global
+    * sort partition (the classic scale killer). Here one aggregate
+    * computes the boundary array, broadcast back; the data side streams
+    * through a per-row comparison against nBins-1 constants with no
+    * shuffle. Bin populations are near-equal up to ties at boundaries.
+    */
+  def equiDepthBins(
+      df: DataFrame,
+      valueCol: String,
+      nBins: Int,
+      outCol: String = ""
+  ): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    require(df.columns.contains(valueCol), s"no such column: $valueCol")
+    val outName = if (outCol.nonEmpty) outCol else s"${valueCol}_bin"
+    val pcts = (1 until nBins).map(i => i.toDouble / nBins)
+    val bounds = df.agg(
+      expr(
+        s"transform(percentile($valueCol, array(${pcts.mkString(", ")})), x -> round(x, 6))"
+      ).as("__bounds")
+    )
+    df.crossJoin(broadcast(bounds))
+      .withColumn(
+        outName,
+        (lit(1) + size(filter(col("__bounds"), b => col(valueCol) > b))).cast("int")
+      )
+      .drop("__bounds")
+  }
+
   /** One-row key-skew diagnostic for a prospective join/aggregation key:
     * row count, distinct keys, the hottest key (rendered as a string) with
     * its count and share, and the max/mean ratio — the "do I need

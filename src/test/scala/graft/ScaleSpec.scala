@@ -1105,6 +1105,44 @@ class ScaleSpec extends SparkSpec {
     assert(!pruned.contains((1L, 3L)), "all-docs term must not link disjoint docs")
   }
 
+  test("equiDepthBins splits into near-equal quantile bins") {
+    import graft.operators.Stats
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val binned = Stats.equiDepthBins(df, "v", 4)
+    val sizes = binned
+      .groupBy("v_bin")
+      .count()
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    assert(sizes.keySet == Set(1, 2, 3, 4))
+    assert(sizes.values.forall(n => n >= 24 && n <= 26), sizes.toString)
+    // monotone: higher values never land in lower bins
+    val rows = binned.collect().map(r => (r.getDouble(0), r.getInt(1)))
+    assert(rows.sortBy(_._1).map(_._2).sliding(2).forall(p => p.head <= p.last))
+    intercept[IllegalArgumentException] { Stats.equiDepthBins(df, "v", 1) }
+  }
+
+  test("Misra-Gries sketch keeps every frequent value within the error bound") {
+    import graft.functions.Sketches
+    // 400x "hot", 30x each of 20 mid values, 1x each of 100 rare values
+    val values = Seq.fill(400)("hot") ++
+      (1 to 20).flatMap(i => Seq.fill(30)(s"mid$i")) ++
+      (1 to 100).map(i => s"rare$i")
+    val n = values.length // 1100
+    val df = values.toDF("v").repartition(13) // force partial merges
+    val sketch = df
+      .agg(Sketches.mgSketch(col("v"), capacity = 10).as("sk"))
+      .head()
+      .getAs[Map[String, Long]]("sk")
+    assert(sketch.size <= 10)
+    val bound = n / 11 // n / (capacity + 1) = 100
+    // guarantee: freq > bound => present, and undercount <= bound
+    assert(sketch.contains("hot"))
+    assert(sketch("hot") <= 400 && sketch("hot") >= 400 - bound)
+    sketch.foreach { case (_, c) => assert(c > 0) }
+  }
+
   test("keySkewReport flags the hot key") {
     import graft.operators.Stats
     val df = (Seq.fill(8)("hot") ++ Seq("a", "b", "c", "d")).toDF("k")
