@@ -971,6 +971,17 @@ object ScaleQueries {
       Stats.keySkewReport(events(s, dir), Seq("event_type"))
     }),
 
+    // trailing 5-row frame stats per user (ROWS BETWEEN frame family)
+    "q_rolling" -> ((s, dir) => {
+      Sessionize
+        .rollingStats(
+          events(s, dir).filter(col("user_id") < 30),
+          "user_id", "ts", "value", n = 5, tieCol = "event_id"
+        )
+        .select("user_id", "event_id", "roll_n", "roll_sum", "roll_min", "roll_max", "roll_avg")
+        .orderBy("user_id", "event_id")
+    }),
+
     // equi-depth quartile binning without a global sort
     "q_equidepth" -> ((s, dir) => {
       Stats
@@ -2140,6 +2151,19 @@ object ScaleQueries {
         |)
         |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_rolling" ->
+      """SELECT user_id, event_id,
+        |  count(*) OVER w AS roll_n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum,
+        |  CAST(MIN(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_min,
+        |  CAST(MAX(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_max,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |        / (count(*) OVER w), 6) AS roll_avg
+        |FROM events WHERE user_id < 30
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q_equidepth" ->
       """WITH b AS (

@@ -169,4 +169,38 @@ object Sessionize {
         coalesce(col("__n"), lit(0L)).as("n_events")
       )
   }
+
+  /** Trailing row-frame statistics: for every event, aggregates over the
+    * last `n` rows of the SAME key up to and including it (`ROWS BETWEEN
+    * n-1 PRECEDING AND CURRENT ROW`, ordered by time then `tieCol`). The
+    * frame-spec member of the window family — tumbling/sliding/session
+    * bucket time, this carries per-event trailing context (rate features,
+    * fraud scores, rolling baselines). Adds `roll_n`, `roll_sum`,
+    * `roll_min`, `roll_max`, `roll_avg`.
+    *
+    * One shuffle on the key; row frames evaluate incrementally inside the
+    * sorted partition (state = n rows). Sums accumulate in DECIMAL so
+    * results are exact; the mean is one double division.
+    */
+  def rollingStats(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      n: Int,
+      tieCol: String
+  ): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(n - 1).toLong, org.apache.spark.sql.expressions.Window.currentRow)
+    val v = col(valueCol).cast("decimal(18,2)")
+    events
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum", sum(v).over(w).cast("double"))
+      .withColumn("roll_min", min(v).over(w).cast("double"))
+      .withColumn("roll_max", max(v).over(w).cast("double"))
+      .withColumn("roll_avg", round(col("roll_sum") / col("roll_n"), 6))
+  }
 }

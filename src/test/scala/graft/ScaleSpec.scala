@@ -1105,6 +1105,27 @@ class ScaleSpec extends SparkSpec {
     assert(!pruned.contains((1L, 3L)), "all-docs term must not link disjoint docs")
   }
 
+  test("rollingStats aggregates the trailing n-row frame per key") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 10L, ts("2024-01-01 10:01:00"), 2.0),
+      (3L, 10L, ts("2024-01-01 10:02:00"), 3.0),
+      (4L, 10L, ts("2024-01-01 10:03:00"), 4.0),
+      (5L, 11L, ts("2024-01-01 10:00:00"), 9.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = Sessionize
+      .rollingStats(df, "user_id", "ts", "value", n = 3, tieCol = "event_id")
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getAs[Long]("roll_n"), r.getAs[Double]("roll_sum"), r.getAs[Double]("roll_avg")))
+    assert(got(0) == ((1L, 1.0, 1.0)))
+    assert(got(1) == ((2L, 3.0, 1.5)))
+    assert(got(2) == ((3L, 6.0, 2.0)))
+    assert(got(3) == ((3L, 9.0, 3.0))) // frame slides: rows 2,3,4
+    assert(got(4) == ((1L, 9.0, 9.0))) // other key unaffected
+  }
+
   test("equiDepthBins splits into near-equal quantile bins") {
     import graft.operators.Stats
     val df = (1 to 100).map(_.toDouble).toDF("v")
