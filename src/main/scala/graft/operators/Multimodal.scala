@@ -143,9 +143,59 @@ object Multimodal {
     }
   }
 
-  /** ===== STUB ===== deterministic fake decoder for VIDEO payloads (no
-    * video codecs exist in the JDK): fakes luma statistics from raw bytes.
-    * A real implementation calls ffmpeg here (the only line that changes);
+  /** REAL AVI (RIFF) container walk: returns the video-frame chunk
+    * payloads — `##dc`/`##db` chunks, which in an MJPEG AVI are complete
+    * JPEG images the JDK can decode. Pure byte-walk (fourcc + LE32 size,
+    * word-aligned, LIST chunks descended), no codecs involved; returns
+    * empty for anything that is not a well-formed AVI. */
+  private[operators] def aviVideoFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    def le32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    def fourcc(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes == null || bytes.length < 12) return Nil
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return Nil
+    val frames = Seq.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fourcc(p)
+        val size = le32(p + 4)
+        val body = p + 8
+        if (size < 0 || body + size > end) return // malformed: stop
+        if (id == "LIST" && size >= 4) {
+          walk(body + 4, body + size.toInt) // skip the 4-byte list type
+        } else if (id.endsWith("dc") || id.endsWith("db")) {
+          frames += java.util.Arrays.copyOfRange(bytes, body, body + size.toInt)
+        }
+        p = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, bytes.length)
+    frames.result()
+  }
+
+  /** REAL decoder for MJPEG-AVI video payloads: walk the RIFF container,
+    * ImageIO-decode each JPEG frame, and average the per-frame
+    * brightness / edge-density — None when no frame decodes (non-AVI or
+    * non-JPEG codec), letting callers fall back to the stub. */
+  private def decodeVideoFeatures(bytes: Array[Byte]): Option[(Double, Double)] = {
+    val decoded = aviVideoFrames(bytes).flatMap(decodeImageFeatures)
+    if (decoded.isEmpty) None
+    else
+      Some(
+        (
+          decoded.map(_._1).sum / decoded.size,
+          decoded.map(_._2).sum / decoded.size
+        )
+      )
+  }
+
+  /** ===== STUB ===== deterministic fake decoder for video payloads in
+    * codecs the JDK cannot touch (H.264 etc. — MJPEG-AVI is decoded for
+    * real above): fakes luma statistics from raw bytes. A real
+    * implementation calls ffmpeg here (the only line that changes);
     * signature and batch shape are the production ones. */
   private def stubDecodeBytes(bytes: Array[Byte]): (Double, Double) = {
     if (bytes == null || bytes.isEmpty) (0.0, 0.0)
@@ -183,6 +233,8 @@ object Multimodal {
             decodeImageFeatures(r.media).map { case (b, e, _, _) => (b, e) }
           else if (fmt != null && fmt.startsWith("audio/"))
             decodeAudioFeatures(r.media)
+          else if (fmt != null && fmt.startsWith("video/"))
+            decodeVideoFeatures(r.media)
           else None
         val (brightness, edges) = real.getOrElse(stubDecodeBytes(r.media))
         MediaFeatures(r.media_id, r.meta.format, r.meta.nBytes, brightness, edges)
@@ -242,16 +294,20 @@ object Multimodal {
     }.toDF()
   }
 
-  /** ===== STUB ===== frame sampling for video-shaped payloads: returns
-    * every `stride`-th chunk of the payload as a frame (real impl: demux +
-    * keyframe extraction). Output is one row per sampled frame — the
-    * explode shape a real frame sampler produces. */
+  /** Frame sampling: one row per sampled frame. AVI payloads are demuxed
+    * for REAL (RIFF walk — each `##dc` chunk is a complete JPEG in MJPEG
+    * files) and every `stride`-th actual frame is emitted; other formats
+    * keep the ===== STUB ===== behavior (every `stride`-th `frameBytes`
+    * chunk of the raw payload) so the explode shape is testable without
+    * codecs. */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].flatMap { r =>
-      val frames = r.media.grouped(frameBytes).toSeq
+      val real = aviVideoFrames(r.media)
+      val frames =
+        if (real.nonEmpty) real else r.media.grouped(frameBytes).toSeq
       frames.zipWithIndex.collect {
         case (chunk, i) if i % stride == 0 =>
           (r.media_id, i, chunk)

@@ -299,6 +299,71 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(f.format == "audio/wav" && f.n_bytes == wav.length.toLong)
   }
 
+  /** Real MJPEG AVI built in-memory: RIFF('AVI ') containing a
+    * LIST('movi') of '00dc' chunks, each a complete JDK-encoded JPEG
+    * frame of the given gray level. */
+  private def mjpegAvi(grays: Seq[Int]): Array[Byte] = {
+    def jpegFrame(gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB
+      )
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (x <- 0 until 8; y <- 0 until 8) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    def le32(n: Int): Array[Byte] =
+      Array(n, n >> 8, n >> 16, n >> 24).map(_.toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    val movi = "movi".getBytes("US-ASCII") ++
+      grays.toArray.flatMap(g => chunk("00dc", jpegFrame(g)))
+    val riffBody = "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi)
+    "RIFF".getBytes("US-ASCII") ++ le32(riffBody.length) ++ riffBody
+  }
+
+  test("real MJPEG-AVI demux: frame sampling returns decodable JPEG frames") {
+    import spark.implicits._
+    val avi = mjpegAvi(Seq(0, 128, 255))
+    val media = Seq(
+      Multimodal.MediaRow(
+        7L, avi, Multimodal.MediaMeta("video/x-msvideo", 8, 8, avi.length.toLong)
+      )
+    ).toDF()
+    val frames = Multimodal
+      .sampleFrames(media, frameBytes = 9999, stride = 1)
+      .orderBy("frame_index")
+      .collect()
+    assert(frames.length == 3)
+    // each emitted frame is a real JPEG the JDK can decode back
+    frames.zip(Seq(0, 128, 255)).foreach { case (row, gray) =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("frame"))
+      )
+      assert(img != null && img.getWidth == 8 && img.getHeight == 8)
+      val got = img.getRGB(4, 4) & 0xff
+      assert(math.abs(got - gray) <= 8, s"gray $gray decoded as $got") // JPEG is lossy
+    }
+    // stride skips frames
+    assert(Multimodal.sampleFrames(media, 9999, 2).count() == 2)
+  }
+
+  test("real MJPEG-AVI decode: features average actual frame brightness") {
+    import spark.implicits._
+    val avi = mjpegAvi(Seq(0, 255)) // black + white frames -> mean ~0.5
+    val media = Seq(
+      Multimodal.MediaRow(
+        8L, avi, Multimodal.MediaMeta("video/x-msvideo", 8, 8, avi.length.toLong)
+      )
+    ).toDF()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(math.abs(f.brightness - 0.5) < 0.05, s"brightness ${f.brightness}")
+    assert(f.edge_density < 0.05, "solid frames have no edges")
+  }
+
   test("frame sampling explodes stride-selected chunks") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(3)
     val media = Multimodal.toMediaTable(docs, "doc_id", "text")
