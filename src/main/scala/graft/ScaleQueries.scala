@@ -956,6 +956,13 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // per-source corpus health dashboard (counts, dup fraction, tokens)
+    "q_corpus_report" -> ((s, dir) => {
+      TextAnalysis
+        .corpusReport(t(s, dir, "documents"), "text", "source")
+        .orderBy("source")
+    }),
+
     // sparse TF-IDF cosine document pairs via inverted index
     "q_tfidf_pairs" -> ((s, dir) => {
       TextAnalysis
@@ -2124,6 +2131,22 @@ object ScaleQueries {
         |        / sqrt((ss_e - s_e*s_e/n)/(n-1)), 6) AS l_extendedprice_z
         |FROM lineitem, st WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_corpus_report" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+        |  CAST(SUM(CASE WHEN text IS NOT NULL
+        |                THEN len(string_split(lower(text), ' ')) ELSE 0 END) AS BIGINT)
+        |    AS total_tokens,
+        |  ROUND(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+        |        / (count(*) - SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)), 6)
+        |    AS dup_fraction,
+        |  ROUND(CAST(SUM(CASE WHEN text IS NOT NULL
+        |                      THEN len(string_split(lower(text), ' ')) ELSE 0 END) AS DOUBLE)
+        |        / (count(*) - SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)), 6)
+        |    AS avg_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "q_tfidf_pairs" ->
       """WITH tok AS (

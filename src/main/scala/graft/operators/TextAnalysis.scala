@@ -326,6 +326,47 @@ object TextAnalysis {
     )
   }
 
+  /** Per-group corpus health report — the per-source dashboard row every
+    * ingestion pipeline keeps: document counts, null-text counts, unique
+    * content (by md5 of the raw text), the exact-duplicate fraction, and
+    * token totals/means. One row per `groupCol` value.
+    *
+    * Scale shape: a single hash aggregate per group; the distinct-content
+    * count plans through Spark's distinct-aggregate Expand (exact). Token
+    * counting is per-row codegen'd arithmetic.
+    */
+  def corpusReport(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String
+  ): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col(textCol).isNull, 1L).otherwise(0L)).as("n_null_text"),
+        countDistinct(md5(col(textCol))).as("n_unique_texts"),
+        sum(when(col(textCol).isNotNull, size(toks).cast("long")).otherwise(0L))
+          .as("total_tokens")
+      )
+      .withColumn(
+        "dup_fraction",
+        round(
+          lit(1.0) - col("n_unique_texts") /
+            when(col("n_docs") - col("n_null_text") > 0, col("n_docs") - col("n_null_text")),
+          6
+        )
+      )
+      .withColumn(
+        "avg_tokens",
+        round(
+          col("total_tokens") /
+            when(col("n_docs") - col("n_null_text") > 0, col("n_docs") - col("n_null_text")),
+          6
+        )
+      )
+  }
+
   /** Document-pair cosine similarity over sparse TF-IDF vectors — the
     * lexical near-duplicate / related-document detector that needs no
     * embeddings. Weight w(d,t) = tf * ln(N/df); pairs with cosine >=

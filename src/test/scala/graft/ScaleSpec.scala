@@ -1078,6 +1078,29 @@ class ScaleSpec extends SparkSpec {
     assert(all.count() == 3)
   }
 
+  test("corpusReport computes dup fraction and token means per source") {
+    val df = Seq(
+      (1L, "a b c", "s1"),     // 3 tokens
+      (2L, "a b c", "s1"),     // exact dup of 1
+      (3L, "d e", "s1"),       // 2 tokens
+      (4L, null.asInstanceOf[String], "s1"),
+      (5L, "x", "s2")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis
+      .corpusReport(df, "text", "source")
+      .orderBy("source")
+      .collect()
+    val s1 = got(0)
+    assert(s1.getAs[Long]("n_docs") == 4L)
+    assert(s1.getAs[Long]("n_null_text") == 1L)
+    assert(s1.getAs[Long]("n_unique_texts") == 2L)
+    assert(s1.getAs[Long]("total_tokens") == 8L)
+    assert(math.abs(s1.getAs[Double]("dup_fraction") - (1.0 - 2.0 / 3)) < 1e-6)
+    assert(math.abs(s1.getAs[Double]("avg_tokens") - 8.0 / 3) < 1e-6)
+    val s2 = got(1)
+    assert(s2.getAs[Double]("dup_fraction") == 0.0)
+  }
+
   test("tfidfCosinePairs: identical docs score 1, disjoint docs are absent") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
