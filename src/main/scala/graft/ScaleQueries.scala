@@ -956,6 +956,18 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // leak-free 5-fold cross-validation assignment by customer key
+    "q_kfold" -> ((s, dir) => {
+      Splits
+        .kFoldAssign(t(s, dir, "orders"), "o_custkey", k = 5)
+        .groupBy("fold")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_customers")
+        )
+        .orderBy("fold")
+    }),
+
     // per-source corpus health dashboard (counts, dup fraction, tokens)
     "q_corpus_report" -> ((s, dir) => {
       TextAnalysis
@@ -2131,6 +2143,12 @@ object ScaleQueries {
         |        / sqrt((ss_e - s_e*s_e/n)/(n-1)), 6) AS l_extendedprice_z
         |FROM lineitem, st WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_kfold" ->
+      """SELECT CAST(CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 % 5 AS INT) AS fold,
+        |       count(*) AS n,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_corpus_report" ->
       """SELECT source, count(*) AS n_docs,

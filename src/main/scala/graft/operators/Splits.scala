@@ -182,6 +182,22 @@ object Splits {
       )
   }
 
+  /** Deterministic k-fold assignment for cross-validation: adds `fold` in
+    * 0..k-1 from the key's md5 bucket. Same guarantees as [[hashSplit]] —
+    * reproducible across runs/engines, and leak-free per key (every row of
+    * a key lands in the same fold, so grouped records never straddle a
+    * train/validation boundary). Folds are near-equal in expectation. */
+  def kFoldAssign(
+      df: DataFrame,
+      keyCol: String,
+      k: Int,
+      salt: String = "",
+      foldCol: String = "fold"
+  ): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    df.withColumn(foldCol, (hashBucket(col(keyCol), salt) % k).cast("int"))
+  }
+
   /** Deterministic per-group sample: the first `n` rows of each group
     * under md5-hash order of `idCol` — a stable shuffle of each group
     * that is reproducible across runs and engines and uncorrelated with

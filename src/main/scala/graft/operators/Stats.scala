@@ -61,18 +61,26 @@ object Stats {
       groupCols: Seq[String],
       valueCol: String,
       pLow: Double = 0.05,
-      pHigh: Double = 0.95
+      pHigh: Double = 0.95,
+      exact: Boolean = true
   ): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")
     require(
       pLow >= 0 && pHigh <= 1 && pLow < pHigh,
       "need 0 <= pLow < pHigh <= 1"
     )
+    // exact `percentile` buffers every value of a group in its aggregation
+    // state — fine to tens of millions of rows per group, a memory hazard
+    // at corpus scale. exact = false swaps in the mergeable
+    // percentile_approx sketch (O(accuracy) state), the 100 TB path.
+    def pct(p: Double) =
+      if (exact) expr(s"percentile($valueCol, ${p}D)")
+      else expr(s"percentile_approx($valueCol, ${p}D, 10000)")
     val bounds = df
       .groupBy(groupCols.map(col): _*)
       .agg(
-        round(expr(s"percentile($valueCol, ${pLow}D)"), 6).as("__p_lo"),
-        round(expr(s"percentile($valueCol, ${pHigh}D)"), 6).as("__p_hi")
+        round(pct(pLow), 6).as("__p_lo"),
+        round(pct(pHigh), 6).as("__p_hi")
       )
     df.join(broadcast(bounds), groupCols)
       .withColumn(
@@ -199,16 +207,21 @@ object Stats {
       df: DataFrame,
       valueCol: String,
       nBins: Int,
-      outCol: String = ""
+      outCol: String = "",
+      exact: Boolean = true
   ): DataFrame = {
     require(nBins >= 2, "nBins must be >= 2")
     require(df.columns.contains(valueCol), s"no such column: $valueCol")
     val outName = if (outCol.nonEmpty) outCol else s"${valueCol}_bin"
     val pcts = (1 until nBins).map(i => i.toDouble / nBins)
+    // same exact-vs-sketch tradeoff as [[winsorize]]: exact percentile
+    // state is O(rows), percentile_approx is O(accuracy) and mergeable
+    val pctExpr =
+      if (exact) s"percentile($valueCol, array(${pcts.mkString(", ")}))"
+      else
+        s"transform(percentile_approx($valueCol, array(${pcts.mkString(", ")}), 10000), x -> cast(x as double))"
     val bounds = df.agg(
-      expr(
-        s"transform(percentile($valueCol, array(${pcts.mkString(", ")})), x -> round(x, 6))"
-      ).as("__bounds")
+      expr(s"transform($pctExpr, x -> round(x, 6))").as("__bounds")
     )
     df.crossJoin(broadcast(bounds))
       .withColumn(

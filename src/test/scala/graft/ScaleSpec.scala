@@ -1078,6 +1078,37 @@ class ScaleSpec extends SparkSpec {
     assert(all.count() == 3)
   }
 
+  test("kFoldAssign is leak-free per key and covers all folds") {
+    import graft.operators.Splits
+    val df = (1L to 500L).flatMap(k => Seq((k, "a"), (k, "b"))).toDF("key", "row")
+    val folds = Splits.kFoldAssign(df, "key", k = 5)
+    // every row of a key gets the same fold
+    assert(folds.groupBy("key").agg(countDistinct("fold").as("nf"))
+      .filter(col("nf") > 1).count() == 0)
+    val sizes = folds.groupBy("fold").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3, 4))
+    assert(sizes.values.forall(n => n > 100 && n < 300), sizes.toString)
+    intercept[IllegalArgumentException] { Splits.kFoldAssign(df, "key", 1) }
+  }
+
+  test("winsorize and equiDepthBins approx modes stay close to exact") {
+    import graft.operators.Stats
+    val df = (1 to 20000).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val exactW = Stats.winsorize(df, Seq("grp"), "v")
+      .agg(sum("v_wins")).head().getDouble(0)
+    val approxW = Stats.winsorize(df, Seq("grp"), "v", exact = false)
+      .agg(sum("v_wins")).head().getDouble(0)
+    assert(math.abs(exactW - approxW) / exactW < 0.01)
+    val exactB = Stats.equiDepthBins(df, "v", 4).groupBy("v_bin").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val approxB = Stats.equiDepthBins(df, "v", 4, exact = false).groupBy("v_bin").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(approxB.keySet == exactB.keySet)
+    approxB.foreach { case (b, n) =>
+      assert(math.abs(n - exactB(b)).toDouble / exactB(b) < 0.05, s"bin $b: $n vs ${exactB(b)}")
+    }
+  }
+
   test("corpusReport computes dup fraction and token means per source") {
     val df = Seq(
       (1L, "a b c", "s1"),     // 3 tokens
