@@ -1066,6 +1066,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("mortonCode property: monotone under coordinate dominance") {
+    import graft.operators.Layout
+    // if x1 <= x2 and y1 <= y2 then morton(x1,y1) <= morton(x2,y2):
+    // the property that makes min/max file stats prune rectangles
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.fill(300) {
+      val x1 = rnd.nextInt(0x10000); val y1 = rnd.nextInt(0x10000)
+      val x2 = x1 + rnd.nextInt(0x10000 - x1); val y2 = y1 + rnd.nextInt(0x10000 - y1)
+      (x1.toLong, y1.toLong, x2.toLong, y2.toLong)
+    }
+    val bad = cases
+      .toDF("x1", "y1", "x2", "y2")
+      .filter(
+        Layout.mortonCode(col("x1"), col("y1")) >
+          Layout.mortonCode(col("x2"), col("y2"))
+      )
+      .count()
+    assert(bad == 0L)
+  }
+
   test("groupSample takes n deterministic rows per group") {
     import graft.operators.Splits
     val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("id", "grp")
