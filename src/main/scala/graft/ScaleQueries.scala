@@ -956,6 +956,17 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // view -> click -> purchase funnel progression per user
+    "q_funnel" -> ((s, dir) => {
+      Sessionize
+        .funnel(
+          events(s, dir).filter(col("user_id") < 200),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase")
+        )
+        .orderBy("user_id")
+    }),
+
     // leak-free 5-fold cross-validation assignment by customer key
     "q_kfold" -> ((s, dir) => {
       Splits
@@ -2143,6 +2154,27 @@ object ScaleQueries {
         |        / sqrt((ss_e - s_e*s_e/n)/(n-1)), 6) AS l_extendedprice_z
         |FROM lineitem, st WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, event_type FROM events WHERE user_id < 200
+        |), s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t1 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1
+        |)
+        |SELECT u.user_id, t1 AS step_0_ts, t2 AS step_1_ts, t3 AS step_2_ts,
+        |       CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) +
+        |            (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) +
+        |            (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_steps
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
 
     "q_kfold" ->
       """SELECT CAST(CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 % 5 AS INT) AS fold,

@@ -170,6 +170,60 @@ object Sessionize {
       )
   }
 
+  /** Funnel analysis: for each key, the earliest timestamp at which each
+    * ordered step completes — step i counts only at an event of type
+    * `steps(i)` STRICTLY after some completion of step i-1 (the classic
+    * view -> cart -> purchase progression). Output: one row per key with
+    * `step_<i>_ts` (null where the funnel stalls) and `n_steps` reached.
+    *
+    * Single-pass formulation — ONE shuffle on the key, no join chain and
+    * no per-step rescan of the events: a running window carries the
+    * earliest step-(i-1) completion seen so far, each row of type
+    * `steps(i)` becomes a candidate iff it falls after that, and a final
+    * hash aggregate takes the minimum candidate per step. Equivalent to
+    * the K-round min/join formulation because the running minimum at a
+    * row IS the earliest prior completion.
+    */
+  def funnel(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]
+  ): DataFrame = {
+    require(steps.nonEmpty, "at least one funnel step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // candidate_i: this row completes step i (right type, after the
+    // running earliest completion of step i-1)
+    val withCands = steps.zipWithIndex.foldLeft(events) { case (d, (step, i)) =>
+      val cand =
+        if (i == 0) when(col(typeCol) === step, col(tsCol))
+        else
+          when(
+            col(typeCol) === step &&
+              col(s"__run_${i - 1}") < col(tsCol),
+            col(tsCol)
+          )
+      d.withColumn(s"__cand_$i", cand)
+        .withColumn(s"__run_$i", min(col(s"__cand_$i")).over(w))
+    }
+    val aggs = steps.indices.map(i => min(col(s"__cand_$i")).as(s"step_${i}_ts"))
+    withCands
+      .groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(
+        "n_steps",
+        steps.indices
+          .map(i => when(col(s"step_${i}_ts").isNotNull, 1).otherwise(0))
+          .reduce(_ + _)
+      )
+  }
+
   /** Trailing row-frame statistics: for every event, aggregates over the
     * last `n` rows of the SAME key up to and including it (`ROWS BETWEEN
     * n-1 PRECEDING AND CURRENT ROW`, ordered by time then `tieCol`). The

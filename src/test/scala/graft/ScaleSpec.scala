@@ -1179,6 +1179,37 @@ class ScaleSpec extends SparkSpec {
     assert(!pruned.contains((1L, 3L)), "all-docs term must not link disjoint docs")
   }
 
+  test("funnel requires strictly ordered step progression") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // u1 completes A -> B -> C in order
+      (10L, "A", ts("2024-01-01 10:00:00")),
+      (10L, "B", ts("2024-01-01 10:05:00")),
+      (10L, "C", ts("2024-01-01 10:10:00")),
+      // u2: B precedes the first A -> funnel stalls at A (later B counts)
+      (11L, "B", ts("2024-01-01 09:00:00")),
+      (11L, "A", ts("2024-01-01 09:30:00")),
+      (11L, "C", ts("2024-01-01 09:40:00")), // C before any qualifying B
+      (11L, "B", ts("2024-01-01 09:50:00")),
+      // u3 never starts
+      (12L, "C", ts("2024-01-01 08:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Sessionize
+      .funnel(df, "user_id", "ts", "event_type", Seq("A", "B", "C"))
+      .orderBy("user_id")
+      .collect()
+    assert(got(0).getAs[Int]("n_steps") == 3)
+    assert(got(0).getAs[java.sql.Timestamp]("step_2_ts") == ts("2024-01-01 10:10:00"))
+    // u2: A at 9:30, qualifying B at 9:50, no C after that
+    assert(got(1).getAs[Int]("n_steps") == 2)
+    assert(got(1).getAs[java.sql.Timestamp]("step_1_ts") == ts("2024-01-01 09:50:00"))
+    assert(got(1).isNullAt(got(1).fieldIndex("step_2_ts")))
+    assert(got(2).getAs[Int]("n_steps") == 0)
+    intercept[IllegalArgumentException] {
+      Sessionize.funnel(df, "user_id", "ts", "event_type", Seq("A", "A"))
+    }
+  }
+
   test("rollingStats aggregates the trailing n-row frame per key") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(
