@@ -160,7 +160,8 @@ object Stats {
   def standardize(
       df: DataFrame,
       cols: Seq[String],
-      scale: Int = 6
+      scale: Int = 6,
+      groupCols: Seq[String] = Nil
   ): DataFrame = {
     require(cols.nonEmpty, "at least one column required")
     cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
@@ -171,8 +172,16 @@ object Stats {
         sum(d(c) * d(c)).cast("double").as(s"__ss_$c")
       )
     )
-    val stats = df.agg(aggCols.head, aggCols.tail: _*)
-    val joined = df.crossJoin(broadcast(stats))
+    // groupCols: per-group moments (one tiny row per group, broadcast
+    // back) — per-cohort feature scaling without a second shuffle
+    val joined =
+      if (groupCols.isEmpty) {
+        val stats = df.agg(aggCols.head, aggCols.tail: _*)
+        df.crossJoin(broadcast(stats))
+      } else {
+        val stats = df.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+        df.join(broadcast(stats), groupCols)
+      }
     cols
       .foldLeft(joined) { (acc, c) =>
         val n = col("__n")

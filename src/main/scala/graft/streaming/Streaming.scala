@@ -247,6 +247,40 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** Streaming ingestion into a versioned archive: each micro-batch is
+    * upserted into the accumulated snapshot with
+    * [[graft.sources.Tables.upsertArchive]] semantics (newest `versionCol`
+    * wins per key, batch side wins ties) and the updated snapshot is
+    * handed to `sink` — the foreachBatch merge-into pattern every
+    * streaming lakehouse pipeline uses (with a real table store, `sink`
+    * is the transactional write). `state` seeds the initial snapshot.
+    * Returns the final snapshot after `AvailableNow` drains the source.
+    *
+    * Scale note: in production the merge target is a table (Delta/Iceberg
+    * MERGE INTO), not a growing in-memory DataFrame; here the snapshot is
+    * localCheckpointed each batch so lineage stays flat.
+    */
+  def upsertStreamIntoArchive(
+      stream: DataFrame,
+      initial: DataFrame,
+      keys: Seq[String],
+      versionCol: String
+  )(sink: DataFrame => Unit): DataFrame = {
+    var snapshot = initial.localCheckpoint()
+    val q = stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        snapshot = graft.sources.Tables
+          .upsertArchive(snapshot, batch, keys, versionCol)
+          .localCheckpoint()
+        sink(snapshot)
+      }
+      .start()
+    q.awaitTermination()
+    snapshot
+  }
+
   /** Streaming heavy hitters: the top `k` event types per tumbling window,
     * re-ranked on every trigger. A sort/rank is not expressible inside a
     * streaming aggregation, so this uses the standard two-tier production

@@ -1367,6 +1367,22 @@ class ScaleSpec extends SparkSpec {
     assert(got(3L) == ((1, r6(lpAC))))
   }
 
+  test("standardize with groupCols scales within each group") {
+    import graft.operators.Stats
+    val df = Seq(
+      ("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+      ("g2", 100.0), ("g2", 200.0), ("g2", 300.0)
+    ).toDF("grp", "x")
+    val z = Stats.standardize(df, Seq("x"), groupCols = Seq("grp"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // both groups standardize to the same shape despite 100x scale
+    val g1 = z.filter(_._1 == "g1").sortBy(_._2).map(_._3)
+    val g2 = z.filter(_._1 == "g2").sortBy(_._2).map(_._3)
+    assert(g1.zip(g2).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    assert(math.abs(g1.sum) < 1e-9)
+  }
+
   test("standardize yields zero-mean unit-variance columns; constant -> null") {
     import graft.operators.Stats
     val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0)

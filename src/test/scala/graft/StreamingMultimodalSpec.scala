@@ -43,6 +43,30 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("streaming archive upsert converges to the batch upsert") {
+    val batchEvents = spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // stale seed snapshot: 50 keys with a sentinel value and same ts —
+    // ties go to the update side, so every sentinel must be replaced
+    val initial = batchEvents
+      .filter(col("event_id") < 50)
+      .withColumn("value", lit(-1.0))
+    var batches = 0
+    val finalSnap = Streaming.upsertStreamIntoArchive(
+      Streaming.readEventsStream(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"),
+      initial,
+      Seq("event_id"),
+      "ts"
+    ) { _ => batches += 1 }
+    assert(batches >= 1)
+    assert(finalSnap.count() == batchEvents.count())
+    assert(finalSnap.filter(col("value") === -1.0).count() == 0,
+      "stale seed rows must be overwritten by same-ts updates")
+  }
+
   test("streaming heavy hitters rank equals the batch ranking") {
     val stream = Streaming.readEventsStream(spark, sfDir)
     val snaps = scala.collection.mutable.ArrayBuffer.empty[Array[org.apache.spark.sql.Row]]
