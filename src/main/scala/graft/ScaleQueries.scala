@@ -956,6 +956,24 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // daily cohort retention triangle over events
+    "q_retention" -> ((s, dir) => {
+      Sessionize
+        .retentionMatrix(events(s, dir), "user_id", "ts", bucketSeconds = 86400L)
+        .withColumn("cohort_start", col("cohort_start").cast("string"))
+        .orderBy("cohort_start", "offset")
+    }),
+
+    // corpus-level content overlap between two document halves
+    "q_content_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contentOverlap(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text"
+      )
+    }),
+
     // view -> click -> purchase funnel progression per user
     "q_funnel" -> ((s, dir) => {
       Sessionize
@@ -2154,6 +2172,44 @@ object ScaleQueries {
         |        / sqrt((ss_e - s_e*s_e/n)/(n-1)), 6) AS l_extendedprice_z
         |FROM lineitem, st WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS b
+        |  FROM events
+        |), f AS (
+        |  SELECT u, min(b) AS first FROM act GROUP BY 1
+        |), cs AS (
+        |  SELECT first, count(*) AS cohort_n FROM f GROUP BY 1
+        |), m AS (
+        |  SELECT f.first, a.b - f.first AS "offset", count(*) AS n_active
+        |  FROM act a JOIN f ON a.u = f.u GROUP BY 1, 2
+        |)
+        |SELECT CAST(make_timestamp(m.first * 86400000000) AS VARCHAR) AS cohort_start,
+        |       "offset", n_active, CAST(cohort_n AS BIGINT) AS n_cohort,
+        |       ROUND(CAST(n_active AS DOUBLE) / cohort_n, 6) AS retention_rate
+        |FROM m JOIN cs ON m.first = cs.first
+        |ORDER BY cohort_start, "offset"""".stripMargin,
+
+    "q_content_overlap" ->
+      """WITH da AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 2 = 0
+        |), db AS (
+        |  SELECT DISTINCT md5(text) AS h FROM documents
+        |  WHERE text IS NOT NULL AND doc_id % 2 = 1
+        |), s AS (
+        |  SELECT count(*) AS n_shared FROM da WHERE h IN (SELECT h FROM db)
+        |)
+        |SELECT CAST((SELECT count(*) FROM da) AS BIGINT) AS n_a,
+        |       CAST((SELECT count(*) FROM db) AS BIGINT) AS n_b,
+        |       CAST(n_shared AS BIGINT) AS n_shared,
+        |       ROUND(CAST(n_shared AS DOUBLE) /
+        |             ((SELECT count(*) FROM da) + (SELECT count(*) FROM db) - n_shared), 6) AS jaccard,
+        |       ROUND(CAST(n_shared AS DOUBLE) / (SELECT count(*) FROM da), 6) AS containment_a,
+        |       ROUND(CAST(n_shared AS DOUBLE) / (SELECT count(*) FROM db), 6) AS containment_b
+        |FROM s""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (

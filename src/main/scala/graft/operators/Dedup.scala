@@ -529,6 +529,47 @@ object Dedup {
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 
+  /** One-row content-overlap report between two corpora (train vs eval,
+    * old crawl vs new crawl): distinct-content counts by md5 of the raw
+    * text, the shared-content count, Jaccard of the two content sets, and
+    * both containment directions (shared/|A|, shared/|B|). The corpus-
+    * level companion to [[Decontam]]'s row-level filtering — run it first
+    * to size the contamination problem. Null texts are excluded.
+    *
+    * Scale shape: two hash aggregates to distinct digests (skinny 32-byte
+    * rows), one equi-join for the intersection count, single-row output.
+    */
+  def contentOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String
+  ): DataFrame = {
+    def digests(df: DataFrame) =
+      df.filter(col(textCol).isNotNull)
+        .select(md5(col(textCol)).as("__h"))
+        .distinct()
+    val da = digests(a)
+    val db = digests(b)
+    val shared = da.join(db, Seq("__h"), "left_semi").agg(count(lit(1)).as("n_shared"))
+    val na = da.agg(count(lit(1)).as("n_a"))
+    val nb = db.agg(count(lit(1)).as("n_b"))
+    na.crossJoin(nb)
+      .crossJoin(shared)
+      .select(
+        col("n_a"),
+        col("n_b"),
+        col("n_shared"),
+        round(
+          col("n_shared") /
+            when(col("n_a") + col("n_b") - col("n_shared") > 0,
+              col("n_a") + col("n_b") - col("n_shared")),
+          6
+        ).as("jaccard"),
+        round(col("n_shared") / when(col("n_a") > 0, col("n_a")), 6).as("containment_a"),
+        round(col("n_shared") / when(col("n_b") > 0, col("n_b")), 6).as("containment_b")
+      )
+  }
+
   /** Exact n-gram Jaccard similarity pairs with `jaccard >= threshold`.
     *
     * Candidate generation uses PPJoin-style prefix filtering, which is

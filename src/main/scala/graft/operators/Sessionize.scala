@@ -170,6 +170,49 @@ object Sessionize {
       )
   }
 
+  /** Cohort retention matrix: users grouped by the time bucket of their
+    * FIRST activity (the cohort), with one row per (cohort, offset)
+    * counting how many of them were active `offset` buckets later —
+    * the classic week-0/week-k retention triangle. `retention_rate` is
+    * n_active / cohort size (offset 0 row is the cohort size itself).
+    *
+    * Scale shape: distinct (user, bucket) activity in one hash aggregate,
+    * per-user first bucket as a running min window over it (same shuffle
+    * key — no extra exchange), then one aggregate on (cohort, offset).
+    */
+  def retentionMatrix(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      bucketSeconds: Long = 86400L
+  ): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val binMicros = bucketSeconds * 1000000L
+    val activity = events
+      .select(
+        col(userCol).as("__u"),
+        floor(unix_micros(col(tsCol)) / binMicros).cast("long").as("__b")
+      )
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__u"))
+    val withFirst = activity.withColumn("__first", min(col("__b")).over(w))
+    val cohortSizes = withFirst
+      .filter(col("__b") === col("__first"))
+      .groupBy(col("__first"))
+      .agg(count(lit(1)).as("__cohort_n"))
+    withFirst
+      .groupBy(col("__first"), (col("__b") - col("__first")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortSizes), Seq("__first"))
+      .select(
+        timestamp_micros(col("__first") * binMicros).as("cohort_start"),
+        col("offset"),
+        col("n_active"),
+        col("__cohort_n").as("n_cohort"),
+        round(col("n_active") / col("__cohort_n"), 6).as("retention_rate")
+      )
+  }
+
   /** Funnel analysis: for each key, the earliest timestamp at which each
     * ordered step completes — step i counts only at an event of type
     * `steps(i)` STRICTLY after some completion of step i-1 (the classic

@@ -1179,6 +1179,40 @@ class ScaleSpec extends SparkSpec {
     assert(!pruned.contains((1L, 3L)), "all-docs term must not link disjoint docs")
   }
 
+  test("retentionMatrix builds the cohort triangle") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // cohort day 0: u1 returns on day 1 and 2; u2 only day 0
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-02 09:00:00")),
+      (1L, ts("2024-01-03 09:00:00")), (2L, ts("2024-01-01 23:00:00")),
+      // cohort day 1: u3, returns day 2
+      (3L, ts("2024-01-02 01:00:00")), (3L, ts("2024-01-03 01:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Sessionize
+      .retentionMatrix(df, "user_id", "ts", bucketSeconds = 86400L)
+      .orderBy("cohort_start", "offset")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // day-0 cohort (2 users): offsets 0/1/2 with 2/1/1 active
+    assert(got.take(3).toSeq == Seq(
+      (0L, 2L, 2L, 1.0), (1L, 1L, 2L, 0.5), (2L, 1L, 2L, 0.5)
+    ))
+    // day-1 cohort (1 user): offsets 0/1
+    assert(got.drop(3).toSeq == Seq((0L, 1L, 1L, 1.0), (1L, 1L, 1L, 1.0)))
+  }
+
+  test("contentOverlap reports shared-content fractions") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val b = Seq((5L, "y"), (6L, "z"), (7L, "w"), (8L, "w")).toDF("id", "text")
+    val r = Dedup.contentOverlap(a, b, "text").head()
+    assert(r.getAs[Long]("n_a") == 3L)
+    assert(r.getAs[Long]("n_b") == 3L) // w deduped
+    assert(r.getAs[Long]("n_shared") == 2L)
+    assert(math.abs(r.getAs[Double]("jaccard") - 0.5) < 1e-9) // 2 / (3+3-2)
+    assert(math.abs(r.getAs[Double]("containment_a") - 2.0 / 3) < 1e-6)
+  }
+
   test("funnel requires strictly ordered step progression") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(
