@@ -956,6 +956,25 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // nearest view (either direction in time) for each purchase per user
+    "q_nearest_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = Dedup
+        .exactDedup(
+          ev.filter(col("event_type") === "view")
+            .select("user_id", "ts", "value", "event_id"),
+          Seq("user_id", "ts"),
+          Seq(col("event_id"))
+        )
+        .select("user_id", "ts", "value")
+      Joins
+        .nearestJoin(purchases, views, "user_id", "ts", "ts", "value")
+        .orderBy("event_id")
+    }),
+
     // daily cohort retention triangle over events
     "q_retention" -> ((s, dir) => {
       Sessionize
@@ -2172,6 +2191,36 @@ object ScaleQueries {
         |        / sqrt((ss_e - s_e*s_e/n)/(n-1)), 6) AS l_extendedprice_z
         |FROM lineitem, st WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_nearest_join" ->
+      """WITH v0 AS (
+        |  SELECT user_id, ts, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'view'
+        |), vd AS (
+        |  SELECT user_id, ts, value FROM v0 WHERE rn = 1
+        |), p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |), b AS (
+        |  SELECT p.event_id, p.user_id, p.ts, vd.value AS bv, vd.ts AS bt
+        |  FROM p ASOF LEFT JOIN vd ON p.user_id = vd.user_id AND p.ts >= vd.ts
+        |), f AS (
+        |  SELECT p.event_id, vd.value AS fv, vd.ts AS ft
+        |  FROM p ASOF LEFT JOIN vd ON p.user_id = vd.user_id AND p.ts <= vd.ts
+        |)
+        |SELECT b.event_id, b.user_id, b.ts,
+        |  CASE WHEN bt IS NOT NULL AND (ft IS NULL
+        |            OR epoch_us(b.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(b.ts))
+        |       THEN bv ELSE fv END AS near_value,
+        |  CASE WHEN bt IS NOT NULL AND (ft IS NULL
+        |            OR epoch_us(b.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(b.ts))
+        |       THEN bt ELSE ft END AS near_ts,
+        |  CASE WHEN bt IS NOT NULL AND (ft IS NULL
+        |            OR epoch_us(b.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(b.ts))
+        |       THEN epoch_us(b.ts) - epoch_us(bt)
+        |       ELSE epoch_us(ft) - epoch_us(b.ts) END AS near_dist_us
+        |FROM b JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q_retention" ->
       """WITH act AS (

@@ -114,6 +114,52 @@ object Joins {
     * inclusive. Right rows should be unique per (key, time) — pre-dedupe
     * (e.g. `Dedup.exactDedup`) to make the chosen value deterministic.
     */
+  /** Nearest-event join: each left row enriched from the right row at the
+    * SMALLEST absolute time distance on the same key, looking BOTH
+    * directions (backward wins ties). Adds `<prefix><valueCol>`,
+    * `<prefix>ts` and `<prefix>dist_us`; lefts with no right row at all
+    * get nulls. Right rows should be unique per (key, time) — pre-dedupe
+    * for a deterministic value.
+    *
+    * Composed from two [[asOfJoin]] union-merge passes — backward as-is,
+    * forward as backward on a negated microsecond axis — so the cost is
+    * two key shuffles, never a range/nested-loop join.
+    */
+  def nearestJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      valueCol: String,
+      prefix: String = "near_"
+  ): DataFrame = {
+    val back = asOfJoin(
+      left, right, keyCol, leftTimeCol, rightTimeCol,
+      Seq(valueCol, rightTimeCol), "__b_"
+    )
+    val leftNeg = back.withColumn("__lneg", -unix_micros(col(leftTimeCol)))
+    val rightNeg = right.withColumn("__rneg", -unix_micros(col(rightTimeCol)))
+    val both = asOfJoin(
+      leftNeg, rightNeg, keyCol, "__lneg", "__rneg",
+      Seq(valueCol, rightTimeCol), "__f_"
+    )
+    val bt = col(s"__b_$rightTimeCol")
+    val ft = col(s"__f_$rightTimeCol")
+    val db = unix_micros(col(leftTimeCol)) - unix_micros(bt)
+    val dfw = unix_micros(ft) - unix_micros(col(leftTimeCol))
+    val pickBack = bt.isNotNull && (ft.isNull || db <= dfw)
+    both
+      .withColumn(
+        s"$prefix$valueCol",
+        when(pickBack, col(s"__b_$valueCol")).otherwise(col(s"__f_$valueCol"))
+      )
+      .withColumn(s"${prefix}ts", when(pickBack, bt).otherwise(ft))
+      .withColumn(s"${prefix}dist_us", when(pickBack, db).otherwise(dfw))
+      .drop(s"__b_$valueCol", s"__b_$rightTimeCol", s"__f_$valueCol",
+        s"__f_$rightTimeCol", "__lneg")
+  }
+
   def asOfJoin(
       left: DataFrame,
       right: DataFrame,

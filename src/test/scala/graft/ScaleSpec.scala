@@ -1179,6 +1179,33 @@ class ScaleSpec extends SparkSpec {
     assert(!pruned.contains((1L, 3L)), "all-docs term must not link disjoint docs")
   }
 
+  test("nearestJoin picks the closer side; backward wins ties") {
+    import graft.operators.Joins
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // nearer forward (10:00:30)
+      (2L, 10L, ts("2024-01-01 11:00:00")), // nearer backward (10:59:00)
+      (3L, 10L, ts("2024-01-01 12:00:00")), // equidistant -> backward wins
+      (4L, 99L, ts("2024-01-01 10:00:00"))  // no right rows -> nulls
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:58:00"), "b1"),
+      (10L, ts("2024-01-01 10:00:30"), "f1"),
+      (10L, ts("2024-01-01 10:59:00"), "b2"),
+      (10L, ts("2024-01-01 11:58:00"), "b3"),
+      (10L, ts("2024-01-01 12:02:00"), "f3")
+    ).toDF("user_id", "ts", "value")
+    val got = Joins
+      .nearestJoin(left, right, "user_id", "ts", "ts", "value")
+      .orderBy("event_id")
+      .collect()
+      .map(r => (Option(r.getAs[String]("near_value")), Option(r.getAs[Any]("near_dist_us"))))
+    assert(got(0) == ((Some("f1"), Some(30000000L))))
+    assert(got(1) == ((Some("b2"), Some(60000000L))))
+    assert(got(2) == ((Some("b3"), Some(120000000L)))) // tie -> backward
+    assert(got(3) == ((None, None)))
+  }
+
   test("retentionMatrix builds the cohort triangle") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(
