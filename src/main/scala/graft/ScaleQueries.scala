@@ -759,11 +759,13 @@ object ScaleQueries {
     }),
 
     // per-group winsorization at [p05, p95]: clip counts + clipped mean
+    // (exact percentiles so the DuckDB quantile_cont oracle is bit-equal;
+    // the operator's DEFAULT is the mergeable percentile_approx sketch)
     "q_winsorize" -> ((s, dir) => {
       Stats
         .winsorize(
           t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
-          0.05, 0.95
+          0.05, 0.95, exact = true
         )
         .groupBy("l_returnflag")
         .agg(
@@ -774,8 +776,10 @@ object ScaleQueries {
             .as("n_hi"),
           min("__p_lo").as("p_lo"),
           min("__p_hi").as("p_hi"),
+          // decimal(25,6) here and DECIMAL(25,6) in the oracle — the two
+          // sides must quantize identically for the hash gate to be robust
           round(
-            sum(col("l_extendedprice_wins").cast("decimal(18,6)"))
+            sum(col("l_extendedprice_wins").cast("decimal(25,6)"))
               .cast("double") / count(lit(1)),
             4
           ).as("avg_wins")
@@ -1049,8 +1053,29 @@ object ScaleQueries {
         .orderBy("user_id", "event_id")
     }),
 
-    // equi-depth quartile binning without a global sort
+    // equi-depth quartile binning without a global sort (exact percentiles
+    // for the quantile_cont oracle; the operator default is the sketch)
     "q_equidepth" -> ((s, dir) => {
+      Stats
+        .equiDepthBins(
+          t(s, dir, "lineitem"), "l_extendedprice", 4, outCol = "bin",
+          exact = true
+        )
+        .groupBy("bin")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .as("total")
+        )
+        .orderBy("bin")
+    }),
+
+    // the 100 TB path: equi-depth binning over the DEFAULT mergeable
+    // percentile_approx sketch (O(accuracy) aggregation state, no O(rows)
+    // single-task buffer). Probabilistic boundaries -> no SQL oracle; the
+    // rows gate plus ScaleSpec's sketch-vs-exact bound assertion cover it.
+    "q_equidepth_sketch" -> ((s, dir) => {
       Stats
         .equiDepthBins(t(s, dir, "lineitem"), "l_extendedprice", 4, outCol = "bin")
         .groupBy("bin")
@@ -1099,6 +1124,41 @@ object ScaleQueries {
         .filter(col("l_orderkey") < 100)
         .select("l_orderkey", "l_linenumber", "l_quantity_z", "l_extendedprice_z")
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // end-to-end retrieval-shaped pipeline, composed the way a user chains
+    // the operators: MinHash near-dedup of the training slice ->
+    // decontaminate against the held-out slice (word 4-grams: long enough
+    // that drops are real cross-split overlap, ~17% of docs, not the
+    // common-trigram collateral that 3-grams inflict) -> quality gate ->
+    // deterministic hash split -> sequence
+    // packing per split shard. Exercises operator COMPOSITION: column
+    // collisions (qualityScore and packSequences both emit n_tokens — last
+    // writer wins by design), null-text propagation (retained by dedup and
+    // decontam, dropped at the quality gate in both engines), and the
+    // dedup-survivor set feeding downstream stages.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val deduped = Dedup.dedupNearMinHash(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        threshold = 0.9, shingleK = 1, numHashes = 16, bands = 4
+      )
+      val clean = Decontam.decontaminate(
+        deduped, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4
+      )
+      val scored = TextAnalysis
+        .qualityScore(clean, "text")
+        .filter(col("quality") >= 0.5)
+      val split = Splits.hashSplit(
+        scored, "doc_id", Seq("train" -> 0.8, "val" -> 0.1),
+        defaultLabel = "test"
+      )
+      Splits
+        .packSequences(split, "doc_id", "text", "split", blockTokens = 512)
+        .select(
+          "doc_id", "split", "quality", "n_tokens", "block_id", "block_offset"
+        )
+        .orderBy("doc_id")
     })
   )
 
@@ -1166,10 +1226,14 @@ object ScaleQueries {
     * Spark's explode drops them from the signature table so they are always
     * retained; the WHERE mirrors that (without it DuckDB would give them a
     * shared NULL signature and drop all but one). */
-  private val duckMinHashCommon: String =
-    """d AS (
+  /** Shared DuckDB CTE chain replicating the portable MinHash signature,
+    * banding, bucket-min pairing, and exact-signature pass; `extraWhere`
+    * restricts the corpus (e.g. the pipeline query dedups only its
+    * training slice). */
+  private def duckMinHashCommonWhere(extraWhere: String): String =
+    s"""d AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS toks
-      |  FROM documents WHERE text IS NOT NULL
+      |  FROM documents WHERE text IS NOT NULL$extraWhere
       |), pre AS (
       |  SELECT doc_id,
       |         list_transform(toks, s -> [
@@ -1199,6 +1263,8 @@ object ScaleQueries {
       |), ex AS (
       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY sig) AS sig_min FROM sg
       |)""".stripMargin
+
+  private val duckMinHashCommon: String = duckMinHashCommonWhere("")
 
   private def duckBucketFor(planes: Seq[Seq[Double]]): String =
     planes.zipWithIndex
@@ -1939,6 +2005,66 @@ object ScaleQueries {
         |       start_off % 512 AS block_offset
         |FROM r ORDER BY doc_id""".stripMargin,
 
+    // composition of the q_dedup_minhash, q_decontam, q_quality,
+    // q_hash_split and q_pack_sequences oracle fragments, each already
+    // individually green — the pipeline oracle checks the COMPOSITION
+    "q_pipeline_e2e" -> {
+      val en = TextAnalysis.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH ${duckMinHashCommonWhere(" AND doc_id % 10 <> 0")}, losers AS (
+         |  SELECT doc_id AS ib FROM ex WHERE doc_id > sig_min
+         |  UNION
+         |  SELECT ib FROM cl WHERE est >= 0.9
+         |), dd AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT ib FROM losers)
+         |), tk AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+         |), ng AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 2),
+         |    i -> array_to_string(t[i:i+3], ' '))) AS g
+         |  FROM tk
+         |), te AS (
+         |  SELECT DISTINCT unnest(g) AS gram FROM ng WHERE doc_id % 10 = 0
+         |), cont AS (
+         |  SELECT DISTINCT x.doc_id FROM (
+         |    SELECT doc_id, unnest(g) AS gram FROM ng WHERE doc_id % 10 <> 0
+         |  ) x JOIN te USING (gram)
+         |), q AS (
+         |  SELECT doc_id, text,
+         |         ROUND(LEAST(1.0,
+         |           (CAST(stops AS DOUBLE) / nt) * 2.0 +
+         |           (CASE WHEN nt >= 20 AND nt <= 2000 THEN 0.5 ELSE 0.2 END) +
+         |           (CASE WHEN pc = 0 THEN 0.1 ELSE 0.0 END)), 6) AS quality
+         |  FROM (
+         |    SELECT doc_id, text,
+         |           len(string_split(lower(text), ' ')) AS nt,
+         |           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS pc,
+         |           len(list_filter(string_split(lower(text), ' '),
+         |               w -> list_contains([$en], w))) AS stops
+         |    FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+         |  )
+         |), sp AS (
+         |  SELECT doc_id, text, quality,
+         |         CASE WHEN bk < 8000 THEN 'train'
+         |              WHEN bk < 9000 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT *,
+         |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bk
+         |        FROM q)
+         |  WHERE quality >= 0.5
+         |), pk AS (
+         |  SELECT doc_id, split, quality,
+         |         CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+         |         CAST(sum(len(string_split(lower(text), ' '))) OVER (
+         |           PARTITION BY split ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |           - len(string_split(lower(text), ' ')) AS start_off
+         |  FROM sp WHERE text IS NOT NULL
+         |)
+         |SELECT doc_id, split, quality, n_tokens,
+         |       start_off // 512 AS block_id, start_off % 512 AS block_offset
+         |FROM pk ORDER BY doc_id""".stripMargin
+    },
+
     "q_histogram" ->
       """WITH p AS (
         |  SELECT CAST(900.0 AS DOUBLE) AS lo,
@@ -1969,7 +2095,7 @@ object ScaleQueries {
         |            AS BIGINT) AS n_hi,
         |       min(b_lo) AS p_lo, min(b_hi) AS p_hi,
         |       ROUND(CAST(sum(CAST(least(greatest(l_extendedprice, b_lo), b_hi)
-        |                          AS DECIMAL(19,4))) AS DOUBLE) / count(*),
+        |                          AS DECIMAL(25,6))) AS DOUBLE) / count(*),
         |             4) AS avg_wins
         |FROM lineitem l JOIN bounds USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2177,7 +2303,8 @@ object ScaleQueries {
 
     "q_standardize" ->
       """WITH st AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  SELECT CAST(count(l_quantity) AS DOUBLE) AS n_q,
+        |    CAST(count(l_extendedprice) AS DOUBLE) AS n_e,
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS s_q,
         |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS ss_q,
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS s_e,
@@ -2185,10 +2312,10 @@ object ScaleQueries {
         |  FROM lineitem
         |)
         |SELECT l_orderkey, l_linenumber,
-        |  ROUND((CAST(l_quantity AS DOUBLE) - s_q/n)
-        |        / sqrt((ss_q - s_q*s_q/n)/(n-1)), 6) AS l_quantity_z,
-        |  ROUND((CAST(l_extendedprice AS DOUBLE) - s_e/n)
-        |        / sqrt((ss_e - s_e*s_e/n)/(n-1)), 6) AS l_extendedprice_z
+        |  ROUND((CAST(l_quantity AS DOUBLE) - s_q/n_q)
+        |        / sqrt((ss_q - s_q*s_q/n_q)/(n_q-1)), 6) AS l_quantity_z,
+        |  ROUND((CAST(l_extendedprice AS DOUBLE) - s_e/n_e)
+        |        / sqrt((ss_e - s_e*s_e/n_e)/(n_e-1)), 6) AS l_extendedprice_z
         |FROM lineitem, st WHERE l_orderkey < 100
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 

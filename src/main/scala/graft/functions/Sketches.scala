@@ -1,10 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
-
-import scala.collection.mutable
 
 /** Mergeable sketch aggregators (north-star extension; no reference
   * counterpart) — the `Aggregator[IN, BUF, OUT]` tier of Spark's custom-
@@ -23,54 +22,50 @@ import scala.collection.mutable
   */
 object Sketches {
 
-  /** Misra-Gries bounded-counter sketch over string values. Buffer and
-    * output are plain Maps (Kryo-free product encoders); output keeps the
-    * surviving counters — decrement-phase undercounts included, as the
-    * algorithm defines. */
+  /** Misra-Gries bounded-counter sketch over string values. The buffer is
+    * an immutable Map encoded with Spark's PRODUCT ExpressionEncoder (a
+    * catalyst MapType — no Kryo anywhere, so shuffle/spill serialization
+    * of partial sketches is the compact columnar form). Between rows the
+    * buffer lives as a plain object inside the typed-imperative aggregate;
+    * immutable-map updates are O(1) amortized structural sharing. Output
+    * keeps the surviving counters — decrement-phase undercounts included,
+    * as the algorithm defines. */
   class MisraGries(capacity: Int)
-      extends Aggregator[String, mutable.Map[String, Long], Map[String, Long]] {
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
     require(capacity >= 1, "capacity must be >= 1")
 
-    def zero: mutable.Map[String, Long] = mutable.Map.empty
+    def zero: Map[String, Long] = Map.empty
 
-    def reduce(b: mutable.Map[String, Long], v: String): mutable.Map[String, Long] =
+    def reduce(b: Map[String, Long], v: String): Map[String, Long] =
       if (v == null) b else addCount(b, v, 1L)
 
     def merge(
-        a: mutable.Map[String, Long],
-        b: mutable.Map[String, Long]
-    ): mutable.Map[String, Long] =
+        a: Map[String, Long],
+        b: Map[String, Long]
+    ): Map[String, Long] =
       b.foldLeft(a) { case (acc, (v, c)) => addCount(acc, v, c) }
 
-    def finish(b: mutable.Map[String, Long]): Map[String, Long] = b.toMap
+    def finish(b: Map[String, Long]): Map[String, Long] = b
 
     private def addCount(
-        b: mutable.Map[String, Long],
+        b: Map[String, Long],
         v: String,
         c: Long
-    ): mutable.Map[String, Long] = {
-      b.updateWith(v) {
-        case Some(n) => Some(n + c)
-        case None    => Some(c)
-      }
+    ): Map[String, Long] = {
+      val updated = b.updated(v, b.getOrElse(v, 0L) + c)
       // over capacity: subtract the (capacity+1)-th largest count from
       // everything and drop non-positive counters — the batched form of
       // MG's decrement-all step, correct for weighted inserts and merges
-      if (b.size > capacity) {
-        val cut = b.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
-        val dead = b.collect { case (k, n) if n - cut <= 0 => k }.toSeq
-        dead.foreach(b.remove)
-        b.mapValuesInPlace((_, n) => n - cut)
-      }
-      b
+      if (updated.size > capacity) {
+        val cut = updated.values.toSeq.sorted(Ordering[Long].reverse)(capacity)
+        updated.collect { case (k, n) if n - cut > 0 => k -> (n - cut) }
+      } else updated
     }
 
-    def bufferEncoder: Encoder[mutable.Map[String, Long]] =
-      implicitly[Encoder[mutable.Map[String, Long]]](
-        Encoders.kryo[mutable.Map[String, Long]]
-      )
+    def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
     def outputEncoder: Encoder[Map[String, Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+      ExpressionEncoder[Map[String, Long]]()
   }
 
   /** Column form: `mgTopK(col, capacity)` aggregates to a map of surviving

@@ -87,7 +87,13 @@ object Decontam {
     * merge of per-partition filters), then the corpus streams once
     * through explode → membership test → distinct-id anti-join. The
     * membership probe is a broadcast of one fixed-size bit array no
-    * matter how many eval grams exist. */
+    * matter how many eval grams exist — and it is Spark's native
+    * `BloomFilterMightContain` expression (the one runtime bloom-filter
+    * joins inject), NOT a Scala UDF, so the probe stays inside
+    * whole-stage codegen on the full exploded gram stream. Grams are
+    * keyed by xxhash64 on BOTH the build and probe sides (the native
+    * probe tests 64-bit keys), which adds only a ~n/2^64 hash-collision
+    * term to fpp and keeps the no-false-negative guarantee. */
   def bloomDecontaminate(
       train: DataFrame,
       test: DataFrame,
@@ -104,14 +110,25 @@ object Decontam {
     val numGrams = grams.count()
     if (numGrams == 0) train
     else {
-      val bf = grams.stat.bloomFilter("__gram", numGrams, fpp)
-      val bfBc = train.sparkSession.sparkContext.broadcast(bf)
-      val mightContain = udf { s: String =>
-        s != null && bfBc.value.mightContainString(s)
-      }
+      // build over the same 64-bit keys the native probe tests: putLong on
+      // the build side <-> mightContainLong inside BloomFilterMightContain
+      val bf = grams
+        .select(xxhash64(col("__gram")).as("__h"))
+        .stat
+        .bloomFilter("__h", numGrams, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val probe = org.apache.spark.sql.GraftSqlBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal
+            .create(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.GraftSqlBridge
+            .expression(xxhash64(col("__gram")))
+        )
+      )
       val hitIds = train
         .select(col(idCol), explode(shingles(col(textCol), n)).as("__gram"))
-        .filter(mightContain(col("__gram")))
+        .filter(col("__gram").isNotNull && probe)
         .select(idCol)
         .distinct()
       train.join(hitIds, Seq(idCol), "left_anti")

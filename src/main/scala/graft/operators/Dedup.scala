@@ -414,13 +414,22 @@ object Dedup {
     * quarter — pigeonhole over 4 quarters), then verify hamming <=
     * maxHamming in-bucket. The quarter guarantee makes the result EXACT for
     * maxHamming <= 3: every qualifying pair shares a bucket, and the final
-    * filter keeps exactly the pairs within distance. */
+    * filter keeps exactly the pairs within distance.
+    *
+    * `representativesOnly = true` is the giant-cluster escape hatch the
+    * dedup path already has: each doc pairs only with the MINIMUM id of
+    * each of its four quarter buckets — O(4) candidates per doc instead of
+    * a per-bucket quadratic, so one huge identical cluster costs
+    * O(cluster), not O(cluster^2). The result is then the dedup-sufficient
+    * subset ("is there a smaller-id doc within distance"), not the full
+    * pair list. */
   def simHashCandidatePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      portable: Boolean = true
+      portable: Boolean = true,
+      representativesOnly: Boolean = false
   ): DataFrame = {
     val sigs = simHashSignatures(df, idCol, textCol, portable)
       .select(col(idCol).as("__id"), col("simhash"))
@@ -436,16 +445,33 @@ object Dedup {
         }: _*)
       )
     )
-    val a = banded.select(col("__band"), col("__id").as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("__band"), col("__id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("__band"))
-      .filter(col("id_a") < col("id_b"))
+    // skinny pairing (only (band, id) rides the join), signatures attached
+    // to the surviving deduped pairs — same shape as the MinHash and
+    // embedding paths
+    val pairs =
+      if (representativesOnly) {
+        val mins = banded.groupBy("__band").agg(min("__id").as("__min"))
+        banded
+          .join(mins, Seq("__band"))
+          .filter(col("__id") > col("__min"))
+          .select(col("__min").as("id_a"), col("__id").as("id_b"))
+          .distinct()
+      } else {
+        val a = banded.select(col("__band"), col("__id").as("id_a"))
+        val b = banded.select(col("__band"), col("__id").as("id_b"))
+        a.join(b, Seq("__band"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+          .distinct()
+      }
+    pairs
+      .join(sigs.select(col("__id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
       .select(
         col("id_a"),
         col("id_b"),
         hammingDistance(col("sh_a"), col("sh_b")).as("hamming")
       )
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -737,12 +763,20 @@ object Dedup {
     * an equi-join on length — linear in the input for bounded-length
     * strings, where the naive formulation is an all-pairs product. The
     * (expensive, codegen'd) levenshtein verification runs only on
-    * candidates. */
+    * candidates.
+    *
+    * Length banding bounds the candidate count per DISTINCT length, but a
+    * giant cluster of same-length strings (one huge duplicate cluster) is
+    * still quadratic in-bucket. `representativesOnly = true` is the same
+    * escape the SimHash/MinHash paths have: each row pairs only with the
+    * MINIMUM id of each candidate length bucket — O(2*maxDist+1) pairs per
+    * row, the dedup-sufficient subset rather than the full pair list. */
   def fuzzyStringPairs(
       df: DataFrame,
       idCol: String,
       strCol: String,
-      maxDist: Int = 2
+      maxDist: Int = 2,
+      representativesOnly: Boolean = false
   ): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     val rows = df.select(
@@ -750,25 +784,55 @@ object Dedup {
       col(strCol).as("__s"),
       length(col(strCol)).as("__len")
     )
-    val left = rows.withColumn(
-      "__lenKey",
-      explode(sequence(col("__len") - maxDist, col("__len") + maxDist))
-    )
-    val right = rows.select(
-      col("__id").as("__id2"),
-      col("__s").as("__s2"),
-      col("__len").as("__lenKey")
-    )
-    left
-      .join(right, Seq("__lenKey"))
-      .filter(col("__id") < col("__id2"))
-      .select(
-        col("__id").as("id_a"),
-        col("__id2").as("id_b"),
-        levenshtein(col("__s"), col("__s2")).as("dist")
+    if (representativesOnly) {
+      // skinny pairing: only (lenKey, id) rides the join; strings are
+      // attached to the deduped pair list for the levenshtein verify
+      val left = rows.select(
+        col("__id"),
+        explode(sequence(col("__len") - maxDist, col("__len") + maxDist))
+          .as("__lenKey")
       )
-      .distinct()
-      .filter(col("dist") <= maxDist)
+      val mins = rows
+        .groupBy(col("__len").as("__lenKey"))
+        .agg(min("__id").as("__min"))
+      val pairs = left
+        .join(mins, Seq("__lenKey"))
+        .filter(col("__id") =!= col("__min"))
+        .select(
+          least(col("__id"), col("__min")).as("id_a"),
+          greatest(col("__id"), col("__min")).as("id_b")
+        )
+        .distinct()
+      pairs
+        .join(rows.select(col("__id").as("id_a"), col("__s").as("__sa")), Seq("id_a"))
+        .join(rows.select(col("__id").as("id_b"), col("__s").as("__sb")), Seq("id_b"))
+        .select(
+          col("id_a"),
+          col("id_b"),
+          levenshtein(col("__sa"), col("__sb")).as("dist")
+        )
+        .filter(col("dist") <= maxDist)
+    } else {
+      val left = rows.withColumn(
+        "__lenKey",
+        explode(sequence(col("__len") - maxDist, col("__len") + maxDist))
+      )
+      val right = rows.select(
+        col("__id").as("__id2"),
+        col("__s").as("__s2"),
+        col("__len").as("__lenKey")
+      )
+      left
+        .join(right, Seq("__lenKey"))
+        .filter(col("__id") < col("__id2"))
+        .select(
+          col("__id").as("id_a"),
+          col("__id2").as("id_b"),
+          levenshtein(col("__s"), col("__s2")).as("dist")
+        )
+        .distinct()
+        .filter(col("dist") <= maxDist)
+    }
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold among candidates
@@ -799,25 +863,33 @@ object Dedup {
     import graft.functions.VectorFunctions._
     require(planeSets.nonEmpty, "need at least one hyperplane bank")
     val bands = planeSets.zipWithIndex.map { case (planes, i) =>
-      concat_ws(":", lit(i), hyperplaneBucket(col(vecCol), planes))
+      concat_ws(":", lit(i), hyperplaneBucket(col("__v"), planes))
     }
-    val banded = df.select(
-      col(idCol).as("__id"),
-      col(vecCol).as("__v"),
+    // Skinny band join: only (bucket, id) rides the quadratic self-join —
+    // full vectors would otherwise be replicated twice per candidate pair
+    // AND once per discovering bank. Pair ids first, collapse bank
+    // duplicates, THEN re-attach each vector exactly once and score
+    // (the same shape as minHashCandidatePairsFromSigs).
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val banded = vecs.select(
+      col("__id"),
       explode(array(bands: _*)).as("__bucket")
     )
-    val a = banded.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("v_a"))
-    val b = banded.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("v_b"))
-    a.join(b, Seq("__bucket"))
+    val a = banded.select(col("__bucket"), col("__id").as("id_a"))
+    val b = banded.select(col("__bucket"), col("__id").as("id_b"))
+    val pairs = a
+      .join(b, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct() // banks overlap: collapse duplicate discoveries
+    pairs
+      .join(vecs.select(col("__id").as("id_a"), col("__v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("__id").as("id_b"), col("__v").as("v_b")), Seq("id_b"))
       .select(
         col("id_a"),
         col("id_b"),
         cosineSimilarityNative(col("v_a"), col("v_b")).as("cosine")
       )
-      // banks overlap: collapse duplicate discoveries (identical cosine)
-      .groupBy("id_a", "id_b")
-      .agg(min("cosine").as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -829,21 +901,29 @@ object Dedup {
       threshold: Double = 0.95
   ): DataFrame = {
     import graft.functions.VectorFunctions._
-    val bucketed = df.select(
-      col(idCol).as("__id"),
-      col(vecCol).as("__v"),
-      hyperplaneBucket(col(vecCol), planes).as("__bucket")
+    // Same skinny-pair shape as the multi-band variant: the quadratic
+    // in-bucket join carries only (bucket, id); vectors are attached to
+    // the surviving deduped pairs exactly once.
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val bucketed = vecs.select(
+      col("__id"),
+      hyperplaneBucket(col("__v"), planes).as("__bucket")
     )
-    val a = bucketed.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("v_a"))
-    val b = bucketed.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("v_b"))
-    a.join(b, Seq("__bucket"))
+    val a = bucketed.select(col("__bucket"), col("__id").as("id_a"))
+    val b = bucketed.select(col("__bucket"), col("__id").as("id_b"))
+    val pairs = a
+      .join(b, Seq("__bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    pairs
+      .join(vecs.select(col("__id").as("id_a"), col("__v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("__id").as("id_b"), col("__v").as("v_b")), Seq("id_b"))
       .select(
         col("id_a"),
         col("id_b"),
         cosineSimilarityNative(col("v_a"), col("v_b")).as("cosine")
       )
-      .distinct()
       .filter(col("cosine") >= threshold)
   }
 }

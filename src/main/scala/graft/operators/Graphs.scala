@@ -104,8 +104,10 @@ object Graphs {
     * against the (id, rank/outdeg) contribution table followed by a hash
     * aggregate on the destination — the same shuffle pattern as the
     * min-label rounds above, O(iterations) passes with `localCheckpoint`
-    * truncating lineage. The dangling-mass term costs one scalar aggregate
-    * per iteration (a driver action over the tiny label table). Fixed
+    * truncating lineage. The dangling-mass term rides INSIDE the same job
+    * as a one-row aggregate broadcast-crossJoined onto the rank update
+    * (no extra driver action per round; graphs with no dangling vertices
+    * skip even that, decided by one up-front check). Fixed
     * iteration count, not convergence-tested: ranking applications
     * (centrality features, crawl prioritization) use 3-20 iterations and a
     * deterministic cost matters more than the last decimal.
@@ -150,26 +152,29 @@ object Graphs {
 
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
-      val danglingSum =
-        if (!hasDangling) 0.0
-        else
-          ranks
-            .join(outDeg, ranks("id") === col("__osrc"), "left_anti")
-            .agg(coalesce(sum("rank"), lit(0.0)))
-            .head()
-            .getDouble(0)
       val contribs = e
         .join(ranks, e("src") === ranks("id"))
         .join(outDeg, e("src") === col("__osrc"))
         .select(e("dst").as("id"), (col("rank") / col("__outdeg")).as("__c"))
         .groupBy("id")
         .agg(sum("__c").as("__inflow"))
-      ranks = nodes
-        .join(contribs, Seq("id"), "left")
+      // dangling mass as dataflow, not a driver action: a one-row aggregate
+      // broadcast onto every rank row keeps the whole update in ONE job per
+      // iteration (the old .head() per round launched an extra job each)
+      val joined = nodes.join(contribs, Seq("id"), "left")
+      val withDangling =
+        if (!hasDangling) joined.withColumn("__dangling", lit(0.0))
+        else {
+          val dangling = ranks
+            .join(outDeg, ranks("id") === col("__osrc"), "left_anti")
+            .agg(coalesce(sum("rank"), lit(0.0)).as("__dangling"))
+          joined.crossJoin(broadcast(dangling))
+        }
+      ranks = withDangling
         .select(
           col("id"),
           (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("__inflow"), lit(0.0)) + lit(danglingSum / n)))
+            (coalesce(col("__inflow"), lit(0.0)) + col("__dangling") / lit(n)))
             .as("rank")
         )
         .localCheckpoint()

@@ -62,7 +62,7 @@ object Stats {
       valueCol: String,
       pLow: Double = 0.05,
       pHigh: Double = 0.95,
-      exact: Boolean = true
+      exact: Boolean = false
   ): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")
     require(
@@ -71,8 +71,9 @@ object Stats {
     )
     // exact `percentile` buffers every value of a group in its aggregation
     // state — fine to tens of millions of rows per group, a memory hazard
-    // at corpus scale. exact = false swaps in the mergeable
-    // percentile_approx sketch (O(accuracy) state), the 100 TB path.
+    // at corpus scale. The DEFAULT is the mergeable percentile_approx
+    // sketch (O(accuracy) state), the 100 TB path; exact = true is for
+    // engine-reproducible oracle checking at test scale.
     def pct(p: Double) =
       if (exact) expr(s"percentile($valueCol, ${p}D)")
       else expr(s"percentile_approx($valueCol, ${p}D, 10000)")
@@ -153,6 +154,16 @@ object Stats {
     * Z-scores are rounded to `scale` decimals (default 6) for cross-engine
     * reproducibility of the final division/sqrt.
     *
+    * NULL handling matches SQL aggregate semantics: each column's n is
+    * `count(col)` (nulls excluded), so a column with nulls gets unbiased
+    * moments over its non-null values and null rows standardize to NULL.
+    *
+    * `sumDecimal` is the accumulator type: the default decimal(19,4)
+    * quantizes inputs to 4 decimals and requires |x| < 1e15 (overflow
+    * yields NULL sums under non-ANSI). Widen it for finer-grained or
+    * larger-magnitude inputs — both engines of a cross-engine check must
+    * use the same width, since it changes the quantization.
+    *
     * Scale shape: ONE global aggregate produces a single stats row for all
     * columns, broadcast back via a crossJoin; the data side streams
     * through per-row arithmetic with no extra shuffle.
@@ -161,13 +172,17 @@ object Stats {
       df: DataFrame,
       cols: Seq[String],
       scale: Int = 6,
-      groupCols: Seq[String] = Nil
+      groupCols: Seq[String] = Nil,
+      sumDecimal: String = "decimal(19,4)"
   ): DataFrame = {
     require(cols.nonEmpty, "at least one column required")
     cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
-    def d(c: String) = col(c).cast("decimal(19,4)")
-    val aggCols = count(lit(1)).cast("double").as("__n") +: cols.flatMap(c =>
+    def d(c: String) = col(c).cast(sumDecimal)
+    // per-column n = count(col): sum() skips nulls, so a shared count(*)
+    // would bias the mean/stddev of any column containing nulls
+    val aggCols = cols.flatMap(c =>
       Seq(
+        count(col(c)).cast("double").as(s"__n_$c"),
         sum(d(c)).cast("double").as(s"__s_$c"),
         sum(d(c) * d(c)).cast("double").as(s"__ss_$c")
       )
@@ -184,7 +199,7 @@ object Stats {
       }
     cols
       .foldLeft(joined) { (acc, c) =>
-        val n = col("__n")
+        val n = col(s"__n_$c")
         val mean = col(s"__s_$c") / n
         // sample variance over the exact sums:
         // (sum(x^2) - sum(x)^2 / n) / (n - 1)
@@ -196,7 +211,7 @@ object Stats {
           round((col(c).cast("double") - mean) / when(std > 0, std), scale)
         )
       }
-      .drop("__n" +: cols.flatMap(c => Seq(s"__s_$c", s"__ss_$c")): _*)
+      .drop(cols.flatMap(c => Seq(s"__n_$c", s"__s_$c", s"__ss_$c")): _*)
   }
 
   /** Equal-frequency (equi-depth) binning: adds `<valueCol>_bin` in
@@ -217,14 +232,15 @@ object Stats {
       valueCol: String,
       nBins: Int,
       outCol: String = "",
-      exact: Boolean = true
+      exact: Boolean = false
   ): DataFrame = {
     require(nBins >= 2, "nBins must be >= 2")
     require(df.columns.contains(valueCol), s"no such column: $valueCol")
     val outName = if (outCol.nonEmpty) outCol else s"${valueCol}_bin"
     val pcts = (1 until nBins).map(i => i.toDouble / nBins)
     // same exact-vs-sketch tradeoff as [[winsorize]]: exact percentile
-    // state is O(rows), percentile_approx is O(accuracy) and mergeable
+    // state is O(rows) in ONE global aggregation task (the scale wall),
+    // percentile_approx is O(accuracy) and mergeable — hence the default
     val pctExpr =
       if (exact) s"percentile($valueCol, array(${pcts.mkString(", ")}))"
       else
@@ -235,7 +251,13 @@ object Stats {
     df.crossJoin(broadcast(bounds))
       .withColumn(
         outName,
-        (lit(1) + size(filter(col("__bounds"), b => col(valueCol) > b))).cast("int")
+        // NULL values get a NULL bin, not bin 1 (a null comparison inside
+        // the filter lambda would silently drop every boundary)
+        when(
+          col(valueCol).isNotNull,
+          (lit(1) + size(filter(col("__bounds"), b => col(valueCol) > b)))
+            .cast("int")
+        )
       )
       .drop("__bounds")
   }

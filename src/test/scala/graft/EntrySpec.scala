@@ -27,6 +27,29 @@ class EntrySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
 
+  test("every query is ANSI-proof: same row count with spark.sql.ansi.enabled") {
+    // Spark 4 sessions default to ANSI mode; the driver may one day run the
+    // reference surface under one. Every query must run without ANSI
+    // runtime errors (overflow/cast/div-by-zero become exceptions there)
+    // and produce the same cardinality as the legacy-mode oracle run.
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      val base = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> fn(spark, sfDir).count()
+      }
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      base.foreach { case (name, expected) =>
+        val n =
+          try SparkEntry.queries(name)(spark, sfDir).count()
+          catch {
+            case e: Throwable =>
+              fail(s"$name fails under ANSI mode: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        assert(n == expected, s"$name row count diverges under ANSI: $n vs $expected")
+      }
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("every query runs on sf0.001 and oracle coverage is complete") {
     val missingOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val extraOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -256,4 +256,25 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("bloom decontamination probes via native might_contain, not a UDF") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val heldOut = Seq((10L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = graft.operators.Decontam
+      .bloomDecontaminate(train, heldOut, "doc_id", "text", n = 3)
+    val p = out.queryExecution.executedPlan.toString
+    assert(
+      p.contains("might_contain"),
+      s"expected the native BloomFilterMightContain probe:\n$p"
+    )
+    assert(!p.contains("UDF"), s"probe must not be a Scala UDF:\n$p")
+    // (no WholeStageCodegen assertion: the AQE plan string for a tiny
+    // LocalTableScan input prints the non-final plan without codegen
+    // spans; might_contain being a native codegen'd expression — not a
+    // ScalaUDF barrier — is exactly what the two asserts above pin.)
+  }
+
 }

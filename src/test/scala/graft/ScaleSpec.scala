@@ -405,7 +405,7 @@ class ScaleSpec extends SparkSpec {
   test("winsorize clips to per-group rounded percentiles") {
     val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
     val got = graft.operators.Stats
-      .winsorize(df, Seq("grp"), "v", 0.1, 0.9)
+      .winsorize(df, Seq("grp"), "v", 0.1, 0.9, exact = true)
       .orderBy("v")
       .collect()
       .map(r => (r.getDouble(1), r.getDouble(4))) // v, v_wins
@@ -1114,12 +1114,14 @@ class ScaleSpec extends SparkSpec {
   test("winsorize and equiDepthBins approx modes stay close to exact") {
     import graft.operators.Stats
     val df = (1 to 20000).map(i => ("g", i.toDouble)).toDF("grp", "v")
-    val exactW = Stats.winsorize(df, Seq("grp"), "v")
+    val exactW = Stats.winsorize(df, Seq("grp"), "v", exact = true)
       .agg(sum("v_wins")).head().getDouble(0)
+    // exact = false IS the default (the 100 TB path); spelled out here for
+    // the exact-vs-sketch contrast
     val approxW = Stats.winsorize(df, Seq("grp"), "v", exact = false)
       .agg(sum("v_wins")).head().getDouble(0)
     assert(math.abs(exactW - approxW) / exactW < 0.01)
-    val exactB = Stats.equiDepthBins(df, "v", 4).groupBy("v_bin").count()
+    val exactB = Stats.equiDepthBins(df, "v", 4, exact = true).groupBy("v_bin").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val approxB = Stats.equiDepthBins(df, "v", 4, exact = false).groupBy("v_bin").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -1497,5 +1499,60 @@ class ScaleSpec extends SparkSpec {
       }.sum / 1e7
       assert(got((id, j)) == expected, s"id=$id dim=$j")
     }
+  }
+
+  test("mining paths: representativesOnly caps a giant cluster at O(cluster)") {
+    import graft.operators.Dedup
+    val k = 40
+    // one identical cluster: exhaustive mining is quadratic (k*(k-1)/2
+    // pairs), the representatives knob pins every pair to the bucket
+    // minimum (k-1 pairs) — the same escape the dedup paths already have
+    val docs = (1L to k).map(i => (i, "identical cluster member text"))
+      .toDF("id", "text")
+    assert(
+      Dedup.simHashCandidatePairs(docs, "id", "text").count() == k * (k - 1) / 2
+    )
+    val simReps = Dedup
+      .simHashCandidatePairs(docs, "id", "text", representativesOnly = true)
+      .collect()
+    assert(simReps.length == k - 1, s"got ${simReps.length} pairs")
+    assert(simReps.forall(r => r.getLong(0) == 1L && r.getInt(2) == 0))
+
+    val names = (1L to k).map(i => (i, "samename")).toDF("id", "name")
+    assert(
+      Dedup.fuzzyStringPairs(names, "id", "name").count() == k * (k - 1) / 2
+    )
+    val fuzzReps = Dedup
+      .fuzzyStringPairs(names, "id", "name", representativesOnly = true)
+      .collect()
+    assert(fuzzReps.length == k - 1, s"got ${fuzzReps.length} pairs")
+    assert(fuzzReps.forall(r => r.getLong(0) == 1L && r.getInt(2) == 0))
+  }
+
+  test("equiDepthBins gives NULL values a NULL bin, not bin 1") {
+    import graft.operators.Stats
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None).toDF("v")
+    val binned = Stats.equiDepthBins(df, "v", 2, exact = true)
+    assert(binned.filter(col("v").isNull).select("v_bin").head().isNullAt(0))
+    assert(binned.filter(col("v").isNotNull && col("v_bin").isNull).count() == 0)
+  }
+
+  test("standardize uses per-column non-null counts (no null bias)") {
+    import graft.operators.Stats
+    val df = Seq(
+      (1.0, Option(10.0)),
+      (2.0, Option.empty[Double]),
+      (3.0, Option(20.0))
+    ).toDF("a", "b")
+    val got = Stats.standardize(df, Seq("a", "b"))
+      .orderBy("a")
+      .collect()
+      .map(r => (r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    // a: 1,2,3 -> mean 2, sample std 1 -> z = -1, 0, 1
+    assert(got.map(_._1).toSeq == Seq(-1.0, 0.0, 1.0))
+    // b: two non-null values 10, 20 -> n=2, mean 15, std sqrt(50);
+    // a count(*)-based n=3 would bias the moments. Null rows stay null.
+    assert(got(0)._2.contains(-0.707107) && got(2)._2.contains(0.707107))
+    assert(got(1)._2.isEmpty)
   }
 }
