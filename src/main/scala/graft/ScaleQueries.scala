@@ -401,6 +401,19 @@ object ScaleQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // drop-the-losers form of q_embed_dedup_mb: survivors after removing
+    // every vector linked to a smaller id at cosine >= 0.4 (the embedding
+    // counterpart of q_dedup_minhash / q_dedup_simhash)
+    "q_embed_dedup_drop" -> ((s, dir) => {
+      Dedup
+        .dedupNearEmbedding(
+          t(s, dir, "embeddings").filter(col("vec_id") < 1000),
+          "vec_id", "embedding", AnnBanks, 0.4
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     // IVF approximate top-5 with a deterministic codebook: centroids are
     // the corpus vectors at vec_id % 64 == 0 (8 cells at sf0.01), cosine
     // assignment/probing — fully SQL-expressible, so unlike k-means IVF
@@ -1713,6 +1726,26 @@ object ScaleQueries {
          |)
          |SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM p
          |WHERE c >= 0.4 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_embed_dedup_drop" -> {
+      val bucketCols = AnnBanks.zipWithIndex
+        .map { case (planes, i) => s"${duckBucketFor(planes)} AS b$i" }
+        .mkString(", ")
+      val orCond = AnnBanks.indices.map(i => s"a.b$i = b.b$i").mkString(" OR ")
+      s"""WITH eb AS (
+         |  SELECT vec_id, embedding, $bucketCols FROM embeddings
+         |  WHERE vec_id < 1000
+         |), p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS c
+         |  FROM eb a JOIN eb b ON ($orCond) AND a.vec_id < b.vec_id
+         |), losers AS (
+         |  SELECT DISTINCT id_b FROM p WHERE c >= 0.4
+         |)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id < 1000 AND vec_id NOT IN (SELECT id_b FROM losers)
+         |ORDER BY vec_id""".stripMargin
     },
 
     "q_ann_multiband" -> {

@@ -893,6 +893,27 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Remove embedding near-duplicates: the vector-space counterpart of
+    * [[dedupNearMinHash]] / [[dedupNearSimHash]] — a row is dropped iff a
+    * multi-band candidate pair links it to a lower-id row with cosine >=
+    * threshold. Candidates come from [[embeddingDedupPairsMultiBand]]
+    * (the OR-amplified recall dial; pass one bank for single-bucket LSH),
+    * so the whole pair set is bucketed, never all-pairs; survivors are the
+    * full-width input anti-joined against the skinny loser-id set. */
+  def dedupNearEmbedding(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planeSets: Seq[Seq[Seq[Double]]],
+      threshold: Double = 0.95
+  ): DataFrame = {
+    val losers =
+      embeddingDedupPairsMultiBand(df, idCol, vecCol, planeSets, threshold)
+        .select(col("id_b").as("__loser"))
+        .distinct()
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
   def embeddingDedupPairs(
       df: DataFrame,
       idCol: String,
