@@ -414,6 +414,19 @@ object ScaleQueries {
         .orderBy("vec_id")
     }),
 
+    // transitive (SemDeDup-style) variant: one survivor per cosine-linked
+    // connected component; oracle computes reachability recursively like
+    // q_dedup_minhash_cc
+    "q_embed_dedup_cc" -> ((s, dir) => {
+      Dedup
+        .dedupNearEmbedding(
+          t(s, dir, "embeddings").filter(col("vec_id") < 1000),
+          "vec_id", "embedding", AnnBanks, 0.4, transitive = true
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     // IVF approximate top-5 with a deterministic codebook: centroids are
     // the corpus vectors at vec_id % 64 == 0 (8 cells at sf0.01), cosine
     // assignment/probing — fully SQL-expressible, so unlike k-means IVF
@@ -1745,6 +1758,37 @@ object ScaleQueries {
          |)
          |SELECT vec_id FROM embeddings
          |WHERE vec_id < 1000 AND vec_id NOT IN (SELECT id_b FROM losers)
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    "q_embed_dedup_cc" -> {
+      val bucketCols = AnnBanks.zipWithIndex
+        .map { case (planes, i) => s"${duckBucketFor(planes)} AS b$i" }
+        .mkString(", ")
+      val orCond = AnnBanks.indices.map(i => s"a.b$i = b.b$i").mkString(" OR ")
+      s"""WITH RECURSIVE eb AS (
+         |  SELECT vec_id, embedding, $bucketCols FROM embeddings
+         |  WHERE vec_id < 1000
+         |), p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS c
+         |  FROM eb a JOIN eb b ON ($orCond) AND a.vec_id < b.vec_id
+         |), e AS (
+         |  SELECT id_a AS a, id_b AS b FROM p WHERE c >= 0.4
+         |  UNION
+         |  SELECT id_b AS a, id_a AS b FROM p WHERE c >= 0.4
+         |), reach AS (
+         |  SELECT a AS src, b AS dst FROM e
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst
+         |), comp AS (
+         |  SELECT src AS id, least(src, min(dst)) AS component
+         |  FROM reach GROUP BY src
+         |), losers AS (
+         |  SELECT id FROM comp WHERE id > component
+         |)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id < 1000 AND vec_id NOT IN (SELECT id FROM losers)
          |ORDER BY vec_id""".stripMargin
     },
 

@@ -64,8 +64,25 @@ object VectorFunctions {
 
   /** Sign-bit LSH bucket for a vector under the given hyperplanes: bit p is
     * set iff `v . plane(p) > 0`, packed into an int. Deterministic given the
-    * planes; used by `Similarity.annTopK` to prune the candidate set. */
-  def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    * planes; used by `Similarity.annTopK` and the embedding dedup paths to
+    * prune the candidate set. Native codegen'd form — one loop nest over
+    * all planes instead of one interpreted HOF fold per plane (see
+    * [[hyperplaneBucketHof]] for the executable spec; results are
+    * bit-identical for non-null vectors, asserted in tests). NULL vectors
+    * yield a NULL bucket (the HOF form yields 0) — either way such rows
+    * can never produce a qualifying pair, since every downstream cosine
+    * against a NULL vector is NULL. */
+  def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.plans.HyperplaneBucketExpr(GraftSqlBridge.expression(v), planes)
+    )
+  }
+
+  /** Higher-order-function form of [[hyperplaneBucket]] — the executable
+    * spec the native expression is tested against (same role as
+    * [[cosineSimilarity]] vs [[cosineSimilarityNative]]). */
+  def hyperplaneBucketHof(v: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex
       .map { case (plane, p) =>
         when(dotProduct(v, typedlit(plane)) > 0, lit(1 << p)).otherwise(lit(0))

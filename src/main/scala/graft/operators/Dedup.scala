@@ -899,18 +899,31 @@ object Dedup {
     * threshold. Candidates come from [[embeddingDedupPairsMultiBand]]
     * (the OR-amplified recall dial; pass one bank for single-bucket LSH),
     * so the whole pair set is bucketed, never all-pairs; survivors are the
-    * full-width input anti-joined against the skinny loser-id set. */
+    * full-width input anti-joined against the skinny loser-id set.
+    * `transitive = true` upgrades to full connected-component clustering
+    * over the qualifying pairs (the SemDeDup-style semantics: one survivor
+    * — the minimum id — per cosine-linked cluster, even when endpoints
+    * share no direct pair). */
   def dedupNearEmbedding(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       planeSets: Seq[Seq[Seq[Double]]],
-      threshold: Double = 0.95
+      threshold: Double = 0.95,
+      transitive: Boolean = false
   ): DataFrame = {
-    val losers =
+    val pairs =
       embeddingDedupPairsMultiBand(df, idCol, vecCol, planeSets, threshold)
-        .select(col("id_b").as("__loser"))
-        .distinct()
+    val losers =
+      if (transitive)
+        Graphs
+          .connectedComponentsByMinLabel(
+            pairs.select("id_a", "id_b"), "id_a", "id_b"
+          )
+          .filter(col("id") > col("component"))
+          .select(col("id").as("__loser"))
+      else
+        pairs.select(col("id_b").as("__loser")).distinct()
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 

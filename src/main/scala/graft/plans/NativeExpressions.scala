@@ -150,3 +150,81 @@ case class SquaredDistanceExpr(left: Expression, right: Expression)
 
   override def prettyName: String = "squared_distance_native"
 }
+
+/** Sign-bit hyperplane LSH bucket in one codegen'd pass: bit p of the
+  * result is set iff `v . planes(p) > 0`. The HOF form evaluates one
+  * interpreted zip_with+aggregate lambda chain PER PLANE per row (a bank
+  * of 3 planes over 16 banks = 48 interpreted folds per row in the
+  * multi-band dedup path); this expression runs all planes in one tight
+  * loop nest with the plane matrix held as a constant reference object.
+  * Arithmetic contract: per plane, sequential left-to-right double
+  * accumulation over min(|v|, |plane|) elements, `> 0` sign test —
+  * bit-identical to `VectorFunctions.hyperplaneBucketHof` and to the
+  * DuckDB oracle's CASE WHEN fold. */
+case class HyperplaneBucketExpr(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression
+    with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_bucket_native expects an array<float> input, got $t"
+        )
+    }
+
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var bucket = 0
+    var p = 0
+    while (p < planeArr.length) {
+      val plane = planeArr(p)
+      val n = math.min(v.numElements(), plane.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += v.getFloat(i).toDouble * plane(i)
+        i += 1
+      }
+      if (acc > 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planeArr, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val bucket = ctx.freshName("bucket")
+      val plane = ctx.freshName("plane")
+      s"""
+         |int $bucket = 0;
+         |for (int $p = 0; $p < $planesRef.length; $p++) {
+         |  double[] $plane = $planesRef[$p];
+         |  int $n = java.lang.Math.min($v.numElements(), $plane.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $v.getFloat($i) * $plane[$i];
+         |  }
+         |  if ($acc > 0) $bucket |= (1 << $p);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_bucket_native"
+}

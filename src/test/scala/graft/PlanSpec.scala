@@ -256,6 +256,34 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("embedding band joins are skinny: no vector rides the bucket join") {
+    // the quadratic in-bucket self-join must carry only (bucket, id) —
+    // vectors are re-attached AFTER pair dedup. A regression here ships
+    // two 64-float arrays per candidate pair (once per bank) through the
+    // widest shuffle of the operator.
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.types.ArrayType
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // AQE off so the full join tree is traversable pre-execution
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Seq("q_embed_dedup", "q_embed_dedup_mb", "q_embed_dedup_drop").foreach { q =>
+        val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+        val bucketJoins = plan.collect {
+          case j: BaseJoinExec
+              if j.leftKeys.exists(_.toString.contains("__bucket")) => j
+        }
+        assert(bucketJoins.nonEmpty, s"$q: no bucket equi-join found")
+        bucketJoins.foreach { j =>
+          assert(
+            !j.output.exists(_.dataType.isInstanceOf[ArrayType]),
+            s"$q: bucket join output carries an array column:\n$j"
+          )
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("bloom decontamination probes via native might_contain, not a UDF") {
     import spark.implicits._
     val train = Seq(

@@ -227,6 +227,22 @@ class ScaleSpec extends SparkSpec {
     assert(diffs == 0, "native cosine diverged from HOF fold")
   }
 
+  test("native hyperplane bucket is bit-identical to the HOF form") {
+    import graft.functions.VectorFunctions
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val banks = Similarity.randomHyperplaneBanks(4, 5, 64)
+    banks.foreach { planes =>
+      val diffs = e
+        .select(
+          VectorFunctions.hyperplaneBucketHof(col("embedding"), planes).as("hof"),
+          VectorFunctions.hyperplaneBucket(col("embedding"), planes).as("native")
+        )
+        .filter(col("hof") =!= col("native"))
+        .count()
+      assert(diffs == 0, "native hyperplane bucket diverged from HOF fold")
+    }
+  }
+
   test("multi-band embedding dedup recalls >= 0.8 of true pairs") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val banks = Similarity.randomHyperplaneBanks(16, 3, 64)
