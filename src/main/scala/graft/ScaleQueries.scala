@@ -414,6 +414,22 @@ object ScaleQueries {
         .orderBy("vec_id")
     }),
 
+    // corpus k-NN graph: top-3 cosine neighbors per vector among
+    // multi-band LSH candidates (bounded slice for the same quadratic-
+    // result reason as q_embed_dedup_mb)
+    "q_knn_graph" -> ((s, dir) => {
+      Similarity
+        .knnGraph(
+          t(s, dir, "embeddings").filter(col("vec_id") < 300),
+          "vec_id", "embedding", AnnBanks, k = 3
+        )
+        .select(
+          col("id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank")
+        )
+        .orderBy("id", "rank")
+    }),
+
     // transitive (SemDeDup-style) variant: one survivor per cosine-linked
     // connected component; oracle computes reachability recursively like
     // q_dedup_minhash_cc
@@ -1132,6 +1148,22 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // incremental SimHash ingestion dedup: same corpus/batch split as
+    // q_dedup_incremental, signature store = 8 bytes per corpus doc
+    "q_dedup_simhash_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpusSigs = Dedup.simHashSignatures(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", portable = true
+      )
+      Dedup
+        .dedupNearSimHashIncremental(
+          docs.filter(col("doc_id") >= 250), "doc_id", "text",
+          corpusSigs, maxHamming = 3
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // exact top-2 heaviest event types per user (heavy hitters)
     "q_heavy_hitters" -> ((s, dir) => {
       TopN
@@ -1677,6 +1709,52 @@ object ScaleQueries {
          |WHERE doc_id NOT IN (SELECT ib FROM losers)
          |ORDER BY doc_id""".stripMargin,
 
+    // incremental SimHash: corpus sigs (doc_id < 250) vs batch (>= 250);
+    // losers = exact-vs-corpus UNION quarter-bucket-min-vs-corpus UNION
+    // the two in-batch passes — mirrors Dedup.dedupNearSimHashIncremental
+    "q_dedup_simhash_incremental" ->
+      s"""WITH ${duckSimHashSig("")}, cs AS (
+         |  SELECT doc_id, simhash FROM sh WHERE doc_id < 250
+         |), bs AS (
+         |  SELECT doc_id, simhash FROM sh WHERE doc_id >= 250
+         |), cb AS (
+         |  SELECT doc_id, simhash,
+         |         CAST(q AS VARCHAR) || ':' ||
+         |           CAST(((simhash >> (q*16)) & 65535) AS VARCHAR) AS band
+         |  FROM cs, range(0, 4) t(q)
+         |), cmn AS (
+         |  SELECT band, min(doc_id) AS cid FROM cb GROUP BY band
+         |), bb AS (
+         |  SELECT doc_id, simhash,
+         |         CAST(q AS VARCHAR) || ':' ||
+         |           CAST(((simhash >> (q*16)) & 65535) AS VARCHAR) AS band
+         |  FROM bs, range(0, 4) t(q)
+         |), exc AS (
+         |  SELECT b.doc_id FROM bs b JOIN cs c ON b.simhash = c.simhash
+         |), nvc AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM bb b JOIN cmn m ON b.band = m.band
+         |  JOIN cs c ON c.doc_id = m.cid
+         |  WHERE bit_count(xor(b.simhash, c.simhash)) <= 3
+         |), exb AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, min(doc_id) OVER (PARTITION BY simhash) AS smin
+         |    FROM bs
+         |  ) WHERE doc_id > smin
+         |), bmn AS (
+         |  SELECT band, min(doc_id) AS bmin FROM bb GROUP BY band
+         |), nb AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM bb b JOIN bmn m ON b.band = m.band AND b.doc_id > m.bmin
+         |  JOIN bs x ON x.doc_id = m.bmin
+         |  WHERE bit_count(xor(x.simhash, b.simhash)) <= 3
+         |)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id >= 250 AND doc_id NOT IN (
+         |  SELECT doc_id FROM exc UNION SELECT doc_id FROM nvc
+         |  UNION SELECT doc_id FROM exb UNION SELECT doc_id FROM nb)
+         |ORDER BY doc_id""".stripMargin,
+
     "q_embed_dedup" ->
       s"""WITH eb AS (
          |  SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings
@@ -1759,6 +1837,27 @@ object ScaleQueries {
          |SELECT vec_id FROM embeddings
          |WHERE vec_id < 1000 AND vec_id NOT IN (SELECT id_b FROM losers)
          |ORDER BY vec_id""".stripMargin
+    },
+
+    "q_knn_graph" -> {
+      val bucketCols = AnnBanks.zipWithIndex
+        .map { case (planes, i) => s"${duckBucketFor(planes)} AS b$i" }
+        .mkString(", ")
+      val orCond = AnnBanks.indices.map(i => s"a.b$i = b.b$i").mkString(" OR ")
+      s"""WITH eb AS (
+         |  SELECT vec_id, embedding, $bucketCols FROM embeddings
+         |  WHERE vec_id < 300
+         |), s AS (
+         |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS c
+         |  FROM eb a JOIN eb b ON ($orCond) AND a.vec_id <> b.vec_id
+         |), r AS (
+         |  SELECT id, neighbor_id, c,
+         |         ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, neighbor_id) AS rn
+         |  FROM s
+         |)
+         |SELECT id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rn AS INT) AS rank
+         |FROM r WHERE rn <= 3 ORDER BY id, rank""".stripMargin
     },
 
     "q_embed_dedup_cc" -> {

@@ -409,6 +409,18 @@ object Dedup {
     votes.select(col("__id").as(idCol), assembled.as("simhash"))
   }
 
+  /** The four 16-bit quarter band keys of a 64-bit SimHash — pigeonhole
+    * bucketing: any pair within hamming distance 3 agrees on at least one
+    * quarter. Shared by the pair-mining, dedup, and incremental paths. */
+  private def simHashQuarterBands(sig: Column): Column =
+    array((0 until 4).map { q =>
+      concat_ws(
+        ":",
+        lit(q),
+        shiftright(sig, q * 16).bitwiseAND(lit(0xffffL))
+      )
+    }: _*)
+
   /** Near-duplicate pairs by SimHash: bucket on 16-bit quarters (a pair
     * within hamming distance 3 of 64 bits must agree on at least one
     * quarter — pigeonhole over 4 quarters), then verify hamming <=
@@ -435,15 +447,7 @@ object Dedup {
       .select(col(idCol).as("__id"), col("simhash"))
     val banded = sigs.withColumn(
       "__band",
-      explode(
-        array((0 until 4).map { q =>
-          concat_ws(
-            ":",
-            lit(q),
-            shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xffffL))
-          )
-        }: _*)
-      )
+      explode(simHashQuarterBands(col("simhash")))
     )
     // skinny pairing (only (band, id) rides the join), signatures attached
     // to the surviving deduped pairs — same shape as the MinHash and
@@ -517,15 +521,7 @@ object Dedup {
 
     val banded = sigs.withColumn(
       "__band",
-      explode(
-        array((0 until 4).map { q =>
-          concat_ws(
-            ":",
-            lit(q),
-            shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xffffL))
-          )
-        }: _*)
-      )
+      explode(simHashQuarterBands(col("simhash")))
     )
     val bandMins = banded.groupBy("__band").agg(min("__id").as("__minId"))
     val repPairs = banded
@@ -553,6 +549,95 @@ object Dedup {
     losers.count() // one pass over the cached signatures builds the loser set
     sigs.unpersist(blocking = false)
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
+  /** Incremental SimHash dedup: clean a NEW batch against an EXISTING
+    * corpus using only the corpus's stored (id, simhash) signature table —
+    * the SimHash counterpart of [[dedupNearMinHashIncremental]], with the
+    * same production ingestion shape: ONE scan of the batch text plus
+    * skinny 2-column joins against the signature store (8 bytes per corpus
+    * doc); the accepted corpus text is never re-read. `corpusSigs` is the
+    * output of [[simHashSignatures]] from previous runs with the same
+    * `idCol` name; batch ids must be disjoint from corpus ids.
+    *
+    * A batch row is dropped iff:
+    *   (a) its 64-bit signature equals some corpus signature (certain dup),
+    *   (b) a 16-bit quarter bucket links it to the MINIMUM corpus id of
+    *       that bucket within `maxHamming` (bucket-min representative
+    *       pairing — O(4) corpus probes per batch doc), or
+    *   (c) it duplicates an earlier batch row (identical-signature +
+    *       quarter-bucket-min in-batch passes, as in [[dedupNearSimHash]]).
+    * To update the store, append `simHashSignatures(kept, ...)` after the
+    * run. EAGER like the other dedup operators, for the same
+    * multiple-consumer reason.
+    */
+  def dedupNearSimHashIncremental(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusSigs: DataFrame,
+      maxHamming: Int = 3,
+      portable: Boolean = true
+  ): DataFrame = {
+    val batchSigs = simHashSignatures(newDocs, idCol, textCol, portable)
+      .select(col(idCol).as("__id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus =
+      corpusSigs.select(col(idCol).as("__cid"), col("simhash").as("__csim"))
+
+    // (a) exact vs corpus: semi join on the full 64-bit signature
+    val exactVsCorpus = batchSigs
+      .join(corpus.select(col("__csim").as("simhash")), Seq("simhash"), "left_semi")
+      .select(col("__id").as("__loser"))
+
+    // (b) quarter-banded vs corpus: batch doc pairs with the minimum
+    // corpus id of each shared bucket, verified within maxHamming
+    val corpusMins = corpus
+      .select(col("__cid"), explode(simHashQuarterBands(col("__csim"))).as("__band"))
+      .groupBy("__band")
+      .agg(min("__cid").as("__cid"))
+    val nearVsCorpus = batchSigs
+      .select(
+        col("__id"), col("simhash"),
+        explode(simHashQuarterBands(col("simhash"))).as("__band")
+      )
+      .join(corpusMins, Seq("__band"))
+      .select("__id", "simhash", "__cid")
+      .distinct()
+      .join(corpus, Seq("__cid"))
+      .filter(hammingDistance(col("simhash"), col("__csim")) <= maxHamming)
+      .select(col("__id").as("__loser"))
+
+    // (c) in-batch: identical-signature pass + quarter-bucket-min pairs
+    val simMins = batchSigs.groupBy("simhash").agg(min("__id").as("__min"))
+    val exactInBatch = batchSigs
+      .join(simMins, Seq("simhash"))
+      .filter(col("__id") > col("__min"))
+      .select(col("__id").as("__loser"))
+    val bandedBatch = batchSigs.select(
+      col("__id"),
+      explode(simHashQuarterBands(col("simhash"))).as("__band")
+    )
+    val bandMins = bandedBatch.groupBy("__band").agg(min("__id").as("__minId"))
+    val nearInBatch = bandedBatch
+      .join(bandMins, Seq("__band"))
+      .filter(col("__id") > col("__minId"))
+      .select(col("__minId").as("id_a"), col("__id").as("id_b"))
+      .distinct()
+      .join(batchSigs.select(col("__id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .join(batchSigs.select(col("__id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+      .filter(hammingDistance(col("sh_a"), col("sh_b")) <= maxHamming)
+      .select(col("id_b").as("__loser"))
+
+    val losers = exactVsCorpus
+      .union(nearVsCorpus)
+      .union(exactInBatch)
+      .union(nearInBatch)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    losers.count()
+    batchSigs.unpersist(blocking = false)
+    newDocs.join(losers, newDocs(idCol) === col("__loser"), "left_anti")
   }
 
   /** One-row content-overlap report between two corpora (train vs eval,

@@ -291,6 +291,69 @@ object Similarity {
     )
   }
 
+  /** k-NN graph over ONE corpus: for every vector, its top-k cosine
+    * neighbors among the multi-band LSH candidates (vectors sharing at
+    * least one bank bucket). The building block of SemDeDup-style semantic
+    * clustering, graph-based diversity sampling, and label propagation —
+    * the corpus-vs-corpus sibling of [[annTopKMultiBand]], where neither
+    * side is broadcastable.
+    *
+    * Scale shape: the same skinny band join as
+    * `Dedup.embeddingDedupPairsMultiBand` — only (bucket, id) rides the
+    * quadratic self-join, bank-duplicate DIRECTED pairs collapse before
+    * vectors are attached and scored once, and the per-source top-k is a
+    * WindowGroupLimit (size-k heaps, no full sort of the candidate
+    * table). Recall per neighbor follows the 1 - (1 - m^p)^B OR-bank
+    * formula; size banks like the dedup path.
+    *
+    * @return (id, neighbor_id, cosine, rank) — rank 1..k per id, self
+    *         excluded, ties broken by neighbor id
+    */
+  def knnGraph(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planeSets: Seq[Seq[Seq[Double]]],
+      k: Int
+  ): DataFrame = {
+    require(planeSets.nonEmpty, "need at least one hyperplane bank")
+    require(k >= 1, "k must be >= 1")
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val bands = planeSets.zipWithIndex.map { case (planes, i) =>
+      concat_ws(":", lit(i), hyperplaneBucket(col("__v"), planes))
+    }
+    val banded = vecs.select(
+      col("__id"),
+      explode(array(bands: _*)).as("__bucket")
+    )
+    val a = banded.select(col("__bucket"), col("__id").as("id"))
+    val b = banded.select(col("__bucket"), col("__id").as("neighbor_id"))
+    val pairs = a
+      .join(b, Seq("__bucket"))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select("id", "neighbor_id")
+      .distinct()
+    val scored = pairs
+      .join(vecs.select(col("__id").as("id"), col("__v").as("__va")), Seq("id"))
+      .join(
+        vecs.select(col("__id").as("neighbor_id"), col("__v").as("__vb")),
+        Seq("neighbor_id")
+      )
+      .select(
+        col("id"),
+        col("neighbor_id"),
+        cosineSimilarityNative(col("__va"), col("__vb")).as("cosine")
+      )
+    TopN.firstRow(
+      scored,
+      n = k,
+      partitionBy = Seq(col("id")),
+      orderBy = Seq(col("cosine").desc, col("neighbor_id")),
+      returnIndexColumn = true,
+      indexColumnName = "rank"
+    )
+  }
+
   /** Johnson–Lindenstrauss random projection of an embedding column to
     * `outDims` dimensions, in LONG format `(id, dim, value)` with
     * `value_j = sum_i emb[i] * sign(i, j)` and ±1 signs from md5 parity of
