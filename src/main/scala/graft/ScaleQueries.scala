@@ -505,6 +505,18 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-rule quality flags (minTokens lowered to 20 so the synthetic
+    // docs, mostly 20-60 tokens, exercise both sides of every rule)
+    "q_gopher" -> ((s, dir) => {
+      TextAnalysis
+        .gopherQualityFlags(t(s, dir, "documents"), "text", minTokens = 20)
+        .select(
+          "doc_id", "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+          "alpha_ratio_ok", "stopword_ok", "gopher_keep"
+        )
+        .orderBy("doc_id")
+    }),
+
     // token counting (whitespace + BPE-ish regex)
     "q_token_counts" -> ((s, dir) => {
       TextAnalysis
@@ -1955,6 +1967,36 @@ object ScaleQueries {
          |         (CASE WHEN n_tokens >= 20 AND n_tokens <= 2000 THEN 0.5 ELSE 0.2 END) +
          |         (CASE WHEN punct_count = 0 THEN 0.1 ELSE 0.0 END)), 6) AS quality
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q_gopher" -> {
+      val en = TextAnalysis.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH m AS (
+         |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks,
+         |         length(text) AS nc
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id,
+         |    len(toks) AS n,
+         |    CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) AS meanlen,
+         |    CAST((nc - length(replace(text, '#', ''))) +
+         |         (nc - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+         |      / len(toks) AS symratio,
+         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+         |      / len(toks) AS alphafrac,
+         |    len(list_filter([$en], w -> list_contains(toks, w))) AS stops
+         |  FROM m
+         |)
+         |SELECT doc_id,
+         |  n BETWEEN 20 AND 100000 AS word_count_ok,
+         |  meanlen BETWEEN 3.0 AND 10.0 AS mean_word_len_ok,
+         |  symratio <= 0.1 AS symbol_ratio_ok,
+         |  alphafrac >= 0.8 AS alpha_ratio_ok,
+         |  stops >= 2 AS stopword_ok,
+         |  (n BETWEEN 20 AND 100000) AND (meanlen BETWEEN 3.0 AND 10.0)
+         |    AND symratio <= 0.1 AND alphafrac >= 0.8 AND stops >= 2
+         |    AS gopher_keep
+         |FROM f ORDER BY doc_id""".stripMargin
     },
 
     "q_token_counts" ->

@@ -72,6 +72,70 @@ object TextAnalysis {
       )
   }
 
+  /** Gopher-style quality rule battery (Rae et al. 2021, Appendix A —
+    * the widely reproduced heuristic filter set), simplified to
+    * whitespace tokens so every rule is a per-row codegen'd expression
+    * with an exact SQL oracle. Adds one boolean flag per rule plus
+    * `gopher_keep` (AND of all flags); rows are FLAGGED, not dropped —
+    * filter on `gopher_keep` to apply. NULL text yields NULL flags.
+    *
+    *  - `word_count_ok`:    minTokens <= token count <= maxTokens
+    *  - `mean_word_len_ok`: mean token length in [minMeanWordLen,
+    *                        maxMeanWordLen]
+    *  - `symbol_ratio_ok`:  ('#' chars + '...' occurrences) / tokens
+    *                        <= maxSymbolRatio
+    *  - `alpha_ratio_ok`:   fraction of tokens containing a letter
+    *                        >= minAlphaFrac
+    *  - `stopword_ok`:      at least minStopwords distinct marker
+    *                        stopwords present
+    *
+    * Defaults are the paper's thresholds. Pure per-row arithmetic — no
+    * shuffle, no UDFs; at 100 TB this is a single codegen'd map over the
+    * scan. */
+  def gopherQualityFlags(
+      df: DataFrame,
+      textCol: String,
+      minTokens: Int = 50,
+      maxTokens: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2
+  ): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val n = size(toks)
+    val nChars = length(text)
+    // whitespace tokens: total token chars = chars minus the n-1 spaces
+    val meanLen = (nChars - (n - lit(1))).cast("double") / n
+    val hashes = nChars - length(replace(text, lit("#"), lit("")))
+    val ellipses = (nChars - length(replace(text, lit("..."), lit("")))) / lit(3)
+    val symRatio = (hashes + ellipses).cast("double") / n
+    val alphaFrac =
+      size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n
+    val stopsPresent = size(
+      filter(
+        typedlit(LangMarkers.head._2),
+        w => array_contains(toks, w)
+      )
+    )
+    df.withColumn("word_count_ok", n.between(minTokens, maxTokens))
+      .withColumn(
+        "mean_word_len_ok",
+        meanLen.between(minMeanWordLen, maxMeanWordLen)
+      )
+      .withColumn("symbol_ratio_ok", symRatio <= maxSymbolRatio)
+      .withColumn("alpha_ratio_ok", alphaFrac >= minAlphaFrac)
+      .withColumn("stopword_ok", stopsPresent >= minStopwords)
+      .withColumn(
+        "gopher_keep",
+        col("word_count_ok") && col("mean_word_len_ok") &&
+          col("symbol_ratio_ok") && col("alpha_ratio_ok") &&
+          col("stopword_ok")
+      )
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single other chars). */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame = {

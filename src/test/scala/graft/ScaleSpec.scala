@@ -1553,6 +1553,48 @@ class ScaleSpec extends SparkSpec {
     assert(binned.filter(col("v").isNotNull && col("v_bin").isNull).count() == 0)
   }
 
+  test("gopherQualityFlags trips each rule independently") {
+    import graft.operators.TextAnalysis
+    val good = "the and quick brown foxes jumped over lazy dogs while " +
+      "seven wizards brewed strong coffee during rainy autumn evenings " +
+      "near quiet rivers flowing south" // 24 tokens, 2 stopwords, clean
+    val docs = Seq(
+      (1L, good),                                        // all rules pass
+      (2L, "the and tiny"),                              // word count < 20
+      (3L, ("abcdefghijklmnop " * 25).trim),             // mean len 16 > 10
+      (4L, good + " ab#cd ef#gh ij#kl"),                 // 3 '#' / 27 > 0.1
+      (5L, good + " 111 222 333 444 555 666 777"),       // alpha 24/31 < 0.8
+      (6L, good.split(" ").drop(2).mkString(" ") +       // no stopwords,
+        " tomorrow yesterday morning evening")           // still >= 20 toks
+    ).toDF("doc_id", "text")
+    val flags = Seq(
+      "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+      "alpha_ratio_ok", "stopword_ok"
+    )
+    val got = TextAnalysis
+      .gopherQualityFlags(docs, "text", minTokens = 20)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (flags.map(f => f -> r.getAs[Boolean](f)).toMap, r.getAs[Boolean]("gopher_keep")))
+      .toMap
+    val expectedFalse = Map(
+      1L -> Set.empty[String],
+      2L -> Set("word_count_ok"),
+      3L -> Set("mean_word_len_ok", "stopword_ok"),
+      4L -> Set("symbol_ratio_ok"),
+      5L -> Set("alpha_ratio_ok"),
+      6L -> Set("stopword_ok")
+    )
+    expectedFalse.foreach { case (id, falseSet) =>
+      val (fl, keep) = got(id)
+      flags.foreach { f =>
+        assert(fl(f) == !falseSet.contains(f), s"doc $id flag $f")
+      }
+      assert(keep == falseSet.isEmpty, s"doc $id gopher_keep")
+    }
+  }
+
   test("standardize uses per-column non-null counts (no null bias)") {
     import graft.operators.Stats
     val df = Seq(
