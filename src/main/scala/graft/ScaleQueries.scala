@@ -674,6 +674,17 @@ object ScaleQueries {
         .orderBy("l_returnflag")
     }),
 
+    // pairwise correlation matrix from exact decimal sums (one streaming
+    // aggregate for all pairs; engine-exact unlike native corr())
+    "q_corr_matrix" -> ((s, dir) => {
+      Stats
+        .correlationMatrix(
+          t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount")
+        )
+        .orderBy("col_a", "col_b")
+    }),
+
     // gap sessionization (30 min)
     "q_sessionize" -> ((s, dir) => {
       Sessionize
@@ -2111,6 +2122,39 @@ object ScaleQueries {
         |       COALESCE(c.n, 0) AS n_events
         |FROM ab LEFT JOIN c ON c.user_id = ab.user_id AND c.b = ab.b
         |ORDER BY ab.user_id, bucket_start""".stripMargin,
+
+    "q_corr_matrix" ->
+      """WITH st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS s_q,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS s_e,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS s_d,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS s_qq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS s_ee,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS s_dd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS s_qe,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS s_qd,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS s_ed
+        |  FROM lineitem
+        |)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |         CAST(n AS BIGINT) AS n,
+        |         ROUND((n*s_qe - s_q*s_e)
+        |               / sqrt((n*s_qq - s_q*s_q)*(n*s_ee - s_e*s_e)), 6) AS corr
+        |  FROM st
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+        |         ROUND((n*s_qd - s_q*s_d)
+        |               / sqrt((n*s_qq - s_q*s_q)*(n*s_dd - s_d*s_d)), 6)
+        |  FROM st
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+        |         ROUND((n*s_ed - s_e*s_d)
+        |               / sqrt((n*s_ee - s_e*s_e)*(n*s_dd - s_d*s_d)), 6)
+        |  FROM st
+        |)
+        |ORDER BY col_a, col_b""".stripMargin,
 
     "q_stats_moments" ->
       """SELECT l_returnflag,

@@ -214,6 +214,66 @@ object Stats {
       .drop(cols.flatMap(c => Seq(s"__n_$c", s"__s_$c", s"__ss_$c")): _*)
   }
 
+  /** Pairwise Pearson correlation matrix in LONG format: one row
+    * (col_a, col_b, n, corr) per unordered column pair, computed from
+    * EXACT decimal sums like [[standardize]] (sum, sum-of-squares and
+    * cross-sum accumulate in DECIMAL — order-independent and
+    * engine-exact — then one double formula per pair):
+    * corr = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2)).
+    * Pairwise-complete null handling: each pair's sums cover only rows
+    * where BOTH columns are non-null. Constant columns yield NULL.
+    *
+    * Scale shape: ONE global aggregate computes all k(k-1)/2 pairs' six
+    * sums in a single streaming pass (map-side combined); the long-format
+    * explode happens on the single result row. `sumDecimal` has the same
+    * quantization/range contract as [[standardize]].
+    */
+  def correlationMatrix(
+      df: DataFrame,
+      cols: Seq[String],
+      scale: Int = 6,
+      sumDecimal: String = "decimal(19,4)"
+  ): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    cols.foreach(c => require(df.columns.contains(c), s"no such column: $c"))
+    def d(c: String) = col(c).cast(sumDecimal)
+    val pairs = for {
+      i <- cols.indices
+      j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggCols = pairs.flatMap { case (a, b) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      Seq(
+        sum(when(both, 1L)).cast("double").as(s"__n_${a}_$b"),
+        sum(when(both, d(a))).cast("double").as(s"__sx_${a}_$b"),
+        sum(when(both, d(b))).cast("double").as(s"__sy_${a}_$b"),
+        sum(when(both, d(a) * d(a))).cast("double").as(s"__sxx_${a}_$b"),
+        sum(when(both, d(b) * d(b))).cast("double").as(s"__syy_${a}_$b"),
+        sum(when(both, d(a) * d(b))).cast("double").as(s"__sxy_${a}_$b")
+      )
+    }
+    val agg = df.agg(aggCols.head, aggCols.tail: _*)
+    val entries = array(pairs.map { case (a, b) =>
+      val n = col(s"__n_${a}_$b")
+      val sx = col(s"__sx_${a}_$b")
+      val sy = col(s"__sy_${a}_$b")
+      val sxx = col(s"__sxx_${a}_$b")
+      val syy = col(s"__syy_${a}_$b")
+      val sxy = col(s"__sxy_${a}_$b")
+      val num = n * sxy - sx * sy
+      val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      struct(
+        lit(a).as("col_a"),
+        lit(b).as("col_b"),
+        n.cast("long").as("n"),
+        round(num / when(den > 0, den), scale).as("corr")
+      )
+    }: _*)
+    agg
+      .select(explode(entries).as("__p"))
+      .select(col("__p.col_a"), col("__p.col_b"), col("__p.n"), col("__p.corr"))
+  }
+
   /** Equal-frequency (equi-depth) binning: adds `<valueCol>_bin` in
     * 1..nBins where bin boundaries are the exact 1/n..(n-1)/n percentiles
     * (linear interpolation, rounded to 6 decimals like [[winsorize]] so

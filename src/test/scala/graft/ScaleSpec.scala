@@ -1595,6 +1595,30 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("correlationMatrix is pairwise-complete and exact on known data") {
+    import graft.operators.Stats
+    val df = Seq(
+      (1.0, Option(2.0), Option(1.0)),
+      (2.0, Option(4.0), Option.empty[Double]),
+      (3.0, Option(6.0), Option(3.0)),
+      (4.0, Option.empty[Double], Option(4.0))
+    ).toDF("a", "b", "c")
+    val got = Stats
+      .correlationMatrix(df, Seq("a", "b", "c"))
+      .orderBy("col_a", "col_b")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // each pair sees only its own complete rows; all three are perfectly
+    // linear on those rows, so corr = 1 but the n's differ per pair
+    assert(got(("a", "b")) == ((3L, 1.0)))
+    assert(got(("a", "c")) == ((3L, 1.0)))
+    assert(got(("b", "c")) == ((2L, 1.0)))
+    intercept[IllegalArgumentException] {
+      Stats.correlationMatrix(df, Seq("a"))
+    }
+  }
+
   test("standardize uses per-column non-null counts (no null bias)") {
     import graft.operators.Stats
     val df = Seq(
