@@ -852,6 +852,34 @@ object ScaleQueries {
         .orderBy("l_returnflag")
     }),
 
+    // TPC-H Q14-flavoured part-type revenue share: the part dim broadcasts
+    // onto the fact scan, and the one-row grand total broadcasts back for
+    // the share — one fact pass, no second scan, no global sort
+    "q14_type_share" -> ((s, dir) => {
+      val part = t(s, dir, "part").select("p_partkey", "p_type")
+      val rev = t(s, dir, "lineitem")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+          sum(
+            col("l_extendedprice").cast("decimal(12,2)") *
+              (lit(1.0).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+          ).as("__rev"),
+          count(lit(1)).as("n")
+        )
+      val total = rev.agg(sum("__rev").as("__tot"))
+      rev
+        .crossJoin(broadcast(total))
+        .select(
+          col("p_type"),
+          col("__rev").cast("double").as("revenue"),
+          col("n"),
+          round(col("__rev").cast("double") / col("__tot").cast("double"), 6)
+            .as("share")
+        )
+        .orderBy("p_type")
+    }),
+
     // TPC-H Q7-style nation-pair shipping volume: nation dims filter FIRST
     // (broadcast), so the fact join only carries the two nations' rows
     "q7_nation_volume" -> ((s, dir) => {
@@ -2361,6 +2389,21 @@ object ScaleQueries {
         |             4) AS avg_wins
         |FROM lineitem l JOIN bounds USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_type_share" ->
+      """WITH r AS (
+        |  SELECT p_type,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |             (CAST(1.0 AS DECIMAL(4,2)) -
+        |              CAST(l_discount AS DECIMAL(4,2)))) AS rev,
+        |         count(*) AS n
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1
+        |)
+        |SELECT p_type, CAST(rev AS DOUBLE) AS revenue, n,
+        |       ROUND(CAST(rev AS DOUBLE)
+        |             / CAST((SELECT SUM(rev) FROM r) AS DOUBLE), 6) AS share
+        |FROM r ORDER BY p_type""".stripMargin,
 
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

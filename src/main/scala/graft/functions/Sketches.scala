@@ -72,4 +72,73 @@ object Sketches {
     * (value -> approximate count) counters. */
   def mgSketch(column: Column, capacity: Int): Column =
     udaf(new MisraGries(capacity), Encoders.STRING).apply(column)
+
+  /** Count-Min sketch over string values: a depth x width counter matrix
+    * (flattened row-major into one Array[Long] — primitive-array product
+    * encoder, no Kryo). Each value increments one cell per row, chosen by
+    * that row's hash; `estimate = min over rows of the value's cell`.
+    * Guarantees (hold after arbitrary merges — the buffer merge is
+    * cell-wise addition, so partial sketches combine map-side):
+    * NEVER underestimates, and with probability >= 1 - 2^-depth
+    * overestimates by at most 2n/width. The point-frequency complement of
+    * [[MisraGries]] (which keeps only the survivors): use Count-Min when
+    * arbitrary values must be queryable after one pass. */
+  class CountMin(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
+    require(width >= 8, "width must be >= 8")
+
+    def zero: Array[Long] = new Array[Long](depth * width)
+
+    def reduce(b: Array[Long], v: String): Array[Long] = {
+      if (v != null) {
+        var r = 0
+        while (r < depth) {
+          b(r * width + CountMin.cell(v, r, width)) += 1L
+          r += 1
+        }
+      }
+      b
+    }
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    def finish(b: Array[Long]): Array[Long] = b
+
+    def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
+  object CountMin {
+    /** Row r's cell index for value v — deterministic across JVMs
+      * (MurmurHash3 of the string with the row as seed). */
+    def cell(v: String, row: Int, width: Int): Int = {
+      val h = scala.util.hashing.MurmurHash3.stringHash(v, row)
+      ((h % width) + width) % width
+    }
+
+    /** Point-frequency estimate from a finished sketch. */
+    def estimate(sketch: Array[Long], depth: Int, width: Int, v: String): Long = {
+      require(sketch.length == depth * width, "sketch shape mismatch")
+      var best = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val c = sketch(r * width + cell(v, r, width))
+        if (c < best) best = c
+        r += 1
+      }
+      best
+    }
+  }
+
+  /** Column form: aggregates to the flattened depth x width counter
+    * array; query with [[CountMin.estimate]]. */
+  def cmSketch(column: Column, depth: Int, width: Int): Column =
+    udaf(new CountMin(depth, width), Encoders.STRING).apply(column)
 }

@@ -267,7 +267,7 @@ class PlanSpec extends SparkSpec {
     try {
       // AQE off so the full join tree is traversable pre-execution
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      Seq("q_embed_dedup", "q_embed_dedup_mb", "q_embed_dedup_drop").foreach { q =>
+      Seq("q_embed_dedup", "q_embed_dedup_mb", "q_embed_dedup_drop", "q_knn_graph").foreach { q =>
         val plan = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
         val bucketJoins = plan.collect {
           case j: BaseJoinExec
@@ -282,6 +282,13 @@ class PlanSpec extends SparkSpec {
         }
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("knn graph top-k uses WindowGroupLimit") {
+    assert(
+      plan("q_knn_graph").contains("WindowGroupLimit"),
+      "per-source top-k must prune with size-k heaps"
+    )
   }
 
   test("bloom decontamination probes via native might_contain, not a UDF") {

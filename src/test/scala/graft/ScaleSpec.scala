@@ -1553,6 +1553,33 @@ class ScaleSpec extends SparkSpec {
     assert(binned.filter(col("v").isNotNull && col("v_bin").isNull).count() == 0)
   }
 
+  test("Count-Min sketch never underestimates and is partitioning-independent") {
+    import graft.functions.Sketches
+    val values = Seq.fill(400)("hot") ++
+      (1 to 20).flatMap(i => Seq.fill(30)(s"mid$i")) ++
+      (1 to 100).map(i => s"rare$i")
+    val truth = values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = values.size
+    val depth = 4
+    val width = 256
+    def sketchOf(parts: Int): Array[Long] = values
+      .toDF("v")
+      .repartition(parts)
+      .agg(Sketches.cmSketch(col("v"), depth, width).as("sk"))
+      .head()
+      .getAs[scala.collection.Seq[Long]](0)
+      .toArray
+    val sk = sketchOf(13)
+    // cell-wise merge: the finished sketch is identical however the rows
+    // were partitioned
+    assert(sk.sameElements(sketchOf(1)), "sketch must be partitioning-independent")
+    truth.foreach { case (v, c) =>
+      val est = Sketches.CountMin.estimate(sk, depth, width, v)
+      assert(est >= c, s"Count-Min underestimated $v: $est < $c")
+      assert(est <= c + 4L * n / width, s"excess too large for $v: $est vs $c")
+    }
+  }
+
   test("gopherQualityFlags trips each rule independently") {
     import graft.operators.TextAnalysis
     val good = "the and quick brown foxes jumped over lazy dogs while " +
