@@ -1268,6 +1268,52 @@ object ScaleQueries {
           "doc_id", "split", "quality", "n_tokens", "block_id", "block_offset"
         )
         .orderBy("doc_id")
+    }),
+
+    // BM25 relevance of the whole corpus against a fixed query-term set:
+    // 'dup' is rare (high idf), 'spark' ubiquitous (low idf), 'shuffle'
+    // absent (exercises the no-match arm); score 0 for non-matching docs
+    "q_bm25" -> ((s, dir) => {
+      TextAnalysis
+        .bm25Scores(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "shuffle", "dup"), k1 = 1.2, b = 0.75
+        )
+        .orderBy("doc_id")
+    }),
+
+    // cross-document boilerplate removal at word granularity: units in
+    // >100 distinct docs are corpus chrome; only the rare 'dup' marker
+    // survives, and all-boilerplate docs come back as empty strings
+    "q_boilerplate" -> ((s, dir) => {
+      TextAnalysis
+        .stripBoilerplate(
+          t(s, dir, "documents"), "doc_id", "text",
+          maxDocs = 100, delimiter = " "
+        )
+        .orderBy("doc_id")
+    }),
+
+    // temperature-flattened language mixture (alpha = 0.5) plus its
+    // deterministic realization: per-language shares, the repeat weight,
+    // and the post-mixture row count from weightedRepeatByTable
+    "q_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mix = Splits.temperatureMixture(docs, "lang", alpha = 0.5)
+      val applied = Splits.weightedRepeatByTable(
+        docs, "doc_id", "lang", mix, weightStrataCol = "source"
+      )
+      val after =
+        applied.groupBy(col("lang")).agg(count(lit(1)).as("n_after"))
+      mix
+        .withColumnRenamed("source", "lang")
+        .join(after, Seq("lang"), "left")
+        .select(
+          col("lang"), col("n_rows"), col("natural_share"),
+          col("temp_share"), col("weight"),
+          coalesce(col("n_after"), lit(0L)).as("n_after")
+        )
+        .orderBy("lang")
     })
   )
 
@@ -2847,6 +2893,107 @@ object ScaleQueries {
          |)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT doc_id FROM losers)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), d AS (
+        |  SELECT doc_id, len(toks) AS dl FROM docs
+        |), st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM d
+        |), m AS (
+        |  SELECT doc_id, term
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+        |  WHERE term IN ('spark', 'shuffle', 'dup')
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM m GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM m GROUP BY 1
+        |), per AS (
+        |  SELECT tf.doc_id,
+        |         CAST(ROUND(
+        |           ln(1.0 + ((SELECT n FROM st) - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |           (CAST(tf.tf AS DOUBLE) * 2.2) /
+        |           (CAST(tf.tf AS DOUBLE) +
+        |            1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) /
+        |                          (SELECT avgdl FROM st))),
+        |           6) AS DECIMAL(18,6)) AS s
+        |  FROM tf JOIN dfq USING (term) JOIN d USING (doc_id)
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_terms_matched,
+        |         CAST(sum(s) AS DOUBLE) AS bm25
+        |  FROM per GROUP BY 1
+        |)
+        |SELECT d.doc_id, CAST(d.dl AS INT) AS dl,
+        |       coalesce(a.n_terms_matched, 0) AS n_terms_matched,
+        |       coalesce(a.bm25, 0.0) AS bm25
+        |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH parts AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(text, ' ')) AS unit,
+        |         unnest(range(len(string_split(text, ' ')))) AS pos
+        |  FROM documents WHERE text IS NOT NULL
+        |), hot AS (
+        |  SELECT unit FROM (
+        |    SELECT unit, count(DISTINCT doc_id) AS d FROM parts GROUP BY 1
+        |  ) WHERE d > 100
+        |), kept AS (
+        |  SELECT * FROM parts WHERE unit NOT IN (SELECT unit FROM hot)
+        |), totals AS (
+        |  SELECT doc_id, count(*) AS nu FROM parts GROUP BY 1
+        |), reb AS (
+        |  SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS text_clean,
+        |         count(*) AS nk
+        |  FROM kept GROUP BY 1
+        |)
+        |SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean,
+        |       CAST(t.nu AS INT) AS n_units,
+        |       CAST(t.nu - coalesce(r.nk, 0) AS INT) AS n_removed
+        |FROM totals t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
+    "q_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_rows FROM documents GROUP BY 1
+        |), p AS (
+        |  SELECT lang, n_rows,
+        |         CAST(ROUND(pow(CAST(n_rows AS DOUBLE), 0.5), 6)
+        |              AS DECIMAL(28,6)) AS pw
+        |  FROM c
+        |), tot AS (
+        |  SELECT CAST(sum(n_rows) AS DOUBLE) AS nn,
+        |         CAST(sum(pw) AS DOUBLE) AS sp
+        |  FROM p
+        |), mix AS (
+        |  SELECT lang, n_rows,
+        |         ROUND(CAST(n_rows AS DOUBLE) / (SELECT nn FROM tot), 6)
+        |           AS natural_share,
+        |         ROUND(CAST(pw AS DOUBLE) / (SELECT sp FROM tot), 6)
+        |           AS temp_share,
+        |         ROUND(CAST(pw AS DOUBLE) / (SELECT sp FROM tot) *
+        |               ((SELECT nn FROM tot) / CAST(n_rows AS DOUBLE)), 6)
+        |           AS weight
+        |  FROM p
+        |), rep AS (
+        |  SELECT d.lang,
+        |         CAST(floor(m.weight) AS BIGINT) +
+        |         CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+        |                        AS BIGINT) % 10000
+        |                   < CAST(ROUND((m.weight - floor(m.weight)) * 10000, 0)
+        |                          AS BIGINT)
+        |              THEN 1 ELSE 0 END AS reps
+        |  FROM documents d JOIN mix m USING (lang)
+        |), aft AS (
+        |  SELECT lang, CAST(sum(reps) AS BIGINT) AS n_after FROM rep GROUP BY 1
+        |)
+        |SELECT m.lang, m.n_rows, m.natural_share, m.temp_share, m.weight,
+        |       CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after
+        |FROM mix m LEFT JOIN aft a USING (lang) ORDER BY m.lang""".stripMargin
   )
 }

@@ -224,4 +224,105 @@ object Splits {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Temperature-scaled source mixture — the sampling-rate computation of
+    * multilingual/multi-source LM training: source s with n_s rows gets
+    * mixture probability p_s = n_s^alpha / sum_t(n_t^alpha). `alpha = 1`
+    * keeps the natural distribution, `alpha < 1` flattens it toward rare
+    * sources (alpha = 0 is uniform over sources) — the "temperature"
+    * upsampling of low-resource languages.
+    *
+    * Returns one row per source: (source, n_rows, natural_share,
+    * temp_share, weight) where `weight = p_s / q_s` is the per-row
+    * repeat/keep factor that REALIZES the mixture — feed it straight into
+    * [[weightedRepeatByTable]]. All shares/weights are rounded to 6
+    * decimals; the n^alpha terms are quantized to decimal BEFORE the
+    * cross-source sum so every derived number is order-independent and
+    * engine-reproducible.
+    *
+    * Scale shape: one map-side-combined count per source (the table is
+    * sources-sized, i.e. tiny), one single-row total broadcast back. The
+    * corpus itself is touched exactly once. */
+  def temperatureMixture(
+      df: DataFrame,
+      sourceCol: String,
+      alpha: Double
+  ): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    val counts = df
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn(
+        "__pow",
+        round(pow(col("n_rows").cast("double"), lit(alpha)), 6)
+          .cast("decimal(28,6)")
+      )
+    val totals = counts.agg(
+      sum("n_rows").cast("double").as("__nn"),
+      sum("__pow").cast("double").as("__sp")
+    )
+    counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col("source"),
+        col("n_rows"),
+        round(col("n_rows").cast("double") / col("__nn"), 6)
+          .as("natural_share"),
+        round(col("__pow").cast("double") / col("__sp"), 6).as("temp_share"),
+        round(
+          (col("__pow").cast("double") / col("__sp")) *
+            (col("__nn") / col("n_rows").cast("double")),
+          6
+        ).as("weight")
+      )
+  }
+
+  /** [[weightedRepeat]] with the weights coming from a TABLE instead of a
+    * driver-side literal list — the shape that composes with
+    * [[temperatureMixture]] (or any computed per-stratum weight) without a
+    * collect: the weight table is broadcast-joined onto the corpus and the
+    * repeat count is the same deterministic floor(w) + hash-fraction rule,
+    * evaluated per row from the joined weight column. Strata missing from
+    * the weight table fall back to `defaultWeight`.
+    *
+    * The weight table must hold one row per stratum (`strataCol` value) in
+    * `weightCol`; weights should already be quantized (e.g. the 6-decimal
+    * output of [[temperatureMixture]]) so the fractional-part threshold is
+    * engine-reproducible.
+    *
+    * Scale shape: broadcast join (the weight table is strata-sized) + pure
+    * per-row expressions + one explode. No shuffle of the corpus. */
+  def weightedRepeatByTable(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      weightTable: DataFrame,
+      weightStrataCol: String = "source",
+      weightCol: String = "weight",
+      defaultWeight: Double = 1.0,
+      copyCol: String = "copy_id",
+      salt: String = ""
+  ): DataFrame = {
+    require(defaultWeight >= 0, "defaultWeight must be non-negative")
+    val wtab = weightTable.select(
+      col(weightStrataCol).as("__stratum"),
+      col(weightCol).cast("double").as("__w")
+    )
+    val bucket = hashBucket(col(keyCol), salt)
+    val w = coalesce(col("__w"), lit(defaultWeight))
+    val whole = floor(w).cast("long")
+    // round() is HALF_UP on both engines for positive doubles — same
+    // quantization as weightedRepeat's driver-side math.round
+    val fracThresh = round((w - floor(w)) * Buckets, 0).cast("long")
+    val reps = whole + when(bucket < fracThresh, 1L).otherwise(0L)
+    df.join(broadcast(wtab), df(strataCol) === col("__stratum"), "left")
+      .withColumn(
+        copyCol,
+        explode(
+          when(reps > 0, sequence(lit(0L), reps - 1))
+            .otherwise(array().cast("array<bigint>"))
+        )
+      )
+      .drop("__stratum", "__w")
+  }
 }

@@ -587,4 +587,158 @@ object TextAnalysis {
         round(avg("__lp"), 6).as("avg_bigram_logprob")
       )
   }
+
+  /** BM25 relevance of every document against a fixed query-term set — the
+    * classic retrieval scorer (Robertson/Lucene idf variant):
+    *
+    *   score(d) = sum over matched terms t of
+    *     ln(1 + (N - df + 0.5)/(df + 0.5)) *
+    *     tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    *
+    * Returns one row per non-null-text document: (id, dl, n_terms_matched,
+    * bm25), score 0 for documents matching no query term — so the output
+    * is a rankable corpus-wide score column, not just the hit list.
+    *
+    * Exactness across engines: tf, df, dl and N are exact integers; avgdl
+    * is one exact-sum division. Each per-term score is rounded to 6
+    * decimals and the per-document total accumulates in DECIMAL, so the
+    * sum is order-independent (same policy as [[tfidfCosinePairs]]).
+    *
+    * Scale shape: explode → isin filter keeps only query-term occurrences
+    * (codegen'd; the generate output is pruned before any shuffle), one
+    * hash aggregate for tf, one for df; the df table is |Q| rows and the
+    * corpus stats ONE row — both broadcast. No shuffle touches full
+    * documents, and the final per-doc aggregate shuffles only matched
+    * occurrences. */
+  def bm25Scores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "at least one query term")
+    require(k1 > 0, "k1 must be > 0")
+    require(b >= 0 && b <= 1, "b must be in [0, 1]")
+    val docs = df
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(idCol).as("__id"),
+        tokens(col(textCol)).as("__toks")
+      )
+      .select(col("__id"), col("__toks"), size(col("__toks")).as("__dl"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("__n"),
+      (sum(col("__dl").cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("__avgdl")
+    )
+    val matched = docs
+      .select(col("__id"), col("__dl"), explode(col("__toks")).as("__term"))
+      .filter(col("__term").isin(queryTerms: _*))
+    val tf = matched
+      .groupBy("__id", "__dl", "__term")
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = matched
+      .select("__id", "__term")
+      .distinct()
+      .groupBy("__term")
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val idf =
+      log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val tfNorm = (col("__tf").cast("double") * lit(k1 + 1.0)) /
+      (col("__tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / col("__avgdl")))
+    val perTerm = tf
+      .join(broadcast(dfreq), Seq("__term"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("__id"),
+        // per-term quantization BEFORE the decimal sum: order-independence
+        round(idf * tfNorm, 6).cast("decimal(18,6)").as("__s")
+      )
+    val perDoc = perTerm
+      .groupBy("__id")
+      .agg(
+        count(lit(1)).cast("int").as("n_terms_matched"),
+        sum("__s").cast("double").as("bm25")
+      )
+    docs
+      .join(perDoc, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        col("__dl").cast("int").as("dl"),
+        coalesce(col("n_terms_matched"), lit(0)).as("n_terms_matched"),
+        coalesce(col("bm25"), lit(0.0)).as("bm25")
+      )
+  }
+
+  /** Cross-document boilerplate removal (the CCNet/RefinedWeb paragraph
+    * dedup): split each text on `delimiter`, count how many DISTINCT
+    * documents contain each unit, strip units appearing in more than
+    * `maxDocs` documents (navigation chrome, cookie banners, license
+    * footers — anything repeated corpus-wide), and reassemble the
+    * remaining units in their original order. Returns one row per
+    * non-null-text document: (id, text_clean, n_units, n_removed); a
+    * document whose every unit is boilerplate comes back as the empty
+    * string, not a dropped row.
+    *
+    * Scale shape: posexplode → two hash aggregates (distinct doc-unit,
+    * then per-unit doc counts) produce the skinny hot-unit table; the
+    * occurrence stream anti-joins it (Catalyst broadcasts when it fits)
+    * and one per-doc aggregate reassembles via sort_array over (pos, unit)
+    * structs — per-doc state bounded by document size, never corpus size.
+    * Unit identity is the exact string: normalize upstream (trim,
+    * lowercase) if fuzzy matching is wanted. */
+  def stripBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocs: Long,
+      delimiter: String = "\n"
+  ): DataFrame = {
+    require(maxDocs >= 1, "maxDocs must be >= 1")
+    require(delimiter.nonEmpty, "delimiter must be non-empty")
+    val parts = df
+      .filter(col(textCol).isNotNull)
+      .select(
+        col(idCol).as("__id"),
+        posexplode(
+          split(col(textCol), java.util.regex.Pattern.quote(delimiter))
+        ).as(Seq("__pos", "__unit"))
+      )
+    val hot = parts
+      .select("__id", "__unit")
+      .distinct()
+      .groupBy("__unit")
+      .agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") > maxDocs)
+      .select("__unit")
+    val kept = parts.join(hot, Seq("__unit"), "left_anti")
+    val totals = parts.groupBy("__id").agg(count(lit(1)).as("__n_units"))
+    val rebuilt = kept
+      .groupBy("__id")
+      .agg(
+        sort_array(collect_list(struct(col("__pos"), col("__unit"))))
+          .as("__kl")
+      )
+      .select(
+        col("__id"),
+        concat_ws(
+          delimiter,
+          transform(col("__kl"), x => x.getField("__unit"))
+        ).as("text_clean"),
+        size(col("__kl")).as("__n_kept")
+      )
+    totals
+      .join(rebuilt, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("__n_units").cast("int").as("n_units"),
+        (col("__n_units") - coalesce(col("__n_kept"), lit(0)))
+          .cast("int")
+          .as("n_removed")
+      )
+  }
 }

@@ -1664,4 +1664,105 @@ class ScaleSpec extends SparkSpec {
     assert(got(0)._2.contains(-0.707107) && got(2)._2.contains(0.707107))
     assert(got(1)._2.isEmpty)
   }
+
+  test("bm25Scores ranks rare-term docs above common-term docs") {
+    val df = Seq(
+      (1L, "alpha beta beta"),
+      (2L, "alpha gamma gamma gamma"),
+      (3L, "alpha alpha alpha alpha"),
+      (4L, "delta epsilon zeta eta")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .bm25Scores(df, "doc_id", "text", Seq("beta", "alpha", "missing"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    // doc 4 matches nothing -> present with score 0
+    assert(got(3)._3 == 0 && got(3)._4 == 0.0)
+    // doc lengths
+    assert(got.map(_._2).toSeq == Seq(3, 4, 4, 4))
+    // 'beta' appears only in doc 1 (df=1, high idf); 'alpha' in 3 of 4
+    // docs (low idf): doc 1's two beta hits must dominate doc 3's four
+    // alpha hits
+    assert(got(0)._3 == 2 && got(2)._3 == 1)
+    assert(got(0)._4 > got(2)._4, s"${got(0)._4} <= ${got(2)._4}")
+    // hand-check doc 3: tf=4, dl=4, avgdl=15/4, df(alpha)=3, N=4
+    // idf = ln(1 + (4-3+0.5)/3.5); tfNorm = 4*2.2/(4+1.2*(0.25+0.75*4/3.75))
+    val idf = math.log(1 + 1.5 / 3.5)
+    val tfNorm = 4 * 2.2 / (4 + 1.2 * (0.25 + 0.75 * 4 / 3.75))
+    assert(
+      math.abs(got(2)._4 - math.rint(idf * tfNorm * 1e6) / 1e6) < 1e-9,
+      s"${got(2)._4}"
+    )
+  }
+
+  test("stripBoilerplate removes cross-doc units, keeps order, empties fully-boilerplate docs") {
+    val df = Seq(
+      (1L, "HEADER alpha beta HEADER"),
+      (2L, "HEADER gamma HEADER"),
+      (3L, "HEADER delta"),
+      (4L, "HEADER"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // HEADER is in 4 docs > maxDocs=3 -> stripped everywhere; everything
+    // else is unique and survives in original order
+    val got = TextAnalysis
+      .stripBoilerplate(df, "doc_id", "text", maxDocs = 3, delimiter = " ")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq == Seq(
+      (1L, "alpha beta", 4, 2),
+      (2L, "gamma", 3, 2),
+      (3L, "delta", 2, 1),
+      (4L, "", 1, 1)
+    ))
+    // threshold above every unit's doc count -> nothing removed
+    val none = TextAnalysis
+      .stripBoilerplate(df, "doc_id", "text", maxDocs = 10, delimiter = " ")
+      .filter(col("n_removed") > 0)
+      .count()
+    assert(none == 0)
+  }
+
+  test("temperatureMixture flattens toward rare sources; weights realize the mixture") {
+    import graft.operators.Splits
+    val df = (1 to 90).map(i => (i.toLong, "big")) ++ (91 to 100).map(i => (i.toLong, "small"))
+    val d = df.toDF("id", "src")
+    val mix = Splits.temperatureMixture(d, "src", alpha = 0.5)
+      .orderBy("source")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val big = mix.find(_._1 == "big").get
+    val small = mix.find(_._1 == "small").get
+    assert(big._2 == 90L && small._2 == 10L)
+    assert(big._3 == 0.9 && small._3 == 0.1)
+    // sqrt weighting: 9.486833/(9.486833+3.162278) ~= 0.75 for big
+    assert(math.abs(big._4 - 0.75) < 0.01 && math.abs(small._4 - 0.25) < 0.01)
+    // weight = temp_share / natural_share: big downsampled, small upsampled
+    assert(big._5 < 1.0 && small._5 > 1.0)
+    assert(math.abs(small._5 - 2.5) < 0.1, s"${small._5}")
+
+    // alpha = 1 keeps the natural mixture: every weight exactly 1
+    val natural = Splits.temperatureMixture(d, "src", alpha = 1.0)
+      .select("weight").collect().map(_.getDouble(0))
+    assert(natural.forall(_ == 1.0))
+
+    // applying the alpha=0.5 weights realizes the mixture within hash noise
+    val applied = Splits.weightedRepeatByTable(
+      d, "id", "src", Splits.temperatureMixture(d, "src", alpha = 0.5)
+    )
+    val counts = applied.groupBy("src").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(math.abs(counts("big") - 90 * big._5) <= 9, s"${counts("big")}")
+    assert(math.abs(counts("small") - 10 * small._5) <= 3, s"${counts("small")}")
+    // strata missing from the weight table fall back to defaultWeight = 1
+    val fallback = Splits.weightedRepeatByTable(
+      d, "id", "src",
+      Splits.temperatureMixture(d.filter(col("src") === "big"), "src", 0.5)
+        .filter(col("source") === "big")
+    )
+    assert(fallback.filter(col("src") === "small").count() == 10L)
+  }
 }
