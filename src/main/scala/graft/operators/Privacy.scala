@@ -103,8 +103,18 @@ object Privacy {
       )
     }
     val replacement = redactionValue.map(lit).getOrElse(lit(null))
+    // The string widening is EXPLICIT (cast the kept branch, not the
+    // redaction literal): legacy-mode type coercion widened both branches
+    // to string implicitly, but ANSI coercion instead tries to cast the
+    // redaction string to the column type and throws at runtime — the
+    // explicit cast produces the identical widened result in both modes.
+    val widen = redactionValue.exists(_.isInstanceOf[String])
     columns.foldLeft(df) { (d, c) =>
-      d.withColumn(c, when(col(c) >= threshold, col(c)).otherwise(replacement))
+      val kept =
+        if (widen && d.schema(c).dataType != org.apache.spark.sql.types.StringType)
+          col(c).cast("string")
+        else col(c)
+      d.withColumn(c, when(col(c) >= threshold, kept).otherwise(replacement))
     }
   }
 }

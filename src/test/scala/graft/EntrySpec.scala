@@ -27,25 +27,33 @@ class EntrySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
 
-  test("every query is ANSI-proof: same row count with spark.sql.ansi.enabled") {
+  test("every query is ANSI-proof: identical results with spark.sql.ansi.enabled") {
     // Spark 4 sessions default to ANSI mode; the driver may one day run the
     // reference surface under one. Every query must run without ANSI
     // runtime errors (overflow/cast/div-by-zero become exceptions there)
-    // and produce the same cardinality as the legacy-mode oracle run.
+    // and produce VALUE-identical results, not just the same cardinality —
+    // a silent ANSI-mode value drift (e.g. a different cast result) would
+    // pass a count check and still fail the driver's hash gate.
+    def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+      rows.map(_.toString).sorted.toSeq
     val prev = spark.conf.get("spark.sql.ansi.enabled")
     try {
       val base = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> fn(spark, sfDir).count()
+        name -> canon(fn(spark, sfDir).collect())
       }
       spark.conf.set("spark.sql.ansi.enabled", "true")
       base.foreach { case (name, expected) =>
-        val n =
-          try SparkEntry.queries(name)(spark, sfDir).count()
+        val got =
+          try canon(SparkEntry.queries(name)(spark, sfDir).collect())
           catch {
             case e: Throwable =>
               fail(s"$name fails under ANSI mode: ${e.getClass.getSimpleName}: ${e.getMessage}")
           }
-        assert(n == expected, s"$name row count diverges under ANSI: $n vs $expected")
+        assert(got.size == expected.size,
+          s"$name row count diverges under ANSI: ${got.size} vs ${expected.size}")
+        got.zip(expected).zipWithIndex.foreach { case ((g, e), i) =>
+          assert(g == e, s"$name row $i diverges under ANSI: $g vs $e")
+        }
       }
     } finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
