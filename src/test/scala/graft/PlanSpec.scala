@@ -312,4 +312,32 @@ class PlanSpec extends SparkSpec {
     // ScalaUDF barrier — is exactly what the two asserts above pin.)
   }
 
+  test("bm25 broadcasts the df stats and corpus stats, no full-doc shuffle") {
+    // the per-term score join must broadcast BOTH small sides (|Q|-row df
+    // table, one-row corpus stats); only matched occurrences may shuffle
+    val p = plan("q_bm25")
+    val broadcasts = "BroadcastExchange".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"expected df + stats broadcasts:\n$p")
+    // the text column must not appear in any exchange output: documents
+    // are scanned, exploded, and never shuffled whole
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    exchanges.foreach(l => assert(!l.contains("text"), s"doc text shuffled: $l"))
+  }
+
+  test("temperature mixture applies via a broadcast weight-table join") {
+    val p = plan("q_temperature_mix")
+    assert(
+      p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"weight table must broadcast onto the corpus:\n$p"
+    )
+  }
+
+  test("boilerplate strip aggregates with map-side partials") {
+    // the per-unit doc-count aggregate must have a partial_count before
+    // the shuffle: unit occurrences combine map-side, so the shuffle
+    // carries at most |distinct units| rows per partition
+    val p = plan("q_boilerplate")
+    assert(p.contains("partial_count"), s"expected map-side combine:\n$p")
+  }
+
 }
