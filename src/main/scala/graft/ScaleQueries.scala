@@ -1314,6 +1314,19 @@ object ScaleQueries {
           coalesce(col("n_after"), lit(0L)).as("n_after")
         )
         .orderBy("lang")
+    }),
+
+    // Hilbert-curve index per part (the codegen'd bit-serial state
+    // machine); the oracle replays the same walk as a 16-step recursive
+    // CTE — one of the few ways to express a per-row loop in SQL
+    "q_hilbert" -> ((s, dir) => {
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          Layout.hilbertIndex(col("p_partkey"), col("p_size"), bits = 16)
+            .as("hilbert")
+        )
+        .orderBy("p_partkey")
     })
   )
 
@@ -2994,6 +3007,32 @@ object ScaleQueries {
         |)
         |SELECT m.lang, m.n_rows, m.natural_share, m.temp_share, m.weight,
         |       CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after
-        |FROM mix m LEFT JOIN aft a USING (lang) ORDER BY m.lang""".stripMargin
+        |FROM mix m LEFT JOIN aft a USING (lang) ORDER BY m.lang""".stripMargin,
+
+    "q_hilbert" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT p_partkey,
+        |         CAST(p_partkey AS BIGINT) & 65535 AS x,
+        |         CAST(p_size AS BIGINT) & 65535 AS y,
+        |         CAST(0 AS BIGINT) AS d,
+        |         CAST(32768 AS BIGINT) AS s
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey,
+        |         CASE WHEN (y & s) = 0 THEN
+        |           CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END
+        |         ELSE x END AS x,
+        |         CASE WHEN (y & s) = 0 THEN
+        |           CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END
+        |         ELSE y END AS y,
+        |         d + s * s * (CASE WHEN (x & s) > 0 AND (y & s) > 0 THEN 2
+        |                           WHEN (x & s) > 0 THEN 3
+        |                           WHEN (y & s) > 0 THEN 1
+        |                           ELSE 0 END) AS d,
+        |         s // 2 AS s
+        |  FROM h WHERE s > 0
+        |)
+        |SELECT p_partkey, d AS hilbert FROM h WHERE s = 0
+        |ORDER BY p_partkey""".stripMargin
   )
 }

@@ -228,3 +228,87 @@ case class HyperplaneBucketExpr(child: Expression, planes: Seq[Seq[Double]])
 
   override def prettyName: String = "hyperplane_bucket_native"
 }
+
+/** Hilbert-curve index of an (x, y) pair at `bits` bits per axis — the
+  * locality-preserving complement to `Layout.mortonCode`: consecutive
+  * Hilbert indices are ALWAYS adjacent cells (Z-order jumps at quadrant
+  * seams), so files cut from a Hilbert-sorted stream cover tighter
+  * rectangles and data skipping prunes better on both axes.
+  *
+  * The classic xy→d walk is a bit-serial state machine (per-level quadrant
+  * digit + rotate/flip of the remaining bits) — inherently sequential and
+  * mutable, i.e. NOT expressible as fixed-depth Column bit-algebra the way
+  * the Morton spread is, which is exactly why it gets the custom-Expression
+  * tier: one tight codegen'd loop per row. Inputs are masked to `bits`
+  * bits (pre-quantize wider domains, as with Morton); output fits in a
+  * long for bits <= 31.
+  */
+case class HilbertIndexExpr(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression
+    with Serializable {
+  require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"hilbert_index_native expects two bigint inputs, got $l and $r"
+        )
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val mask = (1L << bits) - 1
+    var x = l.asInstanceOf[Long] & mask
+    var y = r.asInstanceOf[Long] & mask
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val rx = ctx.freshName("rx")
+      val ry = ctx.freshName("ry")
+      val t = ctx.freshName("t")
+      val mask = (1L << bits) - 1
+      s"""
+         |long $x = $a & ${mask}L;
+         |long $y = $b & ${mask}L;
+         |long $d = 0L;
+         |for (long $s = 1L << ${bits - 1}; $s > 0; $s >>= 1) {
+         |  long $rx = (($x & $s) > 0) ? 1L : 0L;
+         |  long $ry = (($y & $s) > 0) ? 1L : 0L;
+         |  $d += $s * $s * ((3L * $rx) ^ $ry);
+         |  if ($ry == 0) {
+         |    if ($rx == 1) { $x = $s - 1 - $x; $y = $s - 1 - $y; }
+         |    long $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "hilbert_index_native"
+}

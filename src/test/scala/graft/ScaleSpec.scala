@@ -1102,6 +1102,68 @@ class ScaleSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("hilbertIndex walks the base quadrant order and never jumps") {
+    import graft.operators.Layout
+    // bits=1 base case: the U-shaped walk (0,0) -> (1,0) -> (1,1) -> (0,1)
+    val base = Seq((0L, 0L), (1L, 0L), (1L, 1L), (0L, 1L))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Layout.hilbertIndex(col("x"), col("y"), bits = 1).as("h"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(base((0L, 0L)) == 0L && base((1L, 0L)) == 3L)
+    assert(base((1L, 1L)) == 2L && base((0L, 1L)) == 1L)
+    // the Hilbert property Z-order lacks: over the full 8x8 grid,
+    // consecutive indices are ALWAYS Manhattan-adjacent cells (Morton
+    // jumps at every quadrant seam)
+    val grid = (for { x <- 0 until 8; y <- 0 until 8 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Layout.hilbertIndex(col("x"), col("y"), bits = 3).as("h"))
+      .collect()
+      .map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(grid.map(_._1).toSeq == (0L until 64L), "indices must be a permutation")
+    grid.sliding(2).foreach { case Array((_, (x1, y1)), (h2, (x2, y2))) =>
+      assert(
+        math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at h=$h2: ($x1,$y1) -> ($x2,$y2)"
+      )
+    }
+    // nulls propagate, wider values mask like Morton
+    val edge = Seq((Some(5L), Some(3L)), (None, Some(1L)))
+      .toDF("x", "y")
+      .select(Layout.hilbertIndex(col("x"), col("y"), bits = 16).as("h"))
+      .collect()
+    assert(!edge(0).isNullAt(0) && edge(1).isNullAt(0))
+    val masked = Seq((0x10005L, 3L)).toDF("x", "y")
+      .select(Layout.hilbertIndex(col("x"), col("y")).as("h")).head().getLong(0)
+    val plain = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.hilbertIndex(col("x"), col("y")).as("h")).head().getLong(0)
+    assert(masked == plain)
+  }
+
+  test("hilbertBy preserves the row multiset and orders partitions by the index") {
+    import graft.operators.Layout
+    val df = spark.read.parquet(s"$sfDir/part.parquet").select("p_partkey", "p_size")
+    val h = Layout.hilbertBy(df, "p_partkey", "p_size", numPartitions = 2)
+    assert(
+      h.count() == df.count() &&
+        h.select("p_partkey").distinct().count() == df.select("p_partkey").distinct().count()
+    )
+    // within each partition the hilbert key must be non-decreasing
+    val ordered = h
+      .select(
+        org.apache.spark.sql.functions.spark_partition_id().as("p"),
+        Layout.hilbertIndex(col("p_partkey"), col("p_size")).as("hidx")
+      )
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    ordered.groupBy(_._1).values.foreach { rows =>
+      val ks = rows.map(_._2).toSeq
+      assert(ks == ks.sorted, "partition not sorted by hilbert index")
+    }
+  }
+
   test("groupSample takes n deterministic rows per group") {
     import graft.operators.Splits
     val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd")).toDF("id", "grp")
