@@ -1316,6 +1316,21 @@ object ScaleQueries {
         .orderBy("lang")
     }),
 
+    // incremental distinct counting: corpus sketched once (doc_id < 250),
+    // batch sketched separately, tables MERGED — the corpus rows are never
+    // rescanned. Cardinalities here are sparse-mode small, so the HLL
+    // estimates are exact and a count(DISTINCT) oracle can gate them.
+    "q_hll_distinct" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus =
+        Stats.hllSketchTable(docs.filter(col("doc_id") < 250), Seq("lang"), "source")
+      val batch =
+        Stats.hllSketchTable(docs.filter(col("doc_id") >= 250), Seq("lang"), "source")
+      Stats
+        .hllEstimate(Stats.hllMergeSketches(Seq(corpus, batch), Seq("lang")), Seq("lang"))
+        .orderBy("lang")
+    }),
+
     // Hilbert-curve index per part (the codegen'd bit-serial state
     // machine); the oracle replays the same walk as a 16-step recursive
     // CTE — one of the few ways to express a per-row loop in SQL
@@ -3008,6 +3023,10 @@ object ScaleQueries {
         |SELECT m.lang, m.n_rows, m.natural_share, m.temp_share, m.weight,
         |       CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after
         |FROM mix m LEFT JOIN aft a USING (lang) ORDER BY m.lang""".stripMargin,
+
+    "q_hll_distinct" ->
+      """SELECT lang, count(DISTINCT source) AS n_distinct
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_hilbert" ->
       """WITH RECURSIVE h AS (

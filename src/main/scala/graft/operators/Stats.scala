@@ -382,4 +382,54 @@ object Stats {
           .as("percentiles")
       )
   }
+
+  /** Per-group distinct-count sketch table: one binary DataSketches HLL
+    * sketch per group in `distinct_sketch` — the PERSISTABLE, incremental
+    * complement of [[profile]]'s one-shot approx mode. Store the sketch
+    * table with the corpus; when a batch arrives, sketch only the batch
+    * and [[hllMergeSketches]] the two tables — the accepted corpus is
+    * never rescanned, the same production-ingestion shape as
+    * `Dedup.dedupNearMinHashIncremental`. Sketches are exact in sparse
+    * mode (small per-group cardinalities) and ~2% at `lgK = 12` beyond
+    * it; they merge associatively, so daily/hourly sketch tables roll up
+    * into monthly ones by union alone.
+    *
+    * Scale shape: one map-side-combined hash aggregate; O(2^lgK) state
+    * per group regardless of cardinality. */
+  def hllSketchTable(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      lgK: Int = 12
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(lgK >= 4 && lgK <= 21, "lgK must be in [4, 21]")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("distinct_sketch"))
+  }
+
+  /** Merge any number of [[hllSketchTable]] outputs group-wise (groups
+    * absent from one table pass through unchanged). One hash aggregate
+    * over sketch-sized rows — the data the sketches summarize is not
+    * touched. */
+  def hllMergeSketches(
+      tables: Seq[DataFrame],
+      groupCols: Seq[String]
+  ): DataFrame = {
+    require(tables.nonEmpty, "at least one sketch table")
+    tables
+      .reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        hll_union_agg(col("distinct_sketch"), lit(true)).as("distinct_sketch")
+      )
+  }
+
+  /** Read a distinct-count estimate out of a sketch table:
+    * (groupCols..., n_distinct). */
+  def hllEstimate(sketchTable: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketchTable.select(
+      groupCols.map(col) :+
+        hll_sketch_estimate(col("distinct_sketch")).as("n_distinct"): _*
+    )
 }

@@ -1788,6 +1788,43 @@ class ScaleSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("hllSketchTable merges exactly like a full rebuild; small cardinalities exact") {
+    import graft.operators.Stats
+    val a = (1 to 500).map(i => ("g", s"v${i % 37}")).toDF("grp", "v")
+    val b = (1 to 500).map(i => ("g", s"v${i % 53 + 20}")).toDF("grp", "v")
+    // merge(sketch(A), sketch(B)) must estimate the same as sketch(A union B)
+    val merged = Stats
+      .hllEstimate(
+        Stats.hllMergeSketches(
+          Seq(
+            Stats.hllSketchTable(a, Seq("grp"), "v"),
+            Stats.hllSketchTable(b, Seq("grp"), "v")
+          ),
+          Seq("grp")
+        ),
+        Seq("grp")
+      )
+      .head()
+      .getLong(1)
+    val rebuilt = Stats
+      .hllEstimate(
+        Stats.hllSketchTable(a.unionByName(b), Seq("grp"), "v"),
+        Seq("grp")
+      )
+      .head()
+      .getLong(1)
+    assert(merged == rebuilt, s"$merged vs $rebuilt")
+    // sparse-mode exactness: |{v0..v36} union {v20..v72}| = 73
+    assert(merged == 73L, s"$merged")
+    // beyond sparse mode the estimate stays within ~3% at lgK=12
+    val big = (1 to 50000).map(i => ("g", s"u$i")).toDF("grp", "v")
+    val est = Stats
+      .hllEstimate(Stats.hllSketchTable(big, Seq("grp"), "v"), Seq("grp"))
+      .head()
+      .getLong(1)
+    assert(math.abs(est - 50000L) <= 1500, s"estimate $est off by >3%")
+  }
+
   test("temperatureMixture flattens toward rare sources; weights realize the mixture") {
     import graft.operators.Splits
     val df = (1 to 90).map(i => (i.toLong, "big")) ++ (91 to 100).map(i => (i.toLong, "small"))
