@@ -1316,6 +1316,18 @@ object ScaleQueries {
         .orderBy("lang")
     }),
 
+    // greedy k-center diversity sample (farthest-point-first) — the
+    // selection complement of dedup; oracle = the same 3 rounds unrolled
+    // as CTE stages with the identical argmax tie-break
+    "q_kcenter" -> ((s, dir) => {
+      Similarity
+        .kCenterSample(
+          t(s, dir, "embeddings").filter(col("vec_id") < 200),
+          "vec_id", "embedding", k = 3
+        )
+        .orderBy("center_rank")
+    }),
+
     // incremental distinct counting: corpus sketched once (doc_id < 250),
     // batch sketched separately, tables MERGED — the corpus rows are never
     // rescanned. Cardinalities here are sparse-mode small, so the HLL
@@ -3027,6 +3039,30 @@ object ScaleQueries {
     "q_hll_distinct" ->
       """SELECT lang, count(DISTINCT source) AS n_distinct
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_kcenter" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+         |), c1 AS (
+         |  SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1
+         |), d1 AS (
+         |  SELECT e.vec_id, e.embedding,
+         |         ${duckSqDist("e.embedding", "c1.embedding")} AS mind
+         |  FROM e, c1
+         |), c2 AS (
+         |  SELECT vec_id, embedding FROM d1 ORDER BY mind DESC, vec_id LIMIT 1
+         |), d2 AS (
+         |  SELECT d1.vec_id,
+         |         least(d1.mind,
+         |               ${duckSqDist("d1.embedding", "c2.embedding")}) AS mind
+         |  FROM d1, c2
+         |), c3 AS (
+         |  SELECT vec_id FROM d2 ORDER BY mind DESC, vec_id LIMIT 1
+         |)
+         |SELECT vec_id, CAST(0 AS INT) AS center_rank FROM c1
+         |UNION ALL SELECT vec_id, CAST(1 AS INT) FROM c2
+         |UNION ALL SELECT vec_id, CAST(2 AS INT) FROM c3
+         |ORDER BY center_rank""".stripMargin,
 
     "q_hilbert" ->
       """WITH RECURSIVE h AS (

@@ -405,4 +405,76 @@ object Similarity {
           .cast("double") / lit(1e7)).as("value")
       )
   }
+
+  /** Greedy k-center (farthest-point-first) diversity sample over an
+    * embedding column — the selection complement of near-dup REMOVAL:
+    * dedup drops what is too close, k-center picks the k points that
+    * SPREAD the widest (coverage radius within 2x of optimal, the classic
+    * Gonzalez bound). Deterministic: the seed is the minimum id, each
+    * round picks the point with the largest squared distance to its
+    * nearest chosen center (ties -> smallest id). Returns (idCol,
+    * center_rank) for the k chosen points, rank 0 = seed.
+    *
+    * Scale shape: k passes, each a narrow per-row update
+    * `minDist = least(minDist, dist(v, newest center))` — one codegen'd
+    * native distance per row per round against the BROADCAST newest
+    * center (never the full chosen set), then a one-row max_by argmax.
+    * `localCheckpoint` truncates the k-step lineage like the CC/PageRank
+    * loops. k driver actions by construction (one argmax per round) —
+    * the same bounded-iteration contract, documented EAGER.
+    */
+  def kCenterSample(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .localCheckpoint()
+    val seedRow = base.orderBy("__id").select("__id", "__v").head()
+    var chosen = List((seedRow.getLong(0), seedRow.getSeq[Float](1)))
+    var work = base
+      .withColumn(
+        "__mind",
+        squaredDistanceNative(col("__v"), typedLit(chosen.head._2.toArray))
+      )
+      .localCheckpoint()
+    var exhausted = false
+    while (!exhausted && chosen.size < k) {
+      val far = work
+        .agg(
+          max_by(
+            struct(col("__id"), col("__v")),
+            // largest distance first; exact-tie -> smallest id
+            struct(col("__mind"), (-col("__id")).as("__nid"))
+          ).as("__far")
+        )
+        .select(col("__far.__id"), col("__far.__v"))
+        .head()
+      val center = (far.getLong(0), far.getSeq[Float](1))
+      // the argmax revisiting a chosen point means every remaining point
+      // is at distance 0 (k exceeds the distinct vectors): stop short
+      if (chosen.exists(_._1 == center._1)) exhausted = true
+      else {
+        chosen = chosen :+ center
+        if (chosen.size < k)
+          work = work
+            .withColumn(
+              "__mind",
+              least(
+                col("__mind"),
+                squaredDistanceNative(col("__v"), typedLit(center._2.toArray))
+              )
+            )
+            .localCheckpoint()
+      }
+    }
+    chosen.zipWithIndex
+      .map { case ((id, _), rank) => (id, rank) }
+      .toDF(idCol, "center_rank")
+  }
 }

@@ -1788,6 +1788,43 @@ class ScaleSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("kCenterSample picks one point per planted cluster, farthest first") {
+    // three tight clusters at distance >> intra-cluster spread; k=3 must
+    // return one member of each before densifying any
+    def v(base: Float, jitter: Float) = Array.fill(8)(base) :+ jitter
+    val rows = Seq(
+      (10L, v(0f, 0.1f)), (11L, v(0f, 0.2f)),        // cluster A (has min id -> seed)
+      (20L, v(5f, 0.1f)), (21L, v(5f, 0.3f)),        // cluster B
+      (30L, v(-5f, 0.2f)), (31L, v(-5f, 0.4f))       // cluster C
+    )
+    val df = rows.toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity
+      .kCenterSample(df, "vec_id", "embedding", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy(_._2)
+    assert(got(0) == ((10L, 0)), s"seed must be the min id: ${got.mkString(",")}")
+    val clusters = got.map(_._1 / 10L).toSet
+    assert(clusters == Set(1L, 2L, 3L), s"one per cluster expected: ${got.mkString(",")}")
+    // deterministic on re-run
+    val again = graft.operators.Similarity
+      .kCenterSample(df, "vec_id", "embedding", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .sortBy(_._2)
+    assert(got.toSeq == again.toSeq)
+    // k exceeding the DISTINCT-vector count stops early instead of
+    // repeating (identical vectors collapse: distance 0 to a chosen
+    // center means they can never be a new center)
+    val dup = Seq(
+      (1L, v(0f, 0f)), (2L, v(1f, 0f)), (3L, v(0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val short = graft.operators.Similarity
+      .kCenterSample(dup, "vec_id", "embedding", k = 4)
+      .count()
+    assert(short == 2L, s"expected early stop at 2 distinct vectors, got $short")
+  }
+
   test("hllSketchTable merges exactly like a full rebuild; small cardinalities exact") {
     import graft.operators.Stats
     val a = (1 to 500).map(i => ("g", s"v${i % 37}")).toDF("grp", "v")
