@@ -93,12 +93,29 @@ object ScaleQueries {
       val su = t(s, dir, "supplier")
       val n = t(s, dir, "nation")
       val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(li, col("o_orderkey") === col("l_orderkey"))
-        .join(su, col("l_suppkey") === col("s_suppkey") &&
-          col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      // region selectivity applied BEFORE the fact joins: the tiny
+      // region-filtered nation dim broadcasts onto customer and supplier
+      // first, so the big customer-orders-lineitem-supplier joins carry
+      // only the selected region's rows (~1/5 of the data) instead of
+      // joining everything and discarding 80% at the end — the shape that
+      // matters at 100x scale
+      val asiaN = n
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cAsia = c
+        .join(broadcast(asiaN), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val suAsia = su
+        .join(
+          broadcast(asiaN.select(col("n_nationkey").as("__snk"))),
+          col("s_nationkey") === col("__snk")
+        )
+        .select(col("s_suppkey"), col("s_nationkey"))
+      cAsia
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(suAsia, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
         .groupBy("n_name")
         .agg(
           sum(

@@ -312,6 +312,31 @@ class PlanSpec extends SparkSpec {
     // ScalaUDF barrier — is exactly what the two asserts above pin.)
   }
 
+  test("q5 filters customer and supplier by the region dim BEFORE the fact joins") {
+    // the region-filtered nation dim must broadcast onto BOTH the customer
+    // and supplier scans below the big shuffle joins — a plan that joins
+    // the whole fact chain first and filters by region last carries 5x
+    // the rows through every shuffle
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val exec = SparkEntry
+      .queries("q5_region_revenue")(spark, sfDir)
+      .queryExecution
+      .executedPlan
+    val plan = exec match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, s"expected nation broadcasts on both sides:\n$plan")
+    val keys = bhj.flatMap(_.leftKeys).map(_.toString) ++
+      bhj.flatMap(_.rightKeys).map(_.toString)
+    assert(
+      keys.exists(_.contains("c_nationkey")) && keys.exists(_.contains("s_nationkey")),
+      s"customer and supplier must each broadcast-join the region-filtered dim:\n$keys"
+    )
+  }
+
   test("bm25 broadcasts the df stats and corpus stats, no full-doc shuffle") {
     // the per-term score join must broadcast BOTH small sides (|Q|-row df
     // table, one-row corpus stats); only matched occurrences may shuffle
