@@ -1333,6 +1333,17 @@ object ScaleQueries {
         .orderBy("lang")
     }),
 
+    // LSH tuning report on a deterministic 60% hash-sample: exact Jaccard
+    // truth vs (16,4) MinHash bucketing — the recall/precision dial read
+    // before shipping a full-corpus dedup
+    "q_lsh_recall" -> ((s, dir) => {
+      Dedup.minHashRecallReport(
+        t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.9, shingleK = 1, numHashes = 16, bands = 4,
+        sampleFraction = 0.6
+      )
+    }),
+
     // greedy k-center diversity sample (farthest-point-first) — the
     // selection complement of dedup; oracle = the same 3 rounds unrolled
     // as CTE stages with the identical argmax tie-break
@@ -3056,6 +3067,39 @@ object ScaleQueries {
     "q_hll_distinct" ->
       """SELECT lang, count(DISTINCT source) AS n_distinct
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_lsh_recall" ->
+      s"""WITH ${duckMinHashCommonWhere(
+           " AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 6000"
+         )}, cand AS (
+         |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         |  FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id
+         |), s2 AS (
+         |  SELECT doc_id, list_distinct(toks) AS st FROM d
+         |), inv AS (
+         |  SELECT doc_id, unnest(st) AS sh FROM s2
+         |), shared AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+         |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), sz AS (
+         |  SELECT doc_id, len(st) AS n FROM s2
+         |), truth AS (
+         |  SELECT ia, ib FROM shared
+         |  JOIN sz x ON x.doc_id = ia JOIN sz y ON y.doc_id = ib
+         |  WHERE CAST(c AS DOUBLE) / (x.n + y.n - c) >= 0.9
+         |), hit AS (
+         |  SELECT t.ia, t.ib FROM truth t
+         |  WHERE EXISTS (SELECT 1 FROM cand c WHERE c.ia = t.ia AND c.ib = t.ib)
+         |)
+         |SELECT (SELECT count(*) FROM d) AS n_docs,
+         |       (SELECT count(*) FROM truth) AS n_true_pairs,
+         |       (SELECT count(*) FROM cand) AS n_candidate_pairs,
+         |       (SELECT count(*) FROM hit) AS n_hit,
+         |       ROUND(CAST((SELECT count(*) FROM hit) AS DOUBLE) /
+         |             nullif((SELECT count(*) FROM truth), 0), 6) AS pair_recall,
+         |       ROUND(CAST((SELECT count(*) FROM hit) AS DOUBLE) /
+         |             nullif((SELECT count(*) FROM cand), 0), 6) AS pair_precision""".stripMargin,
 
     "q_kcenter" ->
       s"""WITH e AS (

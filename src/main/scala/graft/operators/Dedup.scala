@@ -192,6 +192,74 @@ object Dedup {
       )
   }
 
+  /** LSH tuning report: how well does a (numHashes, bands) MinHash config
+    * bucket the TRUE near-duplicate pairs? On a deterministic hash-sample
+    * of the corpus, compute the exact Jaccard pairs at `threshold` (the
+    * PPJoin-exact [[ngramJaccardPairs]]) and the LSH candidate pairs (all
+    * in-bucket co-occurrences), and report one row:
+    * (n_docs, n_true_pairs, n_candidate_pairs, n_hit, pair_recall,
+    * pair_precision). Run it BEFORE shipping a 100 TB dedup to pick the
+    * band count — recall is what the band config buys, precision is what
+    * the verification pass pays for.
+    *
+    * Scale shape: the exact-pair computation is the quadratic-ish part,
+    * which is exactly why it runs on the hash-sample (same md5 bucketing
+    * as [[Splits.hashSplit]] — deterministic, engine-portable); both pair
+    * sets and all counts are one-row aggregates crossJoined back. */
+  def minHashRecallReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.9,
+      shingleK: Int = 1,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      sampleFraction: Double = 1.0,
+      salt: String = ""
+  ): DataFrame = {
+    require(
+      sampleFraction > 0 && sampleFraction <= 1,
+      "sampleFraction must be in (0, 1]"
+    )
+    val base = df.filter(col(textCol).isNotNull)
+    val sampled =
+      if (sampleFraction >= 1.0) base
+      else
+        base.filter(
+          Splits.hashBucket(col(idCol), salt) <
+            math.round(sampleFraction * Splits.Buckets)
+        )
+    val truth = ngramJaccardPairs(sampled, idCol, textCol, shingleK, threshold)
+      .select("id_a", "id_b")
+    val cand = minHashCandidatePairs(
+      sampled, idCol, textCol, shingleK, numHashes, bands, portable = true
+    ).select("id_a", "id_b")
+    val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+    val nd = sampled.agg(count(lit(1)).as("n_docs"))
+    val nt = truth.agg(count(lit(1)).as("n_true_pairs"))
+    val nc = cand.agg(count(lit(1)).as("n_candidate_pairs"))
+    val nh = hit.agg(count(lit(1)).as("n_hit"))
+    nd.crossJoin(nt)
+      .crossJoin(nc)
+      .crossJoin(nh)
+      .select(
+        col("n_docs"),
+        col("n_true_pairs"),
+        col("n_candidate_pairs"),
+        col("n_hit"),
+        round(
+          col("n_hit").cast("double") /
+            when(col("n_true_pairs") > 0, col("n_true_pairs")),
+          6
+        ).as("pair_recall"),
+        round(
+          col("n_hit").cast("double") /
+            when(col("n_candidate_pairs") > 0, col("n_candidate_pairs")),
+          6
+        ).as("pair_precision")
+      )
+  }
+
   /** Remove near-duplicates: a row is dropped iff a candidate pair links it
     * to a lower-id row with estimated Jaccard >= threshold. Candidates come
     * from bucket-minimum representative pairing (O(bands) pairs per doc —

@@ -1788,6 +1788,33 @@ class ScaleSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("minHashRecallReport: perfect recall on exact dups, sane count algebra") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),   // same token set as 1 -> true pair, same sig
+      (3L, "epsilon zeta eta theta"),
+      (4L, "theta eta zeta epsilon"),   // same token set as 3
+      (5L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val r = Dedup
+      .minHashRecallReport(df, "doc_id", "text", threshold = 0.9)
+      .head()
+    val (nDocs, nTrue, nCand, nHit) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nDocs == 5L)
+    assert(nTrue == 2L, s"expected the two identical-set pairs, got $nTrue")
+    // identical token sets => identical signatures => all bands collide:
+    // every true pair must be a candidate
+    assert(nHit == nTrue, s"recall must be 1.0 on exact dups: $nHit/$nTrue")
+    assert(r.getDouble(4) == 1.0)
+    assert(nHit <= nCand && r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    // sampling keeps the report well-formed on a subset
+    val sampledReport = Dedup
+      .minHashRecallReport(df, "doc_id", "text", sampleFraction = 0.5)
+      .head()
+    assert(sampledReport.getLong(0) <= 5L)
+  }
+
   test("kCenterSample picks one point per planted cluster, farthest first") {
     // three tight clusters at distance >> intra-cluster spread; k=3 must
     // return one member of each before densifying any
