@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Decontam, Dedup, Graphs, Joins, Layout, Sessionize, Similarity, Splits, Stats, TextAnalysis, TopN, Wrangling}
+import graft.operators.{Checks, Decontam, Dedup, Graphs, Joins, Layout, Sessionize, Similarity, Splits, Stats, TextAnalysis, TopN, Wrangling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1331,6 +1331,24 @@ object ScaleQueries {
           coalesce(col("n_after"), lit(0L)).as("n_after")
         )
         .orderBy("lang")
+    }),
+
+    // data-contract gate: four scalar checks fused into ONE scan pass,
+    // plus a keyed uniqueness check and a broadcast referential probe —
+    // the dbt-test / expectation-suite shape over the fact table
+    "q_checks" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Checks.runChecks(
+        li,
+        Seq(
+          Checks.NotNull("l_orderkey"),
+          Checks.InRange("l_discount", 0.0, 0.05),
+          Checks.AcceptedValues("l_returnflag", Seq("A", "N", "R")),
+          Checks.MatchesRegex("l_linestatus", "^[A-Z]$"),
+          Checks.Unique(Seq("l_orderkey", "l_linenumber")),
+          Checks.ReferencedIn("l_suppkey", t(s, dir, "supplier"), "s_suppkey")
+        )
+      )
     }),
 
     // LSH tuning report on a deterministic 60% hash-sample: exact Jaccard
@@ -3067,6 +3085,42 @@ object ScaleQueries {
     "q_hll_distinct" ->
       """SELECT lang, count(DISTINCT source) AS n_distinct
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_checks" ->
+      """WITH r AS (
+        |  SELECT 'not_null:l_orderkey' AS c,
+        |         CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_violations FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range:l_discount',
+        |         CAST(sum(CASE WHEN l_discount IS NOT NULL AND
+        |                        (CAST(l_discount AS DOUBLE) < 0.0 OR
+        |                         CAST(l_discount AS DOUBLE) > 0.05)
+        |                  THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'accepted_values:l_returnflag',
+        |         CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND
+        |                        CAST(l_returnflag AS VARCHAR) NOT IN ('A','N','R')
+        |                  THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'matches_regex:l_linestatus',
+        |         CAST(sum(CASE WHEN l_linestatus IS NOT NULL AND
+        |                        NOT regexp_matches(l_linestatus, '^[A-Z]$')
+        |                  THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique:l_orderkey,l_linenumber',
+        |         coalesce((SELECT CAST(sum(n) AS BIGINT) FROM (
+        |           SELECT count(*) AS n FROM lineitem
+        |           GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+        |         )), 0)
+        |  UNION ALL
+        |  SELECT 'referenced_in:l_suppkey',
+        |         (SELECT count(*) FROM lineitem
+        |          WHERE l_suppkey IS NOT NULL
+        |            AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        |)
+        |SELECT c AS "check", n_violations, n_violations = 0 AS passed
+        |FROM r ORDER BY c""".stripMargin,
 
     "q_lsh_recall" ->
       s"""WITH ${duckMinHashCommonWhere(

@@ -1788,6 +1788,49 @@ class ScaleSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("runChecks counts each violation type; order follows the check list") {
+    import graft.operators.Checks
+    import graft.operators.Checks._
+    val dim = Seq(1L, 2L, 3L).toDF("ref_id")
+    val df = Seq(
+      (Some(1L), Some(0.02), "A", "good1"),
+      (Some(1L), Some(0.02), "A", "good1"),   // dup key (1, 0.02...) by k column below
+      (None, Some(0.5), "X", "bad value"),    // null key, out of range, bad flag, regex fail
+      (Some(2L), None, "N", "good2"),
+      (Some(9L), Some(0.01), "R", "good3")    // 9 not in dim
+    ).toDF("k", "disc", "flag", "name")
+    val got = Checks
+      .runChecks(
+        df,
+        Seq(
+          NotNull("k"),
+          InRange("disc", 0.0, 0.1),
+          AcceptedValues("flag", Seq("A", "N", "R")),
+          MatchesRegex("name", "^good[0-9]$"),
+          Unique(Seq("k")),
+          ReferencedIn("k", dim, "ref_id")
+        )
+      )
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(_._1).toSeq == Seq(
+      "not_null:k", "in_range:disc", "accepted_values:flag",
+      "matches_regex:name", "unique:k", "referenced_in:k"
+    ), "report must follow the check order")
+    val byCheck = got.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byCheck("not_null:k") == ((1L, false)))
+    assert(byCheck("in_range:disc") == ((1L, false)))  // null disc passes
+    assert(byCheck("accepted_values:flag") == ((1L, false)))
+    assert(byCheck("matches_regex:name") == ((1L, false)))
+    // both rows of the duplicated key count
+    assert(byCheck("unique:k") == ((2L, false)))
+    // null key passes referential check; 9 fails
+    assert(byCheck("referenced_in:k") == ((1L, false)))
+    // all-green contract
+    val clean = Checks.runChecks(dim, Seq(NotNull("ref_id"), Unique(Seq("ref_id"))))
+    assert(clean.collect().forall(_.getBoolean(2)))
+  }
+
   test("minHashRecallReport: perfect recall on exact dups, sane count algebra") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
