@@ -1333,6 +1333,14 @@ object ScaleQueries {
         .orderBy("lang")
     }),
 
+    // BPE merge-rule training on the corpus word dictionary (8 rounds).
+    // The greedy per-word merge fold is iterative and not SQL-expressible
+    // -> rows-only gate (same policy as q_equidepth_sketch); the merge
+    // sequence itself is hand-verified in ScaleSpec.
+    "q_bpe" -> ((s, dir) => {
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
+    }),
+
     // data-contract gate: four scalar checks fused into ONE scan pass,
     // plus a keyed uniqueness check and a broadcast referential probe —
     // the dbt-test / expectation-suite shape over the fact table

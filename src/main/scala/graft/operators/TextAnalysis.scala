@@ -673,6 +673,98 @@ object TextAnalysis {
       )
   }
 
+  /** BPE merge-rule training over the corpus — the classic byte-pair
+    * encoding vocabulary learner (Sennrich et al.), in its standard
+    * formulation: train on the WORD-FREQUENCY dictionary, not the raw
+    * corpus. Each word becomes a symbol sequence (characters + an
+    * end-of-word marker `</w>`); each round counts adjacent symbol pairs
+    * weighted by word frequency, picks the most frequent pair (ties:
+    * lexicographically smallest), and rewrites the dictionary merging
+    * that pair greedily left-to-right within every word. Returns the
+    * learned merge table: (merge_rank, left, right, pair_count).
+    *
+    * Scale shape: the corpus is scanned ONCE to build the (word, count)
+    * dictionary — every round thereafter touches only the dictionary
+    * (distinct-words-sized, millions of rows where the corpus has
+    * billions): one map-side-combined pair-count aggregate, one tiny
+    * ordered argmax (`numMerges` driver actions by construction —
+    * documented EAGER, like the CC/PageRank/k-center loops), and one
+    * per-word fold applying the merge. The fold is a higher-order
+    * `aggregate` lambda — interpreted, but over the dictionary, never
+    * the corpus; `localCheckpoint` truncates the per-round lineage. */
+  def bpeMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int
+  ): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy("__w")
+      .agg(count(lit(1)).as("__n"))
+      .select(
+        // split(w, "") may emit a trailing empty string depending on the
+        // JDK split contract — drop empties defensively
+        concat(
+          filter(split(col("__w"), ""), s => length(s) > 0),
+          array(lit("</w>"))
+        ).as("__syms"),
+        col("__n")
+      )
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    var rank = 0
+    while (!exhausted && rank < numMerges) {
+      val pairs = words
+        .select(
+          explode(
+            arrays_zip(
+              col("__syms").as("a"),
+              slice(col("__syms"), 2, 1000000).as("b")
+            )
+          ).as("__p"),
+          col("__n")
+        )
+        .filter(col("__p.b").isNotNull)
+        .groupBy(col("__p.a").as("__a"), col("__p.b").as("__b"))
+        .agg(sum("__n").as("__total"))
+      val top = pairs
+        .orderBy(col("__total").desc, col("__a"), col("__b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, total) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, total))
+        // greedy leftmost merge inside each word: fold symbols, gluing
+        // (a, b) whenever the accumulator ends with an unconsumed `a`
+        val merged = aggregate(
+          col("__syms"),
+          array().cast("array<string>"),
+          (acc, x) =>
+            when(
+              size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(
+                slice(acc, lit(1), size(acc) - 1),
+                array(concat(element_at(acc, -1), x))
+              )
+            ).otherwise(concat(acc, array(x)))
+        )
+        words = words
+          .select(merged.as("__syms"), col("__n"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+  }
+
   /** Cross-document boilerplate removal (the CCNet/RefinedWeb paragraph
     * dedup): split each text on `delimiter`, count how many DISTINCT
     * documents contain each unit, strip units appearing in more than

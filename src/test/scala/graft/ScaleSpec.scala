@@ -1788,6 +1788,32 @@ class ScaleSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("bpeMerges learns the classic merge sequence on a planted dictionary") {
+    // Sennrich-style toy corpus: {low x5, lowest x2}. Symbol pairs round 1
+    // (weighted): (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2, (e,s)=2, (s,t)=2,
+    // (t,</w>)=2. Tie (l,o) vs (o,w) breaks lexicographically -> (l,o).
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lowest lowest")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .bpeMerges(docs, "text", numMerges = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.length == 3)
+    assert(got(0) == ((0, "l", "o", 7L)), s"${got.mkString(";")}")
+    // round 2: (lo,w)=7 dominates
+    assert(got(1) == ((1, "lo", "w", 7L)), s"${got.mkString(";")}")
+    // round 3: (low,</w>)=5 beats the 2-weight pairs
+    assert(got(2) == ((2, "low", "</w>", 5L)), s"${got.mkString(";")}")
+    // exhaustion: a single repeated word runs out of pairs and stops early
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // pairs: (a,b)=1? no — dictionary is word-frequency based: word "ab" n=2
+    // round1 (a,b)=2; round2 (ab,</w>)=2; round3: no pairs left -> stop
+    val short = TextAnalysis.bpeMerges(tiny, "text", numMerges = 10).collect()
+    assert(short.length == 2, s"expected exhaustion at 2 merges, got ${short.length}")
+  }
+
   test("runChecks counts each violation type; order follows the check list") {
     import graft.operators.Checks
     import graft.operators.Checks._
