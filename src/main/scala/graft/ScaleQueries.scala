@@ -1333,6 +1333,44 @@ object ScaleQueries {
         .orderBy("lang")
     }),
 
+    // interval-interval overlap join via bin bucketing (first-shared-bin
+    // dedupe, no distinct, no nested loop): 2h view-windows against 3h
+    // campaign-windows derived from the event stream
+    "q_interval_overlap" -> ((s, dir) => {
+      val e = events(s, dir)
+      val l = e
+        .filter(col("event_id") % 37 === 0)
+        .select(
+          col("event_id").as("l_id"),
+          col("ts").as("l_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("l_end")
+        )
+      val r = e
+        .filter(col("event_id") % 53 === 0)
+        .select(
+          col("event_id").as("r_id"),
+          col("ts").as("r_start"),
+          (col("ts") + expr("INTERVAL 3 HOURS")).as("r_end")
+        )
+      Joins
+        .intervalOverlapJoin(l, "l_start", "l_end", r, "r_start", "r_end",
+          binSeconds = 7200)
+        .select("l_id", "r_id")
+        .orderBy("l_id", "r_id")
+    }),
+
+    // Efraimidis-Spirakis weighted sample without replacement: longer
+    // documents proportionally likelier, deterministic across engines
+    "q_weighted_sample" -> ((s, dir) => {
+      Splits
+        .weightedSample(
+          t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars"),
+          "doc_id", "n_chars", k = 50
+        )
+        .select("doc_id", "lang", "source", "sample_score")
+        .orderBy(col("sample_score").desc, col("doc_id"))
+    }),
+
     // BPE merge-rule training on the corpus word dictionary (8 rounds).
     // The greedy per-word merge fold is iterative and not SQL-expressible
     // -> rows-only gate (same policy as q_equidepth_sketch); the merge
@@ -3093,6 +3131,29 @@ object ScaleQueries {
     "q_hll_distinct" ->
       """SELECT lang, count(DISTINCT source) AS n_distinct
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS us FROM events
+        |), l AS (
+        |  SELECT event_id AS l_id, us AS ls, us + 7200000000 AS le
+        |  FROM e WHERE event_id % 37 = 0
+        |), r AS (
+        |  SELECT event_id AS r_id, us AS rs, us + 10800000000 AS re
+        |  FROM e WHERE event_id % 53 = 0
+        |)
+        |SELECT l_id, r_id FROM l JOIN r ON ls < re AND rs < le
+        |ORDER BY l_id, r_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, lang, source,
+        |       ROUND(POWER(
+        |         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |               AS BIGINT) % 10000 + 0.5) / 10000.0,
+        |         1.0 / CAST(n_chars AS DOUBLE)), 6) AS sample_score
+        |FROM documents
+        |WHERE n_chars IS NOT NULL AND n_chars > 0
+        |ORDER BY sample_score DESC, doc_id LIMIT 50""".stripMargin,
 
     "q_checks" ->
       """WITH r AS (

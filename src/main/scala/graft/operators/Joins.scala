@@ -100,6 +100,54 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Interval-overlap join: pairs of (left, right) intervals with
+    * `lStart < rEnd && rStart < lEnd` (half-open [start, end)). Same bin
+    * bucketing as [[rangeJoin]], with the interval-interval twist: both
+    * sides explode across their bins, so an overlapping pair may share
+    * SEVERAL bins — the pair is kept only in the bin containing
+    * `max(lStart, rStart)` (the first bin where both are live), making
+    * each qualifying pair match exactly once without a distinct.
+    *
+    * Scale shape: equi-join on the bin key (shuffles/AQE-splits like any
+    * equi-join), exact overlap + first-bin predicates as codegen'd
+    * filters. Never a nested loop. Column names must not collide across
+    * the two sides — select/rename first. */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      leftStartCol: String,
+      leftEndCol: String,
+      right: DataFrame,
+      rightStartCol: String,
+      rightEndCol: String,
+      binSeconds: Long = 3600L
+  ): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    val binMicros = binSeconds * 1000000L
+    def bins(s: String, e: String) =
+      sequence(
+        floor(unix_micros(col(s)) / binMicros).cast("long"),
+        floor((unix_micros(col(e)) - 1) / binMicros).cast("long")
+      )
+    val lb = left.withColumn("__bin", explode(bins(leftStartCol, leftEndCol)))
+    val rb = right.withColumn("__bin", explode(bins(rightStartCol, rightEndCol)))
+    lb.join(rb, Seq("__bin"))
+      .filter(
+        col(leftStartCol) < col(rightEndCol) &&
+          col(rightStartCol) < col(leftEndCol)
+      )
+      // first shared live bin: dedupe without a shuffle
+      .filter(
+        col("__bin") ===
+          floor(
+            greatest(
+              unix_micros(col(leftStartCol)),
+              unix_micros(col(rightStartCol))
+            ) / binMicros
+          ).cast("long")
+      )
+      .drop("__bin")
+  }
+
   /** Two-table as-of join (trades/quotes style): each left row is enriched
     * with `rightValueCols` from the LATEST right row whose `rightTimeCol`
     * is `<=` the left row's `leftTimeCol`, matched on `keyCol`; left rows

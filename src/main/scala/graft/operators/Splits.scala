@@ -225,6 +225,39 @@ object Splits {
       .drop("__rn")
   }
 
+  /** Deterministic weighted sample WITHOUT replacement, size k — the
+    * Efraimidis-Spirakis exponential-key scheme: each row draws a
+    * reproducible uniform u from its key's md5 bucket (`(bucket + 0.5) /
+    * Buckets`, strictly inside (0,1)) and scores `u^(1/w)`; the k largest
+    * scores are the sample. Inclusion probability is proportional to
+    * weight, the assignment is stable across runs/engines/partitionings
+    * (same md5 contract as [[hashSplit]]), and re-keying via `salt` draws
+    * an independent sample. Rows with weight <= 0 or null are excluded.
+    * Scores are rounded to 6 decimals (pow() last-ulp variance); exact
+    * score ties break by key ascending.
+    *
+    * Scale shape: pure per-row arithmetic + a global top-k, which Spark
+    * plans as TakeOrdered (per-partition size-k heaps merged on the
+    * driver) — no global sort, no shuffle of the data. */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = (hashBucket(col(keyCol), salt).cast("double") + lit(0.5)) /
+      lit(Buckets.toDouble)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn(
+        "sample_score",
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")), 6)
+      )
+      .orderBy(col("sample_score").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Temperature-scaled source mixture — the sampling-rate computation of
     * multilingual/multi-source LM training: source s with n_s rows gets
     * mixture probability p_s = n_s^alpha / sum_t(n_t^alpha). `alpha = 1`

@@ -1788,6 +1788,46 @@ class ScaleSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("intervalOverlapJoin: exactly-once pairs across shared bins, exclusive ends") {
+    import graft.operators.Joins
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    // left interval spans 3 hours (multiple 1h bins); rights overlap it in
+    // different bins — each pair must appear exactly once
+    val l = Seq((1L, ts(0), ts(180)), (2L, ts(300), ts(330))).toDF("l_id", "l_start", "l_end")
+    val r = Seq(
+      (10L, ts(30), ts(90)),    // overlaps l1 across bins 0-1
+      (11L, ts(170), ts(200)),  // overlaps l1 tail
+      (12L, ts(180), ts(240)),  // touches l1's exclusive end -> NO overlap
+      (13L, ts(310), ts(320))   // inside l2
+    ).toDF("r_id", "r_start", "r_end")
+    val got = Joins
+      .intervalOverlapJoin(l, "l_start", "l_end", r, "r_start", "r_end", binSeconds = 3600)
+      .select("l_id", "r_id")
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+      .sorted
+    assert(got.toSeq == Seq((1L, 10L), (1L, 11L), (2L, 13L)), got.mkString(","))
+  }
+
+  test("weightedSample prefers heavy rows, excludes non-positive weights, is stable") {
+    import graft.operators.Splits
+    val df = ((1 to 50).map(i => (i.toLong, 1000.0)) ++
+      (51 to 100).map(i => (i.toLong, 0.0001)) ++
+      Seq((101L, 0.0), (102L, -1.0))).toDF("id", "w")
+    val got = Splits.weightedSample(df, "id", "w", k = 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // weight ratio 10^7: heavy rows crowd out light ones
+    assert(got.forall(_ <= 50L), s"light/zero-weight rows sampled: $got")
+    assert(got.size == 20)
+    val again = Splits.weightedSample(df, "id", "w", k = 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == again, "sample must be deterministic")
+    // independent draw under a different salt
+    val salted = Splits.weightedSample(df, "id", "w", k = 20, salt = "v2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(salted != got, "salt must re-key the draw")
+  }
+
   test("bpeMerges learns the classic merge sequence on a planted dictionary") {
     // Sennrich-style toy corpus: {low x5, lowest x2}. Symbol pairs round 1
     // (weighted): (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2, (e,s)=2, (s,t)=2,
