@@ -337,6 +337,17 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("interval overlap join is a bin equi-join, never a nested loop") {
+    val p = plan("q_interval_overlap")
+    assert(!p.contains("CartesianProduct"), s"product join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+  }
+
+  test("weighted sample plans as TakeOrdered, not a global sort") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k heap plan:\n$p")
+  }
+
   test("bm25 broadcasts the df stats and corpus stats, no full-doc shuffle") {
     // the per-term score join must broadcast BOTH small sides (|Q|-row df
     // table, one-row corpus stats); only matched occurrences may shuffle
