@@ -1333,6 +1333,18 @@ object ScaleQueries {
         .orderBy("lang")
     }),
 
+    // distribution drift between order-status cohorts: the PSI monitor a
+    // training-data pipeline runs between its reference snapshot and the
+    // live feed (10 fixed bins, eps-smoothed, decimal-exact sum)
+    "q_psi_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Stats.populationStabilityIndex(
+        o.filter(col("o_orderstatus") === "F"),
+        o.filter(col("o_orderstatus") === "O"),
+        "o_totalprice", lo = 0.0, hi = 400000.0, nBins = 10
+      )
+    }),
+
     // interval-interval overlap join via bin bucketing (first-shared-bin
     // dedupe, no distinct, no nested loop): 2h view-windows against 3h
     // campaign-windows derived from the event stream
@@ -3131,6 +3143,41 @@ object ScaleQueries {
     "q_hll_distinct" ->
       """SELECT lang, count(DISTINCT source) AS n_distinct
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH spine AS (
+        |  SELECT CAST(range AS INT) AS bin FROM range(10)
+        |), rb AS (
+        |  SELECT CAST(least(9, greatest(0,
+        |           floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 40000.0)))
+        |         AS INT) AS bin, count(*) AS rn
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+        |  GROUP BY 1
+        |), cb AS (
+        |  SELECT CAST(least(9, greatest(0,
+        |           floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 40000.0)))
+        |         AS INT) AS bin, count(*) AS cn
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL
+        |  GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(rn, 0) AS rn, coalesce(cn, 0) AS cn
+        |  FROM spine LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)
+        |), tot AS (
+        |  SELECT CAST(sum(rn) AS BIGINT) AS rt, CAST(sum(cn) AS BIGINT) AS ct
+        |  FROM j
+        |), terms AS (
+        |  SELECT (SELECT rt FROM tot) AS rt, (SELECT ct FROM tot) AS ct,
+        |         CAST(ROUND(
+        |           (greatest(CAST(rn AS DOUBLE) / (SELECT rt FROM tot), 0.000001) -
+        |            greatest(CAST(cn AS DOUBLE) / (SELECT ct FROM tot), 0.000001)) *
+        |           ln(greatest(CAST(rn AS DOUBLE) / (SELECT rt FROM tot), 0.000001) /
+        |              greatest(CAST(cn AS DOUBLE) / (SELECT ct FROM tot), 0.000001)),
+        |         10) AS DECIMAL(22,10)) AS contrib
+        |  FROM j
+        |)
+        |SELECT rt AS n_ref, ct AS n_cur,
+        |       ROUND(CAST(sum(contrib) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY 1, 2""".stripMargin,
 
     "q_interval_overlap" ->
       """WITH e AS (

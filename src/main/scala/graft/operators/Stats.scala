@@ -432,4 +432,76 @@ object Stats {
       groupCols.map(col) :+
         hll_sketch_estimate(col("distinct_sketch")).as("n_distinct"): _*
     )
+
+  /** Population Stability Index between a reference and a current
+    * distribution of `valueCol` — the standard drift monitor between a
+    * training snapshot and live data:
+    * `PSI = sum over bins of (p - q) * ln(p / q)` with fixed-width bins
+    * over [lo, hi) (out-of-range clamps to the edge bins, like
+    * [[histogram]]) and shares floored at `eps` so empty bins contribute
+    * finitely. Rule of thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25
+    * shifted. Returns one row: (n_ref, n_cur, psi). Per-bin contributions
+    * are quantized to decimal before the cross-bin sum, so the reported
+    * PSI is order-independent and engine-reproducible.
+    *
+    * Scale shape: one map-side-combined bin aggregate per side (at most
+    * nBins rows reach each shuffle), joined onto a generated nBins-row
+    * spine — both inputs are scanned exactly once. */
+  def populationStabilityIndex(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int = 10,
+      eps: Double = 1e-6
+  ): DataFrame = {
+    require(nBins >= 2, "nBins must be >= 2")
+    require(hi > lo, "hi must be > lo")
+    require(eps > 0, "eps must be > 0")
+    val width = (lit(hi) - lit(lo)) / lit(nBins)
+    def binCounts(df: DataFrame, as: String) = {
+      val v = col(valueCol).cast("double")
+      val bin = least(
+        lit(nBins - 1),
+        greatest(lit(0), floor((v - lit(lo)) / width))
+      ).cast("int")
+      df.filter(v.isNotNull)
+        .select(bin.as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as(as))
+    }
+    val spark = ref.sparkSession
+    val spine = spark.range(nBins).select(col("id").cast("int").as("bin"))
+    val joined = spine
+      .join(binCounts(ref, "__rn"), Seq("bin"), "left")
+      .join(binCounts(cur, "__cn"), Seq("bin"), "left")
+      .select(
+        coalesce(col("__rn"), lit(0L)).as("__rn"),
+        coalesce(col("__cn"), lit(0L)).as("__cn")
+      )
+    val totals = joined.agg(
+      sum("__rn").as("__rt"),
+      sum("__cn").as("__ct")
+    )
+    joined
+      .crossJoin(broadcast(totals))
+      .select(
+        col("__rt"),
+        col("__ct"),
+        greatest(col("__rn").cast("double") / col("__rt"), lit(eps)).as("__p"),
+        greatest(col("__cn").cast("double") / col("__ct"), lit(eps)).as("__q")
+      )
+      .select(
+        col("__rt"),
+        col("__ct"),
+        // per-bin quantization before the sum: order-independent PSI
+        round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 10)
+          .cast("decimal(22,10)")
+          .as("__contrib")
+      )
+      .groupBy("__rt", "__ct")
+      .agg(round(sum("__contrib").cast("double"), 6).as("psi"))
+      .select(col("__rt").as("n_ref"), col("__ct").as("n_cur"), col("psi"))
+  }
 }

@@ -1788,6 +1788,30 @@ class ScaleSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("populationStabilityIndex: zero on identical data, large on a shift") {
+    import graft.operators.Stats
+    val ref = (1 to 1000).map(i => i.toDouble % 100).toDF("v")
+    // identical distribution -> PSI exactly 0 (every p == q)
+    val same = Stats
+      .populationStabilityIndex(ref, ref, "v", lo = 0, hi = 100, nBins = 10)
+      .head()
+    assert(same.getLong(0) == 1000L && same.getLong(1) == 1000L)
+    assert(same.getDouble(2) == 0.0)
+    // hard shift into disjoint bins -> PSI far above the 0.25 alarm bar
+    val shifted = (1 to 1000).map(i => 50.0 + i % 50).toDF("v")
+    val drift = Stats
+      .populationStabilityIndex(ref, shifted, "v", lo = 0, hi = 100, nBins = 10)
+      .head()
+      .getDouble(2)
+    assert(drift > 0.25, s"expected drift alarm, psi = $drift")
+    // nulls are ignored, not binned
+    val withNulls = (1 to 1000).map(i => Some(i.toDouble % 100)) ++ Seq.fill(100)(Option.empty[Double])
+    val n = Stats
+      .populationStabilityIndex(withNulls.toDF("v"), ref, "v", 0, 100, 10)
+      .head()
+    assert(n.getLong(0) == 1000L && n.getDouble(2) == 0.0)
+  }
+
   test("intervalOverlapJoin: exactly-once pairs across shared bins, exclusive ends") {
     import graft.operators.Joins
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
