@@ -293,6 +293,107 @@ object Streaming {
     * the caller to update mode and upsert into a serving table before
     * ranking. Runs until `AvailableNow` drains the source.
     */
+  /** Streaming drift monitor: per event-time window, the Population
+    * Stability Index of `valueCol` against a STATIC reference snapshot —
+    * the live-feed alarm form of
+    * [[graft.operators.Stats.populationStabilityIndex]], same binning,
+    * smoothing, and decimal-quantized summation, so a window whose
+    * distribution matches the reference reports exactly 0. Emits one row
+    * per closed window: (window_start, n_cur, psi).
+    *
+    * Scale shape: the stream side is a watermark-bounded windowed bin
+    * aggregate (state = nBins counters per open window); the reference
+    * collapses to an nBins-row share table computed once per batch and
+    * broadcast. The per-window PSI reduction in foreachBatch touches only
+    * (windows x nBins) aggregated rows, never events. */
+  def driftPerWindow(
+      events: DataFrame,
+      ref: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int = 10,
+      width: String = "1 hour",
+      watermark: String = "2 hours",
+      eps: Double = 1e-6
+  )(sink: DataFrame => Unit): Unit = {
+    require(nBins >= 2 && hi > lo && eps > 0, "bad PSI parameters")
+    val widthPerBin = (hi - lo) / nBins
+    def binOf = least(
+      lit(nBins - 1),
+      greatest(
+        lit(0),
+        floor((col(valueCol).cast("double") - lit(lo)) / lit(widthPerBin))
+      )
+    ).cast("int")
+    val counts = events
+      .filter(col(valueCol).isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("__w"), binOf.as("bin"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__w.start").as("window_start"), col("bin"), col("__n"))
+    val q = counts.writeStream
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val refShares = ref
+          .filter(col(valueCol).isNotNull)
+          .select(binOf.as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("__rn"))
+          .crossJoin(
+            broadcast(
+              ref.filter(col(valueCol).isNotNull).agg(count(lit(1)).as("__rt"))
+            )
+          )
+          .select(
+            col("bin"),
+            (col("__rn").cast("double") / col("__rt")).as("__p")
+          )
+        val spine = batch
+          .select("window_start")
+          .distinct()
+          .crossJoin(spark.range(nBins).select(col("id").cast("int").as("bin")))
+        val full = spine
+          .join(batch, Seq("window_start", "bin"), "left")
+          .select(
+            col("window_start"),
+            col("bin"),
+            coalesce(col("__n"), lit(0L)).as("__n")
+          )
+        val totals = full
+          .groupBy("window_start")
+          .agg(sum("__n").as("__ct"))
+        val out = full
+          .join(totals, Seq("window_start"))
+          .join(broadcast(refShares), Seq("bin"), "left")
+          .select(
+            col("window_start"),
+            col("__ct"),
+            round(
+              (greatest(coalesce(col("__p"), lit(0.0)), lit(eps)) -
+                greatest(col("__n").cast("double") / col("__ct"), lit(eps))) *
+                log(
+                  greatest(coalesce(col("__p"), lit(0.0)), lit(eps)) /
+                    greatest(col("__n").cast("double") / col("__ct"), lit(eps))
+                ),
+              10
+            ).cast("decimal(22,10)").as("__contrib")
+          )
+          .groupBy("window_start", "__ct")
+          .agg(round(sum("__contrib").cast("double"), 6).as("psi"))
+          .select(
+            col("window_start"),
+            col("__ct").as("n_cur"),
+            col("psi")
+          )
+        sink(out)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def heavyHittersPerWindow(
       events: DataFrame,
       k: Int,

@@ -67,6 +67,40 @@ class StreamingMultimodalSpec extends SparkSpec {
       "stale seed rows must be overwritten by same-ts updates")
   }
 
+  test("streaming drift monitor: zero PSI vs the full snapshot as reference") {
+    val stream = Streaming.readEventsStream(spark, sfDir)
+    val batchEvents = spark.read
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Array[org.apache.spark.sql.Row]]
+    // reference = one specific window's own rows -> that window must
+    // report PSI exactly 0; other windows report >= 0 and all windows
+    // account for every non-null value
+    val firstWindow = batchEvents
+      .select(window(col("ts"), "7 days").as("__w"))
+      .select(col("__w.start").as("s"))
+      .orderBy("s")
+      .head()
+      .getTimestamp(0)
+    val refWindow = batchEvents.filter(
+      window(col("ts"), "7 days")("start") === lit(firstWindow)
+    )
+    Streaming.driftPerWindow(
+      stream, refWindow, "value", lo = 0.0, hi = 1000.0, nBins = 10,
+      width = "7 days", watermark = "14 days"
+    ) { out => snaps += out.collect() }
+    assert(snaps.nonEmpty && snaps.last.nonEmpty)
+    val byWindow = snaps.last
+      .map(r => (r.getTimestamp(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    val (nRef, psiRef) = byWindow(firstWindow)
+    assert(psiRef == 0.0, s"self-reference window must have zero drift: $psiRef")
+    assert(nRef == refWindow.filter(col("value").isNotNull).count())
+    assert(byWindow.values.forall(_._2 >= 0.0))
+    val totalCounted = byWindow.values.map(_._1).sum
+    assert(totalCounted == batchEvents.filter(col("value").isNotNull).count())
+  }
+
   test("streaming heavy hitters rank equals the batch ranking") {
     val stream = Streaming.readEventsStream(spark, sfDir)
     val snaps = scala.collection.mutable.ArrayBuffer.empty[Array[org.apache.spark.sql.Row]]
