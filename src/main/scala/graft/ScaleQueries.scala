@@ -1333,6 +1333,17 @@ object ScaleQueries {
         .orderBy("lang")
     }),
 
+    // categorical mix drift: language shares of the first corpus half vs
+    // the second — the source/language-mix alarm of an ingestion pipeline
+    "q_cat_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Stats.categoricalStabilityIndex(
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250),
+        "lang"
+      )
+    }),
+
     // distribution drift between order-status cohorts: the PSI monitor a
     // training-data pipeline runs between its reference snapshot and the
     // live feed (10 fixed bins, eps-smoothed, decimal-exact sum)
@@ -3143,6 +3154,34 @@ object ScaleQueries {
     "q_hll_distinct" ->
       """SELECT lang, count(DISTINCT source) AS n_distinct
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cat_drift" ->
+      """WITH rc AS (
+        |  SELECT CAST(lang AS VARCHAR) AS cat, count(*) AS rn
+        |  FROM documents WHERE doc_id < 250 AND lang IS NOT NULL GROUP BY 1
+        |), cc AS (
+        |  SELECT CAST(lang AS VARCHAR) AS cat, count(*) AS cn
+        |  FROM documents WHERE doc_id >= 250 AND lang IS NOT NULL GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(rn, 0) AS rn, coalesce(cn, 0) AS cn
+        |  FROM rc FULL OUTER JOIN cc USING (cat)
+        |), tot AS (
+        |  SELECT CAST(sum(rn) AS BIGINT) AS rt, CAST(sum(cn) AS BIGINT) AS ct,
+        |         count(*) AS ncat
+        |  FROM j
+        |), terms AS (
+        |  SELECT CAST(ROUND(
+        |           (greatest(CAST(rn AS DOUBLE) / (SELECT rt FROM tot), 0.000001) -
+        |            greatest(CAST(cn AS DOUBLE) / (SELECT ct FROM tot), 0.000001)) *
+        |           ln(greatest(CAST(rn AS DOUBLE) / (SELECT rt FROM tot), 0.000001) /
+        |              greatest(CAST(cn AS DOUBLE) / (SELECT ct FROM tot), 0.000001)),
+        |         10) AS DECIMAL(22,10)) AS contrib
+        |  FROM j
+        |)
+        |SELECT (SELECT rt FROM tot) AS n_ref, (SELECT ct FROM tot) AS n_cur,
+        |       CAST((SELECT ncat FROM tot) AS INT) AS n_categories,
+        |       ROUND(CAST(sum(contrib) AS DOUBLE), 6) AS psi
+        |FROM terms""".stripMargin,
 
     "q_psi_drift" ->
       """WITH spine AS (

@@ -504,4 +504,61 @@ object Stats {
       .agg(round(sum("__contrib").cast("double"), 6).as("psi"))
       .select(col("__rt").as("n_ref"), col("__ct").as("n_cur"), col("psi"))
   }
+
+  /** Categorical form of [[populationStabilityIndex]]: shares per distinct
+    * value of `catCol` (nulls excluded) over the UNION of categories seen
+    * on either side, eps-smoothed the same way. Returns one row:
+    * (n_ref, n_cur, n_categories, psi). Use for source/language/format
+    * mix drift, where bins are identities rather than ranges.
+    *
+    * Scale shape: one hash aggregate per side keyed by the category, a
+    * full outer join of the two (categories-sized) count tables, decimal
+    * sum of quantized contributions. */
+  def categoricalStabilityIndex(
+      ref: DataFrame,
+      cur: DataFrame,
+      catCol: String,
+      eps: Double = 1e-6
+  ): DataFrame = {
+    require(eps > 0, "eps must be > 0")
+    def counts(df: DataFrame, as: String) =
+      df.filter(col(catCol).isNotNull)
+        .groupBy(col(catCol).cast("string").as("__cat"))
+        .agg(count(lit(1)).as(as))
+    val joined = counts(ref, "__rn")
+      .join(counts(cur, "__cn"), Seq("__cat"), "full_outer")
+      .select(
+        coalesce(col("__rn"), lit(0L)).as("__rn"),
+        coalesce(col("__cn"), lit(0L)).as("__cn")
+      )
+    val totals = joined.agg(
+      sum("__rn").as("__rt"),
+      sum("__cn").as("__ct"),
+      count(lit(1)).as("__ncat")
+    )
+    joined
+      .crossJoin(broadcast(totals))
+      .select(
+        col("__rt"),
+        col("__ct"),
+        col("__ncat"),
+        round(
+          (greatest(col("__rn").cast("double") / col("__rt"), lit(eps)) -
+            greatest(col("__cn").cast("double") / col("__ct"), lit(eps))) *
+            log(
+              greatest(col("__rn").cast("double") / col("__rt"), lit(eps)) /
+                greatest(col("__cn").cast("double") / col("__ct"), lit(eps))
+            ),
+          10
+        ).cast("decimal(22,10)").as("__contrib")
+      )
+      .groupBy("__rt", "__ct", "__ncat")
+      .agg(round(sum("__contrib").cast("double"), 6).as("psi"))
+      .select(
+        col("__rt").as("n_ref"),
+        col("__ct").as("n_cur"),
+        col("__ncat").cast("int").as("n_categories"),
+        col("psi")
+      )
+  }
 }

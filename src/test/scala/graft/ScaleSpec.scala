@@ -1788,6 +1788,19 @@ class ScaleSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("categoricalStabilityIndex: zero on same mix, alarms on category swap") {
+    import graft.operators.Stats
+    val ref = (Seq.fill(80)("en") ++ Seq.fill(20)("fr")).toDF("lang")
+    val same = Stats.categoricalStabilityIndex(ref, ref, "lang").head()
+    assert(same.getLong(0) == 100L && same.getLong(1) == 100L)
+    assert(same.getInt(2) == 2 && same.getDouble(3) == 0.0)
+    // swapped mix + a novel category -> large index, union of categories
+    val cur = (Seq.fill(20)("en") ++ Seq.fill(70)("fr") ++ Seq.fill(10)("de")).toDF("lang")
+    val drift = Stats.categoricalStabilityIndex(ref, cur, "lang").head()
+    assert(drift.getInt(2) == 3, "category union must include the novel value")
+    assert(drift.getDouble(3) > 0.25, s"expected alarm, got ${drift.getDouble(3)}")
+  }
+
   test("populationStabilityIndex: zero on identical data, large on a shift") {
     import graft.operators.Stats
     val ref = (1 to 1000).map(i => i.toDouble % 100).toDF("v")
