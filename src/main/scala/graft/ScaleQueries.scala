@@ -1333,6 +1333,22 @@ object ScaleQueries {
         .orderBy("lang")
     }),
 
+    // budgeted data selection: highest-n_chars docs until 8k tokens —
+    // global (score desc, id) running sum built WITHOUT a global sort
+    "q_budget_select" -> ((s, dir) => {
+      Splits
+        .selectByTokenBudget(
+          t(s, dir, "documents")
+            .select(
+              col("doc_id"), col("n_chars"),
+              size(split(lower(col("text")), " ")).as("n_tokens")
+            ),
+          "doc_id", "n_chars", "n_tokens", tokenBudget = 8000L
+        )
+        .select("doc_id", "n_chars", "n_tokens", "cum_tokens")
+        .orderBy("cum_tokens")
+    }),
+
     // categorical mix drift: language shares of the first corpus half vs
     // the second — the source/language-mix alarm of an ingestion pipeline
     "q_cat_drift" -> ((s, dir) => {
@@ -3154,6 +3170,21 @@ object ScaleQueries {
     "q_hll_distinct" ->
       """SELECT lang, count(DISTINCT source) AS n_distinct
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_budget_select" ->
+      """WITH scored AS (
+        |  SELECT doc_id, n_chars,
+        |         CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id, n_chars, n_tokens,
+        |         CAST(sum(CAST(n_tokens AS BIGINT)) OVER (
+        |           ORDER BY n_chars DESC, doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM scored
+        |)
+        |SELECT doc_id, n_chars, n_tokens, cum_tokens
+        |FROM c WHERE cum_tokens <= 8000 ORDER BY cum_tokens""".stripMargin,
 
     "q_cat_drift" ->
       """WITH rc AS (

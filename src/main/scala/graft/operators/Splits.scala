@@ -225,6 +225,54 @@ object Splits {
       .drop("__rn")
   }
 
+  /** Budgeted corpus selection: take documents in (score desc, id asc)
+    * order while the cumulative token count stays within `tokenBudget` —
+    * the "best data that fits the training budget" selector. Adds
+    * `cum_tokens` (the running total INCLUDING the row).
+    *
+    * Scale shape: equivalent to a global ORDER BY + running sum, but
+    * built without one. Per-score token subtotals cumulate over the
+    * DISTINCT-SCORE table (window over scores, not rows — scores are
+    * assumed bounded-cardinality, e.g. the 6-decimal outputs of
+    * qualityScore); within each score the running sum windows over that
+    * score's partition only, so no document-level single-partition stage
+    * exists. `global cum = exclusive score-prefix + within-score running`
+    * holds exactly because (score desc, id asc) sorts score-majorly. */
+  def selectByTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      tokenBudget: Long
+  ): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be > 0")
+    val rows = df
+      .filter(col(scoreCol).isNotNull && col(tokensCol).isNotNull)
+    val scoreWindow = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prefix = rows
+      .groupBy(col(scoreCol).as("__score"))
+      .agg(sum(col(tokensCol).cast("long")).as("__bucketTokens"))
+      .withColumn(
+        "__before",
+        coalesce(sum("__bucketTokens").over(scoreWindow), lit(0L))
+      )
+      .select(col("__score"), col("__before"))
+    val withinWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(scoreCol))
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    rows
+      .join(broadcast(prefix), rows(scoreCol) === col("__score"))
+      .withColumn(
+        "cum_tokens",
+        col("__before") + sum(col(tokensCol).cast("long")).over(withinWindow)
+      )
+      .filter(col("cum_tokens") <= tokenBudget)
+      .drop("__score", "__before")
+  }
+
   /** Deterministic weighted sample WITHOUT replacement, size k — the
     * Efraimidis-Spirakis exponential-key scheme: each row draws a
     * reproducible uniform u from its key's md5 bucket (`(bucket + 0.5) /

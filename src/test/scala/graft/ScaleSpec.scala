@@ -1788,6 +1788,41 @@ class ScaleSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("selectByTokenBudget equals the global running-sum selection, ties included") {
+    import graft.operators.Splits
+    // scores with heavy ties so the within-score ordering matters; brute
+    // force = sort by (score desc, id), take while cum <= budget
+    val rows = Seq(
+      (1L, 10.0, 50), (2L, 10.0, 60), (3L, 10.0, 70),
+      (4L, 5.0, 40), (5L, 5.0, 40), (6L, 1.0, 100)
+    )
+    val df = rows.toDF("id", "score", "tok")
+    def brute(budget: Long) = rows
+      .sortBy { case (id, s, _) => (-s, id) }
+      .scanLeft((0L, 0L)) { case ((_, cum), (id, _, t)) => (id, cum + t) }
+      .tail
+      .takeWhile(_._2 <= budget)
+      .map(_._1)
+      .toSet
+    for (budget <- Seq(50L, 110L, 180L, 220L, 260L, 360L)) {
+      val got = Splits
+        .selectByTokenBudget(df, "id", "score", "tok", budget)
+        .select("id")
+        .collect()
+        .map(_.getLong(0))
+        .toSet
+      assert(got == brute(budget), s"budget $budget: $got vs ${brute(budget)}")
+    }
+    // cum_tokens reported inclusively
+    val cums = Splits
+      .selectByTokenBudget(df, "id", "score", "tok", 180L)
+      .select("id", "cum_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(cums == Map(1L -> 50L, 2L -> 110L, 3L -> 180L))
+  }
+
   test("categoricalStabilityIndex: zero on same mix, alarms on category swap") {
     import graft.operators.Stats
     val ref = (Seq.fill(80)("en") ++ Seq.fill(20)("fr")).toDF("lang")
