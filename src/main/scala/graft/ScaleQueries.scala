@@ -1333,6 +1333,19 @@ object ScaleQueries {
         .orderBy("lang")
     }),
 
+    // keep-BEST dedup: each near-dup cluster (exact-signature groups glued
+    // with bucket-min near pairs) retains its longest member, not its
+    // smallest id — the quality-aware production dedup policy
+    "q_dedup_keep_best" -> ((s, dir) => {
+      Dedup
+        .dedupNearMinHashKeepBest(
+          t(s, dir, "documents"), "doc_id", "text", "n_chars",
+          threshold = 0.9, shingleK = 1, numHashes = 16, bands = 4
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // budgeted data selection: highest-n_chars docs until 8k tokens —
     // global (score desc, id) running sum built WITHOUT a global sort
     "q_budget_select" -> ((s, dir) => {
@@ -3170,6 +3183,35 @@ object ScaleQueries {
     "q_hll_distinct" ->
       """SELECT lang, count(DISTINCT source) AS n_distinct
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $duckMinHashCommon, e AS (
+         |  SELECT ia AS a, ib AS b FROM cl WHERE est >= 0.9
+         |  UNION
+         |  SELECT ib AS a, ia AS b FROM cl WHERE est >= 0.9
+         |  UNION
+         |  SELECT sig_min AS a, doc_id AS b FROM ex WHERE doc_id > sig_min
+         |  UNION
+         |  SELECT doc_id AS a, sig_min AS b FROM ex WHERE doc_id > sig_min
+         |), reach AS (
+         |  SELECT a AS src, b AS dst FROM e
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON e.a = r.dst
+         |), comp AS (
+         |  SELECT src AS id, least(src, min(dst)) AS component
+         |  FROM reach GROUP BY src
+         |), ranked AS (
+         |  SELECT c.id, c.component,
+         |         row_number() OVER (
+         |           PARTITION BY c.component
+         |           ORDER BY d.n_chars DESC, c.id) AS rn
+         |  FROM comp c JOIN documents d ON d.doc_id = c.id
+         |), losers AS (
+         |  SELECT id FROM ranked WHERE rn > 1
+         |)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_budget_select" ->
       """WITH scored AS (

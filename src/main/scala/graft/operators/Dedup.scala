@@ -334,6 +334,62 @@ object Dedup {
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Keep-BEST near-dedup: like `dedupNearMinHash(transitive = true)` but
+    * each near-duplicate cluster retains its highest-`scoreCol` member
+    * (ties -> smallest id) instead of the smallest id — the production
+    * policy when a quality score exists ("of these 40 mirror copies, keep
+    * the cleanest one"). Clusters are connected components over the union
+    * of exact-signature edges and qualifying bucket-min candidate pairs,
+    * so exact-dup groups and near-dup chains merge into one cluster and
+    * elect one winner.
+    *
+    * Same scale shape and EAGER contract as [[dedupNearMinHash]]: one
+    * signature scan feeds both passes, the cluster graph is skinny
+    * 2-column edges, and the winner election is one max_by aggregate per
+    * component. */
+  def dedupNearMinHashKeepBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      threshold: Double = 0.9,
+      shingleK: Int = 1,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      portable: Boolean = true
+  ): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, textCol, shingleK, numHashes, portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigMins = sigs.groupBy("__sig").agg(min("__id").as("__min"))
+    val exactEdges = sigs
+      .join(sigMins, Seq("__sig"))
+      .filter(col("__id") > col("__min"))
+      .select(col("__min").as("id_a"), col("__id").as("id_b"))
+    val nearPairs =
+      minHashCandidatePairsFromSigs(sigs, numHashes, bands, representativesOnly = true)
+        .filter(col("est_jaccard") >= threshold)
+        .select("id_a", "id_b")
+    val comp = Graphs.connectedComponentsByMinLabel(
+      exactEdges.union(nearPairs), "id_a", "id_b"
+    )
+    val scores = df.select(
+      col(idCol).cast("long").as("id"),
+      col(scoreCol).cast("double").as("__score")
+    )
+    val winners = comp
+      .join(scores, Seq("id"))
+      .groupBy("component")
+      .agg(max_by(col("id"), struct(col("__score"), -col("id"))).as("__winner"))
+    val losers = comp
+      .join(winners, Seq("component"))
+      .filter(col("id") =!= col("__winner"))
+      .select(col("id").as("__loser"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    losers.count() // EAGER: build the loser set off the cached signatures
+    sigs.unpersist(blocking = false)
+    df.join(losers, df(idCol).cast("long") === col("__loser"), "left_anti")
+  }
+
   /** Incremental MinHash dedup: clean a NEW batch against an EXISTING
     * corpus using only the corpus's stored signature table — the
     * production ingestion shape, where re-shingling petabytes of already-

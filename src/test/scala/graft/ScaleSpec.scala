@@ -1788,6 +1788,29 @@ class ScaleSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("dedupNearMinHashKeepBest retains the highest-scored cluster member") {
+    val df = Seq(
+      // exact-dup trio: id 2 has the best score -> 1 and 3 drop
+      (1L, "the quick brown fox jumps over dog", 10.0),
+      (2L, "dog over jumps fox brown quick the", 99.0),
+      (3L, "the quick brown fox jumps over dog", 50.0),
+      // singleton survives regardless of score
+      (4L, "completely different content entirely here", 1.0)
+    ).toDF("doc_id", "text", "score")
+    val kept = Dedup
+      .dedupNearMinHashKeepBest(df, "doc_id", "text", "score", threshold = 0.9)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(kept == Set(2L, 4L), s"expected best-of-cluster winners, got $kept")
+    // min-id policy would have kept 1; keep-best must differ here
+    val minId = Dedup
+      .dedupNearMinHash(df, "doc_id", "text", threshold = 0.9, transitive = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 4L))
+  }
+
   test("selectByTokenBudget equals the global running-sum selection, ties included") {
     import graft.operators.Splits
     // scores with heavy ties so the within-score ordering matters; brute
