@@ -675,6 +675,57 @@ object Dedup {
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 
+  /** Hamming-distance dedup over ANY precomputed 64-bit signature table —
+    * the generic core of [[dedupNearSimHash]] lifted out for non-text
+    * signatures (image dHash from `Multimodal.imageDHash`, audio
+    * fingerprints, feature hashes). Same two passes: identical signatures
+    * keep the minimum id; quarter-bucket pigeonhole pairing (EXACT for
+    * `maxHamming <= 3`) drops rows within distance of their bucket
+    * minimum; `transitive = true` upgrades to full component clustering.
+    * Returns the kept rows of `sigs`. */
+  def dedupByHamming(
+      sigTable: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3,
+      transitive: Boolean = false
+  ): DataFrame = {
+    val sigs = sigTable
+      .select(col(idCol).cast("long").as("__id"), col(sigCol).cast("long").as("simhash"))
+    val simMins = sigs.groupBy("simhash").agg(min("__id").as("__min"))
+    val exactLosers = sigs
+      .join(simMins, Seq("simhash"))
+      .filter(col("__id") > col("__min"))
+      .select(col("__id").as("__loser"))
+    val banded = sigs.withColumn(
+      "__band",
+      explode(simHashQuarterBands(col("simhash")))
+    )
+    val bandMins = banded.groupBy("__band").agg(min("__id").as("__minId"))
+    val repPairs = banded
+      .join(bandMins, Seq("__band"))
+      .filter(col("__id") > col("__minId"))
+      .select(col("__minId").as("id_a"), col("__id").as("id_b"))
+      .distinct()
+      .join(sigs.select(col("__id").as("id_a"), col("simhash").as("sh_a")), Seq("id_a"))
+      .join(sigs.select(col("__id").as("id_b"), col("simhash").as("sh_b")), Seq("id_b"))
+      .filter(hammingDistance(col("sh_a"), col("sh_b")) <= maxHamming)
+      .select("id_a", "id_b")
+    val nearLosers =
+      if (transitive)
+        Graphs
+          .connectedComponentsByMinLabel(repPairs, "id_a", "id_b")
+          .filter(col("id") > col("component"))
+          .select(col("id").as("__loser"))
+      else repPairs.select(col("id_b").as("__loser"))
+    val losers = exactLosers.union(nearLosers).distinct()
+    sigTable.join(
+      losers,
+      sigTable(idCol).cast("long") === col("__loser"),
+      "left_anti"
+    )
+  }
+
   /** Incremental SimHash dedup: clean a NEW batch against an EXISTING
     * corpus using only the corpus's stored (id, simhash) signature table —
     * the SimHash counterpart of [[dedupNearMinHashIncremental]], with the

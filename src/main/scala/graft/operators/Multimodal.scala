@@ -242,6 +242,76 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference-hash (dHash) per image payload: REAL ImageIO
+    * decode, block-average down to a 9x8 luma grid (own deterministic
+    * averaging — no Graphics2D resampler variance across JDKs), then 64
+    * bits of horizontal gradient sign (bit set iff cell luma > its right
+    * neighbor). Near-identical images — recompressed, slightly edited,
+    * resized — land within a few bits of each other, so the output
+    * (media_id, dhash) table feeds [[Dedup.dedupByHamming]] directly:
+    * image near-dup detection with the exact same quarter-bucket
+    * pigeonhole scale shape as text SimHash. Rows whose payload does not
+    * decode as an image are OMITTED (they cannot be perceptually hashed).
+    */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+          catch { case _: java.io.IOException => null }
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val grid = Array.ofDim[Double](8, 9)
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 9) {
+              val x0 = i * w / 9
+              val x1 = math.min(w, math.max(x0 + 1, (i + 1) * w / 9))
+              val y0 = j * h / 8
+              val y1 = math.min(h, math.max(y0 + 1, (j + 1) * h / 8))
+              var sum = 0.0
+              var n = 0
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val rgb = img.getRGB(x, y)
+                  sum += 0.299 * ((rgb >> 16) & 0xff) +
+                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                  n += 1
+                  x += 1
+                }
+                y += 1
+              }
+              grid(j)(i) = if (n == 0) 0.0 else sum / n
+              i += 1
+            }
+            j += 1
+          }
+          var bits = 0L
+          var k = 0
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 8) {
+              if (grid(gy)(gx) > grid(gy)(gx + 1)) bits |= (1L << k)
+              k += 1
+              gx += 1
+            }
+            gy += 1
+          }
+          Some((r.media_id, bits))
+        }
+      }
+    }.toDF("media_id", "dhash")
+  }
+
   /** Resize. Image payloads are REALLY resized: decode via ImageIO,
     * bilinear-draw onto a width x height canvas, re-encode as PNG (the
     * JDK's lossless writer, so round-trips are exact). Non-image payloads

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
 import graft.streaming.Streaming
 import org.apache.spark.sql.functions._
 
@@ -279,6 +279,52 @@ class StreamingMultimodalSpec extends SparkSpec {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  test("image dHash: stable under recompression-scale noise, dedups near-identical images") {
+    import spark.implicits._
+    // gradient image + a copy with one corner pixel flipped (tiny edit) +
+    // a structurally different image (inverted gradient)
+    def gradientPng(w: Int, h: Int, invert: Boolean, tweak: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB
+      )
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 255) / (w - 1)
+        val g = if (invert) 255 - v else v
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      if (tweak) img.setRGB(0, 0, 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def mediaRow(id: Long, png: Array[Byte]) =
+      Multimodal.MediaRow(id, png, Multimodal.MediaMeta("image/png", 36, 16, png.length.toLong))
+    val media = Seq(
+      mediaRow(1L, gradientPng(36, 16, invert = false, tweak = false)),
+      mediaRow(2L, gradientPng(36, 16, invert = false, tweak = true)),
+      mediaRow(3L, gradientPng(36, 16, invert = true, tweak = false)),
+      Multimodal.MediaRow(4L, "not an image".getBytes, Multimodal.MediaMeta("image/png", 0, 0, 12L))
+    ).toDF()
+    val hashes = Multimodal
+      .imageDHash(media)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(hashes.keySet == Set(1L, 2L, 3L), "undecodable payloads must be omitted")
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // a one-pixel tweak moves at most a couple of gradient-sign bits
+    assert(hamming(hashes(1L), hashes(2L)) <= 3,
+      s"near-identical images too far apart: ${hamming(hashes(1L), hashes(2L))}")
+    // the inverted gradient flips (nearly) every gradient sign
+    assert(hamming(hashes(1L), hashes(3L)) > 30,
+      s"distinct images too close: ${hamming(hashes(1L), hashes(3L))}")
+    // hamming dedup keeps one of {1, 2} and keeps 3
+    val kept = Dedup
+      .dedupByHamming(Multimodal.imageDHash(media), "media_id", "dhash", maxHamming = 3)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"expected near-dup 2 dropped: $kept")
   }
 
   test("real PNG decode: feature extraction reads actual pixels") {
