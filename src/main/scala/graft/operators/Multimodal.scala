@@ -143,6 +143,89 @@ object Multimodal {
     }
   }
 
+  /** Perceptual audio fingerprint per payload: REAL 16-bit-PCM decode
+    * (javax.sound — same kernel as [[decodeAudioFeatures]]), the first
+    * channel's ENERGY ENVELOPE block-averaged into 65 equal windows, then
+    * 64 bits of envelope gradient sign — the audio analogue of
+    * [[imageDHash]] (time replaces the x-axis, RMS energy replaces luma).
+    * Near-identical recordings — re-encoded, slightly trimmed, volume-
+    * shifted (gradient SIGNS are level-invariant) — land within a few
+    * bits; feed [[Dedup.dedupByHamming]]. Undecodable payloads are
+    * omitted. */
+  def audioFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAudioEnvelope(r.media, 65).map { env =>
+          var bits = 0L
+          var k = 0
+          while (k < 64) {
+            if (env(k) > env(k + 1)) bits |= (1L << k)
+            k += 1
+          }
+          (r.media_id, bits)
+        }
+      }
+    }.toDF("media_id", "afp")
+  }
+
+  /** First-channel RMS energy in `nWindows` equal sample windows (None if
+    * not decodable 16-bit PCM or fewer samples than windows). */
+  private def decodeAudioEnvelope(
+      bytes: Array[Byte],
+      nWindows: Int
+  ): Option[Array[Double]] = {
+    if (bytes == null || bytes.isEmpty) None
+    else {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException                               => null
+        }
+      if (in == null) None
+      else
+        try {
+          val fmt = in.getFormat
+          val pcmSigned = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            fmt.getSampleSizeInBits == 16
+          if (!pcmSigned) None
+          else {
+            val data = in.readAllBytes()
+            val channels = fmt.getChannels
+            val frameBytes = 2 * channels
+            val n = data.length / frameBytes
+            if (n < nWindows) None
+            else {
+              val env = new Array[Double](nWindows)
+              var w = 0
+              while (w < nWindows) {
+                val i0 = w * n / nWindows
+                val i1 = math.max(i0 + 1, (w + 1) * n / nWindows)
+                var sumSq = 0.0
+                var i = i0
+                while (i < i1) {
+                  val off = i * frameBytes
+                  val s =
+                    if (fmt.isBigEndian)
+                      ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+                    else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+                  val x = s / 32768.0
+                  sumSq += x * x
+                  i += 1
+                }
+                env(w) = math.sqrt(sumSq / (i1 - i0))
+                w += 1
+              }
+              Some(env)
+            }
+          }
+        } finally in.close()
+    }
+  }
+
   /** REAL AVI (RIFF) container walk: returns the video-frame chunk
     * payloads — `##dc`/`##db` chunks, which in an MJPEG AVI are complete
     * JPEG images the JDK can decode. Pure byte-walk (fourcc + LE32 size,

@@ -388,6 +388,52 @@ class StreamingMultimodalSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("audio fingerprint: level-invariant, dedups re-leveled copies") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // amplitude ramp (rising envelope) at two volumes + a falling ramp
+    def rampWav(nSamples: Int, scale: Double, falling: Boolean): Array[Byte] = {
+      val pcm = new Array[Byte](nSamples * 2)
+      for (i <- 0 until nSamples) {
+        val pos = if (falling) nSamples - 1 - i else i
+        val amp = (scale * 30000 * (pos.toDouble / nSamples)).toInt
+        val v: Short = (if (i % 2 == 0) amp else -amp).toShort
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong),
+        AudioFileFormat.Type.WAVE, out
+      )
+      out.toByteArray
+    }
+    def row(id: Long, wav: Array[Byte]) =
+      Multimodal.MediaRow(id, wav, Multimodal.MediaMeta("audio/wav", 0, 0, wav.length.toLong))
+    val media = Seq(
+      row(1L, rampWav(6500, 1.0, falling = false)),
+      row(2L, rampWav(6500, 0.5, falling = false)),  // same shape, half volume
+      row(3L, rampWav(6500, 1.0, falling = true)),   // reversed envelope
+      row(4L, "not audio".getBytes)                  // undecodable
+    ).toDF()
+    val fp = Multimodal
+      .audioFingerprint(media)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(fp.keySet == Set(1L, 2L, 3L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // gradient signs are volume-invariant: scaled copy hashes identically
+    assert(hamming(fp(1L), fp(2L)) == 0, s"${hamming(fp(1L), fp(2L))}")
+    // reversed envelope flips (nearly) every gradient sign
+    assert(hamming(fp(1L), fp(3L)) > 50, s"${hamming(fp(1L), fp(3L))}")
+    val kept = Dedup
+      .dedupByHamming(Multimodal.audioFingerprint(media), "media_id", "afp", maxHamming = 3)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"$kept")
+  }
+
   test("real WAV decode: feature extraction reads actual samples") {
     import spark.implicits._
     val wav = squareWav(nSamples = 800, halfPeriod = 8)
