@@ -345,52 +345,78 @@ object Multimodal {
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
           catch { case _: java.io.IOException => null }
-        if (img == null) None
-        else {
-          val w = img.getWidth
-          val h = img.getHeight
-          val grid = Array.ofDim[Double](8, 9)
-          var j = 0
-          while (j < 8) {
-            var i = 0
-            while (i < 9) {
-              val x0 = i * w / 9
-              val x1 = math.min(w, math.max(x0 + 1, (i + 1) * w / 9))
-              val y0 = j * h / 8
-              val y1 = math.min(h, math.max(y0 + 1, (j + 1) * h / 8))
-              var sum = 0.0
-              var n = 0
-              var y = y0
-              while (y < y1) {
-                var x = x0
-                while (x < x1) {
-                  val rgb = img.getRGB(x, y)
-                  sum += 0.299 * ((rgb >> 16) & 0xff) +
-                    0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
-                  n += 1
-                  x += 1
-                }
-                y += 1
-              }
-              grid(j)(i) = if (n == 0) 0.0 else sum / n
-              i += 1
-            }
-            j += 1
+        if (img == null) None else Some((r.media_id, dHashOf(img)))
+      }
+    }.toDF("media_id", "dhash")
+  }
+
+  /** The 9x8 block-average gradient hash of a decoded image (shared by the
+    * image and video fingerprint paths). */
+  private def dHashOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val grid = Array.ofDim[Double](8, 9)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 9) {
+        val x0 = i * w / 9
+        val x1 = math.min(w, math.max(x0 + 1, (i + 1) * w / 9))
+        val y0 = j * h / 8
+        val y1 = math.min(h, math.max(y0 + 1, (j + 1) * h / 8))
+        var sum = 0.0
+        var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            n += 1
+            x += 1
           }
-          var bits = 0L
-          var k = 0
-          var gy = 0
-          while (gy < 8) {
-            var gx = 0
-            while (gx < 8) {
-              if (grid(gy)(gx) > grid(gy)(gx + 1)) bits |= (1L << k)
-              k += 1
-              gx += 1
-            }
-            gy += 1
-          }
-          Some((r.media_id, bits))
+          y += 1
         }
+        grid(j)(i) = if (n == 0) 0.0 else sum / n
+        i += 1
+      }
+      j += 1
+    }
+    var bits = 0L
+    var k = 0
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (grid(gy)(gx) > grid(gy)(gx + 1)) bits |= (1L << k)
+        k += 1
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** Perceptual video fingerprint: the [[dHashOf]] hash of the FIRST
+    * decodable video frame — real for MJPEG-AVI payloads (RIFF walk +
+    * JDK JPEG decode; see [[aviVideoFrames]]). A re-muxed or re-leveled
+    * copy of the same footage shares its first-frame hash; feed
+    * [[Dedup.dedupByHamming]]. Payloads with no decodable frame are
+    * omitted. */
+  def videoDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        aviVideoFrames(r.media).iterator
+          .map { frame =>
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+            catch { case _: java.io.IOException => null }
+          }
+          .find(_ != null)
+          .map(img => (r.media_id, dHashOf(img)))
       }
     }.toDF("media_id", "dhash")
   }

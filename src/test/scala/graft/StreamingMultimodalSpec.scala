@@ -475,6 +475,53 @@ class StreamingMultimodalSpec extends SparkSpec {
     "RIFF".getBytes("US-ASCII") ++ le32(riffBody.length) ++ riffBody
   }
 
+  test("video dHash: first-frame hash matches across re-muxes, dedups copies") {
+    import spark.implicits._
+    def jpegGradient(w: Int, h: Int, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB
+      )
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (x * 255) / (w - 1)
+        val g = if (invert) 255 - v else v
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    def le32(n: Int): Array[Byte] = Array(n, n >> 8, n >> 16, n >> 24).map(_.toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val movi = "movi".getBytes("US-ASCII") ++
+        frames.toArray.flatMap(f => chunk("00dc", f))
+      val riffBody = "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi)
+      "RIFF".getBytes("US-ASCII") ++ le32(riffBody.length) ++ riffBody
+    }
+    val first = jpegGradient(36, 16, invert = false)
+    val a = avi(Seq(first))
+    val aRemux = avi(Seq(first, jpegGradient(36, 16, invert = true))) // extra tail frame
+    val b = avi(Seq(jpegGradient(36, 16, invert = true)))
+    def row(id: Long, bytes: Array[Byte]) = Multimodal.MediaRow(
+      id, bytes, Multimodal.MediaMeta("video/x-msvideo", 36, 16, bytes.length.toLong)
+    )
+    val media = Seq(row(1L, a), row(2L, aRemux), row(3L, b),
+      row(4L, "not a riff".getBytes)).toDF()
+    val got = Multimodal.videoDHash(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(got(1L), got(2L)) == 0, "same first frame must hash identically")
+    assert(hamming(got(1L), got(3L)) > 30, s"${hamming(got(1L), got(3L))}")
+    val kept = Dedup
+      .dedupByHamming(Multimodal.videoDHash(media), "media_id", "dhash", maxHamming = 3)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"$kept")
+  }
+
   test("real MJPEG-AVI demux: frame sampling returns decodable JPEG frames") {
     import spark.implicits._
     val avi = mjpegAvi(Seq(0, 128, 255))
