@@ -1449,14 +1449,17 @@ object ScaleQueries {
       )
     }),
 
-    // LSH tuning report on a deterministic 60% hash-sample: exact Jaccard
+    // LSH tuning report on a deterministic 10% hash-sample: exact Jaccard
     // truth vs (16,4) MinHash bucketing — the recall/precision dial read
-    // before shipping a full-corpus dedup
+    // before shipping a full-corpus dedup. The sample keeps the exact
+    // truth side bounded: this synthetic corpus has a 31-word vocabulary,
+    // so EVERY doc pair shares tokens and exact pairing is inherently
+    // quadratic in the sample size
     "q_lsh_recall" -> ((s, dir) => {
       Dedup.minHashRecallReport(
         t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.9, shingleK = 1, numHashes = 16, bands = 4,
-        sampleFraction = 0.6
+        sampleFraction = 0.1
       )
     }),
 
@@ -3352,7 +3355,7 @@ object ScaleQueries {
 
     "q_lsh_recall" ->
       s"""WITH ${duckMinHashCommonWhere(
-           " AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 6000"
+           " AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 1000"
          )}, cand AS (
          |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
          |  FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id
