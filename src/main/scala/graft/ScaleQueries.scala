@@ -1333,6 +1333,22 @@ object ScaleQueries {
         .orderBy("lang")
     }),
 
+    // Unicode NFC canonicalization (native codegen'd expression): each
+    // doc gets a decomposed-accent suffix planted, both engines normalize,
+    // and the md5s must agree — proving byte-level canonical equivalence
+    "q_nfc" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          md5(
+            graft.functions.TextFunctions.normalizeUnicode(
+              concat(col("text"), lit(" café"))
+            )
+          ).as("h_nfc")
+        )
+        .orderBy("doc_id")
+    }),
+
     // keep-BEST dedup: each near-dup cluster (exact-signature groups glued
     // with bucket-min near pairs) retains its longest member, not its
     // smallest id — the quality-aware production dedup policy
@@ -3186,6 +3202,10 @@ object ScaleQueries {
     "q_hll_distinct" ->
       """SELECT lang, count(DISTINCT source) AS n_distinct
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_nfc" ->
+      ("SELECT doc_id, md5(nfc_normalize(text || ' café')) AS h_nfc " +
+        "FROM documents ORDER BY doc_id"),
 
     "q_dedup_keep_best" ->
       s"""WITH RECURSIVE $duckMinHashCommon, e AS (

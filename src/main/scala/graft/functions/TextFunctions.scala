@@ -174,4 +174,16 @@ object TextFunctions {
     * text's k-shingles (stable under small edits away from the minimum). */
   def minShingleFingerprint(text: Column, k: Int): Column =
     array_min(transform(shingles(canonicalText(text), k), s => md5(s)))
+
+  /** Unicode canonical normalization (default NFC) via the codegen'd
+    * [[graft.plans.UnicodeNormalizeExpr]]: composed and decomposed accent
+    * forms (and, with NFKC/NFKD, compatibility ligatures) map to one
+    * canonical spelling — run BEFORE hashing/fingerprinting multilingual
+    * text so visually identical documents dedup together. */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.plans.UnicodeNormalizeExpr(GraftSqlBridge.expression(text), form)
+    )
+  }
 }

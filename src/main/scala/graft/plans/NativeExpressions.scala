@@ -312,3 +312,52 @@ case class HilbertIndexExpr(left: Expression, right: Expression, bits: Int)
 
   override def prettyName: String = "hilbert_index_native"
 }
+
+/** Unicode canonical normalization (NFC/NFD/NFKC/NFKD) as a codegen'd
+  * expression calling the JDK's `java.text.Normalizer` — the
+  * normalization pass every multilingual dedup pipeline needs (composed
+  * vs decomposed accents, compatibility ligatures) that Spark has no
+  * built-in for and a Scala UDF would fence out of codegen. NFC is the
+  * dedup-canonical default; DuckDB's `nfc_normalize` gives the oracle
+  * form. Null-safe; the form is validated at construction. */
+case class UnicodeNormalizeExpr(child: Expression, form: String)
+    extends UnaryExpression
+    with Serializable {
+  require(
+    Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"unknown normalization form: $form"
+  )
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"unicode_normalize expects a string input, got $t"
+        )
+    }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+        java.text.Normalizer.Form.valueOf(form)
+      )
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize(
+         |    $s.toString(), java.text.Normalizer.Form.$form));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "unicode_normalize"
+}

@@ -1788,6 +1788,42 @@ class ScaleSpec extends SparkSpec {
     assert(none == 0)
   }
 
+  test("normalizeUnicode canonicalizes accents and (NFKC) ligatures") {
+    import graft.functions.TextFunctions.normalizeUnicode
+    val df = Seq(
+      (1L, "cafe\u0301"),  // decomposed e + combining acute
+      (2L, "caf\u00e9"),   // precomposed
+      (3L, "ﬁnal"),        // fi ligature
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "s")
+    val got = df
+      .select(
+        col("id"),
+        normalizeUnicode(col("s")).as("nfc"),
+        normalizeUnicode(col("s"), "NFKC").as("nfkc")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    // both accent spellings collapse to the precomposed form
+    assert(byId(1L)._1 == "caf\u00e9" && byId(2L)._1 == "caf\u00e9")
+    // NFC preserves the ligature, NFKC folds it
+    assert(byId(3L)._1 == "ﬁnal" && byId(3L)._2 == "final")
+    // null propagates
+    assert(byId(4L) == ((null, null)))
+    intercept[IllegalArgumentException] {
+      normalizeUnicode(col("s"), "NFX")
+    }
+    // the dedup payoff: fingerprints of the two spellings now agree
+    val fps = df
+      .filter(col("id") <= 2)
+      .select(md5(normalizeUnicode(col("s"))).as("fp"))
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    assert(fps.size == 1, "unicode-equivalent texts must fingerprint identically")
+  }
+
   test("dedupNearMinHashKeepBest retains the highest-scored cluster member") {
     val df = Seq(
       // exact-dup trio: id 2 has the best score -> 1 and 3 drop
