@@ -53,7 +53,9 @@ object GraftExtensions {
       }
     )
 
-  /** The SQL-callable native expressions. */
+  /** The SQL-callable native expressions. `hilbert_index(x, y, bits)` and
+    * `unicode_normalize(s, 'NFC')` take their static parameter as a
+    * foldable literal (the expression needs it at construction). */
   val functions: Seq[FunctionDescription] = Seq(
     binary(
       "cosine_similarity_native",
@@ -64,6 +66,32 @@ object GraftExtensions {
       "squared_distance_native",
       classOf[SquaredDistanceExpr],
       SquaredDistanceExpr(_, _)
+    ),
+    (
+      FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndexExpr].getCanonicalName, "hilbert_index"),
+      (args: Seq[Expression]) => args match {
+        case Seq(x, y, Literal(bits: Int, org.apache.spark.sql.types.IntegerType)) =>
+          HilbertIndexExpr(x, y, bits)
+        case Seq(x, y) => HilbertIndexExpr(x, y, 16)
+        case _ =>
+          throw new IllegalArgumentException(
+            "hilbert_index expects (x, y[, bits literal])"
+          )
+      }
+    ),
+    (
+      FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalizeExpr].getCanonicalName, "unicode_normalize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, Literal(form, org.apache.spark.sql.types.StringType)) =>
+          UnicodeNormalizeExpr(s, form.toString)
+        case Seq(s) => UnicodeNormalizeExpr(s, "NFC")
+        case _ =>
+          throw new IllegalArgumentException(
+            "unicode_normalize expects (str[, form literal])"
+          )
+      }
     )
   )
 

@@ -169,6 +169,20 @@ class PlanSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT cosine_similarity_native(array(1.0D))").collect()
     }
+    // hilbert_index and unicode_normalize ride the same registry
+    val h = spark
+      .sql(
+        """SELECT hilbert_index(1L, 0L, 1) AS h3,
+          |       hilbert_index(5L, 3L) AS hd,
+          |       unicode_normalize('cafe\u0301') AS nfc,
+          |       unicode_normalize('ﬁnal', 'NFKC') AS nfkc""".stripMargin
+      )
+      .head()
+    assert(h.getLong(0) == 3L) // (1,0) at bits=1 is the walk's last cell
+    assert(h.getString(2) == "caf\u00e9" && h.getString(3) == "final")
+    intercept[Exception] {
+      spark.sql("SELECT unicode_normalize('x', 'NFX')").collect()
+    }
   }
 
   test("RewriteHofVectorMath swaps HOF folds for native expressions") {
