@@ -1479,6 +1479,24 @@ object ScaleQueries {
       )
     }),
 
+    // MMR diversified top-3: relevance (deterministic pseudo-score) traded
+    // against redundancy via native cosine; oracle = the same 3 greedy
+    // rounds unrolled as CTE stages (lambda = 0.75 so 1 - lambda is exact
+    // in binary and both engines compute identical objectives)
+    "q_mmr" -> ((s, dir) => {
+      Similarity
+        .diversifiedTopK(
+          t(s, dir, "embeddings")
+            .filter(col("vec_id") < 150)
+            .withColumn(
+              "rel",
+              ((col("vec_id") * 37) % 101).cast("double")
+            ),
+          "vec_id", "embedding", "rel", k = 3, lambda = 0.75
+        )
+        .orderBy("rank")
+    }),
+
     // greedy k-center diversity sample (farthest-point-first) — the
     // selection complement of dedup; oracle = the same 3 rounds unrolled
     // as CTE stages with the identical argmax tie-break
@@ -3405,6 +3423,36 @@ object ScaleQueries {
          |             nullif((SELECT count(*) FROM truth), 0), 6) AS pair_recall,
          |       ROUND(CAST((SELECT count(*) FROM hit) AS DOUBLE) /
          |             nullif((SELECT count(*) FROM cand), 0), 6) AS pair_precision""".stripMargin,
+
+    "q_mmr" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |         CAST((vec_id * 37) % 101 AS DOUBLE) AS rel
+         |  FROM embeddings WHERE vec_id < 150
+         |), c1 AS (
+         |  SELECT vec_id, embedding, 0.75 * rel AS mmr FROM e
+         |  ORDER BY 0.75 * rel DESC, vec_id LIMIT 1
+         |), m1 AS (
+         |  SELECT e.vec_id, e.embedding, e.rel,
+         |         ${duckCosine("e.embedding", "c1.embedding")} AS ms
+         |  FROM e, c1 WHERE e.vec_id != c1.vec_id
+         |), c2 AS (
+         |  SELECT vec_id, embedding, ms,
+         |         0.75 * rel - (1.0 - 0.75) * ms AS mmr
+         |  FROM m1 ORDER BY 0.75 * rel - (1.0 - 0.75) * ms DESC, vec_id LIMIT 1
+         |), m2 AS (
+         |  SELECT m1.vec_id, m1.rel,
+         |         greatest(m1.ms,
+         |                  ${duckCosine("m1.embedding", "c2.embedding")}) AS ms
+         |  FROM m1, c2 WHERE m1.vec_id != c2.vec_id
+         |), c3 AS (
+         |  SELECT vec_id, 0.75 * rel - (1.0 - 0.75) * ms AS mmr
+         |  FROM m2 ORDER BY 0.75 * rel - (1.0 - 0.75) * ms DESC, vec_id LIMIT 1
+         |)
+         |SELECT vec_id, CAST(0 AS INT) AS rank, ROUND(mmr, 6) AS mmr FROM c1
+         |UNION ALL SELECT vec_id, CAST(1 AS INT), ROUND(mmr, 6) FROM c2
+         |UNION ALL SELECT vec_id, CAST(2 AS INT), ROUND(mmr, 6) FROM c3
+         |ORDER BY rank""".stripMargin,
 
     "q_kcenter" ->
       s"""WITH e AS (

@@ -477,4 +477,80 @@ object Similarity {
       .map { case ((id, _), rank) => (id, rank) }
       .toDF(idCol, "center_rank")
   }
+
+  /** Maximal-Marginal-Relevance diversified top-k: greedily select k rows
+    * maximizing `lambda * score - (1 - lambda) * maxCosineToChosen` — the
+    * classic re-ranker that trades pure relevance against redundancy
+    * (lambda = 1 is plain top-k by score, lambda -> 0 approaches pure
+    * diversity). Deterministic: ties break to the smallest id; the seed is
+    * the best-scored row (its penalty term is 0). Returns (idCol, rank,
+    * mmr) with `mmr` the objective value at selection time.
+    *
+    * Scale shape: identical to [[kCenterSample]] — k narrow passes, each
+    * one codegen'd native cosine against the BROADCAST newest pick
+    * (`maxSim = greatest(maxSim, cos(v, newest))`, never the whole chosen
+    * set), a one-row max_by argmax per round, `localCheckpoint` lineage
+    * truncation. k driver actions by construction — documented EAGER. */
+  def diversifiedTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      scoreCol: String,
+      k: Int,
+      lambda: Double = 0.7
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .select(
+        col(idCol).cast("long").as("__id"),
+        col(vecCol).as("__v"),
+        col(scoreCol).cast("double").as("__s")
+      )
+      .localCheckpoint()
+    def mmr = lit(lambda) * col("__s") - lit(1.0 - lambda) * col("__maxsim")
+    var work = base.withColumn("__maxsim", lit(0.0))
+    var chosen = List.empty[(Long, Seq[Float], Double)]
+    var exhausted = false
+    while (!exhausted && chosen.size < k) {
+      val remaining =
+        if (chosen.isEmpty) work
+        else work.filter(!col("__id").isin(chosen.map(_._1): _*))
+      val top = remaining
+        .agg(
+          max_by(
+            struct(col("__id"), col("__v"), mmr.as("__mmr")),
+            struct(mmr.as("__m"), (-col("__id")).as("__nid"))
+          ).as("__t")
+        )
+        .select(col("__t.__id"), col("__t.__v"), col("__t.__mmr"))
+        .collect()
+      if (top.isEmpty || top(0).isNullAt(0)) exhausted = true
+      else {
+        val pick = (top(0).getLong(0), top(0).getSeq[Float](1), top(0).getDouble(2))
+        chosen = chosen :+ pick
+        if (chosen.size < k) {
+          val cos =
+            cosineSimilarityNative(col("__v"), typedLit(pick._2.toArray))
+          // after the FIRST pick the running max IS the raw cosine (which
+          // may be negative — the seed-round 0.0 placeholder must not
+          // floor it); later picks fold in via greatest
+          val updated =
+            if (chosen.size == 1) cos else greatest(col("__maxsim"), cos)
+          work = work.withColumn("__maxsim", updated).localCheckpoint()
+        }
+      }
+    }
+    chosen.zipWithIndex
+      .map { case ((id, _, m), rank) =>
+        // HALF_UP like SQL ROUND — argmax decisions used the full doubles
+        val rounded = BigDecimal(m)
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+        (id, rank, rounded)
+      }
+      .toDF(idCol, "rank", "mmr")
+  }
 }

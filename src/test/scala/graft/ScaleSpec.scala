@@ -2055,6 +2055,37 @@ class ScaleSpec extends SparkSpec {
     assert(sampledReport.getLong(0) <= 5L)
   }
 
+  test("diversifiedTopK trades relevance against redundancy; lambda=1 is plain top-k") {
+    import graft.operators.Similarity
+    def v(parts: Float*): Array[Float] = parts.toArray
+    // ids 1,2: near-identical vectors with the two best scores;
+    // id 3: orthogonal with a slightly lower score
+    val df = Seq(
+      (1L, v(1f, 0f, 0f), 10.0),
+      (2L, v(0.999f, 0.04f, 0f), 9.9),
+      (3L, v(0f, 1f, 0f), 9.0),
+      (4L, v(0f, 0f, 1f), 1.0)
+    ).toDF("id", "vec", "score")
+    // strong diversity pressure: the redundant 2 must lose to orthogonal 3
+    val diverse = Similarity
+      .diversifiedTopK(df, "id", "vec", "score", k = 2, lambda = 0.05)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(diverse.toSeq == Seq((1L, 0), (3L, 1)), diverse.mkString(","))
+    // lambda = 1: pure score ranking, redundancy ignored
+    val pure = Similarity
+      .diversifiedTopK(df, "id", "vec", "score", k = 2, lambda = 1.0)
+      .orderBy("rank")
+      .collect()
+      .map(_.getLong(0))
+    assert(pure.toSeq == Seq(1L, 2L))
+    // k beyond the row count stops at the rows available
+    assert(
+      Similarity.diversifiedTopK(df, "id", "vec", "score", k = 10).count() == 4L
+    )
+  }
+
   test("kCenterSample picks one point per planted cluster, farthest first") {
     // three tight clusters at distance >> intra-cluster spread; k=3 must
     // return one member of each before densifying any
