@@ -9,9 +9,9 @@ import org.apache.spark.sql.SparkSession
   *  - SPARK_GRAFT_SF_DIR   data directory (default /root/testdata/sf0.1)
   *  - SPARK_GRAFT_CPUS     local[N] parallelism (default 4)
   *  - SPARK_GRAFT_RUNS     measured runs per query; per-query times and the
-  *    total are MEDIANS over the runs (default 1). This VM's CPU allocation
+  *    total are MEDIANS over the runs (default 3). This VM's CPU allocation
   *    is noisy (3-30x per-query swings) — medians over 3 runs make a single
-  *    emitted artifact noise-robust.
+  *    emitted artifact noise-robust by default; set 1 for a quick pass.
   *  - SPARK_GRAFT_WARM_DIR warmup data directory (default: sibling sf0.001
   *    of the SF dir's parent, falling back to the SF dir itself)
   *  - SPARK_GRAFT_NO_WARM  set to skip the per-query warmup pass
@@ -20,7 +20,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "1").toInt.max(1)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -3346,14 +3346,19 @@ object ScaleQueries {
         |ORDER BY l_id, r_id""".stripMargin,
 
     "q_weighted_sample" ->
-      """SELECT doc_id, lang, source,
-        |       ROUND(POWER(
+      """WITH s AS (
+        |  SELECT doc_id, lang, source, n_chars,
         |         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-        |               AS BIGINT) % 10000 + 0.5) / 10000.0,
-        |         1.0 / CAST(n_chars AS DOUBLE)), 6) AS sample_score
-        |FROM documents
-        |WHERE n_chars IS NOT NULL AND n_chars > 0
-        |ORDER BY sample_score DESC, doc_id LIMIT 50""".stripMargin,
+        |               AS BIGINT) % 10000 + 0.5) / 10000.0 AS u
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0
+        |)
+        |SELECT doc_id, lang, source,
+        |       ROUND(POWER(u, 1.0 / CAST(n_chars AS DOUBLE)), 6)
+        |         AS sample_score
+        |FROM s
+        |ORDER BY ROUND(LN(u), 6) / CAST(n_chars AS DOUBLE) DESC, doc_id
+        |LIMIT 50""".stripMargin,
 
     "q_checks" ->
       """WITH r AS (

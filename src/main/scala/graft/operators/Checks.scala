@@ -83,7 +83,9 @@ object Checks {
       if (scalar.isEmpty) None
       else {
         val aggs = scalar.map { case (label, bad) =>
-          sum(when(bad, 1L).otherwise(0L)).as(label)
+          // coalesce: sum over ZERO rows is NULL — an empty batch must
+          // report 0 violations / passed=true, like the Unique branch
+          coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L)).as(label)
         }
         val one = df.agg(aggs.head, aggs.tail: _*)
         val entries = array(scalar.map { case (label, _) =>

@@ -28,6 +28,11 @@ object Graphs {
     * the iterated join plan grows exponentially. Label sums decrease
     * strictly monotonically until the fixpoint, so convergence is detected
     * by an unchanged checksum rather than a row-by-row diff.
+    *
+    * ONE action per round: the checkpoint is LAZY (`localCheckpoint(false)`)
+    * so the convergence checksum is the action that materializes it — the
+    * round's label update and its convergence check ride the same job
+    * instead of a checkpoint job followed by a separate aggregate job.
     */
   def connectedComponentsByMinLabel(
       edges: DataFrame,
@@ -45,8 +50,8 @@ object Graphs {
       .select(col("src").as("id"))
       .distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint()
-    var prevSum = checksum(labels)
+      .localCheckpoint(false)
+    var prevSum = checksum(labels) // materializes the lazy checkpoint
 
     var converged = false
     var i = 0
@@ -76,8 +81,8 @@ object Graphs {
           least(stepped("component"), coalesce(col("__pcomp"), stepped("component")))
             .as("component")
         )
-        .localCheckpoint()
-      val newSum = checksum(updated)
+        .localCheckpoint(false)
+      val newSum = checksum(updated) // one job: materialize + converge-check
       converged = newSum == prevSum
       prevSum = newSum
       labels = updated

@@ -85,7 +85,9 @@ object Joins {
       "__bin",
       floor(unix_micros(col(factTimeCol)) / binMicros).cast("long")
     )
-    val ib = intervals.withColumn(
+    // drop empty/inverted intervals: [t,t) contains nothing, and an
+    // inverted interval would make `sequence` run backwards (step -1)
+    val ib = intervals.filter(col(startCol) < col(endCol)).withColumn(
       "__bin",
       explode(
         sequence(
@@ -111,7 +113,14 @@ object Joins {
     * Scale shape: equi-join on the bin key (shuffles/AQE-splits like any
     * equi-join), exact overlap + first-bin predicates as codegen'd
     * filters. Never a nested loop. Column names must not collide across
-    * the two sides — select/rename first. */
+    * the two sides — select/rename first.
+    *
+    * Empty (`start == end`) and inverted (`end < start`) intervals are
+    * dropped before binning: under half-open semantics an empty interval
+    * overlaps nothing, and without the filter `sequence(k, k-1)` would run
+    * BACKWARDS (Spark's default step is -1 when start > stop), silently
+    * exploding an inverted interval into a long descending bin list and
+    * matching an empty one against any covering interval. */
   def intervalOverlapJoin(
       left: DataFrame,
       leftStartCol: String,
@@ -128,8 +137,12 @@ object Joins {
         floor(unix_micros(col(s)) / binMicros).cast("long"),
         floor((unix_micros(col(e)) - 1) / binMicros).cast("long")
       )
-    val lb = left.withColumn("__bin", explode(bins(leftStartCol, leftEndCol)))
-    val rb = right.withColumn("__bin", explode(bins(rightStartCol, rightEndCol)))
+    val lb = left
+      .filter(col(leftStartCol) < col(leftEndCol))
+      .withColumn("__bin", explode(bins(leftStartCol, leftEndCol)))
+    val rb = right
+      .filter(col(rightStartCol) < col(rightEndCol))
+      .withColumn("__bin", explode(bins(rightStartCol, rightEndCol)))
     lb.join(rb, Seq("__bin"))
       .filter(
         col(leftStartCol) < col(rightEndCol) &&

@@ -232,27 +232,39 @@ object Splits {
     *
     * Scale shape: equivalent to a global ORDER BY + running sum, but
     * built without one. Per-score token subtotals cumulate over the
-    * DISTINCT-SCORE table (window over scores, not rows — scores are
-    * assumed bounded-cardinality, e.g. the 6-decimal outputs of
-    * qualityScore); within each score the running sum windows over that
-    * score's partition only, so no document-level single-partition stage
-    * exists. `global cum = exclusive score-prefix + within-score running`
-    * holds exactly because (score desc, id asc) sorts score-majorly. */
+    * DISTINCT-SCORE table (window over scores, not rows); within each
+    * score the running sum windows over that score's partition only, so
+    * no document-level single-partition stage exists. `global cum =
+    * exclusive score-prefix + within-score running` holds exactly because
+    * (score desc, id asc) sorts score-majorly.
+    *
+    * The distinct-score prefix table is BROADCAST, so its cardinality
+    * must stay driver-sized. Scores are therefore auto-quantized to
+    * `scoreDecimals` decimals before the prefix (truly continuous per-doc
+    * scores would otherwise make the table corpus-sized and OOM the
+    * driver). Tie semantics: documents whose scores agree after rounding
+    * are admitted in `idCol`-ascending order within the shared bucket.
+    * Integer-ish scores (<= scoreDecimals decimals already) are
+    * unaffected. Pass a smaller `scoreDecimals` to trade ordering
+    * granularity for a smaller broadcast. */
   def selectByTokenBudget(
       df: DataFrame,
       idCol: String,
       scoreCol: String,
       tokensCol: String,
-      tokenBudget: Long
+      tokenBudget: Long,
+      scoreDecimals: Int = 6
   ): DataFrame = {
     require(tokenBudget > 0, "tokenBudget must be > 0")
+    require(scoreDecimals >= 0, "scoreDecimals must be >= 0")
+    val qScore = round(col(scoreCol).cast("double"), scoreDecimals)
     val rows = df
       .filter(col(scoreCol).isNotNull && col(tokensCol).isNotNull)
     val scoreWindow = org.apache.spark.sql.expressions.Window
       .orderBy(col("__score").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val prefix = rows
-      .groupBy(col(scoreCol).as("__score"))
+      .groupBy(qScore.as("__score"))
       .agg(sum(col(tokensCol).cast("long")).as("__bucketTokens"))
       .withColumn(
         "__before",
@@ -260,17 +272,18 @@ object Splits {
       )
       .select(col("__score"), col("__before"))
     val withinWindow = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(scoreCol))
+      .partitionBy(col("__qscore"))
       .orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     rows
-      .join(broadcast(prefix), rows(scoreCol) === col("__score"))
+      .withColumn("__qscore", qScore)
+      .join(broadcast(prefix), col("__qscore") === col("__score"))
       .withColumn(
         "cum_tokens",
         col("__before") + sum(col(tokensCol).cast("long")).over(withinWindow)
       )
       .filter(col("cum_tokens") <= tokenBudget)
-      .drop("__score", "__before")
+      .drop("__score", "__before", "__qscore")
   }
 
   /** Deterministic weighted sample WITHOUT replacement, size k — the
@@ -281,8 +294,18 @@ object Splits {
     * weight, the assignment is stable across runs/engines/partitionings
     * (same md5 contract as [[hashSplit]]), and re-keying via `salt` draws
     * an independent sample. Rows with weight <= 0 or null are excluded.
-    * Scores are rounded to 6 decimals (pow() last-ulp variance); exact
-    * score ties break by key ascending.
+    *
+    * Ranking uses the equivalent log-domain key `ln(u)/w` (monotone in
+    * `u^(1/w)`, so the same sample), NOT the rounded power: for large
+    * weights (w >= ~1e5) `round(u^(1/w), 6)` collapses toward 1.000000
+    * and selection would degenerate to the key-ascending tiebreak. The
+    * key stays engine-portable without a rounded pow because `ln(u)` is
+    * quantized to 6 decimals first: u takes only `Buckets` distinct
+    * values whose ln-gaps are >= 1/Buckets, so the quantization never
+    * merges distinct u, and dividing the SAME two doubles is exact IEEE
+    * arithmetic on every engine. Equal keys (same u bucket AND same
+    * weight) break by key column ascending. The reported `sample_score`
+    * column is still `round(u^(1/w), 6)` for interpretability.
     *
     * Scale shape: pure per-row arithmetic + a global top-k, which Spark
     * plans as TakeOrdered (per-partition size-k heaps merged on the
@@ -302,8 +325,13 @@ object Splits {
         "sample_score",
         round(pow(u, lit(1.0) / col(weightCol).cast("double")), 6)
       )
-      .orderBy(col("sample_score").desc, col(keyCol))
+      .withColumn(
+        "__es_key",
+        round(log(u), 6) / col(weightCol).cast("double")
+      )
+      .orderBy(col("__es_key").desc, col(keyCol))
       .limit(k)
+      .drop("__es_key")
   }
 
   /** Temperature-scaled source mixture — the sampling-rate computation of

@@ -298,14 +298,25 @@ object Streaming {
     * the live-feed alarm form of
     * [[graft.operators.Stats.populationStabilityIndex]], same binning,
     * smoothing, and decimal-quantized summation, so a window whose
-    * distribution matches the reference reports exactly 0. Emits one row
-    * per closed window: (window_start, n_cur, psi).
+    * distribution matches the reference reports exactly 0.
     *
-    * Scale shape: the stream side is a watermark-bounded windowed bin
-    * aggregate (state = nBins counters per open window); the reference
+    * OUTPUT CONTRACT: this runs in COMPLETE output mode, so the sink
+    * receives a CUMULATIVE snapshot — one row per window SEEN SO FAR
+    * (window_start, n_cur, psi) — on EVERY micro-batch; consume the LAST
+    * snapshot, don't union them (a multi-batch drain delivers each
+    * window's row once per batch). Complete mode is deliberate: a drift
+    * monitor must report the newest (still-open) windows — exactly the
+    * ones append mode would hold back until the watermark closes them,
+    * and in a bounded AvailableNow drain would never emit at all.
+    *
+    * Scale shape: the per-window PSI reduction in foreachBatch touches
+    * only (windows x nBins) aggregated rows, never events; the reference
     * collapses to an nBins-row share table computed once per batch and
-    * broadcast. The per-window PSI reduction in foreachBatch touches only
-    * (windows x nBins) aggregated rows, never events. */
+    * broadcast. The complete-mode tradeoff is that the windowed-count
+    * state is bounded by nBins x TOTAL windows ever seen, NOT by the
+    * watermark — fine for backfills and monitors over bounded horizons
+    * (hourly windows accrue nBins x ~9k rows/year), but an eternal
+    * deployment should restart the query on a retention boundary. */
   def driftPerWindow(
       events: DataFrame,
       ref: DataFrame,

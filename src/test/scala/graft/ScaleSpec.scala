@@ -134,6 +134,73 @@ class ScaleSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("CC convergence check rides the update job (fewer jobs than an eager-checkpoint loop)") {
+    // chain graph forcing several propagation rounds
+    val edges = (1L until 16L).map(i => (i, i + 1)).toDF("a", "b")
+
+    def jobsOf(body: => Unit): Int = {
+      val gid = "cc-jobs-" + java.util.UUID.randomUUID().toString
+      spark.sparkContext.setJobGroup(gid, "count jobs", interruptOnCancel = false)
+      try body
+      finally spark.sparkContext.clearJobGroup()
+      // statusTracker is fed by the async listener bus: poll until stable
+      var prev = -1
+      var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(gid).length
+      while (cur != prev) {
+        Thread.sleep(200)
+        prev = cur
+        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(gid).length
+      }
+      cur
+    }
+
+    var folded: Map[Long, Long] = Map.empty
+    val foldedJobs = jobsOf {
+      folded = graft.operators.Graphs
+        .connectedComponentsByMinLabel(edges, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(folded.size == 16 && folded.values.forall(_ == 1L))
+
+    // the pre-fold shape: EAGER checkpoint (its own job) + separate checksum
+    // action per round — the folded implementation must beat it
+    def checksum(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    val unfoldedJobs = jobsOf {
+      val sym = edges
+        .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+        .union(edges.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+        .distinct().localCheckpoint()
+      var labels = sym.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")).localCheckpoint()
+      var prevSum = checksum(labels)
+      var converged = false
+      var i = 0
+      while (!converged && i < 20) {
+        val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+          .groupBy("src").agg(min("component").as("__nmin"))
+        val stepped = labels
+          .join(neighborMin, labels("id") === neighborMin("src"), "left")
+          .select(labels("id").as("id"),
+            least(col("component"), coalesce(col("__nmin"), col("component"))).as("component"))
+        val parents = labels.select(col("id").as("__pid"), col("component").as("__pcomp"))
+        val updated = stepped
+          .join(parents, stepped("component") === col("__pid"), "left")
+          .select(stepped("id"),
+            least(stepped("component"), coalesce(col("__pcomp"), stepped("component"))).as("component"))
+          .localCheckpoint() // EAGER: a materialization job per round...
+        val newSum = checksum(updated) // ...plus the convergence action
+        converged = newSum == prevSum
+        prevSum = newSum
+        labels = updated
+        i += 1
+      }
+      assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == folded)
+    }
+    assert(foldedJobs < unfoldedJobs,
+      s"folded convergence check must launch fewer jobs: $foldedJobs vs $unfoldedJobs")
+  }
+
   test("transitive dedup drops B linked only through C (A~C, B~C edges)") {
     // A~B~C via shared neighbor: edges (1,3) and (2,3). Direct pair (1,2)
     // absent. Non-transitive keeps 2 (it never appears as id_b); transitive
@@ -1959,6 +2026,69 @@ class ScaleSpec extends SparkSpec {
     assert(salted != got, "salt must re-key the draw")
   }
 
+  test("weightedSample does not degenerate under large weights (>= 1e5)") {
+    import graft.operators.Splits
+    // All weights huge and equal: round(u^(1/w), 6) collapses every score
+    // to 1.000000, so a rounded-power ordering would degenerate to the
+    // id-ascending tiebreak (ids 1..k). The log-domain key ln(u)/w must
+    // instead rank by u — verify against a brute-force Efraimidis-Spirakis
+    // computed from the same md5 buckets.
+    val df = (1 to 200).map(i => (i.toLong, 1.0e6)).toDF("id", "w")
+    val buckets = df
+      .select(col("id"), Splits.hashBucket(col("id")).as("b"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    def esKey(id: Long, w: Double): Double =
+      BigDecimal(math.log((buckets(id) + 0.5) / Splits.Buckets.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble / w
+    val expect = (1 to 200)
+      .map(i => i.toLong -> esKey(i.toLong, 1.0e6))
+      .sortBy { case (id, k) => (-k, id) }
+      .take(20).map(_._1).toSet
+    val got = Splits.weightedSample(df, "id", "w", k = 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expect, s"got $got\nexpect $expect")
+    assert(got != (1 to 20).map(_.toLong).toSet,
+      "selection must not collapse to the smallest keys")
+    // and mixed huge weights still favor the heavier rows proportionally:
+    // w=1e8 vs w=1e5 (1000x) — the heavy half must dominate the sample
+    val mixed = ((1 to 100).map(i => (i.toLong, 1.0e8)) ++
+      (101 to 200).map(i => (i.toLong, 1.0e5))).toDF("id", "w")
+    val heavyShare = Splits.weightedSample(mixed, "id", "w", k = 30)
+      .select("id").collect().map(_.getLong(0)).count(_ <= 100L)
+    assert(heavyShare >= 25, s"heavy rows underrepresented: $heavyShare/30")
+  }
+
+  test("selectByTokenBudget quantizes continuous scores instead of broadcasting them all") {
+    import graft.operators.Splits
+    // 500 all-unique irrational-ish scores (> 6 decimals each): without
+    // quantization the distinct-score prefix table would be corpus-sized.
+    // After round(score, 6) the selection must equal the brute-force
+    // (rounded score desc, id asc) running-sum selection.
+    val rows = (1 to 500).map { i =>
+      (i.toLong, math.sqrt(i.toDouble) + 1e-9 * i, 10)
+    }
+    val df = rows.toDF("id", "score", "tok")
+    val expect = rows
+      .map { case (id, s, t) =>
+        (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, t)
+      }
+      .sortBy { case (id, s, _) => (-s, id) }
+      .scanLeft((0L, 0L)) { case ((_, cum), (id, _, t)) => (id, cum + t) }
+      .tail.takeWhile(_._2 <= 730L).map(_._1).toSet
+    val got = Splits
+      .selectByTokenBudget(df, "id", "score", "tok", tokenBudget = 730L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expect, s"got ${got.size} rows vs expected ${expect.size}")
+    // coarser quantization merges scores: ids tie-break ascending within
+    // a shared bucket, so the selection becomes a plain id prefix
+    val coarse = Splits
+      .selectByTokenBudget(df, "id", "score", "tok", 100L, scoreDecimals = 0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(coarse.nonEmpty)
+  }
+
   test("bpeMerges learns the classic merge sequence on a planted dictionary") {
     // Sennrich-style toy corpus: {low x5, lowest x2}. Symbol pairs round 1
     // (weighted): (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2, (e,s)=2, (s,t)=2,
@@ -2026,6 +2156,57 @@ class ScaleSpec extends SparkSpec {
     // all-green contract
     val clean = Checks.runChecks(dim, Seq(NotNull("ref_id"), Unique(Seq("ref_id"))))
     assert(clean.collect().forall(_.getBoolean(2)))
+  }
+
+  test("runChecks on an EMPTY table reports 0 violations / passed, not NULL") {
+    import graft.operators.Checks
+    import graft.operators.Checks._
+    val dim = Seq(1L).toDF("ref_id")
+    val empty = Seq((Option.empty[Long], Option.empty[Double], "x"))
+      .toDF("k", "disc", "flag")
+      .filter(lit(false))
+    val got = Checks
+      .runChecks(
+        empty,
+        Seq(
+          NotNull("k"), InRange("disc", 0.0, 1.0),
+          AcceptedValues("flag", Seq("x")), MatchesRegex("flag", "^x$"),
+          Unique(Seq("k")), ReferencedIn("k", dim, "ref_id")
+        )
+      )
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == 6)
+    assert(got.forall { case (_, n, passed) => n == 0L && passed },
+      s"empty batch must gate green: ${got.mkString(";")}")
+  }
+
+  test("intervalOverlapJoin drops empty and inverted intervals (half-open semantics)") {
+    import graft.operators.Joins
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val l = Seq(
+      (1L, ts(0), ts(120)),   // real interval
+      (2L, ts(30), ts(30)),   // EMPTY [t,t): overlaps nothing
+      (3L, ts(200), ts(100))  // INVERTED: dropped, not exploded backwards
+    ).toDF("l_id", "l_start", "l_end")
+    val r = Seq((10L, ts(0), ts(240))).toDF("r_id", "r_start", "r_end")
+    val got = Joins
+      .intervalOverlapJoin(l, "l_start", "l_end", r, "r_start", "r_end", binSeconds = 3600)
+      .select("l_id", "r_id")
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+      .toSet
+    assert(got == Set((1L, 10L)),
+      s"empty/inverted intervals must not match a covering interval: $got")
+    // and on the right side too
+    val r2 = Seq((20L, ts(60), ts(60)), (21L, ts(10), ts(20))).toDF("r_id", "r_start", "r_end")
+    val got2 = Joins
+      .intervalOverlapJoin(l, "l_start", "l_end", r2, "r_start", "r_end", binSeconds = 3600)
+      .select("l_id", "r_id")
+      .collect()
+      .map(row => (row.getLong(0), row.getLong(1)))
+      .toSet
+    assert(got2 == Set((1L, 21L)), s"got $got2")
   }
 
   test("minHashRecallReport: perfect recall on exact dups, sane count algebra") {
