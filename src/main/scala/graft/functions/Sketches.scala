@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoder, AgnosticEncoders, ExpressionEncoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
@@ -62,11 +62,33 @@ object Sketches {
       } else updated
     }
 
-    def bufferEncoder: Encoder[Map[String, Long]] =
-      ExpressionEncoder[Map[String, Long]]()
-    def outputEncoder: Encoder[Map[String, Long]] =
-      ExpressionEncoder[Map[String, Long]]()
+    def bufferEncoder: Encoder[Map[String, Long]] = Sketches.mapStringLongEncoder
+    def outputEncoder: Encoder[Map[String, Long]] = Sketches.mapStringLongEncoder
   }
+
+  /** Catalyst MapType encoder built from explicit AgnosticEncoders — NO
+    * scala-reflect TypeTags (the reflective `ExpressionEncoder[T]()` path
+    * resolves types through the context classloader at query-analysis time
+    * and breaks under REPL/embedded classloaders), and no Kryo: buffers
+    * shuffle/spill in the compact columnar form. */
+  private[graft] def mapStringLongEncoder: ExpressionEncoder[Map[String, Long]] =
+    ExpressionEncoder(
+      AgnosticEncoders.MapEncoder(
+        scala.reflect.classTag[Map[String, Long]],
+        AgnosticEncoders.StringEncoder,
+        AgnosticEncoders.BoxedLongEncoder,
+        valueContainsNull = false
+      )
+    )
+
+  /** Primitive-array encoder for Count-Min buffers; same no-reflection,
+    * no-Kryo contract as [[mapStringLongEncoder]]. */
+  private[graft] def longArrayEncoder: ExpressionEncoder[Array[Long]] =
+    ExpressionEncoder(
+      AgnosticEncoders
+        .ArrayEncoder(AgnosticEncoders.PrimitiveLongEncoder, containsNull = false)
+        .asInstanceOf[AgnosticEncoder[Array[Long]]]
+    )
 
   /** Column form: `mgTopK(col, capacity)` aggregates to a map of surviving
     * (value -> approximate count) counters. */
@@ -109,10 +131,8 @@ object Sketches {
 
     def finish(b: Array[Long]): Array[Long] = b
 
-    def bufferEncoder: Encoder[Array[Long]] =
-      ExpressionEncoder[Array[Long]]()
-    def outputEncoder: Encoder[Array[Long]] =
-      ExpressionEncoder[Array[Long]]()
+    def bufferEncoder: Encoder[Array[Long]] = Sketches.longArrayEncoder
+    def outputEncoder: Encoder[Array[Long]] = Sketches.longArrayEncoder
   }
 
   object CountMin {

@@ -398,25 +398,63 @@ object Multimodal {
     bits
   }
 
-  /** Perceptual video fingerprint: the [[dHashOf]] hash of the FIRST
-    * decodable video frame — real for MJPEG-AVI payloads (RIFF walk +
-    * JDK JPEG decode; see [[aviVideoFrames]]). A re-muxed or re-leveled
-    * copy of the same footage shares its first-frame hash; feed
-    * [[Dedup.dedupByHamming]]. Payloads with no decodable frame are
-    * omitted. */
-  def videoDHash(media: DataFrame): DataFrame = {
+  /** Perceptual video fingerprint — real for MJPEG-AVI payloads (RIFF
+    * walk + JDK JPEG decode; see [[aviVideoFrames]]). Samples up to
+    * `maxFrames` EVENLY SPACED decodable frames (an undecodable frame
+    * falls forward to the next decodable one), [[dHashOf]]-hashes each,
+    * and combines them by PER-BIT MAJORITY VOTE (ties set the bit) — the
+    * SimHash trick applied across time. With `maxFrames = 1` (default)
+    * this is exactly the first-decodable-frame hash.
+    *
+    * Why vote: a first-frame-only hash misses a copy whose opening frame
+    * was replaced (new title card) but whose content is identical; with
+    * k sampled frames, k-1 agreeing frame hashes out-vote the one edit,
+    * so the voted hashes still land within [[Dedup.dedupByHamming]]'s
+    * radius. A re-muxed or re-leveled copy of the same footage keeps
+    * voting identically. Payloads with no decodable frame are omitted.
+    *
+    * Scale shape: per-row decode work only (mapPartitions for codec
+    * context reuse, as [[imageDHash]]); output is one skinny
+    * (media_id, dhash) row per video regardless of maxFrames. */
+  def videoDHash(media: DataFrame, maxFrames: Int = 1): DataFrame = {
+    require(maxFrames >= 1, "maxFrames must be >= 1")
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
+      def decode(frame: Array[Byte]): java.awt.image.BufferedImage =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
+        catch { case _: java.io.IOException => null }
       rows.flatMap { r =>
-        aviVideoFrames(r.media).iterator
-          .map { frame =>
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame))
-            catch { case _: java.io.IOException => null }
+        val frames = aviVideoFrames(r.media).toIndexedSeq
+        val n = frames.size
+        val k = math.min(maxFrames, n)
+        // evenly spaced target indices across [0, n-1]
+        val targets =
+          if (k <= 1) Seq(0).filter(_ < n)
+          else (0 until k).map(i => i * (n - 1) / (k - 1))
+        val used = scala.collection.mutable.BitSet.empty
+        val hashes = targets.flatMap { t =>
+          Iterator
+            .range(t, n)
+            .filterNot(used)
+            .map(i => i -> decode(frames(i)))
+            .collectFirst { case (i, img) if img != null =>
+              used += i
+              dHashOf(img)
+            }
+        }
+        if (hashes.isEmpty) None
+        else {
+          var bits = 0L
+          var b = 0
+          while (b < 64) {
+            val ones = hashes.count(h => ((h >>> b) & 1L) == 1L)
+            if (2 * ones >= hashes.size) bits |= (1L << b)
+            b += 1
           }
-          .find(_ != null)
-          .map(img => (r.media_id, dHashOf(img)))
+          Some((r.media_id, bits))
+        }
       }
     }.toDF("media_id", "dhash")
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.aggregate
 
 /** Session-extension entry point — the (c) tier of the extension
   * preference order: whole-session integration of graft's native
@@ -92,8 +93,75 @@ object GraftExtensions {
             "unicode_normalize expects (str[, form literal])"
           )
       }
+    ),
+    // Mergeable sketch AGGREGATES (graft.functions.Sketches), SQL-callable:
+    // the builder hands the analyzer a bare ScalaAggregator (an
+    // AggregateFunction) and resolution wraps it into an AggregateExpression
+    // exactly like a built-in aggregate — map-side partials and executor
+    // merges included, so the SQL form keeps the sketches' one-pass
+    // guarantees. Static parameters (capacity / depth / width) must be
+    // integer literals: the Aggregator needs them at construction.
+    (
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(
+        classOf[graft.functions.Sketches.MisraGries].getCanonicalName,
+        "misra_gries"
+      ),
+      (args: Seq[Expression]) => args match {
+        case Seq(v, Literal(cap: Int, org.apache.spark.sql.types.IntegerType)) =>
+          aggregate.ScalaAggregator(
+            Seq(v),
+            new graft.functions.Sketches.MisraGries(cap),
+            stringEncoder,
+            mapStringLongEncoder,
+            aggregatorName = Some("misra_gries")
+          )
+        case _ =>
+          throw new IllegalArgumentException(
+            "misra_gries expects (value, capacity int literal)"
+          )
+      }
+    ),
+    (
+      FunctionIdentifier("count_min"),
+      new ExpressionInfo(
+        classOf[graft.functions.Sketches.CountMin].getCanonicalName,
+        "count_min"
+      ),
+      (args: Seq[Expression]) => args match {
+        case Seq(
+              v,
+              Literal(depth: Int, org.apache.spark.sql.types.IntegerType),
+              Literal(width: Int, org.apache.spark.sql.types.IntegerType)
+            ) =>
+          aggregate.ScalaAggregator(
+            Seq(v),
+            new graft.functions.Sketches.CountMin(depth, width),
+            stringEncoder,
+            longArrayEncoder,
+            aggregatorName = Some("count_min")
+          )
+        case _ =>
+          throw new IllegalArgumentException(
+            "count_min expects (value, depth int literal, width int literal)"
+          )
+      }
     )
   )
+
+  // Explicit AgnosticEncoder construction (shared with the sketches'
+  // buffer/output encoders) — NO scala-reflect TypeTags, so the SQL
+  // functions resolve under REPL/embedded classloaders too.
+  import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoders, ExpressionEncoder}
+
+  private def stringEncoder: ExpressionEncoder[String] =
+    ExpressionEncoder(AgnosticEncoders.StringEncoder)
+
+  private def mapStringLongEncoder: ExpressionEncoder[Map[String, Long]] =
+    graft.functions.Sketches.mapStringLongEncoder
+
+  private def longArrayEncoder: ExpressionEncoder[Array[Long]] =
+    graft.functions.Sketches.longArrayEncoder
 
   /** Register the SQL functions into an already-built session (the
     * config-time path above goes through the same descriptors). */

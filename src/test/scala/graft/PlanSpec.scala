@@ -185,6 +185,57 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("sketch aggregates are SQL-callable with unchanged guarantees") {
+    graft.plans.GraftExtensions.register(spark)
+    import graft.functions.Sketches
+    import org.apache.spark.sql.functions.col
+    // planted stream: value frequencies 60/25/10/5 — every value above
+    // n/(cap+1) = 100/4 = 25 MUST survive a capacity-3 Misra-Gries, and no
+    // reported count may undercount by more than 25
+    val vals = Seq.fill(60)("a") ++ Seq.fill(25)("b") ++
+      Seq.fill(10)("c") ++ Seq.fill(5)("d")
+    scala.util.Random.setSeed(7)
+    val df = scala.util.Random.shuffle(vals).map(Tuple1(_))
+    import spark.implicits._
+    df.toDF("v").createOrReplaceTempView("sketch_in")
+    val mg = spark
+      .sql("SELECT misra_gries(v, 3) AS sketch FROM sketch_in")
+      .head().getMap[String, Long](0)
+    assert(mg.contains("a"), s"guaranteed heavy hitter missing: $mg")
+    assert(mg("a") >= 60L - 25L && mg("a") <= 60L)
+    assert(mg.size <= 3)
+    // SQL result == Column-API result (same aggregator, same path)
+    val mgScala = df.toDF("v")
+      .agg(Sketches.mgSketch(col("v"), 3).as("sketch"))
+      .head().getMap[String, Long](0)
+    assert(mg.toMap == mgScala.toMap)
+    // count_min: never underestimates; bounded overestimate
+    val cm = spark
+      .sql("SELECT count_min(v, 4, 64) AS sketch FROM sketch_in")
+      .head().getSeq[Long](0).toArray
+    assert(cm.length == 4 * 64)
+    for ((v, n) <- Seq("a" -> 60L, "b" -> 25L, "c" -> 10L, "d" -> 5L)) {
+      val est = Sketches.CountMin.estimate(cm, 4, 64, v)
+      assert(est >= n, s"count-min underestimated $v: $est < $n")
+      assert(est <= n + 2L * 100L / 64L + 1L, s"overestimate too large for $v: $est")
+    }
+    // GROUP BY path: partial aggregation + merges must hold the guarantees
+    val grouped = spark
+      .sql(
+        """SELECT pmod(hash(v), 2) AS g, misra_gries(v, 3) AS sketch
+          |FROM sketch_in GROUP BY 1""".stripMargin
+      )
+      .collect()
+    assert(grouped.length == 2)
+    // static params must be literals
+    intercept[Exception] {
+      spark.sql("SELECT misra_gries(v) FROM sketch_in").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT count_min(v, 4) FROM sketch_in").collect()
+    }
+  }
+
   test("RewriteHofVectorMath swaps HOF folds for native expressions") {
     import graft.functions.VectorFunctions
     import org.apache.spark.sql.functions.col

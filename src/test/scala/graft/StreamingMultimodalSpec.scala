@@ -522,6 +522,74 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(kept == Set(1L, 3L), s"$kept")
   }
 
+  test("video dHash multi-frame vote dedups copies with a swapped first frame") {
+    import spark.implicits._
+    def jpeg(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB
+      )
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = f(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    def le32(n: Int): Array[Byte] = Array(n, n >> 8, n >> 16, n >> 24).map(_.toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    def avi(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val movi = "movi".getBytes("US-ASCII") ++
+        frames.toArray.flatMap(f => chunk("00dc", f))
+      val riffBody = "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi)
+      "RIFF".getBytes("US-ASCII") ++ le32(riffBody.length) ++ riffBody
+    }
+    // shared footage: 4 distinct content frames
+    val content = Seq(
+      jpeg(36, 16, (x, _) => x * 7),
+      jpeg(36, 16, (x, y) => x * 5 + y * 3),
+      jpeg(36, 16, (x, _) => 255 - x * 6),
+      jpeg(36, 16, (_, y) => y * 15)
+    )
+    val titleA = jpeg(36, 16, (x, _) => x * 7)        // original opener
+    val titleB = jpeg(36, 16, (x, _) => 255 - x * 7)  // REPLACED opener
+    val original = avi(titleA +: content)
+    val retitled = avi(titleB +: content)             // same footage, new first frame
+    val different = avi(Seq(
+      jpeg(36, 16, (x, y) => (x * y) % 255),
+      jpeg(36, 16, (x, y) => 255 - (x + y) * 4),
+      jpeg(36, 16, (_, y) => 255 - y * 14),
+      jpeg(36, 16, (x, y) => (x ^ y) * 11),
+      jpeg(36, 16, (x, _) => if (x % 2 == 0) 0 else 255)
+    ))
+    def row(id: Long, bytes: Array[Byte]) = Multimodal.MediaRow(
+      id, bytes, Multimodal.MediaMeta("video/x-msvideo", 36, 16, bytes.length.toLong)
+    )
+    val media = Seq(row(1L, original), row(2L, retitled), row(3L, different)).toDF()
+    // first-frame-only hashing misses the retitled copy...
+    val firstOnly = Multimodal.videoDHash(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(firstOnly(1L), firstOnly(2L)) > 3,
+      "planted case must defeat the first-frame hash")
+    // ...the 5-frame vote catches it: 4 shared frames out-vote the opener
+    val voted = Multimodal.videoDHash(media, maxFrames = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hamming(voted(1L), voted(2L)) <= 3,
+      s"voted hashes must agree: ${hamming(voted(1L), voted(2L))} bits apart")
+    assert(hamming(voted(1L), voted(3L)) > 3, "different footage must stay apart")
+    val kept = Dedup
+      .dedupByHamming(
+        Multimodal.videoDHash(media, maxFrames = 5),
+        "media_id", "dhash", maxHamming = 3
+      )
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"retitled copy must dedup away: $kept")
+  }
+
   test("real MJPEG-AVI demux: frame sampling returns decodable JPEG frames") {
     import spark.implicits._
     val avi = mjpegAvi(Seq(0, 128, 255))
