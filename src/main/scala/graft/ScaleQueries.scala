@@ -1509,6 +1509,20 @@ object ScaleQueries {
         .orderBy("center_rank")
     }),
 
+    // scalable (k-means||-style) k-center: constant distributed rounds of
+    // md5-deterministic distance-proportional oversampling, driver-local
+    // greedy on the candidate set. Iterative + sampling-driven -> rows-only
+    // gate (same policy as q_bpe); coverage-radius bound vs the exact
+    // greedy is asserted in ScaleSpec.
+    "q_kcenter_scalable" -> ((s, dir) => {
+      Similarity
+        .kCenterSampleScalable(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 25, oversample = 4.0, rounds = 3
+        )
+        .orderBy("center_rank")
+    }),
+
     // incremental distinct counting: corpus sketched once (doc_id < 250),
     // batch sketched separately, tables MERGED — the corpus rows are never
     // rescanned. Cardinalities here are sparse-mode small, so the HLL

@@ -478,6 +478,163 @@ object Similarity {
       .toDF(idCol, "center_rank")
   }
 
+  /** Scalable large-k diversity sample — the k-means||-style
+    * oversample-then-prune complement of [[kCenterSample]]: where the exact
+    * greedy runs k sequential Spark passes (fine for sampling-k, hopeless
+    * for k in the thousands), this runs a CONSTANT number of distributed
+    * rounds, then finishes the greedy on a driver-local candidate set.
+    *
+    * Per round, every point is selected independently with probability
+    * proportional to its squared distance to the nearest candidate so far
+    * (expected `oversample * k / rounds` picks per round) — far points are
+    * overwhelmingly likely to surface, exactly the farthest-point-first
+    * intuition, and the k-means|| initialization argument (Bahmani et al.,
+    * VLDB 2012) for why O(k) distance-proportional candidates cover every
+    * region an exact greedy would reach. Selection is DETERMINISTIC: the
+    * coin is the md5 bucket of (id, salt, round) — reproducible across
+    * runs, engines, and partitionings. The final greedy over candidates is
+    * Gonzalez farthest-point-first seeded at the minimum id with
+    * smallest-id tie-breaks, so the output is stable.
+    *
+    * Scale shape: `2 * rounds + 3` driver actions TOTAL, independent of k.
+    * Each round updates min-distances against ONLY the new candidate batch
+    * as one compact 2-D array literal folded per-row (`aggregate` over the
+    * batch, native squared distance inside — the IVF codebook pattern: no
+    * shuffle, no join), with a lazy `localCheckpoint` so the round's sum
+    * aggregate is the action that materializes it. The candidate set is
+    * O(oversample * k) vectors and must fit on the driver — the same
+    * contract as any broadcast codebook; the finishing greedy is
+    * O(k * |candidates| * dim) driver flops (k = 10^4 is seconds).
+    * Unlike exact Gonzalez there is no formal 2-approx guarantee; the
+    * planted-cluster coverage bound is asserted in ScaleSpec.
+    *
+    * @param oversample candidate multiplier (>= 1); larger = closer to the
+    *                   exact greedy's radius at more driver memory
+    * @param rounds     distributed passes; distances are refreshed against
+    *                   new candidates between rounds, so more rounds =
+    *                   better-adapted sampling (k-means|| uses ~5)
+    */
+  def kCenterSampleScalable(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      oversample: Double = 4.0,
+      rounds: Int = 4,
+      salt: String = ""
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(oversample >= 1.0, "oversample must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .localCheckpoint()
+    val seedRow = base.orderBy("__id").select("__id", "__v").head()
+    val candidates =
+      scala.collection.mutable.ArrayBuffer((seedRow.getLong(0), seedRow.getSeq[Float](1)))
+    val candidateIds = scala.collection.mutable.Set(candidates.head._1)
+
+    def minDistToBatch(batch: Seq[Seq[Float]]): Column =
+      aggregate(
+        typedlit(batch),
+        lit(Double.MaxValue),
+        (acc, c) => least(acc, squaredDistanceNative(col("__v"), c))
+      )
+
+    var work = base
+      .withColumn(
+        "__mind",
+        squaredDistanceNative(col("__v"), typedLit(candidates.head._2.toArray))
+      )
+      .localCheckpoint(false)
+    var sumD = work.agg(sum("__mind")).head().getDouble(0) // materializes
+    val perRound = math.ceil(oversample * k / rounds)
+    var r = 1
+    while (r <= rounds && sumD > 0) {
+      // deterministic coin: u < perRound * d / sumD  <=>  u * sumD < perRound * d
+      val u = (Splits.hashBucket(col("__id"), s"kc|$salt|$r").cast("double") + lit(0.5)) /
+        lit(Splits.Buckets.toDouble)
+      val batch = work
+        .filter(col("__mind") > 0 && u * lit(sumD) < lit(perRound) * col("__mind"))
+        .select("__id", "__v")
+        .collect()
+        .iterator
+        .map(row => (row.getLong(0), row.getSeq[Float](1)))
+        .filterNot { case (id, _) => candidateIds(id) }
+        .toSeq
+      if (batch.nonEmpty) {
+        candidates ++= batch
+        candidateIds ++= batch.map(_._1)
+        work = work
+          .withColumn(
+            "__mind",
+            least(col("__mind"), minDistToBatch(batch.map(_._2)))
+          )
+          .localCheckpoint(false)
+      }
+      sumD = work.agg(sum("__mind")).head().getDouble(0) // one job per round
+      r += 1
+    }
+    // under-delivery guard (tiny corpora / degenerate distributions): top
+    // up with the current farthest points — TakeOrdered, no global sort
+    if (candidates.size < k) {
+      val extra = work
+        .filter(col("__mind") > 0)
+        .orderBy(col("__mind").desc, col("__id"))
+        .limit(k - candidates.size)
+        .select("__id", "__v")
+        .collect()
+        .iterator
+        .map(row => (row.getLong(0), row.getSeq[Float](1)))
+        .filterNot { case (id, _) => candidateIds(id) }
+      candidates ++= extra
+    }
+
+    // driver-local Gonzalez over the candidate set (seeded at the min id,
+    // which is candidates(0) by construction; ties -> smallest id)
+    def sqDist(a: Seq[Float], b: Seq[Float]): Double = {
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+    val cand = candidates.sortBy(_._1).toIndexedSeq
+    val minD = Array.fill(cand.size)(Double.MaxValue)
+    var chosen = List(0) // index of the min id in the sorted candidate seq
+    while (chosen.size < k) {
+      val newest = cand(chosen.head)._2
+      var best = -1
+      var bestD = 0.0
+      var i = 0
+      while (i < cand.size) {
+        val d = math.min(minD(i), sqDist(cand(i)._2, newest))
+        minD(i) = d
+        if (d > bestD) { bestD = d; best = i }
+        i += 1
+      }
+      // farthest remaining distance 0 => every candidate already covered
+      // (k exceeds the distinct vectors): stop short, like kCenterSample
+      if (bestD == 0.0) return finishKCenter(cand, chosen.reverse, idCol)
+      chosen = best :: chosen
+    }
+    finishKCenter(cand, chosen.reverse, idCol)
+  }
+
+  private def finishKCenter(
+      cand: IndexedSeq[(Long, Seq[Float])],
+      chosenInOrder: List[Int],
+      idCol: String
+  ): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    chosenInOrder.zipWithIndex
+      .map { case (idx, rank) => (cand(idx)._1, rank) }
+      .toDF(idCol, "center_rank")
+  }
+
   /** Maximal-Marginal-Relevance diversified top-k: greedily select k rows
     * maximizing `lambda * score - (1 - lambda) * maxCosineToChosen` — the
     * classic re-ranker that trades pure relevance against redundancy

@@ -134,6 +134,56 @@ class ScaleSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("kCenterSampleScalable covers planted clusters within the exact greedy's radius bound") {
+    // 8 tight clusters far apart in 8-dim: any decent k-center picks one
+    // point per cluster; radius = worst intra-cluster spread
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      c <- 0 until 8
+      i <- 0 until 30
+    } yield {
+      val center = Array.tabulate(8)(d => if (d == c) 10.0f else 0.0f)
+      val jitter = Array.fill(8)((rnd.nextInt(21) - 10) / 100.0f) // <= 0.1/dim
+      ((c * 30 + i).toLong, center.zip(jitter).map { case (a, b) => a + b })
+    }
+    val df = rows.toDF("id", "vec")
+    def radius(chosen: Set[Long]): Double = {
+      val centers = rows.filter(r => chosen(r._1)).map(_._2)
+      rows.map { case (_, v) =>
+        centers.map { cv =>
+          v.zip(cv).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+        }.min
+      }.max
+    }
+    val exact = Similarity.kCenterSample(df, "id", "vec", k = 8)
+      .collect().map(_.getLong(0)).toSet
+    val scalable = Similarity
+      .kCenterSampleScalable(df, "id", "vec", k = 8, oversample = 4.0, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(scalable.length == 8)
+    assert(scalable.map(_._2).sorted.toSeq == (0 until 8), "ranks must be 0..k-1")
+    val scalableIds = scalable.map(_._1).toSet
+    // every planted cluster must be covered (one center per cluster)
+    assert(scalableIds.map(_ / 30).size == 8,
+      s"missed a cluster: ${scalableIds.map(_ / 30)}")
+    // coverage radius within 2x of the exact greedy's
+    val rExact = radius(exact)
+    val rScal = radius(scalableIds)
+    assert(rScal <= 2.0 * rExact + 1e-9, s"radius $rScal vs exact $rExact")
+    // deterministic across runs; salt re-keys the draw but keeps coverage
+    val again = Similarity
+      .kCenterSampleScalable(df, "id", "vec", k = 8, oversample = 4.0, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(scalable.toSeq == again.toSeq, "must be deterministic")
+    // k exceeding distinct vectors stops short instead of looping
+    val tiny = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("id", "vec")
+    val short = Similarity.kCenterSampleScalable(tiny, "id", "vec", k = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(short == Set(1L, 3L), s"duplicates cannot be centers: $short")
+  }
+
   test("CC convergence check rides the update job (fewer jobs than an eager-checkpoint loop)") {
     // chain graph forcing several propagation rounds
     val edges = (1L until 16L).map(i => (i, i + 1)).toDF("a", "b")
