@@ -3,7 +3,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark entry point. One JSON line on stdout:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"errors":{...},
-  *  "ok":N,"failed":N,"runs":R,"sf":dir}
+  *  "ok":N,"failed":N,"runs":R,"throughput":{...},"sf":dir}
+  *
+  * Besides the per-query latency medians, ONE throughput-shaped entry runs
+  * the end-to-end pipeline (near-dedup -> decontaminate -> quality gate ->
+  * hash split -> sequence packing) over a 10x self-union of the SF's
+  * documents (graft.operators.Stress) and reports sustained rows/s — the
+  * figure that exercises shuffle + spill rather than startup, for
+  * round-over-round comparison (PERFORMANCE.md records it).
   *
   * Env knobs:
   *  - SPARK_GRAFT_SF_DIR   data directory (default /root/testdata/sf0.1)
@@ -15,6 +22,7 @@ import org.apache.spark.sql.SparkSession
   *  - SPARK_GRAFT_WARM_DIR warmup data directory (default: sibling sf0.001
   *    of the SF dir's parent, falling back to the SF dir itself)
   *  - SPARK_GRAFT_NO_WARM  set to skip the per-query warmup pass
+  *  - SPARK_GRAFT_NO_THROUGHPUT set to skip the 10x pipeline entry
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -84,8 +92,45 @@ object Bench {
       }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
+    // throughput entry: ONE timed pass (the corpus is 10x, medians would
+    // triple the bench budget for a figure that is shuffle-bound, not
+    // scheduler-noise-bound)
+    val throughput =
+      if (sys.env.contains("SPARK_GRAFT_NO_THROUGHPUT")) "null"
+      else {
+        try {
+          import org.apache.spark.sql.functions.col
+          import graft.operators.{Decontam, Dedup, Splits, Stress, TextAnalysis}
+          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select("doc_id", "text")
+          val stressed = Stress
+            .selfUnionSkewed(docs, "doc_id", copies = 10, idStride = 1000000L,
+              hotId = 0L, hotCopies = 90)
+            .localCheckpoint() // charge the pipeline, not the amplification
+          val nRows = stressed.count()
+          val holdout = docs.filter(col("doc_id") % 10 === 0)
+          val t0 = System.nanoTime()
+          val deduped = Dedup.dedupNearMinHash(
+            stressed.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+            threshold = 0.9, shingleK = 1, numHashes = 16, bands = 4)
+          val clean = Decontam.decontaminate(deduped, holdout, "doc_id", "text", n = 4)
+          val scored = TextAnalysis.qualityScore(clean, "text")
+            .filter(col("quality") >= 0.5)
+          val split = Splits.hashSplit(
+            scored, "doc_id", Seq("train" -> 0.8, "val" -> 0.1), defaultLabel = "test")
+          val out = Splits
+            .packSequences(split, "doc_id", "text", "split", blockTokens = 512)
+            .count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          s"""{"rows":$nRows,"out_rows":$out,"sec":$sec,"rows_per_s":${math.round(nRows / sec)}}"""
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] throughput entry failed: ${e.getMessage}")
+            "null"
+        }
+      }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ok":${results.count(_._3.isEmpty)},"failed":${results.count(_._3.nonEmpty)},"runs":$runs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ok":${results.count(_._3.isEmpty)},"failed":${results.count(_._3.nonEmpty)},"runs":$runs,"throughput":$throughput,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

@@ -185,6 +185,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("corpus amplification is a broadcast fan-out, never a shuffle") {
+    val docs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val amp = graft.operators.Stress
+      .selfUnionSkewed(docs, "doc_id", copies = 10, idStride = 1000000L,
+        hotId = 0L, hotCopies = 90)
+    val plan = amp.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"copy fan-out must broadcast the copies table:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"amplification must not shuffle the corpus:\n$plan")
+  }
+
   test("sketch aggregates are SQL-callable with unchanged guarantees") {
     graft.plans.GraftExtensions.register(spark)
     import graft.functions.Sketches

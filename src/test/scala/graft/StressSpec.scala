@@ -1,0 +1,182 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Joins, Similarity, Stress}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scale-stress rehearsal: the dedup/LSH/join stack on a 10x self-union of
+  * the sf0.1 corpus (50k+ docs — sf1-equivalent) with a planted duplicate
+  * cluster an order of magnitude hotter than the rest.
+  *
+  * Every 100 TB scale claim in the dedup stack is an argument from plan
+  * shape (skinny band joins, bucket-min pairing, groupBy-not-window); this
+  * suite buys empirical evidence OFF the happy path:
+  *   - candidate-pair counts are ASSERTED O(bands x docs), never O(docs^2),
+  *     with the hot cluster present (the worst case for LSH bucketing);
+  *   - min-id dedup survivors of the amplified corpus must be EXACTLY the
+  *     survivors of the original corpus (copy 0 keeps the original ids, so
+  *     amplification must not change any dedup decision) — an exact oracle
+  *     with no DuckDB round-trip;
+  *   - salted joins under key skew must return exactly the plain join.
+  *
+  * Runtime tripwires are deliberately loose (this VM's CPU allocation
+  * swings 3-30x): a quadratic regression fails the COUNT asserts first.
+  */
+class StressSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val stride = 100000L
+  private val copies = 10
+  private val hotCopies = 90
+
+  private lazy val origDocs = spark.read
+    .parquet("/root/testdata/sf0.1/documents.parquet")
+    .select("doc_id", "text", "lang")
+    .localCheckpoint()
+
+  /** 10x re-keyed copies + a 100-member hot cluster for doc 0. */
+  private lazy val stressedDocs = Stress
+    .selfUnionSkewed(origDocs, "doc_id", copies, stride, hotId = 0L, hotCopies = hotCopies)
+    .localCheckpoint()
+
+  private def timed[A](label: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    val sec = (System.nanoTime() - t0) / 1e9
+    info(f"$label: $sec%.1f s")
+    assert(sec < 600, s"$label blew the runtime tripwire: $sec s")
+    r
+  }
+
+  test("10x skewed corpus: stressed row count and hot cluster are as planted") {
+    val n = stressedDocs.count()
+    assert(n == origDocs.count() * copies + hotCopies, s"n=$n")
+    // the planted hot cluster really is 10x the others: doc 0's text now
+    // appears 100 times (10 copies + 90 hot), others 10 times
+    val hotText = origDocs.filter(col("doc_id") === 0).head().getString(1)
+    assert(stressedDocs.filter(col("text") === hotText).count() >= copies + hotCopies)
+  }
+
+  test("minhash bucket-min pairing stays O(bands x docs) under the hot cluster") {
+    val n = stressedDocs.count()
+    val bands = 4
+    val pairs = timed("minHashCandidatePairs(representativesOnly) on 50k docs") {
+      Dedup
+        .minHashCandidatePairs(
+          stressedDocs, "doc_id", "text",
+          shingleK = 1, numHashes = 16, bands = bands,
+          portable = true, representativesOnly = true
+        )
+        .count()
+    }
+    // bucket-min emits at most `bands` pairs per doc before dedup; the hot
+    // 100-member cluster alone would contribute 4,950 pairs under
+    // exhaustive pairing and the 10-clusters ~45 x 5000 more (~230k just
+    // from duplicates, growing quadratically with the copy factor)
+    assert(pairs <= bands.toLong * n, s"pair blowup: $pairs > $bands*$n")
+    assert(pairs > 0)
+  }
+
+  test("minhash dedup survivors on the 10x corpus equal the original corpus survivors") {
+    val orig = timed("dedupNearMinHash on the original corpus") {
+      Dedup
+        .dedupNearMinHash(origDocs, "doc_id", "text", threshold = 0.9)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val stressed = timed("dedupNearMinHash on the 10x corpus") {
+      Dedup
+        .dedupNearMinHash(stressedDocs, "doc_id", "text", threshold = 0.9)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    // copy 0 keeps the original ids => every cluster's minimum is an
+    // original id => amplification must not change a single dedup decision
+    assert(stressed == orig,
+      s"extra survivors: ${(stressed -- orig).take(5)}; lost: ${(orig -- stressed).take(5)}")
+  }
+
+  test("simhash dedup survivors on the 10x corpus equal the original corpus survivors") {
+    val orig = timed("dedupNearSimHash on the original corpus") {
+      Dedup
+        .dedupNearSimHash(origDocs, "doc_id", "text", maxHamming = 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val stressed = timed("dedupNearSimHash on the 10x corpus") {
+      Dedup
+        .dedupNearSimHash(stressedDocs, "doc_id", "text", maxHamming = 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(stressed == orig,
+      s"extra survivors: ${(stressed -- orig).take(5)}; lost: ${(orig -- stressed).take(5)}")
+  }
+
+  test("knnGraph on 10x near-dup embeddings: bucket-bounded candidates, self-recall") {
+    // 10 near-copies of every embedding (copy c shifts component 0 by
+    // c * 1e-4 — cosine to the original stays ~1): the realistic
+    // mirror-corpus shape for a semantic knn graph
+    val stressedE = Stress
+      .selfUnionSkewed(
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+          .select("vec_id", "embedding"),
+        "vec_id", copies, stride
+      )
+      .withColumn(
+        "embedding",
+        transform(
+          col("embedding"),
+          (x, i) => when(i === 0,
+            x + ((col("vec_id") / lit(stride)).cast("int").cast("float") * lit(1e-4f))
+          ).otherwise(x)
+        )
+      )
+      .localCheckpoint()
+    val n = stressedE.count()
+    val planeSets = Similarity.randomHyperplaneBanks(numBanks = 3, planesPerBank = 8, dim = 64)
+
+    // external audit of the band join's quadratic exposure: sum of
+    // c*(c-1) over (bank, bucket) IS the directed candidate count the
+    // join materializes — assert it stays a small fraction of n^2 and
+    // that no degenerate mega-bucket forms even with every vector
+    // 10x-duplicated
+    val banded = stressedE.select(
+      col("vec_id"),
+      explode(array(planeSets.zipWithIndex.map { case (planes, i) =>
+        concat_ws(":", lit(i), VectorFunctions.hyperplaneBucket(col("embedding"), planes))
+      }: _*)).as("__bucket")
+    )
+    val sizes = banded.groupBy("__bucket").agg(count(lit(1)).as("c"))
+    val Array(candidates, maxBucket) = sizes
+      .agg(sum(col("c") * (col("c") - 1)), max("c"))
+      .head().toSeq.map(_.toString.toLong).toArray
+    assert(candidates < n * n / 20,
+      s"band join degenerating toward all-pairs: $candidates of ${n * n}")
+    assert(maxBucket < n / 5, s"degenerate mega-bucket: $maxBucket of $n")
+
+    val knn = timed("knnGraph on 20k vectors") {
+      Similarity.knnGraph(stressedE, "vec_id", "embedding", planeSets, k = 5)
+        .localCheckpoint()
+    }
+    val perSource = knn.groupBy("id").agg(count(lit(1)).as("k"))
+    assert(perSource.agg(max("k")).head().getLong(0) <= 5)
+    assert(knn.filter(col("id") === col("neighbor_id")).count() == 0)
+    // every vector has 9 near-copies at cosine ~1 in the corpus; the OR'd
+    // banks must surface one of them as the top neighbor nearly always
+    val top1 = knn.filter(col("rank") === 1)
+    val nearPerfect = top1.filter(col("cosine") > 0.999).count()
+    assert(nearPerfect >= (n * 95) / 100,
+      s"self-recall too low: $nearPerfect of $n top-1 neighbors at cosine>0.999")
+  }
+
+  test("salted join under 10x key skew returns exactly the plain join") {
+    // lang is skewed (en ~ 40%, amplified 10x); dim carries one row per lang
+    val dim = origDocs.select(col("lang")).distinct()
+      .withColumn("lang_label", concat(lit("label:"), col("lang")))
+    val plain = stressedDocs.join(dim, Seq("lang"))
+    val salted = timed("saltedJoin on 50k skewed rows") {
+      Joins.saltedJoin(stressedDocs, dim, Seq("lang"), saltFactor = 8)
+    }
+    val p = plain.agg(count(lit(1)), sum("doc_id"), sum(length(col("lang_label")))).head()
+    val s = salted.agg(count(lit(1)), sum("doc_id"), sum(length(col("lang_label")))).head()
+    assert(p == s, s"salted join diverged: $s vs $p")
+  }
+}
