@@ -1070,6 +1070,31 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance weights: how target-like (zh-like) every corpus doc's
+    // hashed unigram+bigram features are — the pretraining data-selection
+    // scorer (Xie et al. 2023), decimal-quantized for engine parity
+    "q_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .dsirLogWeights(
+          docs, docs.filter(col("lang") === "zh"), "doc_id", "text",
+          numBuckets = 8192, smoothing = 1.0
+        )
+        .orderBy("doc_id")
+    }),
+
+    // DSIR selection: importance-weighted sample of 40 docs without
+    // replacement via the log-domain Efraimidis-Spirakis key
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .dsirResample(
+          docs, docs.filter(col("lang") === "zh"), "doc_id", "text",
+          k = 40, numBuckets = 8192, smoothing = 1.0
+        )
+        .orderBy("sample_key", "doc_id")
+    }),
+
     // nearest view (either direction in time) for each purchase per user
     "q_nearest_join" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -1564,6 +1589,49 @@ object ScaleQueries {
     * columns — identical fold order to VectorFunctions.squaredDistance
     * (the difference is written out as d*d, NOT pow(d, 2), so the
     * arithmetic matches the Spark loop bit-for-bit). */
+  /** Shared DuckDB CTE chain for the DSIR oracles: hashed unigram+bigram
+    * buckets (md5 % 8192, bigrams joined with chr(1) — the operator's
+    * exact feature map), Laplace-1 smoothed target (lang='zh') vs corpus
+    * models, 6-decimal log-ratios summed in DECIMAL. Ends with
+    * `w(doc_id, log_weight)`. */
+  private def duckDsirWeights: String =
+    """d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), g AS (
+      |  SELECT doc_id, unnest(list_concat(toks,
+      |    CASE WHEN len(toks) >= 2
+      |         THEN list_transform(range(2, len(toks) + 1),
+      |                             i -> toks[i-1] || chr(1) || toks[i])
+      |         ELSE CAST([] AS VARCHAR[]) END)) AS gram
+      |  FROM d
+      |), b AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 8192 AS bk
+      |  FROM g
+      |), qm AS (
+      |  SELECT bk, count(*) AS qc FROM b GROUP BY bk
+      |), pm AS (
+      |  SELECT bk, count(*) AS pc FROM b JOIN documents USING (doc_id)
+      |  WHERE lang = 'zh' GROUP BY bk
+      |), tot AS (
+      |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM b) AS qt,
+      |         (SELECT CAST(count(*) AS DOUBLE) FROM b
+      |          JOIN documents USING (doc_id) WHERE lang = 'zh') AS pt
+      |), r AS (
+      |  SELECT COALESCE(qm.bk, pm.bk) AS bk,
+      |         CAST(ROUND(LN((COALESCE(pc, 0) + 1.0) / (pt + 8192.0))
+      |                  - LN((COALESCE(qc, 0) + 1.0) / (qt + 8192.0)), 6)
+      |              AS DECIMAL(18,6)) AS lr
+      |  FROM qm FULL JOIN pm ON qm.bk = pm.bk, tot
+      |), db AS (
+      |  SELECT doc_id, bk, CAST(count(*) AS DECIMAL(10,0)) AS c
+      |  FROM b GROUP BY 1, 2
+      |), w AS (
+      |  SELECT doc_id, ROUND(CAST(sum(c * lr) AS DOUBLE), 6) AS log_weight
+      |  FROM db JOIN r USING (bk) GROUP BY doc_id
+      |)""".stripMargin
+
   private def duckSqDist(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, 65),
        | i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
@@ -2886,6 +2954,19 @@ object ScaleQueries {
         |FROM bg JOIN bc USING (big)
         |JOIN cc ON string_split(big, chr(1))[1] = cc.prev
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dsir" ->
+      s"""WITH $duckDsirWeights
+         |SELECT doc_id, log_weight FROM w ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_select" ->
+      s"""WITH $duckDsirWeights
+         |SELECT doc_id, log_weight,
+         |       ROUND(LN(LN(1.0 / ((CAST(('0x' ||
+         |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |           % 10000 + 0.5) / 10000.0))), 6) - log_weight AS sample_key
+         |FROM w
+         |ORDER BY sample_key, doc_id LIMIT 40""".stripMargin,
 
     "q_standardize" ->
       """WITH st AS (

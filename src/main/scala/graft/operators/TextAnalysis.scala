@@ -588,6 +588,136 @@ object TextAnalysis {
       )
   }
 
+  /** Hashed unigram+bigram feature buckets of a text column — the feature
+    * map of [[dsirLogWeights]]: tokens plus adjacent-token bigrams
+    * (joined with ), md5-bucketed into `numBuckets` — engine-portable
+    * (DuckDB: `CAST('0x'||substr(md5(g),1,15) AS BIGINT) % m`), no RNG. */
+  private def gramBuckets(textCol: String, numBuckets: Int): Column = {
+    val toks = tokens(col(textCol))
+    val bigrams = when(
+      size(toks) >= 2,
+      transform(
+        sequence(lit(2), size(toks)),
+        i => concat_ws("", element_at(toks, i - 1), element_at(toks, i))
+      )
+    ).otherwise(array())
+    transform(
+      concat(toks, bigrams),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long") % numBuckets
+    )
+  }
+
+  /** DSIR importance weights — Data Selection via Importance Resampling
+    * (Xie et al., NeurIPS 2023): score every corpus document by how much
+    * more likely its hashed n-gram features are under a TARGET distribution
+    * than under the raw corpus distribution,
+    *
+    *   log w(x) = sum over feature buckets b of
+    *     count_b(x) * (ln p_b - ln q_b)
+    *
+    * with p/q the Laplace-smoothed bucket-frequency models of `target` and
+    * `corpus` (unigrams + bigrams, md5-hashed into `numBuckets`). Feed the
+    * output into [[dsirResample]] (or any weighted sampler) to select
+    * corpus data that "looks like" a small high-quality target set — the
+    * standard pretraining-data selection recipe.
+    *
+    * Exactness: each bucket's log-ratio is rounded to 6 decimals and cast
+    * to decimal BEFORE the per-document sum, so `log_weight` is
+    * order-independent and engine-reproducible (same policy as
+    * [[bm25Scores]]). Documents with NULL text are excluded.
+    *
+    * Scale shape: the corpus is scanned twice (once for the q model, once
+    * for per-document bucket counts — both explode->hash-aggregate with
+    * map-side combine on keys that subdivide documents); the target is
+    * scanned once and is small by construction. The ratio table is at most
+    * `numBuckets` rows and BROADCAST; no join ever carries document text.
+    */
+  def dsirLogWeights(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int = 8192,
+      smoothing: Double = 1.0
+  ): DataFrame = {
+    require(numBuckets >= 2, "numBuckets must be >= 2")
+    require(smoothing > 0, "smoothing must be > 0")
+    def buckets(df: DataFrame) = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(gramBuckets(textCol, numBuckets)).as("__b"))
+    val qCounts = buckets(corpus).groupBy("__b").agg(count(lit(1)).as("__qc"))
+    val pCounts = buckets(target).groupBy("__b").agg(count(lit(1)).as("__pc"))
+    val totals = qCounts
+      .agg(sum("__qc").cast("double").as("__qt"))
+      .crossJoin(pCounts.agg(coalesce(sum("__pc"), lit(0L)).cast("double").as("__pt")))
+    val am = smoothing * numBuckets
+    val ratios = qCounts
+      .join(pCounts, Seq("__b"), "full")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("__b"),
+        round(
+          log((coalesce(col("__pc"), lit(0L)).cast("double") + smoothing) /
+            (col("__pt") + lit(am))) -
+            log((coalesce(col("__qc"), lit(0L)).cast("double") + smoothing) /
+              (col("__qt") + lit(am))),
+          6
+        ).cast("decimal(18,6)").as("__lr")
+      )
+    corpus
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(gramBuckets(textCol, numBuckets)).as("__b"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .join(broadcast(ratios), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(
+        // count as decimal(10,0): the product type decimal(29,6) matches
+        // the oracle's exactly, so sums agree to the last digit
+        round(
+          sum(col("__c").cast("decimal(10,0)") * col("__lr")).cast("double"),
+          6
+        ).as("log_weight")
+      )
+  }
+
+  /** DSIR selection: the top-k corpus documents under importance-weighted
+    * sampling WITHOUT replacement — [[dsirLogWeights]] composed with the
+    * log-domain Efraimidis-Spirakis key
+    *
+    *   key(x) = ln(ln(1/u_x)) - log_w(x)   (smallest k win)
+    *
+    * which ranks exactly like `u^(1/w)` with `w = exp(log_w)` but never
+    * leaves the log domain (importance weights span hundreds of nats —
+    * exp() would overflow). u is the md5-bucket uniform of the id (same
+    * contract as [[graft.operators.Splits.weightedSample]]): deterministic
+    * across runs/engines, re-keyed by `salt`. Returns (idCol, log_weight,
+    * sample_key) for the k selected.
+    *
+    * Scale shape: [[dsirLogWeights]] plus one TakeOrdered top-k — no
+    * global sort, nothing new shuffles. */
+  def dsirResample(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      numBuckets: Int = 8192,
+      smoothing: Double = 1.0,
+      salt: String = ""
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = (Splits.hashBucket(col(idCol), salt).cast("double") + lit(0.5)) /
+      lit(Splits.Buckets.toDouble)
+    dsirLogWeights(corpus, target, idCol, textCol, numBuckets, smoothing)
+      .withColumn(
+        "sample_key",
+        round(log(log(lit(1.0) / u)), 6) - col("log_weight")
+      )
+      .orderBy(col("sample_key"), col(idCol))
+      .limit(k)
+  }
+
   /** BM25 relevance of every document against a fixed query-term set — the
     * classic retrieval scorer (Robertson/Lucene idf variant):
     *

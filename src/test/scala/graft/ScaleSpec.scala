@@ -2139,6 +2139,37 @@ class ScaleSpec extends SparkSpec {
     assert(coarse.nonEmpty)
   }
 
+  test("DSIR importance weights prefer target-like documents and drive selection") {
+    // corpus: 40 "prose" docs + 10 "code-like" docs; target looks code-like
+    val corpus = ((1 to 40).map(i =>
+      (i.toLong, s"the quick brown fox number $i jumps over the lazy dog")
+    ) ++ (41 to 50).map(i =>
+      (i.toLong, s"spark shuffle partition executor codegen stage $i task")
+    )).toDF("doc_id", "text")
+    val target = Seq(
+      (900L, "spark executor shuffle codegen partition"),
+      (901L, "partition stage task spark shuffle")
+    ).toDF("doc_id", "text")
+    val w = TextAnalysis
+      .dsirLogWeights(corpus, target, "doc_id", "text", numBuckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(w.size == 50)
+    val prose = (1 to 40).map(i => w(i.toLong))
+    val codey = (41 to 50).map(i => w(i.toLong))
+    assert(codey.min > prose.max,
+      s"target-like docs must outscore all prose: ${codey.min} vs ${prose.max}")
+    // selection: the 10 code-like docs dominate a k=10 importance sample
+    val picked = TextAnalysis
+      .dsirResample(corpus, target, "doc_id", "text", k = 10, numBuckets = 1024)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked.count(_ > 40L) >= 9, s"selection must favor target-like docs: $picked")
+    // deterministic; salt re-keys the draw
+    val again = TextAnalysis
+      .dsirResample(corpus, target, "doc_id", "text", k = 10, numBuckets = 1024)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(picked == again)
+  }
+
   test("bpeMerges learns the classic merge sequence on a planted dictionary") {
     // Sennrich-style toy corpus: {low x5, lowest x2}. Symbol pairs round 1
     // (weighted): (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2, (e,s)=2, (s,t)=2,
