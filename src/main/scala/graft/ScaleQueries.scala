@@ -1070,6 +1070,32 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // semantic decontamination report: max cosine of every corpus embedding
+    // to a planted eval set (every 97th vector) — paraphrase-robust leakage
+    // audit; eval members self-match at exactly 1.0
+    "q_semantic_decontam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Decontam
+        .semanticContaminationReport(
+          emb, emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding",
+          threshold = 0.95
+        )
+        .select("vec_id", "max_eval_cosine", "contaminated")
+        .orderBy("vec_id")
+    }),
+
+    // the drop form: corpus minus everything within 0.95 cosine of eval
+    "q_semantic_drop" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Decontam
+        .semanticDecontaminate(
+          emb, emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding",
+          threshold = 0.95
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     // DSIR importance weights: how target-like (zh-like) every corpus doc's
     // hashed unigram+bigram features are — the pretraining data-selection
     // scorer (Xie et al. 2023), decimal-quantized for engine parity
@@ -2954,6 +2980,32 @@ object ScaleQueries {
         |FROM bg JOIN bc USING (big)
         |JOIN cc ON string_split(big, chr(1))[1] = cc.prev
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_semantic_decontam" ->
+      s"""WITH ev AS (
+         |  SELECT embedding AS evv FROM embeddings WHERE vec_id % 97 = 0
+         |), m AS (
+         |  SELECT t.vec_id,
+         |         ROUND(MAX(${duckCosine("t.embedding", "ev.evv")}), 6)
+         |           AS max_eval_cosine
+         |  FROM embeddings t, ev GROUP BY t.vec_id
+         |)
+         |SELECT e.vec_id, m.max_eval_cosine,
+         |       COALESCE(m.max_eval_cosine >= 0.95, FALSE) AS contaminated
+         |FROM embeddings e LEFT JOIN m USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
+
+    "q_semantic_drop" ->
+      s"""WITH ev AS (
+         |  SELECT embedding AS evv FROM embeddings WHERE vec_id % 97 = 0
+         |), hit AS (
+         |  SELECT DISTINCT t.vec_id
+         |  FROM embeddings t, ev
+         |  WHERE ${duckCosine("t.embedding", "ev.evv")} >= 0.95
+         |)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM hit)
+         |ORDER BY vec_id""".stripMargin,
 
     "q_dsir" ->
       s"""WITH $duckDsirWeights

@@ -134,4 +134,76 @@ object Decontam {
       train.join(hitIds, Seq(idCol), "left_anti")
     }
   }
+
+  /** SEMANTIC contamination report: per training document, the maximum
+    * cosine similarity of its embedding to ANY evaluation embedding, plus
+    * a `contaminated` flag at `threshold` — the paraphrase-robust
+    * complement of the n-gram forms above (a reworded benchmark question
+    * shares no 13-gram but sits at cosine ~0.9+; see the decontamination
+    * discussions in the GPT-3 and Llama 2 reports). Documents with a NULL
+    * embedding get NULL similarity and are never flagged.
+    *
+    * Exactness: per-pair cosine is the codegen'd native expression; max()
+    * over doubles is order-independent (unlike sums), so ONE rounding of
+    * the final maximum keeps the report engine-reproducible.
+    *
+    * Scale shape: the eval side is small by construction (same contract
+    * as [[contaminationReport]]) and BROADCAST; the corpus streams once
+    * through a broadcast nested-loop score + per-doc max with map-side
+    * partial aggregation. Nothing corpus-sized shuffles; for eval sets
+    * too large to broadcast, pre-bucket both sides with
+    * `Similarity.annTopKMultiBand`'s banks instead. */
+  def semanticContaminationReport(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95
+  ): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    import graft.functions.VectorFunctions.cosineSimilarityNative
+    val evalVecs = broadcast(
+      eval.filter(col(vecCol).isNotNull).select(col(vecCol).as("__ev"))
+    )
+    val best = train
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("__tv"))
+      .crossJoin(evalVecs)
+      .groupBy(col(idCol))
+      .agg(
+        round(max(cosineSimilarityNative(col("__tv"), col("__ev"))), 6)
+          .as("max_eval_cosine")
+      )
+    train
+      .join(best, Seq(idCol), "left")
+      .withColumn(
+        "contaminated",
+        coalesce(col("max_eval_cosine") >= threshold, lit(false))
+      )
+  }
+
+  /** Drop semantically contaminated training documents (embedding within
+    * `threshold` cosine of any eval embedding) — the anti-join form of
+    * [[semanticContaminationReport]], same broadcast scale shape. */
+  def semanticDecontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95
+  ): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    import graft.functions.VectorFunctions.cosineSimilarityNative
+    val evalVecs = broadcast(
+      eval.filter(col(vecCol).isNotNull).select(col(vecCol).as("__ev"))
+    )
+    val hitIds = train
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("__tv"))
+      .crossJoin(evalVecs)
+      .filter(cosineSimilarityNative(col("__tv"), col("__ev")) >= threshold)
+      .select(idCol)
+      .distinct()
+    train.join(hitIds, Seq(idCol), "left_anti")
+  }
 }

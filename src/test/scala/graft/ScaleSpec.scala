@@ -2139,6 +2139,37 @@ class ScaleSpec extends SparkSpec {
     assert(coarse.nonEmpty)
   }
 
+  test("semantic decontamination flags eval members and near-paraphrases, spares the rest") {
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val train = Seq(
+      (1L, v(1, 0, 0, 0)),          // exactly an eval vector
+      (2L, v(0.98, 0.199, 0, 0)),   // near-paraphrase of eval (cos ~0.98)
+      (3L, v(0, 0, 1, 0)),          // orthogonal — clean
+      (4L, null.asInstanceOf[Array[Float]]) // null embedding — never flagged
+    ).toDF("id", "vec")
+    val eval = Seq((100L, v(1, 0, 0, 0))).toDF("id", "vec")
+    val rep = Decontam
+      .semanticContaminationReport(train, eval, "id", "vec", threshold = 0.95)
+      .select("id", "max_eval_cosine", "contaminated")
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), r.getBoolean(2))))
+      .toMap
+    assert(rep(1L) == ((Some(1.0), true)), s"${rep(1L)}")
+    assert(rep(2L)._2 && rep(2L)._1.get.asInstanceOf[Double] > 0.97)
+    assert(rep(3L) == ((Some(0.0), false)))
+    assert(rep(4L) == ((None, false)), "null embedding must not be flagged")
+    val kept = Decontam
+      .semanticDecontaminate(train, eval, "id", "vec", threshold = 0.95)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L), s"$kept")
+    // scale shape: eval side broadcast, corpus never shuffled for scoring
+    val plan = Decontam
+      .semanticDecontaminate(train, eval, "id", "vec")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"eval side must broadcast:\n$plan")
+  }
+
   test("DSIR importance weights prefer target-like documents and drive selection") {
     // corpus: 40 "prose" docs + 10 "code-like" docs; target looks code-like
     val corpus = ((1 to 40).map(i =>
