@@ -185,6 +185,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("DSIR weights broadcast the ratio model and combine map-side") {
+    val p = plan("q_dsir")
+    // the corpus-sized per-doc bucket table joins the m-row ratio model
+    // BROADCAST (the one SortMergeJoin in the plan is the p-vs-q model
+    // full-outer join — full outer cannot broadcast, and both inputs are
+    // <= numBuckets rows, so it is model-sized, never corpus-sized)
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket log-ratios must join broadcast:\n$p")
+    assert(p.contains("partial_sum"),
+      s"per-doc weight sum must combine map-side:\n$p")
+  }
+
+  test("semantic decontamination broadcasts the eval side") {
+    val p = plan("q_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval embeddings must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"scoring must not shuffle the corpus:\n$p")
+  }
+
   test("corpus amplification is a broadcast fan-out, never a shuffle") {
     val docs = spark.read
       .parquet(s"$sfDir/documents.parquet")

@@ -110,6 +110,32 @@ class StressSpec extends SparkSpec {
       s"extra survivors: ${(stressed -- orig).take(5)}; lost: ${(orig -- stressed).take(5)}")
   }
 
+  test("incremental dedup adjudicates a 5k batch against 50k stored signatures") {
+    // the production ingestion shape at 10x: the accepted corpus exists
+    // only as its signature table; a new batch of 5k copies (all of which
+    // must drop) plus 3 genuinely novel docs (all of which must survive)
+    val corpusSigs = graft.operators.Dedup
+      .minHashSignatures(stressedDocs, "doc_id", "text",
+        shingleK = 1, numHashes = 16, portable = true)
+      .localCheckpoint()
+    assert(corpusSigs.count() == stressedDocs.count())
+    val copyBatch = origDocs
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val novel = Seq(
+      (30000001L, "zanzibar quokka xylophone brontosaurus marzipan glockenspiel"),
+      (30000002L, "isotope quasar nebula pulsar magnetar heliopause parallax"),
+      (30000003L, "sourdough levain crumb hydration autolyse lamination proofing")
+    ).toDF("doc_id", "text")
+    val batch = copyBatch.unionByName(novel)
+    val kept = timed("incremental dedup of a 5k batch vs 50k signatures") {
+      graft.operators.Dedup
+        .dedupNearMinHashIncremental(batch, "doc_id", "text", corpusSigs)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(kept == Set(30000001L, 30000002L, 30000003L),
+      s"every copy must drop, every novel doc must survive: ${kept.take(10)}")
+  }
+
   test("knnGraph on 10x near-dup embeddings: bucket-bounded candidates, self-recall") {
     // 10 near-copies of every embedding (copy c shifts component 0 by
     // c * 1e-4 — cosine to the original stays ~1): the realistic
