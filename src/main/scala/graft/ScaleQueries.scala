@@ -1121,6 +1121,57 @@ object ScaleQueries {
         .orderBy("sample_key", "doc_id")
     }),
 
+    // exact duplicated-span removal (suffix-array-style dedup, Lee et al.
+    // 2022): every duplicated 8-token gram keeps only its canonical first
+    // occurrence; covered positions are cut and the survivors re-joined
+    "q_span_dedup" -> ((s, dir) => {
+      TextAnalysis
+        .spanDedup(t(s, dir, "documents"), "doc_id", "text", spanTokens = 8)
+        .orderBy("doc_id")
+    }),
+
+    // hashed Naive-Bayes quality-classifier model (wiki-vs-crawl shape):
+    // src0-2 as the reference class vs the rest, 4096 hashed buckets
+    "q_nb_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .trainTokenClassifier(
+          docs.filter(col("source").isin("src0", "src1", "src2")),
+          docs.filter(!col("source").isin("src0", "src1", "src2")),
+          "text",
+          numBuckets = 4096
+        )
+        .orderBy("bucket")
+    }),
+
+    // score the whole corpus with that model: mean bucket log-odds per doc
+    "q_nb_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.trainTokenClassifier(
+        docs.filter(col("source").isin("src0", "src1", "src2")),
+        docs.filter(!col("source").isin("src0", "src1", "src2")),
+        "text",
+        numBuckets = 4096
+      )
+      TextAnalysis
+        .classifierScore(docs, "doc_id", "text", model, numBuckets = 4096)
+        .orderBy("doc_id")
+    }),
+
+    // deterministic global shuffle into 16 training shards: pure md5
+    // shard + sort_key assignment (the write path adds the one shard-keyed
+    // shuffle; no global sort anywhere)
+    "q_shuffle_shards" -> ((s, dir) => {
+      Splits
+        .shuffleIntoShards(
+          t(s, dir, "documents").select("doc_id"),
+          "doc_id",
+          nShards = 16,
+          salt = "ep0"
+        )
+        .orderBy("doc_id")
+    }),
+
     // nearest view (either direction in time) for each purchase per user
     "q_nearest_join" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -1656,6 +1707,34 @@ object ScaleQueries {
       |), w AS (
       |  SELECT doc_id, ROUND(CAST(sum(c * lr) AS DOUBLE), 6) AS log_weight
       |  FROM db JOIN r USING (bk) GROUP BY doc_id
+      |)""".stripMargin
+
+  /** Shared CTE chain for the hashed NB classifier oracle (src0-2 as the
+    * positive class, 4096 buckets) — mirrors
+    * TextAnalysis.trainTokenClassifier. */
+  private def duckNbModel: String =
+    """ptoks AS (
+      |  SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS bucket
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+      |        FROM documents
+      |        WHERE text IS NOT NULL AND source IN ('src0','src1','src2'))
+      |), ntoks AS (
+      |  SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS bucket
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+      |        FROM documents
+      |        WHERE text IS NOT NULL AND source NOT IN ('src0','src1','src2'))
+      |), pc AS (SELECT bucket, count(*) AS cnt FROM ptoks GROUP BY 1
+      |), nc AS (SELECT bucket, count(*) AS cnt FROM ntoks GROUP BY 1
+      |), model AS (
+      |  SELECT b.bucket,
+      |         ROUND(LN((COALESCE(p.cnt, 0) + 1) /
+      |                  CAST((SELECT count(*) FROM ptoks) + 4096 AS DOUBLE))
+      |             - LN((COALESCE(n.cnt, 0) + 1) /
+      |                  CAST((SELECT count(*) FROM ntoks) + 4096 AS DOUBLE)), 6)
+      |           AS weight
+      |  FROM range(0, 4096) AS b(bucket)
+      |  LEFT JOIN pc p ON p.bucket = b.bucket
+      |  LEFT JOIN nc n ON n.bucket = b.bucket
       |)""".stripMargin
 
   private def duckSqDist(a: String, b: String): String =
@@ -3019,6 +3098,65 @@ object ScaleQueries {
          |           % 10000 + 0.5) / 10000.0))), 6) - log_weight AS sample_key
          |FROM w
          |ORDER BY sample_key, doc_id LIMIT 40""".stripMargin,
+
+    "q_span_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), occ AS (
+        |  SELECT doc_id, i AS gpos,
+        |         md5(array_to_string(t[(i+1):(i+8)], ' ')) AS gh
+        |  FROM base, unnest(range(0, len(t) - 7)) AS u(i)
+        |  WHERE len(t) >= 8
+        |), marked AS (
+        |  SELECT doc_id, gpos,
+        |         count(*) OVER (PARTITION BY gh) AS freq,
+        |         row_number() OVER (PARTITION BY gh ORDER BY doc_id, gpos) AS rn
+        |  FROM occ
+        |), covered AS (
+        |  SELECT DISTINCT doc_id, gpos + i AS pos
+        |  FROM marked, unnest(range(0, 8)) AS u(i)
+        |  WHERE freq > 1 AND rn > 1
+        |), toks AS (
+        |  SELECT doc_id, i AS pos, t[i+1] AS tok
+        |  FROM base, unnest(range(0, len(t))) AS u(i)
+        |), kept AS (
+        |  SELECT k.doc_id, k.pos, k.tok FROM toks k
+        |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |                    WHERE c.doc_id = k.doc_id AND c.pos = k.pos)
+        |)
+        |SELECT b.doc_id,
+        |       CAST(len(b.t) AS INT) AS n_tokens,
+        |       CAST(len(b.t) - count(k.tok) AS INT) AS removed_tokens,
+        |       md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), ''))
+        |         AS clean_md5
+        |FROM base b LEFT JOIN kept k USING (doc_id)
+        |GROUP BY b.doc_id, len(b.t)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_nb_train" ->
+      s"""WITH $duckNbModel
+         |SELECT bucket, weight FROM model ORDER BY bucket""".stripMargin,
+
+    "q_nb_score" ->
+      s"""WITH $duckNbModel, toks AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS bucket
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |        FROM documents WHERE text IS NOT NULL)
+         |)
+         |SELECT t.doc_id, CAST(count(*) AS INT) AS n_tokens,
+         |       ROUND(CAST(sum(CAST(m.weight AS DECIMAL(27,6))) AS DOUBLE)
+         |             / count(*), 6) AS nb_logodds
+         |FROM toks t JOIN model m USING (bucket)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_shuffle_shards" ->
+      """SELECT doc_id,
+        |       CAST(CAST(('0x' || substr(md5('shard:ep0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |                 AS BIGINT) % 16 AS INT) AS shard,
+        |       md5('order:ep0:' || CAST(doc_id AS VARCHAR)) AS sort_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_standardize" ->
       """WITH st AS (

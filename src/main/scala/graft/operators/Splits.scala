@@ -434,4 +434,60 @@ object Splits {
       )
       .drop("__stratum", "__w")
   }
+
+  /** Deterministic global shuffle into training shards: every row gets a
+    * `shard` in [0, nShards) and a 32-char `sort_key`, both pure md5
+    * expressions of (salt, key) — so the full ordering
+    * (shard, sort_key, key) is a reproducible pseudo-random permutation of
+    * the corpus, independent of input partitioning, engine, and run. Vary
+    * `salt` to draw an independent shuffle per epoch without touching the
+    * data. This is the standard "global shuffle before sharded training
+    * data" step, done WITHOUT a global sort.
+    *
+    * Scale shape: two per-row codegen'd expressions — no shuffle at all
+    * here; the shuffle happens (once, keyed by shard) in [[writeShards]].
+    */
+  def shuffleIntoShards(
+      df: DataFrame,
+      keyCol: String,
+      nShards: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val key = col(keyCol).cast("string")
+    df.withColumn(
+        "shard",
+        (conv(substring(md5(concat(lit("shard:"), lit(salt), lit(":"), key)), 1, 15), 16, 10)
+          .cast("long") % nShards).cast("int")
+      )
+      .withColumn(
+        "sort_key",
+        md5(concat(lit("order:"), lit(salt), lit(":"), key))
+      )
+  }
+
+  /** Write the shuffled corpus as one directory per shard, each shard's
+    * files internally ordered by `sort_key`: `repartition(nShards, shard)`
+    * then `sortWithinPartitions(shard, sort_key)` then
+    * `partitionBy("shard")` — each task sorts and writes only its own
+    * shards, so a 100 TB corpus is shuffled once on the shard key and
+    * NEVER globally sorted. A training job reads `shard=k` directories in
+    * `sort_key` order and gets the reproducible permutation.
+    */
+  def writeShards(
+      df: DataFrame,
+      keyCol: String,
+      nShards: Int,
+      path: String,
+      salt: String = "",
+      format: String = "parquet"
+  ): Unit =
+    shuffleIntoShards(df, keyCol, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "sort_key")
+      .write
+      .partitionBy("shard")
+      .format(format)
+      .mode("overwrite")
+      .save(path)
 }

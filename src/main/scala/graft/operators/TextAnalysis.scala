@@ -315,6 +315,115 @@ object TextAnalysis {
       )
   }
 
+  /** Exact duplicated-span removal — the distributed L-gram formulation of
+    * suffix-array substring dedup (after Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499; cf. the
+    * reference's chunk-level dedup which only catches aligned chunks).
+    * Every `spanTokens`-token gram that occurs more than once in the corpus
+    * keeps its canonical first occurrence (minimum (id, position) over the
+    * gram's occurrences) and is removed everywhere else; a token position is
+    * dropped iff it is covered by at least one removed gram occurrence.
+    * Because every duplicated substring of length >= spanTokens is tiled by
+    * duplicated grams, any such shared span is fully removed from all
+    * non-canonical occurrences — the gram-coverage equivalent of the
+    * suffix-array criterion, made deterministic by the (id, pos) keeper rule.
+    *
+    * Returns one row per non-null-text document:
+    * (id, n_tokens, removed_tokens, clean_md5) — the md5 of the surviving
+    * tokens re-joined in order ('' when everything was removed), so result
+    * rows stay narrow at any document size.
+    *
+    * Scale shape: gram occurrences are one posexplode (≈ one row per token,
+    * same cardinality as any vocabulary pass); the frequency/keeper table is
+    * ONE hash aggregate keyed by the 32-char gram digest (map-side combine
+    * absorbs within-partition repeats); the join back ships only the digest
+    * and two integers. Covered positions explode ONLY duplicated
+    * occurrences (spanTokens rows each) — clean corpora pay almost nothing.
+    * Reassembly is a left-anti join on (id, pos) plus a per-document hash
+    * aggregate. All shuffles are keyed by gram digest or document id; no
+    * global sort, no driver action, nothing quadratic.
+    */
+  def spanDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanTokens: Int = 8
+  ): DataFrame = {
+    require(spanTokens >= 2, "spanTokens must be >= 2")
+    val base = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
+
+    // One row per gram occurrence: (__id, __gpos 0-based, __gh md5 digest).
+    // Docs shorter than spanTokens emit no grams (sequence(0, n-L) would run
+    // BACKWARDS for n < L — Spark sequences descend when end < start).
+    val occ = base
+      .filter(size(col("__toks")) >= spanTokens)
+      .select(
+        col("__id"),
+        posexplode(
+          transform(
+            sequence(lit(0), size(col("__toks")) - spanTokens),
+            i => md5(array_join(slice(col("__toks"), i + 1, lit(spanTokens)), " "))
+          )
+        ).as(Seq("__gpos", "__gh"))
+      )
+
+    val gstats = occ
+      .groupBy("__gh")
+      .agg(
+        count(lit(1)).as("__freq"),
+        min(struct(col("__id"), col("__gpos"))).as("__keeper")
+      )
+
+    val dupOcc = occ
+      .join(gstats.filter(col("__freq") > 1), "__gh")
+      .filter(
+        !(col("__keeper.__id") === col("__id") &&
+          col("__keeper.__gpos") === col("__gpos"))
+      )
+
+    val covered = dupOcc
+      .select(
+        col("__id"),
+        explode(sequence(col("__gpos"), col("__gpos") + (spanTokens - 1)))
+          .as("__pos")
+      )
+      .distinct()
+
+    val tokTable = base.select(
+      col("__id"),
+      posexplode(col("__toks")).as(Seq("__pos", "__tok"))
+    )
+
+    val rebuilt = tokTable
+      .join(covered, Seq("__id", "__pos"), "left_anti")
+      .groupBy("__id")
+      .agg(
+        count(lit(1)).as("__kept"),
+        md5(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+              x => x.getField("__tok")
+            ),
+            " "
+          )
+        ).as("clean_md5")
+      )
+
+    base
+      .join(rebuilt, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        size(col("__toks")).as("n_tokens"),
+        (size(col("__toks")) - coalesce(col("__kept"), lit(0L)))
+          .cast("int")
+          .as("removed_tokens"),
+        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5")
+      )
+  }
+
   /** Unigram language-model quality score: fit a corpus unigram model
     * (term -> count / total) in one pass and score each document by its
     * mean token log-probability. The classic cheap "model-based" quality
@@ -717,6 +826,104 @@ object TextAnalysis {
       .orderBy(col("sample_key"), col(idCol))
       .limit(k)
   }
+
+  /** Bucket in [0, numBuckets) from the token's md5 — the hashing-trick
+    * feature map. Pure per-row expression, engine-portable (DuckDB:
+    * `CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % numBuckets`). */
+  private def tokenBucket(tok: Column, numBuckets: Int): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % numBuckets
+
+  /** Train a hashed Naive-Bayes token classifier: the classic
+    * "wiki-vs-crawl" quality filter (GPT-3 appendix A / CCNet-style) —
+    * tokens are hashed into `numBuckets` features and each bucket's weight
+    * is the Laplace-smoothed log-odds
+    * ln((pos+1)/(posTotal+D)) - ln((neg+1)/(negTotal+D)).
+    * Returns the full model as a DataFrame (bucket, weight) with one row
+    * per bucket (unseen buckets carry the smoothing-only weight), weights
+    * rounded to 6 decimals so the model is engine-portable and scoring is
+    * reproducible.
+    *
+    * Scale shape: each side is one explode -> hash aggregate down to at
+    * most D rows (map-side combine absorbs repeats); totals ride one-row
+    * broadcast cross joins — no driver action. The model is D rows,
+    * broadcastable by construction.
+    */
+  def trainTokenClassifier(
+      positive: DataFrame,
+      negative: DataFrame,
+      textCol: String,
+      numBuckets: Int = 4096
+  ): DataFrame = {
+    require(numBuckets >= 2, "numBuckets must be >= 2")
+    def bucketCounts(df: DataFrame, cnt: String): DataFrame = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__tok"))
+      .select(tokenBucket(col("__tok"), numBuckets).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as(cnt))
+    val pos = bucketCounts(positive, "__pos")
+    val neg = bucketCounts(negative, "__neg")
+    val posT = pos.agg(coalesce(sum("__pos"), lit(0L)).as("__pos_total"))
+    val negT = neg.agg(coalesce(sum("__neg"), lit(0L)).as("__neg_total"))
+    positive.sparkSession
+      .range(numBuckets)
+      .toDF("bucket")
+      .join(pos, Seq("bucket"), "left")
+      .join(neg, Seq("bucket"), "left")
+      .crossJoin(broadcast(posT))
+      .crossJoin(broadcast(negT))
+      .select(
+        col("bucket"),
+        round(
+          log(
+            (coalesce(col("__pos"), lit(0L)) + 1).cast("double") /
+              (col("__pos_total") + numBuckets).cast("double")
+          ) - log(
+            (coalesce(col("__neg"), lit(0L)) + 1).cast("double") /
+              (col("__neg_total") + numBuckets).cast("double")
+          ),
+          6
+        ).as("weight")
+      )
+  }
+
+  /** Score documents with a trained token-classifier model (see
+    * [[trainTokenClassifier]]): mean bucket weight over the document's
+    * tokens plus an optional class prior. Positive log-odds = looks like
+    * the positive (reference) corpus; threshold or Pareto-sample on it to
+    * filter. Returns (id, n_tokens, nb_logodds), score rounded to 6
+    * decimals.
+    *
+    * Exactness across engines: model weights are 6-decimal quantized, so
+    * the per-document total accumulates in DECIMAL (order-independent,
+    * parallelism-proof — same policy as [[tfidfCosinePairs]]); only the
+    * final mean is one double division.
+    *
+    * Scale shape: one corpus scan — explode, per-row bucket hash, join to
+    * the BROADCAST model (D rows by construction), one per-document hash
+    * aggregate. The corpus shuffles once, keyed by document id.
+    */
+  def classifierScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame,
+      numBuckets: Int = 4096,
+      prior: Double = 0.0
+  ): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), tokenBucket(col("__tok"), numBuckets).as("bucket"))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        round(
+          sum(col("weight").cast("decimal(27,6)")).cast("double") /
+            count(lit(1)) + prior,
+          6
+        ).as("nb_logodds")
+      )
 
   /** BM25 relevance of every document against a fixed query-term set — the
     * classic retrieval scorer (Robertson/Lucene idf variant):

@@ -478,6 +478,137 @@ class ScaleSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0, ""), (2L, 0, ""), (3L, 1, "y z")))
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+
+  test("spanDedup removes shared spans from non-canonical occurrences only") {
+    val df = Seq(
+      (1L, "a b c d e f"), // canonical occurrence of the shared span
+      (2L, "x y a b c d z"), // repeats "a b c d" -> those 4 tokens cut
+      (3L, "a b q"), // unique gram, untouched
+      (4L, "p q r p q r"), // within-doc repeat: second occurrence cut
+      (5L, "u v") // shorter than spanTokens: no grams, untouched
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .spanDedup(df, "doc_id", "text", spanTokens = 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(
+      got.toSeq == Seq(
+        (1L, 6, 0, md5hex("a b c d e f")),
+        (2L, 7, 4, md5hex("x y z")),
+        (3L, 3, 0, md5hex("a b q")),
+        (4L, 6, 3, md5hex("p q r")),
+        (5L, 2, 0, md5hex("u v"))
+      )
+    )
+  }
+
+  test("spanDedup erases fully-duplicated docs to the empty digest") {
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d") // every position covered -> empty survivor
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .spanDedup(df, "doc_id", "text", spanTokens = 4)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getString(3)))
+    assert(
+      got.toSeq == Seq(
+        (1L, 0, md5hex("a b c d")),
+        (2L, 4, md5hex(""))
+      )
+    )
+  }
+
+  test("token classifier separates reference-like from crawl-like docs") {
+    val pos = Seq(
+      (1L, "clean fluent reference prose"),
+      (2L, "fluent reference prose again")
+    ).toDF("doc_id", "text")
+    val neg = Seq(
+      (3L, "spam junk noise garbage"),
+      (4L, "junk noise garbage spam spam")
+    ).toDF("doc_id", "text")
+    val model =
+      TextAnalysis.trainTokenClassifier(pos, neg, "text", numBuckets = 4096)
+    assert(model.count() == 4096L) // one weight per bucket, unseen included
+    val scored = TextAnalysis
+      .classifierScore(
+        pos.unionByName(neg),
+        "doc_id",
+        "text",
+        model,
+        numBuckets = 4096
+      )
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .toMap
+    assert(scored(1L) > 0 && scored(2L) > 0, s"positive docs: $scored")
+    assert(scored(3L) < 0 && scored(4L) < 0, s"negative docs: $scored")
+  }
+
+  test("shuffleIntoShards is deterministic and covers all shards") {
+    val df = spark.range(200).toDF("id")
+    val a = graft.operators.Splits
+      .shuffleIntoShards(df, "id", nShards = 16, salt = "ep0")
+    val rows = a.orderBy("id").collect()
+    assert(rows.forall { r =>
+      val s = r.getInt(1); s >= 0 && s < 16 && r.getString(2).length == 32
+    })
+    assert(rows.map(_.getInt(1)).distinct.length == 16)
+    // same salt -> identical permutation; different salt -> different one
+    val b = graft.operators.Splits
+      .shuffleIntoShards(df, "id", nShards = 16, salt = "ep0")
+      .orderBy("id")
+      .collect()
+    assert(rows.sameElements(b))
+    val c = graft.operators.Splits
+      .shuffleIntoShards(df, "id", nShards = 16, salt = "ep1")
+      .orderBy("id")
+      .collect()
+    assert(!rows.map(_.getString(2)).sameElements(c.map(_.getString(2))))
+  }
+
+  test("writeShards writes per-shard directories sorted by sort_key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      graft.operators.Splits.writeShards(
+        spark.range(300).toDF("id"),
+        "id",
+        nShards = 8,
+        path = dir,
+        salt = "ep0"
+      )
+      val back = spark.read.parquet(dir)
+      assert(back.count() == 300L)
+      assert(
+        back.select("id").distinct().count() == 300L,
+        "shuffle must be a permutation — no loss, no duplication"
+      )
+      // within every written file, rows must be in sort_key order
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(input_file_name())
+        .orderBy(monotonically_increasing_id())
+      val disordered = back
+        .withColumn("__prev", lag("sort_key", 1).over(w))
+        .filter(col("__prev") > col("sort_key"))
+        .count()
+      assert(disordered == 0L, "files must be internally sorted by sort_key")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("unigramLogProb scores rare-token docs below common-token docs") {
     val df = Seq((1L, "a a a a"), (2L, "a a a b")).toDF("doc_id", "text")
     val got = TextAnalysis
