@@ -412,12 +412,15 @@ object TextAnalysis {
         ).as("clean_md5")
       )
 
+    // slim the left side to (id, token count) BEFORE the final join — the
+    // id-keyed shuffle must never carry the token arrays
     base
+      .select(col("__id"), size(col("__toks")).as("__n"))
       .join(rebuilt, Seq("__id"), "left")
       .select(
         col("__id").as(idCol),
-        size(col("__toks")).as("n_tokens"),
-        (size(col("__toks")) - coalesce(col("__kept"), lit(0L)))
+        col("__n").as("n_tokens"),
+        (col("__n") - coalesce(col("__kept"), lit(0L)))
           .cast("int")
           .as("removed_tokens"),
         coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5")

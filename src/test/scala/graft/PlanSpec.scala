@@ -475,4 +475,46 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), s"expected map-side combine:\n$p")
   }
 
+  test("span dedup shuffles digests and positions, never text or arrays") {
+    val p = plan("q_span_dedup")
+    assert(!p.contains("CartesianProduct"), s"product join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    // every shuffle is keyed by gram digest or doc id; none may carry the
+    // raw text column or the token array
+    p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .foreach { l =>
+        assert(!l.contains("text#"), s"doc text shuffled: $l")
+        assert(!l.contains("__toks"), s"token array shuffled: $l")
+      }
+  }
+
+  test("classifier scoring broadcasts the model onto the corpus") {
+    val p = plan("q_nb_score")
+    assert(
+      p.contains("BroadcastHashJoin"),
+      s"model join must broadcast (D rows by construction):\n$p"
+    )
+    // the corpus shuffles only (id, bucket) pairs — never the text column
+    p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text#"), s"doc text shuffled: $l"))
+  }
+
+  test("classifier training keeps totals as one-row broadcasts") {
+    val p = plan("q_nb_train")
+    val broadcasts = "BroadcastExchange".r.findAllIn(p).length
+    assert(broadcasts >= 2, s"expected pos/neg total broadcasts:\n$p")
+  }
+
+  test("shard assignment is pure per-row compute (no hash shuffle)") {
+    // shuffleIntoShards itself must not shuffle: the only exchange in the
+    // query plan is the presentation orderBy's range partitioning
+    val p = plan("q_shuffle_shards")
+    assert(
+      !p.contains("Exchange hashpartitioning"),
+      s"shard assignment must be shuffle-free:\n$p"
+    )
+  }
+
 }
