@@ -110,6 +110,43 @@ class StressSpec extends SparkSpec {
       s"extra survivors: ${(stressed -- orig).take(5)}; lost: ${(orig -- stressed).take(5)}")
   }
 
+  test("span dedup on the 10x corpus: copy-0 invariant, all other copies erased") {
+    // Exact oracle from amplification: copy 0 keeps the original ids, so
+    // every gram's keeper (min (id, pos)) in the 10x corpus is the same
+    // copy-0 occurrence as in the original corpus, and a copy-0 occurrence
+    // is removed iff it was removed in the original run. Every copy>=1
+    // occurrence is a non-keeper, so docs long enough to carry a gram are
+    // erased completely.
+    import graft.operators.TextAnalysis
+    val emptyMd5 = java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(Array.empty[Byte])
+      .map("%02x".format(_))
+      .mkString // md5("")
+    val orig = timed("spanDedup on the original corpus") {
+      TextAnalysis
+        .spanDedup(origDocs, "doc_id", "text", spanTokens = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .toSet
+    }
+    val stressed = timed("spanDedup on the 10x corpus") {
+      TextAnalysis
+        .spanDedup(stressedDocs, "doc_id", "text", spanTokens = 8)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    }
+    val (copy0, rest) = stressed.partition(_._1 < stride)
+    assert(copy0.toSet == orig,
+      s"copy-0 results changed under amplification: ${(copy0.toSet -- orig).take(3)}")
+    val survivors = rest.filter(r => r._2 >= 8 && r._4 != emptyMd5)
+    assert(survivors.isEmpty,
+      s"non-canonical copies must be erased: ${survivors.take(3).toSeq}")
+    rest.filter(_._2 < 8).foreach { r =>
+      assert(r._3 == 0, s"short doc must be untouched: $r")
+    }
+  }
+
   test("incremental dedup adjudicates a 5k batch against 50k stored signatures") {
     // the production ingestion shape at 10x: the accepted corpus exists
     // only as its signature table; a new batch of 5k copies (all of which
