@@ -454,6 +454,10 @@ object Splits {
       salt: String = ""
   ): DataFrame = {
     require(nShards >= 1, "nShards must be >= 1")
+    require(
+      !df.columns.contains("shard") && !df.columns.contains("sort_key"),
+      "input already has a 'shard' or 'sort_key' column — drop or rename it"
+    )
     val key = col(keyCol).cast("string")
     df.withColumn(
         "shard",

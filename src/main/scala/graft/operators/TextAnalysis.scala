@@ -738,11 +738,14 @@ object TextAnalysis {
     * order-independent and engine-reproducible (same policy as
     * [[bm25Scores]]). Documents with NULL text are excluded.
     *
-    * Scale shape: the corpus is scanned twice (once for the q model, once
-    * for per-document bucket counts — both explode->hash-aggregate with
-    * map-side combine on keys that subdivide documents); the target is
-    * scanned once and is small by construction. The ratio table is at most
-    * `numBuckets` rows and BROADCAST; no join ever carries document text.
+    * Scale shape: the corpus is featurized ONCE — per-document bucket
+    * counts (explode->hash-aggregate with map-side combine on keys that
+    * subdivide documents) feed both the q model (a second, tiny
+    * re-aggregation over at most docs x distinct-buckets rows, sharing the
+    * same shuffle via ReuseExchange) and the final per-document scoring.
+    * The target is scanned once and is small by construction. The ratio
+    * table is at most `numBuckets` rows and BROADCAST; no join ever
+    * carries document text.
     */
   def dsirLogWeights(
       corpus: DataFrame,
@@ -757,7 +760,16 @@ object TextAnalysis {
     def buckets(df: DataFrame) = df
       .filter(col(textCol).isNotNull)
       .select(explode(gramBuckets(textCol, numBuckets)).as("__b"))
-    val qCounts = buckets(corpus).groupBy("__b").agg(count(lit(1)).as("__qc"))
+    // featurize the corpus ONCE: per-doc bucket counts feed both the
+    // corpus-level counts (sum over docs) and the final per-doc scoring —
+    // the shared (id, bucket) shuffle is reused (ReuseExchange), so the
+    // expensive explode+md5 pass over the corpus runs a single time
+    val docBuckets = corpus
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(gramBuckets(textCol, numBuckets)).as("__b"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val qCounts = docBuckets.groupBy("__b").agg(sum("__c").as("__qc"))
     val pCounts = buckets(target).groupBy("__b").agg(count(lit(1)).as("__pc"))
     val totals = qCounts
       .agg(sum("__qc").cast("double").as("__qt"))
@@ -776,11 +788,7 @@ object TextAnalysis {
           6
         ).cast("decimal(18,6)").as("__lr")
       )
-    corpus
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol), explode(gramBuckets(textCol, numBuckets)).as("__b"))
-      .groupBy(col(idCol), col("__b"))
-      .agg(count(lit(1)).as("__c"))
+    docBuckets
       .join(broadcast(ratios), Seq("__b"))
       .groupBy(col(idCol))
       .agg(

@@ -195,6 +195,16 @@ class PlanSpec extends SparkSpec {
       s"bucket log-ratios must join broadcast:\n$p")
     assert(p.contains("partial_sum"),
       s"per-doc weight sum must combine map-side:\n$p")
+    // the corpus is featurized ONCE: the q model re-aggregates the per-doc
+    // bucket table, so at runtime AQE must reuse the shared (id, bucket)
+    // shuffle instead of exploding the corpus a second time (the static
+    // plan prints the duplicated lineage; reuse is a runtime property)
+    val df = SparkEntry.queries("q_dsir")(spark, sfDir)
+    df.collect()
+    val fp = df.queryExecution.executedPlan.toString
+    assert(fp.contains("isFinalPlan=true"), s"expected adaptive final plan:\n$fp")
+    assert(fp.contains("Reused"),
+      s"corpus featurization shuffle must be reused at runtime:\n$fp")
   }
 
   test("semantic decontamination broadcasts the eval side") {
