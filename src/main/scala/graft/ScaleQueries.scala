@@ -1549,6 +1549,22 @@ object ScaleQueries {
       TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
     }),
 
+    // true-BPE token counts: train 8 merges, encode the distinct-word
+    // dictionary, sum piece counts per document. Iterative merge loop ->
+    // rows-only gate (same policy as q_bpe); encode semantics are
+    // hand-verified in ScaleSpec on the classic Sennrich example.
+    "q_bpe_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .bpeTokenCounts(
+          docs,
+          "doc_id",
+          "text",
+          TextAnalysis.bpeMerges(docs, "text", numMerges = 8)
+        )
+        .orderBy("doc_id")
+    }),
+
     // data-contract gate: four scalar checks fused into ONE scan pass,
     // plus a keyed uniqueness check and a broadcast referential probe —
     // the dbt-test / expectation-suite shape over the fact table

@@ -1113,6 +1113,117 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
   }
 
+  /** Standard BPE encoding of one word (Sennrich et al.'s `apply_bpe`):
+    * start from characters + `</w>` (the same symbol alphabet as
+    * [[bpeMerges]]), repeatedly find the LOWEST-rank merge rule whose pair
+    * is present and merge all its occurrences left-to-right, until no rule
+    * applies. Driver/executor-local — called per DICTIONARY word, never
+    * per token occurrence. */
+  private[graft] def bpeEncodeWord(
+      word: String,
+      ranks: Map[(String, String), Int]
+  ): Vector[String] = {
+    var syms = word.map(_.toString).toVector :+ "</w>"
+    var continue = syms.length > 1
+    while (continue) {
+      val best = syms.indices
+        .dropRight(1)
+        .flatMap(i => ranks.get((syms(i), syms(i + 1))).map(r => (r, i)))
+      if (best.isEmpty) continue = false
+      else {
+        val (a, b) = {
+          val i = best.minBy(_._1)._2
+          (syms(i), syms(i + 1))
+        }
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+        continue = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** Encode the corpus' distinct-word dictionary with a trained merge
+    * table ([[bpeMerges]] output): returns (word, pieces, n_pieces). The
+    * iterative merge loop — inherently imperative — runs ONLY over the
+    * dictionary (distinct words: millions of rows where the corpus has
+    * billions of occurrences), via mapPartitions with the merge table
+    * broadcast (model-sized by construction: numMerges rows, collected
+    * eagerly like every model table). */
+  def bpeEncodeTable(df: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks = merges
+      .select("left", "right", "merge_rank")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2))
+      .toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    df.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map { w =>
+          val pieces = bpeEncodeWord(w, r)
+          (w, pieces, pieces.length)
+        }
+      }
+      .toDF("word", "pieces", "n_pieces")
+  }
+
+  /** True-BPE token counts per document: tokenize, encode every DISTINCT
+    * word once with the trained merges ([[bpeEncodeTable]]), and sum
+    * per-word piece counts back over each document's occurrences. The
+    * honest upgrade over the `bpe_ish_tokens` regex estimate in
+    * [[tokenCounts]] — feed the result into `packSequences` /
+    * `selectByTokenBudget` for budgets in REAL subword tokens. Returns one
+    * row per non-null-text document: (id, ws_tokens, bpe_tokens).
+    *
+    * Scale shape: the corpus is scanned once into per-(doc, word)
+    * occurrence counts (map-side combined); the encoded dictionary joins
+    * on the word key (AQE broadcasts it when it fits — vocabulary-sized
+    * either way, never forced); one per-doc aggregate. The merge loop
+    * never sees a token occurrence. */
+  def bpeTokenCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: DataFrame
+  ): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+    val occ = base
+      .select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val dict = bpeEncodeTable(df, textCol, merges)
+      .select(col("word").as("__w"), col("n_pieces").as("__p"))
+    val counts = occ
+      .join(dict, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("__c").cast("int").as("ws_tokens"),
+        sum(col("__c") * col("__p")).cast("int").as("bpe_tokens")
+      )
+    base
+      .select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("ws_tokens"), lit(0)).as("ws_tokens"),
+        coalesce(col("bpe_tokens"), lit(0)).as("bpe_tokens")
+      )
+  }
+
   /** Cross-document boilerplate removal (the CCNet/RefinedWeb paragraph
     * dedup): split each text on `delimiter`, count how many DISTINCT
     * documents contain each unit, strip units appearing in more than

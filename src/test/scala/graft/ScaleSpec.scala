@@ -2358,6 +2358,38 @@ class ScaleSpec extends SparkSpec {
     assert(short.length == 2, s"expected exhaustion at 2 merges, got ${short.length}")
   }
 
+  test("bpeEncodeTable and bpeTokenCounts apply merges Sennrich-style") {
+    // merges learned on {low x5, lowest x2}: (l,o), (lo,w), (low,</w>)
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lowest lowest")
+    ).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeMerges(docs, "text", numMerges = 3)
+    val enc = TextAnalysis
+      .bpeEncodeTable(docs, "text", merges)
+      .collect()
+      .map(r => r.getString(0) -> (r.getSeq[String](1), r.getInt(2)))
+      .toMap
+    // "low" merges all the way to one piece; "lowest" stalls after "low"
+    assert(enc("low") == ((Seq("low</w>"), 1)), s"$enc")
+    assert(enc("lowest") == ((Seq("low", "e", "s", "t", "</w>"), 5)), s"$enc")
+    // unseen word: merges still apply wherever their pairs occur
+    val slow = TextAnalysis.bpeEncodeWord(
+      "slow",
+      Map(("l", "o") -> 0, ("lo", "w") -> 1, ("low", "</w>") -> 2)
+    )
+    assert(slow == Vector("s", "low</w>"), s"$slow")
+    val counts = TextAnalysis
+      .bpeTokenCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(
+      counts.toSeq == Seq((1L, 5, 5), (2L, 2, 10)),
+      s"${counts.mkString(";")}"
+    )
+  }
+
   test("runChecks counts each violation type; order follows the check list") {
     import graft.operators.Checks
     import graft.operators.Checks._
