@@ -405,6 +405,36 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Streaming ingest-time quality gate: score every micro-batch with the
+    * batch NB classifier ([[graft.operators.TextAnalysis.classifierScore]])
+    * against a STATIC trained model and pass through only the original
+    * rows of documents scoring at or above `minLogOdds`. Reusing the batch
+    * operator inside foreachBatch guarantees batch/stream score parity
+    * bit-for-bit; a document is scored entirely within its own batch, so
+    * the query is stateless — no watermark, no state store — and the
+    * D-row model broadcasts exactly as in batch. */
+  def qualityGateStream(
+      docs: DataFrame,
+      model: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int,
+      minLogOdds: Double
+  )(sink: DataFrame => Unit): Unit = {
+    val q = docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keep = graft.operators.TextAnalysis
+          .classifierScore(batch, idCol, textCol, model, numBuckets)
+          .filter(col("nb_logodds") >= minLogOdds)
+          .select(col(idCol))
+        sink(batch.join(keep, Seq(idCol)))
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def heavyHittersPerWindow(
       events: DataFrame,
       k: Int,

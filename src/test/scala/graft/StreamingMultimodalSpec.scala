@@ -239,6 +239,39 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(gotIds.nonEmpty && gotIds.size < 450) // some dropped, some kept
   }
 
+  test("streaming quality gate equals the batch classifier filter") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = TextAnalysis.trainTokenClassifier(
+      docs.filter(col("source").isin("src0", "src1")),
+      docs.filter(!col("source").isin("src0", "src1")),
+      "text",
+      numBuckets = 1024
+    )
+    val scored = TextAnalysis
+      .classifierScore(docs, "doc_id", "text", model, numBuckets = 1024)
+    // pick a threshold that genuinely splits this corpus (its median score)
+    val thr = scored.stat.approxQuantile("nb_logodds", Array(0.5), 0.0).head
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    Streaming.qualityGateStream(
+      Streaming.readDocumentsStream(spark, sfDir),
+      model,
+      "doc_id",
+      "text",
+      numBuckets = 1024,
+      minLogOdds = thr
+    ) { b => kept ++= b.select("doc_id").collect().map(_.getLong(0)) }
+    val gotIds = kept.toSet
+    val batchIds = scored
+      .filter(col("nb_logodds") >= thr)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(gotIds == batchIds, s"stream ${gotIds.size} vs batch ${batchIds.size}")
+    assert(gotIds.nonEmpty && gotIds.size < docs.count())
+  }
+
   test("media table round trip: schema, features, determinism") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
     val media = Multimodal.toMediaTable(docs, "doc_id", "text")
