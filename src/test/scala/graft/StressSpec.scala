@@ -78,6 +78,42 @@ class StressSpec extends SparkSpec {
     assert(pairs > 0)
   }
 
+  test("100x amplification: dedup invariance and pair bound (opt-in)") {
+    // sf10-equivalent row count (500k docs, hot cluster of 1,000). ~2 min
+    // on a quiet machine — opt in with SPARK_GRAFT_STRESS_100X=1; the
+    // default suite runs the same assertions at 10x above. Committed so
+    // the 100x claim in PERFORMANCE.md is reproducible, not a REPL story.
+    assume(
+      sys.env.contains("SPARK_GRAFT_STRESS_100X"),
+      "set SPARK_GRAFT_STRESS_100X=1 to run the 100x amplification"
+    )
+    val big = Stress
+      .selfUnionSkewed(origDocs, "doc_id", 100, stride, hotId = 0L, hotCopies = 900)
+      .localCheckpoint()
+    val n = big.count()
+    val bands = 4
+    val pairs = timed("minHashCandidatePairs(representativesOnly) on 500k docs") {
+      Dedup
+        .minHashCandidatePairs(
+          big, "doc_id", "text",
+          shingleK = 1, numHashes = 16, bands = bands,
+          portable = true, representativesOnly = true
+        )
+        .count()
+    }
+    assert(pairs <= bands.toLong * n, s"pair blowup: $pairs > $bands*$n")
+    val orig = Dedup
+      .dedupNearMinHash(origDocs, "doc_id", "text", threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = timed("dedupNearMinHash on the 100x corpus") {
+      Dedup
+        .dedupNearMinHash(big, "doc_id", "text", threshold = 0.9)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(survivors == orig,
+      s"extra: ${(survivors -- orig).take(5)}; lost: ${(orig -- survivors).take(5)}")
+  }
+
   test("minhash dedup survivors on the 10x corpus equal the original corpus survivors") {
     val orig = timed("dedupNearMinHash on the original corpus") {
       Dedup
