@@ -2390,6 +2390,30 @@ class ScaleSpec extends SparkSpec {
     )
   }
 
+  test("bpeEncodeWord property: pieces always reconstruct the word") {
+    // whatever the merge table, BPE only ever glues adjacent symbols —
+    // concatenating the pieces must reproduce the characters + </w>
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcd"
+    (1 to 200).foreach { _ =>
+      val word = (1 to (1 + rnd.nextInt(10)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+      // random merge table over plausible symbol pairs (incl. multi-char
+      // lefts from earlier merges and the </w> marker)
+      val syms = Seq("a", "b", "c", "d", "ab", "bc", "cd", "abc", "</w>")
+      val ranks = (0 until (1 + rnd.nextInt(8)))
+        .map(r => (syms(rnd.nextInt(syms.length)), syms(rnd.nextInt(syms.length))) -> r)
+        .toMap
+      val pieces = TextAnalysis.bpeEncodeWord(word, ranks)
+      assert(
+        pieces.mkString == word + "</w>",
+        s"word=$word ranks=$ranks pieces=$pieces"
+      )
+      assert(pieces == TextAnalysis.bpeEncodeWord(word, ranks), "deterministic")
+    }
+  }
+
   test("runChecks counts each violation type; order follows the check list") {
     import graft.operators.Checks
     import graft.operators.Checks._
