@@ -704,7 +704,11 @@ object TextAnalysis {
     * map of [[dsirLogWeights]]: tokens plus adjacent-token bigrams
     * (joined with ), md5-bucketed into `numBuckets` — engine-portable
     * (DuckDB: `CAST('0x'||substr(md5(g),1,15) AS BIGINT) % m`), no RNG. */
-  private def gramBuckets(textCol: String, numBuckets: Int): Column = {
+  private def gramBuckets(
+      textCol: String,
+      numBuckets: Int,
+      portable: Boolean = true
+  ): Column = {
     val toks = tokens(col(textCol))
     val bigrams = when(
       size(toks) >= 2,
@@ -715,7 +719,13 @@ object TextAnalysis {
     ).otherwise(array())
     transform(
       concat(toks, bigrams),
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long") % numBuckets
+      g =>
+        // portable: md5 (engine-reproducible, DuckDB-matchable); fast
+        // path: xxhash64 — no hex round-trip, same quality, different
+        // bucket assignment
+        if (portable)
+          conv(substring(md5(g), 1, 15), 16, 10).cast("long") % numBuckets
+        else pmod(xxhash64(g), lit(numBuckets.toLong))
     )
   }
 
@@ -728,7 +738,8 @@ object TextAnalysis {
     *     count_b(x) * (ln p_b - ln q_b)
     *
     * with p/q the Laplace-smoothed bucket-frequency models of `target` and
-    * `corpus` (unigrams + bigrams, md5-hashed into `numBuckets`). Feed the
+    * `corpus` (unigrams + bigrams, hashed into `numBuckets` — md5 when
+    * `portable`, xxhash64 on the fast path). Feed the
     * output into [[dsirResample]] (or any weighted sampler) to select
     * corpus data that "looks like" a small high-quality target set — the
     * standard pretraining-data selection recipe.
@@ -753,20 +764,21 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       numBuckets: Int = 8192,
-      smoothing: Double = 1.0
+      smoothing: Double = 1.0,
+      portable: Boolean = true
   ): DataFrame = {
     require(numBuckets >= 2, "numBuckets must be >= 2")
     require(smoothing > 0, "smoothing must be > 0")
     def buckets(df: DataFrame) = df
       .filter(col(textCol).isNotNull)
-      .select(explode(gramBuckets(textCol, numBuckets)).as("__b"))
+      .select(explode(gramBuckets(textCol, numBuckets, portable)).as("__b"))
     // featurize the corpus ONCE: per-doc bucket counts feed both the
     // corpus-level counts (sum over docs) and the final per-doc scoring —
     // the shared (id, bucket) shuffle is reused (ReuseExchange), so the
     // expensive explode+md5 pass over the corpus runs a single time
     val docBuckets = corpus
       .filter(col(textCol).isNotNull)
-      .select(col(idCol), explode(gramBuckets(textCol, numBuckets)).as("__b"))
+      .select(col(idCol), explode(gramBuckets(textCol, numBuckets, portable)).as("__b"))
       .groupBy(col(idCol), col("__b"))
       .agg(count(lit(1)).as("__c"))
     val qCounts = docBuckets.groupBy("__b").agg(sum("__c").as("__qc"))
@@ -824,12 +836,13 @@ object TextAnalysis {
       k: Int,
       numBuckets: Int = 8192,
       smoothing: Double = 1.0,
-      salt: String = ""
+      salt: String = "",
+      portable: Boolean = true
   ): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val u = (Splits.hashBucket(col(idCol), salt).cast("double") + lit(0.5)) /
       lit(Splits.Buckets.toDouble)
-    dsirLogWeights(corpus, target, idCol, textCol, numBuckets, smoothing)
+    dsirLogWeights(corpus, target, idCol, textCol, numBuckets, smoothing, portable)
       .withColumn(
         "sample_key",
         round(log(log(lit(1.0) / u)), 6) - col("log_weight")

@@ -491,7 +491,8 @@ class ScaleSpec extends SparkSpec {
       (2L, "x y a b c d z"), // repeats "a b c d" -> those 4 tokens cut
       (3L, "a b q"), // unique gram, untouched
       (4L, "p q r p q r"), // within-doc repeat: second occurrence cut
-      (5L, "u v") // shorter than spanTokens: no grams, untouched
+      (5L, "u v"), // shorter than spanTokens: no grams, untouched
+      (6L, null) // null text: excluded, like every text operator here
     ).toDF("doc_id", "text")
     val got = TextAnalysis
       .spanDedup(df, "doc_id", "text", spanTokens = 3)
@@ -2320,6 +2321,17 @@ class ScaleSpec extends SparkSpec {
     val codey = (41 to 50).map(i => w(i.toLong))
     assert(codey.min > prose.max,
       s"target-like docs must outscore all prose: ${codey.min} vs ${prose.max}")
+    // the xxhash64 fast path preserves the semantics (different buckets,
+    // same separation) and stays deterministic
+    val wf = TextAnalysis
+      .dsirLogWeights(
+        corpus, target, "doc_id", "text", numBuckets = 1024, portable = false
+      )
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wf.size == 50)
+    assert((41 to 50).map(i => wf(i.toLong)).min >
+      (1 to 40).map(i => wf(i.toLong)).max,
+      "fast path must preserve the target-vs-prose separation")
     // selection: the 10 code-like docs dominate a k=10 importance sample
     val picked = TextAnalysis
       .dsirResample(corpus, target, "doc_id", "text", k = 10, numBuckets = 1024)
