@@ -347,16 +347,22 @@ object TextAnalysis {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      spanTokens: Int = 8
+      spanTokens: Int = 8,
+      portable: Boolean = true
   ): DataFrame = {
     require(spanTokens >= 2, "spanTokens must be >= 2")
     val base = df
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"), tokens(col(textCol)).as("__toks"))
 
-    // One row per gram occurrence: (__id, __gpos 0-based, __gh md5 digest).
+    // One row per gram occurrence: (__id, __gpos 0-based, __gh digest —
+    // md5 when portable for the DuckDB oracle, xxhash64 on the fast path;
+    // gram identity is exact-match either way, so results agree modulo
+    // astronomically-unlikely hash collisions).
     // Docs shorter than spanTokens emit no grams (sequence(0, n-L) would run
     // BACKWARDS for n < L — Spark sequences descend when end < start).
+    def gramHash(g: Column): Column =
+      if (portable) md5(g) else xxhash64(g).cast("string")
     val occ = base
       .filter(size(col("__toks")) >= spanTokens)
       .select(
@@ -364,7 +370,7 @@ object TextAnalysis {
         posexplode(
           transform(
             sequence(lit(0), size(col("__toks")) - spanTokens),
-            i => md5(array_join(slice(col("__toks"), i + 1, lit(spanTokens)), " "))
+            i => gramHash(array_join(slice(col("__toks"), i + 1, lit(spanTokens)), " "))
           )
         ).as(Seq("__gpos", "__gh"))
       )
@@ -854,8 +860,14 @@ object TextAnalysis {
   /** Bucket in [0, numBuckets) from the token's md5 — the hashing-trick
     * feature map. Pure per-row expression, engine-portable (DuckDB:
     * `CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % numBuckets`). */
-  private def tokenBucket(tok: Column, numBuckets: Int): Column =
-    conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % numBuckets
+  private def tokenBucket(
+      tok: Column,
+      numBuckets: Int,
+      portable: Boolean = true
+  ): Column =
+    if (portable)
+      conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % numBuckets
+    else pmod(xxhash64(tok), lit(numBuckets.toLong))
 
   /** Train a hashed Naive-Bayes token classifier: the classic
     * "wiki-vs-crawl" quality filter (GPT-3 appendix A / CCNet-style) —
@@ -865,7 +877,8 @@ object TextAnalysis {
     * Returns the full model as a DataFrame (bucket, weight) with one row
     * per bucket (unseen buckets carry the smoothing-only weight), weights
     * rounded to 6 decimals so the model is engine-portable and scoring is
-    * reproducible.
+    * reproducible. `portable = false` buckets by xxhash64 instead of md5
+    * (faster; train and score MUST use the same setting).
     *
     * Scale shape: each side is one explode -> hash aggregate down to at
     * most D rows (map-side combine absorbs repeats); totals ride one-row
@@ -876,13 +889,14 @@ object TextAnalysis {
       positive: DataFrame,
       negative: DataFrame,
       textCol: String,
-      numBuckets: Int = 4096
+      numBuckets: Int = 4096,
+      portable: Boolean = true
   ): DataFrame = {
     require(numBuckets >= 2, "numBuckets must be >= 2")
     def bucketCounts(df: DataFrame, cnt: String): DataFrame = df
       .filter(col(textCol).isNotNull)
       .select(explode(tokens(col(textCol))).as("__tok"))
-      .select(tokenBucket(col("__tok"), numBuckets).as("bucket"))
+      .select(tokenBucket(col("__tok"), numBuckets, portable).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as(cnt))
     val pos = bucketCounts(positive, "__pos")
@@ -933,11 +947,12 @@ object TextAnalysis {
       textCol: String,
       model: DataFrame,
       numBuckets: Int = 4096,
-      prior: Double = 0.0
+      prior: Double = 0.0,
+      portable: Boolean = true
   ): DataFrame =
     df.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
-      .select(col(idCol), tokenBucket(col("__tok"), numBuckets).as("bucket"))
+      .select(col(idCol), tokenBucket(col("__tok"), numBuckets, portable).as("bucket"))
       .join(broadcast(model), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(
