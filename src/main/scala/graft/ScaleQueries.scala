@@ -20,15 +20,22 @@ object ScaleQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` the column arrives as long
-    * nanos — truncate to microsecond timestamps (matching how DuckDB reads
-    * the same file into its microsecond TIMESTAMP). */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
+  /** The driver has shipped events.parquet under several timestamp
+    * physical types across regenerations — TIMESTAMP(NANOS) (arrives as
+    * long nanos under `spark.sql.legacy.parquet.nanosAsLong`),
+    * micros-without-timezone (Spark 4 reads TIMESTAMP_NTZ), and tz'd
+    * micros (TIMESTAMP). Normalize all of them to the microsecond
+    * session-zone TIMESTAMP the operators and DuckDB oracles assume
+    * (UTC session ⇒ identical instants in every case). Public: this is
+    * the canonical batch loader for the events table — tests and tools
+    * should read through it rather than re-deriving the ts conversion. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = t(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -81,13 +81,15 @@ object Joins {
     // fractional-second `end`, under-covering its final bin and silently
     // dropping facts between the whole second and the true exclusive end
     val binMicros = binSeconds * 1000000L
-    val fb = facts.withColumn(
+    val normFacts = TimeUtils.ensureTimestamp(facts, factTimeCol)
+    val normIntervals = TimeUtils.ensureTimestamp(intervals, startCol, endCol)
+    val fb = normFacts.withColumn(
       "__bin",
       floor(unix_micros(col(factTimeCol)) / binMicros).cast("long")
     )
     // drop empty/inverted intervals: [t,t) contains nothing, and an
     // inverted interval would make `sequence` run backwards (step -1)
-    val ib = intervals.filter(col(startCol) < col(endCol)).withColumn(
+    val ib = normIntervals.filter(col(startCol) < col(endCol)).withColumn(
       "__bin",
       explode(
         sequence(
@@ -137,10 +139,10 @@ object Joins {
         floor(unix_micros(col(s)) / binMicros).cast("long"),
         floor((unix_micros(col(e)) - 1) / binMicros).cast("long")
       )
-    val lb = left
+    val lb = TimeUtils.ensureTimestamp(left, leftStartCol, leftEndCol)
       .filter(col(leftStartCol) < col(leftEndCol))
       .withColumn("__bin", explode(bins(leftStartCol, leftEndCol)))
-    val rb = right
+    val rb = TimeUtils.ensureTimestamp(right, rightStartCol, rightEndCol)
       .filter(col(rightStartCol) < col(rightEndCol))
       .withColumn("__bin", explode(bins(rightStartCol, rightEndCol)))
     lb.join(rb, Seq("__bin"))
@@ -195,12 +197,14 @@ object Joins {
       valueCol: String,
       prefix: String = "near_"
   ): DataFrame = {
+    val normLeft = TimeUtils.ensureTimestamp(left, leftTimeCol)
+    val normRight = TimeUtils.ensureTimestamp(right, rightTimeCol)
     val back = asOfJoin(
-      left, right, keyCol, leftTimeCol, rightTimeCol,
+      normLeft, normRight, keyCol, leftTimeCol, rightTimeCol,
       Seq(valueCol, rightTimeCol), "__b_"
     )
     val leftNeg = back.withColumn("__lneg", -unix_micros(col(leftTimeCol)))
-    val rightNeg = right.withColumn("__rneg", -unix_micros(col(rightTimeCol)))
+    val rightNeg = normRight.withColumn("__rneg", -unix_micros(col(rightTimeCol)))
     val both = asOfJoin(
       leftNeg, rightNeg, keyCol, "__lneg", "__rneg",
       Seq(valueCol, rightTimeCol), "__f_"
@@ -233,22 +237,28 @@ object Joins {
     require(rightValueCols.nonEmpty, "at least one right value column")
     import org.apache.spark.sql.expressions.Window
 
-    val leftCols = left.columns.toSeq
-    val lTagged = left.select(
+    // normalize BOTH sides' time columns so the union-merge `__t` never
+    // mixes TIMESTAMP with TIMESTAMP_NTZ across the sides; orderable-only
+    // (not ensureTimestamp) because nearestJoin's forward pass re-enters
+    // here on a negated-microsecond LONG axis, which is a valid order key
+    val normLeft = TimeUtils.ensureOrderable(left, leftTimeCol)
+    val normRight = TimeUtils.ensureOrderable(right, rightTimeCol)
+    val leftCols = normLeft.columns.toSeq
+    val lTagged = normLeft.select(
       Seq(
         col(keyCol).as("__k"),
         col(leftTimeCol).as("__t"),
         lit(1).as("__side")
       ) ++ leftCols.map(col) ++ rightValueCols.map { c =>
-        lit(null).cast(right.schema(c).dataType).as(s"__rv_$c")
+        lit(null).cast(normRight.schema(c).dataType).as(s"__rv_$c")
       }: _*
     )
-    val rTagged = right.select(
+    val rTagged = normRight.select(
       Seq(
         col(keyCol).as("__k"),
         col(rightTimeCol).as("__t"),
         lit(0).as("__side")
-      ) ++ leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      ) ++ leftCols.map(c => lit(null).cast(normLeft.schema(c).dataType).as(c)) ++
         rightValueCols.map(c => col(c).as(s"__rv_$c")): _*
     )
 

@@ -27,6 +27,7 @@ object Sessionize {
       idCol: String = "event_id",
       valueCol: String = "value"
   ): DataFrame = {
+    val ev = TimeUtils.ensureTimestamp(events, tsCol)
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
     val prevTs = lag(col(tsCol), 1).over(w)
     val isNew = when(
@@ -34,7 +35,7 @@ object Sessionize {
         (unix_micros(col(tsCol)) - unix_micros(prevTs)) > gapSeconds * 1000000L,
       1
     ).otherwise(0)
-    events
+    ev
       .withColumn("__new_session", isNew)
       .withColumn(
         "session_id",
@@ -62,7 +63,7 @@ object Sessionize {
       tsCol: String = "ts",
       valueCol: String = "value"
   ): DataFrame =
-    events
+    TimeUtils.ensureTimestamp(events, tsCol)
       .groupBy(window(col(tsCol), width).as("__w"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -87,7 +88,7 @@ object Sessionize {
       valueCol: String = "value",
       tsCol: String = "ts"
   ): DataFrame =
-    events
+    TimeUtils.ensureTimestamp(events, tsCol)
       .groupBy(window(col(tsCol), width, slide).as("__w"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -118,7 +119,7 @@ object Sessionize {
       .partitionBy(userCol)
       .orderBy(col(tsCol), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    events
+    TimeUtils.ensureTimestamp(events, tsCol)
       .withColumn(
         "last_prior_ts",
         max(when(col(typeCol) === priorType, col(tsCol))).over(w)
@@ -147,7 +148,7 @@ object Sessionize {
   ): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val binMicros = bucketSeconds * 1000000L
-    val counts = events
+    val counts = TimeUtils.ensureTimestamp(events, tsCol)
       .select(
         col(keyCol),
         floor(unix_micros(col(tsCol)) / binMicros).cast("long").as("__bucket")
@@ -188,7 +189,7 @@ object Sessionize {
   ): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val binMicros = bucketSeconds * 1000000L
-    val activity = events
+    val activity = TimeUtils.ensureTimestamp(events, tsCol)
       .select(
         col(userCol).as("__u"),
         floor(unix_micros(col(tsCol)) / binMicros).cast("long").as("__b")
@@ -243,7 +244,9 @@ object Sessionize {
         org.apache.spark.sql.expressions.Window.currentRow)
     // candidate_i: this row completes step i (right type, after the
     // running earliest completion of step i-1)
-    val withCands = steps.zipWithIndex.foldLeft(events) { case (d, (step, i)) =>
+    val withCands = steps.zipWithIndex.foldLeft(
+      TimeUtils.ensureTimestamp(events, tsCol)
+    ) { case (d, (step, i)) =>
       val cand =
         if (i == 0) when(col(typeCol) === step, col(tsCol))
         else
@@ -293,7 +296,7 @@ object Sessionize {
       .orderBy(col(tsCol), col(tieCol))
       .rowsBetween(-(n - 1).toLong, org.apache.spark.sql.expressions.Window.currentRow)
     val v = col(valueCol).cast("decimal(18,2)")
-    events
+    TimeUtils.ensureTimestamp(events, tsCol)
       .withColumn("roll_n", count(lit(1)).over(w))
       .withColumn("roll_sum", sum(v).over(w).cast("double"))
       .withColumn("roll_min", min(v).over(w).cast("double"))

@@ -16,28 +16,32 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** Schema of the events table as read from a stream source (ts arrives as
-    * long nanos when the parquet stores TIMESTAMP(NANOS) and
-    * `spark.sql.legacy.parquet.nanosAsLong` is set). */
-  val EventsNanosSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)
-  ))
-
   /** Streaming read of the events table from a scale-factor directory,
-    * normalizing ts to a microsecond timestamp column. (FileStreamSource
-    * requires a directory path, so we glob the single events.parquet file
-    * inside the sf dir.) */
-  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(EventsNanosSchema)
+    * normalizing ts to a microsecond session-zone timestamp column.
+    * FileStreamSource requires an explicit schema AND a directory path, so
+    * we infer the schema from a one-off batch read of the same file (cheap:
+    * footer only) and glob the single events.parquet inside the sf dir.
+    * The inference makes the source tolerant of the timestamp physical
+    * type drifting across data regenerations — long nanos (legacy
+    * `parquet.nanosAsLong`), TIMESTAMP_NTZ micros, or tz'd TIMESTAMP all
+    * arrive as the same TIMESTAMP column. */
+  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val inferred = spark.read
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .schema
+    val raw = spark.readStream
+      .schema(inferred)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    inferred("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
 
   /** Watermarked tumbling-window aggregate (append mode capable). */
   def windowedCounts(

@@ -16,11 +16,7 @@ class StreamingMultimodalSpec extends SparkSpec {
       "win_counts"
     )
     val batch = graft.operators.Sessionize
-      .tumblingWindowAgg(
-        spark.read.parquet(s"$sfDir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000"))),
-        "1 hour"
-      )
+      .tumblingWindowAgg(ScaleQueries.events(spark, sfDir), "1 hour")
     // streaming groups by (window, type); roll up to compare totals
     val streamTotal = got.agg(sum("n_events")).collect()(0).getLong(0)
     val batchTotal = batch.agg(sum("n_events")).collect()(0).getLong(0)
@@ -44,9 +40,7 @@ class StreamingMultimodalSpec extends SparkSpec {
   }
 
   test("streaming archive upsert converges to the batch upsert") {
-    val batchEvents = spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batchEvents = ScaleQueries.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     // stale seed snapshot: 50 keys with a sentinel value and same ts —
     // ties go to the update side, so every sentinel must be replaced
@@ -69,9 +63,7 @@ class StreamingMultimodalSpec extends SparkSpec {
 
   test("streaming drift monitor: zero PSI vs the full snapshot as reference") {
     val stream = Streaming.readEventsStream(spark, sfDir)
-    val batchEvents = spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batchEvents = ScaleQueries.events(spark, sfDir)
     val snaps = scala.collection.mutable.ArrayBuffer.empty[Array[org.apache.spark.sql.Row]]
     // reference = one specific window's own rows -> that window must
     // report PSI exactly 0; other windows report >= 0 and all windows
@@ -111,9 +103,7 @@ class StreamingMultimodalSpec extends SparkSpec {
     val last = snaps.last
     assert(last.nonEmpty)
     // ground truth: batch windowed counts ranked the same way
-    val batchCounts = spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batchCounts = ScaleQueries.events(spark, sfDir)
       .groupBy(window(col("ts"), "1 hour").as("__w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("__w.start").as("window_start"), col("event_type"), col("n_events"))
@@ -196,9 +186,7 @@ class StreamingMultimodalSpec extends SparkSpec {
       "purchase_views",
       outputMode = "append"
     )
-    val ev = spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = ScaleQueries.events(spark, sfDir)
     val p = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
     val v = ev.filter(col("event_type") === "view")
