@@ -23,6 +23,9 @@ import org.apache.spark.sql.SparkSession
   *    of the SF dir's parent, falling back to the SF dir itself)
   *  - SPARK_GRAFT_NO_WARM  set to skip the per-query warmup pass
   *  - SPARK_GRAFT_NO_THROUGHPUT set to skip the 10x pipeline entry
+  *  - SPARK_GRAFT_BENCH_OUT path for the full JSON artifact (default
+  *    ./bench_full.json) — the stdout line gets tail-truncated by the
+  *    driver's capture, the file keeps every per-query median
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -129,9 +132,21 @@ object Bench {
             "null"
         }
       }
-    println(
+    val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ok":${results.count(_._3.isEmpty)},"failed":${results.count(_._3.nonEmpty)},"runs":$runs,"throughput":$throughput,"sf":"$sfDir"}"""
-    )
+    println(line)
+    // the driver's stdout capture truncates long lines (only ~16 of 130+
+    // per-query medians survived in past rounds) — persist the full artifact
+    // to a file as the durable round-over-round record
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outFile), "UTF-8")
+      try w.println(line)
+      finally w.close()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

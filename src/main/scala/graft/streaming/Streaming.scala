@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -331,6 +331,49 @@ object Streaming {
       width: String = "1 hour",
       watermark: String = "2 hours",
       eps: Double = 1e-6
+  )(sink: DataFrame => Unit): Unit =
+    driftPerWindowImpl(events, ref, valueCol, lo, hi, nBins, width, watermark,
+      eps, outputMode = "complete")(sink)
+
+  /** Append-mode drift monitor: identical PSI semantics to
+    * [[driftPerWindow]], but each window is reported EXACTLY ONCE — when
+    * the watermark closes it — instead of a cumulative snapshot per batch.
+    * All bins of a window share the window end, so they finalize in the
+    * same micro-batch and every emitted window's PSI is complete.
+    *
+    * This is the at-scale deployment shape: sink traffic is one row per
+    * closed window (not windows-seen-so-far rows per batch) and the
+    * windowed-count state store is bounded by the WATERMARK horizon, not
+    * by total windows ever seen. The tradeoff is latency/coverage: a
+    * still-open window (end beyond the current watermark) is withheld
+    * until it closes, and in a bounded AvailableNow drain the newest
+    * windows never report at all — use [[driftPerWindow]] when the
+    * monitor must see open windows. */
+  def driftPerWindowAppend(
+      events: DataFrame,
+      ref: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int = 10,
+      width: String = "1 hour",
+      watermark: String = "2 hours",
+      eps: Double = 1e-6
+  )(sink: DataFrame => Unit): Unit =
+    driftPerWindowImpl(events, ref, valueCol, lo, hi, nBins, width, watermark,
+      eps, outputMode = "append")(sink)
+
+  private def driftPerWindowImpl(
+      events: DataFrame,
+      ref: DataFrame,
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int,
+      width: String,
+      watermark: String,
+      eps: Double,
+      outputMode: String
   )(sink: DataFrame => Unit): Unit = {
     require(nBins >= 2 && hi > lo && eps > 0, "bad PSI parameters")
     val widthPerBin = (hi - lo) / nBins
@@ -348,65 +391,83 @@ object Streaming {
       .agg(count(lit(1)).as("__n"))
       .select(col("__w.start").as("window_start"), col("bin"), col("__n"))
     val q = counts.writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val refShares = ref
-          .filter(col(valueCol).isNotNull)
-          .select(binOf.as("bin"))
-          .groupBy("bin")
-          .agg(count(lit(1)).as("__rn"))
-          .crossJoin(
-            broadcast(
-              ref.filter(col(valueCol).isNotNull).agg(count(lit(1)).as("__rt"))
-            )
-          )
-          .select(
-            col("bin"),
-            (col("__rn").cast("double") / col("__rt")).as("__p")
-          )
-        val spine = batch
-          .select("window_start")
-          .distinct()
-          .crossJoin(spark.range(nBins).select(col("id").cast("int").as("bin")))
-        val full = spine
-          .join(batch, Seq("window_start", "bin"), "left")
-          .select(
-            col("window_start"),
-            col("bin"),
-            coalesce(col("__n"), lit(0L)).as("__n")
-          )
-        val totals = full
-          .groupBy("window_start")
-          .agg(sum("__n").as("__ct"))
-        val out = full
-          .join(totals, Seq("window_start"))
-          .join(broadcast(refShares), Seq("bin"), "left")
-          .select(
-            col("window_start"),
-            col("__ct"),
-            round(
-              (greatest(coalesce(col("__p"), lit(0.0)), lit(eps)) -
-                greatest(col("__n").cast("double") / col("__ct"), lit(eps))) *
-                log(
-                  greatest(coalesce(col("__p"), lit(0.0)), lit(eps)) /
-                    greatest(col("__n").cast("double") / col("__ct"), lit(eps))
-                ),
-              10
-            ).cast("decimal(22,10)").as("__contrib")
-          )
-          .groupBy("window_start", "__ct")
-          .agg(round(sum("__contrib").cast("double"), 6).as("psi"))
-          .select(
-            col("window_start"),
-            col("__ct").as("n_cur"),
-            col("psi")
-          )
-        sink(out)
+        // append mode delivers empty flush batches — skip the sink call
+        // rather than handing consumers a zero-row PSI frame
+        if (outputMode == "complete" || !batch.isEmpty)
+          sink(psiOfWindowCounts(batch, ref, valueCol, nBins, eps, binOf))
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** PSI reduction over one batch of (window_start, bin, __n) counts
+    * against the static reference: fills the bin spine per window, joins
+    * the broadcast nBins-row reference share table, and sums
+    * decimal-quantized contributions — touches only (windows x nBins)
+    * aggregated rows, never events. */
+  private def psiOfWindowCounts(
+      batch: DataFrame,
+      ref: DataFrame,
+      valueCol: String,
+      nBins: Int,
+      eps: Double,
+      binOf: => Column
+  ): DataFrame = {
+    val spark = batch.sparkSession
+    val refShares = ref
+      .filter(col(valueCol).isNotNull)
+      .select(binOf.as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("__rn"))
+      .crossJoin(
+        broadcast(
+          ref.filter(col(valueCol).isNotNull).agg(count(lit(1)).as("__rt"))
+        )
+      )
+      .select(
+        col("bin"),
+        (col("__rn").cast("double") / col("__rt")).as("__p")
+      )
+    val spine = batch
+      .select("window_start")
+      .distinct()
+      .crossJoin(spark.range(nBins).select(col("id").cast("int").as("bin")))
+    val full = spine
+      .join(batch, Seq("window_start", "bin"), "left")
+      .select(
+        col("window_start"),
+        col("bin"),
+        coalesce(col("__n"), lit(0L)).as("__n")
+      )
+    val totals = full
+      .groupBy("window_start")
+      .agg(sum("__n").as("__ct"))
+    full
+      .join(totals, Seq("window_start"))
+      .join(broadcast(refShares), Seq("bin"), "left")
+      .select(
+        col("window_start"),
+        col("__ct"),
+        round(
+          (greatest(coalesce(col("__p"), lit(0.0)), lit(eps)) -
+            greatest(col("__n").cast("double") / col("__ct"), lit(eps))) *
+            log(
+              greatest(coalesce(col("__p"), lit(0.0)), lit(eps)) /
+                greatest(col("__n").cast("double") / col("__ct"), lit(eps))
+            ),
+          10
+        ).cast("decimal(22,10)").as("__contrib")
+      )
+      .groupBy("window_start", "__ct")
+      .agg(round(sum("__contrib").cast("double"), 6).as("psi"))
+      .select(
+        col("window_start"),
+        col("__ct").as("n_cur"),
+        col("psi")
+      )
   }
 
   /** Streaming ingest-time quality gate: score every micro-batch with the

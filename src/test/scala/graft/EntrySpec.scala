@@ -58,6 +58,56 @@ class EntrySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.ansi.enabled", prev)
   }
 
+  test("event-time queries are timestamp-physical-type-proof") {
+    // The driver has regenerated events.parquet under three physical types
+    // across rounds (TIMESTAMP(NANOS)->long, TIMESTAMP_NTZ micros, tz'd
+    // micros). Lock in tolerance the same way ANSI tolerance is locked in:
+    // every events-backed query must produce VALUE-identical results on
+    // all three variants, so the next regeneration can't kill an operator.
+    import org.apache.spark.sql.functions._
+    val eventQueries = Seq(
+      "q_sessionize", "q_gap_fill", "q_retention", "q_range_join",
+      "q_interval_overlap", "q_nearest_join", "q_window_1h",
+      "q_window_sliding", "q_funnel", "q_asof_join", "q_rolling"
+    )
+    val canonical = ScaleQueries.events(spark, sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft-ts-sweep").toString
+    def variantDir(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      val dir = s"$root/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val dirs = Map(
+      "tz" -> variantDir("tz", canonical),
+      "ntz" -> variantDir("ntz",
+        canonical.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))),
+      "nanos" -> variantDir("nanos",
+        canonical.withColumn("ts", unix_micros(col("ts")) * 1000L))
+    )
+    def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+      rows.map(_.toString).sorted.toSeq
+    eventQueries.foreach { name =>
+      val results = dirs.map { case (variant, dir) =>
+        val got =
+          try canon(SparkEntry.queries(name)(spark, dir).collect())
+          catch {
+            case e: Throwable =>
+              fail(s"$name fails on the $variant timestamp variant: " +
+                s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        variant -> got
+      }
+      val base = results("tz")
+      assert(base.nonEmpty, s"$name returned no rows on the tz variant")
+      Seq("ntz", "nanos").foreach { variant =>
+        assert(results(variant) == base,
+          s"$name diverges on the $variant timestamp variant " +
+            s"(${results(variant).size} vs ${base.size} rows)")
+      }
+    }
+  }
+
   test("every query runs on sf0.001 and oracle coverage is complete") {
     val missingOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val extraOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -93,6 +93,59 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(totalCounted == batchEvents.filter(col("value").isNotNull).count())
   }
 
+  test("append-mode drift monitor emits each closed window exactly once across a multi-batch drain") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // 9 hourly windows, each with the SAME value distribution (one event
+    // in each of 2 bins) -> every window's PSI against the full dataset
+    // is exactly 0, so any nonzero PSI flags a partial/duplicated window
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ts(h: Int, m: Int) = new java.sql.Timestamp(base + (h * 60L + m) * 60000L)
+    val df = (0 to 8)
+      .flatMap(h => Seq((ts(h, 0), 10.0), (ts(h, 30), 90.0)))
+      .toDF("ts", "value")
+    // three files in strict event-time order (mod-times forced) so the
+    // 1-file-per-trigger drain advances the watermark monotonically
+    val streamDir = Files.createTempDirectory("graft-drift-append").toString
+    val stageDir = Files.createTempDirectory("graft-drift-stage").toString
+    Seq(0 to 2, 3 to 5, 6 to 8).zipWithIndex.foreach { case (hs, i) =>
+      val tmp = s"$stageDir/g$i"
+      df.filter(hour(col("ts")).isin(hs: _*))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = Paths.get(s"$streamDir/f$i.parquet")
+      Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(s"$streamDir/f0.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "f*.parquet")
+      .parquet(streamDir)
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Array[org.apache.spark.sql.Row]]
+    Streaming.driftPerWindowAppend(
+      stream, df, "value", lo = 0.0, hi = 100.0, nBins = 2,
+      width = "1 hour", watermark = "45 minutes"
+    ) { out => snaps += out.collect() }
+    // final watermark = 08:30 - 45min = 07:45 -> windows 0..6 closed,
+    // 7 and 8 still open (withheld by design)
+    val all = snaps.flatten
+    val starts = all.map(_.getTimestamp(0))
+    assert(snaps.count(_.nonEmpty) >= 2,
+      s"closed windows must surface across MULTIPLE batches, got ${snaps.size} sink calls")
+    assert(starts.distinct.size == starts.size,
+      s"append mode must emit each window exactly once: $starts")
+    assert(starts.toSet == (0 to 6).map(h => ts(h, 0)).toSet,
+      s"expected exactly the 7 watermark-closed windows, got ${starts.sorted.toSeq}")
+    all.foreach { r =>
+      assert(r.getLong(1) == 2, s"each closed window holds 2 events: $r")
+      assert(r.getDouble(2) == 0.0, s"identical distribution must give PSI 0: $r")
+    }
+  }
+
   test("streaming heavy hitters rank equals the batch ranking") {
     val stream = Streaming.readEventsStream(spark, sfDir)
     val snaps = scala.collection.mutable.ArrayBuffer.empty[Array[org.apache.spark.sql.Row]]

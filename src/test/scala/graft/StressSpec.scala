@@ -78,6 +78,41 @@ class StressSpec extends SparkSpec {
     assert(pairs > 0)
   }
 
+  test("30x amplification: pair bound and dedup invariance (always-on)") {
+    // sf3-equivalent (150k docs, hot cluster of 300) INSIDE the default
+    // test budget — the strongest scale evidence used to hide behind the
+    // SPARK_GRAFT_STRESS_100X gate and was canceled on every normal run;
+    // this tier catches a quadratic regression in the amplification
+    // invariants on plain `sbt test`, the 100x below stays opt-in.
+    val big = Stress
+      .selfUnionSkewed(origDocs, "doc_id", 30, stride, hotId = 0L, hotCopies = 270)
+      .localCheckpoint()
+    val n = big.count()
+    assert(n == origDocs.count() * 30 + 270, s"n=$n")
+    val bands = 4
+    val pairs = timed("minHashCandidatePairs(representativesOnly) on 150k docs") {
+      Dedup
+        .minHashCandidatePairs(
+          big, "doc_id", "text",
+          shingleK = 1, numHashes = 16, bands = bands,
+          portable = true, representativesOnly = true
+        )
+        .count()
+    }
+    assert(pairs <= bands.toLong * n, s"pair blowup: $pairs > $bands*$n")
+    assert(pairs > 0)
+    val orig = Dedup
+      .dedupNearMinHash(origDocs, "doc_id", "text", threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = timed("dedupNearMinHash on the 30x corpus") {
+      Dedup
+        .dedupNearMinHash(big, "doc_id", "text", threshold = 0.9)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(survivors == orig,
+      s"extra: ${(survivors -- orig).take(5)}; lost: ${(orig -- survivors).take(5)}")
+  }
+
   test("100x amplification: dedup invariance and pair bound (opt-in)") {
     // sf10-equivalent row count (500k docs, hot cluster of 1,000). ~2 min
     // on a quiet machine — opt in with SPARK_GRAFT_STRESS_100X=1; the
