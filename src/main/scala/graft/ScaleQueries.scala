@@ -625,6 +625,32 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // cross-split leakage audit: 80/10/10 hash split of documents, then
+    // per held-out doc the share of its distinct 3-grams seen in train
+    "q_split_leakage" -> ((s, dir) => {
+      val split = Splits.hashSplit(
+        t(s, dir, "documents"),
+        "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      )
+      Decontam
+        .crossSplitLeakage(split, "doc_id", "text", "split", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // tokenizer vocab coverage: OOV rate of every document against the
+    // corpus' own top-12 doc-frequency terms (the 31-word synthetic vocab
+    // makes the remaining 19 words OOV, so rates are non-trivial)
+    "q_vocab_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextAnalysis
+        .topTerms(docs, "doc_id", "text", k = 12)
+        .select("term")
+      TextAnalysis
+        .vocabCoverage(docs, "doc_id", "text", vocab, "term")
+        .orderBy("doc_id")
+    }),
+
     // Gopher-style repetition metrics over word 2-grams
     "q_repetition" -> ((s, dir) => {
       TextAnalysis
@@ -2138,6 +2164,59 @@ object ScaleQueries {
         |FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
         |WHERE d.doc_id % 10 <> 0
         |ORDER BY d.doc_id""".stripMargin,
+
+    // split assignment replicates q_hash_split's md5 buckets; 3-gram slices
+    // replicate q_decontam's inclusive-range construction
+    "q_split_leakage" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN bk < 8000 THEN 'train'
+        |              WHEN bk < 9000 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id, text,
+        |           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bk
+        |    FROM documents
+        |  )
+        |), ng AS (
+        |  SELECT doc_id, split,
+        |         list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS g
+        |  FROM (SELECT doc_id, split, string_split(lower(text), ' ') AS t FROM sp)
+        |), tr AS (
+        |  SELECT DISTINCT unnest(g) AS gram FROM ng WHERE split = 'train'
+        |), ho AS (
+        |  SELECT doc_id, split, unnest(g) AS gram FROM ng WHERE split <> 'train'
+        |), tot AS (
+        |  SELECT doc_id, split, count(*) AS n_grams FROM ho GROUP BY 1, 2
+        |), lk AS (
+        |  SELECT ho.doc_id, count(*) AS n_leaked FROM ho JOIN tr USING (gram) GROUP BY 1
+        |)
+        |SELECT t.doc_id, t.split, t.n_grams,
+        |       COALESCE(lk.n_leaked, 0) AS n_leaked,
+        |       round(CAST(COALESCE(lk.n_leaked, 0) AS DOUBLE) / t.n_grams, 6) AS leak_frac
+        |FROM tot t LEFT JOIN lk ON lk.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // vocab = top-12 terms by (doc_freq, coll_freq, term) — the same
+    // deterministic tie-break topTerms uses
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+        |), stats AS (
+        |  SELECT w, count(*) AS cf, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+        |), vocab AS (
+        |  SELECT w FROM stats ORDER BY df DESC, cf DESC, w LIMIT 12
+        |), cov AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |         count(CASE WHEN v.w IS NULL THEN 1 END) AS n_oov
+        |  FROM (SELECT doc_id, w FROM toks WHERE w <> '') t
+        |  LEFT JOIN vocab v ON v.w = t.w
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, n_tokens, n_oov,
+        |       round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_frac
+        |FROM cov ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       """WITH toks AS (

@@ -71,6 +71,65 @@ object Decontam {
     train.join(contaminatedIds, Seq(idCol), "left_anti")
   }
 
+  /** Cross-split leakage audit: for every document OUTSIDE the training
+    * split, the fraction of its distinct word `n`-grams that also appear
+    * somewhere in the training split — the self-referential complement of
+    * [[contaminationReport]]. After `Splits.hashSplit` (or any split
+    * assignment) this answers "how much of my held-out set does the model
+    * see verbatim during training?", the standard train/test leakage
+    * check run before training (e.g. the overlap analyses in the GPT-3
+    * appendix) — applied to your OWN splits rather than an external
+    * benchmark.
+    *
+    * Scale shape: unlike [[contaminationReport]], NEITHER side broadcasts
+    * — at 100 TB the training split's gram set is itself TB-sized. Both
+    * sides reduce to distinct (id-or-nothing, gram-digest) rows and meet
+    * in a shuffle hash join keyed on the 128-bit md5 digest of the gram:
+    * the shuffle carries 16-byte digests instead of raw n-gram strings,
+    * the train side is pre-shrunk by `distinct()` (map-side partial), and
+    * the per-doc counts combine map-side. Equal-width digests also hash
+    * uniformly, so the join keys cannot skew on a hot gram's byte length.
+    *
+    * Output: one row per held-out document that has at least one n-gram
+    * (docs shorter than `n` tokens have nothing to leak and are omitted):
+    * (idCol, splitCol, n_grams, n_leaked, leak_frac). Distinct-gram
+    * counting on both sides makes the fraction insensitive to a gram
+    * repeating inside one document.
+    */
+  def crossSplitLeakage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitCol: String,
+      trainSplit: String = "train",
+      n: Int = 3
+  ): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val grams = df
+      .select(
+        col(idCol),
+        col(splitCol),
+        explode(array_distinct(shingles(col(textCol), n))).as("__gram")
+      )
+      .select(col(idCol), col(splitCol), md5(col("__gram")).as("__gk"))
+    val trainGrams =
+      grams.filter(col(splitCol) === trainSplit).select("__gk").distinct()
+    val heldOut = grams.filter(col(splitCol) =!= trainSplit)
+    val leaked = heldOut
+      .join(trainGrams, Seq("__gk"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_leaked"))
+    heldOut
+      .groupBy(col(idCol), col(splitCol))
+      .agg(count(lit(1)).as("n_grams"))
+      .join(leaked, Seq(idCol), "left")
+      .withColumn("n_leaked", coalesce(col("n_leaked"), lit(0L)))
+      .withColumn(
+        "leak_frac",
+        round(col("n_leaked").cast("double") / col("n_grams"), 6)
+      )
+  }
+
   /** Sketch-based decontamination for when even the eval n-gram set is too
     * large to broadcast exactly: compile the eval grams into a Bloom
     * filter (constant size for a chosen false-positive rate) and drop

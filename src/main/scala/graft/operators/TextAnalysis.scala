@@ -181,6 +181,50 @@ object TextAnalysis {
     )
   }
 
+  /** Tokenizer vocabulary coverage: per document, the whitespace-token
+    * count, how many of those tokens are OUT of the supplied vocabulary,
+    * and the OOV fraction — the standard pre-training diagnostic for "does
+    * my tokenizer's vocab actually cover this corpus" (a high OOV rate on
+    * a source means wasted bytes-per-token there; run it per source and
+    * per language before committing a mixture).
+    *
+    * The vocabulary is one word per row — e.g. [[topTerms]]' `term` column
+    * or a BPE vocab's full words. Matching is exact on the lowercased
+    * whitespace token (the same normalization [[tokens]] applies
+    * everywhere else in this object).
+    *
+    * Scale shape: a vocabulary is model-sized (10k-1M rows) by
+    * construction, so it is deduplicated and BROADCAST; the corpus
+    * streams once through explode → broadcast left join → per-doc count
+    * aggregate with map-side partials. Nothing corpus-sized shuffles —
+    * the shuffle carries only (id, partial counts). Documents with zero
+    * tokens are absent from the result (nothing to cover).
+    */
+  def vocabCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      wordCol: String
+  ): DataFrame = {
+    val words = broadcast(
+      vocab.select(lower(col(wordCol)).as("__w")).distinct()
+        .withColumn("__in", lit(1))
+    )
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .join(words, Seq("__w"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, lit(1))).as("n_oov")
+      )
+      .withColumn(
+        "oov_frac",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+      )
+  }
+
   /** Gopher-style within-document repetition metrics over word `n`-grams:
     * for each document, the total n-gram occurrence count, the count of the
     * single most frequent n-gram (ties don't matter — only the max count is

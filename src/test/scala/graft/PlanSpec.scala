@@ -517,6 +517,36 @@ class PlanSpec extends SparkSpec {
     assert(broadcasts >= 2, s"expected pos/neg total broadcasts:\n$p")
   }
 
+  test("cross-split leakage shuffles only gram digests, no broadcast of a corpus side") {
+    val p = plan("q_split_leakage")
+    assert(!p.contains("CartesianProduct"), s"product join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    // both sides are corpus-sized: the gram join must be a shuffled join
+    // on the digest key, and no shuffle may carry the raw text or gram
+    p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .foreach { l =>
+        assert(!l.contains("text#"), s"doc text shuffled: $l")
+        assert(!l.contains("__gram"), s"raw gram shuffled (digest expected): $l")
+      }
+    assert(
+      p.contains("__gk"),
+      s"expected the md5 digest key in the gram join:\n$p"
+    )
+  }
+
+  test("vocab coverage broadcasts the vocabulary onto the token stream") {
+    val p = plan("q_vocab_coverage")
+    assert(
+      p.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast (model-sized by construction):\n$p"
+    )
+    // the corpus never shuffles its text; only (id, counts) move
+    p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text#"), s"doc text shuffled: $l"))
+  }
+
   test("shard assignment is pure per-row compute (no hash shuffle)") {
     // shuffleIntoShards itself must not shuffle: the only exchange in the
     // query plan is the presentation orderBy's range partitioning

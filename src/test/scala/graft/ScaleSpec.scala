@@ -841,6 +841,46 @@ class ScaleSpec extends SparkSpec {
     assert(report.toSeq == Seq((1L, 1L, true), (2L, 0L, false), (3L, 1L, true)))
   }
 
+  test("crossSplitLeakage reports hand-checked per-doc 3-gram leak fractions") {
+    val df = Seq(
+      (1L, "a b c d e", "train"),   // train grams: abc bcd cde
+      (2L, "f g h i", "train"),     // fgh ghi
+      (3L, "a b c d x", "val"),     // abc bcd cdx -> abc, bcd leaked
+      (4L, "p q r s", "test"),      // pqr qrs -> none leaked
+      (5L, "f g h", "val"),         // fgh -> leaked
+      (6L, "a b c a b c", "test"),  // distinct grams abc bca cab -> abc leaked
+      (7L, "zz yy", "test")         // < 3 tokens: no grams, absent
+    ).toDF("doc_id", "text", "split")
+    val got = graft.operators.Decontam
+      .crossSplitLeakage(df, "doc_id", "text", "split", n = 3)
+      .select("doc_id", "split", "n_grams", "n_leaked", "leak_frac")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (3L, "val", 3L, 2L, 0.666667),
+      (4L, "test", 2L, 0L, 0.0),
+      (5L, "val", 1L, 1L, 1.0),
+      (6L, "test", 3L, 1L, 0.333333)
+    ))
+  }
+
+  test("vocabCoverage counts OOV tokens against a lowercased vocab") {
+    val docs = Seq((1L, "a b c d"), (2L, "a a x"), (3L, "zz")).toDF("doc_id", "text")
+    val vocab = Seq("a", "b", "C", "a").toDF("term") // dup + case normalize
+    val got = TextAnalysis
+      .vocabCoverage(docs, "doc_id", "text", vocab, "term")
+      .select("doc_id", "n_tokens", "n_oov", "oov_frac")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 4L, 1L, 0.25),     // d is OOV; c covered via lowercased "C"
+      (2L, 3L, 1L, 0.333333), // x OOV, repeated token counted per occurrence
+      (3L, 1L, 1L, 1.0)
+    ))
+  }
+
   test("repetitionStats computes hand-checked 2-gram fractions") {
     val df = Seq(
       (1L, "a b a b a"), // 2-grams: ab, ba, ab, ba -> total 4, top 2, all dup
