@@ -163,6 +163,68 @@ object Streaming {
       )
   }
 
+  /** Streaming ingest-time NEAR-dedup against a growing reference: each
+    * micro-batch is deduplicated — exact and MinHash-near — against the
+    * static reference corpus PLUS every previously accepted streamed
+    * document, and only the survivors reach the sink. This is the ingest
+    * shape of a training-data pipeline at scale: the crawl streams in,
+    * anything within `threshold` estimated Jaccard of the already-kept
+    * corpus is dropped at the door, and accepted documents immediately
+    * become part of the reference for later batches.
+    *
+    * Mechanics: per batch, [[graft.operators.Dedup.dedupNearMinHashIncremental]]
+    * runs against the signature store (skinny (id, signature) rows — never
+    * text); survivors' signatures are appended to the store. The store is
+    * `localCheckpoint`ed each batch so lineage stays O(1) deep rather than
+    * growing by one union per batch (foreachBatch runs batches
+    * sequentially, so the mutable store handoff is safe). In a durable
+    * deployment the store would be a parquet/Delta table appended per
+    * batch — the dataflow per batch is identical; only the store's
+    * persistence changes. Determinism: an AvailableNow drain over ordered
+    * files yields exactly the result of applying the batch incremental
+    * dedup to the same batches in the same order (asserted in the
+    * streaming suite).
+    */
+  def nearDedupIngest(
+      docs: DataFrame,
+      reference: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.9,
+      shingleK: Int = 1,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      portable: Boolean = true
+  )(sink: DataFrame => Unit): Unit = {
+    import graft.operators.Dedup
+    var sigStore = Dedup
+      .minHashSignatures(reference, idCol, textCol, shingleK, numHashes, portable)
+      .localCheckpoint()
+    val q = docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val survivors = Dedup
+            .dedupNearMinHashIncremental(
+              batch, idCol, textCol, sigStore,
+              threshold, shingleK, numHashes, bands, portable
+            )
+            .localCheckpoint()
+          sigStore = sigStore
+            .union(
+              Dedup.minHashSignatures(
+                survivors, idCol, textCol, shingleK, numHashes, portable
+              )
+            )
+            .localCheckpoint()
+          sink(survivors)
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked STREAM-STREAM interval join: each purchase event joined to
     * the same user's view events in the preceding `lookback` — the
     * canonical attribution join. Both sides carry watermarks and the join

@@ -231,6 +231,55 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(survivors == got.count())
   }
 
+  test("streaming near-dedup ingest equals sequential batch incremental dedup") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val reference = docs.filter(col("doc_id") % 3 === 0)
+    val batches =
+      Seq(docs.filter(col("doc_id") % 3 === 1), docs.filter(col("doc_id") % 3 === 2))
+    // two stream files drained one per trigger, in forced mod-time order
+    val streamDir = Files.createTempDirectory("graft-neardedup-stream").toString
+    val stageDir = Files.createTempDirectory("graft-neardedup-stage").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = s"$stageDir/g$i"
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = Paths.get(s"$streamDir/f$i.parquet")
+      Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    Streaming.nearDedupIngest(stream, reference) { out =>
+      perBatch += out.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(perBatch.size == 2, s"expected 2 micro-batches, got ${perBatch.size}")
+    // ground truth: the same incremental operator applied batch-by-batch
+    // with the same growing signature store
+    var store = Dedup
+      .minHashSignatures(reference, "doc_id", "text", 1, 16, portable = true)
+    val expected = batches.map { b =>
+      val surv = Dedup.dedupNearMinHashIncremental(b, "doc_id", "text", store)
+      store = store
+        .union(Dedup.minHashSignatures(surv, "doc_id", "text", 1, 16, portable = true))
+        .localCheckpoint()
+      surv.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(perBatch(0) == expected(0),
+      s"batch 0 diverges: extra=${perBatch(0) -- expected(0)} lost=${expected(0) -- perBatch(0)}")
+    assert(perBatch(1) == expected(1),
+      s"batch 1 diverges: extra=${perBatch(1) -- expected(1)} lost=${expected(1) -- perBatch(1)}")
+    // the second batch must have been checked against batch-1 SURVIVORS:
+    // at least one drop overall proves the gate is not a pass-through
+    val dropped = batches.map(_.count()).sum - perBatch.map(_.size).sum
+    assert(dropped > 0, "test corpus must exercise at least one near-dup drop")
+  }
+
   test("stream-stream interval join equals the batch join") {
     val stream = Streaming.readEventsStream(spark, sfDir)
     val got = Streaming.runToMemorySink(
