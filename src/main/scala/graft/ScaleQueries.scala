@@ -1205,6 +1205,19 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // dataset-release manifest: per shard, row count + order-independent
+    // md5-sum checksum over the full document row
+    "q_shard_manifest" -> ((s, dir) => {
+      Splits
+        .shardManifest(
+          Splits.shuffleIntoShards(
+            t(s, dir, "documents"), "doc_id", nShards = 16, salt = "ep0"
+          ),
+          Seq("doc_id", "text", "lang", "source", "n_chars")
+        )
+        .orderBy("shard")
+    }),
+
     // nearest view (either direction in time) for each purchase per user
     "q_nearest_join" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -3259,6 +3272,25 @@ object ScaleQueries {
         |                 AS BIGINT) % 16 AS INT) AS shard,
         |       md5('order:ep0:' || CAST(doc_id AS VARCHAR)) AS sort_key
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // chr(1)-joined, chr(0)-for-NULL row digest summed per shard — the
+    // same bytes Spark's concat_ws(u0001, coalesce(..., u0000)) hashes
+    "q_shard_manifest" ->
+      """WITH sh AS (
+        |  SELECT CAST(CAST(('0x' || substr(md5('shard:ep0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) % 16 AS INT) AS shard,
+        |         CAST(CAST(('0x' || substr(md5(
+        |           COALESCE(CAST(doc_id AS VARCHAR), chr(0)) || chr(1) ||
+        |           COALESCE(text, chr(0)) || chr(1) ||
+        |           COALESCE(lang, chr(0)) || chr(1) ||
+        |           COALESCE(source, chr(0)) || chr(1) ||
+        |           COALESCE(CAST(n_chars AS VARCHAR), chr(0))
+        |         ), 1, 15)) AS BIGINT) AS DECIMAL(20,0)) AS d
+        |  FROM documents
+        |)
+        |SELECT shard, count(*) AS n_rows,
+        |       CAST(sum(d) % 1152921504606846883 AS BIGINT) AS checksum
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_standardize" ->
       """WITH st AS (

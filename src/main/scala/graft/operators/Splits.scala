@@ -494,4 +494,52 @@ object Splits {
       .format(format)
       .mode("overwrite")
       .save(path)
+
+  /** Dataset-release manifest: per shard (or any grouping column), the row
+    * count and an ORDER-INDEPENDENT content checksum — the integrity
+    * record shipped alongside a published dataset so any copy, on any
+    * engine, can be verified shard-by-shard without sorting anything.
+    *
+    * The checksum is the exact decimal sum of a 60-bit md5-derived digest
+    * of each row's listed columns (null distinguished from empty by a
+    * sentinel, columns joined with an unprintable separator), reduced mod
+    * a 60-bit prime so it rides in a plain BIGINT (wide decimals round to
+    * float in pandas/duckdb consumers). Summation is commutative, so the
+    * checksum is invariant under row order, partitioning, and task count —
+    * and md5 makes it engine-reproducible: DuckDB computes the identical
+    * value for string/integer columns (float formatting differs across
+    * engines; cast floats to decimal first if they must participate).
+    *
+    * Scale shape: one map-side-combined hash aggregate on the grouping
+    * key; the shuffle carries (group, count, partial decimal sum) — three
+    * scalars per task per group, regardless of corpus size. Verifying a
+    * 100 TB copy is one scan on each side plus a manifest-sized compare.
+    */
+  def shardManifest(
+      df: DataFrame,
+      cols: Seq[String],
+      groupCol: String = "shard"
+  ): DataFrame = {
+    require(cols.nonEmpty, "at least one content column required")
+    val rowDigest = conv(
+      substring(
+        md5(concat_ws(
+          "\u0001",
+          cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*
+        )),
+        1, 15
+      ),
+      16, 10
+    ).cast("long")
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (sum(rowDigest.cast("decimal(20,0)")) % lit(ChecksumMod))
+          .cast("long")
+          .as("checksum")
+      )
+  }
+
+  /** 60-bit prime modulus for [[shardManifest]] checksums. */
+  val ChecksumMod: Long = 1152921504606846976L - 93L // 2^60 - 93, prime
 }

@@ -547,6 +547,14 @@ class PlanSpec extends SparkSpec {
       .foreach(l => assert(!l.contains("text#"), s"doc text shuffled: $l"))
   }
 
+  test("shard manifest shuffles only per-group partial sums, never text") {
+    val p = plan("q_shard_manifest")
+    assert(p.contains("HashAggregate"), s"expected hash aggregate:\n$p")
+    p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text#"), s"doc text shuffled: $l"))
+  }
+
   test("shard assignment is pure per-row compute (no hash shuffle)") {
     // shuffleIntoShards itself must not shuffle: the only exchange in the
     // query plan is the presentation orderBy's range partitioning

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Decontam, Dedup, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{Decontam, Dedup, Sessionize, Similarity, Splits, TextAnalysis}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -839,6 +839,30 @@ class ScaleSpec extends SparkSpec {
     // doc 1 shares "beta gamma delta" and doc 3 shares it too (1 distinct
     // gram each); doc 2 shares none
     assert(report.toSeq == Seq((1L, 1L, true), (2L, 0L, false), (3L, 1L, true)))
+  }
+
+  test("shardManifest checksums are order-independent and null-vs-empty distinct") {
+    val df = Seq(
+      (0, "a", "x"), (0, "b", "y"), (1, "c", "z")
+    ).toDF("shard", "c1", "c2")
+    def collectManifest(d: org.apache.spark.sql.DataFrame) = Splits
+      .shardManifest(d, Seq("c1", "c2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+      .toSeq
+    val base = collectManifest(df)
+    // invariant under partitioning and row order — the release-integrity
+    // property: any copy of the data verifies regardless of layout
+    assert(collectManifest(df.repartition(7)) == base)
+    assert(collectManifest(df.orderBy(col("c2").desc)) == base)
+    assert(base.map(_._2) == Seq(2L, 1L))
+    // NULL and empty string must not collide, nor shifted separators
+    def oneChecksum(rows: Seq[(Int, String, String)]) = Splits
+      .shardManifest(rows.toDF("shard", "c1", "c2"), Seq("c1", "c2"))
+      .collect().map(_.getLong(2)).head
+    assert(oneChecksum(Seq((0, "a", null))) != oneChecksum(Seq((0, "a", ""))))
+    assert(oneChecksum(Seq((0, "ab", ""))) != oneChecksum(Seq((0, "a", "b"))))
   }
 
   test("crossSplitLeakage reports hand-checked per-doc 3-gram leak fractions") {
