@@ -38,6 +38,17 @@ object TextFunctions {
   /** Modulus for the universal-hash family deriving MinHash components. */
   val MinHashMod: Long = 1000000007L
 
+  /** 60-bit md5 digest prefix as a long — the native form of
+    * `conv(substring(md5(c), 1, 15), 16, 10).cast("long")` (bit-identical;
+    * asserted in ScaleSpec). Use for every portable hash-bucket/digest hot
+    * path; the DuckDB oracle side is unchanged. */
+  def md5Prefix60(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.Md5Prefix60Expr(
+        org.apache.spark.sql.GraftSqlBridge.expression(c)
+      )
+    )
+
   /** Per-shingle hash seeds for MinHash: ONE md5 digest per shingle, split
     * into two 60-bit integers (a, b mod p). All signature components derive
     * from (a, b) arithmetically — 16x fewer digests than hashing per
@@ -46,6 +57,23 @@ object TextFunctions {
     * non-cheap, so Catalyst will NOT inline it into each downstream
     * reference (CollapseProject skips duplicating expensive exprs). */
   def minHashPre(shinglesCol: Column): Column =
+    transform(
+      shinglesCol,
+      s =>
+        // ONE digest per shingle via the native expression; the composed
+        // two-conv spec form below is asserted bit-identical in ScaleSpec
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.plans.MinHashSeedsExpr(
+            org.apache.spark.sql.GraftSqlBridge.expression(s),
+            MinHashMod
+          )
+        )
+    )
+
+  /** Executable spec for [[minHashPre]]: the composed conv(substring(md5))
+    * form the native expression must match bit-for-bit (and the form the
+    * DuckDB oracles replicate). Kept for the identity test only. */
+  private[graft] def minHashPreSpec(shinglesCol: Column): Column =
     transform(
       shinglesCol,
       s => {

@@ -24,8 +24,8 @@ object Splits {
     * pure per-row expression — codegen'd, no shuffle, engine-portable
     * (DuckDB: `CAST('0x'||substr(md5(k),1,15) AS BIGINT) % 10000`). */
   def hashBucket(key: Column, salt: String = ""): Column =
-    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 15), 16, 10)
-      .cast("long") % Buckets
+    graft.functions.TextFunctions
+      .md5Prefix60(concat(key.cast("string"), lit(salt))) % Buckets
 
   /** Assign a split label per row: `fractions` are (label, fraction) pairs
     * consumed in order; any remainder falls into `defaultLabel`. Fractions
@@ -461,8 +461,9 @@ object Splits {
     val key = col(keyCol).cast("string")
     df.withColumn(
         "shard",
-        (conv(substring(md5(concat(lit("shard:"), lit(salt), lit(":"), key)), 1, 15), 16, 10)
-          .cast("long") % nShards).cast("int")
+        (graft.functions.TextFunctions
+          .md5Prefix60(concat(lit("shard:"), lit(salt), lit(":"), key))
+          % nShards).cast("int")
       )
       .withColumn(
         "sort_key",
@@ -521,16 +522,12 @@ object Splits {
       groupCol: String = "shard"
   ): DataFrame = {
     require(cols.nonEmpty, "at least one content column required")
-    val rowDigest = conv(
-      substring(
-        md5(concat_ws(
-          "\u0001",
-          cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*
-        )),
-        1, 15
-      ),
-      16, 10
-    ).cast("long")
+    val rowDigest = graft.functions.TextFunctions.md5Prefix60(
+      concat_ws(
+        "\u0001",
+        cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*
+      )
+    )
     df.groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n_rows"),

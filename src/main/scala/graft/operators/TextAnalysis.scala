@@ -773,8 +773,7 @@ object TextAnalysis {
         // portable: md5 (engine-reproducible, DuckDB-matchable); fast
         // path: xxhash64 — no hex round-trip, same quality, different
         // bucket assignment
-        if (portable)
-          conv(substring(md5(g), 1, 15), 16, 10).cast("long") % numBuckets
+        if (portable) graft.functions.TextFunctions.md5Prefix60(g) % numBuckets
         else pmod(xxhash64(g), lit(numBuckets.toLong))
     )
   }

@@ -313,6 +313,137 @@ case class HilbertIndexExpr(left: Expression, right: Expression, bits: Int)
   override def prettyName: String = "hilbert_index_native"
 }
 
+/** Thread-local MD5 helpers shared by the digest-prefix expressions below
+  * (one `MessageDigest` per thread — `getInstance` per row would dominate
+  * the hash itself). Public static methods so generated code can call them. */
+object HashUtils {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Value of the first 15 hex nibbles of md5(bytes) — numerically
+    * identical to `conv(substring(md5(s), 1, 15), 16, 10)` without
+    * materializing the 32-char hex string or radix-parsing it back. */
+  def md5Prefix60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val digest = md.get().digest(s.getBytes)
+    prefix60(digest, 0)
+  }
+
+  /** Nibbles [off*4+1, off*4+15] of the digest as a 60-bit value (off in
+    * bytes/2 units: 0 = nibbles 1-15, used with off=15 nibbles for the
+    * second MinHash seed below). */
+  private[plans] def prefix60(digest: Array[Byte], startNibble: Int): Long = {
+    var v = 0L
+    var n = startNibble
+    val end = startNibble + 15
+    while (n < end) {
+      val b = digest(n >> 1) & 0xff
+      val nib = if ((n & 1) == 0) b >> 4 else b & 0xf
+      v = (v << 4) | nib
+      n += 1
+    }
+    v
+  }
+
+  /** Both 60-bit MinHash seeds from ONE digest: (nibbles 1-15, nibbles
+    * 16-30 mod `mod`) — the values `TextFunctions.minHashPre` derives via
+    * two conv(substring(md5)) chains (which digest the shingle twice). */
+  def minHashSeeds(s: org.apache.spark.unsafe.types.UTF8String, mod: Long): Array[Long] = {
+    val digest = md.get().digest(s.getBytes)
+    Array(prefix60(digest, 0), prefix60(digest, 15) % mod)
+  }
+}
+
+/** 60-bit md5 digest prefix as a codegen'd long expression — bit-identical
+  * to `conv(substring(md5(s), 1, 15), 16, 10).cast("long")`, the portable
+  * row/gram digest every hash-bucketed operator uses (splits, DSIR
+  * featurization, shard assignment, manifests). The composed form builds a
+  * 32-char hex string and radix-parses 15 chars of it back PER EVALUATION;
+  * this expression goes digest → long directly. The DuckDB oracle form is
+  * unchanged: `CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)`. */
+case class Md5Prefix60Expr(child: Expression)
+    extends UnaryExpression
+    with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"md5_prefix60 expects a string input, got $t"
+        )
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    HashUtils.md5Prefix60(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = graft.plans.HashUtils.md5Prefix60($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "md5_prefix60"
+}
+
+/** Both MinHash seeds (a, b) from ONE md5 digest as a struct<a:bigint,
+  * b:bigint> — bit-identical to the pair
+  * `(conv(substring(md5(s),1,15),16,10), conv(substring(md5(s),16,15),16,10) % mod)`
+  * that `TextFunctions.minHashPre` computes with TWO digest evaluations
+  * per shingle (the shared `md5(s)` node is duplicated inside the HOF
+  * lambda, where no subexpression elimination runs). Signature generation
+  * digests every shingle of every document — halving digests and skipping
+  * the hex round-trip is a direct cut to the dominant dedup cost. */
+case class MinHashSeedsExpr(child: Expression, mod: Long)
+    extends UnaryExpression
+    with Serializable {
+  require(mod > 1, "mod must be > 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"minhash_seeds expects a string input, got $t"
+        )
+    }
+
+  override def dataType: DataType = StructType(
+    Seq(StructField("a", LongType, nullable = false),
+        StructField("b", LongType, nullable = false))
+  )
+
+  override def nullSafeEval(input: Any): Any = {
+    val seeds = HashUtils.minHashSeeds(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      mod
+    )
+    org.apache.spark.sql.catalyst.InternalRow(seeds(0), seeds(1))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val seeds = ctx.freshName("seeds")
+      s"""
+         |long[] $seeds = graft.plans.HashUtils.minHashSeeds($s, ${mod}L);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] { $seeds[0], $seeds[1] });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_seeds"
+}
+
 /** Unicode canonical normalization (NFC/NFD/NFKC/NFKD) as a codegen'd
   * expression calling the JDK's `java.text.Normalizer` — the
   * normalization pass every multilingual dedup pipeline needs (composed

@@ -841,6 +841,33 @@ class ScaleSpec extends SparkSpec {
     assert(report.toSeq == Seq((1L, 1L, true), (2L, 0L, false), (3L, 1L, true)))
   }
 
+  test("native md5 digest expressions match their composed spec forms bit-for-bit") {
+    // the native Md5Prefix60Expr / MinHashSeedsExpr replace
+    // conv(substring(md5(s), ...), 16, 10) chains on every portable hash
+    // path (splits, DSIR buckets, shards, manifests, minhash seeds) — any
+    // divergence silently reassigns buckets everywhere, so pin identity
+    // over adversarial strings: unicode, empties, separators, long runs
+    val strs = (0 until 500).map(i => s"s$i é中文 ${"x" * (i % 97)}") ++
+      Seq("", " ", " ", "shard:ep0:42", "a b c", "😀")
+    val df = strs.toDF("s")
+    val prefixDiff = df
+      .select(
+        TextFunctions.md5Prefix60(col("s")).as("native"),
+        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("spec")
+      )
+      .filter(col("native") =!= col("spec"))
+      .count()
+    assert(prefixDiff == 0, s"$prefixDiff md5Prefix60 divergences")
+    val seedDiff = df
+      .select(
+        to_json(TextFunctions.minHashPre(array(col("s")))).as("native"),
+        to_json(TextFunctions.minHashPreSpec(array(col("s")))).as("spec")
+      )
+      .filter(col("native") =!= col("spec"))
+      .count()
+    assert(seedDiff == 0, s"$seedDiff minHash seed divergences")
+  }
+
   test("shardManifest checksums are order-independent and null-vs-empty distinct") {
     val df = Seq(
       (0, "a", "x"), (0, "b", "y"), (1, "c", "z")
