@@ -114,14 +114,20 @@ object TextFunctions {
       j => array_min(transform(shinglesCol, s => xxhash64(j, s)))
     )
 
-  /** LSH band keys: band b = md5 of the b-th r-sized slice of the signature
-    * (any element-type signature; elements joined with '|'). Two documents
-    * share a band key iff that signature slice is identical. */
+  /** LSH band keys: band b = 60-bit md5 digest prefix of the b-th r-sized
+    * slice of the signature (any element-type signature; elements joined
+    * with '|'). Two documents share a band key iff that signature slice is
+    * identical (up to a ~n²/2⁶¹ digest-collision term — and a colliding
+    * candidate pair still faces the full-signature similarity verification
+    * every consumer applies, so results are unchanged). A LONG key instead
+    * of the md5 hex string shrinks every band-join shuffle row from ~40 to
+    * 8 bytes — at 100 TB the band join IS the shuffle, so this is a 4-5x
+    * cut to the dominant dedup shuffle volume. */
   def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
     transform(
       sequence(lit(0), lit(bands - 1)),
       b =>
-        md5(
+        md5Prefix60(
           concat_ws(
             "|",
             transform(

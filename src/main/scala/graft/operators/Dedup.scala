@@ -94,10 +94,20 @@ object Dedup {
     // coefficients; fast = xxhash64 per component (still codegen'd)
     val (seeded, componentCol) =
       if (portable) {
-        val h = md5(col("__s"))
-        val a = conv(substring(h, 1, 15), 16, 10).cast("long")
-        val b = conv(substring(h, 16, 15), 16, 10).cast("long") % MinHashMod
-        val s = exploded.select(col("__id"), a.as("__a"), b.as("__b"))
+        // native MinHashSeedsExpr: ONE digest per shingle, no hex
+        // round-trip — bit-identical to the conv(substring(md5)) spec
+        // (asserted in ScaleSpec), so the DuckDB oracles are unchanged.
+        // Two projections on purpose: CollapseProject will not duplicate
+        // the non-cheap digest into each field reference.
+        val seeds = org.apache.spark.sql.GraftSqlBridge.column(
+          graft.plans.MinHashSeedsExpr(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("__s")),
+            MinHashMod
+          )
+        )
+        val s = exploded
+          .select(col("__id"), seeds.as("__ab"))
+          .select(col("__id"), col("__ab.a").as("__a"), col("__ab.b").as("__b"))
         (s, (j: Int) => (col("__a") + lit(j.toLong) * col("__b")) % MinHashMod)
       } else {
         (exploded, (j: Int) => xxhash64(lit(j), col("__s")))

@@ -754,29 +754,26 @@ object TextAnalysis {
     * map of [[dsirLogWeights]]: tokens plus adjacent-token bigrams
     * (joined with ), md5-bucketed into `numBuckets` — engine-portable
     * (DuckDB: `CAST('0x'||substr(md5(g),1,15) AS BIGINT) % m`), no RNG. */
-  private def gramBuckets(
-      textCol: String,
-      numBuckets: Int,
-      portable: Boolean = true
-  ): Column = {
+  private def rawGrams(textCol: String): Column = {
     val toks = tokens(col(textCol))
     val bigrams = when(
       size(toks) >= 2,
       transform(
         sequence(lit(2), size(toks)),
-        i => concat_ws("", element_at(toks, i - 1), element_at(toks, i))
+        i => concat_ws("\u0001", element_at(toks, i - 1), element_at(toks, i))
       )
     ).otherwise(array())
-    transform(
-      concat(toks, bigrams),
-      g =>
-        // portable: md5 (engine-reproducible, DuckDB-matchable); fast
-        // path: xxhash64 — no hex round-trip, same quality, different
-        // bucket assignment
-        if (portable) graft.functions.TextFunctions.md5Prefix60(g) % numBuckets
-        else pmod(xxhash64(g), lit(numBuckets.toLong))
-    )
+    concat(toks, bigrams)
   }
+
+  /** Bucket of one gram. Callers explode [[rawGrams]] FIRST and apply this
+    * to the exploded column so the digest runs in a codegen'd projection,
+    * not interpreted per array element inside a HOF lambda. */
+  private def bucketOf(g: Column, numBuckets: Int, portable: Boolean): Column =
+    // portable: md5 (engine-reproducible, DuckDB-matchable); fast path:
+    // xxhash64 — no hex round-trip, same quality, different assignment
+    if (portable) graft.functions.TextFunctions.md5Prefix60(g) % numBuckets
+    else pmod(xxhash64(g), lit(numBuckets.toLong))
 
   /** DSIR importance weights — Data Selection via Importance Resampling
     * (Xie et al., NeurIPS 2023): score every corpus document by how much
@@ -818,16 +815,21 @@ object TextAnalysis {
   ): DataFrame = {
     require(numBuckets >= 2, "numBuckets must be >= 2")
     require(smoothing > 0, "smoothing must be > 0")
+    // explode the RAW grams first and bucket the exploded column: the md5
+    // digest runs in a codegen'd projection over flat rows instead of
+    // interpreted per array element inside a HOF lambda
     def buckets(df: DataFrame) = df
       .filter(col(textCol).isNotNull)
-      .select(explode(gramBuckets(textCol, numBuckets, portable)).as("__b"))
+      .select(explode(rawGrams(textCol)).as("__g"))
+      .select(bucketOf(col("__g"), numBuckets, portable).as("__b"))
     // featurize the corpus ONCE: per-doc bucket counts feed both the
     // corpus-level counts (sum over docs) and the final per-doc scoring —
     // the shared (id, bucket) shuffle is reused (ReuseExchange), so the
     // expensive explode+md5 pass over the corpus runs a single time
     val docBuckets = corpus
       .filter(col(textCol).isNotNull)
-      .select(col(idCol), explode(gramBuckets(textCol, numBuckets, portable)).as("__b"))
+      .select(col(idCol), explode(rawGrams(textCol)).as("__g"))
+      .select(col(idCol), bucketOf(col("__g"), numBuckets, portable).as("__b"))
       .groupBy(col(idCol), col("__b"))
       .agg(count(lit(1)).as("__c"))
     val qCounts = docBuckets.groupBy("__b").agg(sum("__c").as("__qc"))
