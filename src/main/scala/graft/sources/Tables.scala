@@ -270,4 +270,76 @@ object Tables {
         "date_and_time",
         to_timestamp(col("date_and_time"), "yyyyMMdd'T'HHmmssSS")
       )
+
+  /** Result of [[compactParquetDir]]. */
+  final case class CompactionStats(
+      filesBefore: Int,
+      filesAfter: Int,
+      bytes: Long,
+      compacted: Boolean
+  )
+
+  /** Compact a parquet directory's many small files into
+    * `ceil(bytes / targetBytes)` files — the standard housekeeping pass
+    * after streaming ingest or a high-parallelism write leaves thousands
+    * of KB-sized files (each costing a task + an open/footer-read at every
+    * downstream scan; at 100 TB, file-count pathology dominates scan
+    * startup long before data volume does).
+    *
+    * No-op (returns `compacted = false`) when the directory already has
+    * <= the target file count — callers can loop it over partitions
+    * cheaply. Rewrites via a sibling staging dir + two renames; like every
+    * non-transactional compactor, readers racing the final swap can
+    * glimpse the old files — run it in the maintenance window a parquet
+    * (non-ACID) table already requires for overwrites.
+    *
+    * Scale shape: one scan + one round-robin `repartition(n)` shuffle of
+    * the compacted data — no sort, no driver materialization (file
+    * listing is metadata-only).
+    */
+  def compactParquetDir(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 512L * 1024 * 1024
+  ): CompactionStats = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs
+      .listStatus(hPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val bytes = dataFiles.map(_.getLen).sum
+    val targetFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (dataFiles.length <= targetFiles)
+      CompactionStats(dataFiles.length, dataFiles.length, bytes, compacted = false)
+    else {
+      val staging = new org.apache.hadoop.fs.Path(
+        hPath.getParent,
+        s".${hPath.getName}__compacting"
+      )
+      fs.delete(staging, true)
+      spark.read
+        .parquet(path)
+        .repartition(targetFiles)
+        .write
+        .mode("overwrite")
+        .parquet(staging.toString)
+      val backup = new org.apache.hadoop.fs.Path(
+        hPath.getParent,
+        s".${hPath.getName}__precompact"
+      )
+      fs.delete(backup, true)
+      if (!fs.rename(hPath, backup))
+        throw new java.io.IOException(s"could not stage $path for compaction")
+      if (!fs.rename(staging, hPath)) {
+        fs.rename(backup, hPath) // restore
+        throw new java.io.IOException(s"could not swap compacted $path")
+      }
+      fs.delete(backup, true)
+      val after = fs
+        .listStatus(hPath)
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      CompactionStats(dataFiles.length, after, bytes, compacted = true)
+    }
+  }
 }

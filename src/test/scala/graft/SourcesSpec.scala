@@ -204,6 +204,34 @@ class SourcesSpec extends SparkSpec {
     assert(joined.count() == 1000)
   }
 
+  test("compactParquetDir merges small files, preserves content, no-ops when compact") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = spark.range(2000).select(
+      col("id"),
+      concat(lit("row-"), col("id")).as("s")
+    )
+    // simulate streaming-ingest fragmentation: 40 tiny files
+    df.repartition(40).write.mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val beforeRows = before.collect().map(_.toString).sorted.toSeq
+    val stats = Tables.compactParquetDir(spark, dir, targetBytes = 64L * 1024)
+    assert(stats.compacted && stats.filesBefore == 40, stats.toString)
+    assert(stats.filesAfter < stats.filesBefore, stats.toString)
+    val after = spark.read.parquet(dir)
+    assert(after.collect().map(_.toString).sorted.toSeq == beforeRows)
+    // compact to a single file, then the same call again must no-op
+    Tables.compactParquetDir(spark, dir, targetBytes = Long.MaxValue)
+    val again = Tables.compactParquetDir(spark, dir, targetBytes = Long.MaxValue)
+    assert(!again.compacted && again.filesBefore == 1, again.toString)
+    assert(
+      spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq == beforeRows
+    )
+    // no staging/backup leftovers
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("__compacting")), parent.mkString(","))
+    assert(!parent.exists(_.contains("__precompact")), parent.mkString(","))
+  }
+
   test("resolvePath: absolute, project-relative, repo-relative modes") {
     import graft.sources.{Paths => GPaths}
     assert(GPaths.resolvePath("/abs/x.csv") == "/abs/x.csv")
