@@ -547,12 +547,11 @@ object Dedup {
     * bucketing: any pair within hamming distance 3 agrees on at least one
     * quarter. Shared by the pair-mining, dedup, and incremental paths. */
   private def simHashQuarterBands(sig: Column): Column =
+    // (quarter index << 16) | quarter value — a packed LONG band key with
+    // the same equality classes as the former "q:value" string key, minus
+    // the per-band string allocation and with 8-byte shuffle rows
     array((0 until 4).map { q =>
-      concat_ws(
-        ":",
-        lit(q),
-        shiftright(sig, q * 16).bitwiseAND(lit(0xffffL))
-      )
+      lit(q.toLong << 16) + shiftright(sig, q * 16).bitwiseAND(lit(0xffffL))
     }: _*)
 
   /** Near-duplicate pairs by SimHash: bucket on 16-bit quarters (a pair
