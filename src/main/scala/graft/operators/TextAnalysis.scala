@@ -752,7 +752,7 @@ object TextAnalysis {
 
   /** Hashed unigram+bigram feature buckets of a text column — the feature
     * map of [[dsirLogWeights]]: tokens plus adjacent-token bigrams
-    * (joined with ), md5-bucketed into `numBuckets` — engine-portable
+    * (joined with u0001), md5-bucketed into `numBuckets` — engine-portable
     * (DuckDB: `CAST('0x'||substr(md5(g),1,15) AS BIGINT) % m`), no RNG. */
   private def rawGrams(textCol: String): Column = {
     val toks = tokens(col(textCol))

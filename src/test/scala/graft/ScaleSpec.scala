@@ -848,7 +848,7 @@ class ScaleSpec extends SparkSpec {
     // divergence silently reassigns buckets everywhere, so pin identity
     // over adversarial strings: unicode, empties, separators, long runs
     val strs = (0 until 500).map(i => s"s$i é中文 ${"x" * (i % 97)}") ++
-      Seq("", " ", " ", "shard:ep0:42", "a b c", "😀")
+      Seq("", " ", "\u0001\u0000", "shard:ep0:42", "a b c", "😀")
     val df = strs.toDF("s")
     val prefixDiff = df
       .select(

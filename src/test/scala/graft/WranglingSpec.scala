@@ -115,7 +115,7 @@ class WranglingSpec extends SparkSpec {
 
   test("normalizeText lowercases, strips control/punct, collapses spaces") {
     val df = Seq(
-      (1L, "Hello,  WORLD!\tthis\nis text"),
+      (1L, "Hello,  WORLD!\tthis\nis\u0007 text"),
       (2L, "  already clean  "),
       (3L, "punct-only: ?!.")
     ).toDF("doc_id", "text")
