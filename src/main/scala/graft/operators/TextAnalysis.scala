@@ -766,6 +766,18 @@ object TextAnalysis {
     concat(toks, bigrams)
   }
 
+  /** Spread a CPU-heavy scan across the cluster when the source supplies
+    * fewer splits than cores. A small parquet file is ONE row group = ONE
+    * split no matter what `maxPartitionBytes` says, so per-row-expensive
+    * passes (gram featurization) serialize onto a single core at
+    * local/bench scale; a narrow-input repartition unlocks the machine. At
+    * real scale input splits (bytes/128 MB) vastly exceed core counts, so
+    * the branch never fires and no shuffle is added. */
+  private def withScanParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
   /** Bucket of one gram. Callers explode [[rawGrams]] FIRST and apply this
     * to the exploded column so the digest runs in a codegen'd projection,
     * not interpreted per array element inside a HOF lambda. */
@@ -826,7 +838,7 @@ object TextAnalysis {
     // corpus-level counts (sum over docs) and the final per-doc scoring —
     // the shared (id, bucket) shuffle is reused (ReuseExchange), so the
     // expensive explode+md5 pass over the corpus runs a single time
-    val docBuckets = corpus
+    val docBuckets = withScanParallelism(corpus)
       .filter(col(textCol).isNotNull)
       .select(col(idCol), explode(rawGrams(textCol)).as("__g"))
       .select(col(idCol), bucketOf(col("__g"), numBuckets, portable).as("__b"))
