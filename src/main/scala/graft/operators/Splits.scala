@@ -539,4 +539,25 @@ object Splits {
 
   /** 60-bit prime modulus for [[shardManifest]] checksums. */
   val ChecksumMod: Long = 1152921504606846976L - 93L // 2^60 - 93, prime
+
+  /** Merge shard manifests from incremental batches WITHOUT rescanning
+    * data: checksums are commutative sums mod [[ChecksumMod]], so
+    * manifest(A ∪ B) = elementwise (n_rows added, checksums added mod p)
+    * — asserted in ScaleSpec. An incremental release appends a batch,
+    * manifests ONLY the batch, and merges; verification of the full
+    * dataset still needs just the merged manifest. */
+  def mergeManifests(manifests: DataFrame*): DataFrame = {
+    require(manifests.nonEmpty, "at least one manifest required")
+    manifests
+      .reduce(_ unionByName _)
+      .groupBy(manifests.head.columns.head)
+      .agg(
+        sum("n_rows").as("n_rows"),
+        // decimal accumulation: a long sum of k 60-bit checksums overflows
+        // at k >= 8 merged manifests
+        (sum(col("checksum").cast("decimal(20,0)")) % lit(ChecksumMod))
+          .cast("long")
+          .as("checksum")
+      )
+  }
 }

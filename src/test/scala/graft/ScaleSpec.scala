@@ -890,6 +890,25 @@ class ScaleSpec extends SparkSpec {
       .collect().map(_.getLong(2)).head
     assert(oneChecksum(Seq((0, "a", null))) != oneChecksum(Seq((0, "a", ""))))
     assert(oneChecksum(Seq((0, "ab", ""))) != oneChecksum(Seq((0, "a", "b"))))
+    // mergeability: manifest(A union B) == mergeManifests(manifest(A), manifest(B))
+    val a = Seq((0, "a", "x"), (1, "c", "z")).toDF("shard", "c1", "c2")
+    val b = Seq((0, "b", "y"), (0, "d", "w")).toDF("shard", "c1", "c2")
+    val merged = Splits
+      .mergeManifests(
+        Splits.shardManifest(a, Seq("c1", "c2")),
+        Splits.shardManifest(b, Seq("c1", "c2"))
+      )
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+      .toSeq
+    val whole = Splits
+      .shardManifest(a.unionByName(b), Seq("c1", "c2"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+      .toSeq
+    assert(merged == whole, s"merge must equal whole-dataset manifest: $merged vs $whole")
   }
 
   test("crossSplitLeakage reports hand-checked per-doc 3-gram leak fractions") {
