@@ -252,7 +252,12 @@ object Stats {
         sum(when(both, d(a) * d(b))).cast("double").as(s"__sxy_${a}_$b")
       )
     }
-    val agg = df.agg(aggCols.head, aggCols.tail: _*)
+    // 36+ exact-decimal sums per row are CPU-heavy: don't let a
+    // single-split source serialize the pass onto one core (the decimal
+    // sums are order-independent, so the repartition cannot change values)
+    val agg = ScanUtils
+      .withScanParallelism(df.select(cols.distinct.map(col): _*))
+      .agg(aggCols.head, aggCols.tail: _*)
     val entries = array(pairs.map { case (a, b) =>
       val n = col(s"__n_${a}_$b")
       val sx = col(s"__sx_${a}_$b")

@@ -249,7 +249,8 @@ object TextAnalysis {
       n: Int = 2
   ): DataFrame = {
     require(n >= 1, "n-gram size must be >= 1")
-    val perGram = df
+    val perGram = ScanUtils
+      .withScanParallelism(df)
       .select(col(idCol), explode(shingles(col(textCol), n)).as("__gram"))
       .groupBy(col(idCol), col("__gram"))
       .agg(count(lit(1)).as("__c"))
@@ -727,7 +728,8 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol))
       .orderBy(col("__pos"))
-    val occ = df
+    val occ = ScanUtils
+      .withScanParallelism(df)
       .filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__cur")))
       .withColumn("__prev", lag("__cur", 1).over(w))
@@ -764,18 +766,6 @@ object TextAnalysis {
       )
     ).otherwise(array())
     concat(toks, bigrams)
-  }
-
-  /** Spread a CPU-heavy scan across the cluster when the source supplies
-    * fewer splits than cores. A small parquet file is ONE row group = ONE
-    * split no matter what `maxPartitionBytes` says, so per-row-expensive
-    * passes (gram featurization) serialize onto a single core at
-    * local/bench scale; a narrow-input repartition unlocks the machine. At
-    * real scale input splits (bytes/128 MB) vastly exceed core counts, so
-    * the branch never fires and no shuffle is added. */
-  private def withScanParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
   /** Bucket of one gram. Callers explode [[rawGrams]] FIRST and apply this
@@ -838,7 +828,7 @@ object TextAnalysis {
     // corpus-level counts (sum over docs) and the final per-doc scoring —
     // the shared (id, bucket) shuffle is reused (ReuseExchange), so the
     // expensive explode+md5 pass over the corpus runs a single time
-    val docBuckets = withScanParallelism(corpus)
+    val docBuckets = ScanUtils.withScanParallelism(corpus)
       .filter(col(textCol).isNotNull)
       .select(col(idCol), explode(rawGrams(textCol)).as("__g"))
       .select(col(idCol), bucketOf(col("__g"), numBuckets, portable).as("__b"))
