@@ -378,6 +378,21 @@ object ScaleQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // int8-quantized brute-force top-10: 4x-smaller integer index, scales
+    // cancel in the cosine, codegen'd integer loop
+    "q_ann_quantized" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity
+        .cosineTopKQuantized(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 10)
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(col("cosine_q"), 6).as("cosine_q"),
+          col("rank")
+        )
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH-bucketed approximate top-5 (scale path; same planes as oracle)
     "q_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -2284,6 +2299,39 @@ object ScaleQueries {
          |  FROM s
          |)
          |SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rn AS INT) AS rank
+         |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // floor(x*127/maxabs + 0.5) quantization replicated exactly (floor,
+    // not round: Spark HALF_UP vs DuckDB bankers diverge on .5); integer
+    // dot/norms in BIGINT then one double division, matching the native
+    // expression's arithmetic order
+    "q_ann_quantized" ->
+      s"""WITH mm AS (
+         |  SELECT vec_id, embedding,
+         |         list_max(list_transform(embedding, x -> abs(x))) AS m
+         |  FROM embeddings
+         |), qe AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x ->
+         |           CASE WHEN m > 0
+         |                THEN CAST(floor(x * 127.0 / m + 0.5) AS INT)
+         |                ELSE 0 END) AS qv
+         |  FROM mm
+         |), q AS (
+         |  SELECT vec_id, qv FROM qe WHERE vec_id < 3
+         |), s AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           i -> CAST(q.qv[i] AS BIGINT) * CAST(e.qv[i] AS BIGINT))) AS DOUBLE) /
+         |         (sqrt(CAST(list_sum(list_transform(q.qv, v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS DOUBLE)) *
+         |          sqrt(CAST(list_sum(list_transform(e.qv, v -> CAST(v AS BIGINT) * CAST(v AS BIGINT))) AS DOUBLE))) AS c
+         |  FROM q JOIN qe e ON e.vec_id <> q.vec_id
+         |), r AS (
+         |  SELECT query_id, neighbor_id, c,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine_q, CAST(rn AS INT) AS rank
          |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_ann_topk" ->

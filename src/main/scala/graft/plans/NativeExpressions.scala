@@ -313,6 +313,78 @@ case class HilbertIndexExpr(left: Expression, right: Expression, bits: Int)
   override def prettyName: String = "hilbert_index_native"
 }
 
+/** Cosine similarity over int8-QUANTIZED vectors (stored as array<int>)
+  * in one codegen'd integer loop: dot and both norms accumulate in longs
+  * (|q| <= 127 ⇒ a 2^31-dim vector cannot overflow), one double division
+  * at the end. The quantized-ANN hot path: per-vector scales cancel in
+  * the cosine, so search never touches a float vector — 4x less index
+  * memory and integer multiplies in the scan. Deterministic, engine-
+  * portable (a DuckDB integer list fold computes the identical value). */
+case class QuantizedCosineExpr(left: Expression, right: Expression)
+    extends BinaryExpression
+    with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"quantized_cosine expects two array<int> inputs, got $l and $r"
+        )
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getInt(i).toLong
+      val y = b.getInt(i).toLong
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L; long $na = 0L; long $nb = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = (long) $a.getInt($i);
+         |  long $y = (long) $b.getInt($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = (double) $dot /
+         |  (java.lang.Math.sqrt((double) $na) * java.lang.Math.sqrt((double) $nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression
+  ): Expression = copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "quantized_cosine"
+}
+
 /** Thread-local MD5 helpers shared by the digest-prefix expressions below
   * (one `MessageDigest` per thread — `getInstance` per row would dominate
   * the hash itself). Public static methods so generated code can call them. */

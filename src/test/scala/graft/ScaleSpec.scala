@@ -1036,6 +1036,32 @@ class ScaleSpec extends SparkSpec {
   private def topKSets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
     rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
 
+  test("int8-quantized top-k reaches recall@10 >= 0.9 vs the float top-k") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = topKSets(
+      Similarity.cosineTopK(e, q, "vec_id", "embedding", 10).collect()
+    )
+    val quant = topKSets(
+      Similarity.cosineTopKQuantized(e, q, "vec_id", "embedding", 10).collect()
+    )
+    // int8 max-abs quantization at 64 dims costs ~1e-2 cosine error; rank
+    // inversions live only among near-ties, so recall@10 stays high
+    val r = recallAt(exact, quant)
+    assert(r >= 0.9, s"quantized recall@10 = $r, expected >= 0.9")
+    // quantized values are bounded and [-127, 127]-scaled
+    val qv = q.select(Similarity.quantizeVector(col("embedding")).as("qv"))
+      .select(explode(col("qv")).as("c")).collect().map(_.getInt(0))
+    assert(qv.forall(v => v >= -127 && v <= 127))
+    assert(qv.exists(v => math.abs(v) == 127), "max-abs element must hit 127")
+    // all-zero vector quantizes to zeros, not NaN
+    import spark.implicits._
+    val z = Seq((1L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")
+    val zq = z.select(Similarity.quantizeVector(col("embedding")).as("q"))
+      .collect().head.getSeq[Int](0)
+    assert(zq == Seq(0, 0, 0, 0))
+  }
+
   test("multi-band ANN reaches recall@5 >= 0.9 vs exact top-k") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = e.filter(col("vec_id") < 10)
