@@ -469,6 +469,22 @@ object ScaleQueries {
         .orderBy("id", "rank")
     }),
 
+    // contrastive training pairs: kPos LSH-graph positives + mNeg
+    // hash-deterministic pool negatives per anchor
+    "q_contrastive_pairs" -> ((s, dir) => {
+      Similarity
+        .contrastivePairs(
+          t(s, dir, "embeddings").filter(col("vec_id") < 300),
+          "vec_id", "embedding", AnnBanks,
+          kPos = 3, mNeg = 3, poolSize = 64, salt = "cp"
+        )
+        .select(
+          col("anchor_id"), col("pair_id"), col("label"),
+          round(col("cosine"), 6).as("cosine"), col("rank")
+        )
+        .orderBy("anchor_id", "label", "rank")
+    }),
+
     // transitive (SemDeDup-style) variant: one survivor per cosine-linked
     // connected component; oracle computes reachability recursively like
     // q_dedup_minhash_cc
@@ -2526,6 +2542,52 @@ object ScaleQueries {
          |)
          |SELECT id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rn AS INT) AS rank
          |FROM r WHERE rn <= 3 ORDER BY id, rank""".stripMargin
+    },
+
+    "q_contrastive_pairs" -> {
+      val bucketCols = AnnBanks.zipWithIndex
+        .map { case (planes, i) => s"${duckBucketFor(planes)} AS b$i" }
+        .mkString(", ")
+      val orCond = AnnBanks.indices.map(i => s"a.b$i = b.b$i").mkString(" OR ")
+      s"""WITH eb AS (
+         |  SELECT vec_id, embedding, $bucketCols FROM embeddings
+         |  WHERE vec_id < 300
+         |), s AS (
+         |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS c
+         |  FROM eb a JOIN eb b ON ($orCond) AND a.vec_id <> b.vec_id
+         |), pos AS (
+         |  SELECT id, neighbor_id, c, rn FROM (
+         |    SELECT id, neighbor_id, c,
+         |           ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, neighbor_id) AS rn
+         |    FROM s
+         |  ) WHERE rn <= 3
+         |), pool AS (
+         |  SELECT vec_id AS pid, embedding AS pv FROM eb
+         |  ORDER BY CAST(('0x' || substr(md5('pool:cp:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT), vec_id
+         |  LIMIT 64
+         |), nc AS (
+         |  SELECT a.vec_id AS anchor_id, p.pid, p.pv,
+         |         ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |           CAST(('0x' || substr(md5('neg:cp:' || CAST(a.vec_id AS VARCHAR) || '|' || CAST(p.pid AS VARCHAR)), 1, 15)) AS BIGINT),
+         |           p.pid) AS rn
+         |  FROM eb a JOIN pool p ON p.pid <> a.vec_id
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM pos WHERE pos.id = a.vec_id AND pos.neighbor_id = p.pid
+         |  )
+         |), neg AS (
+         |  SELECT nc.anchor_id, nc.pid AS pair_id,
+         |         ${duckCosine("a.embedding", "nc.pv")} AS c, nc.rn
+         |  FROM nc JOIN eb a ON a.vec_id = nc.anchor_id
+         |  WHERE nc.rn <= 3
+         |)
+         |SELECT anchor_id, pair_id, label, ROUND(c, 6) AS cosine, CAST(rn AS INT) AS rank
+         |FROM (
+         |  SELECT id AS anchor_id, neighbor_id AS pair_id, 'pos' AS label, c, rn FROM pos
+         |  UNION ALL
+         |  SELECT anchor_id, pair_id, 'neg' AS label, c, rn FROM neg
+         |)
+         |ORDER BY anchor_id, label, rank""".stripMargin
     },
 
     "q_embed_dedup_cc" -> {

@@ -1132,7 +1132,7 @@ object Dedup {
     import graft.functions.VectorFunctions._
     require(planeSets.nonEmpty, "need at least one hyperplane bank")
     val bands = planeSets.zipWithIndex.map { case (planes, i) =>
-      concat_ws(":", lit(i), hyperplaneBucket(col("__v"), planes))
+      (lit(i.toLong << 32) + hyperplaneBucket(col("__v"), planes).cast("long"))
     }
     // Skinny band join: only (bucket, id) rides the quadratic self-join —
     // full vectors would otherwise be replicated twice per candidate pair

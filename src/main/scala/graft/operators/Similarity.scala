@@ -325,7 +325,7 @@ object Similarity {
     require(planeSets.nonEmpty, "need at least one hyperplane bank")
     def banded(df: DataFrame, id: String, vec: String): DataFrame = {
       val bands = planeSets.zipWithIndex.map { case (planes, i) =>
-        concat_ws(":", lit(i), hyperplaneBucket(col(vecCol), planes))
+        (lit(i.toLong << 32) + hyperplaneBucket(col(vecCol), planes).cast("long"))
       }
       df.select(
         col(idCol).as(id),
@@ -386,7 +386,7 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val bands = planeSets.zipWithIndex.map { case (planes, i) =>
-      concat_ws(":", lit(i), hyperplaneBucket(col("__v"), planes))
+      (lit(i.toLong << 32) + hyperplaneBucket(col("__v"), planes).cast("long"))
     }
     val banded = vecs.select(
       col("__id"),
@@ -418,6 +418,104 @@ object Similarity {
       returnIndexColumn = true,
       indexColumnName = "rank"
     )
+  }
+
+  /** Contrastive training pairs: for every anchor document, `kPos`
+    * positives (its nearest neighbors via [[knnGraph]]'s multi-band LSH)
+    * and `mNeg` deterministic random negatives — the (anchor, positive,
+    * negative) data an embedding/retrieval model trains on (in-batch
+    * negatives' standalone form).
+    *
+    * Negatives are drawn from a GLOBAL candidate pool — the `poolSize`
+    * corpus ids with the smallest md5 rank under `salt` — then per anchor
+    * the `mNeg` smallest `md5(anchor | candidate)` survivors after
+    * excluding self and that anchor's positives. Everything is a pure
+    * function of ids and `salt`: the same pairs on every run, engine,
+    * and partitioning, re-drawable per epoch by changing the salt.
+    *
+    * Scale shape: positives are [[knnGraph]]'s skinny band joins; the
+    * pool is model-sized and BROADCAST (ids + vectors, ~poolSize x dim
+    * floats); negative selection ranks skinny (anchor, candidate) pairs
+    * with WindowGroupLimit pruning, and vectors are re-attached only to
+    * the selected mNeg rows per anchor (one co-keyed join with the
+    * corpus; the pool side rides the broadcast). Nothing quadratic,
+    * nothing corpus-sized in memory.
+    *
+    * Output: (anchor_id, pair_id, label 'pos'|'neg', cosine, rank) with
+    * rank 1..kPos / 1..mNeg within each label.
+    */
+  def contrastivePairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planeSets: Seq[Seq[Seq[Double]]],
+      kPos: Int,
+      mNeg: Int,
+      poolSize: Int = 1024,
+      salt: String = ""
+  ): DataFrame = {
+    require(kPos >= 1 && mNeg >= 1, "kPos and mNeg must be >= 1")
+    require(poolSize > mNeg, "poolSize must exceed mNeg")
+    import graft.functions.TextFunctions.md5Prefix60
+    val pos = knnGraph(corpus, idCol, vecCol, planeSets, kPos)
+      .select(
+        col("id").as("anchor_id"),
+        col("neighbor_id").as("pair_id"),
+        lit("pos").as("label"),
+        col("cosine"),
+        col("rank")
+      )
+    // global negative pool: poolSize smallest md5-ranked ids (documented
+    // single-partition global top-n over a model-sized result)
+    val pool = TopN
+      .firstRow(
+        corpus.select(
+          col(idCol).as("__pid"),
+          col(vecCol).as("__pv"),
+          md5Prefix60(concat(lit("pool:"), lit(salt), lit(":"), col(idCol).cast("string")))
+            .as("__pr")
+        ),
+        n = poolSize,
+        orderBy = Seq(col("__pr"), col("__pid"))
+      )
+      .drop("__pr")
+    val negPairs = corpus
+      .select(col(idCol).as("anchor_id"))
+      .join(broadcast(pool.select("__pid")), col("anchor_id") =!= col("__pid"))
+      .join(
+        pos.select(col("anchor_id"), col("pair_id").as("__pid")),
+        Seq("anchor_id", "__pid"),
+        "left_anti"
+      )
+      .withColumn(
+        "__nr",
+        md5Prefix60(concat(
+          lit("neg:"), lit(salt), lit(":"),
+          col("anchor_id").cast("string"), lit("|"), col("__pid").cast("string")
+        ))
+      )
+    val selected = TopN.firstRow(
+      negPairs,
+      n = mNeg,
+      partitionBy = Seq(col("anchor_id")),
+      orderBy = Seq(col("__nr"), col("__pid")),
+      returnIndexColumn = true,
+      indexColumnName = "rank"
+    )
+    val neg = selected
+      .join(
+        corpus.select(col(idCol).as("anchor_id"), col(vecCol).as("__av")),
+        Seq("anchor_id")
+      )
+      .join(broadcast(pool), Seq("__pid"))
+      .select(
+        col("anchor_id"),
+        col("__pid").as("pair_id"),
+        lit("neg").as("label"),
+        cosineSimilarityNative(col("__av"), col("__pv")).as("cosine"),
+        col("rank")
+      )
+    pos.unionByName(neg)
   }
 
   /** Johnson–Lindenstrauss random projection of an embedding column to

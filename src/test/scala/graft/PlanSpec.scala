@@ -535,6 +535,18 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("contrastive pairs broadcast the negative pool and bound ranks with WindowGroupLimit") {
+    val p = plan("q_contrastive_pairs")
+    assert(p.contains("WindowGroupLimit"), s"expected bounded per-anchor rank:\n$p")
+    assert(
+      p.contains("BroadcastExchange"),
+      s"negative pool must broadcast (model-sized by construction):\n$p"
+    )
+    // the only nested-loop join allowed is anchors x the broadcast pool
+    // (bounded poolSize rows per anchor); no corpus-sized product
+    assert(!p.contains("CartesianProduct"), s"product join:\n$p")
+  }
+
   test("vocab coverage broadcasts the vocabulary onto the token stream") {
     val p = plan("q_vocab_coverage")
     assert(

@@ -1036,6 +1036,37 @@ class ScaleSpec extends SparkSpec {
   private def topKSets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
     rows.groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
 
+  test("contrastivePairs: negatives exclude self and positives, counts and determinism hold") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet").filter(col("vec_id") < 100)
+    val banks = Similarity.randomHyperplaneBanks(8, 3, 64)
+    def run() = Similarity
+      .contrastivePairs(e, "vec_id", "embedding", banks,
+        kPos = 2, mNeg = 4, poolSize = 32, salt = "t")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(4)))
+    val rows = run()
+    val neg = rows.filter(_._3 == "neg")
+    val pos = rows.filter(_._3 == "pos").map(r => (r._1, r._2)).toSet
+    // every anchor gets exactly mNeg negatives, never itself or a positive
+    val perAnchor = neg.groupBy(_._1)
+    assert(perAnchor.size == e.count())
+    perAnchor.foreach { case (a, ns) =>
+      assert(ns.length == 4, s"anchor $a got ${ns.length} negatives")
+      assert(ns.forall(_._2 != a), s"anchor $a paired with itself")
+      assert(ns.forall(n => !pos.contains((a, n._2))), s"anchor $a negative is a positive")
+      assert(ns.map(_._4).sorted.toSeq == Seq(1, 2, 3, 4))
+    }
+    // pure function of ids + salt: identical on a second run, different
+    // negatives under a different salt (a fresh epoch draw)
+    assert(run().toSeq == rows.toSeq)
+    val other = Similarity
+      .contrastivePairs(e, "vec_id", "embedding", banks,
+        kPos = 2, mNeg = 4, poolSize = 32, salt = "t2")
+      .filter(col("label") === "neg")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(other != neg.map(n => (n._1, n._2)).toSet, "salt must re-draw negatives")
+  }
+
   test("int8-quantized top-k reaches recall@10 >= 0.9 vs the float top-k") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = e.filter(col("vec_id") < 10)
