@@ -48,9 +48,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("top-n query plans use WindowGroupLimit (rank filter pushdown)") {
-    Seq("q_first_row", "q_first_rank", "q_first_dense_rank").foreach { q =>
-      assert(plan(q).contains("WindowGroupLimit"), s"$q missing WindowGroupLimit")
-    }
+    Seq("q_first_row", "q_first_rank", "q_first_dense_rank", "q_ann_quantized")
+      .foreach { q =>
+        assert(plan(q).contains("WindowGroupLimit"), s"$q missing WindowGroupLimit")
+      }
   }
 
   test("simhash signatures stay in a codegen'd hash aggregate (no HOF eval)") {
