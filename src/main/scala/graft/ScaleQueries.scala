@@ -525,6 +525,41 @@ object ScaleQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // deterministic Lloyd k-means (k=8, 2 rounds): md5-seeded, exact
+    // integer centroid sums — the clustering stage of cluster-then-curate
+    // (SemDeDup cluster-local dedup, cluster-balanced sampling); fully
+    // engine-portable, so the whole model is oracle-checked end to end
+    "q_kmeans" -> ((s, dir) => {
+      Similarity
+        .kmeansCluster(
+          t(s, dir, "embeddings").select("vec_id", "embedding"),
+          "vec_id", "embedding", k = 8, rounds = 2
+        )
+        .select("vec_id", "cluster", "sq_dist")
+        .orderBy("vec_id")
+    }),
+
+    // cluster-balanced subsample: 12 docs per k-means cluster chosen by
+    // the deterministic md5 order — diversity-preserving downsampling
+    // (each topic keeps representation no matter how skewed the corpus);
+    // composes kmeansCluster + the hash-ranked top-n
+    "q_cluster_sample" -> ((s, dir) => {
+      val clustered = Similarity
+        .kmeansCluster(
+          t(s, dir, "embeddings").select("vec_id", "embedding"),
+          "vec_id", "embedding", k = 8, rounds = 2
+        )
+      TopN
+        .firstRow(
+          clustered.withColumn("__bk", Splits.hashBucket(col("vec_id"))),
+          n = 12,
+          partitionBy = Seq(col("cluster")),
+          orderBy = Seq(col("__bk").asc, col("vec_id").asc)
+        )
+        .select("vec_id", "cluster")
+        .orderBy("cluster", "vec_id")
+    }),
+
     // OR-amplified multi-band LSH top-5 (recall dial over q_ann_topk)
     "q_ann_multiband" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -755,13 +790,17 @@ object ScaleQueries {
         .orderBy("l_returnflag")
     }),
 
-    // pairwise correlation matrix from exact decimal sums (one streaming
-    // aggregate for all pairs; engine-exact unlike native corr())
+    // correlation matrix from exact decimal sums (one streaming aggregate
+    // for all pairs; engine-exact unlike native corr()). completeCase
+    // shares each column's sums across pairs — 10 decimal sums instead of
+    // 18, exactly the oracle's form; identical values (lineitem has no
+    // nulls in these columns)
     "q_corr_matrix" -> ((s, dir) => {
       Stats
         .correlationMatrix(
           t(s, dir, "lineitem"),
-          Seq("l_quantity", "l_extendedprice", "l_discount")
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          completeCase = true
         )
         .orderBy("col_a", "col_b")
     }),
@@ -1131,6 +1170,25 @@ object ScaleQueries {
     "q_bigram_logprob" -> ((s, dir) => {
       TextAnalysis
         .bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):
+    // score fluency with the corpus bigram LM, then split each language
+    // into head/middle/tail at its own tertiles (higher logprob = head)
+    "q_ppl_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis
+        .bigramLogProb(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      Stats
+        .quantileBuckets(
+          scored, Seq("lang"), "avg_bigram_logprob",
+          probs = Seq(1.0 / 3, 2.0 / 3),
+          labels = Seq("tail", "middle", "head"),
+          outCol = "ppl_bucket"
+        )
+        .select("doc_id", "lang", "avg_bigram_logprob", "ppl_bucket")
         .orderBy("doc_id")
     }),
 
@@ -1836,6 +1894,58 @@ object ScaleQueries {
        |    * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
       .replaceAll("\n", "")
 
+  /** DuckDB CTE chain replaying Similarity.kmeansCluster bit-for-bit on
+    * the embeddings table: md5-ranked seeds, `rounds` Lloyd iterations
+    * with floor-quantized integer centroid sums (order-independent, so
+    * the sequential-fold distance is the only float-sensitive step and
+    * it matches the codegen'd loop exactly), empty clusters carrying the
+    * previous centroid. Ends with `af(vec_id, cl, d)` = final assignment
+    * + squared distance. */
+  private def duckKmeansCte(k: Int, rounds: Int): String = {
+    val seed =
+      s"""sd AS (
+         |  SELECT vec_id, embedding,
+         |         ROW_NUMBER() OVER (
+         |           ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+         |                    vec_id) - 1 AS cl
+         |  FROM e
+         |), c0 AS (
+         |  SELECT cl, embedding AS cv FROM sd WHERE cl < $k
+         |)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      val prev = s"c${r - 1}"
+      s""", a$r AS (
+         |  SELECT vec_id, embedding, cl FROM (
+         |    SELECT e.vec_id, e.embedding, $prev.cl,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckSqDist("e.embedding", s"$prev.cv")}, $prev.cl) AS rn
+         |    FROM e CROSS JOIN $prev
+         |  ) WHERE rn = 1
+         |), u$r AS (
+         |  SELECT cl, i,
+         |         CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |              / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS FLOAT) AS v
+         |  FROM a$r CROSS JOIN range(1, 65) AS r(i)
+         |  GROUP BY cl, i
+         |), uc$r AS (
+         |  SELECT cl, list(v ORDER BY i) AS cv FROM u$r GROUP BY cl
+         |), c$r AS (
+         |  SELECT $prev.cl, COALESCE(uc$r.cv, $prev.cv) AS cv
+         |  FROM $prev LEFT JOIN uc$r USING (cl)
+         |)""".stripMargin
+    }.mkString
+    val fin = s"c$rounds"
+    s"""$seed$iters, af AS (
+       |  SELECT vec_id, cl, d FROM (
+       |    SELECT e.vec_id, $fin.cl,
+       |           ${duckSqDist("e.embedding", s"$fin.cv")} AS d,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${duckSqDist("e.embedding", s"$fin.cv")}, $fin.cl) AS rn
+       |    FROM e CROSS JOIN $fin
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+  }
+
   /** DuckDB literal for one hyperplane + its dot-product vs `embedding`. */
   private def duckPlaneDot(plane: Seq[Double]): String = {
     val lit = plane.mkString("[", ", ", "]")
@@ -2485,6 +2595,26 @@ object ScaleQueries {
          |)
          |SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine, CAST(rn AS INT) AS rank
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_kmeans" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |), ${duckKmeansCte(k = 8, rounds = 2)}
+         |SELECT vec_id, CAST(cl AS INT) AS cluster, ROUND(d, 6) AS sq_dist
+         |FROM af ORDER BY vec_id""".stripMargin,
+
+    "q_cluster_sample" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |), ${duckKmeansCte(k = 8, rounds = 2)}, bk AS (
+         |  SELECT vec_id, cl,
+         |         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS b
+         |  FROM af
+         |)
+         |SELECT vec_id, CAST(cl AS INT) AS cluster FROM (
+         |  SELECT vec_id, cl, ROW_NUMBER() OVER (PARTITION BY cl ORDER BY b, vec_id) AS rn
+         |  FROM bk
+         |) WHERE rn <= 12 ORDER BY cluster, vec_id""".stripMargin,
 
     "q_embed_dedup_mb" -> {
       val bucketCols = AnnBanks.zipWithIndex
@@ -3284,6 +3414,43 @@ object ScaleQueries {
         |FROM bg JOIN bc USING (big)
         |JOIN cc ON string_split(big, chr(1))[1] = cc.prev
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ppl_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(2, len(toks) + 1),
+        |                               i -> toks[i-1] || chr(1) || toks[i])) AS big
+        |  FROM d WHERE len(toks) >= 2
+        |), bc AS (
+        |  SELECT big, count(*) AS c FROM bg GROUP BY big
+        |), cc AS (
+        |  SELECT string_split(big, chr(1))[1] AS prev, sum(c) AS ctx
+        |  FROM bc GROUP BY 1
+        |), sc AS (
+        |  SELECT bg.doc_id,
+        |         ROUND(avg(ln(CAST(bc.c AS DOUBLE)) - ln(CAST(cc.ctx AS DOUBLE))), 6)
+        |           AS avg_bigram_logprob
+        |  FROM bg JOIN bc USING (big)
+        |  JOIN cc ON string_split(big, chr(1))[1] = cc.prev
+        |  GROUP BY bg.doc_id
+        |), sl AS (
+        |  SELECT sc.doc_id, docs.lang, sc.avg_bigram_logprob
+        |  FROM sc JOIN documents docs USING (doc_id)
+        |), b AS (
+        |  SELECT lang,
+        |         ROUND(quantile_cont(avg_bigram_logprob, 1.0/3), 6) AS b1,
+        |         ROUND(quantile_cont(avg_bigram_logprob, 2.0/3), 6) AS b2
+        |  FROM sl GROUP BY lang
+        |)
+        |SELECT sl.doc_id, sl.lang, sl.avg_bigram_logprob,
+        |       CASE WHEN sl.avg_bigram_logprob <= b.b1 THEN 'tail'
+        |            WHEN sl.avg_bigram_logprob <= b.b2 THEN 'middle'
+        |            ELSE 'head' END AS ppl_bucket
+        |FROM sl JOIN b USING (lang)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_semantic_decontam" ->
       s"""WITH ev AS (

@@ -260,6 +260,105 @@ object Similarity {
     )
   }
 
+  /** Deterministic, engine-portable Lloyd k-means over an embedding
+    * column — the clustering stage of cluster-then-curate pipelines
+    * (SemDeDup-style cluster-local dedup, cluster-balanced subsampling,
+    * topic bucketing). Deliberately NOT MLlib KMeans: seeding and every
+    * arithmetic step are pinned so the model and assignment are
+    * reproducible across runs, partitionings AND engines (a DuckDB
+    * oracle re-derives the exact clustering):
+    *
+    *  - seeds = the `k` rows with the smallest md5-derived key of
+    *    `idCol` (a deterministic pseudo-random draw; cluster id = seed
+    *    rank, ties on the key break to the lowest id);
+    *  - assignment = argmin over the codegen'd sequential
+    *    squared-distance loop, ties to the lowest cluster id;
+    *  - centroid update: each element is floor-quantized to 1e-6
+    *    (`floor(x * 1e6)` as a long), summed EXACTLY in decimal, and
+    *    the mean `sum / 1e6 / n` is truncated to float — integer sums
+    *    make the update order-independent, so the model cannot depend
+    *    on partitioning; empty clusters keep their previous centroid.
+    *
+    * Output: the input rows (minus NULL vectors) plus `outCol` (0..k-1)
+    * and `distCol` (squared distance to the final centroid, rounded to
+    * 6 decimals — the SemDeDup "keep closest/farthest" ranking signal).
+    *
+    * Scale shape: per round, assignment is a pure per-row codegen'd
+    * expression against driver-side literal centroids (no join, no
+    * shuffle) and the update is ONE hash aggregate over (cluster, dim)
+    * keys — k*dim rows collected, a model-sized driver action like the
+    * IVF codebook bootstrap. `rounds` is a small constant; nothing
+    * materializes pairs or sorts globally.
+    */
+  def kmeansCluster(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int = 2,
+      outCol: String = "cluster",
+      distCol: String = "sq_dist"
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 0, "rounds must be >= 0")
+    val src = df.filter(col(vecCol).isNotNull)
+
+    def assign(centroids: Seq[Seq[Float]], in: DataFrame): DataFrame = in
+      .withColumn(
+        "__cd",
+        array(centroids.map(c => squaredDistanceNative(col(vecCol), typedlit(c))): _*)
+      )
+      .withColumn(
+        outCol,
+        (array_position(col("__cd"), array_min(col("__cd"))) - 1).cast("int")
+      )
+
+    // model-sized driver actions: k seed vectors, then k*dim sums per round
+    var centroids: Seq[Seq[Float]] = src
+      .select(col(idCol), col(vecCol))
+      .withColumn(
+        "__h",
+        graft.functions.TextFunctions.md5Prefix60(col(idCol).cast("string"))
+      )
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toSeq)
+      .toSeq
+    require(centroids.nonEmpty, "no non-null vectors to cluster")
+
+    for (_ <- 1 to rounds) {
+      val upd = assign(centroids, src)
+        .select(col(outCol), posexplode(col(vecCol)).as(Seq("__pos", "__e")))
+        .groupBy(col(outCol), col("__pos"))
+        .agg(
+          sum(
+            floor(col("__e").cast("double") * lit(1000000.0)).cast("decimal(38,0)")
+          ).as("__s"),
+          count(lit(1)).as("__n")
+        )
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cl, rows) =>
+          val dim = rows.map(_.getInt(1)).max + 1
+          val v = new Array[Float](dim)
+          rows.foreach { r =>
+            v(r.getInt(1)) =
+              (r.getDecimal(2).doubleValue() / 1000000.0 / r.getLong(3).toDouble).toFloat
+          }
+          cl -> v.toSeq
+        }
+      centroids = centroids.zipWithIndex.map { case (old, ci) =>
+        upd.getOrElse(ci, old)
+      }
+    }
+
+    assign(centroids, src)
+      .withColumn(distCol, round(array_min(col("__cd")), 6))
+      .drop("__cd")
+  }
+
   /** Approximate cosine top-k: candidates restricted to the query's
     * hyperplane-LSH bucket. Lower cost, recall controlled by plane count
     * (fewer planes => bigger buckets => higher recall & cost). */

@@ -2100,6 +2100,68 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("kmeansCluster separates planted clusters and is partition-invariant") {
+    // two tight planted clusters around (0,0,..) and (10,10,..)
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Seq.fill(4)(base + (i % 5) * 0.01f))
+    }
+    val df = vecs.toDF("id", "vec")
+    val got = Similarity
+      .kmeansCluster(df, "id", "vec", k = 2, rounds = 2)
+      .select("id", "cluster")
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    val evens = (0 until 20 by 2).map(i => got(i.toLong)).toSet
+    val odds = (1 until 20 by 2).map(i => got(i.toLong)).toSet
+    assert(evens.size == 1 && odds.size == 1 && evens != odds,
+      s"planted clusters not separated: $got")
+    // the model is integer-sum based, so partitioning cannot change it
+    val rep = Similarity
+      .kmeansCluster(df.repartition(7), "id", "vec", k = 2, rounds = 2)
+      .select("id", "cluster")
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    assert(rep == got)
+    // k > points: empty clusters keep their seed centroid, nothing crashes
+    val tiny = Similarity
+      .kmeansCluster(df.limit(3), "id", "vec", k = 8, rounds = 2)
+      .select("cluster")
+      .collect()
+    assert(tiny.length == 3)
+  }
+
+  test("quantileBuckets labels per-group tertiles with boundary ties down") {
+    import graft.operators.Stats
+    val df: Seq[(String, Option[Double])] =
+      (1 to 9).map(i => ("g1", Option(i.toDouble))) ++
+        Seq(("g2", Option(100.0)), ("g2", Option(200.0)),
+          ("g2", Option(300.0)), ("g2", Option.empty[Double]))
+    val in = df.toDF("g", "v")
+    val got = Stats
+      .quantileBuckets(
+        in, Seq("g"), "v",
+        probs = Seq(1.0 / 3, 2.0 / 3),
+        labels = Seq("tail", "middle", "head")
+      )
+      .collect()
+      .map(r => (r.getString(0), Option(r.get(1)), r.getString(2)))
+    // g1: 1..9 -> tertile boundaries ~3.67/6.33; exact-boundary goes DOWN
+    val g1 = got.filter(_._1 == "g1").map { case (_, v, b) => (v.get, b) }.toMap
+    assert(Seq(1.0, 2.0, 3.0).forall(g1(_) == "tail"))
+    assert(Seq(4.0, 5.0, 6.0).forall(g1(_) == "middle"))
+    assert(Seq(7.0, 8.0, 9.0).forall(g1(_) == "head"))
+    val g2 = got.filter(_._1 == "g2")
+    assert(g2.collect { case (_, None, b) => b }.forall(_ == null))
+    assert(g2.collect { case (_, Some(100.0), b) => b }.head == "tail")
+    assert(g2.collect { case (_, Some(300.0), b) => b }.head == "head")
+    intercept[IllegalArgumentException] {
+      Stats.quantileBuckets(in, Seq("g"), "v", Seq(0.5), Seq("a", "b", "c"))
+    }
+  }
+
   test("correlationMatrix is pairwise-complete and exact on known data") {
     import graft.operators.Stats
     val df = Seq(
@@ -2122,6 +2184,32 @@ class ScaleSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Stats.correlationMatrix(df, Seq("a"))
     }
+    // complete-case mode drops any row with a null in ANY column, so every
+    // pair shares one n (the 2 fully-complete rows here)
+    val cc = Stats
+      .correlationMatrix(df, Seq("a", "b", "c"), completeCase = true)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    assert(cc.values.toSet == Set(2L))
+  }
+
+  test("correlationMatrix complete-case matches pairwise on null-free data") {
+    import graft.operators.Stats
+    val df = Seq(
+      (1.0, 5.0, -2.0),
+      (2.0, 3.0, 0.5),
+      (3.0, 8.0, 1.25),
+      (4.0, 1.0, 7.0),
+      (5.0, 9.0, -3.5)
+    ).toDF("a", "b", "c")
+    def rows(complete: Boolean) = Stats
+      .correlationMatrix(df, Seq("a", "b", "c"), completeCase = complete)
+      .orderBy("col_a", "col_b")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(rows(complete = true) == rows(complete = false))
   }
 
   test("standardize uses per-column non-null counts (no null bias)") {
