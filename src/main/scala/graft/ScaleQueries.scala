@@ -453,6 +453,19 @@ object ScaleQueries {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup (Abbas et al. 2023): k-means cluster-local semantic dedup —
+    // within each of 8 clusters, every cosine>=0.4 pair drops the member
+    // closer to the centroid (diversity-keeping); survivors listed
+    "q_semdedup" -> ((s, dir) => {
+      Dedup
+        .semDeDup(
+          t(s, dir, "embeddings").select("vec_id", "embedding"),
+          "vec_id", "embedding", k = 8, rounds = 2, threshold = 0.4
+        )
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     // corpus k-NN graph: top-3 cosine neighbors per vector among
     // multi-band LSH candidates (bounded slice for the same quadratic-
     // result reason as q_embed_dedup_mb)
@@ -2602,6 +2615,26 @@ object ScaleQueries {
          |), ${duckKmeansCte(k = 8, rounds = 2)}
          |SELECT vec_id, CAST(cl AS INT) AS cluster, ROUND(d, 6) AS sq_dist
          |FROM af ORDER BY vec_id""".stripMargin,
+
+    "q_semdedup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |), ${duckKmeansCte(k = 8, rounds = 2)}, sl AS (
+         |  SELECT af.vec_id, e.embedding, af.cl, ROUND(af.d, 6) AS d
+         |  FROM af JOIN e USING (vec_id)
+         |), pr AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib, a.d AS da, b.d AS db
+         |  FROM sl a JOIN sl b ON a.cl = b.cl AND a.vec_id < b.vec_id
+         |  WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.4
+         |), lo AS (
+         |  SELECT DISTINCT CASE WHEN da < db THEN ia
+         |                       WHEN db < da THEN ib
+         |                       ELSE ib END AS loser
+         |  FROM pr
+         |)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT loser FROM lo)
+         |ORDER BY vec_id""".stripMargin,
 
     "q_cluster_sample" ->
       s"""WITH e AS (

@@ -1196,6 +1196,63 @@ object Dedup {
     df.join(losers, df(idCol) === col("__loser"), "left_anti")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-local
+    * semantic deduplication — k-means the embeddings
+    * ([[Similarity.kmeansCluster]]), compare pairs only WITHIN each
+    * cluster, and for every pair with cosine >= `threshold` drop the
+    * member the paper drops: the one CLOSER to the cluster centroid
+    * (`keepFarthest = true`, the paper's diversity-keeping choice;
+    * `false` keeps the more prototypical member instead). Ties on the
+    * rounded distance drop the larger id. Survivors are the full-width
+    * input anti-joined against the skinny loser-id set.
+    *
+    * Versus [[dedupNearEmbedding]]: LSH banding finds near-identical
+    * pairs anywhere in space; SemDeDup's cluster partition instead
+    * bounds the candidate set by construction and picks winners by
+    * centroid geometry, which is what you want when pruning semantic
+    * redundancy rather than literal copies.
+    *
+    * Scale shape: the within-cluster self-join carries only
+    * (cluster, id, dist) — vectors are re-attached to candidate pairs
+    * once per side — and is O(sum of cluster sizes squared): choose `k`
+    * proportional to corpus size to hold mean cluster size constant
+    * (the paper runs k = 11k on 100M docs), and the k-means rounds
+    * themselves never shuffle. No global sort anywhere.
+    */
+  def semDeDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int = 2,
+      threshold: Double = 0.95,
+      keepFarthest: Boolean = true
+  ): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(threshold >= -1 && threshold <= 1, "threshold must be in [-1, 1]")
+    val slim = Similarity
+      .kmeansCluster(df, idCol, vecCol, k, rounds, outCol = "__cl", distCol = "__d")
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("__cl"), col("__d"))
+    val a = slim.select(col("__cl"), col("__id").as("id_a"), col("__d").as("d_a"))
+    val b = slim.select(col("__cl"), col("__id").as("id_b"), col("__d").as("d_b"))
+    val pairs = a
+      .join(b, Seq("__cl"))
+      .filter(col("id_a") < col("id_b"))
+      .join(slim.select(col("__id").as("id_a"), col("__v").as("v_a")), Seq("id_a"))
+      .join(slim.select(col("__id").as("id_b"), col("__v").as("v_b")), Seq("id_b"))
+      .filter(cosineSimilarityNative(col("v_a"), col("v_b")) >= threshold)
+    val closer = when(col("d_a") < col("d_b"), col("id_a"))
+      .when(col("d_b") < col("d_a"), col("id_b"))
+      .otherwise(col("id_b"))
+    val farther = when(col("d_a") < col("d_b"), col("id_b"))
+      .when(col("d_b") < col("d_a"), col("id_a"))
+      .otherwise(col("id_b"))
+    val losers = pairs
+      .select((if (keepFarthest) closer else farther).as("__loser"))
+      .distinct()
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
   def embeddingDedupPairs(
       df: DataFrame,
       idCol: String,

@@ -578,4 +578,32 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("kmeans final assignment is join-free per-row compute") {
+    // centroids are driver-side literals: the assignment plan must carry
+    // the native distance expression, not a join against a centroid table
+    val p = plan("q_kmeans")
+    assert(p.contains("squared_distance_native"), p)
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+  }
+
+  test("semDeDup pair join carries cluster/id/dist, vectors attach once per side") {
+    // the within-cluster candidate join must not replicate embeddings;
+    // vectors join back onto surviving pairs (2 joins), and the native
+    // cosine gates the pair filter
+    val p = plan("q_semdedup")
+    assert(p.contains("cosine_similarity_native"), p)
+    assert(p.contains("squared_distance_native"), p)
+  }
+
+  test("quantile bucketing broadcasts the per-group boundary table") {
+    val p = plan("q_ppl_buckets")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast bounds:\n$p")
+    // the scale trap this operator avoids is an ntile/global-rank window,
+    // which would plan as a single-partition exchange
+    assert(
+      !p.contains("Exchange SinglePartition"),
+      s"must not funnel data through one partition:\n$p"
+    )
+  }
+
 }

@@ -2133,6 +2133,29 @@ class ScaleSpec extends SparkSpec {
     assert(tiny.length == 3)
   }
 
+  test("semDeDup keeps the centroid-farthest (or closest) member per pair") {
+    // colinear trio (cosine 1.0 pairwise, distinct centroid distances)
+    // plus one orthogonal singleton that must always survive
+    val df = Seq(
+      (0L, Seq(10.0f, 0.0f)),   // mid distance from the colinear centroid
+      (1L, Seq(13.0f, 0.0f)),   // farthest
+      (2L, Seq(10.5f, 0.0f)),   // closest
+      (3L, Seq(0.0f, 10.0f))    // orthogonal singleton
+    ).toDF("id", "vec")
+    def survivors(keepFarthest: Boolean) = Dedup
+      .semDeDup(df, "id", "vec", k = 2, rounds = 2,
+        threshold = 0.99, keepFarthest = keepFarthest)
+      .select("id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(survivors(keepFarthest = true) == Set(1L, 3L))
+    assert(survivors(keepFarthest = false) == Set(2L, 3L))
+    intercept[IllegalArgumentException] {
+      Dedup.semDeDup(df, "id", "vec", k = 2, threshold = 1.5)
+    }
+  }
+
   test("quantileBuckets labels per-group tertiles with boundary ties down") {
     import graft.operators.Stats
     val df: Seq[(String, Option[Double])] =
