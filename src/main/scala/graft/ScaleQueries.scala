@@ -608,6 +608,23 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // classifier calibration: sweep quality-score cutoffs against the
+    // "is English" label in ONE pass — confusion counts + P/R/F1 per
+    // threshold, how a filter's operating point gets chosen
+    "q_threshold_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis
+        .qualityScore(docs, "text")
+        .select(col("doc_id"), col("quality"))
+        .join(
+          docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          Seq("doc_id")
+        )
+      Stats
+        .thresholdSweep(scored, "quality", "is_en", Seq(0.3, 0.5, 0.7, 0.9))
+        .orderBy("threshold")
+    }),
+
     // Gopher-rule quality flags (minTokens lowered to 20 so the synthetic
     // docs, mostly 20-60 tokens, exercise both sides of every rule)
     "q_gopher" -> ((s, dir) => {
@@ -2848,6 +2865,55 @@ object ScaleQueries {
          |         (CASE WHEN n_tokens >= 20 AND n_tokens <= 2000 THEN 0.5 ELSE 0.2 END) +
          |         (CASE WHEN punct_count = 0 THEN 0.1 ELSE 0.0 END)), 6) AS quality
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q_threshold_sweep" -> {
+      val en = TextAnalysis.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
+      val ts = Seq(0.3, 0.5, 0.7, 0.9)
+      val sums = ts.zipWithIndex
+        .map { case (t, i) =>
+          s"""SUM(CASE WHEN s >= $t THEN 1 ELSE 0 END) AS pp$i,
+             |    SUM(CASE WHEN l AND s >= $t THEN 1 ELSE 0 END) AS tp$i""".stripMargin
+        }
+        .mkString(",\n    ")
+      val rows = ts.zipWithIndex
+        .map { case (t, i) =>
+          s"""SELECT CAST($t AS DOUBLE) AS threshold,
+             |       CAST(tp$i AS BIGINT) AS tp,
+             |       CAST(pp$i - tp$i AS BIGINT) AS fp,
+             |       CAST(pos - tp$i AS BIGINT) AS fn,
+             |       CAST(total - pp$i - (pos - tp$i) AS BIGINT) AS tn,
+             |       ROUND(CASE WHEN pp$i > 0 THEN CAST(tp$i AS DOUBLE) / pp$i END, 6) AS "precision",
+             |       ROUND(CASE WHEN pos > 0 THEN CAST(tp$i AS DOUBLE) / pos END, 6) AS recall,
+             |       ROUND(CASE WHEN pp$i > 0 AND pos > 0 AND (CAST(tp$i AS DOUBLE) / pp$i + CAST(tp$i AS DOUBLE) / pos) > 0
+             |             THEN 2.0 * (CAST(tp$i AS DOUBLE) / pp$i) * (CAST(tp$i AS DOUBLE) / pos)
+             |                  / (CAST(tp$i AS DOUBLE) / pp$i + CAST(tp$i AS DOUBLE) / pos) END, 6) AS f1
+             |FROM a""".stripMargin
+        }
+        .mkString("\nUNION ALL\n")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+         |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS punct_count,
+         |         CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains([$en], t))) AS INT) AS stops
+         |  FROM documents
+         |), q AS (
+         |  SELECT doc_id,
+         |         ROUND(LEAST(1.0,
+         |           (CAST(stops AS DOUBLE) / n_tokens) * 2.0 +
+         |           (CASE WHEN n_tokens >= 20 AND n_tokens <= 2000 THEN 0.5 ELSE 0.2 END) +
+         |           (CASE WHEN punct_count = 0 THEN 0.1 ELSE 0.0 END)), 6) AS s
+         |  FROM m
+         |), j AS (
+         |  SELECT q.s, (d.lang = 'en') AS l FROM q JOIN documents d USING (doc_id)
+         |), a AS (
+         |  SELECT count(*) AS total,
+         |    SUM(CASE WHEN l THEN 1 ELSE 0 END) AS pos,
+         |    $sums
+         |  FROM j
+         |)
+         |$rows
+         |ORDER BY threshold""".stripMargin
     },
 
     "q_gopher" -> {

@@ -298,7 +298,46 @@ object Similarity {
       rounds: Int = 2,
       outCol: String = "cluster",
       distCol: String = "sq_dist"
+  ): DataFrame =
+    kmeansAssign(df, vecCol, kmeansTrain(df, idCol, vecCol, k, rounds), outCol, distCol)
+
+  /** Assignment-only companion to [[kmeansCluster]]: label rows with
+    * their nearest centroid from an ALREADY-TRAINED codebook (same
+    * argmin/tie rules), without touching the model — how a clustering
+    * trained on one corpus snapshot applies to the next ingest batch.
+    * Pure per-row codegen'd compute: no shuffle, no join, no action. */
+  def kmeansAssign(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Seq[Seq[Float]],
+      outCol: String = "cluster",
+      distCol: String = "sq_dist"
   ): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    df.filter(col(vecCol).isNotNull)
+      .withColumn(
+        "__cd",
+        array(centroids.map(c => squaredDistanceNative(col(vecCol), typedlit(c))): _*)
+      )
+      .withColumn(
+        outCol,
+        (array_position(col("__cd"), array_min(col("__cd"))) - 1).cast("int")
+      )
+      .withColumn(distCol, round(array_min(col("__cd")), 6))
+      .drop("__cd")
+  }
+
+  /** Train the [[kmeansCluster]] codebook and return it as driver-side
+    * centroids (cluster i = element i) — feed to [[kmeansAssign]] to
+    * label other data with the same model. Same determinism contract as
+    * [[kmeansCluster]]. */
+  def kmeansTrain(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      rounds: Int = 2
+  ): Seq[Seq[Float]] = {
     require(k >= 1, "k must be >= 1")
     require(rounds >= 0, "rounds must be >= 0")
     val src = df.filter(col(vecCol).isNotNull)
@@ -309,7 +348,7 @@ object Similarity {
         array(centroids.map(c => squaredDistanceNative(col(vecCol), typedlit(c))): _*)
       )
       .withColumn(
-        outCol,
+        "__cl",
         (array_position(col("__cd"), array_min(col("__cd"))) - 1).cast("int")
       )
 
@@ -330,8 +369,8 @@ object Similarity {
 
     for (_ <- 1 to rounds) {
       val upd = assign(centroids, src)
-        .select(col(outCol), posexplode(col(vecCol)).as(Seq("__pos", "__e")))
-        .groupBy(col(outCol), col("__pos"))
+        .select(col("__cl"), posexplode(col(vecCol)).as(Seq("__pos", "__e")))
+        .groupBy(col("__cl"), col("__pos"))
         .agg(
           sum(
             floor(col("__e").cast("double") * lit(1000000.0)).cast("decimal(38,0)")
@@ -353,10 +392,7 @@ object Similarity {
         upd.getOrElse(ci, old)
       }
     }
-
-    assign(centroids, src)
-      .withColumn(distCol, round(array_min(col("__cd")), 6))
-      .drop("__cd")
+    centroids
   }
 
   /** Approximate cosine top-k: candidates restricted to the query's

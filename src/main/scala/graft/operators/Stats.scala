@@ -306,6 +306,80 @@ object Stats {
       .select(col("__p.col_a"), col("__p.col_b"), col("__p.n"), col("__p.corr"))
   }
 
+  /** Classifier-calibration threshold sweep: for each cutoff in
+    * `thresholds`, the confusion counts and precision/recall/F1 of the
+    * rule `predict positive iff score >= threshold` against a boolean
+    * label — how you pick the operating point of a quality filter
+    * before applying it to the corpus. Rows with a NULL score or label
+    * are excluded; metrics with a zero denominator are NULL; ratios are
+    * rounded to `scale` decimals (engine parity).
+    *
+    * Scale shape: ONE streaming aggregate computes 2 shared counts plus
+    * 2 conditional counts per threshold (all codegen'd longs, map-side
+    * combined); the per-threshold explode happens on the single result
+    * row — the same one-pass shape as [[correlationMatrix]]. Never a
+    * sort, never a per-threshold pass over the data.
+    */
+  def thresholdSweep(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      thresholds: Seq[Double],
+      scale: Int = 6
+  ): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    require(thresholds == thresholds.sorted, "thresholds must be ascending")
+    val s = col("__s")
+    val lbl = col("__l")
+    val ok = s.isNotNull && lbl.isNotNull
+    val aggCols =
+      Seq(
+        sum(when(ok, 1L).otherwise(0L)).as("__total"),
+        sum(when(ok && lbl, 1L).otherwise(0L)).as("__pos")
+      ) ++ thresholds.zipWithIndex.flatMap { case (t, i) =>
+        Seq(
+          sum(when(ok && s >= t, 1L).otherwise(0L)).as(s"__pp_$i"),
+          sum(when(ok && lbl && s >= t, 1L).otherwise(0L)).as(s"__tp_$i")
+        )
+      }
+    val agg = ScanUtils
+      .withScanParallelism(
+        df.select(
+          col(scoreCol).cast("double").as("__s"),
+          col(labelCol).cast("boolean").as("__l")
+        )
+      )
+      .agg(aggCols.head, aggCols.tail: _*)
+    val entries = array(thresholds.zipWithIndex.map { case (t, i) =>
+      val tp = coalesce(col(s"__tp_$i"), lit(0L))
+      val pp = coalesce(col(s"__pp_$i"), lit(0L))
+      val pos = coalesce(col("__pos"), lit(0L))
+      val total = coalesce(col("__total"), lit(0L))
+      val fp = pp - tp
+      val fn = pos - tp
+      val tn = total - pp - fn
+      val prec = when(pp > 0, tp.cast("double") / pp)
+      val rec = when(pos > 0, tp.cast("double") / pos)
+      val f1 = when(
+        prec.isNotNull && rec.isNotNull && (prec + rec) > 0,
+        lit(2.0) * prec * rec / (prec + rec)
+      )
+      struct(
+        lit(t).as("threshold"),
+        tp.as("tp"), fp.as("fp"), fn.as("fn"), tn.as("tn"),
+        round(prec, scale).as("precision"),
+        round(rec, scale).as("recall"),
+        round(f1, scale).as("f1")
+      )
+    }: _*)
+    agg
+      .select(explode(entries).as("__e"))
+      .select(
+        col("__e.threshold"), col("__e.tp"), col("__e.fp"), col("__e.fn"),
+        col("__e.tn"), col("__e.precision"), col("__e.recall"), col("__e.f1")
+      )
+  }
+
   /** Per-group quantile bucketing — the CCNet head/middle/tail split
     * (Wenzek et al. 2020) generalized: within each `groupCols` group
     * (e.g. language), compute the exact `probs` quantiles of `valueCol`

@@ -2185,6 +2185,41 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("thresholdSweep computes exact confusion counts and P/R/F1") {
+    import graft.operators.Stats
+    // scores: positives at 0.9/0.7/0.2, negatives at 0.8/0.1; null excluded
+    val df: Seq[(Option[Double], Option[Boolean])] = Seq(
+      (Option(0.9), Option(true)),
+      (Option(0.7), Option(true)),
+      (Option(0.2), Option(true)),
+      (Option(0.8), Option(false)),
+      (Option(0.1), Option(false)),
+      (Option.empty[Double], Option(true)),
+      (Option(0.5), Option.empty[Boolean])
+    )
+    val got = Stats
+      .thresholdSweep(df.toDF("s", "l"), "s", "l", Seq(0.5, 0.75))
+      .orderBy("threshold")
+      .collect()
+      .map(r => (r.getDouble(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)), (Option(r.get(5)), Option(r.get(6)))))
+    // t=0.5: predicted pos = {0.9,0.7,0.8} -> tp=2 fp=1 fn=1 tn=1
+    assert(got(0)._1 == 0.5 && got(0)._2 == ((2L, 1L, 1L, 1L)))
+    assert(got(0)._3 == ((Some(0.666667), Some(0.666667))))
+    // t=0.75: predicted pos = {0.9,0.8} -> tp=1 fp=1 fn=2 tn=1
+    assert(got(1)._1 == 0.75 && got(1)._2 == ((1L, 1L, 2L, 1L)))
+    assert(got(1)._3 == ((Some(0.5), Some(0.333333))))
+    // degenerate: nothing predicted positive -> precision and f1 NULL
+    val z = Stats
+      .thresholdSweep(df.toDF("s", "l"), "s", "l", Seq(0.95))
+      .collect()
+      .head
+    assert(z.getLong(1) == 0L && z.get(7) == null)
+    intercept[IllegalArgumentException] {
+      Stats.thresholdSweep(df.toDF("s", "l"), "s", "l", Seq(0.9, 0.1))
+    }
+  }
+
   test("correlationMatrix is pairwise-complete and exact on known data") {
     import graft.operators.Stats
     val df = Seq(

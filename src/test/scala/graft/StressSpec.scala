@@ -313,4 +313,35 @@ class StressSpec extends SparkSpec {
     val s = salted.agg(count(lit(1)), sum("doc_id"), sum(length(col("lang_label")))).head()
     assert(p == s, s"salted join diverged: $s vs $p")
   }
+
+  test("semDeDup on a 10x vector corpus collapses every identical clique to its min id") {
+    // 10x self-union of the sf0.1 embeddings (20k vectors): copy 0 keeps
+    // the original ids, strided copies are exact duplicates. At
+    // threshold 0.99 only identical-vector cliques pair (the corpus's
+    // true near-dup pairs sit below 0.6 cosine), every clique lands in
+    // ONE k-means cluster (identical vectors share an argmin), and the
+    // tie rule drops the larger id — so the survivor set must be EXACTLY
+    // the original ids. An exact end-to-end oracle for the clustering,
+    // the pair join, and the loser election at 10x scale, with no DuckDB
+    // round-trip; cost is bounded by sum of cluster sizes squared
+    // (k = 64 holds mean cluster size ~300).
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val stressed = Stress
+      .selfUnionSkewed(emb, "vec_id", copies, stride)
+      .localCheckpoint()
+    val origIds = emb.select("vec_id").as[Long].collect().toSet
+    val survivors = timed("semDeDup on 20k vectors (k=64)") {
+      Dedup
+        .semDeDup(stressed, "vec_id", "embedding", k = 64, rounds = 2,
+          threshold = 0.99)
+        .select("vec_id")
+        .as[Long]
+        .collect()
+        .toSet
+    }
+    assert(survivors == origIds,
+      s"extra=${(survivors -- origIds).take(5)} missing=${(origIds -- survivors).take(5)}")
+  }
 }
