@@ -395,6 +395,95 @@ object Similarity {
     centroids
   }
 
+  /** Persist an IVF index to disk: every vector labeled with its nearest
+    * centroid ([[kmeansAssign]]) and written PARTITIONED BY the cell, so
+    * a probe reads only the probed cells' directories — the layout that
+    * makes ANN serve from a 100 TB corpus without scanning it. Pair with
+    * [[probeIvfIndex]]; centroids come from [[kmeansTrain]] (or any
+    * deterministic codebook). */
+  def writeIvfIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Float]],
+      path: String
+  ): Unit =
+    kmeansAssign(df, vecCol, centroids, outCol = "cell")
+      .drop("sq_dist")
+      .write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(path)
+
+  /** Probe a [[writeIvfIndex]] index: each query's `nProbe` nearest cells
+    * are computed driver-side (queries are small by construction), the
+    * index scan is FILTERED to that literal cell set — Catalyst turns it
+    * into `PartitionFilters`, so only the probed directories are read
+    * (plan-asserted in the suite) — and ranking within cells is cosine
+    * top-k via `WindowGroupLimit`. Same search semantics as
+    * [[ivfTopKWithCentroids]], but against the persisted layout. */
+  def probeIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Float]],
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(nProbe >= 1, "nProbe must be >= 1")
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn(
+        "__cd",
+        array(centroids.map(c => squaredDistanceNative(col("__qv"), typedlit(c))): _*)
+      )
+      .select(
+        col("query_id"),
+        col("__qv"),
+        posexplode(col("__cd")).as(Seq("cell", "__qd"))
+      )
+      .withColumn(
+        "__rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")
+            .orderBy(col("__qd"), col("cell"))
+        )
+      )
+      .filter(col("__rank") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("cell"))
+    // model-sized driver action (<= |queries| * nProbe cells): the literal
+    // IN-list is what lets Catalyst prune partitions at the source
+    val cells = probed
+      .select("cell")
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .sorted
+    val scored = spark.read
+      .parquet(path)
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+      .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosineSimilarityNative(col("__qv"), col("__nv")).as("cosine")
+      )
+    TopN.firstRow(
+      scored,
+      n = k,
+      partitionBy = Seq(col("query_id")),
+      orderBy = Seq(col("cosine").desc, col("neighbor_id")),
+      returnIndexColumn = true,
+      indexColumnName = "rank"
+    )
+  }
+
   /** Approximate cosine top-k: candidates restricted to the query's
     * hyperplane-LSH bucket. Lower cost, recall controlled by plane count
     * (fewer planes => bigger buckets => higher recall & cost). */

@@ -2185,6 +2185,35 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("IVF disk index probes with partition pruning and matches in-memory search") {
+    val emb = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val centroids = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf")
+      .toString + "/idx"
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", centroids, path)
+    // cell directories really are the layout (partitioned write)
+    val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("cell="))
+    assert(dirs.nonEmpty, "expected cell=N partition directories")
+    val queries = emb.filter(col("vec_id") < 3)
+    val probe = Similarity.probeIvfIndex(
+      spark, path, queries, "vec_id", "embedding", centroids, k = 5, nProbe = 3)
+    // the probe scan must prune to the probed cells at the source
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell partition pruning:\n$plan")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val expected = Similarity.ivfTopKWithCentroids(
+      emb, queries, "vec_id", "embedding", k = 5, centroids, nProbe = 3)
+    assert(canon(probe) == canon(expected))
+  }
+
   test("thresholdSweep computes exact confusion counts and P/R/F1") {
     import graft.operators.Stats
     // scores: positives at 0.9/0.7/0.2, negatives at 0.8/0.1; null excluded

@@ -329,6 +329,37 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(gotIds.nonEmpty && gotIds.size < 450) // some dropped, some kept
   }
 
+  test("streaming k-means assignment equals the batch assignment") {
+    // train on the batch snapshot, apply the frozen codebook to the
+    // stream: kmeansAssign is stateless per-row compute, so it runs
+    // unchanged under append mode — the model-apply half of
+    // cluster-then-curate on an ingest pipeline
+    import graft.operators.Similarity
+    val emb = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val centroids = Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 4)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/embeddings.parquet").schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+      .select("vec_id", "embedding")
+    val got = Streaming.runToMemorySink(
+      spark,
+      Similarity.kmeansAssign(stream, "embedding", centroids),
+      "kmeans_stream",
+      outputMode = "append"
+    )
+    def assignments(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cluster")
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    val batch = Similarity.kmeansAssign(emb, "embedding", centroids)
+    assert(assignments(got) == assignments(batch))
+    assert(assignments(got).size == emb.count())
+  }
+
   test("streaming quality gate equals the batch classifier filter") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
