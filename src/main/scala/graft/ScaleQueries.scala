@@ -625,6 +625,21 @@ object ScaleQueries {
         .orderBy("threshold")
     }),
 
+    // exact tie-aware ROC AUC of the same score/label pair: integer
+    // rank sums (ties counted half), one grouped pass + a distinct-score
+    // window — threshold-free ranking power of the quality filter
+    "q_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis
+        .qualityScore(docs, "text")
+        .select(col("doc_id"), col("quality"))
+        .join(
+          docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          Seq("doc_id")
+        )
+      Stats.aucRoc(scored, "quality", "is_en")
+    }),
+
     // Gopher-rule quality flags (minTokens lowered to 20 so the synthetic
     // docs, mostly 20-60 tokens, exercise both sides of every rule)
     "q_gopher" -> ((s, dir) => {
@@ -2914,6 +2929,46 @@ object ScaleQueries {
          |)
          |$rows
          |ORDER BY threshold""".stripMargin
+    },
+
+    "q_auc" -> {
+      val en = TextAnalysis.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+         |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS punct_count,
+         |         CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains([$en], t))) AS INT) AS stops
+         |  FROM documents
+         |), q AS (
+         |  SELECT doc_id,
+         |         ROUND(LEAST(1.0,
+         |           (CAST(stops AS DOUBLE) / n_tokens) * 2.0 +
+         |           (CASE WHEN n_tokens >= 20 AND n_tokens <= 2000 THEN 0.5 ELSE 0.2 END) +
+         |           (CASE WHEN punct_count = 0 THEN 0.1 ELSE 0.0 END)), 6) AS s
+         |  FROM m
+         |), j AS (
+         |  SELECT ROUND(q.s, 6) AS s, (d.lang = 'en') AS l
+         |  FROM q JOIN documents d USING (doc_id)
+         |), g AS (
+         |  SELECT s,
+         |         SUM(CASE WHEN l THEN 1 ELSE 0 END) AS p,
+         |         COUNT(*) AS c
+         |  FROM j GROUP BY s
+         |), r AS (
+         |  SELECT p, c,
+         |         COALESCE(SUM(c) OVER (ORDER BY s
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |  FROM g
+         |), a AS (
+         |  SELECT SUM(p) AS np, SUM(c - p) AS nn,
+         |         SUM(p * (2 * before + c + 1)) AS r2
+         |  FROM r
+         |)
+         |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+         |       ROUND(CASE WHEN np > 0 AND nn > 0
+         |             THEN CAST(r2 - np * (np + 1) AS DOUBLE)
+         |                  / CAST(2 * np * nn AS DOUBLE) END, 6) AS auc
+         |FROM a""".stripMargin
     },
 
     "q_gopher" -> {

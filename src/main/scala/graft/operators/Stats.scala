@@ -380,6 +380,79 @@ object Stats {
       )
   }
 
+  /** Exact tie-aware ROC AUC of a score against a boolean label — the
+    * single-number companion to [[thresholdSweep]] (Mann-Whitney U /
+    * rank-sum form, ties counted half):
+    *
+    *   AUC = (2*R_pos - np*(np+1)) / (2*np*nn)
+    *
+    * where `R_pos` is the ascending-rank sum of positives with average
+    * ranks on ties. The whole computation stays in INTEGERS until the
+    * final division (`2*R_pos` is integral even with .5 average ranks),
+    * accumulated in decimal — exact, order-independent, and
+    * engine-portable at any corpus size. Returns one row
+    * (n_pos, n_neg, auc); AUC is NULL when either class is empty.
+    * Scores are pre-rounded to `scoreDecimals` (same quantization
+    * contract as `Splits.selectByTokenBudget`) so the distinct-score
+    * table is bounded by 10^scoreDecimals no matter the corpus size.
+    *
+    * Scale shape: one hash aggregate groups rows by (rounded) score —
+    * map-side combined, the only pass over the data; the running-count
+    * window then orders the DISTINCT-SCORE table only (bounded by the
+    * quantization, NOT by corpus size — the same provably-tiny
+    * single-partition window as the token-budget prefix), and one more
+    * one-row aggregate finishes. Never a global sort of rows.
+    */
+  def aucRoc(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      scale: Int = 6,
+      scoreDecimals: Int = 6
+  ): DataFrame = {
+    val byScore = ScanUtils
+      .withScanParallelism(
+        df.select(
+          round(col(scoreCol).cast("double"), scoreDecimals).as("__s"),
+          col(labelCol).cast("boolean").as("__l")
+        )
+      )
+      .filter(col("__s").isNotNull && col("__l").isNotNull)
+      .groupBy("__s")
+      .agg(
+        sum(when(col("__l"), 1L).otherwise(0L)).as("__p"),
+        count(lit(1)).as("__c")
+      )
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("__s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = byScore
+      .withColumn("__before", coalesce(sum("__c").over(w), lit(0L)))
+    val agg = ranked.agg(
+      sum(col("__p")).as("__np"),
+      sum(col("__c") - col("__p")).as("__nn"),
+      // 2*R_pos: p * (2*before + c + 1) is exact in integers
+      sum(
+        (col("__p") * (lit(2L) * col("__before") + col("__c") + lit(1L)))
+          .cast("decimal(38,0)")
+      ).as("__r2")
+    )
+    val np = col("__np").cast("decimal(38,0)")
+    val nn = col("__nn").cast("decimal(38,0)")
+    agg.select(
+      col("__np").as("n_pos"),
+      col("__nn").as("n_neg"),
+      round(
+        when(
+          col("__np") > 0 && col("__nn") > 0,
+          (col("__r2") - np * (np + lit(1))).cast("double") /
+            (lit(2) * np * nn).cast("double")
+        ),
+        scale
+      ).as("auc")
+    )
+  }
+
   /** Per-group quantile bucketing — the CCNet head/middle/tail split
     * (Wenzek et al. 2020) generalized: within each `groupCols` group
     * (e.g. language), compute the exact `probs` quantiles of `valueCol`

@@ -2249,6 +2249,30 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("aucRoc computes exact tie-aware AUC, NULL on single-class input") {
+    import graft.operators.Stats
+    // scores: pos {0.9, 0.5, 0.3}, neg {0.5, 0.1} — one tie at 0.5.
+    // pairwise: (0.9 beats both) 2 + (0.5 vs 0.5 tie) 0.5 + (0.5>0.1) 1
+    //         + (0.3<0.5) 0 + (0.3>0.1) 1 = 4.5 of 6 -> AUC 0.75
+    val df = Seq(
+      (0.9, true), (0.5, true), (0.3, true), (0.5, false), (0.1, false)
+    ).toDF("s", "l")
+    val r = Stats.aucRoc(df, "s", "l").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 0.75)
+    // perfect separation -> 1.0; reversed labels -> 0.0
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false)).toDF("s", "l")
+    assert(Stats.aucRoc(perfect, "s", "l").collect().head.getDouble(2) == 1.0)
+    val inverted = Seq((0.9, false), (0.2, true)).toDF("s", "l")
+    assert(Stats.aucRoc(inverted, "s", "l").collect().head.getDouble(2) == 0.0)
+    // single class -> NULL auc
+    val oneClass = Seq((0.9, true), (0.2, true)).toDF("s", "l")
+    assert(Stats.aucRoc(oneClass, "s", "l").collect().head.isNullAt(2))
+    // partition-invariant (integer rank sums)
+    val rep = Stats.aucRoc(df.repartition(5), "s", "l").collect().head
+    assert(rep.getDouble(2) == 0.75)
+  }
+
   test("correlationMatrix is pairwise-complete and exact on known data") {
     import graft.operators.Stats
     val df = Seq(
