@@ -1991,6 +1991,28 @@ object ScaleQueries {
        |)""".stripMargin
   }
 
+  /** DuckDB CTE pair `m, q` computing the per-doc quality score `s`
+    * exactly as TextAnalysis.qualityScore / the q_quality oracle —
+    * shared by the calibration oracles (q_threshold_sweep, q_auc) so the
+    * formula lives in one place. */
+  private def duckQualityScoreCte: String = {
+    val en = TextAnalysis.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
+    s"""m AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+       |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS punct_count,
+       |         CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains([$en], t))) AS INT) AS stops
+       |  FROM documents
+       |), q AS (
+       |  SELECT doc_id,
+       |         ROUND(LEAST(1.0,
+       |           (CAST(stops AS DOUBLE) / n_tokens) * 2.0 +
+       |           (CASE WHEN n_tokens >= 20 AND n_tokens <= 2000 THEN 0.5 ELSE 0.2 END) +
+       |           (CASE WHEN punct_count = 0 THEN 0.1 ELSE 0.0 END)), 6) AS s
+       |  FROM m
+       |)""".stripMargin
+  }
+
   /** DuckDB literal for one hyperplane + its dot-product vs `embedding`. */
   private def duckPlaneDot(plane: Seq[Double]): String = {
     val lit = plane.mkString("[", ", ", "]")
@@ -2883,7 +2905,6 @@ object ScaleQueries {
     },
 
     "q_threshold_sweep" -> {
-      val en = TextAnalysis.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
       val ts = Seq(0.3, 0.5, 0.7, 0.9)
       val sums = ts.zipWithIndex
         .map { case (t, i) =>
@@ -2906,20 +2927,7 @@ object ScaleQueries {
              |FROM a""".stripMargin
         }
         .mkString("\nUNION ALL\n")
-      s"""WITH m AS (
-         |  SELECT doc_id,
-         |         CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
-         |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS punct_count,
-         |         CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains([$en], t))) AS INT) AS stops
-         |  FROM documents
-         |), q AS (
-         |  SELECT doc_id,
-         |         ROUND(LEAST(1.0,
-         |           (CAST(stops AS DOUBLE) / n_tokens) * 2.0 +
-         |           (CASE WHEN n_tokens >= 20 AND n_tokens <= 2000 THEN 0.5 ELSE 0.2 END) +
-         |           (CASE WHEN punct_count = 0 THEN 0.1 ELSE 0.0 END)), 6) AS s
-         |  FROM m
-         |), j AS (
+      s"""WITH $duckQualityScoreCte, j AS (
          |  SELECT q.s, (d.lang = 'en') AS l FROM q JOIN documents d USING (doc_id)
          |), a AS (
          |  SELECT count(*) AS total,
@@ -2932,21 +2940,7 @@ object ScaleQueries {
     },
 
     "q_auc" -> {
-      val en = TextAnalysis.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
-      s"""WITH m AS (
-         |  SELECT doc_id,
-         |         CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
-         |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS punct_count,
-         |         CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains([$en], t))) AS INT) AS stops
-         |  FROM documents
-         |), q AS (
-         |  SELECT doc_id,
-         |         ROUND(LEAST(1.0,
-         |           (CAST(stops AS DOUBLE) / n_tokens) * 2.0 +
-         |           (CASE WHEN n_tokens >= 20 AND n_tokens <= 2000 THEN 0.5 ELSE 0.2 END) +
-         |           (CASE WHEN punct_count = 0 THEN 0.1 ELSE 0.0 END)), 6) AS s
-         |  FROM m
-         |), j AS (
+      s"""WITH $duckQualityScoreCte, j AS (
          |  SELECT ROUND(q.s, 6) AS s, (d.lang = 'en') AS l
          |  FROM q JOIN documents d USING (doc_id)
          |), g AS (

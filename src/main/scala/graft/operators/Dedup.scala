@@ -1230,16 +1230,22 @@ object Dedup {
   ): DataFrame = {
     import graft.functions.VectorFunctions._
     require(threshold >= -1 && threshold <= 1, "threshold must be in [-1, 1]")
+    // materialize the SKINNY assignment once (lazy checkpoint, same trick
+    // as the connected-components fold): the a/b pair sides would
+    // otherwise each re-execute the k-distance-loops-per-row assignment —
+    // the dominant cost at the paper's k — through their uncached lineage
     val slim = Similarity
       .kmeansCluster(df, idCol, vecCol, k, rounds, outCol = "__cl", distCol = "__d")
-      .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("__cl"), col("__d"))
+      .select(col(idCol).as("__id"), col("__cl"), col("__d"))
+      .localCheckpoint(false)
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
     val a = slim.select(col("__cl"), col("__id").as("id_a"), col("__d").as("d_a"))
     val b = slim.select(col("__cl"), col("__id").as("id_b"), col("__d").as("d_b"))
     val pairs = a
       .join(b, Seq("__cl"))
       .filter(col("id_a") < col("id_b"))
-      .join(slim.select(col("__id").as("id_a"), col("__v").as("v_a")), Seq("id_a"))
-      .join(slim.select(col("__id").as("id_b"), col("__v").as("v_b")), Seq("id_b"))
+      .join(vecs.select(col("__id").as("id_a"), col("__v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("__id").as("id_b"), col("__v").as("v_b")), Seq("id_b"))
       .filter(cosineSimilarityNative(col("v_a"), col("v_b")) >= threshold)
     val closer = when(col("d_a") < col("d_b"), col("id_a"))
       .when(col("d_b") < col("d_a"), col("id_b"))

@@ -383,6 +383,14 @@ object Similarity {
           val dim = rows.map(_.getInt(1)).max + 1
           val v = new Array[Float](dim)
           rows.foreach { r =>
+            // a NULL element nulls the whole (cluster, dim) sum — name the
+            // culprit instead of NPE-ing deep in the driver loop
+            require(
+              !r.isNullAt(2),
+              s"null embedding element in cluster $cl dim ${r.getInt(1)}: " +
+                "kmeans requires fully-populated vectors (null VECTORS are " +
+                "filtered; null ELEMENTS are data corruption)"
+            )
             v(r.getInt(1)) =
               (r.getDecimal(2).doubleValue() / 1000000.0 / r.getLong(3).toDouble).toFloat
           }
@@ -407,13 +415,19 @@ object Similarity {
       vecCol: String,
       centroids: Seq[Seq[Float]],
       path: String
-  ): Unit =
+  ): Unit = {
+    // the index must carry the id column probeIvfIndex will read back
+    require(
+      df.columns.contains(idCol),
+      s"idCol '$idCol' not in ${df.columns.mkString(", ")}"
+    )
     kmeansAssign(df, vecCol, centroids, outCol = "cell")
       .drop("sq_dist")
       .write
       .mode("overwrite")
       .partitionBy("cell")
       .parquet(path)
+  }
 
   /** Probe a [[writeIvfIndex]] index: each query's `nProbe` nearest cells
     * are computed driver-side (queries are small by construction), the

@@ -394,14 +394,19 @@ object Stats {
     * (n_pos, n_neg, auc); AUC is NULL when either class is empty.
     * Scores are pre-rounded to `scoreDecimals` (same quantization
     * contract as `Splits.selectByTokenBudget`) so the distinct-score
-    * table is bounded by 10^scoreDecimals no matter the corpus size.
+    * table is bounded by `range(score) * 10^scoreDecimals` regardless
+    * of corpus size. NOTE the range factor: for probabilities/log-odds
+    * the default is provably tiny, but for unbounded scores (raw
+    * counts, unclipped logits) lower `scoreDecimals` to keep the
+    * distinct-score table bounded — rounding is a no-op on values whose
+    * magnitude already exceeds the decimal budget.
     *
     * Scale shape: one hash aggregate groups rows by (rounded) score —
     * map-side combined, the only pass over the data; the running-count
-    * window then orders the DISTINCT-SCORE table only (bounded by the
-    * quantization, NOT by corpus size — the same provably-tiny
-    * single-partition window as the token-budget prefix), and one more
-    * one-row aggregate finishes. Never a global sort of rows.
+    * window then orders the DISTINCT-SCORE table only (bounded as
+    * above, NOT by corpus size — the same single-partition-but-tiny
+    * window as the token-budget prefix), and one more one-row aggregate
+    * finishes. Never a global sort of rows.
     */
   def aucRoc(
       df: DataFrame,
@@ -428,13 +433,16 @@ object Stats {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val ranked = byScore
       .withColumn("__before", coalesce(sum("__c").over(w), lit(0L)))
+    // decimal BEFORE the multiply: p and before are each up to corpus
+    // cardinality, so the product overflows long at multi-billion rows
+    val dp = col("__p").cast("decimal(38,0)")
     val agg = ranked.agg(
       sum(col("__p")).as("__np"),
       sum(col("__c") - col("__p")).as("__nn"),
       // 2*R_pos: p * (2*before + c + 1) is exact in integers
       sum(
-        (col("__p") * (lit(2L) * col("__before") + col("__c") + lit(1L)))
-          .cast("decimal(38,0)")
+        dp * (lit(2).cast("decimal(38,0)") * col("__before").cast("decimal(38,0)") +
+          col("__c").cast("decimal(38,0)") + lit(1).cast("decimal(38,0)"))
       ).as("__r2")
     )
     val np = col("__np").cast("decimal(38,0)")
@@ -462,7 +470,9 @@ object Stats {
     * fluency score this is exactly CCNet's per-language perplexity
     * bucketing. Values exactly on a boundary take the LOWER bucket
     * (same convention as [[equiDepthBins]]); NULL values get a NULL
-    * bucket. `labels.size` must be `probs.size + 1`.
+    * bucket; a NULL group key forms its own group (the join back is
+    * null-safe, so the operator never drops rows). `labels.size` must
+    * be `probs.size + 1`.
     *
     * Scale shape: one aggregate computes the per-group boundary arrays
     * (groups are few by construction — languages, sources); the
@@ -502,9 +512,19 @@ object Stats {
     ) { (acc, i) =>
       acc.when(v <= element_at(col("__qb"), i + 1), lit(labels(i)))
     }
-    df.join(broadcast(bounds), groupCols)
+    // null-SAFE equality: a NULL group key is its own group (groupBy
+    // already produced its boundary row); a plain equi-join would
+    // silently drop those rows from a row-preserving operator
+    val qualified = groupCols.foldLeft(bounds) { (acc, c) =>
+      acc.withColumnRenamed(c, s"__g_$c")
+    }
+    val joinCond = groupCols
+      .map(c => df(c) <=> qualified(s"__g_$c"))
+      .reduce(_ && _)
+    df.join(broadcast(qualified), joinCond)
       .withColumn(outCol, chained.otherwise(lit(labels.last)))
       .drop("__qb")
+      .drop(groupCols.map(c => s"__g_$c"): _*)
   }
 
   /** Equal-frequency (equi-depth) binning: adds `<valueCol>_bin` in

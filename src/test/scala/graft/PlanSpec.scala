@@ -586,13 +586,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"assignment must not join:\n$p")
   }
 
-  test("semDeDup pair join carries cluster/id/dist, vectors attach once per side") {
-    // the within-cluster candidate join must not replicate embeddings;
-    // vectors join back onto surviving pairs (2 joins), and the native
-    // cosine gates the pair filter
+  test("semDeDup pair join reads the checkpointed skinny assignment, no product") {
+    // the within-cluster candidate join must not replicate embeddings OR
+    // re-execute the k-distance assignment per pair side: both sides scan
+    // the checkpointed (id, cluster, dist) table — which structurally
+    // carries no vectors — and the native cosine gates the pair filter
+    // after vectors re-attach
     val p = plan("q_semdedup")
     assert(p.contains("cosine_similarity_native"), p)
-    assert(p.contains("squared_distance_native"), p)
+    assert(p.contains("ExistingRDD"), s"expected checkpointed assignment:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no products allowed:\n$p")
   }
 
   test("quantile bucketing broadcasts the per-group boundary table") {

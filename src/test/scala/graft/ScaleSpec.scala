@@ -2183,6 +2183,25 @@ class ScaleSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Stats.quantileBuckets(in, Seq("g"), "v", Seq(0.5), Seq("a", "b", "c"))
     }
+    // a NULL group key is its own group — rows must NOT be dropped
+    val withNullGroup = in.union(
+      Seq((Option.empty[String], Option(1.0)), (Option.empty[String], Option(9.0)))
+        .toDF("g", "v")
+    )
+    val ng = Stats
+      .quantileBuckets(
+        withNullGroup, Seq("g"), "v",
+        probs = Seq(1.0 / 3, 2.0 / 3),
+        labels = Seq("tail", "middle", "head")
+      )
+    assert(ng.count() == withNullGroup.count(), "null-group rows were dropped")
+    val nullGroupBuckets = ng
+      .filter(col("g").isNull)
+      .select("v", "bucket")
+      .collect()
+      .map(r => r.getDouble(0) -> r.getString(1))
+      .toMap
+    assert(nullGroupBuckets == Map(1.0 -> "tail", 9.0 -> "head"))
   }
 
   test("IVF disk index probes with partition pruning and matches in-memory search") {
