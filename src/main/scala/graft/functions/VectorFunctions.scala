@@ -62,6 +62,19 @@ object VectorFunctions {
     )
   }
 
+  /** Nearest centroid of a vector against a whole codebook in one
+    * codegen'd loop nest: `struct(cluster, sq_dist)`, ties to the lowest
+    * cluster id. Bit-identical to an array-of-[[squaredDistanceNative]]
+    * argmin but stays inside codegen at ANY codebook size (the k-ary
+    * array form blows Janino's method limits past a few hundred
+    * centroids — see [[graft.plans.NearestCentroidExpr]]). */
+  def nearestCentroid(v: Column, centroids: Seq[Seq[Float]]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.plans.NearestCentroidExpr(GraftSqlBridge.expression(v), centroids)
+    )
+  }
+
   /** Sign-bit LSH bucket for a vector under the given hyperplanes: bit p is
     * set iff `v . plane(p) > 0`, packed into an int. Deterministic given the
     * planes; used by `Similarity.annTopK` and the embedding dedup paths to

@@ -314,17 +314,13 @@ object Similarity {
       distCol: String = "sq_dist"
   ): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
+    // single native expression over the whole codebook: stays in codegen
+    // at any k (the k-ary array form bails out past ~hundreds)
     df.filter(col(vecCol).isNotNull)
-      .withColumn(
-        "__cd",
-        array(centroids.map(c => squaredDistanceNative(col(vecCol), typedlit(c))): _*)
-      )
-      .withColumn(
-        outCol,
-        (array_position(col("__cd"), array_min(col("__cd"))) - 1).cast("int")
-      )
-      .withColumn(distCol, round(array_min(col("__cd")), 6))
-      .drop("__cd")
+      .withColumn("__nc", nearestCentroid(col(vecCol), centroids))
+      .withColumn(outCol, col("__nc.cluster"))
+      .withColumn(distCol, round(col("__nc.sq_dist"), 6))
+      .drop("__nc")
   }
 
   /** Train the [[kmeansCluster]] codebook and return it as driver-side
@@ -343,14 +339,7 @@ object Similarity {
     val src = df.filter(col(vecCol).isNotNull)
 
     def assign(centroids: Seq[Seq[Float]], in: DataFrame): DataFrame = in
-      .withColumn(
-        "__cd",
-        array(centroids.map(c => squaredDistanceNative(col(vecCol), typedlit(c))): _*)
-      )
-      .withColumn(
-        "__cl",
-        (array_position(col("__cd"), array_min(col("__cd"))) - 1).cast("int")
-      )
+      .withColumn("__cl", nearestCentroid(col(vecCol), centroids).getField("cluster"))
 
     // model-sized driver actions: k seed vectors, then k*dim sums per round
     var centroids: Seq[Seq[Float]] = src

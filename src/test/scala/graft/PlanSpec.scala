@@ -579,10 +579,11 @@ class PlanSpec extends SparkSpec {
   }
 
   test("kmeans final assignment is join-free per-row compute") {
-    // centroids are driver-side literals: the assignment plan must carry
-    // the native distance expression, not a join against a centroid table
+    // centroids are one codegen'd codebook reference object: the
+    // assignment plan must carry the native nearest-centroid expression,
+    // not a join against a centroid table and not k stacked expressions
     val p = plan("q_kmeans")
-    assert(p.contains("squared_distance_native"), p)
+    assert(p.contains("nearest_centroid_native"), p)
     assert(!p.contains("Join"), s"assignment must not join:\n$p")
   }
 

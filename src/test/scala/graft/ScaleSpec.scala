@@ -1000,6 +1000,42 @@ class ScaleSpec extends SparkSpec {
     assert(diffs == 0, "native squared distance diverged from HOF fold")
   }
 
+  test("native nearest-centroid is bit-identical to the array+argmin spec form") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = e
+      .filter(col("vec_id") % 50 === 0)
+      .orderBy("vec_id")
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toSeq)
+      .toSeq
+    import graft.functions.VectorFunctions._
+    val spec = e.select(
+      col("vec_id"),
+      array(centroids.map(c => squaredDistanceNative(col("embedding"), typedLit(c))): _*)
+        .as("__cd")
+    ).select(
+      col("vec_id"),
+      (array_position(col("__cd"), array_min(col("__cd"))) - 1).cast("int").as("cl"),
+      array_min(col("__cd")).as("d")
+    )
+    val native = e.select(
+      col("vec_id"),
+      nearestCentroid(col("embedding"), centroids).as("__nc")
+    ).select(col("vec_id"), col("__nc.cluster").as("cl"), col("__nc.sq_dist").as("d"))
+    val diffs = spec
+      .join(native, Seq("vec_id"))
+      .filter(spec("cl") =!= native("cl") || spec("d") =!= native("d"))
+      .count()
+    assert(diffs == 0, "nearest-centroid diverged from the array+argmin form")
+    // NULL vector -> NULL struct
+    val nulls = spark.range(1)
+      .select(lit(null).cast("array<float>").as("v"))
+      .select(nearestCentroid(col("v"), centroids).as("nc"))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("annTopK recalls the exact top-1 on real embeddings") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val planes = Similarity.randomHyperplanes(4, 64)
@@ -2290,6 +2326,28 @@ class ScaleSpec extends SparkSpec {
     // partition-invariant (integer rank sums)
     val rep = Stats.aucRoc(df.repartition(5), "s", "l").collect().head
     assert(rep.getDouble(2) == 0.75)
+  }
+
+  test("aucRoc equals the brute-force pairwise win rate on seeded random data") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(42)
+    val data = (1 to 200).map { _ =>
+      // coarse scores force plenty of ties across and within classes
+      (math.round(rnd.nextDouble() * 20) / 20.0, rnd.nextBoolean())
+    }
+    val pos = data.filter(_._2).map(_._1)
+    val neg = data.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expected = wins / (pos.size * neg.size)
+    val got = Stats
+      .aucRoc(data.toDF("s", "l"), "s", "l")
+      .collect()
+      .head
+    assert(got.getLong(0) == pos.size && got.getLong(1) == neg.size)
+    // got is rounded to 6 decimals; compare within half an ulp of that
+    assert(math.abs(got.getDouble(2) - expected) < 5e-7,
+      s"auc ${got.getDouble(2)} != brute force $expected")
   }
 
   test("correlationMatrix is pairwise-complete and exact on known data") {

@@ -314,6 +314,34 @@ class StressSpec extends SparkSpec {
     assert(p == s, s"salted join diverged: $s vs $p")
   }
 
+  test("100x semDeDup: identical-clique collapse at 200k vectors (opt-in)") {
+    // the same exact invariant as the 10x tier below, at a 100x union
+    // with k scaled to hold mean cluster size (~300) constant — the
+    // paper's regime. Opt in with SPARK_GRAFT_STRESS_100X=1.
+    assume(
+      sys.env.contains("SPARK_GRAFT_STRESS_100X"),
+      "set SPARK_GRAFT_STRESS_100X=1 to run the 100x semDeDup stress"
+    )
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val stressed = Stress
+      .selfUnionSkewed(emb, "vec_id", 100, stride)
+      .localCheckpoint()
+    val origIds = emb.select("vec_id").as[Long].collect().toSet
+    val survivors = timed("semDeDup on 200k vectors (k=640)") {
+      Dedup
+        .semDeDup(stressed, "vec_id", "embedding", k = 640, rounds = 2,
+          threshold = 0.99)
+        .select("vec_id")
+        .as[Long]
+        .collect()
+        .toSet
+    }
+    assert(survivors == origIds,
+      s"extra=${(survivors -- origIds).take(5)} missing=${(origIds -- survivors).take(5)}")
+  }
+
   test("semDeDup on a 10x vector corpus collapses every identical clique to its min id") {
     // 10x self-union of the sf0.1 embeddings (20k vectors): copy 0 keeps
     // the original ids, strided copies are exact duplicates. At
