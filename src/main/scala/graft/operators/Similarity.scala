@@ -211,15 +211,17 @@ object Similarity {
     def centroidDists(v: Column): Column =
       array(centroids.map(c => squaredDistanceNative(v, typedlit(c))): _*)
 
+    // corpus side: ONE native codebook expression (argmin with ties to the
+    // lowest cell) — the k-ary distance array would fall out of codegen
+    // for large codebooks; the probe side below genuinely needs all k
+    // distances for nProbe ranking and queries are few, so it keeps the
+    // array form
     val assigned = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
-      .withColumn("__cd", centroidDists(col("__nv")))
-      // argmin: first index attaining the min — ties break to the lowest cell
       .withColumn(
         "__cell",
-        (array_position(col("__cd"), array_min(col("__cd"))) - 1).cast("int")
+        nearestCentroid(col("__nv"), centroids).getField("cluster")
       )
-      .drop("__cd")
 
     // each query probes its nProbe nearest cells (queries are few — the
     // window over (query, cell) rows is trivially small)
