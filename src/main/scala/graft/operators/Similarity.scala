@@ -929,12 +929,11 @@ object Similarity {
       scala.collection.mutable.ArrayBuffer((seedRow.getLong(0), seedRow.getSeq[Float](1)))
     val candidateIds = scala.collection.mutable.Set(candidates.head._1)
 
+    // min distance to the whole batch in ONE codegen'd codebook loop —
+    // the HOF fold (aggregate over a typedlit array) evaluates an
+    // interpreted lambda per batch member per row; min VALUE is identical
     def minDistToBatch(batch: Seq[Seq[Float]]): Column =
-      aggregate(
-        typedlit(batch),
-        lit(Double.MaxValue),
-        (acc, c) => least(acc, squaredDistanceNative(col("__v"), c))
-      )
+      nearestCentroid(col("__v"), batch).getField("sq_dist")
 
     var work = base
       .withColumn(
