@@ -132,8 +132,46 @@ object Bench {
             "null"
         }
       }
+    // semantic-stack throughput: the cluster-then-curate path (train a
+    // codebook, SemDeDup at 10x amplification, cluster-balanced sample)
+    // — one timed pass over the 10x vector corpus, same budget rationale
+    val semThroughput =
+      if (sys.env.contains("SPARK_GRAFT_NO_THROUGHPUT")) "null"
+      else {
+        try {
+          import org.apache.spark.sql.functions.col
+          import graft.operators.{Dedup, Similarity, Splits, Stress, TopN}
+          val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .select("vec_id", "embedding")
+          val stressed = Stress
+            .selfUnionSkewed(emb, "vec_id", copies = 10, idStride = 1000000L)
+            .localCheckpoint()
+          val nRows = stressed.count()
+          val k = 64
+          val t0 = System.nanoTime()
+          val deduped = Dedup.semDeDup(
+            stressed, "vec_id", "embedding", k = k, rounds = 2, threshold = 0.99)
+          val clustered = Similarity.kmeansAssign(
+            deduped, "embedding",
+            Similarity.kmeansTrain(deduped, "vec_id", "embedding", k = k))
+          val out = TopN
+            .firstRow(
+              clustered.withColumn("__bk", Splits.hashBucket(col("vec_id"))),
+              n = 16,
+              partitionBy = Seq(col("cluster")),
+              orderBy = Seq(col("__bk").asc, col("vec_id").asc)
+            )
+            .count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          s"""{"rows":$nRows,"out_rows":$out,"sec":$sec,"rows_per_s":${math.round(nRows / sec)}}"""
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] semantic throughput entry failed: ${e.getMessage}")
+            "null"
+        }
+      }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ok":${results.count(_._3.isEmpty)},"failed":${results.count(_._3.nonEmpty)},"runs":$runs,"throughput":$throughput,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ok":${results.count(_._3.isEmpty)},"failed":${results.count(_._3.nonEmpty)},"runs":$runs,"throughput":$throughput,"semantic_throughput":$semThroughput,"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout capture truncates long lines (only ~16 of 130+
     // per-query medians survived in past rounds) — persist the full artifact
