@@ -1745,6 +1745,29 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // SentencePiece-style unigram-LM tokenizer training (Kudo 2018):
+    // 120-piece vocabulary learned by Viterbi hard-EM over the
+    // distinct-word dictionary. Iterative EM -> rows-only gate (same
+    // policy as q_bpe); segmentation semantics are hand-verified in
+    // ScaleSpec (reconstruction + planted-piece properties).
+    "q_unigram_lm" -> ((s, dir) => {
+      TextAnalysis
+        .unigramLM(t(s, dir, "documents"), "text", vocabSize = 120)
+        .orderBy(col("piece_count").desc, col("piece"))
+    }),
+
+    // true unigram token counts per document under the trained model —
+    // the q_bpe_apply shape with the Viterbi segmenter
+    "q_unigram_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .unigramTokenCounts(
+          docs, "doc_id", "text",
+          TextAnalysis.unigramLM(docs, "text", vocabSize = 120)
+        )
+        .orderBy("doc_id")
+    }),
+
     // data-contract gate: four scalar checks fused into ONE scan pass,
     // plus a keyed uniqueness check and a broadcast referential probe —
     // the dbt-test / expectation-suite shape over the fact table

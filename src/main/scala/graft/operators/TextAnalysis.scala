@@ -1299,6 +1299,227 @@ object TextAnalysis {
       )
   }
 
+  /** Viterbi segmentation of one word under a unigram piece model: the
+    * highest-logprob split using only pieces present in `logprobs`
+    * (single characters are guaranteed present by [[unigramLM]]; unknown
+    * characters fall back to `unkLogprob` so segmentation never fails).
+    * Ties prefer the LONGER piece at the earliest decision point —
+    * deterministic. Driver/executor-local — called per DICTIONARY word,
+    * never per token occurrence (the [[bpeEncodeWord]] contract). */
+  private[graft] def unigramSegmentWord(
+      word: String,
+      logprobs: Map[String, Double],
+      maxPieceLen: Int,
+      unkLogprob: Double = -100.0
+  ): Vector[String] = {
+    val n = word.length
+    if (n == 0) return Vector.empty
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      val lo = math.max(0, i - maxPieceLen)
+      // iterate j ascending: longer pieces first; strict > keeps the
+      // first (longest) winner on ties
+      var j = lo
+      while (j < i) {
+        val piece = word.substring(j, i)
+        val lp = logprobs.getOrElse(
+          piece,
+          if (piece.length == 1) unkLogprob else Double.NegativeInfinity
+        )
+        if (lp != Double.NegativeInfinity && best(j) + lp > best(i)) {
+          best(i) = best(j) + lp
+          back(i) = j
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = List.newBuilder[String]
+    val rev = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = n
+    while (p > 0) { val j = back(p); rev += word.substring(j, p); p = j }
+    out ++= rev.reverse
+    out.result().toVector
+  }
+
+  /** Unigram-LM tokenizer training — the SentencePiece vocabulary learner
+    * (Kudo 2018, arXiv:1804.10959) in its Viterbi hard-EM form: seed a
+    * large candidate vocabulary from frequent substrings, alternate
+    *   E: segment every dictionary word by Viterbi under current piece
+    *      log-probs; count pieces weighted by word frequency,
+    *   M: re-estimate log-probs from the counts,
+    * and prune the lowest-count pieces (never single characters) until
+    * `vocabSize` remains. Returns (piece, piece_count, logprob), counts
+    * from the final E pass, logprobs rounded to 6 decimals. Deterministic:
+    * ties everywhere break lexicographically, so the model is independent
+    * of partitioning. (The paper's soft-EM marginalizes over all
+    * segmentations; the Viterbi variant is the standard hard-EM
+    * simplification and keeps every step an exact integer count.)
+    *
+    * Scale shape: the corpus is scanned ONCE into the (word, count)
+    * dictionary; seeding, every E step, and every prune touch ONLY the
+    * dictionary (distinct-words-sized) via mapPartitions with the
+    * model broadcast — the justified-imperative tier shared with
+    * [[bpeMerges]]/[[bpeEncodeTable]]. Candidate and final vocabularies
+    * are model-sized driver collects by construction. No step ever
+    * segments a token occurrence.
+    */
+  def unigramLM(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      maxPieceLen: Int = 8,
+      seedMultiplier: Int = 4,
+      emRounds: Int = 2,
+      pruneFraction: Double = 0.25
+  ): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
+    require(seedMultiplier >= 1, "seedMultiplier must be >= 1")
+    require(emRounds >= 1, "emRounds must be >= 1")
+    require(
+      pruneFraction > 0 && pruneFraction < 1,
+      "pruneFraction must be in (0, 1)"
+    )
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy("__w")
+      .agg(count(lit(1)).as("__n"))
+      .as[(String, Long)]
+      .localCheckpoint()
+
+    // seed: frequent substrings (dictionary-only pass) + every character
+    val subCounts = words
+      .mapPartitions { it =>
+        it.flatMap { case (w, n) =>
+          for {
+            s <- 0 until w.length
+            e <- (s + 1) to math.min(w.length, s + maxPieceLen)
+          } yield (w.substring(s, e), n)
+        }
+      }
+      .toDF("__p", "__n")
+      .groupBy("__p")
+      .agg(sum("__n").as("__c"))
+    val chars = subCounts.filter(length(col("__p")) === 1)
+    val seeds = subCounts
+      .filter(length(col("__p")) > 1)
+      .orderBy(col("__c").desc, col("__p"))
+      .limit(math.max(0, vocabSize * seedMultiplier))
+      .union(chars)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val charSet = seeds.collect { case (p, _) if p.length == 1 => p }.toSet
+
+    def mStep(counts: Seq[(String, Long)]): Map[String, Double] = {
+      val total = counts.map(_._2).sum.toDouble
+      counts.map { case (p, c) =>
+        p -> (math.log(c.toDouble) - math.log(total))
+      }.toMap
+    }
+
+    def eStep(model: Map[String, Double]): Seq[(String, Long)] = {
+      val bc = spark.sparkContext.broadcast(model)
+      val counted = words
+        .mapPartitions { it =>
+          val m = bc.value
+          it.flatMap { case (w, n) =>
+            unigramSegmentWord(w, m, maxPieceLen).map(_ -> n)
+          }
+        }
+        .toDF("__p", "__n")
+        .groupBy("__p")
+        .agg(sum("__n").as("__c"))
+        .collect() // model-sized: bounded by the candidate vocabulary
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toSeq
+      // characters must stay segmentable even when currently unused
+      val present = counted.map(_._1).toSet
+      counted ++ charSet.diff(present).toSeq.sorted.map(_ -> 1L)
+    }
+
+    var counts: Seq[(String, Long)] = seeds.toSeq
+    (1 to emRounds).foreach(_ => counts = eStep(mStep(counts)))
+    while (counts.size > math.max(vocabSize, charSet.size)) {
+      val target =
+        math.max(math.max(vocabSize, charSet.size),
+          (counts.size * (1 - pruneFraction)).toInt)
+      val (keepAlways, prunable) = counts.partition(_._1.length == 1)
+      val kept = prunable
+        .sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, target - keepAlways.size))
+      counts = keepAlways ++ kept
+      (1 to emRounds).foreach(_ => counts = eStep(mStep(counts)))
+    }
+    val model = mStep(counts)
+    counts
+      .sortBy { case (p, c) => (-c, p) }
+      .map { case (p, c) =>
+        (p, c, math.rint(model(p) * 1e6) / 1e6)
+      }
+      .toDF("piece", "piece_count", "logprob")
+  }
+
+  /** True unigram-LM token counts per document: segment every DISTINCT
+    * word once under a trained [[unigramLM]] model and sum per-word piece
+    * counts back over each document's occurrences — the [[bpeTokenCounts]]
+    * shape with the Viterbi segmenter. Returns one row per non-null-text
+    * document: (id, ws_tokens, unigram_tokens). */
+  def unigramTokenCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: DataFrame,
+      maxPieceLen: Int = 8
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probs = model
+      .select("piece", "logprob")
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    val bc = spark.sparkContext.broadcast(probs)
+    val base = df.filter(col(textCol).isNotNull)
+    val dict = base
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map(w => (w, unigramSegmentWord(w, m, maxPieceLen).length))
+      }
+      .toDF("__w", "__p")
+    val occ = base
+      .select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val counts = occ
+      .join(dict, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("__c").cast("int").as("ws_tokens"),
+        sum(col("__c") * col("__p")).cast("int").as("unigram_tokens")
+      )
+    base
+      .select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("ws_tokens"), lit(0)).as("ws_tokens"),
+        coalesce(col("unigram_tokens"), lit(0)).as("unigram_tokens")
+      )
+  }
+
   /** Cross-document boilerplate removal (the CCNet/RefinedWeb paragraph
     * dedup): split each text on `delimiter`, count how many DISTINCT
     * documents contain each unit, strip units appearing in more than

@@ -2787,6 +2787,60 @@ class ScaleSpec extends SparkSpec {
     assert(picked == again)
   }
 
+  test("unigramLM learns planted pieces; Viterbi reconstructs every word") {
+    // corpus dominated by the piece "ab": the learner must keep it
+    val docs = Seq(
+      (1L, "abab abab abab ababab cd cd"),
+      (2L, "abcd abcd ab ab ab")
+    ).toDF("doc_id", "text")
+    val model = TextAnalysis
+      .unigramLM(docs, "text", vocabSize = 6, maxPieceLen = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val pieces = model.map(_._1).toSet
+    // all single characters present; the dominant bigram survives pruning
+    assert(Set("a", "b", "c", "d").subsetOf(pieces), s"$pieces")
+    assert(pieces.contains("ab"), s"'ab' pruned: $pieces")
+    assert(model.forall(_._3 <= 0.0), "logprobs must be <= 0")
+    // Viterbi under the final model reconstructs every dictionary word
+    val probs = model.map(m => m._1 -> m._3).toMap
+    Seq("abab", "ababab", "cd", "abcd", "ab").foreach { w =>
+      val seg = TextAnalysis.unigramSegmentWord(w, probs, maxPieceLen = 4)
+      assert(seg.mkString == w, s"$w -> $seg")
+    }
+    // deterministic: the model is partition-invariant
+    val rep = TextAnalysis
+      .unigramLM(docs.repartition(7), "text", vocabSize = 6, maxPieceLen = 4)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rep.toSeq == model.toSeq)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.unigramLM(docs, "text", vocabSize = 0)
+    }
+  }
+
+  test("unigramTokenCounts sums dictionary segmentations per document") {
+    val docs = Seq(
+      (1L, "abab abab abab ababab cd cd"),
+      (2L, "abcd abcd ab ab ab"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val model = TextAnalysis.unigramLM(docs, "text", vocabSize = 6, maxPieceLen = 4)
+    val probs = model.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    def segLen(w: String) =
+      TextAnalysis.unigramSegmentWord(w, probs, maxPieceLen = 4).length
+    val got = TextAnalysis
+      .unigramTokenCounts(docs, "doc_id", "text", model, maxPieceLen = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2)))
+      .toMap
+    // doc 1: words abab x3, ababab, cd x2
+    assert(got(1L) ==
+      ((6, 3 * segLen("abab") + segLen("ababab") + 2 * segLen("cd"))))
+    assert(got(2L) == ((5, 2 * segLen("abcd") + 3 * segLen("ab"))))
+    assert(!got.contains(3L), "null-text docs are excluded")
+  }
+
   test("bpeMerges learns the classic merge sequence on a planted dictionary") {
     // Sennrich-style toy corpus: {low x5, lowest x2}. Symbol pairs round 1
     // (weighted): (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2, (e,s)=2, (s,t)=2,
