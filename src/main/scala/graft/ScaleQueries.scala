@@ -1105,6 +1105,34 @@ object ScaleQueries {
         .orderBy("o_orderkey")
     }),
 
+    // per-key snapshot diff: which keys were added/removed/changed by a
+    // refresh — the audit run before replacing an archive version. Old and
+    // new sides are derived deterministically from orders (mod filters +
+    // a planted price bump) so every status is exercised
+    "q_snapshot_diff" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val oldSnap = orders
+        .filter(col("o_orderkey") % 11 =!= 0)
+        .select("o_orderkey", "o_totalprice")
+      val newSnap = orders
+        .filter(col("o_orderkey") % 7 =!= 0)
+        .select(
+          col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice"))
+            .as("o_totalprice")
+        )
+      graft.sources.Tables
+        .snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"))
+        .groupBy("status")
+        .agg(
+          count(lit(1)).as("n"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key")
+        )
+        .orderBy("status")
+    }),
+
     // corpus duplication health check (one-row summary)
     "q_dup_report" -> ((s, dir) => {
       Dedup.duplicationReport(t(s, dir, "documents"), "text")
@@ -3404,6 +3432,26 @@ object ScaleQueries {
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin,
 
+    "q_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 11 <> 0
+        |), n AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |), d AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS k,
+        |         CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |              WHEN n.o_orderkey IS NULL THEN 'removed'
+        |              WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+        |)
+        |SELECT status, count(*) AS n,
+        |       CAST(min(k) AS BIGINT) AS min_key,
+        |       CAST(max(k) AS BIGINT) AS max_key
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
     "q_upsert_archive" ->
       """WITH existing AS (
         |  SELECT *, 0 AS src FROM orders WHERE o_orderkey % 3 <> 0

@@ -166,6 +166,61 @@ object Tables {
       .drop("__src")
   }
 
+  /** Per-key diff between two snapshots of the same table: one row per
+    * key present in either side with
+    * `status in {added, removed, changed, unchanged}` — the audit that
+    * runs before replacing an archive version (did this refresh really
+    * only touch what it claimed?). `compareCols` defaults to every shared
+    * non-key column; comparisons are null-SAFE (`NULL -> NULL` is
+    * unchanged, `NULL -> value` is changed).
+    *
+    * Scale shape: ONE full-outer shuffle join on the key (inherent to a
+    * diff; AQE handles skew) — each side is pre-projected to
+    * key + compared columns, so no unrelated width rides the shuffle.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String] = Nil
+  ): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
+    keys.foreach { k =>
+      require(oldDf.columns.contains(k), s"key '$k' missing from old side")
+      require(newDf.columns.contains(k), s"key '$k' missing from new side")
+    }
+    val cmp =
+      if (compareCols.nonEmpty) compareCols
+      else
+        oldDf.columns.toSeq
+          .filter(newDf.columns.contains)
+          .filterNot(keys.contains)
+    cmp.foreach { c =>
+      require(oldDf.columns.contains(c), s"compare column '$c' missing from old side")
+      require(newDf.columns.contains(c), s"compare column '$c' missing from new side")
+    }
+    val o = oldDf.select(
+      (keys.map(col) :+ lit(1).as("__in_old")) ++
+        cmp.map(c => col(c).as(s"__o_$c")): _*
+    )
+    val n = newDf.select(
+      (keys.map(col) :+ lit(1).as("__in_new")) ++
+        cmp.map(c => col(c).as(s"__n_$c")): _*
+    )
+    val changed =
+      if (cmp.isEmpty) lit(false)
+      else cmp.map(c => !(col(s"__o_$c") <=> col(s"__n_$c"))).reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn(
+        "status",
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged"))
+      )
+      .select(keys.map(col) :+ col("status"): _*)
+  }
+
   /** Distinct archive versions as sorted strings.
     * Mirrors reference `table_management.py:141-159`. */
   def getArchiveVersions(

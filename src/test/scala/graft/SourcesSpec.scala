@@ -315,6 +315,47 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff labels added/removed/changed/unchanged, null-safely") {
+    val oldSnap = Seq(
+      (1L, Option("a")),  // unchanged
+      (2L, Option("b")),  // changed (value)
+      (3L, Option.empty[String]), // unchanged (NULL == NULL)
+      (4L, Option("d")),  // changed (value -> NULL)
+      (5L, Option("e"))   // removed
+    ).toDF("k", "v")
+    val newSnap = Seq(
+      (1L, Option("a")),
+      (2L, Option("B")),
+      (3L, Option.empty[String]),
+      (4L, Option.empty[String]),
+      (6L, Option("f"))   // added
+    ).toDF("k", "v")
+    val got = Tables
+      .snapshotDiff(oldSnap, newSnap, Seq("k"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(got == Map(
+      1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "changed", 5L -> "removed", 6L -> "added"
+    ), s"$got")
+    // no shared non-key columns -> everything present on both sides is
+    // unchanged by definition
+    val keysOnly = Tables
+      .snapshotDiff(oldSnap.select("k"), newSnap.select("k"), Seq("k"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(keysOnly(1L) == "unchanged" && keysOnly(5L) == "removed"
+      && keysOnly(6L) == "added")
+    intercept[IllegalArgumentException] {
+      Tables.snapshotDiff(oldSnap, newSnap, Seq("missing"))
+    }
+    intercept[IllegalArgumentException] {
+      Tables.snapshotDiff(oldSnap, newSnap, Seq("k"), Seq("nope"))
+    }
+  }
+
   test("retainArchiveVersions keeps only the newest k snapshots") {
     val archive = Seq(
       (1L, "2024-01-01"), (2L, "2024-01-01"),
