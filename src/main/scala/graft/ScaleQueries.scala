@@ -597,6 +597,31 @@ object ScaleQueries {
         .orderBy("doc_id")
     }),
 
+    // token-budget mixture allocation: the LLaMA-style data-recipe table
+    // (per-source allocation + epochs under a budget, caps at 1 epoch,
+    // one deterministic redistribution pass) — integer ppm arithmetic
+    "q_mixture_alloc" -> ((s, dir) => {
+      val bySource = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .groupBy("source")
+        .agg(sum(size(graft.functions.TextFunctions.tokens(col("text")))).as("tokens"))
+      Splits
+        .mixtureAllocation(
+          bySource, "source", "tokens",
+          targetWeights = Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+          totalBudget = 4000L
+        )
+        .orderBy("source")
+    }),
+
+    // per-doc character entropy: the cheap gibberish/template-spam signal
+    // (low entropy = repetitive padding, high = binary-in-text)
+    "q_char_entropy" -> ((s, dir) => {
+      TextAnalysis
+        .charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // quality metrics
     "q_quality" -> ((s, dir) => {
       TextAnalysis
@@ -2954,6 +2979,64 @@ object ScaleQueries {
          |         (CASE WHEN punct_count = 0 THEN 0.1 ELSE 0.0 END)), 6) AS quality
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "q_mixture_alloc" -> {
+      // ppm literals computed by the SAME normalization as the operator,
+      // so the only data-dependent inputs are the per-source token sums
+      val weights = Seq("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2)
+      val wSum = weights.map(_._2).sum
+      val vals = weights
+        .map { case (s, w) => s"('$s', ${math.round(w / wSum * 1e6)})" }
+        .mkString(", ")
+      val budget = 4000L
+      s"""WITH a AS (
+         |  SELECT source, SUM(len(string_split(lower(text), ' '))) AS av
+         |  FROM documents WHERE text IS NOT NULL GROUP BY source
+         |), w(source, wq) AS (VALUES $vals),
+         |j AS (
+         |  SELECT w.source, CAST(COALESCE(a.av, 0) AS BIGINT) AS av, w.wq,
+         |         ($budget * w.wq) // 1000000 AS want,
+         |         (CAST(COALESCE(a.av, 0) AS BIGINT) * 1000000) // 1000000 AS cap
+         |  FROM w LEFT JOIN a USING (source)
+         |), f AS (
+         |  SELECT *, LEAST(want, cap) AS a1 FROM j
+         |), g AS (
+         |  SELECT *,
+         |         (SELECT $budget - SUM(a1) FROM f) AS leftover,
+         |         (SELECT COALESCE(SUM(wq) FILTER (WHERE a1 < cap), 0) FROM f) AS up
+         |  FROM f
+         |), h AS (
+         |  SELECT source, av, wq, cap,
+         |         a1 + CASE WHEN a1 < cap AND up > 0 AND leftover > 0
+         |              THEN LEAST((leftover * wq) // up, cap - a1)
+         |              ELSE 0 END AS alloc
+         |  FROM g
+         |)
+         |SELECT source, av AS available_tokens,
+         |       CAST(wq AS BIGINT) AS weight_ppm,
+         |       CAST(alloc AS BIGINT) AS allocated_tokens,
+         |       ROUND(CASE WHEN av > 0 THEN CAST(alloc AS DOUBLE) / av
+         |             ELSE 0.0 END, 6) AS epochs,
+         |       (alloc = cap) AS capped
+         |FROM h ORDER BY source""".stripMargin
+    },
+
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, length(text) + 1), i -> text[i])) AS c
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |), cc AS (
+        |  SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+        |), t AS (
+        |  SELECT doc_id, SUM(k) AS n FROM cc GROUP BY doc_id
+        |)
+        |SELECT cc.doc_id, CAST(t.n AS INT) AS n_chars,
+        |       ROUND(CAST(SUM(CAST(ROUND(
+        |         -(CAST(k AS DOUBLE) / n) * (ln(CAST(k AS DOUBLE) / n) / ln(2.0)),
+        |         9) AS DECIMAL(19,9))) AS DOUBLE), 6) AS char_entropy
+        |FROM cc JOIN t USING (doc_id)
+        |GROUP BY cc.doc_id, t.n ORDER BY doc_id""".stripMargin,
 
     "q_threshold_sweep" -> {
       val ts = Seq(0.3, 0.5, 0.7, 0.9)

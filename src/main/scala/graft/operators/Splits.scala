@@ -560,4 +560,88 @@ object Splits {
           .as("checksum")
       )
   }
+
+  /** Token-budget mixture allocation — the "data recipe" planner (the
+    * LLaMA-style per-source sampling-proportion/epoch table computed
+    * BEFORE any sampling runs): given per-source available token counts,
+    * target mixture weights, and a total token budget,
+    *
+    *   1. each source wants `budget * weight` tokens, capped at
+    *      `available * maxEpochs`;
+    *   2. the unfilled remainder is redistributed ONCE across the
+    *      not-yet-capped sources proportionally to their weights (single
+    *      deterministic pass — exact water-filling would iterate; the
+    *      residue after one pass is reported as unallocated budget, never
+    *      silently spread).
+    *
+    * All arithmetic is INTEGER: weights are normalized to parts-per-
+    * million (`weight_ppm`) and every allocation is an integer floor —
+    * exact, order-independent, engine-portable. Returns one row per
+    * weighted source: (source, available_tokens, weight_ppm,
+    * allocated_tokens, epochs, capped); `epochs = allocated/available`
+    * rounded to 6. Feed the result into [[weightedRepeatByTable]] /
+    * [[selectByTokenBudget]] to execute the plan.
+    *
+    * Scale shape: `tokensBySource` is one row per source — model-sized by
+    * construction (an upstream map-side-combined aggregate); the math is
+    * a driver computation like every model table, and the corpus itself
+    * is never touched here.
+    */
+  def mixtureAllocation(
+      tokensBySource: DataFrame,
+      sourceCol: String,
+      tokensCol: String,
+      targetWeights: Seq[(String, Double)],
+      totalBudget: Long,
+      maxEpochs: Double = 1.0
+  ): DataFrame = {
+    require(targetWeights.nonEmpty, "need at least one target weight")
+    require(targetWeights.forall(_._2 > 0), "weights must be positive")
+    require(
+      targetWeights.map(_._1).distinct.size == targetWeights.size,
+      "duplicate source in targetWeights"
+    )
+    require(totalBudget >= 0, "totalBudget must be >= 0")
+    require(maxEpochs > 0, "maxEpochs must be positive")
+    val spark = tokensBySource.sparkSession
+    import spark.implicits._
+    val avail = tokensBySource
+      .select(col(sourceCol).cast("string"), col(tokensCol).cast("long"))
+      .collect() // one row per source: model-sized
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val wSum = targetWeights.map(_._2).sum
+    val ppm = targetWeights.map { case (s, w) =>
+      s -> math.round(w / wSum * 1e6)
+    }
+    val epochsPpm = math.round(maxEpochs * 1e6)
+    val rows = ppm.map { case (s, wq) =>
+      val av = avail.getOrElse(s, 0L)
+      val want = BigInt(totalBudget) * wq / 1000000
+      val cap = BigInt(av) * epochsPpm / 1000000
+      val alloc1 = want.min(cap)
+      (s, av, wq, alloc1, cap)
+    }
+    val leftover = BigInt(totalBudget) - rows.map(_._4).sum
+    val uncappedPpm = rows.collect { case (_, _, wq, a1, cap) if a1 < cap => wq }.sum
+    val out = rows.map { case (s, av, wq, a1, cap) =>
+      val extra =
+        if (a1 < cap && uncappedPpm > 0 && leftover > 0)
+          (leftover * wq / uncappedPpm).min(cap - a1)
+        else BigInt(0)
+      val alloc = (a1 + extra).toLong
+      val epochs =
+        if (av > 0)
+          // HALF_UP like Spark/DuckDB ROUND, not rint's half-even
+          BigDecimal(alloc.toDouble / av)
+            .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        else 0.0
+      (s, av, wq, alloc, epochs, BigInt(alloc) == cap)
+    }
+    out.toDF(
+      sourceCol, "available_tokens", "weight_ppm",
+      "allocated_tokens", "epochs", "capped"
+    )
+  }
 }

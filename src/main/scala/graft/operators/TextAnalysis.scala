@@ -40,6 +40,57 @@ object TextAnalysis {
     scored.withColumn("lang_pred", pred)
   }
 
+  /** Per-document character-level Shannon entropy (bits): low entropy
+    * flags gibberish, padding runs, and template spam that length/stopword
+    * heuristics miss; very high entropy flags binary-in-text. The classic
+    * cheap companion signal to [[qualityScore]] — threshold downstream
+    * with a plain filter. Documents with NULL/empty text are absent.
+    *
+    * Exactness: character counts are integers; the entropy sum runs over
+    * the per-(doc, char) count table in DOUBLES but each term is
+    * quantized to 9 decimals and summed in decimal — order-independent
+    * and engine-reproducible; the final value is rounded to 6.
+    *
+    * Scale shape: explode characters → (doc, char) hash aggregate
+    * (map-side combined, keys subdivide documents) → per-doc aggregate
+    * joined with the doc-length count. No windows, no sorts.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = ScanUtils
+      .withScanParallelism(df)
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(
+        col(idCol),
+        explode(filter(split(col(textCol), ""), s => length(s) > 0)).as("__ch")
+      )
+      .groupBy(col(idCol), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = counts
+      .groupBy(col(idCol))
+      .agg(sum("__c").as("__t"))
+    counts
+      .join(totals, Seq(idCol))
+      .select(
+        col(idCol),
+        col("__t"),
+        // -p * log2(p), quantized per term BEFORE the sum
+        round(
+          -(col("__c").cast("double") / col("__t")) *
+            (log(col("__c").cast("double") / col("__t")) / log(lit(2.0))),
+          9
+        ).cast("decimal(19,9)").as("__h")
+      )
+      // __t is functionally dependent on the id — grouping on both avoids
+      // a first() pick and keeps the aggregate deterministic by shape
+      .groupBy(col(idCol), col("__t"))
+      .agg(round(sum("__h").cast("double"), 6).as("char_entropy"))
+      .select(
+        col(idCol),
+        col("__t").cast("int").as("n_chars"),
+        col("char_entropy")
+      )
+  }
+
   /** Quality heuristics: length, token count, mean token length, punctuation
     * ratio, stopword ratio, and a composite `quality` in [0,1]. Integer
     * counts and deterministic double arithmetic only (oracle-exact). */

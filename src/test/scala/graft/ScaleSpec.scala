@@ -2304,6 +2304,62 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("charEntropy: uniform text = log2(alphabet), constant text = 0") {
+    val df = Seq(
+      (1L, "abab"),      // p(a)=p(b)=.5 -> 1 bit
+      (2L, "aaaa"),      // constant -> 0
+      (3L, "abcd"),      // 4 uniform chars -> 2 bits
+      (4L, null.asInstanceOf[String]),
+      (5L, "")
+    ).toDF("id", "text")
+    val got = TextAnalysis
+      .charEntropy(df, "id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    assert(got(1L) == ((4, 1.0)))
+    assert(got(2L) == ((4, 0.0)))
+    assert(got(3L) == ((4, 2.0)))
+    assert(!got.contains(4L) && !got.contains(5L))
+  }
+
+  test("mixtureAllocation caps, redistributes once, all-integer") {
+    import spark.implicits._
+    val avail = Seq(("a", 1000L), ("b", 10000L), ("c", 10000L))
+      .toDF("source", "tokens")
+    // budget 10000 at .5/.3/.2: a wants 5000 but caps at 1000; leftover
+    // 4000 redistributes over b (300000ppm) and c (200000ppm)
+    val got = Splits
+      .mixtureAllocation(
+        avail, "source", "tokens",
+        Seq("a" -> 0.5, "b" -> 0.3, "c" -> 0.2),
+        totalBudget = 10000L
+      )
+      .orderBy("source")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(got(0) == (("a", 1000L, 500000L, 1000L, 1.0, true)))
+    // b: want 3000 + extra floor(4000*300000/500000)=2400 -> 5400
+    assert(got(1) == (("b", 10000L, 300000L, 5400L, 0.54, false)))
+    // c: want 2000 + extra floor(4000*200000/500000)=1600 -> 3600
+    assert(got(2) == (("c", 10000L, 200000L, 3600L, 0.36, false)))
+    // a source with no data allocates 0 and reports epochs 0
+    val missing = Splits
+      .mixtureAllocation(
+        avail.filter(col("source") =!= "a"), "source", "tokens",
+        Seq("a" -> 1.0), totalBudget = 100L
+      )
+      .collect()
+      .head
+    assert(missing.getLong(3) == 0L && missing.getDouble(4) == 0.0
+      && missing.getBoolean(5))
+    intercept[IllegalArgumentException] {
+      Splits.mixtureAllocation(avail, "source", "tokens",
+        Seq("a" -> -1.0), 100L)
+    }
+  }
+
   test("aucRoc computes exact tie-aware AUC, NULL on single-class input") {
     import graft.operators.Stats
     // scores: pos {0.9, 0.5, 0.3}, neg {0.5, 0.1} — one tie at 0.5.
