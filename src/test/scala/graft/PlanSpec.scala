@@ -578,6 +578,13 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("snapshot diff is one pre-projected full-outer join, never a product") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("FullOuter"), s"expected a full-outer key join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"diff must join on the key:\n$p")
+  }
+
   test("kmeans final assignment is join-free per-row compute") {
     // centroids are one codegen'd codebook reference object: the
     // assignment plan must carry the native nearest-centroid expression,
