@@ -882,6 +882,21 @@ object ScaleQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // top-50 within-session 3-step event-type paths (sequential patterns)
+    "q_session_paths" -> ((s, dir) => {
+      Sessionize
+        .frequentPaths(events(s, dir), gapSeconds = 1800, pathLen = 3)
+        .orderBy(col("n_occurrences").desc, col("path"))
+        .limit(50)
+    }),
+
+    // within-session event-type transition matrix (first-order Markov)
+    "q_event_transitions" -> ((s, dir) => {
+      Sessionize
+        .eventTransitions(events(s, dir), gapSeconds = 1800)
+        .orderBy("from_type", "to_type")
+    }),
+
     // tumbling 1h event-time windows
     "q_window_1h" -> ((s, dir) => {
       Sessionize
@@ -1470,6 +1485,28 @@ object ScaleQueries {
       TextAnalysis
         .corpusReport(t(s, dir, "documents"), "text", "source")
         .orderBy("source")
+    }),
+
+    // unigram-distribution divergence between the en and de corpus slices
+    "q_vocab_divergence" -> ((s, dir) => {
+      TextAnalysis
+        .vocabDivergence(
+          t(s, dir, "documents"), "text", "lang", "en", "de", smoothing = 0.5
+        )
+    }),
+
+    // sorted-neighborhood dedup candidates over the normalized text prefix:
+    // near-identical openings land adjacent in the per-block sort and pair
+    // within a 4-row window; dist verifies (<= 12 keeps real near-dups)
+    "q_snm_pairs" -> ((s, dir) => {
+      Dedup
+        .sortedNeighborhoodPairs(
+          t(s, dir, "documents")
+            .select(col("doc_id"), substring(col("text"), 1, 40).as("head")),
+          "doc_id", "head", windowSize = 4, blockChars = 3
+        )
+        .filter(col("dist") <= 12)
+        .orderBy("id_a", "id_b")
     }),
 
     // sparse TF-IDF cosine document pairs via inverted index
@@ -3225,6 +3262,58 @@ object ScaleQueries {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin,
 
+    "q_session_paths" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |), p AS (
+        |  SELECT user_id, sid, event_type,
+        |         lag(event_type, 2) OVER w2 AS t2,
+        |         lag(event_type, 1) OVER w2 AS t1
+        |  FROM s
+        |  WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
+        |), g AS (
+        |  SELECT t2 || '>' || t1 || '>' || event_type AS path,
+        |         user_id || '#' || CAST(sid AS BIGINT) AS sess
+        |  FROM p WHERE t2 IS NOT NULL
+        |)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |       CAST(count(DISTINCT sess) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY path
+        |ORDER BY n_occurrences DESC, path LIMIT 50""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |), p AS (
+        |  SELECT event_type,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id, sid ORDER BY ts, event_id) AS ft
+        |  FROM s
+        |), c AS (
+        |  SELECT ft AS from_type, event_type AS to_type, count(*) AS n
+        |  FROM p WHERE ft IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+        |       round(CAST(n AS DOUBLE) /
+        |             CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+        |         AS p_transition
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
     "q_gap_fill" ->
       """WITH e AS (
         |  SELECT user_id, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS b
@@ -3999,6 +4088,59 @@ object ScaleQueries {
         |        / (count(*) - SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)), 6)
         |    AS avg_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_vocab_divergence" ->
+      """WITH c AS (
+        |  SELECT t, SUM(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS ca,
+        |            SUM(CASE WHEN g = 'de' THEN 1 ELSE 0 END) AS cb
+        |  FROM (SELECT lang AS g, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents WHERE lang IN ('en', 'de') AND text IS NOT NULL)
+        |  GROUP BY t
+        |), tot AS (
+        |  SELECT CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb,
+        |         CAST(COUNT(*) AS DOUBLE) AS v,
+        |         SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS va,
+        |         SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS vb,
+        |         SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS vs
+        |  FROM c
+        |), pq AS (
+        |  SELECT (CAST(ca AS DOUBLE) + 0.5) / (na + 0.5 * v) AS p,
+        |         (CAST(cb AS DOUBLE) + 0.5) / (nb + 0.5 * v) AS q,
+        |         va, vb, vs
+        |  FROM c, tot
+        |), terms AS (
+        |  SELECT CAST(round(p * ln(p / q), 12) AS DECIMAL(28,12)) AS kab,
+        |         CAST(round(q * ln(q / p), 12) AS DECIMAL(28,12)) AS kba,
+        |         CAST(round(p * ln(p / ((p + q) / 2.0)) / 2 +
+        |                    q * ln(q / ((p + q) / 2.0)) / 2, 12)
+        |              AS DECIMAL(28,12)) AS jt,
+        |         va, vb, vs
+        |  FROM pq
+        |)
+        |SELECT CAST(va AS BIGINT) AS n_vocab_a, CAST(vb AS BIGINT) AS n_vocab_b,
+        |       CAST(vs AS BIGINT) AS n_vocab_shared,
+        |       round(CAST(SUM(kab) AS DOUBLE), 6) AS kl_ab,
+        |       round(CAST(SUM(kba) AS DOUBLE), 6) AS kl_ba,
+        |       round(CAST(SUM(jt) AS DOUBLE), 6) AS jsd
+        |FROM terms GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_snm_pairs" ->
+      """WITH r AS (
+        |  SELECT doc_id, k, substr(k, 1, 3) AS blk,
+        |         row_number() OVER (
+        |           PARTITION BY substr(k, 1, 3) ORDER BY k, doc_id) AS rn
+        |  FROM (SELECT doc_id, lower(trim(substr(text, 1, 40))) AS k
+        |        FROM documents WHERE text IS NOT NULL)
+        |)
+        |SELECT CASE WHEN a.doc_id <= b.doc_id THEN a.doc_id ELSE b.doc_id END AS id_a,
+        |       CASE WHEN a.doc_id <= b.doc_id THEN b.doc_id ELSE a.doc_id END AS id_b,
+        |       CASE WHEN a.doc_id <= b.doc_id THEN a.k ELSE b.k END AS key_a,
+        |       CASE WHEN a.doc_id <= b.doc_id THEN b.k ELSE a.k END AS key_b,
+        |       CAST(levenshtein(a.k, b.k) AS INT) AS dist
+        |FROM r a JOIN r b
+        |  ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 4
+        |WHERE levenshtein(a.k, b.k) <= 12
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_tfidf_pairs" ->
       """WITH tok AS (

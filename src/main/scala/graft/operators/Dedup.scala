@@ -1292,4 +1292,71 @@ object Dedup {
       )
       .filter(col("cosine") >= threshold)
   }
+  /** Sorted-neighborhood candidate pairs (Hernandez & Stolfo 1995, the
+    * blocked variant): rows are sorted by a normalized blocking key WITHIN
+    * a `blockChars`-prefix block, and every row pairs with the next
+    * `windowSize` rows of its block; each candidate carries the
+    * levenshtein distance of the keys for downstream verification. The
+    * classic entity-resolution alternative to LSH blocking: catches typo
+    * neighbors that hash-based banding scatters, at O(windowSize) pairs
+    * per row.
+    *
+    * Unlike the textbook formulation there is NO global sort: the prefix
+    * block is the shuffle key (one exchange + within-partition sort for
+    * the row_number), and the adjacency join is a pure equi-join on
+    * (block, rank) — each left row explodes into `windowSize` probe ranks.
+    * The tradeoff is inherited from blocked SNM: pairs whose keys differ
+    * inside the first `blockChars` characters are not candidates (pick the
+    * prefix length so the block survives expected typos, or union passes
+    * over different key orderings — the standard multi-pass SNM recipe).
+    *
+    * Output: (id_a, id_b, key_a, key_b, dist), id_a < id_b, each unordered
+    * pair exactly once (ranks are unique in a block, every adjacency is
+    * generated from its lower-ranked end only). */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      windowSize: Int = 5,
+      blockChars: Int = 3
+  ): DataFrame = {
+    require(windowSize >= 1, "windowSize must be >= 1")
+    require(blockChars >= 1, "blockChars must be >= 1")
+    val rows = df
+      .filter(col(keyCol).isNotNull)
+      .select(
+        col(idCol).as("__id"),
+        lower(trim(col(keyCol))).as("__k")
+      )
+      .withColumn("__blk", substring(col("__k"), 1, blockChars))
+    val ranked = rows.withColumn(
+      "__rn",
+      row_number().over(
+        Window.partitionBy(col("__blk")).orderBy(col("__k"), col("__id"))
+      )
+    )
+    val probes = ranked.select(
+      col("__id").as("__id_lo"),
+      col("__k").as("__k_lo"),
+      col("__blk"),
+      explode(sequence(col("__rn") + 1, col("__rn") + windowSize)).as("__rn")
+    )
+    probes
+      .join(
+        ranked.select(
+          col("__blk"), col("__rn"),
+          col("__id").as("__id_hi"), col("__k").as("__k_hi")
+        ),
+        Seq("__blk", "__rn")
+      )
+      .select(
+        least(col("__id_lo"), col("__id_hi")).as("id_a"),
+        greatest(col("__id_lo"), col("__id_hi")).as("id_b"),
+        when(col("__id_lo") <= col("__id_hi"), col("__k_lo"))
+          .otherwise(col("__k_hi")).as("key_a"),
+        when(col("__id_lo") <= col("__id_hi"), col("__k_hi"))
+          .otherwise(col("__k_lo")).as("key_b"),
+        levenshtein(col("__k_lo"), col("__k_hi")).as("dist")
+      )
+  }
 }

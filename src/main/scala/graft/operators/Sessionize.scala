@@ -15,17 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  /** Assign gap-based sessions per user and aggregate one row per session:
-    * (user_id, session_id, session_start, session_end, n_events,
-    * total_value). A new session starts when the gap to the previous event
-    * exceeds `gapSeconds`. Ties on ts broken by event_id (deterministic). */
-  def sessionize(
+  /** Events with a gap-based `session_id` column attached (1-based per
+    * user): a new session starts when the gap to the user's previous event
+    * exceeds `gapSeconds`. Ties on ts broken by `idCol` (deterministic).
+    * The building block under [[sessionize]], [[frequentPaths]] and
+    * [[eventTransitions]] — ONE shuffle on the user key; downstream
+    * same-key windows reuse the exchange. */
+  def withSessionIds(
       events: DataFrame,
       gapSeconds: Long,
       userCol: String = "user_id",
       tsCol: String = "ts",
-      idCol: String = "event_id",
-      valueCol: String = "value"
+      idCol: String = "event_id"
   ): DataFrame = {
     val ev = TimeUtils.ensureTimestamp(events, tsCol)
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
@@ -43,6 +44,22 @@ object Sessionize {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
       )
+      .drop("__new_session")
+  }
+
+  /** Assign gap-based sessions per user and aggregate one row per session:
+    * (user_id, session_id, session_start, session_end, n_events,
+    * total_value). A new session starts when the gap to the previous event
+    * exceeds `gapSeconds`. Ties on ts broken by event_id (deterministic). */
+  def sessionize(
+      events: DataFrame,
+      gapSeconds: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      valueCol: String = "value"
+  ): DataFrame = {
+    withSessionIds(events, gapSeconds, userCol, tsCol, idCol)
       .groupBy(col(userCol), col("session_id"))
       .agg(
         min(col(tsCol)).as("session_start"),
@@ -302,5 +319,90 @@ object Sessionize {
       .withColumn("roll_min", min(v).over(w).cast("double"))
       .withColumn("roll_max", max(v).over(w).cast("double"))
       .withColumn("roll_avg", round(col("roll_sum") / col("roll_n"), 6))
+  }
+
+  /** Frequent within-session event-type paths: every run of `pathLen`
+    * consecutive event types inside a gap session (ordered by ts, ties by
+    * `idCol`), joined with ">", counted as occurrences and as distinct
+    * sessions containing the path — the sequential-pattern census behind
+    * "what do users do before purchase" questions. Paths never cross a
+    * session boundary.
+    *
+    * Scale shape: the session ids and the lag chain share ONE shuffle on
+    * the user key (same partitioning => one exchange, windows evaluate in
+    * the same sorted pass), then a single hash aggregate on the path
+    * string with map-side combine. The distinct-session count uses a
+    * two-level aggregate on (path, session) first — no count-distinct
+    * expansion of the final aggregate. Top-k consumption should
+    * orderBy+limit (TakeOrdered — no global sort).
+    */
+  def frequentPaths(
+      events: DataFrame,
+      gapSeconds: Long,
+      pathLen: Int,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      typeCol: String = "event_type"
+  ): DataFrame = {
+    require(pathLen >= 2, "pathLen must be >= 2")
+    val w = Window
+      .partitionBy(col(userCol), col("session_id"))
+      .orderBy(col(tsCol), col(idCol))
+    val withLags = (pathLen - 1 to 1 by -1)
+      .foldLeft(withSessionIds(events, gapSeconds, userCol, tsCol, idCol)) {
+        (df, j) => df.withColumn(s"__t$j", lag(col(typeCol), j).over(w))
+      }
+    val parts =
+      (pathLen - 1 to 1 by -1).map(j => col(s"__t$j")) :+ col(typeCol)
+    withLags
+      // the furthest lag non-null <=> the whole chain fits in the session
+      .filter(col(s"__t${pathLen - 1}").isNotNull)
+      .select(
+        concat_ws(">", parts: _*).as("path"),
+        concat_ws("#", col(userCol), col("session_id")).as("__sess")
+      )
+      .groupBy(col("path"), col("__sess"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("path"))
+      .agg(
+        sum(col("__n")).as("n_occurrences"),
+        count(lit(1)).as("n_sessions")
+      )
+  }
+
+  /** Within-session event-type transition matrix: one row per observed
+    * (from_type, to_type) adjacency with its count and the conditional
+    * probability P(to | from) — the first-order Markov model of the event
+    * stream. Transitions never cross a session boundary.
+    *
+    * Scale shape: session ids + the lag share one shuffle on the user key;
+    * one hash aggregate on the (from, to) pair; the probability
+    * normalization is a window over `from_type` AFTER aggregation, when at
+    * most |types|^2 rows remain — never a window over raw events. */
+  def eventTransitions(
+      events: DataFrame,
+      gapSeconds: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      typeCol: String = "event_type"
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(col(userCol), col("session_id"))
+      .orderBy(col(tsCol), col(idCol))
+    val counts = withSessionIds(events, gapSeconds, userCol, tsCol, idCol)
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    counts.withColumn(
+      "p_transition",
+      round(
+        col("n_transitions") /
+          sum(col("n_transitions")).over(Window.partitionBy(col("from_type"))),
+        6
+      )
+    )
   }
 }

@@ -1639,4 +1639,82 @@ object TextAnalysis {
           .as("n_removed")
       )
   }
+  /** Corpus-slice vocabulary divergence: smoothed unigram distributions of
+    * two slices of a text corpus (rows where `groupCol` equals `groupA` /
+    * `groupB`) compared by KL divergence in both directions and the
+    * bounded, symmetric Jensen-Shannon divergence, plus vocabulary overlap
+    * counts — the "how different are these two sources/languages/shards"
+    * probe used for mixture design and drift checks on text (the unigram
+    * analogue of the numeric PSI monitor in [[graft.operators.Stats]]).
+    *
+    * Distributions are Laplace-smoothed over the UNION vocabulary
+    * (`p_t = (c_t + s) / (N + s*V)`), so both KLs are finite even for
+    * disjoint vocabularies. Per-token contributions are rounded at 12
+    * decimals and summed in DECIMAL (order-independent, engine-exact —
+    * same policy as the DSIR scorer), with final figures rounded to 6.
+    *
+    * Scale shape: ONE tokenize+explode pass over both slices feeds a
+    * single hash aggregate keyed by token (conditional sums split the two
+    * slices — no second scan, map-side combine applies); the totals row is
+    * a second aggregate over the token counts, broadcast back; the
+    * per-token divergence terms and the final one-row sum never touch
+    * document text. Output is one row: (n_vocab_a, n_vocab_b,
+    * n_vocab_shared, kl_ab, kl_ba, jsd).
+    */
+  def vocabDivergence(
+      df: DataFrame,
+      textCol: String,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      smoothing: Double = 0.5
+  ): DataFrame = {
+    require(smoothing > 0, "smoothing must be > 0")
+    require(groupA != groupB, "groups must differ")
+    val counts = ScanUtils
+      .withScanParallelism(df)
+      .filter(col(groupCol).isin(groupA, groupB) && col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__t"))
+      .agg(
+        sum(when(col("__g") === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === groupB, 1L).otherwise(0L)).as("__cb")
+      )
+    val totals = counts.agg(
+      sum("__ca").cast("double").as("__na"),
+      sum("__cb").cast("double").as("__nb"),
+      count(lit(1)).cast("double").as("__v"),
+      sum(when(col("__ca") > 0, 1L).otherwise(0L)).as("__va"),
+      sum(when(col("__cb") > 0, 1L).otherwise(0L)).as("__vb"),
+      sum(when(col("__ca") > 0 && col("__cb") > 0, 1L).otherwise(0L))
+        .as("__vs")
+    )
+    val p = (col("__ca").cast("double") + lit(smoothing)) /
+      (col("__na") + lit(smoothing) * col("__v"))
+    val q = (col("__cb").cast("double") + lit(smoothing)) /
+      (col("__nb") + lit(smoothing) * col("__v"))
+    def term(c: Column): Column =
+      round(c, 12).cast("decimal(28,12)")
+    val m = (p + q) / lit(2.0)
+    val sums = counts
+      .crossJoin(broadcast(totals))
+      .select(
+        term(p * log(p / q)).as("__kab"),
+        term(q * log(q / p)).as("__kba"),
+        term(p * log(p / m) / 2 + q * log(q / m) / 2).as("__jsd"),
+        col("__va"), col("__vb"), col("__vs")
+      )
+      .groupBy(col("__va"), col("__vb"), col("__vs"))
+      .agg(
+        round(sum("__kab").cast("double"), 6).as("kl_ab"),
+        round(sum("__kba").cast("double"), 6).as("kl_ba"),
+        round(sum("__jsd").cast("double"), 6).as("jsd")
+      )
+    sums.select(
+      col("__va").as("n_vocab_a"),
+      col("__vb").as("n_vocab_b"),
+      col("__vs").as("n_vocab_shared"),
+      col("kl_ab"), col("kl_ba"), col("jsd")
+    )
+  }
 }

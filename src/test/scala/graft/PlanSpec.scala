@@ -617,4 +617,59 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("session paths: one event-data shuffle; session + lag windows share it") {
+    val p = plan("q_session_paths")
+    // the user-key exchange feeds both the session-id window and the lag
+    // chain (same partitioning); everything after is hash aggregates on
+    // the path string. A second hashpartitioning over event rows would
+    // mean the windows stopped sharing the sort.
+    val eventShuffles = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("path#"))
+      .toList
+    assert(
+      eventShuffles.size <= 1,
+      s"expected the session and lag windows to share one user-key exchange:\n$p"
+    )
+    // top-50 consumption must be TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
+  }
+
+  test("event transitions: probability window runs post-aggregation only") {
+    val p = plan("q_event_transitions")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .toList
+    // one shuffle on the user key for the windows, one on (from, to) for
+    // the count, one tiny one on from_type for the normalization window
+    assert(exchanges.size <= 3, s"unexpected extra shuffles:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregate:\n$p")
+  }
+
+  test("sorted-neighborhood pairs ride an equi-join on (block, rank), no product") {
+    val p = plan("q_snm_pairs")
+    assert(!p.contains("CartesianProduct"), s"product join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    // no global sort: ranks come from a per-block window, so every
+    // hashpartitioning is keyed, never a single range partition of the data
+    assert(
+      !p.contains("Exchange SinglePartition"),
+      s"global funnel in SNM:\n$p"
+    )
+  }
+
+  test("vocab divergence: one token aggregate, totals broadcast back") {
+    val p = plan("q_vocab_divergence")
+    assert(p.contains("partial_sum"), s"expected map-side combine:\n$p")
+    // the totals row joins back via broadcast; the per-token divergence
+    // terms must not shuffle with a join key (only the token aggregate
+    // and the final one-row aggregate repartition)
+    assert(p.contains("BroadcastExchange"), s"expected broadcast totals:\n$p")
+    p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .foreach { l =>
+        assert(!l.contains("text#"), s"document text shuffled: $l")
+      }
+  }
+
 }

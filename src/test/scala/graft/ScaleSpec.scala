@@ -1241,6 +1241,57 @@ class ScaleSpec extends SparkSpec {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("sortedNeighborhoodPairs: window adjacency within blocks, each pair once") {
+    val df = Seq(
+      (1L, "Apple pie recipe"),
+      (2L, "apple pie recipes"),   // same block 'app', adjacent after sort
+      (3L, "apple tart"),
+      (4L, "Banana bread"),        // block 'ban' — never pairs with 'app'
+      (5L, "banana loaf"),
+      (6L, "apple pie recipe ")    // trims to id-1's key: dist 0 pair
+    ).toDF("id", "title")
+    val got = Dedup
+      .sortedNeighborhoodPairs(df, "id", "title", windowSize = 2, blockChars = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(4))
+    // every unordered pair appears exactly once
+    assert(got.map(_._1).distinct.length == got.length)
+    val m = got.toMap
+    // exact duplicate after normalization
+    assert(m((1L, 6L)) == 0)
+    // cross-block pairs never generated
+    assert(m.keys.forall { case (a, b) =>
+      (a <= 3 || a == 6) == (b <= 3 || b == 6)
+    })
+    // window bound: block 'app' has 4 rows => at most 2+2+1 = 5 pairs, and
+    // a row never pairs beyond 2 sort positions away
+    val appPairs = m.keys.count { case (a, _) => a <= 3 || a == 6 }
+    assert(appPairs <= 5, m.toString)
+  }
+
+  test("vocabDivergence: symmetric under swap, zero for identical slices, bounded") {
+    val df = Seq(
+      (1L, "the cat sat", "a"),
+      (2L, "the cat sat on the mat", "a"),
+      (3L, "der hund lief", "b"),
+      (4L, "the dog ran fast", "b")
+    ).toDF("id", "text", "grp")
+    val ab = TextAnalysis.vocabDivergence(df, "text", "grp", "a", "b").collect()(0)
+    val ba = TextAnalysis.vocabDivergence(df, "text", "grp", "b", "a").collect()(0)
+    assert(ab.getAs[Double]("kl_ab") == ba.getAs[Double]("kl_ba"))
+    assert(ab.getAs[Double]("jsd") == ba.getAs[Double]("jsd"))
+    assert(ab.getAs[Double]("jsd") >= 0.0 && ab.getAs[Double]("jsd") <= math.log(2) + 1e-9)
+    assert(ab.getAs[Long]("n_vocab_a") == 5L) // {the, cat, sat, on, mat}
+    assert(ab.getAs[Long]("n_vocab_shared") == 1L) // just "the"
+    // identical slices diverge by exactly zero
+    val dup = df.select(col("text"), lit("p").as("g"))
+      .union(df.select(col("text"), lit("q").as("g")))
+    val z = TextAnalysis.vocabDivergence(dup, "text", "g", "p", "q").collect()(0)
+    assert(z.getAs[Double]("kl_ab") == 0.0)
+    assert(z.getAs[Double]("jsd") == 0.0)
+    assert(z.getAs[Long]("n_vocab_a") == z.getAs[Long]("n_vocab_shared"))
+  }
+
   test("asOfJoin picks the latest right row at-or-before each left row") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val trades = Seq(
@@ -1445,6 +1496,57 @@ class ScaleSpec extends SparkSpec {
     assert(s1.getAs[Double]("total_value") == 3.0)
     assert(got(1).getAs[Long]("n_events") == 1L)
     assert(got(2).getAs[Long]("user_id") == 20L)
+  }
+
+  test("frequentPaths counts in-session runs and never crosses a session boundary") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // user 10, session 1: A B C (one ABC path)
+      (1L, 10L, ts("2024-01-01 10:00:00"), "A", 0.0),
+      (2L, 10L, ts("2024-01-01 10:05:00"), "B", 0.0),
+      (3L, 10L, ts("2024-01-01 10:10:00"), "C", 0.0),
+      // user 10, session 2 (gap > 30min): B C — too short for len-3, and
+      // C>B>C across the boundary must NOT count
+      (4L, 10L, ts("2024-01-01 11:00:00"), "B", 0.0),
+      (5L, 10L, ts("2024-01-01 11:05:00"), "C", 0.0),
+      // user 20: A B C again (second session containing ABC)
+      (6L, 20L, ts("2024-01-01 09:00:00"), "A", 0.0),
+      (7L, 20L, ts("2024-01-01 09:01:00"), "B", 0.0),
+      (8L, 20L, ts("2024-01-01 09:02:00"), "C", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Sessionize
+      .frequentPaths(df, gapSeconds = 1800, pathLen = 3)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map("A>B>C" -> ((2L, 2L))), got.toString)
+  }
+
+  test("eventTransitions: counts per adjacency, probabilities sum to 1 per from") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), "A", 0.0),
+      (2L, 10L, ts("2024-01-01 10:05:00"), "B", 0.0),
+      (3L, 10L, ts("2024-01-01 10:10:00"), "A", 0.0),
+      (4L, 10L, ts("2024-01-01 10:15:00"), "C", 0.0),
+      // new session: A->B here must not join the same-user tally across gap
+      (5L, 10L, ts("2024-01-01 12:00:00"), "A", 0.0),
+      (6L, 10L, ts("2024-01-01 12:01:00"), "B", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val rows = Sessionize
+      .eventTransitions(df, gapSeconds = 1800)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows(("A", "B"))._1 == 2L)
+    assert(rows(("A", "C"))._1 == 1L)
+    assert(rows(("B", "A"))._1 == 1L)
+    assert(math.abs(rows(("A", "B"))._2 - 0.666667) < 1e-6)
+    // per-from probabilities total 1 (up to the 6-decimal rounding)
+    val byFrom = rows.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2._2).sum)
+    byFrom.foreach { case (f, p) =>
+      assert(math.abs(p - 1.0) < 1e-5, s"P(.|$f) sums to $p")
+    }
   }
 
   test("asOfPrior finds last strictly-prior event of the other type") {
