@@ -1487,6 +1487,32 @@ object ScaleQueries {
         .orderBy("source")
     }),
 
+    // PMI-ranked adjacent-word collocations (phrase-mining census)
+    "q_collocations" -> ((s, dir) => {
+      TextAnalysis
+        .collocations(t(s, dir, "documents"), "text", minCount = 5)
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(100)
+    }),
+
+    // purged temporal split: train before Jan 20, 1-day embargo, test after
+    // (counts + boundary timestamps per split and event type)
+    "q_temporal_split" -> ((s, dir) => {
+      Splits
+        .temporalSplit(
+          events(s, dir), "ts",
+          new java.sql.Timestamp(1705708800000L), // 2024-01-20 00:00:00 UTC
+          embargoSeconds = 86400L
+        )
+        .groupBy("split", "event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("ts").as("first_ts"),
+          max("ts").as("last_ts")
+        )
+        .orderBy("split", "event_type")
+    }),
+
     // unigram-distribution divergence between the en and de corpus slices
     "q_vocab_divergence" -> ((s, dir) => {
       TextAnalysis
@@ -4088,6 +4114,45 @@ object ScaleQueries {
         |        / (count(*) - SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)), 6)
         |    AS avg_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_collocations" ->
+      """WITH d AS (
+        |  SELECT string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), u AS (
+        |  SELECT unnest(toks) AS w FROM d
+        |), uc AS (
+        |  SELECT w, count(*) AS c FROM u GROUP BY w
+        |), bg AS (
+        |  SELECT unnest(CASE WHEN len(toks) >= 2
+        |       THEN list_transform(range(2, len(toks) + 1),
+        |                           i -> toks[i-1] || chr(1) || toks[i])
+        |       ELSE CAST([] AS VARCHAR[]) END) AS g
+        |  FROM d
+        |), bc AS (
+        |  SELECT string_split(g, chr(1))[1] AS w1,
+        |         string_split(g, chr(1))[2] AS w2,
+        |         count(*) AS np
+        |  FROM bg GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM u) AS nu,
+        |         (SELECT CAST(COALESCE(SUM(np), 0) AS DOUBLE) FROM bc) AS nb
+        |)
+        |SELECT w1, w2, CAST(np AS BIGINT) AS n_pair,
+        |       round(ln((CAST(np AS DOUBLE) / nb) /
+        |                ((CAST(c1.c AS DOUBLE) / nu) *
+        |                 (CAST(c2.c AS DOUBLE) / nu))), 6) AS pmi
+        |FROM bc JOIN uc c1 ON bc.w1 = c1.w JOIN uc c2 ON bc.w2 = c2.w, tot
+        |WHERE np >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    "q_temporal_split" ->
+      """SELECT CASE WHEN epoch_us(ts) < 1705708800000000 THEN 'train'
+        |            WHEN epoch_us(ts) >= 1705795200000000 THEN 'test'
+        |            ELSE 'embargo' END AS split,
+        |       event_type, count(*) AS n_events,
+        |       min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_vocab_divergence" ->
       """WITH c AS (

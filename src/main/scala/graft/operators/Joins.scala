@@ -38,7 +38,7 @@ object Joins {
     val salted = skewed.withColumn(
       "__salt",
       pmod(
-        xxhash64(skewed.columns.map(col) :+ monotonically_increasing_id(): _*),
+        xxhash64(skewed.columns.toIndexedSeq.map(col) :+ monotonically_increasing_id(): _*),
         lit(saltFactor)
       ).cast("int")
     )

@@ -470,7 +470,7 @@ object Similarity {
       .sorted
     val scored = spark.read
       .parquet(path)
-      .filter(col("cell").isin(cells.map(Int.box): _*))
+      .filter(col("cell").isin(cells.toIndexedSeq.map(Int.box): _*))
       .select(col("cell"), col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
       .join(broadcast(probed), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -644,4 +644,36 @@ object Splits {
       "allocated_tokens", "epochs", "capped"
     )
   }
+  /** Leakage-safe temporal train/test split with an embargo gap (the
+    * purged time-series split of de Prado 2018, ch. 7): rows strictly
+    * before `cutoff` are "train", rows at/after `cutoff + embargoSeconds`
+    * are "test", and rows inside the gap are "embargo" — dropped by
+    * convention so that look-ahead features computed over trailing windows
+    * of up to `embargoSeconds` can never straddle the boundary. The
+    * standard alternative to hash splits when rows are time-ordered and
+    * features look backward.
+    *
+    * Pure per-row projection — no shuffle, no action; the timestamp
+    * comparison sits in whole-stage codegen and pushes down to the scan
+    * when filtered on. Timestamp physical-type tolerant (NTZ/long-nanos
+    * via [[TimeUtils.ensureTimestamp]]).
+    */
+  def temporalSplit(
+      df: DataFrame,
+      tsCol: String,
+      cutoff: java.sql.Timestamp,
+      embargoSeconds: Long
+  ): DataFrame = {
+    require(embargoSeconds >= 0, "embargoSeconds must be >= 0")
+    val cutMicros = cutoff.getTime * 1000L + (cutoff.getNanos / 1000L) % 1000L
+    val testMicros = cutMicros + embargoSeconds * 1000000L
+    val ts = unix_micros(col(tsCol))
+    TimeUtils.ensureTimestamp(df, tsCol)
+      .withColumn(
+        "split",
+        when(ts < cutMicros, "train")
+          .when(ts >= testMicros, "test")
+          .otherwise("embargo")
+      )
+  }
 }

@@ -1717,4 +1717,78 @@ object TextAnalysis {
       col("kl_ab"), col("kl_ba"), col("jsd")
     )
   }
+  /** PMI-ranked adjacent-word collocations (phrase mining, the
+    * word2phrase / Mikolov 2013 recipe with the textbook PMI score):
+    * every adjacent token pair occurring at least `minCount` times, scored
+    *
+    *   pmi(w1, w2) = ln( (c12 / NB) / ((c1 / NU) * (c2 / NU)) )
+    *
+    * with c12 the bigram count over NB total bigrams and c1/c2 unigram
+    * counts over NU total tokens. High-PMI pairs are multiword units
+    * ("new york", "machine learning") worth fusing before tokenizer
+    * training; low/negative PMI flags word-salad adjacency.
+    *
+    * Scale shape: bigrams form per-row from the token array (no window,
+    * no shuffle to pair words); one hash aggregate each for unigram and
+    * bigram counts (map-side combine); the two unigram attachments are
+    * equi-joins on the word key (vocab-sized — Catalyst broadcasts when
+    * small); the NU/NB totals ride a one-row broadcast. PMI is rounded to
+    * 6 decimals (engine-portable double policy).
+    */
+  def collocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 2L
+  ): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val docs = ScanUtils.withScanParallelism(df).filter(col(textCol).isNotNull)
+    val toks = tokens(col(textCol))
+    val uni = docs
+      .select(explode(toks).as("__w"))
+      .groupBy("__w")
+      .agg(count(lit(1)).as("__c"))
+    val allPairs = docs
+      .select(
+        explode(
+          when(
+            size(toks) >= 2,
+            transform(
+              sequence(lit(2), size(toks)),
+              i => struct(
+                element_at(toks, i - 1).as("w1"),
+                element_at(toks, i).as("w2")
+              )
+            )
+          ).otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+        ).as("__p")
+      )
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_pair"))
+    // NB totals come from the UNFILTERED bigram counts (PMI's denominator
+    // is the whole bigram mass, not just the frequent pairs)
+    val totals = uni
+      .agg(sum("__c").cast("double").as("__nu"))
+      .crossJoin(
+        allPairs.agg(coalesce(sum("n_pair"), lit(0L)).cast("double").as("__nb"))
+      )
+    val pairs = allPairs.filter(col("n_pair") >= minCount)
+    pairs
+      .join(uni.select(col("__w").as("w1"), col("__c").as("__c1")), Seq("w1"))
+      .join(uni.select(col("__w").as("w2"), col("__c").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("w1"),
+        col("w2"),
+        col("n_pair"),
+        round(
+          log(
+            (col("n_pair").cast("double") / col("__nb")) /
+              ((col("__c1").cast("double") / col("__nu")) *
+                (col("__c2").cast("double") / col("__nu")))
+          ),
+          6
+        ).as("pmi")
+      )
+  }
 }

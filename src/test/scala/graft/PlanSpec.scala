@@ -617,6 +617,25 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("collocations: unigram attachments broadcast, top-100 is TakeOrdered") {
+    val p = plan("q_collocations")
+    // the vocab-sized unigram table attaches to the frequent pairs via
+    // broadcast at this SF; the one-row totals ride a broadcast nested loop
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast attachments:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 must be TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"product join:\n$p")
+    assert(p.contains("partial_count"), s"expected map-side combine:\n$p")
+  }
+
+  test("temporal split is a pure projection: one aggregate exchange, no join") {
+    val p = plan("q_temporal_split")
+    assert(!p.contains("Join"), s"split assignment must not join:\n$p")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.size <= 1, s"expected only the groupBy exchange:\n$p")
+  }
+
   test("session paths: one event-data shuffle; session + lag windows share it") {
     val p = plan("q_session_paths")
     // the user-key exchange feeds both the session-id window and the lag

@@ -1292,6 +1292,47 @@ class ScaleSpec extends SparkSpec {
     assert(z.getAs[Long]("n_vocab_a") == z.getAs[Long]("n_vocab_shared"))
   }
 
+  test("collocations: PMI from unfiltered totals, minCount gates output") {
+    val df = Seq(
+      (1L, "new york new york is big"),
+      (2L, "new york again"),
+      (3L, "big apple")
+    ).toDF("id", "text")
+    val got = TextAnalysis.collocations(df, "text", minCount = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // "new york" occurs 3x; every other pair is rarer and filtered
+    assert(got.keySet == Set(("new", "york")), got.toString)
+    val (n, pmi) = got(("new", "york"))
+    assert(n == 3L)
+    // tokens: 6+3+2=11 total; bigrams: 5+2+1=8 total (UNFILTERED mass);
+    // c(new)=3, c(york)=3
+    val expected = math.log((3.0 / 8.0) / ((3.0 / 11.0) * (3.0 / 11.0)))
+    assert(math.abs(pmi - expected) < 1e-6, s"pmi $pmi vs $expected")
+  }
+
+  test("temporalSplit: boundary rows embargo at cutoff, test at cutoff+gap") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-19 23:59:59")),
+      (2L, ts("2024-01-20 00:00:00")), // exactly at cutoff -> embargo
+      (3L, ts("2024-01-20 12:00:00")),
+      (4L, ts("2024-01-21 00:00:00")), // exactly at cutoff+1d -> test
+      (5L, ts("2024-01-22 00:00:00"))
+    ).toDF("id", "ts")
+    val cut = ts("2024-01-20 00:00:00")
+    val got = Splits.temporalSplit(df, "ts", cut, 86400L)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(got == Map(1L -> "train", 2L -> "embargo", 3L -> "embargo",
+      4L -> "test", 5L -> "test"), got.toString)
+    // zero embargo: the cutoff row goes straight to test
+    val z = Splits.temporalSplit(df, "ts", cut, 0L)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(z(2L) == "test" && z(1L) == "train")
+    intercept[IllegalArgumentException] {
+      Splits.temporalSplit(df, "ts", cut, -1L)
+    }
+  }
+
   test("asOfJoin picks the latest right row at-or-before each left row") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val trades = Seq(
