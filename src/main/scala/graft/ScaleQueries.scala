@@ -1487,6 +1487,20 @@ object ScaleQueries {
         .orderBy("source")
     }),
 
+    // robust MAD outliers in event values per type (Iglewicz-Hoaglin 3.5)
+    "q_mad_outliers" -> ((s, dir) => {
+      Stats
+        .madOutliers(t(s, dir, "events"), "value", Seq("event_type"))
+        .filter(col("is_outlier"))
+        .select("event_id", "event_type", "value", "robust_z")
+        .orderBy("event_id")
+    }),
+
+    // Zipf rank-frequency fit over the top-500 vocabulary
+    "q_zipf" -> ((s, dir) => {
+      TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topN = 500)
+    }),
+
     // PMI-ranked adjacent-word collocations (phrase-mining census)
     "q_collocations" -> ((s, dir) => {
       TextAnalysis
@@ -4114,6 +4128,59 @@ object ScaleQueries {
         |        / (count(*) - SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)), 6)
         |    AS avg_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, median(value) AS med
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), d AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med
+        |  FROM events e JOIN m USING (event_type)
+        |), md AS (
+        |  SELECT event_type, median(abs(value - med)) AS mad
+        |  FROM d WHERE value IS NOT NULL GROUP BY 1
+        |)
+        |SELECT d.event_id, d.event_type, d.value,
+        |       round((d.value - d.med) / (1.4826 * md.mad), 6) AS robust_z
+        |FROM d JOIN md USING (event_type)
+        |WHERE md.mad >= 1e-12
+        |  AND abs(round((d.value - d.med) / (1.4826 * md.mad), 6)) > 3.5
+        |ORDER BY event_id""".stripMargin,
+
+    "q_zipf" ->
+      """WITH u AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT w, count(*) AS c FROM u GROUP BY w
+        |  ORDER BY c DESC, w LIMIT 500
+        |), r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM c
+        |), t AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(rk AS DOUBLE)), 12) AS DECIMAL(28,12)) AS x,
+        |    CAST(round(ln(CAST(c AS DOUBLE)), 12) AS DECIMAL(28,12)) AS y,
+        |    CAST(round(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE)), 12)
+        |         AS DECIMAL(28,12)) AS xx,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 12)
+        |         AS DECIMAL(28,12)) AS yy,
+        |    CAST(round(ln(CAST(rk AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 12)
+        |         AS DECIMAL(28,12)) AS xy
+        |  FROM r
+        |), s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |         CAST(SUM(xx) AS DOUBLE) AS sxx, CAST(SUM(yy) AS DOUBLE) AS syy,
+        |         CAST(SUM(xy) AS DOUBLE) AS sxy
+        |  FROM t
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_ranks,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+        |         AS intercept,
+        |       round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |             ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM s""".stripMargin,
 
     "q_collocations" ->
       """WITH d AS (

@@ -814,4 +814,55 @@ object Stats {
         col("psi")
       )
   }
+  /** Robust per-group outlier detection via the median/MAD rule (Iglewicz
+    * & Hoaglin 1993): each row gets
+    *
+    *   robust_z = (x - median) / (1.4826 * MAD)
+    *
+    * with MAD the median absolute deviation from the group median, and
+    * `is_outlier` when |robust_z| > threshold (3.5 is the standard cut).
+    * Unlike z-scores ([[standardize]]) the estimate itself is immune to
+    * the outliers it hunts — the right screen for heavy-tailed metrics
+    * before training-data admission. Groups where MAD collapses below
+    * `madFloor` (constant-valued groups) yield NULL robust_z.
+    *
+    * Scale shape: two hash aggregates on the group key (exact medians);
+    * both tiny per-group tables broadcast back onto the rows — the data
+    * side never shuffles. NULL values pass through un-flagged.
+    */
+  def madOutliers(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      threshold: Double = 3.5,
+      madFloor: Double = 1e-12
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(threshold > 0, "threshold must be positive")
+    val g = groupCols.map(col)
+    val meds = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(g: _*)
+      .agg(median(col(valueCol)).as("__med"))
+    val withMed = df.join(broadcast(meds), groupCols, "left")
+    val mads = withMed
+      .filter(col(valueCol).isNotNull)
+      .groupBy(g: _*)
+      .agg(median(abs(col(valueCol) - col("__med"))).as("__mad"))
+    val z = (col(valueCol) - col("__med")) / (lit(1.4826) * col("__mad"))
+    withMed
+      .join(broadcast(mads), groupCols, "left")
+      .withColumn(
+        "robust_z",
+        when(
+          col(valueCol).isNotNull && col("__mad") >= madFloor,
+          round(z, 6)
+        )
+      )
+      .withColumn(
+        "is_outlier",
+        coalesce(abs(col("robust_z")) > threshold, lit(false))
+      )
+      .drop("__med", "__mad")
+  }
 }

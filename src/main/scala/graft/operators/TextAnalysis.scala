@@ -1791,4 +1791,80 @@ object TextAnalysis {
         ).as("pmi")
       )
   }
+  /** Zipf rank-frequency fit of the corpus vocabulary: least-squares line
+    * through (ln rank, ln count) over the `topN` most frequent tokens —
+    * natural-language corpora follow slope ~ -1 (Zipf 1949), and drift in
+    * the slope or fit quality (r2) flags synthetic, templated, or
+    * boilerplate-heavy data slices. One output row:
+    * (n_ranks, slope, intercept, r2).
+    *
+    * Determinism/portability: ranks are total-ordered by (count DESC,
+    * token ASC); each regression term is rounded at 12 decimals and
+    * summed in DECIMAL (the [[vocabDivergence]] policy), and the final
+    * closed-form arithmetic runs on those exact sums — identical in any
+    * engine. Final figures rounded to 6.
+    *
+    * Scale shape: one tokenize+explode pass and a vocab-keyed hash
+    * aggregate (map-side combine); the top-N selection is a TakeOrdered
+    * (no global sort of the vocabulary); the rank window and regression
+    * run over at most `topN` rows — driver-bounded by construction, like
+    * the flowchart and transition-matrix tails.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    require(topN >= 2, "topN must be >= 2")
+    val counts = ScanUtils
+      .withScanParallelism(df)
+      .filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy("__w")
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w"))
+      .limit(topN)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c").desc, col("__w"))
+    def term(c: Column): Column = round(c, 12).cast("decimal(28,12)")
+    val xy = counts
+      .withColumn("__r", row_number().over(w))
+      .select(
+        term(log(col("__r").cast("double"))).as("__x"),
+        term(log(col("__c").cast("double"))).as("__y"),
+        // x*x, not pow(x, 2): libm pow need not hit the exact product,
+        // and the oracle must reproduce every term bit-for-bit
+        term(log(col("__r").cast("double")) * log(col("__r").cast("double")))
+          .as("__xx"),
+        term(log(col("__c").cast("double")) * log(col("__c").cast("double")))
+          .as("__yy"),
+        term(log(col("__r").cast("double")) * log(col("__c").cast("double")))
+          .as("__xy")
+      )
+    xy.agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum("__x").cast("double").as("__sx"),
+        sum("__y").cast("double").as("__sy"),
+        sum("__xx").cast("double").as("__sxx"),
+        sum("__yy").cast("double").as("__syy"),
+        sum("__xy").cast("double").as("__sxy")
+      )
+      .select(
+        col("__n").cast("long").as("n_ranks"),
+        round(
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+            (col("__n") * col("__sxx") - col("__sx") * col("__sx")),
+          6
+        ).as("slope"),
+        round(
+          (col("__sy") - ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+            (col("__n") * col("__sxx") - col("__sx") * col("__sx"))) * col("__sx")) /
+            col("__n"),
+          6
+        ).as("intercept"),
+        round(
+          ((col("__n") * col("__sxy") - col("__sx") * col("__sy")) *
+            (col("__n") * col("__sxy") - col("__sx") * col("__sy"))) /
+            ((col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+              (col("__n") * col("__syy") - col("__sy") * col("__sy"))),
+          6
+        ).as("r2")
+      )
+  }
 }

@@ -617,6 +617,21 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("MAD outliers broadcast both per-group median tables onto the rows") {
+    val p = plan("q_mad_outliers")
+    // the data side must never shuffle for the joins — only the two
+    // median aggregates repartition (on the tiny projected group key)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast medians:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"group stats must not sort-merge:\n$p")
+  }
+
+  test("zipf fit: vocabulary top-N is TakeOrdered, counts combine map-side") {
+    val p = plan("q_zipf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-N vocab selection must be TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("partial_count"), s"expected map-side combine:\n$p")
+  }
+
   test("collocations: unigram attachments broadcast, top-100 is TakeOrdered") {
     val p = plan("q_collocations")
     // the vocab-sized unigram table attaches to the frequent pairs via

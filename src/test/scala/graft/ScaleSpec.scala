@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.operators.{Decontam, Dedup, Sessionize, Similarity, Splits, TextAnalysis}
+import graft.operators.{Decontam, Dedup, Sessionize, Similarity, Splits, Stats, TextAnalysis}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -1290,6 +1290,43 @@ class ScaleSpec extends SparkSpec {
     assert(z.getAs[Double]("kl_ab") == 0.0)
     assert(z.getAs[Double]("jsd") == 0.0)
     assert(z.getAs[Long]("n_vocab_a") == z.getAs[Long]("n_vocab_shared"))
+  }
+
+  test("madOutliers flags planted extremes, nulls and constant groups are safe") {
+    val df = Seq(
+      (1L, "a", Some(10.0)), (2L, "a", Some(11.0)), (3L, "a", Some(9.0)),
+      (4L, "a", Some(10.5)), (5L, "a", Some(500.0)), // planted outlier
+      (6L, "a", None),                               // null passes through
+      (7L, "b", Some(7.0)), (8L, "b", Some(7.0)), (9L, "b", Some(7.0)) // MAD=0
+    ).toDF("id", "grp", "v")
+    val got = Stats.madOutliers(df, "v", Seq("grp"))
+      .collect()
+      .map(r => r.getAs[Long]("id") -> (Option(r.getAs[java.lang.Double]("robust_z")),
+        r.getBoolean(r.fieldIndex("is_outlier"))))
+      .toMap
+    assert(got(5L)._2, "planted extreme must flag")
+    assert(got(5L)._1.exists(_ > 100), got(5L).toString)
+    assert(Seq(1L, 2L, 3L, 4L).forall(!got(_)._2), "inliers must not flag")
+    assert(got(6L)._1.isEmpty && !got(6L)._2, "null value -> null z, no flag")
+    // constant group: MAD collapses, robust_z null, nothing flags
+    assert(Seq(7L, 8L, 9L).forall(i => got(i)._1.isEmpty && !got(i)._2))
+    intercept[IllegalArgumentException] { Stats.madOutliers(df, "v", Seq()) }
+  }
+
+  test("zipfFit recovers slope -1 on an exact power-law vocabulary") {
+    // counts ~ 120/rank: a textbook Zipf corpus
+    val words = (1 to 8).flatMap(r => Seq.fill(120 / r)(s"w$r"))
+    val df = Seq((1L, words.mkString(" "))).toDF("id", "text")
+    val row = TextAnalysis.zipfFit(df, "text", topN = 8).collect()(0)
+    assert(row.getAs[Long]("n_ranks") == 8L)
+    val slope = row.getAs[Double]("slope")
+    val r2 = row.getAs[Double]("r2")
+    assert(slope < -0.9 && slope > -1.1, s"slope $slope")
+    assert(r2 > 0.99, s"r2 $r2")
+    // topN binds the rank count
+    val row3 = TextAnalysis.zipfFit(df, "text", topN = 3).collect()(0)
+    assert(row3.getAs[Long]("n_ranks") == 3L)
+    intercept[IllegalArgumentException] { TextAnalysis.zipfFit(df, "text", 1) }
   }
 
   test("collocations: PMI from unfiltered totals, minCount gates output") {
