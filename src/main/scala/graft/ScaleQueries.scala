@@ -44,6 +44,22 @@ object ScaleQueries {
     * oracle SQL. 6 planes => 64 buckets over 500-5000 vectors. */
   private val AnnPlanes = Similarity.randomHyperplanes(numPlanes = 6, dim = 64)
 
+  /** Fellegi-Sunter fields for q_linkage_score: (agreement column, m, u).
+    * The ln(m/u) / ln((1-m)/(1-u)) contributions are Scala-computed
+    * constants inlined into BOTH the Spark plan and the generated oracle
+    * SQL, so no libm difference can split the engines. */
+  private val FsFields = Seq(
+    ("agree_head", 0.9, 0.05),
+    ("agree_lang", 0.95, 0.3),
+    ("agree_source", 0.8, 0.05),
+    ("agree_len", 0.9, 0.2)
+  )
+  private val FsW: Map[String, (Double, Double)] =
+    graft.operators.Dedup
+      .linkageWeights(FsFields)
+      .map { case (c, a, d) => c -> ((a, d)) }
+      .toMap
+
   /** Independent banks for the OR-amplified multi-band ANN query. Sized from
     * the measured data: the synthetic embeddings are near-random (median
     * top-5 cosine 0.32 => per-plane match probability m ~ 0.60), so 16 banks
@@ -1485,6 +1501,48 @@ object ScaleQueries {
       TextAnalysis
         .corpusReport(t(s, dir, "documents"), "text", "source")
         .orderBy("source")
+    }),
+
+    // exact triangle count of the parts-co-ordered-together graph
+    "q_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk"))
+      val edges = li
+        .join(li.select(col("__ok"), col("__pk").as("__pk2")), Seq("__ok"))
+        .filter(col("__pk") < col("__pk2"))
+        .select(col("__pk").as("src"), col("__pk2").as("dst"))
+      Graphs.triangleCount(edges, "src", "dst")
+    }),
+
+    // Fellegi-Sunter linkage weights over sorted-neighborhood candidates
+    "q_linkage_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.sortedNeighborhoodPairs(
+        docs.select(col("doc_id"), substring(col("text"), 1, 40).as("head")),
+        "doc_id", "head", windowSize = 4, blockChars = 3
+      )
+      val attrs =
+        docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val j = pairs
+        .join(
+          attrs.select(col("doc_id").as("id_a"), col("lang").as("__la"),
+            col("source").as("__sa"), col("n_chars").as("__na")),
+          Seq("id_a")
+        )
+        .join(
+          attrs.select(col("doc_id").as("id_b"), col("lang").as("__lb"),
+            col("source").as("__sb"), col("n_chars").as("__nb")),
+          Seq("id_b")
+        )
+        .withColumn("agree_head", col("dist") <= 5)
+        .withColumn("agree_lang", col("__la") === col("__lb"))
+        .withColumn("agree_source", col("__sa") === col("__sb"))
+        .withColumn("agree_len", abs(col("__na") - col("__nb")) <= 20)
+      Dedup
+        .linkageScore(j, FsFields)
+        .filter(col("match_weight") > 0)
+        .select("id_a", "id_b", "match_weight")
+        .orderBy("id_a", "id_b")
     }),
 
     // robust MAD outliers in event values per type (Iglewicz-Hoaglin 3.5)
@@ -4128,6 +4186,53 @@ object ScaleQueries {
         |        / (count(*) - SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)), 6)
         |    AS avg_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_triangles" ->
+      """WITH co AS (
+        |  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |)
+        |SELECT
+        |  CAST((SELECT count(*) FROM
+        |        (SELECT a AS v FROM co UNION SELECT b FROM co)) AS BIGINT)
+        |    AS n_vertices,
+        |  CAST((SELECT count(*) FROM co) AS BIGINT) AS n_edges,
+        |  CAST((SELECT count(*) FROM co e1
+        |        JOIN co e2 ON e1.b = e2.a
+        |        JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT)
+        |    AS n_triangles""".stripMargin,
+
+    "q_linkage_score" -> {
+      val (ha, hd) = FsW("agree_head")
+      val (la, ld) = FsW("agree_lang")
+      val (sa, sd) = FsW("agree_source")
+      val (na, nd) = FsW("agree_len")
+      s"""WITH r AS (
+         |  SELECT doc_id, k, substr(k, 1, 3) AS blk,
+         |         row_number() OVER (
+         |           PARTITION BY substr(k, 1, 3) ORDER BY k, doc_id) AS rn
+         |  FROM (SELECT doc_id, lower(trim(substr(text, 1, 40))) AS k
+         |        FROM documents WHERE text IS NOT NULL)
+         |), p AS (
+         |  SELECT CASE WHEN a.doc_id <= b.doc_id THEN a.doc_id ELSE b.doc_id END AS id_a,
+         |         CASE WHEN a.doc_id <= b.doc_id THEN b.doc_id ELSE a.doc_id END AS id_b,
+         |         levenshtein(a.k, b.k) AS dist
+         |  FROM r a JOIN r b
+         |    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 4
+         |), j AS (
+         |  SELECT p.id_a, p.id_b,
+         |         (CASE WHEN p.dist <= 5 THEN $ha ELSE $hd END
+         |        + CASE WHEN da.lang = db.lang THEN $la ELSE $ld END
+         |        + CASE WHEN da.source = db.source THEN $sa ELSE $sd END
+         |        + CASE WHEN abs(da.n_chars - db.n_chars) <= 20 THEN $na ELSE $nd END)
+         |           AS w
+         |  FROM p JOIN documents da ON p.id_a = da.doc_id
+         |         JOIN documents db ON p.id_b = db.doc_id
+         |)
+         |SELECT id_a, id_b, round(w, 6) AS match_weight
+         |FROM j WHERE round(w, 6) > 0 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q_mad_outliers" ->
       """WITH m AS (

@@ -1359,4 +1359,48 @@ object Dedup {
         levenshtein(col("__k_lo"), col("__k_hi")).as("dist")
       )
   }
+  /** Fellegi-Sunter (1969) record-linkage match weight over candidate
+    * pairs: for each field with agreement indicator column `agreeCol` and
+    * conditional probabilities m = P(agree | match), u = P(agree |
+    * non-match), an agreeing field contributes ln(m/u) and a disagreeing
+    * field ln((1-m)/(1-u)); a NULL indicator (field missing on either
+    * side) contributes 0 — the standard treatment. `match_weight` is the
+    * sum, rounded to 6. Pairs above a decision threshold are links,
+    * below a second threshold non-links, between them clerical review —
+    * the probabilistic upgrade over a single string distance, composable
+    * with [[sortedNeighborhoodPairs]] or any LSH blocking for candidates.
+    *
+    * Per-field contributions are Scala-computed CONSTANTS folded into the
+    * plan — the whole operator is a pure per-row projection in codegen:
+    * no shuffle, no join, no UDF.
+    */
+  def linkageScore(
+      pairs: DataFrame,
+      fields: Seq[(String, Double, Double)]
+  ): DataFrame = {
+    require(fields.nonEmpty, "at least one (agreeCol, m, u) field")
+    fields.foreach { case (c, m, u) =>
+      require(m > 0 && m < 1, s"$c: m must be in (0,1)")
+      require(u > 0 && u < 1, s"$c: u must be in (0,1)")
+      require(m > u, s"$c: m must exceed u (field must be informative)")
+    }
+    val weight = fields
+      .map { case (c, m, u) =>
+        when(col(c).isNull, lit(0.0))
+          .when(col(c), lit(math.log(m / u)))
+          .otherwise(lit(math.log((1 - m) / (1 - u))))
+      }
+      .reduce(_ + _)
+    pairs.withColumn("match_weight", round(weight, 6))
+  }
+
+  /** The Scala-side agreement weights of [[linkageScore]], exposed so an
+    * engine-portable oracle can inline the SAME ln(m/u) constants instead
+    * of recomputing them in its own libm. */
+  def linkageWeights(
+      fields: Seq[(String, Double, Double)]
+  ): Seq[(String, Double, Double)] =
+    fields.map { case (c, m, u) =>
+      (c, math.log(m / u), math.log((1 - m) / (1 - u)))
+    }
 }

@@ -617,6 +617,24 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("triangle count: every join is a keyed equi-join (stats attach excepted)") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct"), s"product join:\n$p")
+    // the one-row vertex/edge stats attach via broadcast nested loop is
+    // fine; the wedge and closing joins must be hash/sort-merge equi-joins
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 2, s"only the two one-row stat attaches may nest-loop:\n$p")
+  }
+
+  test("linkage scoring adds no shuffle beyond blocking and attribute joins") {
+    val p = plan("q_linkage_score")
+    assert(!p.contains("CartesianProduct"), s"product join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    // the FS weight is a constant-folded projection: no aggregate, no
+    // window, no exchange introduced by the scoring step itself
+    assert(!p.contains("Exchange SinglePartition"), s"global funnel:\n$p")
+  }
+
   test("MAD outliers broadcast both per-group median tables onto the rows") {
     val p = plan("q_mad_outliers")
     // the data side must never shuffle for the joins — only the two

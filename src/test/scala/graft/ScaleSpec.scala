@@ -1292,6 +1292,48 @@ class ScaleSpec extends SparkSpec {
     assert(z.getAs[Long]("n_vocab_a") == z.getAs[Long]("n_vocab_shared"))
   }
 
+  test("triangleCount: exact on a known graph, robust to dup/reversed/self edges") {
+    // K4 on {1,2,3,4} (4 triangles) + pendant 5-1 + isolated-pair 6-7
+    val base = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (6L, 7L)
+    )
+    // noise: reversed duplicates and a self-loop must not change anything
+    val edges = (base ++ base.map(_.swap) ++ Seq((2L, 2L)))
+      .toDF("src", "dst")
+    val row = graft.operators.Graphs.triangleCount(edges, "src", "dst").collect()(0)
+    assert(row.getAs[Long]("n_triangles") == 4L, row.toString)
+    assert(row.getAs[Long]("n_edges") == 8L)
+    assert(row.getAs[Long]("n_vertices") == 7L)
+    // triangle-free graph
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(graft.operators.Graphs.triangleCount(path, "src", "dst")
+      .collect()(0).getAs[Long]("n_triangles") == 0L)
+  }
+
+  test("linkageScore: FS weights sum per agreement pattern, null fields neutral") {
+    val pairs = Seq(
+      (1L, 2L, Some(true), Some(true)),   // both agree
+      (3L, 4L, Some(true), Some(false)),  // mixed
+      (5L, 6L, Some(false), Some(false)), // both disagree
+      (7L, 8L, None, Some(true))          // missing field -> 0 contribution
+    ).toDF("id_a", "id_b", "f1", "f2")
+    val fields = Seq(("f1", 0.9, 0.1), ("f2", 0.8, 0.2))
+    val w1a = math.log(0.9 / 0.1); val w1d = math.log(0.1 / 0.9)
+    val w2a = math.log(0.8 / 0.2); val w2d = math.log(0.2 / 0.8)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Dedup.linkageScore(pairs, fields)
+      .collect().map(r => r.getAs[Long]("id_a") -> r.getAs[Double]("match_weight")).toMap
+    assert(got(1L) == r6(w1a + w2a))
+    assert(got(3L) == r6(w1a + w2d))
+    assert(got(5L) == r6(w1d + w2d))
+    assert(got(7L) == r6(0.0 + w2a))
+    intercept[IllegalArgumentException] { Dedup.linkageScore(pairs, Seq()) }
+    intercept[IllegalArgumentException] {
+      Dedup.linkageScore(pairs, Seq(("f1", 0.1, 0.9))) // m <= u
+    }
+  }
+
   test("madOutliers flags planted extremes, nulls and constant groups are safe") {
     val df = Seq(
       (1L, "a", Some(10.0)), (2L, "a", Some(11.0)), (3L, "a", Some(9.0)),
