@@ -996,6 +996,28 @@ object ScaleQueries {
         .orderBy("event_id")
     }),
 
+    // point-in-time as-of with a 2h staleness bound: older matches null out
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = Dedup
+        .exactDedup(
+          ev.filter(col("event_type") === "view")
+            .select("user_id", "ts", "value", "event_id"),
+          Seq("user_id", "ts"),
+          Seq(col("event_id"))
+        )
+        .select("user_id", "ts", "value")
+      Joins
+        .asOfJoinTolerant(
+          purchases, views, "user_id", "ts", "ts",
+          Seq("value", "ts"), toleranceSeconds = 7200L
+        )
+        .orderBy("event_id")
+    }),
+
     // as-of: last prior 'view' before each 'purchase' per user
     "q_asof_purchase_view" -> ((s, dir) => {
       Sessionize
@@ -3308,6 +3330,30 @@ object ScaleQueries {
         |       vd.value AS asof_value, vd.ts AS asof_ts
         |FROM p ASOF LEFT JOIN vd ON p.user_id = vd.user_id AND p.ts >= vd.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """WITH v0 AS (
+        |  SELECT user_id, ts, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        |  FROM events WHERE event_type = 'view'
+        |), vd AS (
+        |  SELECT user_id, ts, value FROM v0 WHERE rn = 1
+        |), p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |), j AS (
+        |  SELECT p.event_id, p.user_id, p.ts, vd.value AS mv, vd.ts AS mt,
+        |         CASE WHEN vd.ts IS NOT NULL
+        |                AND epoch_us(p.ts) - epoch_us(vd.ts) <= 7200000000
+        |              THEN 1 ELSE 0 END AS fresh
+        |  FROM p ASOF LEFT JOIN vd ON p.user_id = vd.user_id AND p.ts >= vd.ts
+        |)
+        |SELECT event_id, user_id, ts,
+        |       CASE WHEN fresh = 1 THEN mv END AS asof_value,
+        |       CASE WHEN fresh = 1 THEN mt END AS asof_ts,
+        |       CASE WHEN fresh = 1
+        |            THEN round((epoch_us(ts) - epoch_us(mt)) / 1000000.0, 6) END
+        |         AS asof_age_seconds
+        |FROM j ORDER BY event_id""".stripMargin,
 
     "q_top_terms" ->
       """WITH tok AS (

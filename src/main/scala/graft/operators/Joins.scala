@@ -277,4 +277,53 @@ object Joins {
           rightValueCols.map(c => col(s"__last_$c").as(s"$prefix$c")): _*
       )
   }
+  /** [[asOfJoin]] with a staleness bound: a matched right row older than
+    * `toleranceSeconds` before the left row is treated as NO match — its
+    * value columns come back NULL — and fresh matches additionally carry
+    * `<prefix>age_seconds` (left time minus match time). The point-in-time
+    * join contract real feature stores use: "latest price, but only if
+    * quoted within the last hour".
+    *
+    * Same single-shuffle union-merge shape as [[asOfJoin]] (the matched
+    * timestamp rides the merge as one more carried column); the staleness
+    * test is a pure per-row projection on top. Timestamp-type tolerant on
+    * both sides.
+    */
+  def asOfJoinTolerant(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightValueCols: Seq[String],
+      toleranceSeconds: Long,
+      prefix: String = "asof_"
+  ): DataFrame = {
+    require(toleranceSeconds > 0, "toleranceSeconds must be positive")
+    val l = TimeUtils.ensureTimestamp(left, leftTimeCol)
+    val r = TimeUtils.ensureTimestamp(right, rightTimeCol)
+    val tcol = "__asof_match_t"
+    val joined = asOfJoin(
+      l,
+      r.withColumn(tcol, col(rightTimeCol)),
+      keyCol,
+      leftTimeCol,
+      rightTimeCol,
+      rightValueCols :+ tcol,
+      prefix
+    )
+    val matchT = col(s"$prefix$tcol")
+    val ageMicros = unix_micros(col(leftTimeCol)) - unix_micros(matchT)
+    val fresh =
+      matchT.isNotNull && ageMicros <= toleranceSeconds * 1000000L
+    rightValueCols
+      .foldLeft(joined) { (d, c) =>
+        d.withColumn(s"$prefix$c", when(fresh, col(s"$prefix$c")))
+      }
+      .withColumn(
+        s"${prefix}age_seconds",
+        when(fresh, round(ageMicros / lit(1000000.0), 6))
+      )
+      .drop(s"$prefix$tcol")
+  }
 }

@@ -1432,6 +1432,65 @@ class ScaleSpec extends SparkSpec {
     assert(got == Map(1L -> Some(1.0), 2L -> Some(2.0), 3L -> None))
   }
 
+  test("asOfJoinTolerant nulls stale matches and reports match age") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val trades = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // quote 30s old -> fresh
+      (2L, 10L, ts("2024-01-01 11:00:00")), // quote 1h01m old -> stale
+      (3L, 20L, ts("2024-01-01 10:00:00"))  // no quote at all
+    ).toDF("trade_id", "k", "t")
+    val quotes = Seq((10L, ts("2024-01-01 09:59:30"), 1.5)).toDF("k", "qt", "px")
+    val got = graft.operators.Joins
+      .asOfJoinTolerant(trades, quotes, "k", "t", "qt", Seq("px"),
+        toleranceSeconds = 3600L)
+      .collect()
+      .map { r =>
+        r.getLong(0) -> (
+          Option(r.getAs[java.lang.Double]("asof_px")),
+          Option(r.getAs[java.lang.Double]("asof_age_seconds"))
+        )
+      }
+      .toMap
+    assert(got(1L) == ((Some(1.5), Some(30.0))), got(1L).toString)
+    assert(got(2L) == ((None, None)), "stale match must null out")
+    assert(got(3L) == ((None, None)))
+    intercept[IllegalArgumentException] {
+      graft.operators.Joins.asOfJoinTolerant(
+        trades, quotes, "k", "t", "qt", Seq("px"), 0L)
+    }
+  }
+
+  test("fileSkippingReport shows zorder tightening per-file ranges") {
+    import graft.operators.Layout
+    val dir = java.nio.file.Files.createTempDirectory("skip").toString
+    val df = spark
+      .range(4096)
+      .select(
+        (col("id") % 64).as("x"),
+        (col("id") / 64).cast("long").as("y")
+      )
+    // hash-scrambled baseline vs morton-clustered layout
+    df.repartition(8, col("id") % 8).write.parquet(s"$dir/plain")
+    Layout.zorderBy(df, "x", "y", numPartitions = 8).write.parquet(s"$dir/z")
+    def meanRange(path: String): Double = {
+      val rows = Layout
+        .fileSkippingReport(spark, path, Seq("x", "y"))
+        .collect()
+      assert(rows.forall(_.getAs[Long]("n_rows") > 0))
+      rows.map(r =>
+        (r.getAs[Long]("max_x") - r.getAs[Long]("min_x")).toDouble +
+          (r.getAs[Long]("max_y") - r.getAs[Long]("min_y")).toDouble
+      ).sum / rows.length
+    }
+    val plain = meanRange(s"$dir/plain")
+    val z = meanRange(s"$dir/z")
+    assert(z < plain / 2,
+      s"zorder files must cover much tighter rectangles: z=$z plain=$plain")
+    intercept[IllegalArgumentException] {
+      Layout.fileSkippingReport(spark, dir, Seq())
+    }
+  }
+
   test("stratifiedHashSample applies per-stratum rates deterministically") {
     import graft.operators.Splits
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
