@@ -1581,6 +1581,20 @@ object ScaleQueries {
       TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topN = 500)
     }),
 
+    // Unicode script mix per document (multilingual routing signal)
+    "q_script_profile" -> ((s, dir) => {
+      TextAnalysis
+        .scriptProfile(
+          t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text"
+        )
+        .orderBy("doc_id")
+    }),
+
+    // chi-square independence of the language mix vs source
+    "q_chi_square" -> ((s, dir) => {
+      Stats.chiSquareIndependence(t(s, dir, "documents"), "lang", "source")
+    }),
+
     // PMI-ranked adjacent-word collocations (phrase-mining census)
     "q_collocations" -> ((s, dir) => {
       TextAnalysis
@@ -4232,6 +4246,59 @@ object ScaleQueries {
         |        / (count(*) - SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)), 6)
         |    AS avg_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_script_profile" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    length(text) - length(regexp_replace(text,
+        |      '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS lat,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS cjk,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x{0400}-\x{04FF}]', '', 'g')) AS cyr,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dig,
+        |    length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS spc
+        |  FROM documents WHERE doc_id < 300
+        |)
+        |SELECT doc_id, CAST(COALESCE(n, 0) AS INT) AS n_chars,
+        |  CASE WHEN n > 0 THEN round(CAST(lat AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS frac_latin,
+        |  CASE WHEN n > 0 THEN round(CAST(cjk AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS frac_cjk,
+        |  CASE WHEN n > 0 THEN round(CAST(cyr AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS frac_cyrillic,
+        |  CASE WHEN n > 0 THEN round(CAST(dig AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS frac_digit,
+        |  CASE WHEN n > 0 THEN round(CAST(spc AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS frac_space,
+        |  CASE WHEN n > 0 THEN round(CAST(n - lat - cjk - cyr - dig - spc AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS frac_other
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, count(*) AS o
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT a, SUM(o) AS ra FROM cells GROUP BY a
+        |), ct AS (
+        |  SELECT b, SUM(o) AS rb FROM cells GROUP BY b
+        |), g AS (
+        |  SELECT CAST(SUM(o) AS DOUBLE) AS n,
+        |         count(DISTINCT a) AS ka, count(DISTINCT b) AS kb
+        |  FROM cells
+        |), terms AS (
+        |  SELECT CAST(round(
+        |           (CAST(COALESCE(o, 0) AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / n)
+        |         * (CAST(COALESCE(o, 0) AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / n)
+        |         / (CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / n), 12)
+        |         AS DECIMAL(28,12)) AS term, ka, kb, n
+        |  FROM rt CROSS JOIN ct
+        |       LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b, g
+        |)
+        |SELECT CAST(ka AS BIGINT) AS n_categories_a,
+        |       CAST(kb AS BIGINT) AS n_categories_b,
+        |       CAST(n AS BIGINT) AS n_rows,
+        |       round(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
+        |       CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+        |       round(sqrt(CAST(SUM(term) AS DOUBLE) /
+        |                  (n * least(ka - 1, kb - 1))), 6) AS cramers_v
+        |FROM terms GROUP BY ka, kb, n""".stripMargin,
 
     "q_triangles" ->
       """WITH co AS (

@@ -865,4 +865,59 @@ object Stats {
       )
       .drop("__med", "__mad")
   }
+  /** Chi-square test of independence between two categorical columns:
+    * one row with the contingency dimensions, the chi-square statistic
+    * over observed-vs-expected cell counts, degrees of freedom, and
+    * Cramer's V effect size — "is the language mix independent of the
+    * source" as a number, the categorical upgrade over eyeballing a
+    * crosstab. NULL categories are excluded.
+    *
+    * Exactness: per-cell (o-e)^2/e terms are rounded at 12 decimals and
+    * summed in DECIMAL (order-independent, engine-exact); marginals ride
+    * one-row / margin-sized broadcasts. One scan, one (a, b)-keyed hash
+    * aggregate; everything after runs on at most |A|x|B| rows.
+    */
+  def chiSquareIndependence(
+      df: DataFrame,
+      colA: String,
+      colB: String
+  ): DataFrame = {
+    val cells = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val rowTot = cells.groupBy("__a").agg(sum("__o").as("__ra"))
+    val colTot = cells.groupBy("__b").agg(sum("__o").as("__rb"))
+    val grand = cells.agg(
+      sum("__o").cast("double").as("__n"),
+      countDistinct(col("__a")).as("__ka"),
+      countDistinct(col("__b")).as("__kb")
+    )
+    val e = col("__ra").cast("double") * col("__rb").cast("double") / col("__n")
+    val o = coalesce(col("__o"), lit(0L)).cast("double")
+    val term = round((o - e) * (o - e) / e, 12).cast("decimal(28,12)")
+    // expand the FULL |A|x|B| contingency grid: unobserved cells (o = 0)
+    // still contribute (0-e)^2/e — dropping them halves a perfect-diagonal
+    // chi2. The margin tables are category-sized, so the grid cross is tiny.
+    rowTot
+      .crossJoin(broadcast(colTot))
+      .join(cells, Seq("__a", "__b"), "left")
+      .crossJoin(broadcast(grand))
+      .groupBy(col("__ka"), col("__kb"), col("__n"))
+      .agg(sum(term).cast("double").as("__chi2"))
+      .select(
+        col("__ka").cast("long").as("n_categories_a"),
+        col("__kb").cast("long").as("n_categories_b"),
+        col("__n").cast("long").as("n_rows"),
+        round(col("__chi2"), 6).as("chi2"),
+        ((col("__ka") - 1) * (col("__kb") - 1)).cast("long").as("dof"),
+        round(
+          sqrt(
+            col("__chi2") /
+              (col("__n") * least(col("__ka") - 1, col("__kb") - 1))
+          ),
+          6
+        ).as("cramers_v")
+      )
+  }
 }

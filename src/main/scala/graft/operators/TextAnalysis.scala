@@ -1867,4 +1867,36 @@ object TextAnalysis {
         ).as("r2")
       )
   }
+  /** Per-document Unicode script mix: the fraction of characters in the
+    * Latin, CJK (Han + kana), Cyrillic, digit, and whitespace ranges,
+    * plus the remainder — the pre-language-ID routing signal multilingual
+    * pipelines cut on (a "lang=en" doc that is 40% CJK is mislabeled or
+    * mixed). Fractions are over the total character count and rounded to
+    * 6; NULL text yields a zero-count row with NULL fractions.
+    *
+    * Pure per-row codegen (a chain of character-class regexp_replace
+    * strips — no tokenization, no shuffle). Character classes use
+    * explicit code-point ranges so any RE2/PCRE engine reproduces them.
+    */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = length(col(textCol))
+    def classCount(ranges: String): Column =
+      n - length(regexp_replace(col(textCol), s"[$ranges]", ""))
+    val latin = classCount("A-Za-z\u00C0-\u024F")
+    val cjk = classCount("\u4E00-\u9FFF\u3040-\u30FF")
+    val cyr = classCount("\u0400-\u04FF")
+    val digit = classCount("0-9")
+    val space = classCount(" \t\n\r")
+    def frac(c: Column): Column = when(n > 0, round(c / n, 6))
+    df.select(
+      col(idCol),
+      coalesce(n, lit(0)).cast("int").as("n_chars"),
+      frac(latin).as("frac_latin"),
+      frac(cjk).as("frac_cjk"),
+      frac(cyr).as("frac_cyrillic"),
+      frac(digit).as("frac_digit"),
+      frac(space).as("frac_space"),
+      frac(n - latin - cjk - cyr - digit - space).as("frac_other")
+    )
+  }
 }

@@ -617,6 +617,25 @@ class PlanSpec extends SparkSpec {
     )
   }
 
+  test("script profile is pure per-row compute (no hash shuffle at all)") {
+    val p = plan("q_script_profile")
+    assert(
+      !p.contains("Exchange hashpartitioning"),
+      s"per-row regex strips must not shuffle:\n$p"
+    )
+    assert(p.contains("PushedFilters"), s"doc_id filter must push down:\n$p")
+  }
+
+  test("chi-square: margins broadcast onto the category grid") {
+    val p = plan("q_chi_square")
+    assert(!p.contains("CartesianProduct"), s"product join:\n$p")
+    // the colTot and grand one-row attaches ride broadcast nested loops;
+    // everything else is keyed
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl <= 2, s"only the two broadcast grid attaches may nest-loop:\n$p")
+    assert(p.contains("partial_count"), s"cell counts must combine map-side:\n$p")
+  }
+
   test("triangle count: every join is a keyed equi-join (stats attach excepted)") {
     val p = plan("q_triangles")
     assert(!p.contains("CartesianProduct"), s"product join:\n$p")

@@ -1292,6 +1292,64 @@ class ScaleSpec extends SparkSpec {
     assert(z.getAs[Long]("n_vocab_a") == z.getAs[Long]("n_vocab_shared"))
   }
 
+  test("scriptProfile counts scripts by code-point range, null text safe") {
+    val df = Seq(
+      (1L, Some("ab 北京 мир 12")), // 2 latin, 2 cjk, 3 cyrillic, 2 digit, 3 space
+      (2L, None),
+      (3L, Some("")) // empty -> zero chars, null fractions
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Int]("n_chars") == 12)
+    def f(c: String) = r1.getAs[Double](c)
+    assert(f("frac_latin") == math.rint(2.0 / 12 * 1e6) / 1e6 ||
+      math.abs(f("frac_latin") - 2.0 / 12) < 1e-6)
+    assert(math.abs(f("frac_cjk") - 2.0 / 12) < 1e-6)
+    assert(math.abs(f("frac_cyrillic") - 3.0 / 12) < 1e-6)
+    assert(math.abs(f("frac_digit") - 2.0 / 12) < 1e-6)
+    assert(math.abs(f("frac_space") - 3.0 / 12) < 1e-6)
+    assert(f("frac_other") == 0.0)
+    assert(got(2L).getAs[Int]("n_chars") == 0 && got(2L).isNullAt(2))
+    assert(got(3L).getAs[Int]("n_chars") == 0 && got(3L).isNullAt(2))
+  }
+
+  test("chiSquareIndependence: zero on independence, Cramers V 1 on a diagonal") {
+    // perfectly independent 2x2: every cell 5
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val ri = Stats.chiSquareIndependence(indep, "a", "b").collect()(0)
+    assert(ri.getAs[Double]("chi2") == 0.0)
+    assert(ri.getAs[Double]("cramers_v") == 0.0)
+    assert(ri.getAs[Long]("dof") == 1L)
+    // perfectly dependent: b determined by a
+    val dep = (for { a <- Seq("x", "y"); _ <- 1 to 7 }
+      yield (a, if (a == "x") "p" else "q")).toDF("a", "b")
+    val rd = Stats.chiSquareIndependence(dep, "a", "b").collect()(0)
+    assert(rd.getAs[Double]("cramers_v") == 1.0, rd.toString)
+    assert(rd.getAs[Long]("n_rows") == 14L)
+  }
+
+  test("collocations PMI is invariant under exact corpus duplication") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val tripled = docs
+      .unionByName(docs.withColumn("doc_id", col("doc_id") + 100000L))
+      .unionByName(docs.withColumn("doc_id", col("doc_id") + 200000L))
+    def key(df: org.apache.spark.sql.DataFrame) = TextAnalysis
+      .collocations(df, "text", minCount = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    val base = key(docs)
+    val amp = key(tripled)
+    // every pair's PMI is EXACTLY unchanged (all counts scale by 3);
+    // pairs can only be added at the minCount boundary, never lost
+    base.foreach { case (p, pmi) =>
+      assert(amp.contains(p) && amp(p) == pmi, s"$p: ${amp.get(p)} vs $pmi")
+    }
+  }
+
   test("triangleCount: exact on a known graph, robust to dup/reversed/self edges") {
     // K4 on {1,2,3,4} (4 triangles) + pendant 5-1 + isolated-pair 6-7
     val base = Seq(
