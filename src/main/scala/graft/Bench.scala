@@ -74,27 +74,51 @@ object Bench {
     // a failing query must surface as an error, never as a (fast) timing;
     // with SPARK_GRAFT_RUNS > 1 each query is timed that many times and the
     // recorded figure is the per-query MEDIAN (first error wins if any run
-    // fails)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        val err =
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable => Some(e.getClass.getSimpleName + ": " + e.getMessage) }
-        ((System.nanoTime() - t0) / 1e9, err)
+    // fails). Runs are INTERLEAVED as full sweeps over the query set — all
+    // queries once, then the whole sweep again — rather than back-to-back
+    // per query: this VM's contention arrives in multi-minute windows, and
+    // consecutive per-query runs all land inside one window (observed: a
+    // single window inflating every q_c*-q_d* median 10-20x while the rest
+    // of the alphabet ran clean). With sweeps ~minutes apart, a window can
+    // poison at most one of a query's three samples and the median holds.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sweeps: Seq[Map[String, (Double, Option[String])]] =
+      (1 to runs).map { _ =>
+        ordered.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val err =
+            try { fn(spark, sfDir).count(); None }
+            catch { case e: Throwable => Some(e.getClass.getSimpleName + ": " + e.getMessage) }
+          name -> (((System.nanoTime() - t0) / 1e9, err))
+        }.toMap
       }
+    val results = ordered.map { case (name, _) =>
+      val samples = sweeps.map(_(name))
       val err = samples.collectFirst { case (_, Some(e)) => e }
-      (name, median(samples.map(_._1)), err)
+      (name, median(samples.map(_._1)), err, samples.map(_._1))
     }
     val qs = results
-      .collect { case (k, v, None) => s"\"" + k + "\":" + v }
+      .collect { case (k, v, None, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // contention only ever ADDS time, so the per-query MINIMUM over the
+    // interleaved sweeps is the least-biased estimate of true cost on this
+    // bursty VM; medians stay the headline (driver continuity), mins and
+    // the raw sweep samples go to the file artifact for interpretation
+    val qsMin = results
+      .collect { case (k, _, None, samples) => s"\"" + k + "\":" + samples.min }
+      .mkString("{", ",", "}")
+    val sampleMap = results
+      .collect { case (k, _, None, samples) =>
+        s"\"" + k + "\":[" + samples.mkString(",") + "]"
+      }
       .mkString("{", ",", "}")
     val errs = results
-      .collect { case (k, _, Some(e)) =>
+      .collect { case (k, _, Some(e), _) =>
         s"\"" + k + "\":\"" + e.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
       }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, v, None, _) => v }.sum
+    val totalMin = results.collect { case (_, _, None, samples) => samples.min }.sum
     // throughput entry: ONE timed pass (the corpus is 10x, medians would
     // triple the bench budget for a figure that is shuffle-bound, not
     // scheduler-noise-bound)
@@ -171,15 +195,19 @@ object Bench {
         }
       }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"ok":${results.count(_._3.isEmpty)},"failed":${results.count(_._3.nonEmpty)},"runs":$runs,"throughput":$throughput,"semantic_throughput":$semThroughput,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"errors":$errs,"ok":${results.count(_._3.isEmpty)},"failed":${results.count(_._3.nonEmpty)},"runs":$runs,"throughput":$throughput,"semantic_throughput":$semThroughput,"sf":"$sfDir"}"""
     println(line)
     // the driver's stdout capture truncates long lines (only ~16 of 130+
     // per-query medians survived in past rounds) — persist the full artifact
-    // to a file as the durable round-over-round record
+    // to a file as the durable round-over-round record. The file also keeps
+    // the per-query sweep minimums and raw samples (stdout stays compact):
+    // on this VM's bursty CPU the min is the truth, the spread is the noise.
+    val fileLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$qsMin,"samples":$sampleMap,"errors":$errs,"ok":${results.count(_._3.isEmpty)},"failed":${results.count(_._3.nonEmpty)},"runs":$runs,"throughput":$throughput,"semantic_throughput":$semThroughput,"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try {
       val w = new java.io.PrintWriter(new java.io.File(outFile), "UTF-8")
-      try w.println(line)
+      try w.println(fileLine)
       finally w.close()
     } catch {
       case e: Throwable =>
