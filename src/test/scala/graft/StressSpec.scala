@@ -372,4 +372,59 @@ class StressSpec extends SparkSpec {
     assert(survivors == origIds,
       s"extra=${(survivors -- origIds).take(5)} missing=${(origIds -- survivors).take(5)}")
   }
+  test("event analytics scale exactly linearly under user-rekeyed amplification") {
+    // 5 re-keyed copies of the events table: same timestamps, disjoint
+    // users => every session replicates exactly 5x. Path/transition
+    // counts must scale by EXACTLY 5 and the conditional probabilities
+    // must be bit-identical — a quadratic blowup, a cross-copy session
+    // leak, or a probability drift all fail the equality, with no DuckDB
+    // round-trip. (The sf0.001 table keeps the suite fast; the property
+    // is size-independent.)
+    import graft.operators.Sessionize
+    val ev = ScaleQueries
+      .events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts", "event_type")
+      .localCheckpoint()
+    val k = 5
+    val amp = (0 until k)
+      .map { c =>
+        ev.withColumn("user_id", col("user_id") + lit(c * 1000000L))
+          .withColumn("event_id", col("event_id") + lit(c * 10000000L))
+      }
+      .reduce(_ unionByName _)
+    val baseTr = Sessionize
+      .eventTransitions(ev, 1800)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val ampTr = timed(s"eventTransitions on the ${k}x corpus") {
+      Sessionize
+        .eventTransitions(amp, 1800)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+    }
+    assert(ampTr.keySet == baseTr.keySet, "amplification invented/lost adjacencies")
+    baseTr.foreach { case (key, (n, p)) =>
+      assert(ampTr(key)._1 == k * n, s"$key: ${ampTr(key)._1} != $k*$n")
+      assert(ampTr(key)._2 == p, s"$key: probability drifted ${ampTr(key)._2} vs $p")
+    }
+    val basePaths = Sessionize
+      .frequentPaths(ev, 1800, pathLen = 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val ampPaths = timed(s"frequentPaths on the ${k}x corpus") {
+      Sessionize
+        .frequentPaths(amp, 1800, pathLen = 3)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    }
+    assert(ampPaths.keySet == basePaths.keySet)
+    basePaths.foreach { case (path, (occ, sess)) =>
+      assert(ampPaths(path) == ((k * occ, k * sess)),
+        s"$path: ${ampPaths(path)} != ($k*$occ, $k*$sess)")
+    }
+  }
 }
