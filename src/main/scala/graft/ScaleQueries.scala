@@ -906,6 +906,24 @@ object ScaleQueries {
         .limit(50)
     }),
 
+    // last-touch conversion attribution report per touch channel
+    "q_attribution" -> ((s, dir) => {
+      Sessionize
+        .attributeConversions(
+          events(s, dir), gapSeconds = 1800,
+          conversionType = "purchase", touchTypes = Seq("view", "click"),
+          model = "last_touch"
+        )
+        .groupBy("touch_type")
+        .agg(
+          count(lit(1)).as("n_conversions"),
+          sum(col("conversion_value").cast("decimal(18,2)"))
+            .cast("double")
+            .as("total_value")
+        )
+        .orderBy("touch_type")
+    }),
+
     // within-session event-type transition matrix (first-order Markov)
     "q_event_transitions" -> ((s, dir) => {
       Sessionize
@@ -3454,6 +3472,31 @@ object ScaleQueries {
         |       CAST(count(DISTINCT sess) AS BIGINT) AS n_sessions
         |FROM g GROUP BY path
         |ORDER BY n_occurrences DESC, path LIMIT 50""".stripMargin,
+
+    "q_attribution" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |), a AS (
+        |  SELECT event_type, value,
+        |         last_value(CASE WHEN event_type IN ('view', 'click')
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tt
+        |  FROM s
+        |)
+        |SELECT COALESCE(tt, '(none)') AS touch_type,
+        |       CAST(count(*) AS BIGINT) AS n_conversions,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM a WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_event_transitions" ->
       """WITH o AS (

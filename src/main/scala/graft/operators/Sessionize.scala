@@ -405,4 +405,57 @@ object Sessionize {
       )
     )
   }
+  /** Session-scoped conversion attribution: one row per `conversionType`
+    * event, credited to the FIRST or LAST strictly-prior event of any
+    * `touchTypes` in the SAME gap session (first-touch / last-touch, the
+    * two classic single-touch models). Conversions with no prior touch in
+    * their session credit "(none)". Output: the user key, the conversion's
+    * id/ts/value, and `touch_type`/`touch_ts`.
+    *
+    * Scale shape: session ids and the running first/last-touch window
+    * share ONE shuffle on the user key (same partitioning, same sorted
+    * pass); the touch type and timestamp are two ignoreNulls window
+    * aggregates over the same frame — both non-null exactly on touch
+    * rows, so they always come from the same touch event.
+    */
+  def attributeConversions(
+      events: DataFrame,
+      gapSeconds: Long,
+      conversionType: String,
+      touchTypes: Seq[String],
+      model: String = "last_touch",
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      typeCol: String = "event_type",
+      valueCol: String = "value"
+  ): DataFrame = {
+    require(touchTypes.nonEmpty, "at least one touch type")
+    require(!touchTypes.contains(conversionType),
+      "conversionType must not be a touch type")
+    require(Set("first_touch", "last_touch").contains(model),
+      s"unknown attribution model: $model")
+    val w = Window
+      .partitionBy(col(userCol), col("session_id"))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol).isin(touchTypes.map(x => x: Any): _*)
+    val touchType = when(isTouch, col(typeCol))
+    val touchTs = when(isTouch, col(tsCol))
+    def pick(c: Column): Column =
+      if (model == "last_touch") last(c, ignoreNulls = true).over(w)
+      else first(c, ignoreNulls = true).over(w)
+    withSessionIds(events, gapSeconds, userCol, tsCol, idCol)
+      .withColumn("__tt", pick(touchType))
+      .withColumn("__tts", pick(touchTs))
+      .filter(col(typeCol) === conversionType)
+      .select(
+        col(userCol),
+        col(idCol).as("conversion_id"),
+        col(tsCol).as("conversion_ts"),
+        col(valueCol).as("conversion_value"),
+        coalesce(col("__tt"), lit("(none)")).as("touch_type"),
+        col("__tts").as("touch_ts")
+      )
+  }
 }

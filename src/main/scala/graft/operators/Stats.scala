@@ -830,6 +830,31 @@ object Stats {
     * both tiny per-group tables broadcast back onto the rows — the data
     * side never shuffles. NULL values pass through un-flagged.
     */
+  /** The batch-trained model under [[madOutliers]]: one row per group
+    * with its exact median (`med`) and median absolute deviation (`mad`).
+    * Persist or broadcast it to score OTHER data — including a stream
+    * ([[graft.streaming.Streaming.anomalyGateStream]]) — against the
+    * batch baseline without recomputing medians. */
+  def madModel(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String]
+  ): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val g = groupCols.map(col)
+    val meds = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(g: _*)
+      .agg(median(col(valueCol)).as("med"))
+    df.join(broadcast(meds), groupCols, "left")
+      .filter(col(valueCol).isNotNull)
+      .groupBy(g: _*)
+      .agg(
+        first(col("med")).as("med"),
+        median(abs(col(valueCol) - col("med"))).as("mad")
+      )
+  }
+
   def madOutliers(
       df: DataFrame,
       valueCol: String,
@@ -839,19 +864,12 @@ object Stats {
   ): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     require(threshold > 0, "threshold must be positive")
-    val g = groupCols.map(col)
-    val meds = df
-      .filter(col(valueCol).isNotNull)
-      .groupBy(g: _*)
-      .agg(median(col(valueCol)).as("__med"))
-    val withMed = df.join(broadcast(meds), groupCols, "left")
-    val mads = withMed
-      .filter(col(valueCol).isNotNull)
-      .groupBy(g: _*)
-      .agg(median(abs(col(valueCol) - col("__med"))).as("__mad"))
+    val model = madModel(df, valueCol, groupCols)
+      .withColumnRenamed("med", "__med")
+      .withColumnRenamed("mad", "__mad")
     val z = (col(valueCol) - col("__med")) / (lit(1.4826) * col("__mad"))
-    withMed
-      .join(broadcast(mads), groupCols, "left")
+    df
+      .join(broadcast(model), groupCols, "left")
       .withColumn(
         "robust_z",
         when(

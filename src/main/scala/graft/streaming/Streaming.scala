@@ -587,4 +587,33 @@ object Streaming {
       .start()
     q.awaitTermination()
   }
+  /** Streaming anomaly gate: score each event against a BATCH-trained
+    * robust median/MAD model ([[graft.operators.Stats.madModel]] output:
+    * one row per group with `med`/`mad`) and pass only rows whose robust
+    * z-score stays within `threshold` — the "drop telemetry spikes before
+    * they hit the feature store" shape. A pure stream-static broadcast
+    * join + per-row projection: stateless, append-mode, bit-identical to
+    * the batch filter (asserted in the suite). Rows from groups absent
+    * from the model (or with collapsed MAD) pass through un-gated —
+    * unknown groups are for the monitor to flag, not the gate to drop.
+    */
+  def anomalyGateStream(
+      events: DataFrame,
+      model: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      threshold: Double = 3.5,
+      madFloor: Double = 1e-12
+  ): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val z = (col(valueCol) - col("med")) / (lit(1.4826) * col("mad"))
+    events
+      .join(broadcast(model), Seq(groupCol), "left")
+      .withColumn(
+        "robust_z",
+        when(col(valueCol).isNotNull && col("mad") >= madFloor, round(z, 6))
+      )
+      .filter(col("robust_z").isNull || abs(col("robust_z")) <= threshold)
+      .drop("med", "mad")
+  }
 }

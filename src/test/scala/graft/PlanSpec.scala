@@ -706,6 +706,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrdered:\n$p")
   }
 
+  test("attribution: session + touch windows share the user exchange") {
+    val p = plan("q_attribution")
+    val eventShuffles = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("touch_type#"))
+      .toList
+    assert(
+      eventShuffles.size <= 1,
+      s"session and touch windows must share one user-key exchange:\n$p"
+    )
+  }
+
   test("event transitions: probability window runs post-aggregation only") {
     val p = plan("q_event_transitions")
     val exchanges = p.linesIterator

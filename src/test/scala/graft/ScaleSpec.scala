@@ -1786,6 +1786,37 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("attributeConversions credits the right touch per model, (none) without one") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      // user 10, one session: view -> click -> purchase
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view", 0.0),
+      (2L, 10L, ts("2024-01-01 10:05:00"), "click", 0.0),
+      (3L, 10L, ts("2024-01-01 10:10:00"), "purchase", 9.0),
+      // user 10, NEW session (gap): purchase with no touch — the view at
+      // 10:00 must NOT leak across the session boundary
+      (4L, 10L, ts("2024-01-01 12:00:00"), "purchase", 5.0),
+      // user 20: touch AFTER the purchase never counts
+      (5L, 20L, ts("2024-01-01 09:00:00"), "purchase", 3.0),
+      (6L, 20L, ts("2024-01-01 09:01:00"), "view", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    def run(model: String) = Sessionize
+      .attributeConversions(df, 1800, "purchase", Seq("view", "click"), model)
+      .collect()
+      .map(r => r.getAs[Long]("conversion_id") -> r.getAs[String]("touch_type"))
+      .toMap
+    val lastT = run("last_touch")
+    assert(lastT == Map(3L -> "click", 4L -> "(none)", 5L -> "(none)"), lastT.toString)
+    val firstT = run("first_touch")
+    assert(firstT(3L) == "view", firstT.toString)
+    intercept[IllegalArgumentException] {
+      Sessionize.attributeConversions(df, 1800, "purchase", Seq("purchase"))
+    }
+    intercept[IllegalArgumentException] {
+      Sessionize.attributeConversions(df, 1800, "purchase", Seq("view"), "u_shaped")
+    }
+  }
+
   test("asOfPrior finds last strictly-prior event of the other type") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val df = Seq(

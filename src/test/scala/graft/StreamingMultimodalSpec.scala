@@ -393,6 +393,31 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(gotIds.nonEmpty && gotIds.size < docs.count())
   }
 
+  test("streaming anomaly gate equals the batch MAD filter") {
+    import graft.operators.Stats
+    val events = graft.ScaleQueries.events(spark, sfDir)
+    val model = Stats.madModel(events, "value", Seq("event_type"))
+    val gated = Streaming.anomalyGateStream(
+      Streaming.readEventsStream(spark, sfDir),
+      model, "event_type", "value", threshold = 3.5
+    )
+    val q = gated.writeStream
+      .format("memory")
+      .queryName("anomaly_gate")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("anomaly_gate")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val batch = Stats.madOutliers(events, "value", Seq("event_type"))
+      .filter(!col("is_outlier"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == batch, s"stream ${got.size} vs batch ${batch.size}")
+    // the gate really drops something, and the dropped set is the outliers
+    assert(got.size < events.count())
+  }
+
   test("media table round trip: schema, features, determinism") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
     val media = Multimodal.toMediaTable(docs, "doc_id", "text")
