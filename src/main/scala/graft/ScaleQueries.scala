@@ -3461,7 +3461,7 @@ object ScaleQueries {
         |  SELECT user_id, sid, event_type,
         |         lag(event_type, 2) OVER w2 AS t2,
         |         lag(event_type, 1) OVER w2 AS t1
-        |  FROM s
+        |  FROM s WHERE event_type IS NOT NULL
         |  WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts, event_id)
         |), g AS (
         |  SELECT t2 || '>' || t1 || '>' || event_type AS path,
@@ -4347,8 +4347,10 @@ object ScaleQueries {
         |       CAST(n AS BIGINT) AS n_rows,
         |       round(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
         |       CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
-        |       round(sqrt(CAST(SUM(term) AS DOUBLE) /
-        |                  (n * least(ka - 1, kb - 1))), 6) AS cramers_v
+        |       CASE WHEN least(ka - 1, kb - 1) > 0
+        |            THEN round(sqrt(CAST(SUM(term) AS DOUBLE) /
+        |                            (n * least(ka - 1, kb - 1))), 6)
+        |       END AS cramers_v
         |FROM terms GROUP BY ka, kb, n""".stripMargin,
 
     "q_triangles" ->
@@ -4388,10 +4390,14 @@ object ScaleQueries {
          |    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 4
          |), j AS (
          |  SELECT p.id_a, p.id_b,
-         |         (CASE WHEN p.dist <= 5 THEN $ha ELSE $hd END
-         |        + CASE WHEN da.lang = db.lang THEN $la ELSE $ld END
-         |        + CASE WHEN da.source = db.source THEN $sa ELSE $sd END
-         |        + CASE WHEN abs(da.n_chars - db.n_chars) <= 20 THEN $na ELSE $nd END)
+         |         (CASE WHEN p.dist IS NULL THEN 0.0
+         |               WHEN p.dist <= 5 THEN $ha ELSE $hd END
+         |        + CASE WHEN da.lang IS NULL OR db.lang IS NULL THEN 0.0
+         |               WHEN da.lang = db.lang THEN $la ELSE $ld END
+         |        + CASE WHEN da.source IS NULL OR db.source IS NULL THEN 0.0
+         |               WHEN da.source = db.source THEN $sa ELSE $sd END
+         |        + CASE WHEN da.n_chars IS NULL OR db.n_chars IS NULL THEN 0.0
+         |               WHEN abs(da.n_chars - db.n_chars) <= 20 THEN $na ELSE $nd END)
          |           AS w
          |  FROM p JOIN documents da ON p.id_a = da.doc_id
          |         JOIN documents db ON p.id_b = db.doc_id

@@ -349,10 +349,16 @@ object Sessionize {
     val w = Window
       .partitionBy(col(userCol), col("session_id"))
       .orderBy(col(tsCol), col(idCol))
+    // NULL-typed events keep their timestamps for session-gap purposes but
+    // are excluded from paths AFTER sessionization: concat_ws would silently
+    // skip a NULL mid-chain (a shortened path indistinguishable from a real
+    // shorter run) and the furthest-lag chain-fit filter would conflate NULL
+    // type with a session boundary.
     val withLags = (pathLen - 1 to 1 by -1)
-      .foldLeft(withSessionIds(events, gapSeconds, userCol, tsCol, idCol)) {
-        (df, j) => df.withColumn(s"__t$j", lag(col(typeCol), j).over(w))
-      }
+      .foldLeft(
+        withSessionIds(events, gapSeconds, userCol, tsCol, idCol)
+          .filter(col(typeCol).isNotNull)
+      ) { (df, j) => df.withColumn(s"__t$j", lag(col(typeCol), j).over(w)) }
     val parts =
       (pathLen - 1 to 1 by -1).map(j => col(s"__t$j")) :+ col(typeCol)
     withLags

@@ -814,22 +814,6 @@ object Stats {
         col("psi")
       )
   }
-  /** Robust per-group outlier detection via the median/MAD rule (Iglewicz
-    * & Hoaglin 1993): each row gets
-    *
-    *   robust_z = (x - median) / (1.4826 * MAD)
-    *
-    * with MAD the median absolute deviation from the group median, and
-    * `is_outlier` when |robust_z| > threshold (3.5 is the standard cut).
-    * Unlike z-scores ([[standardize]]) the estimate itself is immune to
-    * the outliers it hunts — the right screen for heavy-tailed metrics
-    * before training-data admission. Groups where MAD collapses below
-    * `madFloor` (constant-valued groups) yield NULL robust_z.
-    *
-    * Scale shape: two hash aggregates on the group key (exact medians);
-    * both tiny per-group tables broadcast back onto the rows — the data
-    * side never shuffles. NULL values pass through un-flagged.
-    */
   /** The batch-trained model under [[madOutliers]]: one row per group
     * with its exact median (`med`) and median absolute deviation (`mad`).
     * Persist or broadcast it to score OTHER data — including a stream
@@ -846,7 +830,10 @@ object Stats {
       .filter(col(valueCol).isNotNull)
       .groupBy(g: _*)
       .agg(median(col(valueCol)).as("med"))
-    df.join(broadcast(meds), groupCols, "left")
+    // No broadcast hint: the per-group table is |groups|-sized, which a
+    // high-cardinality key can push past driver memory — let AQE's
+    // size-based choice pick broadcast vs shuffle join at runtime.
+    df.join(meds, groupCols, "left")
       .filter(col(valueCol).isNotNull)
       .groupBy(g: _*)
       .agg(
@@ -855,6 +842,24 @@ object Stats {
       )
   }
 
+  /** Robust per-group outlier detection via the median/MAD rule (Iglewicz
+    * & Hoaglin 1993): each row gets
+    *
+    *   robust_z = (x - median) / (1.4826 * MAD)
+    *
+    * with MAD the median absolute deviation from the group median, and
+    * `is_outlier` when |robust_z| > threshold (3.5 is the standard cut).
+    * Unlike z-scores ([[standardize]]) the estimate itself is immune to
+    * the outliers it hunts — the right screen for heavy-tailed metrics
+    * before training-data admission. Groups where MAD collapses below
+    * `madFloor` (constant-valued groups) yield NULL robust_z.
+    *
+    * Scale shape: two hash aggregates on the group key (exact medians);
+    * the per-group model joins back onto the rows with no forced
+    * broadcast — AQE picks broadcast when |groups| is small and a shuffle
+    * join when the key is high-cardinality. NULL values pass through
+    * un-flagged.
+    */
   def madOutliers(
       df: DataFrame,
       valueCol: String,
@@ -869,7 +874,7 @@ object Stats {
       .withColumnRenamed("mad", "__mad")
     val z = (col(valueCol) - col("__med")) / (lit(1.4826) * col("__mad"))
     df
-      .join(broadcast(model), groupCols, "left")
+      .join(model, groupCols, "left")
       .withColumn(
         "robust_z",
         when(
@@ -894,6 +899,11 @@ object Stats {
     * summed in DECIMAL (order-independent, engine-exact); marginals ride
     * one-row / margin-sized broadcasts. One scan, one (a, b)-keyed hash
     * aggregate; everything after runs on at most |A|x|B| rows.
+    *
+    * Degenerate tables: when either column has a single observed category
+    * the test has dof = 0 and no effect size exists — `cramers_v` is NULL
+    * (explicitly guarded, never a divide-by-zero) and `chi2` is 0 by
+    * construction.
     */
   def chiSquareIndependence(
       df: DataFrame,
@@ -929,12 +939,15 @@ object Stats {
         col("__n").cast("long").as("n_rows"),
         round(col("__chi2"), 6).as("chi2"),
         ((col("__ka") - 1) * (col("__kb") - 1)).cast("long").as("dof"),
-        round(
-          sqrt(
-            col("__chi2") /
-              (col("__n") * least(col("__ka") - 1, col("__kb") - 1))
-          ),
-          6
+        when(
+          least(col("__ka") - 1, col("__kb") - 1) > 0,
+          round(
+            sqrt(
+              col("__chi2") /
+                (col("__n") * least(col("__ka") - 1, col("__kb") - 1))
+            ),
+            6
+          )
         ).as("cramers_v")
       )
   }

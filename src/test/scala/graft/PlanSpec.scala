@@ -654,12 +654,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), s"global funnel:\n$p")
   }
 
-  test("MAD outliers broadcast both per-group median tables onto the rows") {
-    val p = plan("q_mad_outliers")
-    // the data side must never shuffle for the joins — only the two
-    // median aggregates repartition (on the tiny projected group key)
-    assert(p.contains("BroadcastHashJoin"), s"expected broadcast medians:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"group stats must not sort-merge:\n$p")
+  test("MAD outliers: AQE broadcasts the per-group model at small cardinality") {
+    // the operator carries NO forced broadcast hint (a high-cardinality
+    // group key must be allowed to shuffle-join) — so the guard checks the
+    // AQE FINAL plan: at this group cardinality the runtime size estimate
+    // must still convert the model join to a broadcast
+    val df = SparkEntry.queries("q_mad_outliers")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"expected an executed AQE plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected AQE broadcast medians:\n$p")
   }
 
   test("zipf fit: vocabulary top-N is TakeOrdered, counts combine map-side") {

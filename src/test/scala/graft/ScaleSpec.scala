@@ -1330,6 +1330,16 @@ class ScaleSpec extends SparkSpec {
     assert(rd.getAs[Long]("n_rows") == 14L)
   }
 
+  test("chiSquareIndependence: degenerate 1xN table has dof 0 and NULL cramers_v") {
+    val deg = Seq(("x", "p"), ("x", "q"), ("x", "p"), ("x", "q"))
+      .toDF("a", "b")
+    val r = Stats.chiSquareIndependence(deg, "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_categories_a") == 1L)
+    assert(r.getAs[Long]("dof") == 0L)
+    assert(r.getAs[Double]("chi2") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("cramers_v")), r.toString)
+  }
+
   test("collocations PMI is invariant under exact corpus duplication") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
@@ -1757,6 +1767,31 @@ class ScaleSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     assert(got == Map("A>B>C" -> ((2L, 2L))), got.toString)
+  }
+
+  test("frequentPaths excludes NULL-typed events without shortening paths") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // A, NULL, B, C in one session: the NULL row keeps its place in the
+    // session clock but must not silently vanish inside a concat_ws chain
+    // (which would fabricate A>B>C with the wrong adjacency) — after the
+    // fix the typed events A B C are re-adjacent by construction, and a
+    // NULL must never be conflated with a session boundary.
+    val df = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00"), Some("A"), 0.0),
+      (2L, 10L, ts("2024-01-01 10:05:00"), None: Option[String], 0.0),
+      (3L, 10L, ts("2024-01-01 10:10:00"), Some("B"), 0.0),
+      (4L, 10L, ts("2024-01-01 10:15:00"), Some("C"), 0.0),
+      // session 2: NULL then B then C — only two typed events, no len-3 path
+      (5L, 10L, ts("2024-01-01 12:00:00"), None: Option[String], 0.0),
+      (6L, 10L, ts("2024-01-01 12:05:00"), Some("B"), 0.0),
+      (7L, 10L, ts("2024-01-01 12:10:00"), Some("C"), 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = Sessionize
+      .frequentPaths(df, gapSeconds = 1800, pathLen = 3)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map("A>B>C" -> ((1L, 1L))), got.toString)
   }
 
   test("eventTransitions: counts per adjacency, probabilities sum to 1 per from") {
