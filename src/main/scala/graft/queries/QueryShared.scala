@@ -1,0 +1,483 @@
+package graft
+
+import graft.operators.{Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Helpers shared by the per-domain query registries: table loaders,
+  * cross-registry constants (ANN hyperplanes, Fellegi-Sunter weights)
+  * and the DuckDB SQL generators the oracles inline so both engines
+  * fold the SAME Scala-computed constants. */
+private[graft] object QueryShared {
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The driver has shipped events.parquet under several timestamp
+    * physical types across regenerations — TIMESTAMP(NANOS) (arrives as
+    * long nanos under `spark.sql.legacy.parquet.nanosAsLong`),
+    * micros-without-timezone (Spark 4 reads TIMESTAMP_NTZ), and tz'd
+    * micros (TIMESTAMP). Normalize all of them to the microsecond
+    * session-zone TIMESTAMP the operators and DuckDB oracles assume
+    * (UTC session ⇒ identical instants in every case). Public: this is
+    * the canonical batch loader for the events table — tests and tools
+    * should read through it rather than re-deriving the ts conversion. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = t(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
+
+  /** Hyperplanes shared between the Spark ANN query and its generated
+    * oracle SQL. 6 planes => 64 buckets over 500-5000 vectors. */
+  val AnnPlanes = Similarity.randomHyperplanes(numPlanes = 6, dim = 64)
+
+  /** Fellegi-Sunter fields for q_linkage_score: (agreement column, m, u).
+    * The ln(m/u) / ln((1-m)/(1-u)) contributions are Scala-computed
+    * constants inlined into BOTH the Spark plan and the generated oracle
+    * SQL, so no libm difference can split the engines. */
+  val FsFields = Seq(
+    ("agree_head", 0.9, 0.05),
+    ("agree_lang", 0.95, 0.3),
+    ("agree_source", 0.8, 0.05),
+    ("agree_len", 0.9, 0.2)
+  )
+  val FsW: Map[String, (Double, Double)] =
+    graft.operators.Dedup
+      .linkageWeights(FsFields)
+      .map { case (c, a, d) => c -> ((a, d)) }
+      .toMap
+
+  /** Independent banks for the OR-amplified multi-band ANN query. Sized from
+    * the measured data: the synthetic embeddings are near-random (median
+    * top-5 cosine 0.32 => per-plane match probability m ~ 0.60), so 16 banks
+    * of 3 planes gives predicted recall 1-(1-m^3)^16 ~ 0.98 (ScaleSpec
+    * asserts >= 0.9). On real clustered corpora (m -> 1 for true near-dups)
+    * far fewer banks reach the same recall — the bank count IS the
+    * recall/cost dial. */
+  val AnnBanks =
+    Similarity.randomHyperplaneBanks(numBanks = 16, planesPerBank = 3, dim = 64)
+
+
+  /** DuckDB expression for cosine(a, b) over FLOAT[64] columns — identical
+    * fold order to VectorFunctions.cosineSimilarity. */
+  def duckCosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  /** Shared DuckDB CTE chain for the DSIR oracles: hashed unigram+bigram
+    * buckets (md5 % 8192, bigrams joined with chr(1) — the operator's
+    * exact feature map), Laplace-1 smoothed target (lang='zh') vs corpus
+    * models, 6-decimal log-ratios summed in DECIMAL. Ends with
+    * `w(doc_id, log_weight)`. */
+  def duckDsirWeights: String =
+    """d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL
+      |), g AS (
+      |  SELECT doc_id, unnest(list_concat(toks,
+      |    CASE WHEN len(toks) >= 2
+      |         THEN list_transform(range(2, len(toks) + 1),
+      |                             i -> toks[i-1] || chr(1) || toks[i])
+      |         ELSE CAST([] AS VARCHAR[]) END)) AS gram
+      |  FROM d
+      |), b AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % 8192 AS bk
+      |  FROM g
+      |), qm AS (
+      |  SELECT bk, count(*) AS qc FROM b GROUP BY bk
+      |), pm AS (
+      |  SELECT bk, count(*) AS pc FROM b JOIN documents USING (doc_id)
+      |  WHERE lang = 'zh' GROUP BY bk
+      |), tot AS (
+      |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM b) AS qt,
+      |         (SELECT CAST(count(*) AS DOUBLE) FROM b
+      |          JOIN documents USING (doc_id) WHERE lang = 'zh') AS pt
+      |), r AS (
+      |  SELECT COALESCE(qm.bk, pm.bk) AS bk,
+      |         CAST(ROUND(LN((COALESCE(pc, 0) + 1.0) / (pt + 8192.0))
+      |                  - LN((COALESCE(qc, 0) + 1.0) / (qt + 8192.0)), 6)
+      |              AS DECIMAL(18,6)) AS lr
+      |  FROM qm FULL JOIN pm ON qm.bk = pm.bk, tot
+      |), db AS (
+      |  SELECT doc_id, bk, CAST(count(*) AS DECIMAL(10,0)) AS c
+      |  FROM b GROUP BY 1, 2
+      |), w AS (
+      |  SELECT doc_id, ROUND(CAST(sum(c * lr) AS DOUBLE), 6) AS log_weight
+      |  FROM db JOIN r USING (bk) GROUP BY doc_id
+      |)""".stripMargin
+
+  /** Shared CTE chain for the hashed NB classifier oracle (src0-2 as the
+    * positive class, 4096 buckets) — mirrors
+    * TextAnalysis.trainTokenClassifier. */
+  def duckNbModel: String =
+    """ptoks AS (
+      |  SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS bucket
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+      |        FROM documents
+      |        WHERE text IS NOT NULL AND source IN ('src0','src1','src2'))
+      |), ntoks AS (
+      |  SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS bucket
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+      |        FROM documents
+      |        WHERE text IS NOT NULL AND source NOT IN ('src0','src1','src2'))
+      |), pc AS (SELECT bucket, count(*) AS cnt FROM ptoks GROUP BY 1
+      |), nc AS (SELECT bucket, count(*) AS cnt FROM ntoks GROUP BY 1
+      |), model AS (
+      |  SELECT b.bucket,
+      |         ROUND(LN((COALESCE(p.cnt, 0) + 1) /
+      |                  CAST((SELECT count(*) FROM ptoks) + 4096 AS DOUBLE))
+      |             - LN((COALESCE(n.cnt, 0) + 1) /
+      |                  CAST((SELECT count(*) FROM ntoks) + 4096 AS DOUBLE)), 6)
+      |           AS weight
+      |  FROM range(0, 4096) AS b(bucket)
+      |  LEFT JOIN pc p ON p.bucket = b.bucket
+      |  LEFT JOIN nc n ON n.bucket = b.bucket
+      |)""".stripMargin
+
+  /** DuckDB expression for squared Euclidean distance over FLOAT[64]
+    * columns — identical fold order to VectorFunctions.squaredDistance
+    * (the difference is written out as d*d, NOT pow(d, 2), so the
+    * arithmetic matches the Spark loop bit-for-bit). */
+  def duckSqDist(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+       | i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |    * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+      .replaceAll("\n", "")
+
+  /** DuckDB CTE chain replaying Similarity.kmeansCluster bit-for-bit on
+    * the embeddings table: md5-ranked seeds, `rounds` Lloyd iterations
+    * with floor-quantized integer centroid sums (order-independent, so
+    * the sequential-fold distance is the only float-sensitive step and
+    * it matches the codegen'd loop exactly), empty clusters carrying the
+    * previous centroid. Ends with `af(vec_id, cl, d)` = final assignment
+    * + squared distance. */
+  def duckKmeansCte(k: Int, rounds: Int): String = {
+    val seed =
+      s"""sd AS (
+         |  SELECT vec_id, embedding,
+         |         ROW_NUMBER() OVER (
+         |           ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+         |                    vec_id) - 1 AS cl
+         |  FROM e
+         |), c0 AS (
+         |  SELECT cl, embedding AS cv FROM sd WHERE cl < $k
+         |)""".stripMargin
+    val iters = (1 to rounds).map { r =>
+      val prev = s"c${r - 1}"
+      s""", a$r AS (
+         |  SELECT vec_id, embedding, cl FROM (
+         |    SELECT e.vec_id, e.embedding, $prev.cl,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckSqDist("e.embedding", s"$prev.cv")}, $prev.cl) AS rn
+         |    FROM e CROSS JOIN $prev
+         |  ) WHERE rn = 1
+         |), u$r AS (
+         |  SELECT cl, i,
+         |         CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |              / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS FLOAT) AS v
+         |  FROM a$r CROSS JOIN range(1, 65) AS r(i)
+         |  GROUP BY cl, i
+         |), uc$r AS (
+         |  SELECT cl, list(v ORDER BY i) AS cv FROM u$r GROUP BY cl
+         |), c$r AS (
+         |  SELECT $prev.cl, COALESCE(uc$r.cv, $prev.cv) AS cv
+         |  FROM $prev LEFT JOIN uc$r USING (cl)
+         |)""".stripMargin
+    }.mkString
+    val fin = s"c$rounds"
+    s"""$seed$iters, af AS (
+       |  SELECT vec_id, cl, d FROM (
+       |    SELECT e.vec_id, $fin.cl,
+       |           ${duckSqDist("e.embedding", s"$fin.cv")} AS d,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${duckSqDist("e.embedding", s"$fin.cv")}, $fin.cl) AS rn
+       |    FROM e CROSS JOIN $fin
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+  }
+
+  /** DuckDB CTE pair `m, q` computing the per-doc quality score `s`
+    * exactly as TextAnalysis.qualityScore / the q_quality oracle —
+    * shared by the calibration oracles (q_threshold_sweep, q_auc) so the
+    * formula lives in one place. */
+  def duckQualityScoreCte: String = {
+    val en = TextAnalysis.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
+    s"""m AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+       |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS punct_count,
+       |         CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains([$en], t))) AS INT) AS stops
+       |  FROM documents
+       |), q AS (
+       |  SELECT doc_id,
+       |         ROUND(LEAST(1.0,
+       |           (CAST(stops AS DOUBLE) / n_tokens) * 2.0 +
+       |           (CASE WHEN n_tokens >= 20 AND n_tokens <= 2000 THEN 0.5 ELSE 0.2 END) +
+       |           (CASE WHEN punct_count = 0 THEN 0.1 ELSE 0.0 END)), 6) AS s
+       |  FROM m
+       |)""".stripMargin
+  }
+
+  /** DuckDB literal for one hyperplane + its dot-product vs `embedding`. */
+  def duckPlaneDot(plane: Seq[Double]): String = {
+    val lit = plane.mkString("[", ", ", "]")
+    s"list_sum(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ($lit)[i]))"
+  }
+
+  /** DuckDB CTE chain computing the portable SimHash signature table
+    * (doc_id, simhash) — mirrors Dedup.simHashSignatures bit-for-bit: md5
+    * split into two 32-bit halves, per-bit majority vote over tokens, bit 63
+    * assembled as Long.MinValue to stay in signed-64 range. */
+  def duckSimHashSig(where: String): String = {
+    val votes = (0 until 64)
+      .map { b =>
+        val src = if (b < 32) s"(hi >> $b)" else s"(lo >> ${b - 32})"
+        s"SUM($src & 1) AS v$b"
+      }
+      .mkString(", ")
+    val terms = (0 until 64)
+      .map { b =>
+        val term = if (b == 63) "-9223372036854775808" else (1L << b).toString
+        s"(CASE WHEN 2*v$b > n THEN $term ELSE 0 END)"
+      }
+      .mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+       |  FROM documents $where
+       |), h AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS hi,
+       |         CAST('0x' || substr(md5(t), 9, 8) AS BIGINT) AS lo
+       |  FROM tok
+       |), v AS (
+       |  SELECT doc_id, count(*) AS n, $votes FROM h GROUP BY doc_id
+       |), sh AS (
+       |  SELECT doc_id, $terms AS simhash FROM v
+       |)""".stripMargin
+  }
+
+  /** Shared DuckDB CTE chain for the MinHash dedup oracles — mirrors
+    * Dedup.minHashSignatures + bucket-minimum candidate pairing: tokens ->
+    * md5-derived (a, b) seeds -> 16-component signatures -> 4 band keys ->
+    * bucket-min pairs with full-signature agreement (`cl`), plus the exact
+    * identical-signature pass (`ex`). NULL-text docs have no shingles:
+    * Spark's explode drops them from the signature table so they are always
+    * retained; the WHERE mirrors that (without it DuckDB would give them a
+    * shared NULL signature and drop all but one). */
+  /** Shared DuckDB CTE chain replicating the portable MinHash signature,
+    * banding, bucket-min pairing, and exact-signature pass; `extraWhere`
+    * restricts the corpus (e.g. the pipeline query dedups only its
+    * training slice). */
+  def duckMinHashCommonWhere(extraWhere: String): String =
+    s"""d AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents WHERE text IS NOT NULL$extraWhere
+      |), pre AS (
+      |  SELECT doc_id,
+      |         list_transform(toks, s -> [
+      |           CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT),
+      |           CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT) % 1000000007
+      |         ]) AS ab
+      |  FROM d
+      |), sg AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, 16), j ->
+      |           list_min(list_transform(ab, p -> (p[1] + j * p[2]) % 1000000007))) AS sig
+      |  FROM pre
+      |), bd AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(0, 4), b ->
+      |           md5(array_to_string(sig[b*4+1:b*4+4], '|')))) AS band
+      |  FROM sg
+      |), mn AS (
+      |  SELECT band, min(doc_id) AS bucket_min FROM bd GROUP BY band
+      |), pr AS (
+      |  SELECT DISTINCT m.bucket_min AS ia, b.doc_id AS ib
+      |  FROM bd b JOIN mn m ON b.band = m.band AND b.doc_id > m.bucket_min
+      |), cl AS (
+      |  SELECT ia, ib,
+      |         len(list_filter(range(1, 17), i -> x.sig[i] = y.sig[i])) / 16.0 AS est
+      |  FROM pr JOIN sg x ON x.doc_id = ia JOIN sg y ON y.doc_id = ib
+      |), ex AS (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY sig) AS sig_min FROM sg
+      |)""".stripMargin
+
+  val duckMinHashCommon: String = duckMinHashCommonWhere("")
+
+  def duckBucketFor(planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex
+      .map { case (p, i) =>
+        s"(CASE WHEN ${duckPlaneDot(p)} > 0 THEN ${1 << i} ELSE 0 END)"
+      }
+      .mkString(" + ")
+
+  val duckBucket: String = duckBucketFor(AnnPlanes)
+
+  /** Fixed BPE merge table for q_bpe_apply: rank-ordered (left, right)
+    * rules inlined as literals into BOTH the Spark plan and the oracle's
+    * recursive CTE, so min-rank merge application is SQL-expressible
+    * (training stays rows-gated under q_bpe — the iterative pair-count
+    * argmax has no SQL form). Hand-chosen common-English pairs so the
+    * rules actually fire on the fixture corpus, including one cascading
+    * chain (t,h) -> (th,e) and the end-of-word rule (e,</w>). */
+  val BpeFixedMerges: Seq[(Int, String, String)] = Seq(
+    (0, "t", "h"),
+    (1, "th", "e"),
+    (2, "i", "n"),
+    (3, "a", "n"),
+    (4, "o", "n"),
+    (5, "e", "r"),
+    (6, "an", "d"),
+    (7, "e", "</w>")
+  )
+
+  /** DuckDB oracle replaying TextAnalysis.bpeTokenCounts under the FIXED
+    * [[BpeFixedMerges]] table. Encoding state per distinct word is the
+    * symbol sequence rendered as a string of chr(2)<sym>chr(3) cells, so
+    * one application of rule (a, b) — merge ALL occurrences left-to-right,
+    * exactly bpeEncodeWord's scan — is a single non-overlapping
+    * `replace(s, cell(a)||cell(b), cell(a||b))`; the recursive CTE
+    * re-applies the LOWEST-rank rule still present until none matches
+    * (each chain's fixpoint row is the unique one where no rule applies).
+    * Piece count = number of chr(2) cell openers. */
+  def duckBpeApplyCte: String = {
+    val values = BpeFixedMerges
+      .map { case (r, a, b) => s"($r, '$a', '$b')" }
+      .mkString(", ")
+    // cell pattern for rule m: chr(2)||l||chr(3)||chr(2)||r||chr(3)
+    def pat(m: String) =
+      s"chr(2) || $m.l || chr(3) || chr(2) || $m.r || chr(3)"
+    s"""WITH RECURSIVE merges(rank, l, r) AS (
+       |  VALUES $values
+       |), words AS (
+       |  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents WHERE text IS NOT NULL
+       |), enc0 AS (
+       |  SELECT w,
+       |         regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g')
+       |           || chr(2) || '</w>' || chr(3) AS s
+       |  FROM words WHERE len(w) > 0
+       |), rec AS (
+       |  SELECT w, s FROM enc0
+       |  UNION ALL
+       |  SELECT x.w,
+       |         replace(x.s, ${pat("m")},
+       |                 chr(2) || m.l || m.r || chr(3))
+       |  FROM (
+       |    SELECT w, s,
+       |           (SELECT min(m2.rank) FROM merges m2
+       |            WHERE contains(s, ${pat("m2")})) AS br
+       |    FROM rec
+       |  ) x JOIN merges m ON m.rank = x.br
+       |), fix AS (
+       |  SELECT x.w,
+       |         CAST(len(x.s) - len(replace(x.s, chr(2), '')) AS INT)
+       |           AS n_pieces
+       |  FROM rec x
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM merges m2 WHERE contains(x.s, ${pat("m2")}))
+       |), occ AS (
+       |  SELECT doc_id, w, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents WHERE text IS NOT NULL
+       |  ) WHERE len(w) > 0 GROUP BY doc_id, w
+       |), counts AS (
+       |  SELECT occ.doc_id,
+       |         CAST(SUM(occ.c) AS INT) AS ws_tokens,
+       |         CAST(SUM(occ.c * fix.n_pieces) AS INT) AS bpe_tokens
+       |  FROM occ JOIN fix ON occ.w = fix.w
+       |  GROUP BY occ.doc_id
+       |)
+       |SELECT d.doc_id,
+       |       coalesce(counts.ws_tokens, 0) AS ws_tokens,
+       |       coalesce(counts.bpe_tokens, 0) AS bpe_tokens
+       |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+       |LEFT JOIN counts ON d.doc_id = counts.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** DuckDB CTE chain replaying Similarity.kCenterSampleScalable at a
+    * fixed small configuration (k, perRound, 2 sampling rounds) — the
+    * md5-deterministic coin makes the distributed oversampling exactly
+    * unrollable: per round, a point joins the candidate set iff
+    * ((bucket + 0.5) / 10000) * sum(mind) < perRound * mind, then min
+    * distances refresh against the new batch; the finishing Gonzalez
+    * greedy is unrolled k-1 argmax steps with the operator's
+    * (d DESC, id ASC) tie-break. The only cross-engine float hazard is
+    * sum(mind)'s addition order, which can differ by ulps — no fixture
+    * point sits anywhere near a coin threshold, and the driver's hash
+    * compare would surface any flip. */
+  def duckKCenterScalableCte(k: Int, perRound: Double): String = {
+    def bk(id: String, saltR: Int) =
+      s"CAST(('0x' || substr(md5(CAST($id AS VARCHAR) || 'kc||$saltR'), 1, 15)) AS BIGINT) % 10000"
+    def coin(d: String, sumT: String, saltR: Int) =
+      s"((CAST(${bk(s"$d.id", saltR)} AS DOUBLE) + 0.5) / 10000.0) * $sumT.sd < $perRound * $d.mind"
+    val gonzalez = (1 until k)
+      .map { j =>
+        val prev = if (j == 1) "cand" else s"m${j - 1}"
+        val dExpr =
+          if (j == 1) duckSqDist(s"$prev.v", "c0.v")
+          else s"least($prev.d, ${duckSqDist(s"$prev.v", s"c${j - 1}.v")})"
+        s"""m$j AS MATERIALIZED (
+           |  SELECT $prev.id, $prev.v, $dExpr AS d FROM $prev, c${j - 1}
+           |), c$j AS MATERIALIZED (
+           |  SELECT id, v FROM m$j ORDER BY d DESC, id LIMIT 1
+           |)""".stripMargin
+      }
+      .mkString(", ")
+    val ranks = (0 until k)
+      .map(j => s"SELECT CAST(id AS BIGINT) AS vec_id, CAST($j AS INT) AS center_rank FROM c$j")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v FROM embeddings
+       |), seed AS MATERIALIZED (
+       |  SELECT id, v FROM e ORDER BY id LIMIT 1
+       |), d0 AS MATERIALIZED (
+       |  SELECT e.id, e.v, ${duckSqDist("e.v", "seed.v")} AS mind FROM e, seed
+       |), s0 AS MATERIALIZED (SELECT SUM(mind) AS sd FROM d0
+       |), b1 AS MATERIALIZED (
+       |  SELECT d.id, d.v FROM d0 d, s0, seed
+       |  WHERE d.mind > 0 AND ${coin("d", "s0", 1)} AND d.id <> seed.id
+       |), d1 AS MATERIALIZED (
+       |  SELECT d.id, d.v,
+       |         least(d.mind, coalesce(min(${duckSqDist("d.v", "b.v")}), 1e308)) AS mind
+       |  FROM d0 d LEFT JOIN b1 b ON TRUE GROUP BY d.id, d.v, d.mind
+       |), s1 AS MATERIALIZED (SELECT SUM(mind) AS sd FROM d1
+       |), b2 AS MATERIALIZED (
+       |  SELECT d.id, d.v FROM d1 d, s1, seed
+       |  WHERE d.mind > 0 AND ${coin("d", "s1", 2)} AND d.id <> seed.id
+       |    AND d.id NOT IN (SELECT id FROM b1)
+       |), d2 AS MATERIALIZED (
+       |  SELECT d.id, d.v,
+       |         least(d.mind, coalesce(min(${duckSqDist("d.v", "b.v")}), 1e308)) AS mind
+       |  FROM d1 d LEFT JOIN b2 b ON TRUE GROUP BY d.id, d.v, d.mind
+       |), cand0 AS MATERIALIZED (
+       |  SELECT id, v FROM seed
+       |  UNION ALL SELECT id, v FROM b1
+       |  UNION ALL SELECT id, v FROM b2
+       |), nc AS MATERIALIZED (SELECT COUNT(*) AS n FROM cand0
+       |), topup AS MATERIALIZED (
+       |  SELECT id, v FROM (
+       |    SELECT d.id, d.v, ROW_NUMBER() OVER (ORDER BY d.mind DESC, d.id) AS rn
+       |    FROM d2 d
+       |    WHERE d.mind > 0 AND d.id NOT IN (SELECT id FROM cand0)
+       |  ) t, nc WHERE t.rn <= $k - nc.n
+       |), cand AS MATERIALIZED (
+       |  SELECT id, v FROM cand0 UNION ALL SELECT id, v FROM topup
+       |), c0 AS MATERIALIZED (
+       |  SELECT id, v FROM cand ORDER BY id LIMIT 1
+       |), $gonzalez
+       |$ranks
+       |ORDER BY center_rank""".stripMargin
+  }
+
+}

@@ -1,0 +1,515 @@
+package graft
+
+import graft.QueryShared._
+import graft.operators.{Checks, Decontam, Dedup, Graphs, Joins, Layout, Sessionize, Similarity, Splits, Stats, TextAnalysis, TopN, Wrangling}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** distribution statistics, drift, sketches and outlier screens — query registry + DuckDB oracles.
+  * Merged into the driver contract by [[ScaleQueries]]. */
+private[graft] object StatsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // classifier calibration: sweep quality-score cutoffs against the
+    // "is English" label in ONE pass — confusion counts + P/R/F1 per
+    // threshold, how a filter's operating point gets chosen
+    "q_threshold_sweep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis
+        .qualityScore(docs, "text")
+        .select(col("doc_id"), col("quality"))
+        .join(
+          docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          Seq("doc_id")
+        )
+      Stats
+        .thresholdSweep(scored, "quality", "is_en", Seq(0.3, 0.5, 0.7, 0.9))
+        .orderBy("threshold")
+    }),
+
+    // exact tie-aware ROC AUC of the same score/label pair: integer
+    // rank sums (ties counted half), one grouped pass + a distinct-score
+    // window — threshold-free ranking power of the quality filter
+    "q_auc" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis
+        .qualityScore(docs, "text")
+        .select(col("doc_id"), col("quality"))
+        .join(
+          docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          Seq("doc_id")
+        )
+      Stats.aucRoc(scored, "quality", "is_en")
+    }),
+
+    // distributional moments per group: corr / stddev / avg (bounded
+    // magnitudes; co-moment merge order can differ in the last ulp across
+    // engines, so everything is rounded to 6dp)
+    "q_stats_moments" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qty_disc"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("n")
+        )
+        .orderBy("l_returnflag")
+    }),
+
+    // correlation matrix from exact decimal sums (one streaming aggregate
+    // for all pairs; engine-exact unlike native corr()). completeCase
+    // shares each column's sums across pairs — 10 decimal sums instead of
+    // 18, exactly the oracle's form; identical values (lineitem has no
+    // nulls in these columns)
+    "q_corr_matrix" -> ((s, dir) => {
+      Stats
+        .correlationMatrix(
+          t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          completeCase = true
+        )
+        .orderBy("col_a", "col_b")
+    }),
+
+    // exact linear-interpolation percentiles per order status
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").as("__p"),
+          count(lit(1)).as("n")
+        )
+        .select(
+          col("o_orderstatus"),
+          round(element_at(col("__p"), 1), 4).as("p25"),
+          round(element_at(col("__p"), 2), 4).as("p50"),
+          round(element_at(col("__p"), 3), 4).as("p75"),
+          col("n")
+        )
+        .orderBy("o_orderstatus")
+    }),
+
+    // 20-bin fixed-width price histogram (edge bins clamp out-of-range)
+    "q_histogram" -> ((s, dir) => {
+      Stats
+        .histogram(t(s, dir, "lineitem"), "l_extendedprice", 900.0, 105000.0, 20)
+        .orderBy("bin")
+    }),
+
+    // per-group winsorization at [p05, p95]: clip counts + clipped mean
+    // (exact percentiles so the DuckDB quantile_cont oracle is bit-equal;
+    // the operator's DEFAULT is the mergeable percentile_approx sketch)
+    "q_winsorize" -> ((s, dir) => {
+      Stats
+        .winsorize(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+          0.05, 0.95, exact = true
+        )
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("__p_lo"), 1).otherwise(0))
+            .as("n_lo"),
+          sum(when(col("l_extendedprice") > col("__p_hi"), 1).otherwise(0))
+            .as("n_hi"),
+          min("__p_lo").as("p_lo"),
+          min("__p_hi").as("p_hi"),
+          // decimal(25,6) here and DECIMAL(25,6) in the oracle — the two
+          // sides must quantize identically for the hash gate to be robust
+          round(
+            sum(col("l_extendedprice_wins").cast("decimal(25,6)"))
+              .cast("double") / count(lit(1)),
+            4
+          ).as("avg_wins")
+        )
+        .orderBy("l_returnflag")
+    }),
+
+    // robust MAD outliers in event values per type (Iglewicz-Hoaglin 3.5)
+    "q_mad_outliers" -> ((s, dir) => {
+      Stats
+        .madOutliers(t(s, dir, "events"), "value", Seq("event_type"))
+        .filter(col("is_outlier"))
+        .select("event_id", "event_type", "value", "robust_z")
+        .orderBy("event_id")
+    }),
+
+    // chi-square independence of the language mix vs source
+    "q_chi_square" -> ((s, dir) => {
+      Stats.chiSquareIndependence(t(s, dir, "documents"), "lang", "source")
+    }),
+
+    // equi-depth quartile binning without a global sort (exact percentiles
+    // for the quantile_cont oracle; the operator default is the sketch)
+    "q_equidepth" -> ((s, dir) => {
+      Stats
+        .equiDepthBins(
+          t(s, dir, "lineitem"), "l_extendedprice", 4, outCol = "bin",
+          exact = true
+        )
+        .groupBy("bin")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .as("total")
+        )
+        .orderBy("bin")
+    }),
+
+    // the 100 TB path: equi-depth binning over the DEFAULT mergeable
+    // percentile_approx sketch (O(accuracy) aggregation state, no O(rows)
+    // single-task buffer). Probabilistic boundaries -> no SQL oracle; the
+    // rows gate plus ScaleSpec's sketch-vs-exact bound assertion cover it.
+    "q_equidepth_sketch" -> ((s, dir) => {
+      Stats
+        .equiDepthBins(t(s, dir, "lineitem"), "l_extendedprice", 4, outCol = "bin")
+        .groupBy("bin")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .as("total")
+        )
+        .orderBy("bin")
+    }),
+
+    // exact top-2 heaviest event types per user (heavy hitters)
+    "q_heavy_hitters" -> ((s, dir) => {
+      TopN
+        .heavyHitters(
+          events(s, dir).filter(col("user_id") < 50),
+          Seq("user_id"), "event_type", 2
+        )
+        .orderBy("user_id", "rank")
+    }),
+
+    // categorical mix drift: language shares of the first corpus half vs
+    // the second — the source/language-mix alarm of an ingestion pipeline
+    "q_cat_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Stats.categoricalStabilityIndex(
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250),
+        "lang"
+      )
+    }),
+
+    // distribution drift between order-status cohorts: the PSI monitor a
+    // training-data pipeline runs between its reference snapshot and the
+    // live feed (10 fixed bins, eps-smoothed, decimal-exact sum)
+    "q_psi_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Stats.populationStabilityIndex(
+        o.filter(col("o_orderstatus") === "F"),
+        o.filter(col("o_orderstatus") === "O"),
+        "o_totalprice", lo = 0.0, hi = 400000.0, nBins = 10
+      )
+    }),
+
+    // incremental distinct counting: corpus sketched once (doc_id < 250),
+    // batch sketched separately, tables MERGED — the corpus rows are never
+    // rescanned. Cardinalities here are sparse-mode small, so the HLL
+    // estimates are exact and a count(DISTINCT) oracle can gate them.
+    "q_hll_distinct" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus =
+        Stats.hllSketchTable(docs.filter(col("doc_id") < 250), Seq("lang"), "source")
+      val batch =
+        Stats.hllSketchTable(docs.filter(col("doc_id") >= 250), Seq("lang"), "source")
+      Stats
+        .hllEstimate(Stats.hllMergeSketches(Seq(corpus, batch), Seq("lang")), Seq("lang"))
+        .orderBy("lang")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_threshold_sweep" -> {
+      val ts = Seq(0.3, 0.5, 0.7, 0.9)
+      val sums = ts.zipWithIndex
+        .map { case (t, i) =>
+          s"""SUM(CASE WHEN s >= $t THEN 1 ELSE 0 END) AS pp$i,
+             |    SUM(CASE WHEN l AND s >= $t THEN 1 ELSE 0 END) AS tp$i""".stripMargin
+        }
+        .mkString(",\n    ")
+      val rows = ts.zipWithIndex
+        .map { case (t, i) =>
+          s"""SELECT CAST($t AS DOUBLE) AS threshold,
+             |       CAST(tp$i AS BIGINT) AS tp,
+             |       CAST(pp$i - tp$i AS BIGINT) AS fp,
+             |       CAST(pos - tp$i AS BIGINT) AS fn,
+             |       CAST(total - pp$i - (pos - tp$i) AS BIGINT) AS tn,
+             |       ROUND(CASE WHEN pp$i > 0 THEN CAST(tp$i AS DOUBLE) / pp$i END, 6) AS "precision",
+             |       ROUND(CASE WHEN pos > 0 THEN CAST(tp$i AS DOUBLE) / pos END, 6) AS recall,
+             |       ROUND(CASE WHEN pp$i > 0 AND pos > 0 AND (CAST(tp$i AS DOUBLE) / pp$i + CAST(tp$i AS DOUBLE) / pos) > 0
+             |             THEN 2.0 * (CAST(tp$i AS DOUBLE) / pp$i) * (CAST(tp$i AS DOUBLE) / pos)
+             |                  / (CAST(tp$i AS DOUBLE) / pp$i + CAST(tp$i AS DOUBLE) / pos) END, 6) AS f1
+             |FROM a""".stripMargin
+        }
+        .mkString("\nUNION ALL\n")
+      s"""WITH $duckQualityScoreCte, j AS (
+         |  SELECT q.s, (d.lang = 'en') AS l FROM q JOIN documents d USING (doc_id)
+         |), a AS (
+         |  SELECT count(*) AS total,
+         |    SUM(CASE WHEN l THEN 1 ELSE 0 END) AS pos,
+         |    $sums
+         |  FROM j
+         |)
+         |$rows
+         |ORDER BY threshold""".stripMargin
+    },
+
+    "q_auc" -> {
+      s"""WITH $duckQualityScoreCte, j AS (
+         |  SELECT ROUND(q.s, 6) AS s, (d.lang = 'en') AS l
+         |  FROM q JOIN documents d USING (doc_id)
+         |), g AS (
+         |  SELECT s,
+         |         SUM(CASE WHEN l THEN 1 ELSE 0 END) AS p,
+         |         COUNT(*) AS c
+         |  FROM j GROUP BY s
+         |), r AS (
+         |  SELECT p, c,
+         |         COALESCE(SUM(c) OVER (ORDER BY s
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |  FROM g
+         |), a AS (
+         |  SELECT SUM(p) AS np, SUM(c - p) AS nn,
+         |         SUM(p * (2 * before + c + 1)) AS r2
+         |  FROM r
+         |)
+         |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+         |       ROUND(CASE WHEN np > 0 AND nn > 0
+         |             THEN CAST(r2 - np * (np + 1) AS DOUBLE)
+         |                  / CAST(2 * np * nn AS DOUBLE) END, 6) AS auc
+         |FROM a""".stripMargin
+    },
+
+    "q_corr_matrix" ->
+      """WITH st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS s_q,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS s_e,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS s_d,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS s_qq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS s_ee,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS s_dd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS s_qe,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS s_qd,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4))) AS DOUBLE) AS s_ed
+        |  FROM lineitem
+        |)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |         CAST(n AS BIGINT) AS n,
+        |         ROUND((n*s_qe - s_q*s_e)
+        |               / sqrt((n*s_qq - s_q*s_q)*(n*s_ee - s_e*s_e)), 6) AS corr
+        |  FROM st
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+        |         ROUND((n*s_qd - s_q*s_d)
+        |               / sqrt((n*s_qq - s_q*s_q)*(n*s_dd - s_d*s_d)), 6)
+        |  FROM st
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+        |         ROUND((n*s_ed - s_e*s_d)
+        |               / sqrt((n*s_ee - s_e*s_e)*(n*s_dd - s_d*s_d)), 6)
+        |  FROM st
+        |)
+        |ORDER BY col_a, col_b""".stripMargin,
+
+    "q_stats_moments" ->
+      """SELECT l_returnflag,
+        |       ROUND(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+        |       ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+        |       ROUND(avg(l_quantity), 6) AS avg_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+        |       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+        |       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q_histogram" ->
+      """WITH p AS (
+        |  SELECT CAST(900.0 AS DOUBLE) AS lo,
+        |         (CAST(105000.0 AS DOUBLE) - CAST(900.0 AS DOUBLE)) / 20 AS w
+        |), b AS (
+        |  SELECT CAST(least(19, greatest(0,
+        |           CAST(floor((l_extendedprice - p.lo) / p.w) AS BIGINT)
+        |         )) AS INT) AS bin
+        |  FROM lineitem, p WHERE l_extendedprice IS NOT NULL
+        |)
+        |SELECT bin,
+        |       ROUND((SELECT lo FROM p) + bin * (SELECT w FROM p), 6) AS bin_lo,
+        |       ROUND((SELECT lo FROM p) + (bin + 1) * (SELECT w FROM p), 6) AS bin_hi,
+        |       count(*) AS n
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH bounds AS (
+        |  SELECT l_returnflag,
+        |         ROUND(quantile_cont(l_extendedprice, 0.05), 6) AS b_lo,
+        |         ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS b_hi
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |       CAST(sum(CASE WHEN l_extendedprice < b_lo THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_lo,
+        |       CAST(sum(CASE WHEN l_extendedprice > b_hi THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_hi,
+        |       min(b_lo) AS p_lo, min(b_hi) AS p_hi,
+        |       ROUND(CAST(sum(CAST(least(greatest(l_extendedprice, b_lo), b_hi)
+        |                          AS DECIMAL(25,6))) AS DOUBLE) / count(*),
+        |             4) AS avg_wins
+        |FROM lineitem l JOIN bounds USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_chi_square" ->
+      """WITH cells AS (
+        |  SELECT lang AS a, source AS b, count(*) AS o
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2
+        |), rt AS (
+        |  SELECT a, SUM(o) AS ra FROM cells GROUP BY a
+        |), ct AS (
+        |  SELECT b, SUM(o) AS rb FROM cells GROUP BY b
+        |), g AS (
+        |  SELECT CAST(SUM(o) AS DOUBLE) AS n,
+        |         count(DISTINCT a) AS ka, count(DISTINCT b) AS kb
+        |  FROM cells
+        |), terms AS (
+        |  SELECT CAST(round(
+        |           (CAST(COALESCE(o, 0) AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / n)
+        |         * (CAST(COALESCE(o, 0) AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / n)
+        |         / (CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) / n), 12)
+        |         AS DECIMAL(28,12)) AS term, ka, kb, n
+        |  FROM rt CROSS JOIN ct
+        |       LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b, g
+        |)
+        |SELECT CAST(ka AS BIGINT) AS n_categories_a,
+        |       CAST(kb AS BIGINT) AS n_categories_b,
+        |       CAST(n AS BIGINT) AS n_rows,
+        |       round(CAST(SUM(term) AS DOUBLE), 6) AS chi2,
+        |       CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+        |       CASE WHEN least(ka - 1, kb - 1) > 0
+        |            THEN round(sqrt(CAST(SUM(term) AS DOUBLE) /
+        |                            (n * least(ka - 1, kb - 1))), 6)
+        |       END AS cramers_v
+        |FROM terms GROUP BY ka, kb, n""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, median(value) AS med
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), d AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med
+        |  FROM events e JOIN m USING (event_type)
+        |), md AS (
+        |  SELECT event_type, median(abs(value - med)) AS mad
+        |  FROM d WHERE value IS NOT NULL GROUP BY 1
+        |)
+        |SELECT d.event_id, d.event_type, d.value,
+        |       round((d.value - d.med) / (1.4826 * md.mad), 6) AS robust_z
+        |FROM d JOIN md USING (event_type)
+        |WHERE md.mad >= 1e-12
+        |  AND abs(round((d.value - d.med) / (1.4826 * md.mad), 6)) > 3.5
+        |ORDER BY event_id""".stripMargin,
+
+    "q_equidepth" ->
+      """WITH b AS (
+        |  SELECT [ROUND(quantile_cont(l_extendedprice, 0.25), 6),
+        |          ROUND(quantile_cont(l_extendedprice, 0.5), 6),
+        |          ROUND(quantile_cont(l_extendedprice, 0.75), 6)] AS bounds
+        |  FROM lineitem
+        |)
+        |SELECT bin, count(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT l_extendedprice,
+        |         CAST(1 + len(list_filter(bounds, x -> l_extendedprice > x)) AS INT) AS bin
+        |  FROM lineitem, b
+        |)
+        |GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT user_id, event_type, n, CAST(rank AS INT) AS rank FROM (
+        |  SELECT user_id, event_type, count(*) AS n,
+        |         row_number() OVER (
+        |           PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rank
+        |  FROM events WHERE user_id < 50 GROUP BY user_id, event_type
+        |) WHERE rank <= 2 ORDER BY user_id, rank""".stripMargin,
+
+    "q_hll_distinct" ->
+      """SELECT lang, count(DISTINCT source) AS n_distinct
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cat_drift" ->
+      """WITH rc AS (
+        |  SELECT CAST(lang AS VARCHAR) AS cat, count(*) AS rn
+        |  FROM documents WHERE doc_id < 250 AND lang IS NOT NULL GROUP BY 1
+        |), cc AS (
+        |  SELECT CAST(lang AS VARCHAR) AS cat, count(*) AS cn
+        |  FROM documents WHERE doc_id >= 250 AND lang IS NOT NULL GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(rn, 0) AS rn, coalesce(cn, 0) AS cn
+        |  FROM rc FULL OUTER JOIN cc USING (cat)
+        |), tot AS (
+        |  SELECT CAST(sum(rn) AS BIGINT) AS rt, CAST(sum(cn) AS BIGINT) AS ct,
+        |         count(*) AS ncat
+        |  FROM j
+        |), terms AS (
+        |  SELECT CAST(ROUND(
+        |           (greatest(CAST(rn AS DOUBLE) / (SELECT rt FROM tot), 0.000001) -
+        |            greatest(CAST(cn AS DOUBLE) / (SELECT ct FROM tot), 0.000001)) *
+        |           ln(greatest(CAST(rn AS DOUBLE) / (SELECT rt FROM tot), 0.000001) /
+        |              greatest(CAST(cn AS DOUBLE) / (SELECT ct FROM tot), 0.000001)),
+        |         10) AS DECIMAL(22,10)) AS contrib
+        |  FROM j
+        |)
+        |SELECT (SELECT rt FROM tot) AS n_ref, (SELECT ct FROM tot) AS n_cur,
+        |       CAST((SELECT ncat FROM tot) AS INT) AS n_categories,
+        |       ROUND(CAST(sum(contrib) AS DOUBLE), 6) AS psi
+        |FROM terms""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH spine AS (
+        |  SELECT CAST(range AS INT) AS bin FROM range(10)
+        |), rb AS (
+        |  SELECT CAST(least(9, greatest(0,
+        |           floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 40000.0)))
+        |         AS INT) AS bin, count(*) AS rn
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+        |  GROUP BY 1
+        |), cb AS (
+        |  SELECT CAST(least(9, greatest(0,
+        |           floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 40000.0)))
+        |         AS INT) AS bin, count(*) AS cn
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL
+        |  GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(rn, 0) AS rn, coalesce(cn, 0) AS cn
+        |  FROM spine LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)
+        |), tot AS (
+        |  SELECT CAST(sum(rn) AS BIGINT) AS rt, CAST(sum(cn) AS BIGINT) AS ct
+        |  FROM j
+        |), terms AS (
+        |  SELECT (SELECT rt FROM tot) AS rt, (SELECT ct FROM tot) AS ct,
+        |         CAST(ROUND(
+        |           (greatest(CAST(rn AS DOUBLE) / (SELECT rt FROM tot), 0.000001) -
+        |            greatest(CAST(cn AS DOUBLE) / (SELECT ct FROM tot), 0.000001)) *
+        |           ln(greatest(CAST(rn AS DOUBLE) / (SELECT rt FROM tot), 0.000001) /
+        |              greatest(CAST(cn AS DOUBLE) / (SELECT ct FROM tot), 0.000001)),
+        |         10) AS DECIMAL(22,10)) AS contrib
+        |  FROM j
+        |)
+        |SELECT rt AS n_ref, ct AS n_cur,
+        |       ROUND(CAST(sum(contrib) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,974 @@
+package graft
+
+import graft.QueryShared._
+import graft.operators.{Checks, Decontam, Dedup, Graphs, Joins, Layout, Sessionize, Similarity, Splits, Stats, TextAnalysis, TopN, Wrangling}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** text analysis: tokenizers, quality, LM stats, DSIR, decontamination — query registry + DuckDB oracles.
+  * Merged into the driver contract by [[ScaleQueries]]. */
+private[graft] object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // language-ID heuristic scores + argmax
+    "q_lang_id" -> ((s, dir) => {
+      TextAnalysis
+        .langId(t(s, dir, "documents"), "text")
+        .select("doc_id", "score_en", "score_es", "score_de", "score_fr", "lang_pred")
+        .orderBy("doc_id")
+    }),
+
+    // per-doc character entropy: the cheap gibberish/template-spam signal
+    // (low entropy = repetitive padding, high = binary-in-text)
+    "q_char_entropy" -> ((s, dir) => {
+      TextAnalysis
+        .charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // quality metrics
+    "q_quality" -> ((s, dir) => {
+      TextAnalysis
+        .qualityScore(t(s, dir, "documents"), "text")
+        .select(
+          "doc_id", "n_chars_calc", "n_tokens", "mean_token_len",
+          "punct_count", "stopword_ratio", "quality"
+        )
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-rule quality flags (minTokens lowered to 20 so the synthetic
+    // docs, mostly 20-60 tokens, exercise both sides of every rule)
+    "q_gopher" -> ((s, dir) => {
+      TextAnalysis
+        .gopherQualityFlags(t(s, dir, "documents"), "text", minTokens = 20)
+        .select(
+          "doc_id", "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+          "alpha_ratio_ok", "stopword_ok", "gopher_keep"
+        )
+        .orderBy("doc_id")
+    }),
+
+    // token counting (whitespace + BPE-ish regex)
+    "q_token_counts" -> ((s, dir) => {
+      TextAnalysis
+        .tokenCounts(t(s, dir, "documents"), "text")
+        .select("doc_id", "ws_tokens", "bpe_ish_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // document fingerprinting (md5 canonical + min-shingle)
+    "q_fingerprint" -> ((s, dir) => {
+      TextAnalysis
+        .fingerprints(t(s, dir, "documents"), "text")
+        .select("doc_id", "fp_md5", "fp_min_shingle")
+        .orderBy("doc_id")
+    }),
+
+    // asymmetric 2-gram containment pairs (contained-in detection) over
+    // the same bounded slice as q_jaccard_pairs
+    "q_containment" -> ((s, dir) => {
+      Dedup
+        .containmentPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", 2, 0.9
+        )
+        .orderBy("id_a", "id_b")
+    }),
+
+    // train/test decontamination report: held-out set = doc_id % 10 == 0,
+    // contamination = sharing any word 3-gram with it
+    "q_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontam
+        .contaminationReport(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id",
+          "text",
+          n = 3
+        )
+        .select("doc_id", "n_shared_grams", "contaminated")
+        .orderBy("doc_id")
+    }),
+
+    // cross-split leakage audit: 80/10/10 hash split of documents, then
+    // per held-out doc the share of its distinct 3-grams seen in train
+    "q_split_leakage" -> ((s, dir) => {
+      val split = Splits.hashSplit(
+        t(s, dir, "documents"),
+        "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      )
+      Decontam
+        .crossSplitLeakage(split, "doc_id", "text", "split", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // tokenizer vocab coverage: OOV rate of every document against the
+    // corpus' own top-12 doc-frequency terms (the 31-word synthetic vocab
+    // makes the remaining 19 words OOV, so rates are non-trivial)
+    "q_vocab_coverage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val vocab = TextAnalysis
+        .topTerms(docs, "doc_id", "text", k = 12)
+        .select("term")
+      TextAnalysis
+        .vocabCoverage(docs, "doc_id", "text", vocab, "term")
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition metrics over word 2-grams
+    "q_repetition" -> ((s, dir) => {
+      TextAnalysis
+        .repetitionStats(t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .select(
+          "doc_id", "total_ngrams", "top_ngram_count",
+          "top_ngram_frac", "dup_ngram_frac"
+        )
+        .orderBy("doc_id")
+    }),
+
+    // PII-style regex redaction chain (emails, integer literals, a stopword
+    // set), verified via match counts + md5 of the redacted text
+    "q_redact_text" -> ((s, dir) => {
+      TextAnalysis
+        .redactPatterns(
+          t(s, dir, "documents"),
+          "text",
+          Seq(
+            "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "[EMAIL]",
+            "\\b[0-9]+\\b" -> "[NUM]",
+            "\\b(the|a|and)\\b" -> "[W]"
+          ),
+          "redacted"
+        )
+        .select(
+          col("doc_id"),
+          regexp_count(col("text"), lit("\\b(the|a|and)\\b")).as("n_stop_matches"),
+          md5(col("redacted")).as("redacted_md5")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // corpus vocabulary: top-25 terms by document frequency
+    "q_top_terms" -> ((s, dir) => {
+      TextAnalysis
+        .topTerms(t(s, dir, "documents"), "doc_id", "text", 25)
+        .orderBy("rank")
+    }),
+
+    // per-document top-3 TF-IDF terms (smooth ln(N/df), rounded to 6dp)
+    "q_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .tfIdfTopTerms(docs, "doc_id", "text", docs.count(), n = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
+    // unigram LM quality: mean token log-prob under the corpus model
+    "q_unigram_logprob" -> ((s, dir) => {
+      TextAnalysis
+        .unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // overlapping token-window chunking (embedding / long-context prep)
+    "q_chunk_text" -> ((s, dir) => {
+      TextAnalysis
+        .chunkText(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", chunkTokens = 20, overlapTokens = 5
+        )
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // self-perplexity under the corpus's own MLE bigram model
+    "q_bigram_logprob" -> ((s, dir) => {
+      TextAnalysis
+        .bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):
+    // score fluency with the corpus bigram LM, then split each language
+    // into head/middle/tail at its own tertiles (higher logprob = head)
+    "q_ppl_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis
+        .bigramLogProb(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      Stats
+        .quantileBuckets(
+          scored, Seq("lang"), "avg_bigram_logprob",
+          probs = Seq(1.0 / 3, 2.0 / 3),
+          labels = Seq("tail", "middle", "head"),
+          outCol = "ppl_bucket"
+        )
+        .select("doc_id", "lang", "avg_bigram_logprob", "ppl_bucket")
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance weights: how target-like (zh-like) every corpus doc's
+    // hashed unigram+bigram features are — the pretraining data-selection
+    // scorer (Xie et al. 2023), decimal-quantized for engine parity
+    "q_dsir" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .dsirLogWeights(
+          docs, docs.filter(col("lang") === "zh"), "doc_id", "text",
+          numBuckets = 8192, smoothing = 1.0
+        )
+        .orderBy("doc_id")
+    }),
+
+    // DSIR selection: importance-weighted sample of 40 docs without
+    // replacement via the log-domain Efraimidis-Spirakis key
+    "q_dsir_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .dsirResample(
+          docs, docs.filter(col("lang") === "zh"), "doc_id", "text",
+          k = 40, numBuckets = 8192, smoothing = 1.0
+        )
+        .orderBy("sample_key", "doc_id")
+    }),
+
+    // hashed Naive-Bayes quality-classifier model (wiki-vs-crawl shape):
+    // src0-2 as the reference class vs the rest, 4096 hashed buckets
+    "q_nb_train" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .trainTokenClassifier(
+          docs.filter(col("source").isin("src0", "src1", "src2")),
+          docs.filter(!col("source").isin("src0", "src1", "src2")),
+          "text",
+          numBuckets = 4096
+        )
+        .orderBy("bucket")
+    }),
+
+    // score the whole corpus with that model: mean bucket log-odds per doc
+    "q_nb_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = TextAnalysis.trainTokenClassifier(
+        docs.filter(col("source").isin("src0", "src1", "src2")),
+        docs.filter(!col("source").isin("src0", "src1", "src2")),
+        "text",
+        numBuckets = 4096
+      )
+      TextAnalysis
+        .classifierScore(docs, "doc_id", "text", model, numBuckets = 4096)
+        .orderBy("doc_id")
+    }),
+
+    // per-source corpus health dashboard (counts, dup fraction, tokens)
+    "q_corpus_report" -> ((s, dir) => {
+      TextAnalysis
+        .corpusReport(t(s, dir, "documents"), "text", "source")
+        .orderBy("source")
+    }),
+
+    // Zipf rank-frequency fit over the top-500 vocabulary
+    "q_zipf" -> ((s, dir) => {
+      TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topN = 500)
+    }),
+
+    // Unicode script mix per document (multilingual routing signal)
+    "q_script_profile" -> ((s, dir) => {
+      TextAnalysis
+        .scriptProfile(
+          t(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text"
+        )
+        .orderBy("doc_id")
+    }),
+
+    // PMI-ranked adjacent-word collocations (phrase-mining census)
+    "q_collocations" -> ((s, dir) => {
+      TextAnalysis
+        .collocations(t(s, dir, "documents"), "text", minCount = 5)
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(100)
+    }),
+
+    // unigram-distribution divergence between the en and de corpus slices
+    "q_vocab_divergence" -> ((s, dir) => {
+      TextAnalysis
+        .vocabDivergence(
+          t(s, dir, "documents"), "text", "lang", "en", "de", smoothing = 0.5
+        )
+    }),
+
+    // sparse TF-IDF cosine document pairs via inverted index
+    "q_tfidf_pairs" -> ((s, dir) => {
+      TextAnalysis
+        .tfidfCosinePairs(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "doc_id", "text", docCount = 300, threshold = 0.8, maxDfFraction = 0.5
+        )
+        .orderBy("id_a", "id_b")
+    }),
+
+    // BM25 relevance of the whole corpus against a fixed query-term set:
+    // 'dup' is rare (high idf), 'spark' ubiquitous (low idf), 'shuffle'
+    // absent (exercises the no-match arm); score 0 for non-matching docs
+    "q_bm25" -> ((s, dir) => {
+      TextAnalysis
+        .bm25Scores(
+          t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "shuffle", "dup"), k1 = 1.2, b = 0.75
+        )
+        .orderBy("doc_id")
+    }),
+
+    // BPE merge-rule training on the corpus word dictionary (8 rounds).
+    // The greedy per-word merge fold is iterative and not SQL-expressible
+    // -> rows-only gate (same policy as q_equidepth_sketch); the merge
+    // sequence itself is hand-verified in ScaleSpec.
+    "q_bpe" -> ((s, dir) => {
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
+    }),
+
+    // true-BPE token counts under the FIXED literal merge table
+    // (QueryShared.BpeFixedMerges): min-rank merge application over the
+    // distinct-word dictionary IS SQL-expressible given the rules as
+    // literals, so this carries a full recursive-CTE oracle. Training
+    // stays rows-gated under q_bpe, and the train->apply composition is
+    // hand-verified in ScaleSpec on the classic Sennrich example.
+    "q_bpe_apply" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis
+        .bpeTokenCounts(
+          t(s, dir, "documents"),
+          "doc_id",
+          "text",
+          BpeFixedMerges.toDF("merge_rank", "left", "right")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // SentencePiece-style unigram-LM tokenizer training (Kudo 2018):
+    // 120-piece vocabulary learned by Viterbi hard-EM over the
+    // distinct-word dictionary. Iterative EM -> rows-only gate (same
+    // policy as q_bpe); segmentation semantics are hand-verified in
+    // ScaleSpec (reconstruction + planted-piece properties).
+    "q_unigram_lm" -> ((s, dir) => {
+      TextAnalysis
+        .unigramLM(t(s, dir, "documents"), "text", vocabSize = 120)
+        .orderBy(col("piece_count").desc, col("piece"))
+    }),
+
+    // true unigram token counts per document under the trained model —
+    // the q_bpe_apply shape with the Viterbi segmenter
+    "q_unigram_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .unigramTokenCounts(
+          docs, "doc_id", "text",
+          TextAnalysis.unigramLM(docs, "text", vocabSize = 120)
+        )
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents WHERE doc_id < 500
+        |), s AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
+        |    i -> array_to_string(t[i:i+1], ' '))) AS st
+        |  FROM toks
+        |), inv AS (
+        |  SELECT doc_id, unnest(st) AS sh FROM s
+        |), shared AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2
+        |), sz AS (
+        |  SELECT doc_id, len(st) AS n FROM s
+        |)
+        |SELECT ia AS id_a, ib AS id_b, CAST(c AS DOUBLE) / x.n AS containment
+        |FROM shared JOIN sz x ON x.doc_id = ia
+        |WHERE CAST(c AS DOUBLE) / x.n >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // word 3-grams via inclusive list slices: gram i = t[i:i+2], i in
+    // [1, len-2] (range end is exclusive; empty when len < 3 — matching
+    // Spark's shingles() on short docs)
+    "q_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), ng AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS g
+        |  FROM toks
+        |), te AS (
+        |  SELECT DISTINCT unnest(g) AS gram FROM ng WHERE doc_id % 10 = 0
+        |), sh AS (
+        |  SELECT x.doc_id, count(*) AS n FROM (
+        |    SELECT doc_id, unnest(g) AS gram FROM ng WHERE doc_id % 10 <> 0
+        |  ) x JOIN te USING (gram) GROUP BY 1
+        |)
+        |SELECT d.doc_id, COALESCE(sh.n, 0) AS n_shared_grams,
+        |       COALESCE(sh.n, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN sh ON sh.doc_id = d.doc_id
+        |WHERE d.doc_id % 10 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // split assignment replicates q_hash_split's md5 buckets; 3-gram slices
+    // replicate q_decontam's inclusive-range construction
+    "q_split_leakage" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN bk < 8000 THEN 'train'
+        |              WHEN bk < 9000 THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id, text,
+        |           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS bk
+        |    FROM documents
+        |  )
+        |), ng AS (
+        |  SELECT doc_id, split,
+        |         list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> array_to_string(t[i:i+2], ' '))) AS g
+        |  FROM (SELECT doc_id, split, string_split(lower(text), ' ') AS t FROM sp)
+        |), tr AS (
+        |  SELECT DISTINCT unnest(g) AS gram FROM ng WHERE split = 'train'
+        |), ho AS (
+        |  SELECT doc_id, split, unnest(g) AS gram FROM ng WHERE split <> 'train'
+        |), tot AS (
+        |  SELECT doc_id, split, count(*) AS n_grams FROM ho GROUP BY 1, 2
+        |), lk AS (
+        |  SELECT ho.doc_id, count(*) AS n_leaked FROM ho JOIN tr USING (gram) GROUP BY 1
+        |)
+        |SELECT t.doc_id, t.split, t.n_grams,
+        |       COALESCE(lk.n_leaked, 0) AS n_leaked,
+        |       round(CAST(COALESCE(lk.n_leaked, 0) AS DOUBLE) / t.n_grams, 6) AS leak_frac
+        |FROM tot t LEFT JOIN lk ON lk.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // vocab = top-12 terms by (doc_freq, coll_freq, term) — the same
+    // deterministic tie-break topTerms uses
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+        |), stats AS (
+        |  SELECT w, count(*) AS cf, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+        |), vocab AS (
+        |  SELECT w FROM stats ORDER BY df DESC, cf DESC, w LIMIT 12
+        |), cov AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |         count(CASE WHEN v.w IS NULL THEN 1 END) AS n_oov
+        |  FROM (SELECT doc_id, w FROM toks WHERE w <> '') t
+        |  LEFT JOIN vocab v ON v.w = t.w
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, n_tokens, n_oov,
+        |       round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_frac
+        |FROM cov ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), ng AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(t)),
+        |           i -> array_to_string(t[i:i+1], ' '))) AS gram
+        |  FROM toks
+        |), pg AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM ng GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS total_ngrams,
+        |       CAST(max(c) AS BIGINT) AS top_ngram_count,
+        |       ROUND(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_ngram_frac,
+        |       ROUND(CAST(COALESCE(sum(c) FILTER (WHERE c > 1), 0) AS DOUBLE)
+        |             / CAST(sum(c) AS DOUBLE), 6) AS dup_ngram_frac
+        |FROM pg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_redact_text" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|and)\b')) AS INT) AS n_stop_matches,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b[0-9]+\b', '[NUM]', 'g'),
+        |    '\b(the|a|and)\b', '[W]', 'g')) AS redacted_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> {
+      def score(words: Seq[String]): String =
+        s"CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains([${words.map(w => s"'$w'").mkString(", ")}], t))) AS INT)"
+      val Seq(en, es, de, fr) = TextAnalysis.LangMarkers.map(_._2)
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |         ${score(en)} AS score_en,
+         |         ${score(es)} AS score_es,
+         |         ${score(de)} AS score_de,
+         |         ${score(fr)} AS score_fr
+         |  FROM documents
+         |)
+         |SELECT doc_id, score_en, score_es, score_de, score_fr,
+         |  CASE
+         |    WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
+         |    WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+         |    WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+         |    WHEN score_fr > 0 THEN 'fr'
+         |    ELSE 'unknown'
+         |  END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "q_quality" -> {
+      val en = TextAnalysis.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |         CAST(length(text) AS INT) AS n_chars_calc,
+         |         CAST(len(string_split(lower(text), ' ')) AS INT) AS n_tokens,
+         |         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT) AS punct_count,
+         |         CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains([$en], t))) AS INT) AS stops
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_chars_calc, n_tokens,
+         |       CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
+         |       punct_count,
+         |       CAST(stops AS DOUBLE) / n_tokens AS stopword_ratio,
+         |       ROUND(LEAST(1.0,
+         |         (CAST(stops AS DOUBLE) / n_tokens) * 2.0 +
+         |         (CASE WHEN n_tokens >= 20 AND n_tokens <= 2000 THEN 0.5 ELSE 0.2 END) +
+         |         (CASE WHEN punct_count = 0 THEN 0.1 ELSE 0.0 END)), 6) AS quality
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, length(text) + 1), i -> text[i])) AS c
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |), cc AS (
+        |  SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+        |), t AS (
+        |  SELECT doc_id, SUM(k) AS n FROM cc GROUP BY doc_id
+        |)
+        |SELECT cc.doc_id, CAST(t.n AS INT) AS n_chars,
+        |       ROUND(CAST(SUM(CAST(ROUND(
+        |         -(CAST(k AS DOUBLE) / n) * (ln(CAST(k AS DOUBLE) / n) / ln(2.0)),
+        |         9) AS DECIMAL(19,9))) AS DOUBLE), 6) AS char_entropy
+        |FROM cc JOIN t USING (doc_id)
+        |GROUP BY cc.doc_id, t.n ORDER BY doc_id""".stripMargin,
+
+    "q_gopher" -> {
+      val en = TextAnalysis.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH m AS (
+         |  SELECT doc_id, text, string_split(lower(text), ' ') AS toks,
+         |         length(text) AS nc
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id,
+         |    len(toks) AS n,
+         |    CAST(nc - (len(toks) - 1) AS DOUBLE) / len(toks) AS meanlen,
+         |    CAST((nc - length(replace(text, '#', ''))) +
+         |         (nc - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+         |      / len(toks) AS symratio,
+         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+         |      / len(toks) AS alphafrac,
+         |    len(list_filter([$en], w -> list_contains(toks, w))) AS stops
+         |  FROM m
+         |)
+         |SELECT doc_id,
+         |  n BETWEEN 20 AND 100000 AS word_count_ok,
+         |  meanlen BETWEEN 3.0 AND 10.0 AS mean_word_len_ok,
+         |  symratio <= 0.1 AS symbol_ratio_ok,
+         |  alphafrac >= 0.8 AS alpha_ratio_ok,
+         |  stops >= 2 AS stopword_ok,
+         |  (n BETWEEN 20 AND 100000) AND (meanlen BETWEEN 3.0 AND 10.0)
+         |    AND symratio <= 0.1 AND alphafrac >= 0.8 AND stops >= 2
+         |    AS gopher_keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(lower(text), ' ')) AS INT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS canon
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id, canon, string_split(canon, ' ') AS toks FROM c
+        |)
+        |SELECT doc_id, md5(canon) AS fp_md5,
+        |       CASE WHEN len(toks) >= 3 THEN
+        |         list_min(list_transform(range(0, len(toks) - 2), i ->
+        |           md5(array_to_string(toks[i+1:i+3], ' '))))
+        |       END AS fp_min_shingle
+        |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "q_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+        |), st AS (
+        |  SELECT term, count(*) AS coll_freq, count(DISTINCT doc_id) AS doc_freq
+        |  FROM tok GROUP BY term
+        |), r AS (
+        |  SELECT term, coll_freq, doc_freq,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY doc_freq DESC, coll_freq DESC, term) AS INT) AS rank
+        |  FROM st
+        |)
+        |SELECT term, coll_freq, doc_freq, rank FROM r
+        |WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+        |), s AS (
+        |  SELECT doc_id, term, tf, df,
+        |         ROUND(tf * ln((SELECT count(*) FROM documents) / df), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (term)
+        |), r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        |  FROM s
+        |)
+        |SELECT doc_id, term, tf, df, tfidf, CAST(rn AS INT) AS rank
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL
+        |), vocab AS (
+        |  SELECT term, count(*) AS cnt FROM toks GROUP BY 1
+        |), model AS (
+        |  SELECT term,
+        |         ln(CAST(cnt AS DOUBLE)) -
+        |           ln(CAST((SELECT sum(cnt) FROM vocab) AS DOUBLE)) AS lp
+        |  FROM vocab
+        |)
+        |SELECT t.doc_id, CAST(count(*) AS INT) AS n_tokens,
+        |       ROUND(avg(m.lp), 6) AS avg_logprob
+        |FROM toks t JOIN model m USING (term)
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_text" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 300
+        |), st AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, greatest(len(toks) - 1, 0) + 1, 15)) AS start
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(start / 15 AS INT) AS chunk_id,
+        |       array_to_string(toks[start + 1 : start + 20], ' ') AS chunk_text,
+        |       CAST(len(toks[start + 1 : start + 20]) AS INT) AS n_chunk_tokens
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_bigram_logprob" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(2, len(toks) + 1),
+        |                               i -> toks[i-1] || chr(1) || toks[i])) AS big
+        |  FROM d WHERE len(toks) >= 2
+        |), bc AS (
+        |  SELECT big, count(*) AS c FROM bg GROUP BY big
+        |), cc AS (
+        |  SELECT string_split(big, chr(1))[1] AS prev, sum(c) AS ctx
+        |  FROM bc GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+        |       ROUND(avg(ln(CAST(bc.c AS DOUBLE)) - ln(CAST(cc.ctx AS DOUBLE))), 6)
+        |         AS avg_bigram_logprob
+        |FROM bg JOIN bc USING (big)
+        |JOIN cc ON string_split(big, chr(1))[1] = cc.prev
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ppl_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(2, len(toks) + 1),
+        |                               i -> toks[i-1] || chr(1) || toks[i])) AS big
+        |  FROM d WHERE len(toks) >= 2
+        |), bc AS (
+        |  SELECT big, count(*) AS c FROM bg GROUP BY big
+        |), cc AS (
+        |  SELECT string_split(big, chr(1))[1] AS prev, sum(c) AS ctx
+        |  FROM bc GROUP BY 1
+        |), sc AS (
+        |  SELECT bg.doc_id,
+        |         ROUND(avg(ln(CAST(bc.c AS DOUBLE)) - ln(CAST(cc.ctx AS DOUBLE))), 6)
+        |           AS avg_bigram_logprob
+        |  FROM bg JOIN bc USING (big)
+        |  JOIN cc ON string_split(big, chr(1))[1] = cc.prev
+        |  GROUP BY bg.doc_id
+        |), sl AS (
+        |  SELECT sc.doc_id, docs.lang, sc.avg_bigram_logprob
+        |  FROM sc JOIN documents docs USING (doc_id)
+        |), b AS (
+        |  SELECT lang,
+        |         ROUND(quantile_cont(avg_bigram_logprob, 1.0/3), 6) AS b1,
+        |         ROUND(quantile_cont(avg_bigram_logprob, 2.0/3), 6) AS b2
+        |  FROM sl GROUP BY lang
+        |)
+        |SELECT sl.doc_id, sl.lang, sl.avg_bigram_logprob,
+        |       CASE WHEN sl.avg_bigram_logprob <= b.b1 THEN 'tail'
+        |            WHEN sl.avg_bigram_logprob <= b.b2 THEN 'middle'
+        |            ELSE 'head' END AS ppl_bucket
+        |FROM sl JOIN b USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dsir" ->
+      s"""WITH $duckDsirWeights
+         |SELECT doc_id, log_weight FROM w ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_select" ->
+      s"""WITH $duckDsirWeights
+         |SELECT doc_id, log_weight,
+         |       ROUND(LN(LN(1.0 / ((CAST(('0x' ||
+         |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |           % 10000 + 0.5) / 10000.0))), 6) - log_weight AS sample_key
+         |FROM w
+         |ORDER BY sample_key, doc_id LIMIT 40""".stripMargin,
+
+    "q_nb_train" ->
+      s"""WITH $duckNbModel
+         |SELECT bucket, weight FROM model ORDER BY bucket""".stripMargin,
+
+    "q_nb_score" ->
+      s"""WITH $duckNbModel, toks AS (
+         |  SELECT doc_id,
+         |         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS bucket
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |        FROM documents WHERE text IS NOT NULL)
+         |)
+         |SELECT t.doc_id, CAST(count(*) AS INT) AS n_tokens,
+         |       ROUND(CAST(sum(CAST(m.weight AS DECIMAL(27,6))) AS DOUBLE)
+         |             / count(*), 6) AS nb_logodds
+         |FROM toks t JOIN model m USING (bucket)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_report" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+        |  CAST(SUM(CASE WHEN text IS NOT NULL
+        |                THEN len(string_split(lower(text), ' ')) ELSE 0 END) AS BIGINT)
+        |    AS total_tokens,
+        |  ROUND(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE)
+        |        / (count(*) - SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)), 6)
+        |    AS dup_fraction,
+        |  ROUND(CAST(SUM(CASE WHEN text IS NOT NULL
+        |                      THEN len(string_split(lower(text), ' ')) ELSE 0 END) AS DOUBLE)
+        |        / (count(*) - SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)), 6)
+        |    AS avg_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_script_profile" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    length(text) - length(regexp_replace(text,
+        |      '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS lat,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]', '', 'g')) AS cjk,
+        |    length(text) - length(regexp_replace(text,
+        |      '[\x{0400}-\x{04FF}]', '', 'g')) AS cyr,
+        |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS dig,
+        |    length(text) - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS spc
+        |  FROM documents WHERE doc_id < 300
+        |)
+        |SELECT doc_id, CAST(COALESCE(n, 0) AS INT) AS n_chars,
+        |  CASE WHEN n > 0 THEN round(CAST(lat AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS frac_latin,
+        |  CASE WHEN n > 0 THEN round(CAST(cjk AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS frac_cjk,
+        |  CASE WHEN n > 0 THEN round(CAST(cyr AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS frac_cyrillic,
+        |  CASE WHEN n > 0 THEN round(CAST(dig AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS frac_digit,
+        |  CASE WHEN n > 0 THEN round(CAST(spc AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS frac_space,
+        |  CASE WHEN n > 0 THEN round(CAST(n - lat - cjk - cyr - dig - spc AS DOUBLE) / CAST(n AS DOUBLE), 6) END AS frac_other
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_zipf" ->
+      """WITH u AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT w, count(*) AS c FROM u GROUP BY w
+        |  ORDER BY c DESC, w LIMIT 500
+        |), r AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk FROM c
+        |), t AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(rk AS DOUBLE)), 12) AS DECIMAL(28,12)) AS x,
+        |    CAST(round(ln(CAST(c AS DOUBLE)), 12) AS DECIMAL(28,12)) AS y,
+        |    CAST(round(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE)), 12)
+        |         AS DECIMAL(28,12)) AS xx,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 12)
+        |         AS DECIMAL(28,12)) AS yy,
+        |    CAST(round(ln(CAST(rk AS DOUBLE)) * ln(CAST(c AS DOUBLE)), 12)
+        |         AS DECIMAL(28,12)) AS xy
+        |  FROM r
+        |), s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |         CAST(SUM(xx) AS DOUBLE) AS sxx, CAST(SUM(yy) AS DOUBLE) AS syy,
+        |         CAST(SUM(xy) AS DOUBLE) AS sxy
+        |  FROM t
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_ranks,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+        |         AS intercept,
+        |       round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |             ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM s""".stripMargin,
+
+    "q_collocations" ->
+      """WITH d AS (
+        |  SELECT string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), u AS (
+        |  SELECT unnest(toks) AS w FROM d
+        |), uc AS (
+        |  SELECT w, count(*) AS c FROM u GROUP BY w
+        |), bg AS (
+        |  SELECT unnest(CASE WHEN len(toks) >= 2
+        |       THEN list_transform(range(2, len(toks) + 1),
+        |                           i -> toks[i-1] || chr(1) || toks[i])
+        |       ELSE CAST([] AS VARCHAR[]) END) AS g
+        |  FROM d
+        |), bc AS (
+        |  SELECT string_split(g, chr(1))[1] AS w1,
+        |         string_split(g, chr(1))[2] AS w2,
+        |         count(*) AS np
+        |  FROM bg GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM u) AS nu,
+        |         (SELECT CAST(COALESCE(SUM(np), 0) AS DOUBLE) FROM bc) AS nb
+        |)
+        |SELECT w1, w2, CAST(np AS BIGINT) AS n_pair,
+        |       round(ln((CAST(np AS DOUBLE) / nb) /
+        |                ((CAST(c1.c AS DOUBLE) / nu) *
+        |                 (CAST(c2.c AS DOUBLE) / nu))), 6) AS pmi
+        |FROM bc JOIN uc c1 ON bc.w1 = c1.w JOIN uc c2 ON bc.w2 = c2.w, tot
+        |WHERE np >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    "q_vocab_divergence" ->
+      """WITH c AS (
+        |  SELECT t, SUM(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS ca,
+        |            SUM(CASE WHEN g = 'de' THEN 1 ELSE 0 END) AS cb
+        |  FROM (SELECT lang AS g, unnest(string_split(lower(text), ' ')) AS t
+        |        FROM documents WHERE lang IN ('en', 'de') AND text IS NOT NULL)
+        |  GROUP BY t
+        |), tot AS (
+        |  SELECT CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb,
+        |         CAST(COUNT(*) AS DOUBLE) AS v,
+        |         SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS va,
+        |         SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS vb,
+        |         SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END) AS vs
+        |  FROM c
+        |), pq AS (
+        |  SELECT (CAST(ca AS DOUBLE) + 0.5) / (na + 0.5 * v) AS p,
+        |         (CAST(cb AS DOUBLE) + 0.5) / (nb + 0.5 * v) AS q,
+        |         va, vb, vs
+        |  FROM c, tot
+        |), terms AS (
+        |  SELECT CAST(round(p * ln(p / q), 12) AS DECIMAL(28,12)) AS kab,
+        |         CAST(round(q * ln(q / p), 12) AS DECIMAL(28,12)) AS kba,
+        |         CAST(round(p * ln(p / ((p + q) / 2.0)) / 2 +
+        |                    q * ln(q / ((p + q) / 2.0)) / 2, 12)
+        |              AS DECIMAL(28,12)) AS jt,
+        |         va, vb, vs
+        |  FROM pq
+        |)
+        |SELECT CAST(va AS BIGINT) AS n_vocab_a, CAST(vb AS BIGINT) AS n_vocab_b,
+        |       CAST(vs AS BIGINT) AS n_vocab_shared,
+        |       round(CAST(SUM(kab) AS DOUBLE), 6) AS kl_ab,
+        |       round(CAST(SUM(kba) AS DOUBLE), 6) AS kl_ba,
+        |       round(CAST(SUM(jt) AS DOUBLE), 6) AS jsd
+        |FROM terms GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_tfidf_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+        |  FROM documents WHERE text IS NOT NULL AND doc_id < 300
+        |), tf AS (
+        |  SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT t, count(*) AS df FROM tf GROUP BY 1
+        |), w AS (
+        |  SELECT tf.doc_id, tf.t,
+        |         CAST(FLOOR(CAST(tf AS DOUBLE) * ln(300.0 / df) * 100000) AS BIGINT) AS q
+        |  FROM tf JOIN dfq USING (t) WHERE df <= 0.5 * 300
+        |), nrm AS (
+        |  SELECT doc_id, SUM(q*q) AS ss FROM w GROUP BY 1
+        |), dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.q * b.q) AS dot
+        |  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT id_a, id_b,
+        |         ROUND(CAST(dot AS DOUBLE) /
+        |               (sqrt(CAST(x.ss AS DOUBLE)) * sqrt(CAST(y.ss AS DOUBLE))), 6) AS cosine
+        |  FROM dots JOIN nrm x ON x.doc_id = id_a JOIN nrm y ON y.doc_id = id_b
+        |)
+        |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_bm25" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL
+        |), d AS (
+        |  SELECT doc_id, len(toks) AS dl FROM docs
+        |), st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |  FROM d
+        |), m AS (
+        |  SELECT doc_id, term
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM docs)
+        |  WHERE term IN ('spark', 'shuffle', 'dup')
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM m GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM m GROUP BY 1
+        |), per AS (
+        |  SELECT tf.doc_id,
+        |         CAST(ROUND(
+        |           ln(1.0 + ((SELECT n FROM st) - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |           (CAST(tf.tf AS DOUBLE) * 2.2) /
+        |           (CAST(tf.tf AS DOUBLE) +
+        |            1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE) /
+        |                          (SELECT avgdl FROM st))),
+        |           6) AS DECIMAL(18,6)) AS s
+        |  FROM tf JOIN dfq USING (term) JOIN d USING (doc_id)
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_terms_matched,
+        |         CAST(sum(s) AS DOUBLE) AS bm25
+        |  FROM per GROUP BY 1
+        |)
+        |SELECT d.doc_id, CAST(d.dl AS INT) AS dl,
+        |       coalesce(a.n_terms_matched, 0) AS n_terms_matched,
+        |       coalesce(a.bm25, 0.0) AS bm25
+        |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_apply" -> duckBpeApplyCte
+  )
+}
