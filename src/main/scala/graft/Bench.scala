@@ -28,6 +28,14 @@ import org.apache.spark.sql.SparkSession
   *    driver's capture, the file keeps every per-query median
   */
 object Bench {
+  /** Timed materialization: write to the DSv2 `noop` sink, which evaluates
+    * EVERY output column of every row. `count()` would let Catalyst prune
+    * a terminal projection nobody consumes, so projection-shaped queries
+    * (regex redaction, script profiles, constant-folded linkage weights)
+    * would be timed as bare scans instead of their actual compute. */
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,7 +52,7 @@ object Bench {
     // warmup: pay JVM/codegen/parquet-footer startup outside the timings so
     // the first measured query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.entry(spark).count()
+    materialize(SparkEntry.entry(spark))
     // steady-state warmup: run every query once at the smallest SF so each
     // measured run reflects the operator, not first-touch codegen + JIT of
     // its expression shapes (tokenize/explode alone costs ~20 s of one-time
@@ -61,7 +69,7 @@ object Bench {
     )
     if (new java.io.File(warmDir).isDirectory && sys.env.get("SPARK_GRAFT_NO_WARM").isEmpty)
       SparkEntry.queries.foreach { case (name, fn) =>
-        try fn(spark, warmDir).count()
+        try materialize(fn(spark, warmDir))
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] warmup failed for $name: ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -87,7 +95,7 @@ object Bench {
         ordered.map { case (name, fn) =>
           val t0 = System.nanoTime()
           val err =
-            try { fn(spark, sfDir).count(); None }
+            try { materialize(fn(spark, sfDir)); None }
             catch { case e: Throwable => Some(e.getClass.getSimpleName + ": " + e.getMessage) }
           name -> (((System.nanoTime() - t0) / 1e9, err))
         }.toMap

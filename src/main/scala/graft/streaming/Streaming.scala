@@ -225,6 +225,72 @@ object Streaming {
     q.awaitTermination()
   }
 
+  /** Parquet-backed [[nearDedupIngest]] for ALWAYS-ON streams: the
+    * signature store lives at `storePath` instead of accreting one
+    * `union + localCheckpoint` block per batch in executor storage. Each
+    * batch reads the store fresh off disk (lineage stays one parquet scan
+    * deep no matter how long the stream has drained) and appends the
+    * survivors' skinny (id, signature) rows, so the reference state
+    * survives restarts and storage grows only with ACCEPTED documents,
+    * never with batch count.
+    *
+    * The first start initializes the store from `reference`'s signatures;
+    * a restart finds the store populated and does NOT re-sign the
+    * reference — accepted history carries over, the durable upgrade the
+    * in-memory variant documents. foreachBatch is at-least-once: a
+    * replayed batch can append its survivors' signatures a second time,
+    * which cannot flip any later dedup decision (a duplicate signature
+    * only collides with itself) — it costs storage; compact the store
+    * with [[graft.sources.Tables.compactParquetDir]] between drains if
+    * replays accumulate. The per-batch dataflow — and therefore the
+    * accepted-document stream — is identical to [[nearDedupIngest]]
+    * (asserted batch-for-batch in the streaming suite's long drain).
+    */
+  def nearDedupIngestDurable(
+      docs: DataFrame,
+      reference: DataFrame,
+      storePath: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.9,
+      shingleK: Int = 1,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      portable: Boolean = true
+  )(sink: DataFrame => Unit): Unit = {
+    import graft.operators.Dedup
+    val spark = docs.sparkSession
+    val dir = new java.io.File(storePath)
+    val populated = dir.isDirectory &&
+      Option(dir.listFiles()).exists(_.exists(_.getName.endsWith(".parquet")))
+    if (!populated)
+      Dedup
+        .minHashSignatures(reference, idCol, textCol, shingleK, numHashes, portable)
+        .write.mode("overwrite").parquet(storePath)
+    val q = docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val sigStore = spark.read.parquet(storePath)
+          val survivors = Dedup
+            .dedupNearMinHashIncremental(
+              batch, idCol, textCol, sigStore,
+              threshold, shingleK, numHashes, bands, portable
+            )
+            // materialize BEFORE the store append: the survivors' plan
+            // reads storePath, and their signatures are about to land there
+            .localCheckpoint()
+          Dedup
+            .minHashSignatures(survivors, idCol, textCol, shingleK, numHashes, portable)
+            .write.mode("append").parquet(storePath)
+          sink(survivors)
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked STREAM-STREAM interval join: each purchase event joined to
     * the same user's view events in the preceding `lookback` — the
     * canonical attribution join. Both sides carry watermarks and the join

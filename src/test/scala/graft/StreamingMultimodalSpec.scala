@@ -280,6 +280,81 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(dropped > 0, "test corpus must exercise at least one near-dup drop")
   }
 
+  test("durable near-dedup ingest: 10-batch drain, bounded store, output equality") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val reference = docs.filter(col("doc_id") % 12 === 0)
+    val batches = (1 to 10).map(k => docs.filter(col("doc_id") % 12 === k))
+    def stage(tag: String): String = {
+      val streamDir = Files.createTempDirectory(s"graft-durable-$tag").toString
+      val stageDir = Files.createTempDirectory(s"graft-durable-stage-$tag").toString
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val tmp = s"$stageDir/g$i"
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = Paths.get(f"$streamDir/f$i%02d.parquet")
+        Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      streamDir
+    }
+    def stream(dir: String) = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    // durable run: parquet-backed store
+    val storePath = Files.createTempDirectory("graft-durable-store").toString + "/sigs"
+    val durable = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    Streaming.nearDedupIngestDurable(stream(stage("a")), reference, storePath) { out =>
+      durable += out.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    // in-memory run over the SAME batches: the reference implementation
+    val inMem = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    Streaming.nearDedupIngest(stream(stage("b")), reference) { out =>
+      inMem += out.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(durable.size == 10, s"expected a 10-batch drain, got ${durable.size}")
+    assert(inMem.size == 10, s"expected a 10-batch drain, got ${inMem.size}")
+    (0 until 10).foreach { i =>
+      assert(durable(i) == inMem(i),
+        s"batch $i diverges: extra=${durable(i) -- inMem(i)} lost=${inMem(i) -- durable(i)}")
+    }
+    assert(durable.map(_.size).sum < batches.map(_.count()).sum,
+      "drain must exercise at least one near-dup drop")
+    // bounded state: the store is a flat parquet dir whose ROW count is
+    // exactly reference + accepted signatures (storage ~ accepted docs,
+    // not batches), and whose read plan is one scan — no per-batch
+    // union/checkpoint accretion survives the drain
+    val store = spark.read.parquet(storePath)
+    assert(store.count() == reference.count() + durable.map(_.size).sum,
+      "store must hold exactly the reference + survivor signatures")
+    val planStr = store.queryExecution.optimizedPlan.toString
+    assert(!planStr.contains("Union"), s"store read must be one flat scan:\n$planStr")
+    // restart reuses the store: a second drain over one MORE batch must
+    // dedup against everything accepted above without re-signing
+    val extraDir = Files.createTempDirectory("graft-durable-extra").toString
+    val extraStage = Files.createTempDirectory("graft-durable-extra-stage").toString
+    docs.filter(col("doc_id") % 12 === 11).coalesce(1)
+      .write.mode("overwrite").parquet(s"$extraStage/g")
+    val part = new java.io.File(s"$extraStage/g").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, Paths.get(s"$extraDir/f0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val before = store.count()
+    val restart = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    Streaming.nearDedupIngestDurable(
+      spark.readStream.schema(docs.schema).parquet(extraDir),
+      // a poisoned reference proves the store, not the reference, is used
+      reference.limit(0), storePath) { out =>
+      restart += out.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(spark.read.parquet(storePath).count() ==
+      before + restart.map(_.size).sum,
+      "restart must append survivors only — never re-sign the reference")
+  }
+
   test("stream-stream interval join equals the batch join") {
     val stream = Streaming.readEventsStream(spark, sfDir)
     val got = Streaming.runToMemorySink(
