@@ -343,10 +343,21 @@ object Tables {
     *
     * No-op (returns `compacted = false`) when the directory already has
     * <= the target file count — callers can loop it over partitions
-    * cheaply. Rewrites via a sibling staging dir + two renames; like every
-    * non-transactional compactor, readers racing the final swap can
-    * glimpse the old files — run it in the maintenance window a parquet
-    * (non-ACID) table already requires for overwrites.
+    * cheaply.
+    *
+    * ==Concurrency contract: NO concurrent readers or writers==
+    * The swap is a sibling staging write + two directory renames
+    * (`path` -> backup, staging -> `path`): a single rename cannot
+    * replace a non-empty directory on HDFS-style filesystems, so there is
+    * an unavoidable instant between the renames where `path` does not
+    * exist and a racing reader fails its file listing (and a reader that
+    * listed earlier can still glimpse old files). Run it in the
+    * maintenance window a plain-parquet (non-ACID) table already requires
+    * for overwrites; concurrent-safe compaction needs a transactional
+    * table format instead. The swap only proceeds after the staging
+    * write's `_SUCCESS` marker is verified, and any failure during the
+    * swap restores the original directory intact (asserted in
+    * SourcesSpec).
     *
     * Scale shape: one scan + one round-robin `repartition(n)` shuffle of
     * the compacted data — no sort, no driver materialization (file
@@ -379,6 +390,16 @@ object Tables {
         .write
         .mode("overwrite")
         .parquet(staging.toString)
+      // gate the swap on the committer's success marker: a staging dir
+      // left by a partially-failed write must never replace live data
+      val success =
+        new org.apache.hadoop.fs.Path(staging, "_SUCCESS")
+      if (!fs.exists(success)) {
+        fs.delete(staging, true)
+        throw new java.io.IOException(
+          s"staging write for $path missing _SUCCESS; original left intact"
+        )
+      }
       val backup = new org.apache.hadoop.fs.Path(
         hPath.getParent,
         s".${hPath.getName}__precompact"

@@ -232,6 +232,47 @@ class SourcesSpec extends SparkSpec {
     assert(!parent.exists(_.contains("__precompact")), parent.mkString(","))
   }
 
+  test("compactParquetDir: a failed staging write never touches the original") {
+    val dir = Files.createTempDirectory("graft-compact-fail").toString + "/t"
+    val df = spark.range(500).select(
+      col("id"),
+      concat(lit("row-"), col("id")).as("s")
+    )
+    df.repartition(20).write.mode("overwrite").parquet(dir)
+    val beforeRows = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val beforeFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
+    // suppress the committer's _SUCCESS marker so the staging write looks
+    // partially failed — the swap gate must refuse and leave the original
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val prev = hconf.get(key)
+    hconf.set(key, "false")
+    try {
+      val e = intercept[java.io.IOException] {
+        Tables.compactParquetDir(spark, dir, targetBytes = 64L * 1024)
+      }
+      assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+    } finally {
+      if (prev == null) hconf.unset(key) else hconf.set(key, prev)
+    }
+    // original bytes untouched (same file names), content identical,
+    // staging cleaned up
+    val afterFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
+    assert(afterFiles == beforeFiles, "original data files must be untouched")
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+      == beforeRows)
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("__compacting")), parent.mkString(","))
+    assert(!parent.exists(_.contains("__precompact")), parent.mkString(","))
+    // and with the marker restored the same compaction succeeds
+    val ok = Tables.compactParquetDir(spark, dir, targetBytes = 64L * 1024)
+    assert(ok.compacted, ok.toString)
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+      == beforeRows)
+  }
+
   test("resolvePath: absolute, project-relative, repo-relative modes") {
     import graft.sources.{Paths => GPaths}
     assert(GPaths.resolvePath("/abs/x.csv") == "/abs/x.csv")

@@ -146,6 +146,73 @@ class StreamingMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("append-mode drift monitor: late in-horizon data lands in its window's single emission") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // 5 hourly windows, each FINALLY holding {10, 90, 90} (bin shares
+    // 1/3, 2/3 — identical to the full-dataset reference, so a correctly
+    // assembled closed window reports PSI exactly 0 and n_cur = 3).
+    // Window 0's third event (00:40) is delivered LATE: file 1 carries it
+    // AFTER file 0 already advanced max event time to 01:00 — but the
+    // watermark during file 1's batch is 01:00 - 45min = 00:15, so the
+    // event is inside the horizon and MUST be absorbed into the still-open
+    // window. Exactly-once-per-closed-window then requires window 0 to
+    // surface once, complete (n_cur = 3, psi = 0) — an early emission
+    // without the late row would show n_cur = 2 / psi != 0, a re-emission
+    // would show a duplicate window_start.
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    def ts(h: Int, m: Int) = new java.sql.Timestamp(base + (h * 60L + m) * 60000L)
+    def rows(hs: Seq[(Int, Int, Double)]) = hs.map { case (h, m, v) => (ts(h, m), v) }
+    val files = Seq(
+      // file 0: window 0 partial + window 1 opener; max ts 01:00
+      rows(Seq((0, 0, 10.0), (0, 15, 90.0), (1, 0, 10.0))),
+      // file 1: the LATE window-0 event (00:40 < max seen, >= watermark
+      // 00:15) + the rest of window 1 + window 2 opener; max ts 02:00
+      rows(Seq((0, 40, 90.0), (1, 15, 90.0), (1, 40, 90.0), (2, 0, 10.0))),
+      // file 2: watermark is now 01:15 -> window 0 closes THIS batch
+      rows(Seq((2, 15, 90.0), (2, 40, 90.0), (3, 0, 10.0), (3, 15, 90.0), (3, 40, 90.0))),
+      // file 3: watermark 02:55 closes window 1; final flush (04:40 ->
+      // watermark 03:55) closes window 2; windows 3-4 stay open
+      rows(Seq((4, 0, 10.0), (4, 15, 90.0), (4, 40, 90.0)))
+    )
+    val ref = files.flatten.toDF("ts", "value")
+    val streamDir = Files.createTempDirectory("graft-drift-late").toString
+    val stageDir = Files.createTempDirectory("graft-drift-late-stage").toString
+    files.zipWithIndex.foreach { case (f, i) =>
+      val tmp = s"$stageDir/g$i"
+      f.toDF("ts", "value").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = Paths.get(s"$streamDir/f$i.parquet")
+      Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    val schema = spark.read.parquet(s"$streamDir/f0.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "f*.parquet")
+      .parquet(streamDir)
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Array[org.apache.spark.sql.Row]]
+    Streaming.driftPerWindowAppend(
+      stream, ref, "value", lo = 0.0, hi = 100.0, nBins = 2,
+      width = "1 hour", watermark = "45 minutes"
+    ) { out => snaps += out.collect() }
+    val all = snaps.flatten
+    val starts = all.map(_.getTimestamp(0))
+    assert(starts.distinct.size == starts.size,
+      s"append mode must emit each window exactly once: ${starts.toSeq}")
+    assert(starts.toSet == (0 to 2).map(h => ts(h, 0)).toSet,
+      s"expected exactly windows 0-2 closed, got ${starts.sorted.toSeq}")
+    all.foreach { r =>
+      assert(r.getLong(1) == 3,
+        s"closed window must hold all 3 events incl. the late one: $r")
+      assert(r.getDouble(2) == 0.0,
+        s"complete window matches the reference -> PSI 0: $r")
+    }
+  }
+
   test("streaming heavy hitters rank equals the batch ranking") {
     val stream = Streaming.readEventsStream(spark, sfDir)
     val snaps = scala.collection.mutable.ArrayBuffer.empty[Array[org.apache.spark.sql.Row]]
