@@ -809,11 +809,16 @@ object TextAnalysis {
     * (DuckDB: `CAST('0x'||substr(md5(g),1,15) AS BIGINT) % m`), no RNG. */
   private def rawGrams(textCol: String): Column = {
     val toks = tokens(col(textCol))
+    // zip_with over shifted slices, NOT transform(sequence, i =>
+    // element_at(toks, ...)): a lambda body re-evaluates the tokenization
+    // per element (O(len^2) per document); zip_with's array arguments are
+    // evaluated once per row (the TextFunctions.shingles fix)
     val bigrams = when(
       size(toks) >= 2,
-      transform(
-        sequence(lit(2), size(toks)),
-        i => concat_ws("\u0001", element_at(toks, i - 1), element_at(toks, i))
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws("\u0001", a, b)
       )
     ).otherwise(array())
     concat(toks, bigrams)
@@ -1750,14 +1755,15 @@ object TextAnalysis {
     val allPairs = docs
       .select(
         explode(
+          // zip_with over shifted slices: the transform(sequence, i =>
+          // element_at(toks, ...)) form re-tokenizes per element
+          // (O(len^2) per document — the TextFunctions.shingles fix)
           when(
             size(toks) >= 2,
-            transform(
-              sequence(lit(2), size(toks)),
-              i => struct(
-                element_at(toks, i - 1).as("w1"),
-                element_at(toks, i).as("w2")
-              )
+            zip_with(
+              slice(toks, lit(1), size(toks) - 1),
+              slice(toks, lit(2), size(toks) - 1),
+              (a, b) => struct(a.as("w1"), b.as("w2"))
             )
           ).otherwise(array().cast("array<struct<w1:string,w2:string>>"))
         ).as("__p")
