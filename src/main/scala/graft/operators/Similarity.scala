@@ -87,10 +87,16 @@ object Similarity {
     */
   def quantizeVector(v: Column): Column = {
     val maxAbs = array_max(transform(v, x => abs(x)))
-    transform(
+    // zip_with against a repeated-scalar array, NOT transform with maxAbs
+    // in the lambda body: a lambda re-evaluates outer expressions per
+    // element, so the transform form recomputes the whole array_max per
+    // component — O(dim^2) per row. zip_with's arguments (including the
+    // array_repeat) are evaluated once per row.
+    zip_with(
       v,
-      x =>
-        when(maxAbs > 0, floor(x * lit(127.0) / maxAbs + lit(0.5)).cast("int"))
+      array_repeat(maxAbs, size(v)),
+      (x, m) =>
+        when(m > 0, floor(x * lit(127.0) / m + lit(0.5)).cast("int"))
           .otherwise(lit(0))
     )
   }
