@@ -67,22 +67,32 @@ object ScaleData {
       extra(rekeyed, col("__copy")).drop("__copy")
     }
 
-    def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[scaledata] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
+    /** Amplified tables land with `copies * source-split` files, the
+      * layout a real sf-times-`copies` generator would produce — a
+      * broadcast crossJoin preserves the (often single) source split, and
+      * one giant file would serialize every downstream scan onto one core,
+      * measuring layout pathology instead of operator scaling. */
+    def write(df: DataFrame, name: String, parts: Int = 1): Unit = {
+      val out = if (parts > 1) df.repartition(parts) else df
+      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scaledata] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows, $parts files")
     }
+
+    def partsFor(name: String): Int =
+      copies * spark.read.parquet(s"$inDir/$name.parquet").rdd.getNumPartitions
 
     write(read("region"), "region")
     write(read("nation"), "nation")
-    write(amp(read("customer"), Seq("c_custkey")), "customer")
-    write(amp(read("supplier"), Seq("s_suppkey")), "supplier")
-    write(amp(read("part"), Seq("p_partkey")), "part")
-    write(amp(read("orders"), Seq("o_orderkey", "o_custkey")), "orders")
+    write(amp(read("customer"), Seq("c_custkey")), "customer", partsFor("customer"))
+    write(amp(read("supplier"), Seq("s_suppkey")), "supplier", partsFor("supplier"))
+    write(amp(read("part"), Seq("p_partkey")), "part", partsFor("part"))
+    write(amp(read("orders"), Seq("o_orderkey", "o_custkey")), "orders", partsFor("orders"))
     write(
       amp(read("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey")),
-      "lineitem"
+      "lineitem",
+      partsFor("lineitem")
     )
-    write(amp(read("events"), Seq("event_id", "user_id")), "events")
+    write(amp(read("events"), Seq("event_id", "user_id")), "events", partsFor("events"))
     write(
       amp(
         read("documents"),
@@ -94,7 +104,8 @@ object ScaleData {
               .otherwise(concat(lit("c"), copy.cast("string"), lit(" "), col("text")))
           )
       ),
-      "documents"
+      "documents",
+      partsFor("documents")
     )
     write(
       amp(
@@ -111,7 +122,8 @@ object ScaleData {
             )
           )
       ),
-      "embeddings"
+      "embeddings",
+      partsFor("embeddings")
     )
     spark.stop()
   }

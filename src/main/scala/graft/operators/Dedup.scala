@@ -86,7 +86,10 @@ object Dedup {
       numHashes: Int,
       portable: Boolean
   ): DataFrame = {
-    val exploded = df.select(
+    // per-shingle digests are per-row expensive: spread a narrow-split
+    // scan across cores (no-op at real scale — ScanUtils contract; the
+    // signature aggregate is keyed by id, so row order is irrelevant)
+    val exploded = ScanUtils.withScanParallelism(df).select(
       col(idCol).as("__id"),
       explode(shingles(col(textCol), shingleK)).as("__s")
     )
@@ -504,7 +507,10 @@ object Dedup {
       textCol: String,
       portable: Boolean = true
   ): DataFrame = {
-    val exploded = df.select(
+    // per-token digests are per-row expensive: spread a narrow-split scan
+    // across cores (no-op at real scale — ScanUtils contract; the
+    // signature aggregate is keyed by id, so row order is irrelevant)
+    val exploded = ScanUtils.withScanParallelism(df).select(
       col(idCol).as("__id"),
       explode(tokens(col(textCol))).as("__t")
     )

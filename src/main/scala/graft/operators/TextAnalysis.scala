@@ -201,7 +201,12 @@ object TextAnalysis {
   /** Document fingerprints: md5 of canonical text plus a winnowing-style
     * min-shingle-hash (k=3). */
   def fingerprints(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("fp_md5", fingerprint(col(textCol)))
+    // per-row-expensive (one md5 per shingle): spread a narrow-split scan
+    // across cores; at real scale input splits exceed cores and this
+    // no-ops (ScanUtils contract — consumers are per-row, order-free)
+    ScanUtils
+      .withScanParallelism(df)
+      .withColumn("fp_md5", fingerprint(col(textCol)))
       .withColumn("fp_min_shingle", minShingleFingerprint(col(textCol), 3))
 
   /** Corpus term statistics — vocabulary building: top-k terms by document
