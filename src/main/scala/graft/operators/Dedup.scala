@@ -218,7 +218,16 @@ object Dedup {
     * Scale shape: the exact-pair computation is the quadratic-ish part,
     * which is exactly why it runs on the hash-sample (same md5 bucketing
     * as [[Splits.hashSplit]] — deterministic, engine-portable); both pair
-    * sets and all counts are one-row aggregates crossJoined back. */
+    * sets and all counts are one-row aggregates crossJoined back.
+    *
+    * `sampleFraction` alone keeps the sample PROPORTIONAL to the corpus, so
+    * the exact-truth cost still grows quadratically with data size. For a
+    * scale-invariant audit set `maxSampleDocs` > 0: the effective bucket
+    * threshold becomes min(fraction, maxSampleDocs/corpus) — the audit then
+    * costs the same whether run on 1 GB or 100 TB. Computing the corpus
+    * size is one bounded driver `count()` (a tuning report is a one-shot
+    * diagnostic, not a data path). The threshold uses exact integer ceil
+    * arithmetic so a SQL oracle reproduces the sample bit-for-bit. */
   def minHashRecallReport(
       df: DataFrame,
       idCol: String,
@@ -228,20 +237,32 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       sampleFraction: Double = 1.0,
-      salt: String = ""
+      salt: String = "",
+      maxSampleDocs: Int = 0
   ): DataFrame = {
     require(
       sampleFraction > 0 && sampleFraction <= 1,
       "sampleFraction must be in (0, 1]"
     )
     val base = df.filter(col(textCol).isNotNull)
+    val fracThr =
+      if (sampleFraction >= 1.0) Splits.Buckets
+      else math.round(sampleFraction * Splits.Buckets)
+    val thr =
+      if (maxSampleDocs <= 0) fracThr
+      else {
+        val n = base.count() // bounded driver action: a single count
+        val capThr =
+          if (n == 0L) Splits.Buckets
+          else math.min(
+            Splits.Buckets,
+            (Splits.Buckets * maxSampleDocs + n - 1) / n
+          )
+        math.min(fracThr, capThr)
+      }
     val sampled =
-      if (sampleFraction >= 1.0) base
-      else
-        base.filter(
-          Splits.hashBucket(col(idCol), salt) <
-            math.round(sampleFraction * Splits.Buckets)
-        )
+      if (thr >= Splits.Buckets) base
+      else base.filter(Splits.hashBucket(col(idCol), salt) < thr)
     val truth = ngramJaccardPairs(sampled, idCol, textCol, shingleK, threshold)
       .select("id_a", "id_b")
     val cand = minHashCandidatePairs(

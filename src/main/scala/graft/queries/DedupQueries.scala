@@ -254,12 +254,15 @@ private[graft] object DedupQueries {
     // before shipping a full-corpus dedup. The sample keeps the exact
     // truth side bounded: this synthetic corpus has a 31-word vocabulary,
     // so EVERY doc pair shares tokens and exact pairing is inherently
-    // quadratic in the sample size
+    // quadratic in the sample size. maxSampleDocs pins the audit set to
+    // ~500 docs at ANY corpus scale (at sf0.01/sf0.1 the 10% fraction is
+    // the binding constraint, so results there are unchanged; beyond
+    // 5k docs the absolute cap takes over and the audit cost goes flat)
     "q_lsh_recall" -> ((s, dir) => {
       Dedup.minHashRecallReport(
         t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.9, shingleK = 1, numHashes = 16, bands = 4,
-        sampleFraction = 0.1
+        sampleFraction = 0.1, maxSampleDocs = 500
       )
     })
   )
@@ -640,7 +643,9 @@ private[graft] object DedupQueries {
 
     "q_lsh_recall" ->
       s"""WITH ${duckMinHashCommonWhere(
-           " AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 1000"
+           // min(10% fraction threshold, integer-ceil cap for 500 docs) —
+           // mirrors minHashRecallReport's maxSampleDocs arithmetic exactly
+           " AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < LEAST(1000, (10000 * 500 + (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL) - 1) // (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL))"
          )}, cand AS (
          |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
          |  FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id

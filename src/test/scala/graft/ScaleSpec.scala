@@ -3505,6 +3505,29 @@ class ScaleSpec extends SparkSpec {
     assert(sampledReport.getLong(0) <= 5L)
   }
 
+  test("minHashRecallReport: maxSampleDocs caps the audit set scale-invariantly") {
+    val small = (1 to 20).map(i => (i.toLong, s"w$i x$i y$i z$i")).toDF("doc_id", "text")
+    // loose cap (>= corpus): byte-identical to the uncapped report
+    val uncapped = Dedup.minHashRecallReport(small, "doc_id", "text").head()
+    val loose = Dedup
+      .minHashRecallReport(small, "doc_id", "text", maxSampleDocs = 100)
+      .head()
+    assert(loose == uncapped)
+    // binding cap: n_docs lands near the cap (hash-bucket sampling is
+    // binomial around maxSampleDocs, never above ceil-threshold expectation)
+    val big = (1 to 400).map(i => (i.toLong, s"w$i x$i y$i z$i")).toDF("doc_id", "text")
+    val capped = Dedup
+      .minHashRecallReport(big, "doc_id", "text", maxSampleDocs = 50)
+      .head()
+    val nDocs = capped.getLong(0)
+    assert(nDocs < 120L && nDocs > 10L, s"cap not binding: $nDocs of 400")
+    // deterministic: same call, same sample
+    val again = Dedup
+      .minHashRecallReport(big, "doc_id", "text", maxSampleDocs = 50)
+      .head()
+    assert(again == capped)
+  }
+
   test("diversifiedTopK trades relevance against redundancy; lambda=1 is plain top-k") {
     import graft.operators.Similarity
     def v(parts: Float*): Array[Float] = parts.toArray
