@@ -78,6 +78,27 @@ class StressSpec extends SparkSpec {
     assert(pairs > 0)
   }
 
+  test("capped recall audit samples a constant-size truth set on the 10x corpus") {
+    // q_lsh_recall's scale contract: with maxSampleDocs the audit's
+    // quadratic exact-truth side is computed on ~cap docs no matter how
+    // large the corpus is (the 10x sweep measured the uncapped form at
+    // 24x cost for 10x data; capped it must be flat)
+    val report = timed("minHashRecallReport(maxSampleDocs=500) on 50k docs") {
+      Dedup
+        .minHashRecallReport(
+          stressedDocs, "doc_id", "text",
+          threshold = 0.9, shingleK = 1, numHashes = 16, bands = 4,
+          sampleFraction = 0.1, maxSampleDocs = 500
+        )
+        .head()
+    }
+    val nDocs = report.getLong(0)
+    // ceil-threshold expectation is ~505 of 50.5k; hash-bucket sampling is
+    // binomial around it — bound generously, but an uncapped proportional
+    // sample (5k docs) must fail
+    assert(nDocs > 100L && nDocs < 1500L, s"cap not holding: $nDocs docs sampled")
+  }
+
   test("30x amplification: pair bound and dedup invariance (always-on)") {
     // sf3-equivalent (150k docs, hot cluster of 300) INSIDE the default
     // test budget — the strongest scale evidence used to hide behind the
