@@ -405,6 +405,103 @@ private[graft] object QueryShared {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Fixed unigram piece model for q_unigram_apply: (piece, logprob)
+    * literals inlined into BOTH the Spark plan and the oracle, so Viterbi
+    * segmentation is SQL-expressible (training stays rows-gated under
+    * q_unigram_lm — iterative EM has no SQL form; this is the q_bpe_apply
+    * policy applied to the unigram segmenter). Every logprob is a DYADIC
+    * rational (multiple of 1/4), so every path sum is exact in IEEE double
+    * and score comparisons are deterministic across engines. Three pieces
+    * are planted at EXACT score ties with their character spellings
+    * (row = r+o+w, join = jo+in, table = ta+ble) so the oracle actually
+    * exercises the longer-piece tie-break, not just argmax. */
+  val UnigramFixedVocab: Seq[(String, Double)] =
+    "abcdefghijklmnopqrstuvwy".map(c => (c.toString, -3.0)) ++ Seq(
+      ("row", -9.0), ("join", -4.5), ("jo", -2.5), ("in", -2.0),
+      ("table", -6.0), ("ta", -2.5), ("ble", -3.5),
+      ("hash", -6.0), ("scan", -5.5),
+      ("cust", -5.0), ("omer", -5.0), ("er", -2.0),
+      ("st", -2.25), ("ream", -4.25),
+      ("the", -2.75), ("qu", -2.5), ("ery", -3.25),
+      ("spark", -4.75), ("part", -4.5),
+      ("win", -3.75), ("dow", -3.75),
+      ("or", -2.0), ("der", -3.0),
+      ("agg", -3.5), ("fi", -2.5), ("lter", -4.0),
+      ("val", -3.75), ("ue", -2.75),
+      ("key", -3.5), ("big", -3.25), ("data", -4.0),
+      ("line", -4.25), ("sort", -4.25), ("fast", -4.5),
+      ("slow", -4.25), ("merge", -4.75), ("group", -4.75),
+      ("batch", -5.0), ("small", -5.0),
+      ("col", -3.5), ("umn", -4.0),
+      ("vec", -3.75), ("tor", -3.5), ("dup", -3.0)
+    )
+
+  /** DuckDB oracle replaying TextAnalysis.unigramTokenCounts under the
+    * FIXED [[UnigramFixedVocab]]. The recursive CTE enumerates every
+    * segmentation of every distinct word (corpus dictionary is tiny by
+    * construction; score accumulates left-to-right exactly like the
+    * operator's DP, and dyadic logprobs make each sum exact), then picks
+    * per word the max-score segmentation with the lexicographically
+    * LARGEST piece-length sequence read right-to-left (`revkey`) — which
+    * is provably the segmentation the operator's DP backtrace emits: any
+    * max-score segmentation has optimal prefixes at every cut, so the
+    * DP's per-position longest-piece tie-break reduces to reversed-length
+    * lexicographic order over max-score candidates. Unknown single chars
+    * fall back to logprob -100 exactly as the operator does. */
+  def duckUnigramApplyCte: String = {
+    val values = UnigramFixedVocab
+      .map { case (p, lp) => s"('$p', $lp)" }
+      .mkString(", ")
+    s"""WITH RECURSIVE vocab(piece, lp) AS (
+       |  VALUES $values
+       |), wl AS (
+       |  SELECT w FROM (
+       |    SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents WHERE text IS NOT NULL
+       |  ) WHERE len(w) > 0
+       |), unk AS (
+       |  SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS piece, -100.0 AS lp
+       |  FROM wl, unnest(range(1, len(w) + 1)) AS t(i)
+       |  WHERE substr(w, CAST(i AS INT), 1) NOT IN (SELECT piece FROM vocab)
+       |), pieces AS (
+       |  SELECT piece, lp FROM vocab WHERE len(piece) <= 8
+       |  UNION ALL SELECT piece, lp FROM unk
+       |), segs AS (
+       |  SELECT w, 0 AS pos, CAST(0.0 AS DOUBLE) AS score, 0 AS np,
+       |         '' AS revkey
+       |  FROM wl
+       |  UNION ALL
+       |  SELECT s.w, s.pos + len(v.piece), s.score + v.lp, s.np + 1,
+       |         CAST(len(v.piece) AS VARCHAR) || s.revkey
+       |  FROM segs s JOIN pieces v
+       |    ON s.pos < len(s.w)
+       |   AND substr(s.w, s.pos + 1, len(v.piece)) = v.piece
+       |), dict AS (
+       |  SELECT w, np FROM (
+       |    SELECT w, np, row_number() OVER (
+       |      PARTITION BY w ORDER BY score DESC, revkey DESC) AS rn
+       |    FROM segs WHERE pos = len(w)
+       |  ) WHERE rn = 1
+       |), occ AS (
+       |  SELECT doc_id, w, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents WHERE text IS NOT NULL
+       |  ) WHERE len(w) > 0 GROUP BY doc_id, w
+       |), counts AS (
+       |  SELECT occ.doc_id,
+       |         CAST(SUM(occ.c) AS INT) AS ws_tokens,
+       |         CAST(SUM(occ.c * dict.np) AS INT) AS unigram_tokens
+       |  FROM occ JOIN dict ON occ.w = dict.w
+       |  GROUP BY occ.doc_id
+       |)
+       |SELECT d.doc_id,
+       |       coalesce(counts.ws_tokens, 0) AS ws_tokens,
+       |       coalesce(counts.unigram_tokens, 0) AS unigram_tokens
+       |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+       |LEFT JOIN counts ON d.doc_id = counts.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** DuckDB CTE chain replaying Similarity.kCenterSampleScalable at a
     * fixed small configuration (k, perRound, 2 sampling rounds) — the
     * md5-deterministic coin makes the distributed oversampling exactly

@@ -368,6 +368,25 @@ private[graft] object TextQueries {
           TextAnalysis.unigramLM(docs, "text", vocabSize = 120)
         )
         .orderBy("doc_id")
+    }),
+
+    // Viterbi segmentation token counts under the FIXED literal vocab
+    // (QueryShared.UnigramFixedVocab): given the pieces as literals the
+    // max-score segmentation IS SQL-expressible, so this carries a full
+    // recursive-CTE oracle incl. the longer-piece tie-break on three
+    // planted exact-score ties. Training stays rows-gated under
+    // q_unigram_lm; the train->apply composition is covered by
+    // q_unigram_tokens + ScaleSpec's reconstruction properties.
+    "q_unigram_apply" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis
+        .unigramTokenCounts(
+          t(s, dir, "documents"),
+          "doc_id",
+          "text",
+          UnigramFixedVocab.toDF("piece", "logprob")
+        )
+        .orderBy("doc_id")
     })
   )
 
@@ -969,6 +988,8 @@ private[graft] object TextQueries {
         |       coalesce(a.bm25, 0.0) AS bm25
         |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
-    "q_bpe_apply" -> duckBpeApplyCte
+    "q_bpe_apply" -> duckBpeApplyCte,
+
+    "q_unigram_apply" -> duckUnigramApplyCte
   )
 }

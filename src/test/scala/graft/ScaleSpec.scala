@@ -3302,6 +3302,21 @@ class ScaleSpec extends SparkSpec {
     assert(!got.contains(3L), "null-text docs are excluded")
   }
 
+  test("fixed unigram vocab: planted exact-score ties resolve to the longer piece") {
+    // q_unigram_apply's oracle contract: dyadic logprobs make row = r+o+w,
+    // join = jo+in and table = ta+ble EXACT score ties, and the DP must
+    // pick the single longer piece each time
+    val probs = graft.QueryShared.UnigramFixedVocab.toMap
+    assert(TextAnalysis.unigramSegmentWord("row", probs, 8) == Vector("row"))
+    assert(TextAnalysis.unigramSegmentWord("join", probs, 8) == Vector("join"))
+    assert(TextAnalysis.unigramSegmentWord("table", probs, 8) == Vector("table"))
+    // and non-tied words really do split
+    assert(TextAnalysis.unigramSegmentWord("customer", probs, 8) ==
+      Vector("cust", "omer"))
+    assert(TextAnalysis.unigramSegmentWord("window", probs, 8) ==
+      Vector("win", "dow"))
+  }
+
   test("bpeMerges learns the classic merge sequence on a planted dictionary") {
     // Sennrich-style toy corpus: {low x5, lowest x2}. Symbol pairs round 1
     // (weighted): (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2, (e,s)=2, (s,t)=2,
