@@ -393,6 +393,97 @@ class StressSpec extends SparkSpec {
     assert(survivors == origIds,
       s"extra=${(survivors -- origIds).take(5)} missing=${(origIds -- survivors).take(5)}")
   }
+  test("keyed time joins are copy-invariant under user-rekeyed amplification") {
+    // 5 re-keyed copies of the purchase/view streams: same timestamps,
+    // disjoint users => every as-of match must replicate exactly per copy
+    // (same matched value, same distance) and row counts scale by exactly
+    // k. A cross-key leak through the union-merge window or a
+    // nondeterministic pick under amplification fails the equality.
+    // (rangeJoin/intervalOverlapJoin are deliberately absent: they are
+    // UNKEYED temporal joins, so re-keyed copies legitimately cross-match.)
+    import graft.operators.{Dedup, Joins}
+    val ev = ScaleQueries
+      .events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts", "event_type", "value")
+      .localCheckpoint()
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val views = Dedup
+      .exactDedup(
+        ev.filter(col("event_type") === "view")
+          .select("user_id", "ts", "value", "event_id"),
+        Seq("user_id", "ts"),
+        Seq(col("event_id"))
+      )
+      .select("user_id", "ts", "value")
+    val k = 5
+    def ampP(c: Int) = purchases
+      .withColumn("user_id", col("user_id") + lit(c * 1000000L))
+      .withColumn("event_id", col("event_id") + lit(c * 10000000L))
+    def ampV(c: Int) =
+      views.withColumn("user_id", col("user_id") + lit(c * 1000000L))
+    val pAmp = (0 until k).map(ampP).reduce(_ unionByName _)
+    val vAmp = (0 until k).map(ampV).reduce(_ unionByName _)
+
+    def collectBy(df: DataFrame, valueCol: String): Map[Long, String] =
+      df.select(col("event_id"), col(valueCol).cast("string"))
+        .collect()
+        .map(r => r.getLong(0) -> String.valueOf(r.get(1)))
+        .toMap
+
+    val baseAsOf = collectBy(
+      Joins.asOfJoin(purchases, views, "user_id", "ts", "ts", Seq("value")),
+      "asof_value")
+    val ampAsOf = timed(s"asOfJoin on the ${k}x streams") {
+      collectBy(
+        Joins.asOfJoin(pAmp, vAmp, "user_id", "ts", "ts", Seq("value")),
+        "asof_value")
+    }
+    assert(ampAsOf.size == k * baseAsOf.size)
+    (0 until k).foreach { c =>
+      baseAsOf.foreach { case (id, v) =>
+        assert(ampAsOf(id + c * 10000000L) == v,
+          s"copy $c purchase $id: ${ampAsOf(id + c * 10000000L)} != $v")
+      }
+    }
+
+    val baseTol = collectBy(
+      Joins.asOfJoinTolerant(
+        purchases, views, "user_id", "ts", "ts", Seq("value"),
+        toleranceSeconds = 7200),
+      "asof_value")
+    val ampTol = timed(s"asOfJoinTolerant on the ${k}x streams") {
+      collectBy(
+        Joins.asOfJoinTolerant(
+          pAmp, vAmp, "user_id", "ts", "ts", Seq("value"),
+          toleranceSeconds = 7200),
+        "asof_value")
+    }
+    assert(ampTol.size == k * baseTol.size)
+    (0 until k).foreach { c =>
+      baseTol.foreach { case (id, v) =>
+        assert(ampTol(id + c * 10000000L) == v)
+      }
+    }
+
+    val baseNear = collectBy(
+      Joins.nearestJoin(purchases, views, "user_id", "ts", "ts", "value"),
+      "near_dist_us")
+    val ampNear = timed(s"nearestJoin on the ${k}x streams") {
+      collectBy(
+        Joins.nearestJoin(pAmp, vAmp, "user_id", "ts", "ts", "value"),
+        "near_dist_us")
+    }
+    assert(ampNear.size == k * baseNear.size)
+    (0 until k).foreach { c =>
+      baseNear.foreach { case (id, d) =>
+        assert(ampNear(id + c * 10000000L) == d,
+          s"copy $c purchase $id nearest distance drifted")
+      }
+    }
+  }
+
   test("event analytics scale exactly linearly under user-rekeyed amplification") {
     // 5 re-keyed copies of the events table: same timestamps, disjoint
     // users => every session replicates exactly 5x. Path/transition
