@@ -386,6 +386,121 @@ object Splits {
       )
   }
 
+  /** One DoReMi-style multiplicative-weights update over domain mixture
+    * weights (Xie et al. 2023, arXiv:2305.10429 — the Group-DRO
+    * proxy-weight step in batch form): per domain d with mean EXCESS loss
+    *
+    *   e_d = max(0, mean(loss_d - ref_d))
+    *
+    * (proxy-model loss minus reference-model loss; a domain the proxy
+    * already fits contributes zero), update `w'_d ∝ prior_d * exp(eta *
+    * e_d)`, renormalize, then smooth with the uniform distribution:
+    * `w_d = (1 - smoothing) * w'_d + smoothing / K`. Hard domains get
+    * upweighted, easy domains keep their prior odds — the published
+    * recipe for choosing pretraining mixture proportions. Priors default
+    * to the natural row shares; pass `priors` (one row per domain value
+    * in `(domainCol, prior)`) to iterate the update across proxy
+    * retraining rounds — domains absent from the table fall back to
+    * their natural share. Rows with a NULL domain, loss, or reference
+    * loss are excluded. Returns one row per domain:
+    * (domain, n, mean_excess, prior, weight), ratios rounded to 6 dp.
+    *
+    * Exactness: per-row excess is rounded to 6 dp and summed in DECIMAL
+    * (exact, order-independent), and the exp outputs are rounded to 6 dp
+    * then renormalized through DECIMAL sums — the same engine-parity
+    * treatment as [[temperatureMixture]]'s pow.
+    *
+    * Scale shape: ONE streaming aggregate over the corpus (map-side
+    * combined into K domain groups); everything downstream runs on the
+    * K-row domain table with broadcast crossJoins. Never a sort, never a
+    * second pass over the data. */
+  def domainReweight(
+      df: DataFrame,
+      domainCol: String,
+      lossCol: String,
+      refLossCol: String,
+      eta: Double = 1.0,
+      smoothing: Double = 0.0,
+      priors: Option[DataFrame] = None
+  ): DataFrame = {
+    require(eta > 0, "eta must be positive")
+    require(smoothing >= 0 && smoothing < 1, "smoothing must be in [0, 1)")
+    val perDomain = df
+      .filter(
+        col(domainCol).isNotNull && col(lossCol).isNotNull &&
+          col(refLossCol).isNotNull
+      )
+      .groupBy(col(domainCol).as("domain"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(
+          round(
+            col(lossCol).cast("double") - col(refLossCol).cast("double"),
+            6
+          ).cast("decimal(27,6)")
+        ).as("__esum")
+      )
+    val totalN = perDomain.agg(sum("__n").as("__nt"))
+    val withPrior = {
+      val natural = perDomain
+        .crossJoin(broadcast(totalN))
+        .withColumn(
+          "__natural",
+          round(col("__n").cast("double") / col("__nt"), 6)
+        )
+      priors match {
+        case None => natural.withColumn("__prior", col("__natural"))
+        case Some(p) =>
+          natural
+            .join(
+              broadcast(
+                p.select(
+                  col(domainCol).as("domain"),
+                  col("prior").cast("double").as("__prior_in")
+                )
+              ),
+              Seq("domain"),
+              "left"
+            )
+            .withColumn(
+              "__prior",
+              coalesce(round(col("__prior_in"), 6), col("__natural"))
+            )
+      }
+    }
+    val scored = withPrior
+      .withColumn(
+        "__me",
+        round(
+          greatest(lit(0.0), col("__esum").cast("double") / col("__n")),
+          6
+        )
+      )
+      .withColumn(
+        "__mw",
+        round(col("__prior") * exp(lit(eta) * col("__me")), 6)
+          .cast("decimal(28,6)")
+      )
+    val norm = scored.agg(
+      sum("__mw").as("__sw"),
+      count(lit(1)).as("__k")
+    )
+    scored
+      .crossJoin(broadcast(norm))
+      .select(
+        col("domain"),
+        col("__n").as("n"),
+        col("__me").as("mean_excess"),
+        col("__prior").as("prior"),
+        round(
+          lit(1.0 - smoothing) *
+            (col("__mw").cast("double") / col("__sw").cast("double")) +
+            lit(smoothing) / col("__k"),
+          6
+        ).as("weight")
+      )
+  }
+
   /** [[weightedRepeat]] with the weights coming from a TABLE instead of a
     * driver-side literal list — the shape that composes with
     * [[temperatureMixture]] (or any computed per-stratum weight) without a

@@ -461,6 +461,79 @@ object Stats {
     )
   }
 
+  /** Reliability-curve calibration bins + expected calibration error —
+    * the companion to [[thresholdSweep]]/[[aucRoc]] that checks whether a
+    * quality classifier's scores can be TRUSTED as probabilities before a
+    * corpus-wide filter keys decisions off them (Guo et al. 2017,
+    * arXiv:1706.04599). Scores are clamped to [0, 1] and bucketed into
+    * `bins` equal-width bins (values landing exactly on 1.0 take the last
+    * bin); per non-empty bin one row reports (bin, bin_lo, bin_hi, n,
+    * mean_score, frac_pos, abs_gap), and every row carries the overall
+    *
+    *   ece = sum_b (n_b / N) * |mean_b - frac_b|
+    *
+    * Rows with a NULL score or label are excluded; ratios are rounded to
+    * `scale` decimals.
+    *
+    * Exactness: scores are pre-rounded to `scoreDecimals` and summed in
+    * DECIMAL, so each bin's score sum is exact and order-independent; and
+    * since mean_b and frac_b share the same denominator n_b, the ECE
+    * telescopes to `sum_b |ssum_b - pos_b| / N` — a sum of exact decimals
+    * divided once. No float accumulation order anywhere, so the whole
+    * report is engine-portable bit-for-bit.
+    *
+    * Scale shape: ONE streaming aggregate keyed by bin (codegen'd longs +
+    * one decimal, map-side combined into <= `bins` groups); the totals row
+    * is a second aggregate over those <= `bins` rows, crossJoined back
+    * broadcast. Never a sort, never a window, never a per-bin pass. */
+  def calibrationBins(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10,
+      scale: Int = 6,
+      scoreDecimals: Int = 6
+  ): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    // least/greatest SKIP nulls, so clamp only under isNotNull — otherwise
+    // a NULL score would silently clamp to 1.0 instead of being excluded
+    val raw = round(col(scoreCol).cast("double"), scoreDecimals)
+    val s = when(raw.isNotNull, greatest(lit(0.0), least(lit(1.0), raw)))
+    val base = ScanUtils
+      .withScanParallelism(
+        df.select(s.as("__s"), col(labelCol).cast("boolean").as("__l"))
+      )
+      .filter(col("__s").isNotNull && col("__l").isNotNull)
+    val perBin = base
+      .groupBy(
+        least(lit(bins - 1), floor(col("__s") * bins)).cast("int").as("bin")
+      )
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(when(col("__l"), 1L).otherwise(0L)).as("__pos"),
+        sum(col("__s").cast(s"decimal(20,$scoreDecimals)")).as("__ssum")
+      )
+      // |ssum - pos| is exact decimal: the ECE numerator contribution
+      .withColumn("__d", abs(col("__ssum") - col("__pos")))
+    val totals = perBin.agg(
+      sum("__n").as("__nt"),
+      sum("__d").as("__dsum")
+    )
+    perBin
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bin"),
+        round(col("bin").cast("double") / bins, scale).as("bin_lo"),
+        round((col("bin") + 1).cast("double") / bins, scale).as("bin_hi"),
+        col("__n").as("n"),
+        round(col("__ssum").cast("double") / col("__n"), scale)
+          .as("mean_score"),
+        round(col("__pos").cast("double") / col("__n"), scale).as("frac_pos"),
+        round(col("__d").cast("double") / col("__n"), scale).as("abs_gap"),
+        round(col("__dsum").cast("double") / col("__nt"), scale).as("ece")
+      )
+  }
+
   /** Per-group quantile bucketing — the CCNet head/middle/tail split
     * (Wenzek et al. 2020) generalized: within each `groupCols` group
     * (e.g. language), compute the exact `probs` quantiles of `valueCol`

@@ -179,6 +179,22 @@ private[graft] object SplitQueries {
     }),
 
     // temperature-flattened language mixture (alpha = 0.5) plus its
+    // DoReMi-lite: one multiplicative-weights update over language
+    // shares with log2 doc length as the proxy loss against a fixed
+    // reference budget — over-budget (hard) languages upweight, de sits
+    // under budget and keeps its prior odds via the max(0, .) clamp
+    "q_domain_reweight" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("loss", log2(col("n_chars") + 1))
+        .withColumn("ref_loss", lit(8.0))
+      Splits
+        .domainReweight(
+          docs, "lang", "loss", "ref_loss",
+          eta = 0.5, smoothing = 0.1
+        )
+        .orderBy("domain")
+    }),
+
     // deterministic realization: per-language shares, the repeat weight,
     // and the post-mixture row count from weightedRepeatByTable
     "q_temperature_mix" -> ((s, dir) => {
@@ -433,6 +449,37 @@ private[graft] object SplitQueries {
         |       event_type, count(*) AS n_events,
         |       min(ts) AS first_ts, max(ts) AS last_ts
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_domain_reweight" ->
+      """WITH base AS (
+        |  SELECT lang AS domain, ROUND(log2(n_chars + 1) - 8.0, 6) AS ex
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |), d AS (
+        |  SELECT domain, COUNT(*) AS n,
+        |         SUM(CAST(ex AS DECIMAL(27,6))) AS esum
+        |  FROM base GROUP BY 1
+        |), t AS (
+        |  SELECT SUM(n) AS nt FROM d
+        |), p AS (
+        |  SELECT domain, n,
+        |         ROUND(CAST(n AS DOUBLE) / nt, 6) AS prior,
+        |         ROUND(GREATEST(0.0, CAST(esum AS DOUBLE) / n), 6) AS me
+        |  FROM d, t
+        |), m AS (
+        |  SELECT domain, n, me, prior,
+        |         CAST(ROUND(prior * exp(CAST(0.5 AS DOUBLE) * me), 6)
+        |              AS DECIMAL(28,6)) AS mw
+        |  FROM p
+        |), s AS (
+        |  SELECT SUM(mw) AS sw, COUNT(*) AS k FROM m
+        |)
+        |SELECT domain, CAST(n AS BIGINT) AS n, me AS mean_excess, prior,
+        |       ROUND(CAST(0.9 AS DOUBLE) *
+        |               (CAST(mw AS DOUBLE) / CAST(sw AS DOUBLE)) +
+        |             CAST(0.1 AS DOUBLE) / k, 6) AS weight
+        |FROM m, s
+        |ORDER BY domain""".stripMargin,
 
     "q_temperature_mix" ->
       """WITH c AS (

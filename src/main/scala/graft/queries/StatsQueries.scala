@@ -42,6 +42,23 @@ private[graft] object StatsQueries {
       Stats.aucRoc(scored, "quality", "is_en")
     }),
 
+    // reliability curve + ECE of the same score/label pair: can the
+    // quality score be read as a probability? Bit-exact by construction
+    // (decimal bin sums; the ECE telescopes to sum|ssum-pos|/N)
+    "q_calibration" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis
+        .qualityScore(docs, "text")
+        .select(col("doc_id"), col("quality"))
+        .join(
+          docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+          Seq("doc_id")
+        )
+      Stats
+        .calibrationBins(scored, "quality", "is_en", bins = 10)
+        .orderBy("bin")
+    }),
+
     // distributional moments per group: corr / stddev / avg (bounded
     // magnitudes; co-moment merge order can differ in the last ulp across
     // engines, so everything is rounded to 6dp)
@@ -258,6 +275,34 @@ private[graft] object StatsQueries {
          |)
          |$rows
          |ORDER BY threshold""".stripMargin
+    },
+
+    "q_calibration" -> {
+      s"""WITH $duckQualityScoreCte, j AS (
+         |  SELECT GREATEST(0.0, LEAST(1.0, ROUND(q.s, 6))) AS s,
+         |         (d.lang = 'en') AS l
+         |  FROM q JOIN documents d USING (doc_id)
+         |), b AS (
+         |  SELECT CAST(LEAST(9, FLOOR(s * 10)) AS INT) AS bin,
+         |         COUNT(*) AS n,
+         |         SUM(CASE WHEN l THEN 1 ELSE 0 END) AS pos,
+         |         SUM(CAST(s AS DECIMAL(20,6))) AS ssum
+         |  FROM j GROUP BY 1
+         |), bb AS (
+         |  SELECT bin, n, pos, ssum, ABS(ssum - pos) AS d FROM b
+         |), t AS (
+         |  SELECT SUM(n) AS nt, SUM(d) AS dsum FROM bb
+         |)
+         |SELECT bin,
+         |       ROUND(CAST(bin AS DOUBLE) / 10, 6) AS bin_lo,
+         |       ROUND(CAST(bin + 1 AS DOUBLE) / 10, 6) AS bin_hi,
+         |       CAST(n AS BIGINT) AS n,
+         |       ROUND(CAST(ssum AS DOUBLE) / n, 6) AS mean_score,
+         |       ROUND(CAST(pos AS DOUBLE) / n, 6) AS frac_pos,
+         |       ROUND(CAST(d AS DOUBLE) / n, 6) AS abs_gap,
+         |       ROUND(CAST(dsum AS DOUBLE) / nt, 6) AS ece
+         |FROM bb, t
+         |ORDER BY bin""".stripMargin
     },
 
     "q_auc" -> {

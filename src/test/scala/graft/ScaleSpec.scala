@@ -2789,6 +2789,47 @@ class ScaleSpec extends SparkSpec {
     assert(rep.getDouble(2) == 0.75)
   }
 
+  test("calibrationBins: hand-computed bins, telescoped ECE, clamping, nulls") {
+    import graft.operators.Stats
+    val df = Seq[(java.lang.Double, java.lang.Boolean)](
+      (0.05, false), (0.15, true), (0.15, false),
+      (0.95, true), (0.95, true), (1.0, true), // 1.0 takes the last bin
+      (-0.5, false),                           // clamps to 0 -> bin 0
+      (1.7, true),                             // clamps to 1 -> bin 9
+      (null, true), (0.4, null)                // excluded
+    ).toDF("score", "label")
+    val rows = Stats
+      .calibrationBins(df, "score", "label", bins = 10)
+      .collect()
+      .map(r => r.getInt(0) -> r)
+      .toMap
+    assert(rows.keySet == Set(0, 1, 9))
+    // bin 0: {0.05, 0.0} pos 0 -> mean .025, frac 0, gap .025
+    assert(rows(0).getLong(3) == 2L)
+    assert(rows(0).getDouble(4) == 0.025 && rows(0).getDouble(5) == 0.0)
+    assert(rows(0).getDouble(6) == 0.025)
+    // bin 1: {0.15, 0.15} pos 1 -> mean .15, frac .5, gap .35
+    assert(rows(1).getLong(3) == 2L)
+    assert(rows(1).getDouble(4) == 0.15 && rows(1).getDouble(5) == 0.5)
+    assert(rows(1).getDouble(6) == 0.35)
+    // bin 9: {0.95, 0.95, 1.0, 1.0} pos 4 -> mean .975, frac 1, gap .025
+    assert(rows(9).getLong(3) == 4L)
+    assert(rows(9).getDouble(4) == 0.975 && rows(9).getDouble(5) == 1.0)
+    assert(rows(9).getDouble(6) == 0.025)
+    // ece = (|0.05-0| + |0.3-1| + |3.9-4|) / 8 = 0.85/8 = 0.10625,
+    // identical on every row (exact decimal numerator, no float folds)
+    rows.values.foreach(r => assert(r.getDouble(7) == 0.10625))
+    // bin edges
+    assert(rows(9).getDouble(1) == 0.9 && rows(9).getDouble(2) == 1.0)
+    // partition-invariant (decimal sums)
+    val rep = Stats
+      .calibrationBins(df.repartition(7), "score", "label", bins = 10)
+      .collect()
+      .map(r => r.getInt(0) -> r.getDouble(7))
+      .toMap
+    assert(rep.values.toSet == Set(0.10625))
+  }
+
   test("aucRoc equals the brute-force pairwise win rate on seeded random data") {
     import graft.operators.Stats
     val rnd = new scala.util.Random(42)
@@ -3646,6 +3687,54 @@ class ScaleSpec extends SparkSpec {
       .head()
       .getLong(1)
     assert(math.abs(est - 50000L) <= 1500, s"estimate $est off by >3%")
+  }
+
+  test("domainReweight: excess-loss upweighting, clamp, priors, smoothing, nulls") {
+    import graft.operators.Splits
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq[(String, java.lang.Double, java.lang.Double)](
+      ("A", 2.0, 1.0), ("A", 2.0, 1.0),   // excess +1 per row
+      ("B", 0.5, 1.0), ("B", 0.5, 1.0),   // under reference -> me clamps to 0
+      (null, 9.0, 1.0), ("A", null, 1.0)  // excluded
+    ).toDF("dom", "loss", "ref")
+    val rows = Splits
+      .domainReweight(df, "dom", "loss", "ref", eta = 1.0)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    assert(rows.keySet == Set("A", "B"))
+    assert(rows("A").getLong(1) == 2L && rows("B").getLong(1) == 2L)
+    assert(rows("A").getDouble(2) == 1.0 && rows("B").getDouble(2) == 0.0)
+    assert(rows("A").getDouble(3) == 0.5 && rows("B").getDouble(3) == 0.5)
+    // replay the operator's exact arithmetic: round-6 exp weights over
+    // decimal renormalization
+    val mwA = r6(0.5 * math.exp(1.0))
+    val mwB = r6(0.5 * math.exp(0.0))
+    assert(rows("A").getDouble(4) == r6(mwA / (mwA + mwB)))
+    assert(rows("B").getDouble(4) == r6(mwB / (mwA + mwB)))
+    assert(rows("A").getDouble(4) > rows("B").getDouble(4))
+    assert(math.abs(rows("A").getDouble(4) + rows("B").getDouble(4) - 1.0) < 2e-6)
+    // smoothing pulls toward uniform: w = (1-s)*w' + s/K
+    val sm = Splits
+      .domainReweight(df, "dom", "loss", "ref", eta = 1.0, smoothing = 0.5)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(4))
+      .toMap
+    assert(sm("A") == r6(0.5 * (mwA / (mwA + mwB)) + 0.25))
+    // explicit priors iterate the update; absent domains fall back to
+    // their natural share
+    val spark2 = df.sparkSession
+    import spark2.implicits._
+    val pri = Seq(("A", 0.2)).toDF("dom", "prior")
+    val it = Splits
+      .domainReweight(df, "dom", "loss", "ref", eta = 1.0, priors = Some(pri))
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    assert(it("A").getDouble(3) == 0.2 && it("B").getDouble(3) == 0.5)
+    val mwA2 = r6(0.2 * math.exp(1.0))
+    assert(it("A").getDouble(4) == r6(mwA2 / (mwA2 + mwB)))
   }
 
   test("temperatureMixture flattens toward rare sources; weights realize the mixture") {
