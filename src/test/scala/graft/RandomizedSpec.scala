@@ -1,0 +1,142 @@
+package graft
+
+import graft.operators.{Graphs, Joins, Layout}
+import org.apache.spark.sql.functions._
+
+/** Seeded-random brute-force cross-checks: each test generates adversarial
+  * random inputs with a FIXED seed (reproducible failures) and compares an
+  * operator's full output against a naive driver-side reference
+  * implementation. Example-based tests pin the documented semantics; these
+  * pin the semantics on the boundary soup examples never cover — duplicate
+  * timestamps, intervals that end exactly on a bin edge, empty/inverted
+  * intervals, self-loops, multi-hop components.
+  */
+class RandomizedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOfJoin equals the brute-force latest-at-or-before scan on random data") {
+    val rnd = new scala.util.Random(1234)
+    // deliberately duplicate-heavy: few keys, coarse time grid so left/right
+    // collisions and exact-tie (lt == rt) inclusivity are exercised; right
+    // rows unique per (k, rt) — the documented determinism contract (the
+    // union-merge last() is unspecified across identical right timestamps)
+    val lefts = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(200).toLong * 1000L))
+    val rights = rnd
+      .shuffle((0 until 5).flatMap(k => (0 until 200).map(t => (k.toLong, t.toLong * 1000L))))
+      .take(250)
+      .map { case (k, rt) => (k, rt, rnd.nextDouble()) }
+    val got = Joins
+      .asOfJoin(
+        lefts.toDF("id", "k", "t"),
+        rights.toDF("k", "rt", "v"),
+        "k", "t", "rt", Seq("v")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    val byKey = rights.groupBy(_._1)
+    val want = lefts.map { case (id, k, t) =>
+      val m = byKey
+        .getOrElse(k, Seq.empty)
+        .filter(_._2 <= t)
+        .sortBy(_._2)
+        .lastOption
+        .map(_._3)
+      id -> m
+    }.toMap
+    assert(got == want)
+  }
+
+  test("rangeJoin equals the brute-force theta join on random intervals") {
+    val rnd = new scala.util.Random(77)
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000L) // millis ctor
+    // facts on a fine grid; intervals of wildly mixed widths incl. empty
+    // (s == e) and inverted (e < s) ones, with ends landing exactly on bin
+    // edges — the operator must drop degenerate intervals and never double
+    // count a multi-bin pair
+    val facts = (1 to 200).map(i => (i.toLong, ts(rnd.nextInt(100000).toLong * 1000L)))
+    val intervals = (1 to 120).map { j =>
+      val s = rnd.nextInt(100000).toLong * 1000L
+      val w = rnd.nextInt(5) match {
+        case 0 => 0L                                   // empty
+        case 1 => -(rnd.nextInt(10000).toLong * 1000L) // inverted
+        case _ => rnd.nextInt(30000).toLong * 1000L
+      }
+      (j.toLong, ts(s), ts(s + w))
+    }
+    for (binSeconds <- Seq(1L, 7L, 3600L)) {
+      val got = Joins
+        .rangeJoin(
+          facts.toDF("fid", "ft"),
+          "ft",
+          intervals.toDF("iid", "s", "e"),
+          "s", "e",
+          binSeconds = binSeconds
+        )
+        .select("fid", "iid")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sorted
+        .toSeq
+      val want = (for {
+        (fid, ft) <- facts
+        (iid, s, e) <- intervals
+        if ft.getTime >= s.getTime && ft.getTime < e.getTime
+      } yield (fid, iid)).sorted
+      assert(got == want, s"binSeconds=$binSeconds: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("connectedComponentsByMinLabel equals brute-force union-find on random graphs") {
+    for (seed <- Seq(5, 6, 7)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = (1 to 45).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) // incl. self-loops
+      val got = Graphs
+        .connectedComponentsByMinLabel(edges.toDF("a", "b"), "a", "b")
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val want = nodes
+        .groupBy(find)
+        .values
+        .flatMap { members => val m = members.min; members.map(_ -> m) }
+        .toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("hilbertIndex is a bijection on the full grid; consecutive codes are grid-adjacent") {
+    val bits = 5 // full 32x32 grid = 1024 cells
+    val grid = for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)
+    val coded = grid
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Layout.hilbertIndex(col("x"), col("y"), bits).as("h"))
+      .collect()
+      .map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    // bijection: codes are exactly 0..1023
+    assert(coded.map(_._1).toSeq == (0L until 1024L))
+    // curve property: consecutive indices are 4-neighbors in the grid —
+    // this is what buys tighter bounding boxes than Morton (which jumps)
+    coded.sliding(2).foreach { case Array((_, (x1, y1)), (h2, (x2, y2))) =>
+      assert(
+        math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at h=$h2: ($x1,$y1) -> ($x2,$y2)"
+      )
+    }
+  }
+}
