@@ -759,4 +759,39 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("calibration bins: only the bin aggregate shuffles, totals broadcast, no window") {
+    val p = plan("q_calibration")
+    assert(p.contains("partial_count"), s"expected map-side combine:\n$p")
+    assert(p.contains("BroadcastExchange"), s"expected broadcast totals:\n$p")
+    assert(!p.contains("Window"), s"per-bin report must not window:\n$p")
+    // every hash exchange must carry the bin key (the static plan shows
+    // the perBin aggregate twice — totals recompute it and AQE reuses the
+    // exchange at runtime — but nothing may shuffle on any OTHER key)
+    p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .foreach { l =>
+        assert(
+          l.contains("_groupingexpression") || l.contains("bin#"),
+          s"non-bin shuffle: $l"
+        )
+      }
+  }
+
+  test("domain reweight: only the domain aggregate shuffles, totals broadcast") {
+    val p = plan("q_domain_reweight")
+    assert(p.contains("partial_count"), s"expected map-side combine:\n$p")
+    assert(p.contains("BroadcastExchange"), s"expected broadcast totals:\n$p")
+    assert(!p.contains("Window"), s"reweight must not window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"product join:\n$p")
+    p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .foreach { l =>
+        // the domain key collapses to the source column (lang) pre-alias
+        assert(
+          l.contains("domain#") || l.contains("lang#"),
+          s"non-domain shuffle: $l"
+        )
+      }
+  }
+
 }
