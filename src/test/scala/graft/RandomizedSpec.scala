@@ -119,6 +119,114 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlapJoin equals brute-force overlap pairs, each exactly once") {
+    val rnd = new scala.util.Random(99)
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    def mkIntervals(n: Int, idBase: Long) = (1 to n).map { j =>
+      val s = rnd.nextInt(50000).toLong
+      val w = rnd.nextInt(5) match {
+        case 0 => 0L                            // empty -> dropped
+        case 1 => -(rnd.nextInt(5000).toLong)   // inverted -> dropped
+        case _ => rnd.nextInt(20000).toLong
+      }
+      (idBase + j, ts(s), ts(s + w))
+    }
+    val ls = mkIntervals(80, 0L)
+    val rs = mkIntervals(80, 1000L)
+    for (binSeconds <- Seq(1L, 13L, 3600L)) {
+      val got = Joins
+        .intervalOverlapJoin(
+          ls.toDF("lid", "ls", "le"), "ls", "le",
+          rs.toDF("rid", "rs", "re"), "rs", "re",
+          binSeconds = binSeconds
+        )
+        .select("lid", "rid")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sorted
+        .toSeq
+      val want = (for {
+        (lid, s1, e1) <- ls if s1.getTime < e1.getTime
+        (rid, s2, e2) <- rs if s2.getTime < e2.getTime
+        if s1.getTime < e2.getTime && s2.getTime < e1.getTime
+      } yield (lid, rid)).sorted
+      // sorted-seq equality catches BOTH missing pairs and a pair emitted
+      // from more than one shared bin
+      assert(got == want, s"binSeconds=$binSeconds: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("nearestJoin equals the brute-force closest-either-side scan, backward wins ties") {
+    val rnd = new scala.util.Random(31)
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val lefts = (1 to 250).map(i =>
+      (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(150).toLong * 1000L))
+    val rights = rnd
+      .shuffle((0 until 4).flatMap(k => (0 until 150).map(t => (k.toLong, t.toLong * 1000L))))
+      .take(180)
+      .map { case (k, rt) => (k, rt, rnd.nextDouble()) }
+    val got = Joins
+      .nearestJoin(
+        lefts.map { case (id, k, t) => (id, k, ts(t)) }.toDF("id", "k", "t"),
+        rights.map { case (k, rt, v) => (k, ts(rt), v) }.toDF("k", "rt", "v"),
+        "k", "t", "rt", "v"
+      )
+      .select(col("id"), col("near_v"), col("near_dist_us"))
+      .collect()
+      .map(r =>
+        r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some((r.getDouble(1), r.getLong(2)))))
+      .toMap
+    val byKey = rights.groupBy(_._1)
+    val want = lefts.map { case (id, k, t) =>
+      val cands = byKey.getOrElse(k, Seq.empty)
+      val best =
+        if (cands.isEmpty) None
+        else {
+          // min |rt - t|; equidistant back/forward resolves BACKWARD
+          val m = cands.map { case (_, rt, v) =>
+            (math.abs(rt - t), if (rt <= t) 0 else 1, v)
+          }.min
+          Some((m._3, m._1 * 1000L)) // dist in micros
+        }
+      id -> best
+    }.toMap
+    assert(got == want)
+  }
+
+  test("packSequences equals the brute per-shard running token stream") {
+    val rnd = new scala.util.Random(8)
+    val words = Vector("alpha", "beta", "gamma", "delta")
+    val docs = (1 to 200).map { i =>
+      val text =
+        if (rnd.nextInt(20) == 0) null
+        else Seq.fill(1 + rnd.nextInt(9))(words(rnd.nextInt(4))).mkString(" ")
+      (i.toLong, rnd.nextInt(5).toString, text)
+    }
+    val blockTokens = 16
+    val got = graft.operators.Splits
+      .packSequences(docs.toDF("id", "shard", "text"), "id", "text", "shard", blockTokens)
+      .select("id", "n_tokens", "block_id", "block_offset")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = docs
+      .filter(_._3 != null)
+      .groupBy(_._2)
+      .values
+      .flatMap { shardDocs =>
+        var off = 0L
+        shardDocs.sortBy(_._1).map { case (id, _, text) =>
+          val n = text.split(" ").length
+          val r = id -> ((n, off / blockTokens, off % blockTokens))
+          off += n
+          r
+        }
+      }
+      .toMap
+    assert(got == want)
+  }
+
   test("hilbertIndex is a bijection on the full grid; consecutive codes are grid-adjacent") {
     val bits = 5 // full 32x32 grid = 1024 cells
     val grid = for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)
