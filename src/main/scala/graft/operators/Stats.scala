@@ -461,6 +461,89 @@ object Stats {
     )
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift test — the distribution-free
+    * companion to [[populationStabilityIndex]] (no binning choices): the
+    * KS statistic `D = sup_x |F_a(x) - F_b(x)|` between the empirical
+    * CDFs of `valueCol` in two samples, with the value where the sup is
+    * attained and the asymptotic scaling `lambda = D * sqrt(na*nb/(na+nb))`
+    * (lambda > ~1.36 rejects equality at 5% — read it like PSI's 0.2).
+    * Returns one row: (n_a, n_b, ks_stat, ks_at, ks_lambda); the stat
+    * columns are NULL when either sample is empty.
+    *
+    * Exactness: `|ra*nb - rb*na|` keeps the CDF gap in INTEGERS until one
+    * final division (the [[aucRoc]] treatment), so the argmax and its
+    * tie-break (smallest value) are exact and order-independent; the only
+    * float ops are one division and one IEEE-correctly-rounded sqrt, both
+    * engine-identical, rounded to `scale`.
+    *
+    * Scale shape: one hash aggregate groups rows by (rounded) value —
+    * map-side combined, the only pass over the data; the running-count
+    * window then orders the DISTINCT-VALUE table only (bounded by
+    * `range(value) * 10^valueDecimals`, NOT by corpus size — the same
+    * single-partition-but-tiny window as [[aucRoc]]), and one struct-max
+    * aggregate finishes. Never a global sort of rows. */
+  def ksTwoSample(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      valueDecimals: Int = 6,
+      scale: Int = 6
+  ): DataFrame = {
+    def side(df: DataFrame, ca: Int, cb: Int) = ScanUtils
+      .withScanParallelism(
+        df.select(round(col(valueCol).cast("double"), valueDecimals).as("__v"))
+      )
+      .filter(col("__v").isNotNull)
+      .select(col("__v"), lit(ca).as("__a"), lit(cb).as("__b"))
+    val grouped = side(a, 1, 0)
+      .unionByName(side(b, 0, 1))
+      .groupBy("__v")
+      .agg(
+        sum(col("__a").cast("long")).as("__ca"),
+        sum(col("__b").cast("long")).as("__cb")
+      )
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("__v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ranked = grouped
+      .withColumn("__ra", sum("__ca").over(w))
+      .withColumn("__rb", sum("__cb").over(w))
+    val totals = grouped.agg(
+      sum("__ca").as("__na"),
+      sum("__cb").as("__nb")
+    )
+    // decimal BEFORE the multiply: the cross products overflow long at
+    // multi-billion-row samples
+    val num = abs(
+      col("__ra").cast("decimal(38,0)") * col("__nb").cast("decimal(38,0)") -
+        col("__rb").cast("decimal(38,0)") * col("__na").cast("decimal(38,0)")
+    )
+    val agg = ranked
+      .crossJoin(broadcast(totals))
+      .agg(
+        // struct max = largest gap, then largest -v = SMALLEST value on ties
+        max(struct(num.as("num"), (-col("__v")).as("negv"))).as("__m"),
+        first("__na").as("n_a"),
+        first("__nb").as("n_b")
+      )
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val d = col("__m.num").cast("double") / (na * nb)
+    agg.select(
+      col("n_a"),
+      col("n_b"),
+      round(when(col("n_a") > 0 && col("n_b") > 0, d), scale).as("ks_stat"),
+      when(col("n_a") > 0 && col("n_b") > 0, -col("__m.negv")).as("ks_at"),
+      round(
+        when(
+          col("n_a") > 0 && col("n_b") > 0,
+          d * sqrt(na * nb / (na + nb))
+        ),
+        scale
+      ).as("ks_lambda")
+    )
+  }
+
   /** Reliability-curve calibration bins + expected calibration error —
     * the companion to [[thresholdSweep]]/[[aucRoc]] that checks whether a
     * quality classifier's scores can be TRUSTED as probabilities before a

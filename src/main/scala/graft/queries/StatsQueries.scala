@@ -225,6 +225,18 @@ private[graft] object StatsQueries {
       )
     }),
 
+    // the binning-free companion: two-sample KS statistic on the same
+    // drift pair — integer CDF cross-products until one final division,
+    // sup location + asymptotic lambda
+    "q_ks_test" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Stats.ksTwoSample(
+        o.filter(col("o_orderstatus") === "F"),
+        o.filter(col("o_orderstatus") === "O"),
+        "o_totalprice"
+      )
+    }),
+
     // incremental distinct counting: corpus sketched once (doc_id < 250),
     // batch sketched separately, tables MERGED — the corpus rows are never
     // rescanned. Cardinalities here are sparse-mode small, so the HLL
@@ -555,6 +567,42 @@ private[graft] object StatsQueries {
         |)
         |SELECT rt AS n_ref, ct AS n_cur,
         |       ROUND(CAST(sum(contrib) AS DOUBLE), 6) AS psi
-        |FROM terms GROUP BY 1, 2""".stripMargin
+        |FROM terms GROUP BY 1, 2""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH u AS (
+        |  SELECT ROUND(CAST(o_totalprice AS DOUBLE), 6) AS v, 1 AS a, 0 AS b
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+        |  UNION ALL
+        |  SELECT ROUND(CAST(o_totalprice AS DOUBLE), 6) AS v, 0 AS a, 1 AS b
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL
+        |), g AS (
+        |  SELECT v, SUM(a) AS ca, SUM(b) AS cb FROM u GROUP BY v
+        |), r AS (
+        |  SELECT v,
+        |         SUM(ca) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ra,
+        |         SUM(cb) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rb
+        |  FROM g
+        |), t AS (
+        |  SELECT SUM(ca) AS na, SUM(cb) AS nb FROM g
+        |), m AS (
+        |  SELECT r.v,
+        |         ABS(CAST(ra AS HUGEINT) * nb - CAST(rb AS HUGEINT) * na) AS num
+        |  FROM r, t
+        |), mm AS (
+        |  SELECT MAX(num) AS mx FROM m
+        |), at AS (
+        |  SELECT MIN(m.v) AS atv FROM m, mm WHERE m.num = mm.mx
+        |)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |       ROUND(CAST(mm.mx AS DOUBLE) / (CAST(t.na AS DOUBLE) * t.nb), 6)
+        |         AS ks_stat,
+        |       at.atv AS ks_at,
+        |       ROUND(CAST(mm.mx AS DOUBLE) / (CAST(t.na AS DOUBLE) * t.nb) *
+        |             sqrt(CAST(t.na AS DOUBLE) * t.nb / (t.na + t.nb)), 6)
+        |         AS ks_lambda
+        |FROM t, mm, at""".stripMargin
   )
 }

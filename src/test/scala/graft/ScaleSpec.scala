@@ -2789,6 +2789,47 @@ class ScaleSpec extends SparkSpec {
     assert(rep.getDouble(2) == 0.75)
   }
 
+  test("ksTwoSample: hand-computed D and sup location, empty side, brute parity") {
+    import graft.operators.Stats
+    // A = {1,2,3}, B = {2,3,4}: |F_a - F_b| = 1/3 at v in {1,2,3};
+    // tie resolves to the SMALLEST value
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 3.0, 4.0).toDF("v")
+    val r = Stats.ksTwoSample(a, b, "v").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 0.333333)
+    assert(r.getDouble(3) == 1.0)
+    assert(r.getDouble(4) == 0.408248) // D * sqrt(9/6)
+    // disjoint supports -> D = 1 at the top of the lower sample
+    val lo = Seq(1.0, 2.0).toDF("v")
+    val hi = Seq(10.0, 11.0).toDF("v")
+    val r2 = Stats.ksTwoSample(lo, hi, "v").collect().head
+    assert(r2.getDouble(2) == 1.0 && r2.getDouble(3) == 2.0)
+    // empty side -> NULL stats, counts still reported
+    val r3 = Stats.ksTwoSample(lo, lo.filter(col("v") > 100), "v").collect().head
+    assert(r3.getLong(0) == 2L && r3.getLong(1) == 0L && r3.isNullAt(2))
+    // seeded-random brute parity on duplicate-heavy integer grids
+    val rnd = new scala.util.Random(17)
+    val xs = (1 to 120).map(_ => rnd.nextInt(12).toDouble)
+    val ys = (1 to 80).map(_ => (rnd.nextInt(12) + rnd.nextInt(3)).toDouble)
+    val got = Stats
+      .ksTwoSample(xs.toDF("v"), ys.toDF("v"), "v")
+      .collect()
+      .head
+    val vs = (xs ++ ys).distinct.sorted
+    val brute = vs.map { t =>
+      val fa = xs.count(_ <= t).toLong * ys.size
+      val fb = ys.count(_ <= t).toLong * xs.size
+      (math.abs(fa - fb), t)
+    }
+    val mx = brute.map(_._1).max
+    val atv = brute.filter(_._1 == mx).map(_._2).min
+    assert(got.getDouble(2) ==
+      BigDecimal(mx.toDouble / (xs.size.toLong * ys.size))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.getDouble(3) == atv)
+  }
+
   test("calibrationBins: hand-computed bins, telescoped ECE, clamping, nulls") {
     import graft.operators.Stats
     val df = Seq[(java.lang.Double, java.lang.Boolean)](
