@@ -478,8 +478,17 @@ object Splits {
       )
       .withColumn(
         "__mw",
-        round(col("__prior") * exp(lit(eta) * col("__me")), 6)
-          .cast("decimal(28,6)")
+        // the exp argument is capped at 40 (e^40 ~ 2.4e17, safely inside
+        // decimal(28,6)): an uncapped argument — e.g. a caller passing
+        // summed loss instead of per-token log-loss — would overflow the
+        // decimal cast to NULL under non-ANSI and silently DROP the
+        // hardest domain from the renormalization, the exact inverse of
+        // the update. Beyond e^40 the renormalized weights are saturated
+        // anyway (the hardest domain takes ~everything).
+        round(
+          col("__prior") * exp(least(lit(40.0), lit(eta) * col("__me"))),
+          6
+        ).cast("decimal(28,6)")
       )
     val norm = scored.agg(
       sum("__mw").as("__sw"),

@@ -478,10 +478,17 @@ object Stats {
     *
     * Scale shape: one hash aggregate groups rows by (rounded) value —
     * map-side combined, the only pass over the data; the running-count
-    * window then orders the DISTINCT-VALUE table only (bounded by
-    * `range(value) * 10^valueDecimals`, NOT by corpus size — the same
-    * single-partition-but-tiny window as [[aucRoc]]), and one struct-max
-    * aggregate finishes. Never a global sort of rows. */
+    * window then orders the DISTINCT-VALUE table (single-partition, the
+    * [[aucRoc]] shape), and one struct-max aggregate finishes. NOTE the
+    * distinct-value bound `range(value) * 10^valueDecimals` is what
+    * keeps that window small, and the default 6 only helps columns that
+    * are already coarse (probabilities, 2-dp currency): for a
+    * CONTINUOUS unbounded column the distinct table approaches corpus
+    * size and the window becomes a single-task bottleneck — LOWER
+    * `valueDecimals` (negative rounds to tens/hundreds) until the grid
+    * is bounded. KS on the quantized grid is still the exact KS of the
+    * quantized variable; both samples quantize identically, so no
+    * spurious drift is introduced. */
   def ksTwoSample(
       a: DataFrame,
       b: DataFrame,

@@ -178,7 +178,6 @@ private[graft] object SplitQueries {
         .orderBy("doc_id")
     }),
 
-    // temperature-flattened language mixture (alpha = 0.5) plus its
     // DoReMi-lite: one multiplicative-weights update over language
     // shares with log2 doc length as the proxy loss against a fixed
     // reference budget — over-budget (hard) languages upweight, de sits
@@ -195,6 +194,7 @@ private[graft] object SplitQueries {
         .orderBy("domain")
     }),
 
+    // temperature-flattened language mixture (alpha = 0.5) plus its
     // deterministic realization: per-language shares, the repeat weight,
     // and the post-mixture row count from weightedRepeatByTable
     "q_temperature_mix" -> ((s, dir) => {
@@ -468,7 +468,8 @@ private[graft] object SplitQueries {
         |  FROM d, t
         |), m AS (
         |  SELECT domain, n, me, prior,
-        |         CAST(ROUND(prior * exp(CAST(0.5 AS DOUBLE) * me), 6)
+        |         CAST(ROUND(prior * exp(LEAST(CAST(40.0 AS DOUBLE),
+        |                                      CAST(0.5 AS DOUBLE) * me)), 6)
         |              AS DECIMAL(28,6)) AS mw
         |  FROM p
         |), s AS (

@@ -290,10 +290,16 @@ private[graft] object StatsQueries {
     },
 
     "q_calibration" -> {
+      // NULL guards mirror the operator's exclusions exactly (DuckDB
+      // LEAST/GREATEST skip NULLs, so an unguarded NULL score would
+      // clamp to 1.0 instead of dropping; a NULL lang would count as a
+      // negative) — latent on this fixture, load-bearing on any
+      // regeneration with NULL text/lang
       s"""WITH $duckQualityScoreCte, j AS (
          |  SELECT GREATEST(0.0, LEAST(1.0, ROUND(q.s, 6))) AS s,
          |         (d.lang = 'en') AS l
          |  FROM q JOIN documents d USING (doc_id)
+         |  WHERE q.s IS NOT NULL AND d.lang IS NOT NULL
          |), b AS (
          |  SELECT CAST(LEAST(9, FLOOR(s * 10)) AS INT) AS bin,
          |         COUNT(*) AS n,

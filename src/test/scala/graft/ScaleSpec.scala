@@ -3776,6 +3776,20 @@ class ScaleSpec extends SparkSpec {
     assert(it("A").getDouble(3) == 0.2 && it("B").getDouble(3) == 0.5)
     val mwA2 = r6(0.2 * math.exp(1.0))
     assert(it("A").getDouble(4) == r6(mwA2 / (mwA2 + mwB)))
+    // pathological excess (summed loss instead of per-token): the exp
+    // argument caps at 40, so the hardest domain SATURATES toward 1
+    // instead of overflowing the decimal cast to NULL and silently
+    // dropping out of the renormalization
+    val wild = Seq[(String, java.lang.Double, java.lang.Double)](
+      ("A", 1e6, 0.0), ("B", 0.0, 0.0)
+    ).toDF("dom", "loss", "ref")
+    val sat = Splits
+      .domainReweight(wild, "dom", "loss", "ref", eta = 1.0)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(4))
+      .toMap
+    assert(sat("A") > 0.999999 && sat("B") >= 0.0)
+    assert(math.abs(sat("A") + sat("B") - 1.0) < 2e-6)
   }
 
   test("temperatureMixture flattens toward rare sources; weights realize the mixture") {
