@@ -227,6 +227,91 @@ class RandomizedSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("funnel equals the brute-force greedy earliest-completion walk") {
+    val rnd = new scala.util.Random(55)
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val types = Vector("view", "cart", "purchase", "click")
+    val steps = Seq("view", "cart", "purchase")
+    // duplicate timestamps on purpose: a step event at the SAME instant
+    // as the prior step's completion must NOT count (strict >)
+    val events = (1 to 600).map { i =>
+      (i.toLong, rnd.nextInt(30).toLong, ts(rnd.nextInt(40).toLong * 1000L),
+        types(rnd.nextInt(4)))
+    }
+    val got = graft.operators.Sessionize
+      .funnel(events.toDF("eid", "k", "t", "typ"), "k", "t", "typ", steps)
+      .collect()
+      .map(r =>
+        r.getLong(0) ->
+          ((steps.indices.map(i =>
+            if (r.isNullAt(1 + i)) None else Some(r.getTimestamp(1 + i).getTime)
+          ), r.getInt(1 + steps.size))))
+      .toMap
+    val want = events.groupBy(_._2).map { case (k, evs) =>
+      var prev: Option[Long] = None
+      val hits = steps.map { step =>
+        val cand = evs
+          .filter(e => e._4 == step && prev.forall(p => e._3.getTime > p))
+          .map(_._3.getTime)
+        // step 0 has no predecessor; later steps need strictly-after
+        val hit = if (cand.isEmpty) None else Some(cand.min)
+        prev = if (hit.isDefined) hit else prev
+        hit
+      }
+      // a stalled step stalls everything after it
+      val cut = hits.indexWhere(_.isEmpty)
+      val fixed = if (cut < 0) hits else hits.take(cut) ++ Seq.fill(steps.size - cut)(None)
+      k -> ((fixed, fixed.count(_.isDefined)))
+    }
+    assert(got == want)
+  }
+
+  test("retentionMatrix equals the brute cohort/offset activity counts") {
+    val rnd = new scala.util.Random(21)
+    def ts(day: Long, sec: Long) = new java.sql.Timestamp((day * 86400L + sec) * 1000L)
+    val events = (1 to 800).map { i =>
+      (i.toLong, rnd.nextInt(60).toLong, ts(rnd.nextInt(14).toLong, rnd.nextInt(86400).toLong))
+    }
+    val got = graft.operators.Sessionize
+      .retentionMatrix(events.toDF("eid", "u", "t"), "u", "t")
+      .collect()
+      .map(r =>
+        (r.getTimestamp(0).getTime, r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val act = events.map(e => (e._2, e._3.getTime / 86400000L)).distinct
+    val firstDay = act.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val cohortN = firstDay.groupBy(_._2).map { case (d, us) => d -> us.size.toLong }
+    val want = act
+      .groupBy { case (u, d) => (firstDay(u), d - firstDay(u)) }
+      .map { case ((c, off), xs) =>
+        val n = xs.size.toLong
+        (c * 86400000L, off) -> ((n, cohortN(c), r6(n.toDouble / cohortN(c))))
+      }
+    assert(got == want)
+  }
+
+  test("histogram equals the brute clamped fixed-width binning") {
+    val rnd = new scala.util.Random(3)
+    // values straddle the range so both edge clamps fire
+    val xs = (1 to 500).map(_ => rnd.nextDouble() * 140.0 - 20.0)
+    val (lo, hi, nBins) = (0.0, 100.0, 7)
+    val got = graft.operators.Stats
+      .histogram(xs.toDF("v"), "v", lo, hi, nBins)
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(3))
+      .toMap
+    val width = (hi - lo) / nBins
+    val want = xs
+      .map(v => math.min(nBins - 1, math.max(0, math.floor((v - lo) / width).toInt)))
+      .groupBy(identity)
+      .map { case (b, vs) => b -> vs.size.toLong }
+    assert(got == want)
+    assert(got.values.sum == 500L, "clamping must conserve the row count")
+  }
+
   test("hilbertIndex is a bijection on the full grid; consecutive codes are grid-adjacent") {
     val bits = 5 // full 32x32 grid = 1024 cells
     val grid = for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)
