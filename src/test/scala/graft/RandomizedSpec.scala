@@ -293,6 +293,82 @@ class RandomizedSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("sessionize equals the brute gap-walk on random duplicate-heavy events") {
+    val rnd = new scala.util.Random(44)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // seconds-grid timestamps with duplicates; ties break by event_id
+    val events = (1 to 500).map { i =>
+      (i.toLong, rnd.nextInt(25).toLong, ts(rnd.nextInt(3000).toLong),
+        rnd.nextInt(100).toDouble)
+    }
+    val gap = 120L
+    val got = graft.operators.Sessionize
+      .sessionize(events.toDF("event_id", "user_id", "ts", "value"), gap)
+      .collect()
+      .map(r =>
+        (r.getLong(0), r.getLong(1)) ->
+          ((r.getTimestamp(2).getTime, r.getTimestamp(3).getTime,
+            r.getLong(4), r.getDouble(5))))
+      .toMap
+    val want = events
+      .groupBy(_._2)
+      .flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(e => (e._3.getTime, e._1))
+        var sid = 1L // the operator's running boundary sum starts at 1
+        var prevT = Long.MinValue
+        val tagged = sorted.map { e =>
+          val t = e._3.getTime
+          if (prevT != Long.MinValue && t - prevT > gap * 1000L) sid += 1
+          prevT = t
+          (sid, e)
+        }
+        tagged.groupBy(_._1).map { case (s, xs) =>
+          val times = xs.map(_._2._3.getTime)
+          val total = BigDecimal(xs.map(_._2._4).sum)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+          (u, s) -> ((times.min, times.max, xs.size.toLong, total))
+        }
+      }
+    assert(got == want)
+  }
+
+  test("rollingStats equals the brute trailing n-row frame per key") {
+    val rnd = new scala.util.Random(66)
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = (1 to 400).map { i =>
+      (i.toLong, rnd.nextInt(15).toLong, ts(rnd.nextInt(200).toLong),
+        (rnd.nextInt(10000) / 100.0))
+    }
+    val n = 4
+    val got = graft.operators.Sessionize
+      .rollingStats(
+        events.toDF("event_id", "k", "t", "v"), "k", "t", "v", n, "event_id")
+      .select("event_id", "roll_n", "roll_sum", "roll_min", "roll_max", "roll_avg")
+      .collect()
+      .map(r =>
+        r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5))))
+      .toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = events
+      .groupBy(_._2)
+      .flatMap { case (_, evs) =>
+        val sorted = evs.sortBy(e => (e._3.getTime, e._1)).toIndexedSeq
+        sorted.indices.map { i =>
+          val frame = sorted.slice(math.max(0, i - n + 1), i + 1).map(_._4)
+          val sum = BigDecimal(frame.sum)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+          sorted(i)._1 ->
+            ((frame.size.toLong, sum, frame.min, frame.max,
+              r6(sum / frame.size)))
+        }
+      }
+    assert(got == want)
+  }
+
   test("histogram equals the brute clamped fixed-width binning") {
     val rnd = new scala.util.Random(3)
     // values straddle the range so both edge clamps fire
