@@ -461,6 +461,75 @@ object Stats {
     )
   }
 
+  /** Cohen's kappa inter-rater agreement (Cohen 1960) — how much two
+    * categorical labelings agree BEYOND chance: `kappa = (po - pe) /
+    * (1 - pe)` with observed agreement `po` and the chance agreement
+    * `pe = sum_c p1(c) * p2(c)` implied by the raters' marginals. The
+    * label-quality gate for data curation: two annotators, or a cheap
+    * classifier vs gold labels, where raw accuracy flatters skewed label
+    * distributions. Returns one row (n, po, pe, kappa); kappa is NULL
+    * when pe = 1 (both raters constant — agreement beyond chance is
+    * undefined). Rows with a NULL on either side are excluded.
+    *
+    * Exactness: with integer counts, `kappa = (agree*n - S) / (n*n - S)`
+    * where `S = sum_c n1_c * n2_c` — everything stays in integers
+    * (decimal-widened) until ONE final division, so the result is exact
+    * and order-independent; po/pe are single divisions of exact integers.
+    *
+    * Scale shape: two streaming aggregates over the data (the row-wise
+    * agreement count, and the union-marginal category counts — map-side
+    * combined into |categories| groups); the K-row tails crossJoin
+    * broadcast. Never a sort, never a window. */
+  def cohenKappa(
+      df: DataFrame,
+      col1: String,
+      col2: String,
+      scale: Int = 6
+  ): DataFrame = {
+    val base = ScanUtils
+      .withScanParallelism(
+        df.select(
+          col(col1).cast("string").as("__a"),
+          col(col2).cast("string").as("__b")
+        )
+      )
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val agree = base.agg(
+      count(lit(1)).as("__n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("__agree")
+    )
+    val marginals = base
+      .select(col("__a").as("__c"), lit(1L).as("__x"), lit(0L).as("__y"))
+      .unionByName(
+        base.select(col("__b").as("__c"), lit(0L).as("__x"), lit(1L).as("__y"))
+      )
+      .groupBy("__c")
+      .agg(sum("__x").as("__n1"), sum("__y").as("__n2"))
+    val chance = marginals.agg(
+      sum(col("__n1").cast("decimal(38,0)") * col("__n2").cast("decimal(38,0)"))
+        .as("__s")
+    )
+    val n = col("__n").cast("decimal(38,0)")
+    val ag = col("__agree").cast("decimal(38,0)")
+    val s = coalesce(col("__s"), lit(0).cast("decimal(38,0)"))
+    val den = n * n - s
+    agree
+      .crossJoin(broadcast(chance))
+      .select(
+        col("__n").as("n"),
+        round(when(col("__n") > 0, ag.cast("double") / n.cast("double")), scale)
+          .as("po"),
+        round(
+          when(col("__n") > 0, s.cast("double") / (n * n).cast("double")),
+          scale
+        ).as("pe"),
+        round(
+          when(den > 0, (ag * n - s).cast("double") / den.cast("double")),
+          scale
+        ).as("kappa")
+      )
+  }
+
   /** Two-sample Kolmogorov-Smirnov drift test — the distribution-free
     * companion to [[populationStabilityIndex]] (no binning choices): the
     * KS statistic `D = sup_x |F_a(x) - F_b(x)|` between the empirical

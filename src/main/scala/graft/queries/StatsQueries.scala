@@ -225,6 +225,21 @@ private[graft] object StatsQueries {
       )
     }),
 
+    // label-quality gate: Cohen's kappa between the heuristic lang-ID
+    // prediction and the actual lang column — agreement beyond chance,
+    // integer counts until one final division
+    "q_kappa" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Stats.cohenKappa(
+        TextAnalysis
+          .langId(docs, "text")
+          .select(col("doc_id"), col("lang_pred"))
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        "lang_pred",
+        "lang"
+      )
+    }),
+
     // the binning-free companion: two-sample KS statistic on the same
     // drift pair — integer CDF cross-products until one final division,
     // sup location + asymptotic lambda
@@ -574,6 +589,56 @@ private[graft] object StatsQueries {
         |SELECT rt AS n_ref, ct AS n_cur,
         |       ROUND(CAST(sum(contrib) AS DOUBLE), 6) AS psi
         |FROM terms GROUP BY 1, 2""".stripMargin,
+
+    "q_kappa" -> {
+      def score(words: Seq[String]): String =
+        s"CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains([${words
+          .map(w => s"'$w'")
+          .mkString(", ")}], t))) AS INT)"
+      val Seq(en, es, de, fr) = TextAnalysis.LangMarkers.map(_._2)
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |         ${score(en)} AS s_en, ${score(es)} AS s_es,
+         |         ${score(de)} AS s_de, ${score(fr)} AS s_fr
+         |  FROM documents
+         |), pred AS (
+         |  SELECT doc_id,
+         |    CASE
+         |      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |      WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+         |      WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+         |      WHEN s_fr > 0 THEN 'fr'
+         |      ELSE 'unknown'
+         |    END AS a
+         |  FROM sc
+         |), j AS (
+         |  SELECT p.a, d.lang AS b FROM pred p JOIN documents d USING (doc_id)
+         |  WHERE p.a IS NOT NULL AND d.lang IS NOT NULL
+         |), t AS (
+         |  SELECT COUNT(*) AS n,
+         |         SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+         |  FROM j
+         |), m AS (
+         |  SELECT c, SUM(x) AS n1, SUM(y) AS n2 FROM (
+         |    SELECT a AS c, 1 AS x, 0 AS y FROM j
+         |    UNION ALL SELECT b, 0, 1 FROM j
+         |  ) GROUP BY c
+         |), s AS (
+         |  SELECT COALESCE(SUM(CAST(n1 AS HUGEINT) * n2), 0) AS sp FROM m
+         |)
+         |SELECT CAST(t.n AS BIGINT) AS n,
+         |       ROUND(CASE WHEN t.n > 0
+         |             THEN CAST(t.agree AS DOUBLE) / t.n END, 6) AS po,
+         |       ROUND(CASE WHEN t.n > 0
+         |             THEN CAST(s.sp AS DOUBLE) /
+         |                  CAST(CAST(t.n AS HUGEINT) * t.n AS DOUBLE) END, 6)
+         |         AS pe,
+         |       ROUND(CASE WHEN CAST(t.n AS HUGEINT) * t.n - s.sp > 0
+         |             THEN CAST(CAST(t.agree AS HUGEINT) * t.n - s.sp AS DOUBLE) /
+         |                  CAST(CAST(t.n AS HUGEINT) * t.n - s.sp AS DOUBLE) END, 6)
+         |         AS kappa
+         |FROM t, s""".stripMargin
+    },
 
     "q_ks_test" ->
       """WITH u AS (

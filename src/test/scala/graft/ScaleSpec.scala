@@ -2789,6 +2789,32 @@ class ScaleSpec extends SparkSpec {
     assert(rep.getDouble(2) == 0.75)
   }
 
+  test("cohenKappa: textbook example, perfect/chance/degenerate cases, nulls") {
+    import graft.operators.Stats
+    // the classic 50-item example: 20 yes/yes, 15 no/no, 5 yes/no,
+    // 10 no/yes -> po = 0.7, pe = 0.5, kappa = 0.4 (exact integers:
+    // (35*50 - 1250) / (2500 - 1250))
+    val classic = (
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(15)(("no", "no")) ++
+        Seq.fill(5)(("yes", "no")) ++ Seq.fill(10)(("no", "yes"))
+    ).toDF("r1", "r2")
+    val r = Stats.cohenKappa(classic, "r1", "r2").collect().head
+    assert(r.getLong(0) == 50L)
+    assert(r.getDouble(1) == 0.7 && r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == 0.4)
+    // perfect agreement -> 1; pure-chance square -> 0
+    val perfect = Seq(("x", "x"), ("y", "y")).toDF("r1", "r2")
+    assert(Stats.cohenKappa(perfect, "r1", "r2").collect().head.getDouble(3) == 1.0)
+    val chance = Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")).toDF("r1", "r2")
+    assert(Stats.cohenKappa(chance, "r1", "r2").collect().head.getDouble(3) == 0.0)
+    // both raters constant -> pe = 1, kappa undefined (NULL); null rows drop
+    val const = Seq[(String, String)](("x", "x"), ("x", "x"))
+      .toDF("r1", "r2")
+      .unionByName(Seq[(String, String)]((null, "x")).toDF("r1", "r2"))
+    val c = Stats.cohenKappa(const, "r1", "r2").collect().head
+    assert(c.getLong(0) == 2L && c.isNullAt(3))
+  }
+
   test("ksTwoSample: hand-computed D and sup location, empty side, brute parity") {
     import graft.operators.Stats
     // A = {1,2,3}, B = {2,3,4}: |F_a - F_b| = 1/3 at v in {1,2,3};
