@@ -1414,7 +1414,11 @@ object TextAnalysis {
     *   M: re-estimate log-probs from the counts,
     * and prune the lowest-count pieces (never single characters) until
     * `vocabSize` remains. Returns (piece, piece_count, logprob), counts
-    * from the final E pass, logprobs rounded to 6 decimals. Deterministic:
+    * from the final E pass, logprobs rounded to 6 decimals; characters
+    * the final segmentation never uses stay in the vocabulary as pure
+    * fallbacks with count 0 and the segmenter's unknown-character floor
+    * (-100) — NOT a pseudo-count, so the trained model is invariant
+    * under corpus duplication at any scale. Deterministic:
     * ties everywhere break lexicographically, so the model is independent
     * of partitioning. (The paper's soft-EM marginalizes over all
     * segmentations; the Viterbi variant is the standard hard-EM
@@ -1488,7 +1492,7 @@ object TextAnalysis {
 
     def eStep(model: Map[String, Double]): Seq[(String, Long)] = {
       val bc = spark.sparkContext.broadcast(model)
-      val counted = words
+      words
         .mapPartitions { it =>
           val m = bc.value
           it.flatMap { case (w, n) =>
@@ -1501,26 +1505,45 @@ object TextAnalysis {
         .collect() // model-sized: bounded by the candidate vocabulary
         .map(r => r.getString(0) -> r.getLong(1))
         .toSeq
-      // characters must stay segmentable even when currently unused
-      val present = counted.map(_._1).toSet
-      counted ++ charSet.diff(present).toSeq.sorted.map(_ -> 1L)
     }
 
+    // Characters must stay segmentable even when currently unused, but a
+    // pseudo-COUNT backstop would be scale-DEPENDENT: duplicating the
+    // corpus k times scales real counts by k while a fixed pseudo-count
+    // stays put, shifting the backstop's logprob by ln(k) — the same
+    // corpus trained at different sizes would segment words differently.
+    // Unused chars instead enter the MODEL at the segmenter's own
+    // unknown-character floor (-100, strictly a fallback at any scale),
+    // keeping the trained model invariant under corpus duplication
+    // (asserted in StressSpec).
+    val UnkLp = -100.0
+    def modelOf(cs: Seq[(String, Long)]): Map[String, Double] = {
+      val m = mStep(cs)
+      m ++ (charSet -- m.keySet).map(_ -> UnkLp)
+    }
+    def effSize(cs: Seq[(String, Long)]): Int =
+      (cs.map(_._1).toSet ++ charSet).size
+
     var counts: Seq[(String, Long)] = seeds.toSeq
-    (1 to emRounds).foreach(_ => counts = eStep(mStep(counts)))
-    while (counts.size > math.max(vocabSize, charSet.size)) {
+    (1 to emRounds).foreach(_ => counts = eStep(modelOf(counts)))
+    while (effSize(counts) > math.max(vocabSize, charSet.size)) {
       val target =
         math.max(math.max(vocabSize, charSet.size),
-          (counts.size * (1 - pruneFraction)).toInt)
+          (effSize(counts) * (1 - pruneFraction)).toInt)
       val (keepAlways, prunable) = counts.partition(_._1.length == 1)
+      // unused chars are implicitly kept (they re-enter via modelOf), so
+      // they consume part of the keep budget
+      val missing = charSet.size - keepAlways.map(_._1).toSet.size
       val kept = prunable
         .sortBy { case (p, c) => (-c, p) }
-        .take(math.max(0, target - keepAlways.size))
+        .take(math.max(0, target - keepAlways.size - missing))
       counts = keepAlways ++ kept
-      (1 to emRounds).foreach(_ => counts = eStep(mStep(counts)))
+      (1 to emRounds).foreach(_ => counts = eStep(modelOf(counts)))
     }
-    val model = mStep(counts)
-    counts
+    val model = modelOf(counts)
+    val present = counts.map(_._1).toSet
+    val full = counts ++ (charSet -- present).toSeq.sorted.map(_ -> 0L)
+    full
       .sortBy { case (p, c) => (-c, p) }
       .map { case (p, c) =>
         (p, c, math.rint(model(p) * 1e6) / 1e6)

@@ -484,6 +484,63 @@ class StressSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer training is invariant under corpus duplication (BPE + unigram LM)") {
+    // duplicating every document k times scales EVERY count by exactly k:
+    // BPE pair-frequency argmaxes are unchanged and unigram-LM logprobs
+    // are log(k*c) - log(k*T) = log(c) - log(T), so both learned models
+    // must come back BIT-IDENTICAL. This is the strongest property
+    // available for the two rows-gated training loops (iterative
+    // training has no SQL oracle) — a partitioning- or scale-sensitive
+    // tie-break would break the equality.
+    import graft.operators.TextAnalysis
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .localCheckpoint()
+    val k = 7
+    val dup = (0 until k)
+      .map(c => docs.withColumn("doc_id", col("doc_id") + lit(c * 1000000L)))
+      .reduce(_ unionByName _)
+      .repartition(13) // scramble partitioning too
+      .localCheckpoint()
+
+    val baseMerges = TextAnalysis
+      .bpeMerges(docs, "text", numMerges = 8)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+      .toSeq
+    val dupMerges = timed(s"bpeMerges on the ${k}x corpus") {
+      TextAnalysis
+        .bpeMerges(dup, "text", numMerges = 8)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1)
+        .toSeq
+    }
+    assert(dupMerges == baseMerges,
+      s"merge sequence drifted under duplication:\n$dupMerges\nvs\n$baseMerges")
+
+    val baseLm = TextAnalysis
+      .unigramLM(docs, "text", vocabSize = 60)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(2))
+      .toMap
+    val dupLm = timed(s"unigramLM on the ${k}x corpus") {
+      TextAnalysis
+        .unigramLM(dup, "text", vocabSize = 60)
+        .collect()
+        .map(r => r.getString(0) -> r.getDouble(2))
+        .toMap
+    }
+    assert(dupLm.keySet == baseLm.keySet,
+      s"vocab drifted: extra ${(dupLm.keySet -- baseLm.keySet).take(5)}, " +
+        s"lost ${(baseLm.keySet -- dupLm.keySet).take(5)}")
+    baseLm.foreach { case (p, lp) =>
+      assert(dupLm(p) == lp, s"logprob drifted for '$p': ${dupLm(p)} vs $lp")
+    }
+  }
+
   test("event analytics scale exactly linearly under user-rekeyed amplification") {
     // 5 re-keyed copies of the events table: same timestamps, disjoint
     // users => every session replicates exactly 5x. Path/transition
