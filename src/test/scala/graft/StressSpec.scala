@@ -541,6 +541,41 @@ class StressSpec extends SparkSpec {
     }
   }
 
+  test("TF-IDF is invariant under corpus duplication (smooth idf cancels k)") {
+    // ln(kN / k*df) = ln(N / df) and both divisions are correctly-rounded
+    // forms of the same real number, so every replica doc must score
+    // bit-identically to its base doc
+    import graft.operators.TextAnalysis
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+      .localCheckpoint()
+    val n = docs.count()
+    val k = 7
+    val dup = (0 until k)
+      .map(c => docs.withColumn("doc_id", col("doc_id") + lit(c * 1000000L)))
+      .reduce(_ unionByName _)
+    val base = TextAnalysis
+      .tfIdfTopTerms(docs, "doc_id", "text", docCount = n)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(5)) -> ((r.getString(1), r.getDouble(4))))
+      .toMap
+    val amp = timed(s"tfIdfTopTerms on the ${k}x corpus") {
+      TextAnalysis
+        .tfIdfTopTerms(dup, "doc_id", "text", docCount = n * k)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(5)) -> ((r.getString(1), r.getDouble(4))))
+        .toMap
+    }
+    assert(amp.size == k * base.size)
+    (0 until k).foreach { c =>
+      base.foreach { case ((id, rank), v) =>
+        assert(amp((id + c * 1000000L, rank)) == v,
+          s"copy $c doc $id rank $rank drifted")
+      }
+    }
+  }
+
   test("event analytics scale exactly linearly under user-rekeyed amplification") {
     // 5 re-keyed copies of the events table: same timestamps, disjoint
     // users => every session replicates exactly 5x. Path/transition
