@@ -369,6 +369,39 @@ class RandomizedSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("winsorize (exact) equals brute interpolated percentile clipping per group") {
+    val rnd = new scala.util.Random(12)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, ('a' + rnd.nextInt(4)).toChar.toString,
+        (rnd.nextInt(100000) / 100.0) * (if (rnd.nextInt(10) == 0) 50 else 1))
+    }
+    val got = graft.operators.Stats
+      .winsorize(rows.toDF("id", "g", "v"), Seq("g"), "v",
+        pLow = 0.05, pHigh = 0.9, exact = true)
+      .select("id", "v_wins")
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Spark's exact percentile: linear interpolation at rank p*(n-1)
+    def pct(sorted: IndexedSeq[Double], p: Double): Double = {
+      val rank = p * (sorted.size - 1)
+      val lo = math.floor(rank).toInt
+      val hi = math.ceil(rank).toInt
+      sorted(lo) + (rank - lo) * (sorted(hi) - sorted(lo))
+    }
+    val byGroup = rows.groupBy(_._2).map { case (g, xs) =>
+      val sorted = xs.map(_._3).sorted.toIndexedSeq
+      g -> ((r6(pct(sorted, 0.05)), r6(pct(sorted, 0.9))))
+    }
+    val want = rows.map { case (id, g, v) =>
+      val (lo, hi) = byGroup(g)
+      id -> math.min(math.max(v, lo), hi)
+    }.toMap
+    assert(got == want)
+  }
+
   test("histogram equals the brute clamped fixed-width binning") {
     val rnd = new scala.util.Random(3)
     // values straddle the range so both edge clamps fire
