@@ -1614,6 +1614,15 @@ object TextAnalysis {
     * document whose every unit is boilerplate comes back as the empty
     * string, not a dropped row.
     *
+    * An ABSOLUTE `maxDocs` threshold is scale-DEPENDENT: duplicate the
+    * corpus and previously-clean units cross it, so the same document
+    * cleans differently at different corpus sizes. Set `maxDocFraction`
+    * > 0 for the scale-invariant form — the effective threshold becomes
+    * `max(maxDocs, ceil(fraction * nDocs))` (exact integer ceil, one
+    * bounded driver count; `maxDocs` stays as the small-corpus floor so
+    * a 10-doc corpus doesn't strip every shared line). Invariance under
+    * corpus duplication is stress-asserted.
+    *
     * Scale shape: posexplode → two hash aggregates (distinct doc-unit,
     * then per-unit doc counts) produce the skinny hot-unit table; the
     * occurrence stream anti-joins it (Catalyst broadcasts when it fits)
@@ -1626,12 +1635,26 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       maxDocs: Long,
-      delimiter: String = "\n"
+      delimiter: String = "\n",
+      maxDocFraction: Double = 0.0
   ): DataFrame = {
     require(maxDocs >= 1, "maxDocs must be >= 1")
     require(delimiter.nonEmpty, "delimiter must be non-empty")
-    val parts = df
-      .filter(col(textCol).isNotNull)
+    require(
+      maxDocFraction >= 0 && maxDocFraction <= 1,
+      "maxDocFraction must be in [0, 1]"
+    )
+    val base = df.filter(col(textCol).isNotNull)
+    val threshold =
+      if (maxDocFraction <= 0) maxDocs
+      else {
+        val n = base.count() // bounded driver action: a single count
+        // exact integer ceil of fraction*n via a ppm-quantized fraction,
+        // so an oracle can reproduce the threshold without float hazards
+        val ppm = math.round(maxDocFraction * 1000000L)
+        math.max(maxDocs, (ppm * n + 999999L) / 1000000L)
+      }
+    val parts = base
       .select(
         col(idCol).as("__id"),
         posexplode(
@@ -1643,7 +1666,7 @@ object TextAnalysis {
       .distinct()
       .groupBy("__unit")
       .agg(count(lit(1)).as("__docs"))
-      .filter(col("__docs") > maxDocs)
+      .filter(col("__docs") > threshold)
       .select("__unit")
     val kept = parts.join(hot, Seq("__unit"), "left_anti")
     val totals = parts.groupBy("__id").agg(count(lit(1)).as("__n_units"))

@@ -541,6 +541,45 @@ class StressSpec extends SparkSpec {
     }
   }
 
+  test("fractional boilerplate threshold is invariant under corpus duplication") {
+    import graft.operators.TextAnalysis
+    // 20 docs share a footer; 3 docs share a rarer line. At 25% the
+    // footer strips and the rare line survives — and the SAME must hold
+    // on the 6x-duplicated corpus (doc counts and the ceil threshold both
+    // scale by k). The absolute-threshold mode is demonstrably NOT
+    // invariant on the same data: the rare line crosses maxDocs=4 only
+    // after duplication.
+    val docs = ((1 to 20).map(i => (i.toLong, s"body $i\nshared footer")) ++
+      (21 to 23).map(i => (i.toLong, s"body $i\nrare line"))).toDF("id", "text")
+    val k = 6
+    val dup = (0 until k)
+      .map(c => docs.withColumn("id", col("id") + lit(c * 1000L)))
+      .reduce(_ unionByName _)
+    def clean(df: org.apache.spark.sql.DataFrame, frac: Double) = TextAnalysis
+      .stripBoilerplate(df, "id", "text", maxDocs = 1, maxDocFraction = frac)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val base = clean(docs, 0.25)
+    assert(base(1L) == "body 1", "footer (20/23 docs) must strip at 25%")
+    assert(base(21L) == "body 21\nrare line", "rare line (3/23) must survive")
+    val amp = clean(dup, 0.25)
+    (0 until k).foreach { c =>
+      base.foreach { case (id, t) =>
+        assert(amp(id + c * 1000L) == t, s"copy $c doc $id cleaned differently")
+      }
+    }
+    // absolute mode: invariance breaks by design (18 > 4 after 6x)
+    val absBase = TextAnalysis
+      .stripBoilerplate(docs, "id", "text", maxDocs = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val absAmp = TextAnalysis
+      .stripBoilerplate(dup, "id", "text", maxDocs = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(absBase(21L).contains("rare line") && !absAmp(21L).contains("rare line"),
+      "absolute threshold should be scale-sensitive on this fixture")
+  }
+
   test("TF-IDF is invariant under corpus duplication (smooth idf cancels k)") {
     // ln(kN / k*df) = ln(N / df) and both divisions are correctly-rounded
     // forms of the same real number, so every replica doc must score
