@@ -91,6 +91,96 @@ object TextAnalysis {
       )
   }
 
+  /** Corpus-level token entropy report — unigram entropy H1, adjacent
+    * within-document bigram entropy H2, and the order-2 conditional
+    * entropy `H(next | prev) = H2 - H1` (Shannon's entropy-rate estimate):
+    * the REDUNDANCY diagnostic a per-document signal can't see. Heavily
+    * templated or repetitive corpora have low conditional entropy even
+    * when H1 looks healthy, because the next token is predictable from
+    * the previous one. Returns ONE row: (n_tokens, n_types,
+    * unigram_entropy, n_bigrams, n_bigram_types, bigram_entropy,
+    * cond_entropy), entropies in bits; the corpus-level companion to the
+    * per-document [[charEntropy]].
+    *
+    * Exactness: each `-p log2 p` term is quantized to 9 decimals and
+    * summed in DECIMAL (the [[charEntropy]] policy — order-independent,
+    * engine-portable); cond_entropy subtracts the two UNROUNDED decimal
+    * sums before its own round-6. Empty and single-token documents
+    * contribute no bigrams; a corpus with no bigrams reports NULL
+    * bigram/conditional entropies. NOTE this is the plug-in estimate:
+    * on tiny or extremely templated corpora it can go slightly NEGATIVE
+    * (the empirical bigram distribution is more concentrated than its
+    * unigram marginals imply) — read anything at or below 0 as maximal
+    * redundancy.
+    *
+    * Scale shape: two map-side-combined hash aggregates (token counts,
+    * zip_with-built bigram counts — never a per-element re-tokenization,
+    * never a window) with one-row totals crossJoined broadcast. */
+  def corpusEntropy(df: DataFrame, textCol: String): DataFrame = {
+    val docs = ScanUtils
+      .withScanParallelism(df)
+      .filter(col(textCol).isNotNull)
+    val toks = tokens(col(textCol))
+    val uni = docs
+      .select(explode(toks).as("__w"))
+      .groupBy("__w")
+      .agg(count(lit(1)).as("__c"))
+    val bi = docs
+      .select(
+        explode(
+          when(
+            size(toks) >= 2,
+            zip_with(
+              slice(toks, lit(1), size(toks) - 1),
+              slice(toks, lit(2), size(toks) - 1),
+              (a, b) => struct(a.as("w1"), b.as("w2"))
+            )
+          ).otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+        ).as("__p")
+      )
+      .groupBy(col("__p.w1").as("__w1"), col("__p.w2").as("__w2"))
+      .agg(count(lit(1)).as("__c"))
+    def entropyOf(counts: DataFrame): DataFrame = {
+      val t = counts.agg(
+        coalesce(sum("__c"), lit(0L)).as("__t"),
+        count(lit(1)).as("__types")
+      )
+      // ungrouped one-row sum, so a corpus with NO counts still yields
+      // its report row (with a NULL entropy) instead of vanishing
+      val hs = counts
+        .crossJoin(broadcast(t))
+        .select(
+          round(
+            -(col("__c").cast("double") / col("__t")) *
+              (log(col("__c").cast("double") / col("__t")) / log(lit(2.0))),
+            9
+          ).cast("decimal(19,9)").as("__h")
+        )
+        .agg(sum("__h").as("__hsum"))
+      t.crossJoin(hs)
+    }
+    val h1 = entropyOf(uni).select(
+      col("__t").as("n_tokens"),
+      col("__types").as("n_types"),
+      col("__hsum").as("__h1")
+    )
+    val h2 = entropyOf(bi).select(
+      col("__t").as("n_bigrams"),
+      col("__types").as("n_bigram_types"),
+      col("__hsum").as("__h2")
+    )
+    h1.crossJoin(broadcast(h2))
+      .select(
+        col("n_tokens"),
+        col("n_types"),
+        round(col("__h1").cast("double"), 6).as("unigram_entropy"),
+        col("n_bigrams"),
+        col("n_bigram_types"),
+        round(col("__h2").cast("double"), 6).as("bigram_entropy"),
+        round((col("__h2") - col("__h1")).cast("double"), 6).as("cond_entropy")
+      )
+  }
+
   /** Quality heuristics: length, token count, mean token length, punctuation
     * ratio, stopword ratio, and a composite `quality` in [0,1]. Integer
     * counts and deterministic double arithmetic only (oracle-exact). */

@@ -18,6 +18,12 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus-level token entropy: unigram H1, adjacent-bigram H2, and
+    // the order-2 conditional entropy H2 - H1 — the redundancy
+    // diagnostic per-doc signals can't see (templated corpora score low)
+    "q_corpus_entropy" -> ((s, dir) =>
+      TextAnalysis.corpusEntropy(t(s, dir, "documents"), "text")),
+
     // per-doc character entropy: the cheap gibberish/template-spam signal
     // (low entropy = repetitive padding, high = binary-in-text)
     "q_char_entropy" -> ((s, dir) => {
@@ -561,6 +567,43 @@ private[graft] object TextQueries {
          |         (CASE WHEN punct_count = 0 THEN 0.1 ELSE 0.0 END)), 6) AS quality
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "q_corpus_entropy" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL
+        |), tc AS (
+        |  SELECT w, count(*) AS c FROM tok GROUP BY w
+        |), tt AS (
+        |  SELECT COALESCE(SUM(c), 0) AS n, COUNT(*) AS types FROM tc
+        |), th AS (
+        |  SELECT SUM(CAST(ROUND(
+        |    -(CAST(c AS DOUBLE) / n) * (ln(CAST(c AS DOUBLE) / n) / ln(2.0)),
+        |    9) AS DECIMAL(19,9))) AS h
+        |  FROM tc, tt
+        |), bg AS (
+        |  SELECT l[CAST(i AS INT)] AS w1, l[CAST(i AS INT) + 1] AS w2
+        |  FROM (SELECT string_split(lower(text), ' ') AS l
+        |        FROM documents WHERE text IS NOT NULL),
+        |       unnest(range(1, len(l))) AS t(i)
+        |), bc AS (
+        |  SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2
+        |), bt AS (
+        |  SELECT COALESCE(SUM(c), 0) AS n, COUNT(*) AS types FROM bc
+        |), bh AS (
+        |  SELECT SUM(CAST(ROUND(
+        |    -(CAST(c AS DOUBLE) / n) * (ln(CAST(c AS DOUBLE) / n) / ln(2.0)),
+        |    9) AS DECIMAL(19,9))) AS h
+        |  FROM bc, bt
+        |)
+        |SELECT CAST(tt.n AS BIGINT) AS n_tokens,
+        |       CAST(tt.types AS BIGINT) AS n_types,
+        |       ROUND(CAST(th.h AS DOUBLE), 6) AS unigram_entropy,
+        |       CAST(bt.n AS BIGINT) AS n_bigrams,
+        |       CAST(bt.types AS BIGINT) AS n_bigram_types,
+        |       ROUND(CAST(bh.h AS DOUBLE), 6) AS bigram_entropy,
+        |       ROUND(CAST(bh.h - th.h AS DOUBLE), 6) AS cond_entropy
+        |FROM tt, th, bt, bh""".stripMargin,
 
     "q_char_entropy" ->
       """WITH ch AS (

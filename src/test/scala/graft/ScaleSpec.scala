@@ -2789,6 +2789,49 @@ class ScaleSpec extends SparkSpec {
     assert(rep.getDouble(2) == 0.75)
   }
 
+  test("corpusEntropy: hand-computed H1/H2, redundancy ordering, empty corpus") {
+    import graft.operators.TextAnalysis
+    def r(x: Double, s: Int) =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    def h(counts: Seq[Long]): Double = {
+      val n = counts.sum.toDouble
+      r(
+        counts
+          .map(c => r(-(c / n) * (math.log(c / n) / math.log(2.0)), 9))
+          .sum
+          .toDouble,
+        6
+      ).toDouble
+    }
+    // "a b a b" + "a b": unigrams a:3 b:3 -> H1 = 1 bit;
+    // bigrams (a,b):3 (b,a):1 -> H2 = 0.811278; cond goes NEGATIVE here —
+    // the documented plug-in small-sample behavior (maximal redundancy)
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("id", "text")
+    val row = TextAnalysis.corpusEntropy(docs, "text").collect().head
+    assert(row.getLong(0) == 6L && row.getLong(1) == 2L)
+    assert(row.getDouble(2) == h(Seq(3L, 3L)))
+    assert(row.getLong(3) == 4L && row.getLong(4) == 2L)
+    assert(row.getDouble(5) == h(Seq(3L, 1L)))
+    assert(row.getDouble(6) <= 0.0)
+    // a templated corpus must score LOWER conditional entropy than a
+    // diverse one with the same unigram profile size
+    val templated = (1 to 40).map(i => (i.toLong, "click here to accept cookies"))
+    val rnd = new scala.util.Random(9)
+    val words = Vector("click", "here", "to", "accept", "cookies")
+    val diverse = (1 to 40).map(i =>
+      (i.toLong, Seq.fill(5)(words(rnd.nextInt(5))).mkString(" ")))
+    def cond(rows: Seq[(Long, String)]) = TextAnalysis
+      .corpusEntropy(rows.toDF("id", "text"), "text")
+      .collect().head.getDouble(6)
+    assert(cond(templated) < cond(diverse),
+      s"templated ${cond(templated)} should be below diverse ${cond(diverse)}")
+    // empty corpus still reports its row, with NULL entropies
+    val empty = TextAnalysis
+      .corpusEntropy(docs.filter(col("id") > 100), "text")
+      .collect().head
+    assert(empty.getLong(0) == 0L && empty.isNullAt(2) && empty.isNullAt(6))
+  }
+
   test("cohenKappa: textbook example, perfect/chance/degenerate cases, nulls") {
     import graft.operators.Stats
     // the classic 50-item example: 20 yes/yes, 15 no/no, 5 yes/no,
