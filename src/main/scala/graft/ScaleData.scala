@@ -36,6 +36,12 @@ object ScaleData {
     val Array(inDir, outDir, copiesStr) = args.take(3)
     val copies = copiesStr.toInt
     require(copies >= 1, "copies must be >= 1")
+    // keep re-keyed int32 ids representable: ids at sf<=1 are < Stride,
+    // so max rekeyed id < copies * Stride + Stride
+    require(
+      (copies.toLong + 1) * Stride <= Int.MaxValue,
+      s"copies=$copies would overflow int32 key columns (stride $Stride)"
+    )
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,8 +67,17 @@ object ScaleData {
       val tagged = df.crossJoin(
         broadcast(spark.range(copies).select(col("id").as("__copy")))
       )
+      // cast back to the source column's type: `__copy` is a long, so the
+      // bare addition would widen int32 keys to bigint even for copy 0 and
+      // the amplified schema would diverge from the generator's — wider
+      // keys skew the very scan/join scaling this tool exists to measure.
+      // Stride * copies stays far below Int.MaxValue (guarded in main), so
+      // the narrowing cast cannot wrap.
       val rekeyed = idCols.foldLeft(tagged) { (d, c) =>
-        d.withColumn(c, col(c) + col("__copy") * Stride)
+        d.withColumn(
+          c,
+          (col(c) + col("__copy") * Stride).cast(df.schema(c).dataType)
+        )
       }
       extra(rekeyed, col("__copy")).drop("__copy")
     }

@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Bucket grid for [[minHashRecallReport]]'s deterministic hash-sample.
+    * Deliberately much finer than [[Splits.Buckets]] (10000): the cap
+    * threshold is an integer ceil of `buckets * maxSampleDocs / n`, which
+    * floors at one bucket, so the grid size bounds how SMALL the effective
+    * sample fraction can get. 1e12 buckets put that floor at 1e-12 —
+    * effectively no floor for any real corpus — while md5Prefix60's 60-bit
+    * range (~1.15e18) keeps the modulo bias negligible (~1e-6). */
+  val RecallAuditBuckets: Long = 1000000000000L
+
   /** Keep exactly one row per distinct combination of `keyCols` — the first
     * under `tieBreak` ordering (deterministic, unlike dropDuplicates).
     * One shuffle; WindowGroupLimit prunes per partition before the sort. */
@@ -216,9 +225,15 @@ object Dedup {
     * the verification pass pays for.
     *
     * Scale shape: the exact-pair computation is the quadratic-ish part,
-    * which is exactly why it runs on the hash-sample (same md5 bucketing
-    * as [[Splits.hashSplit]] — deterministic, engine-portable); both pair
-    * sets and all counts are one-row aggregates crossJoined back.
+    * which is exactly why it runs on the hash-sample (md5 bucketing as in
+    * [[Splits.hashSplit]] but on a FINE `1e12` grid — deterministic,
+    * engine-portable); both pair sets and all counts are one-row
+    * aggregates crossJoined back. The fine grid matters for the cap: on
+    * the coarse 10000-bucket split grid the threshold floors at ONE
+    * bucket = n/10000 docs, so past 10000*maxSampleDocs rows the sample
+    * would silently grow linearly again (and the exact-truth step
+    * quadratically); with 1e12 buckets the effective fraction can go down
+    * to 1e-12, far below any corpus this audit will meet.
     *
     * `sampleFraction` alone keeps the sample PROPORTIONAL to the corpus, so
     * the exact-truth cost still grows quadratically with data size. For a
@@ -246,23 +261,27 @@ object Dedup {
     )
     val base = df.filter(col(textCol).isNotNull)
     val fracThr =
-      if (sampleFraction >= 1.0) Splits.Buckets
-      else math.round(sampleFraction * Splits.Buckets)
+      if (sampleFraction >= 1.0) RecallAuditBuckets
+      else math.round(sampleFraction * RecallAuditBuckets)
     val thr =
       if (maxSampleDocs <= 0) fracThr
       else {
         val n = base.count() // bounded driver action: a single count
         val capThr =
-          if (n == 0L) Splits.Buckets
-          else math.min(
-            Splits.Buckets,
-            (Splits.Buckets * maxSampleDocs + n - 1) / n
-          )
+          if (n == 0L) RecallAuditBuckets
+          else
+            // BigInt: RecallAuditBuckets * maxSampleDocs can exceed Long
+            ((BigInt(RecallAuditBuckets) * maxSampleDocs + n - 1) / n)
+              .min(BigInt(RecallAuditBuckets))
+              .toLong
         math.min(fracThr, capThr)
       }
+    val fineBucket = graft.functions.TextFunctions
+      .md5Prefix60(concat(col(idCol).cast("string"), lit(salt))) %
+      RecallAuditBuckets
     val sampled =
-      if (thr >= Splits.Buckets) base
-      else base.filter(Splits.hashBucket(col(idCol), salt) < thr)
+      if (thr >= RecallAuditBuckets) base
+      else base.filter(fineBucket < thr)
     val truth = ngramJaccardPairs(sampled, idCol, textCol, shingleK, threshold)
       .select("id_a", "id_b")
     val cand = minHashCandidatePairs(

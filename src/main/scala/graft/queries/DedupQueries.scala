@@ -643,9 +643,10 @@ private[graft] object DedupQueries {
 
     "q_lsh_recall" ->
       s"""WITH ${duckMinHashCommonWhere(
-           // min(10% fraction threshold, integer-ceil cap for 500 docs) —
-           // mirrors minHashRecallReport's maxSampleDocs arithmetic exactly
-           " AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < LEAST(1000, (10000 * 500 + (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL) - 1) // (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL))"
+           // min(10% fraction threshold, integer-ceil cap for 500 docs) on
+           // the FINE 1e12 audit grid (Dedup.RecallAuditBuckets) — mirrors
+           // minHashRecallReport's maxSampleDocs arithmetic exactly
+           " AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000000000 < LEAST(100000000000, (1000000000000 * 500 + (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL) - 1) // (SELECT COUNT(*) FROM documents WHERE text IS NOT NULL))"
          )}, cand AS (
          |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
          |  FROM bd a JOIN bd b ON a.band = b.band AND a.doc_id < b.doc_id

@@ -391,13 +391,23 @@ object Tables {
         .mode("overwrite")
         .parquet(staging.toString)
       // gate the swap on the committer's success marker: a staging dir
-      // left by a partially-failed write must never replace live data
+      // left by a partially-failed write must never replace live data.
+      // Clusters running mapreduce.fileoutputcommitter.marksuccessfuljobs=
+      // false never emit the marker, so fall back to verifying the staging
+      // dir holds committed part files — the write call above returning
+      // normally plus visible part-*.parquet output is the committer's own
+      // success signal under that config.
       val success =
         new org.apache.hadoop.fs.Path(staging, "_SUCCESS")
-      if (!fs.exists(success)) {
+      val hasParts = fs.exists(success) ||
+        fs.listStatus(staging).exists(s =>
+          s.isFile && s.getPath.getName.startsWith("part-") &&
+            s.getPath.getName.endsWith(".parquet"))
+      if (!hasParts) {
         fs.delete(staging, true)
         throw new java.io.IOException(
-          s"staging write for $path missing _SUCCESS; original left intact"
+          s"staging write for $path has neither _SUCCESS nor part files; " +
+            "original left intact"
         )
       }
       val backup = new org.apache.hadoop.fs.Path(

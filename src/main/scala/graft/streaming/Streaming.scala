@@ -260,9 +260,15 @@ object Streaming {
   )(sink: DataFrame => Unit): Unit = {
     import graft.operators.Dedup
     val spark = docs.sparkSession
-    val dir = new java.io.File(storePath)
-    val populated = dir.isDirectory &&
-      Option(dir.listFiles()).exists(_.exists(_.getName.endsWith(".parquet")))
+    // resolve through the Hadoop FileSystem, not java.io.File: storePath is
+    // read/written via Spark parquet so it may be an HDFS/S3 URI — a local
+    // File check would always report "unpopulated" there and a restart
+    // would re-sign the reference over the accepted-document history
+    val hPath = new org.apache.hadoop.fs.Path(storePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val populated = fs.exists(hPath) &&
+      fs.listStatus(hPath)
+        .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     if (!populated)
       Dedup
         .minHashSignatures(reference, idCol, textCol, shingleK, numHashes, portable)

@@ -232,6 +232,36 @@ class SourcesSpec extends SparkSpec {
     assert(!parent.exists(_.contains("__precompact")), parent.mkString(","))
   }
 
+  test(
+    "compactParquetDir succeeds without _SUCCESS markers " +
+      "(marksuccessfuljobs=false clusters)"
+  ) {
+    // clusters commonly disable the success marker; the swap gate must
+    // fall back to the committed part files instead of failing hard
+    val dir = Files.createTempDirectory("graft-compact-nomark").toString + "/t"
+    val df = spark.range(500).select(
+      col("id"),
+      concat(lit("row-"), col("id")).as("s")
+    )
+    df.repartition(20).write.mode("overwrite").parquet(dir)
+    val beforeRows = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    val prev = hconf.get(key)
+    hconf.set(key, "false")
+    try {
+      val ok = Tables.compactParquetDir(spark, dir, targetBytes = 64L * 1024)
+      assert(ok.compacted, ok.toString)
+      assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+        == beforeRows)
+    } finally {
+      if (prev == null) hconf.unset(key) else hconf.set(key, prev)
+    }
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("__compacting")), parent.mkString(","))
+    assert(!parent.exists(_.contains("__precompact")), parent.mkString(","))
+  }
+
   test("compactParquetDir: a failed staging write never touches the original") {
     val dir = Files.createTempDirectory("graft-compact-fail").toString + "/t"
     val df = spark.range(500).select(
@@ -239,34 +269,29 @@ class SourcesSpec extends SparkSpec {
       concat(lit("row-"), col("id")).as("s")
     )
     df.repartition(20).write.mode("overwrite").parquet(dir)
-    val beforeRows = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
     val beforeFiles = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
-    // suppress the committer's _SUCCESS marker so the staging write looks
-    // partially failed — the swap gate must refuse and leave the original
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
-    val prev = hconf.get(key)
-    hconf.set(key, "false")
-    try {
-      val e = intercept[java.io.IOException] {
-        Tables.compactParquetDir(spark, dir, targetBytes = 64L * 1024)
-      }
-      assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
-    } finally {
-      if (prev == null) hconf.unset(key) else hconf.set(key, prev)
+    // truncate one source part file AFTER the listing snapshot: the staging
+    // write's scan then fails mid-job, compactParquetDir must throw BEFORE
+    // any swap and leave the original directory exactly as it found it
+    // (no __precompact backup, no replacement)
+    val victim = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    val goodBytes = java.nio.file.Files.readAllBytes(victim.toPath)
+    java.nio.file.Files.write(
+      victim.toPath, goodBytes.take(goodBytes.length / 2)
+    )
+    intercept[Throwable] {
+      Tables.compactParquetDir(spark, dir, targetBytes = 64L * 1024)
     }
-    // original bytes untouched (same file names), content identical,
-    // staging cleaned up
     val afterFiles = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getName).sorted.toSeq
     assert(afterFiles == beforeFiles, "original data files must be untouched")
-    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
-      == beforeRows)
     val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
-    assert(!parent.exists(_.contains("__compacting")), parent.mkString(","))
     assert(!parent.exists(_.contains("__precompact")), parent.mkString(","))
-    // and with the marker restored the same compaction succeeds
+    // restore the corrupted file: the same compaction then succeeds
+    java.nio.file.Files.write(victim.toPath, goodBytes)
+    val beforeRows = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
     val ok = Tables.compactParquetDir(spark, dir, targetBytes = 64L * 1024)
     assert(ok.compacted, ok.toString)
     assert(spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
