@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributional statistics over large columns (north-star extension; no
@@ -48,6 +48,202 @@ object Stats {
       .select("bin", "bin_lo", "bin_hi", "n")
   }
 
+  /** Distributed running (inclusive prefix) sums of `sumCols` over rows
+    * ordered by `orderCol` (within optional `grpCols` groups) WITHOUT any
+    * unpartitioned window — the scale-safe replacement for
+    * `Window.orderBy(...)` over a distinct-value table, whose single task
+    * becomes the bottleneck once the value grid approaches corpus size.
+    *
+    * Three partitioned steps: (1) range-partition by (group, order) so
+    * each task owns a contiguous slice of the order; (2) per-slice partial
+    * totals — a tiny table bounded by `parts` (x groups), whose cumulative
+    * offsets come from a triangular self-join (never a window, so plans
+    * stay free of unpartitioned WindowExec); (3) a per-slice local running
+    * sum plus the broadcast offset. Results are exact integers, invariant
+    * to how the range sampler draws its boundaries.
+    *
+    * `orderCol` must be unique within a group (callers pass pre-grouped
+    * distinct-value tables, so it is). Adds `__run_<c>` = inclusive
+    * running sum for each `c` in `sumCols`; exclusive = `__run_<c> - c`.
+    */
+  private[graft] def rangedRunningSums(
+      df: DataFrame,
+      grpCols: Seq[String],
+      orderCol: String,
+      sumCols: Seq[String],
+      parts: Int = 0
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p =
+      if (parts > 0) parts
+      else
+        math.max(
+          1,
+          math.min(
+            df.sparkSession.sessionState.conf.numShufflePartitions,
+            1000
+          )
+        )
+    val rangeKeys = (grpCols :+ orderCol).map(col)
+    val ranged = df
+      .repartitionByRange(p, rangeKeys: _*)
+      .withColumn("__pid", spark_partition_id())
+    val totalAggs = sumCols.map(c => sum(col(c)).as(s"__t_$c"))
+    val totals = ranged
+      .groupBy((grpCols :+ "__pid").map(col): _*)
+      .agg(totalAggs.head, totalAggs.tail: _*)
+    val lhs = totals.select(
+      grpCols.zipWithIndex.map { case (c, i) => col(c).as(s"__ag_$i") } :+
+        col("__pid").as("__a_pid"): _*
+    )
+    val rhs = totals.select(
+      grpCols.zipWithIndex.map { case (c, i) => col(c).as(s"__bg_$i") } ++
+        Seq(col("__pid").as("__b_pid")) ++
+        sumCols.map(c => col(s"__t_$c").as(s"__bt_$c")): _*
+    )
+    val triCond = grpCols.indices
+      .map(i => lhs(s"__ag_$i") <=> rhs(s"__bg_$i"))
+      .foldLeft(rhs("__b_pid") < lhs("__a_pid"))(_ && _)
+    val offsets = lhs
+      .join(rhs, triCond, "left")
+      .groupBy(
+        (grpCols.indices.map(i => col(s"__ag_$i")) :+ col("__a_pid")): _*
+      )
+      .agg(
+        sumCols.map(c =>
+          coalesce(sum(col(s"__bt_$c")), lit(0L)).as(s"__off_$c")
+        ).head,
+        sumCols.map(c =>
+          coalesce(sum(col(s"__bt_$c")), lit(0L)).as(s"__off_$c")
+        ).tail: _*
+      )
+    val backCond = grpCols.zipWithIndex
+      .map { case (c, i) => ranged(c) <=> offsets(s"__ag_$i") }
+      .foldLeft(ranged("__pid") === offsets("__a_pid"))(_ && _)
+    val w = Window
+      .partitionBy((grpCols :+ "__pid").map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val runs = sumCols.map(c =>
+      (col(s"__off_$c") + sum(col(c)).over(w)).as(s"__run_$c")
+    )
+    ranged
+      .join(broadcast(offsets), backCond)
+      .select(df.columns.map(col) ++ runs: _*)
+  }
+
+  /** Exact per-group percentiles with Spark `percentile` semantics
+    * (ascending sort, position `p * (n-1)`, linear interpolation between
+    * the floor/ceil order statistics) computed WITHOUT the O(rows)
+    * single-task aggregation buffer the builtin needs: one hash aggregate
+    * to the distinct-value table, a [[rangedRunningSums]] prefix pass, and
+    * a broadcast range-join of the tiny (group x prob) target-rank table
+    * against it. Exactly one distinct-value row owns each target rank, so
+    * the join is 1:1. NULL values are excluded (builtin semantics);
+    * groups whose values are all NULL simply don't appear — callers that
+    * must keep them left-join from their own group list.
+    *
+    * Returns one row per group: grpCols..., `__pcts` array<double> in
+    * `probs` order (interpolation reproduces the builtin's
+    * `lo*(hi-pos) + hi*(pos-lo)` evaluation order bit-for-bit).
+    */
+  private[graft] def exactPercentileBounds(
+      df: DataFrame,
+      grpCols: Seq[String],
+      valueCol: String,
+      probs: Seq[Double]
+  ): DataFrame = {
+    require(probs.nonEmpty, "at least one percentile required")
+    require(probs.forall(p => p >= 0 && p <= 1), "probs must be in [0, 1]")
+    val base = df
+      .select(
+        grpCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*
+      )
+      .filter(col("__v").isNotNull)
+    val counts = base
+      .groupBy((grpCols :+ "__v").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val runs = rangedRunningSums(counts, grpCols, "__v", Seq("__c"))
+      .withColumn("__lo_rank", col("__run___c") - col("__c"))
+    val ntab = counts
+      .groupBy(grpCols.map(col): _*)
+      .agg(sum("__c").as("__n"))
+    val probEntries = probs.zipWithIndex.map { case (pr, i) =>
+      struct(lit(i).as("__i"), lit(pr).as("__p"))
+    }
+    val targets = ntab
+      .select(
+        grpCols.map(col) ++ Seq(
+          col("__n"),
+          explode(array(probEntries: _*)).as("__pe")
+        ): _*
+      )
+      .select(
+        grpCols.map(col) ++ Seq(
+          col("__pe.__i").as("__i"),
+          (col("__pe.__p") * (col("__n") - 1).cast("double")).as("__pos")
+        ): _*
+      )
+      .withColumn("__klo", floor(col("__pos")).cast("long"))
+      .withColumn("__khi", ceil(col("__pos")).cast("long"))
+    def rankJoin(rank: Column, out: String): DataFrame = {
+      val tg = targets.select(
+        grpCols.zipWithIndex.map { case (c, i) => col(c).as(s"__tg_$i") } ++
+          Seq(col("__i"), col("__pos"), col("__klo"), col("__khi")): _*
+      )
+      val cond = grpCols.indices
+        .map(i => runs(grpCols(i)) <=> tg(s"__tg_$i"))
+        .foldLeft(
+          runs("__lo_rank") <= rank && rank < runs("__run___c")
+        )(_ && _)
+      runs
+        .join(broadcast(tg), cond)
+        .select(
+          grpCols.indices.map(i => tg(s"__tg_$i").as(s"__g_$i")) ++ Seq(
+            tg("__i").as("__i"),
+            tg("__pos").as("__pos"),
+            tg("__klo").as("__klo"),
+            tg("__khi").as("__khi"),
+            runs("__v").as(out)
+          ): _*
+        )
+    }
+    val loSide = rankJoin(col("__klo"), "__vlo")
+    val hiSide = rankJoin(col("__khi"), "__vhi")
+      .select(
+        grpCols.indices.map(i => col(s"__g_$i").as(s"__h_$i")) ++
+          Seq(col("__i").as("__hi_i"), col("__vhi")): _*
+      )
+    val pairCond = grpCols.indices
+      .map(i => loSide(s"__g_$i") <=> hiSide(s"__h_$i"))
+      .foldLeft(loSide("__i") === hiSide("__hi_i"))(_ && _)
+    val interp = loSide
+      .join(hiSide, pairCond)
+      .select(
+        grpCols.indices.map(i => col(s"__g_$i")) ++ Seq(
+          col("__i"),
+          when(col("__klo") === col("__khi"), col("__vlo"))
+            .otherwise(
+              col("__vlo") * (col("__khi").cast("double") - col("__pos")) +
+                col("__vhi") * (col("__pos") - col("__klo").cast("double"))
+            )
+            .as("__val")
+        ): _*
+      )
+    interp
+      .groupBy(grpCols.indices.map(i => col(s"__g_$i")): _*)
+      .agg(
+        transform(
+          sort_array(collect_list(struct(col("__i"), col("__val")))),
+          s => s.getField("__val")
+        ).as("__pcts")
+      )
+      .select(
+        grpCols.zipWithIndex.map { case (c, i) => col(s"__g_$i").as(c) } :+
+          col("__pcts"): _*
+      )
+  }
+
   /** Winsorize `valueCol` within each group: clip to the group's exact
     * [pLow, pHigh] percentiles (linear interpolation, bounds rounded to 6
     * decimals so the clip thresholds are engine-reproducible). Adds
@@ -69,20 +265,46 @@ object Stats {
       pLow >= 0 && pHigh <= 1 && pLow < pHigh,
       "need 0 <= pLow < pHigh <= 1"
     )
-    // exact `percentile` buffers every value of a group in its aggregation
-    // state — fine to tens of millions of rows per group, a memory hazard
-    // at corpus scale. The DEFAULT is the mergeable percentile_approx
-    // sketch (O(accuracy) state), the 100 TB path; exact = true is for
-    // engine-reproducible oracle checking at test scale.
-    def pct(p: Double) =
-      if (exact) expr(s"percentile($valueCol, ${p}D)")
-      else expr(s"percentile_approx($valueCol, ${p}D, 10000)")
-    val bounds = df
-      .groupBy(groupCols.map(col): _*)
-      .agg(
-        round(pct(pLow), 6).as("__p_lo"),
-        round(pct(pHigh), 6).as("__p_hi")
-      )
+    // The DEFAULT is the mergeable percentile_approx sketch (O(accuracy)
+    // state), the 100 TB path; exact = true gives the builtin-identical
+    // engine-reproducible bounds for oracle checking — computed via
+    // [[exactPercentileBounds]] (distinct-value table + partitioned
+    // prefix sums), NOT the builtin `percentile`, whose O(group rows)
+    // single-task aggregation buffer is a memory wall at corpus scale.
+    val bounds =
+      if (!exact)
+        df.groupBy(groupCols.map(col): _*)
+          .agg(
+            round(expr(s"percentile_approx($valueCol, ${pLow}D, 10000)"), 6)
+              .as("__p_lo"),
+            round(expr(s"percentile_approx($valueCol, ${pHigh}D, 10000)"), 6)
+              .as("__p_hi")
+          )
+      else {
+        val pb = exactPercentileBounds(df, groupCols, valueCol,
+          Seq(pLow, pHigh))
+          .select(
+            groupCols.zipWithIndex.map { case (c, i) =>
+              col(c).as(s"__pb_$i")
+            } ++ Seq(
+              round(element_at(col("__pcts"), 1), 6).as("__p_lo"),
+              round(element_at(col("__pcts"), 2), 6).as("__p_hi")
+            ): _*
+          )
+        // groups whose values are all NULL have no percentile rows but
+        // must keep their data rows (with NULL bounds -> no clipping),
+        // exactly like the builtin aggregate's NULL result
+        val groups = df.select(groupCols.map(col): _*).distinct()
+        val cond = groupCols.zipWithIndex
+          .map { case (c, i) => groups(c) <=> pb(s"__pb_$i") }
+          .reduce(_ && _)
+        groups
+          .join(pb, cond, "left")
+          .select(
+            groupCols.map(groups(_)) ++
+              Seq(col("__p_lo"), col("__p_hi")): _*
+          )
+      }
     df.join(broadcast(bounds), groupCols)
       .withColumn(
         s"${valueCol}_wins",
@@ -402,11 +624,12 @@ object Stats {
     * magnitude already exceeds the decimal budget.
     *
     * Scale shape: one hash aggregate groups rows by (rounded) score —
-    * map-side combined, the only pass over the data; the running-count
-    * window then orders the DISTINCT-SCORE table only (bounded as
-    * above, NOT by corpus size — the same single-partition-but-tiny
-    * window as the token-budget prefix), and one more one-row aggregate
-    * finishes. Never a global sort of rows.
+    * map-side combined, the only pass over the data; the running counts
+    * over the DISTINCT-SCORE table come from [[rangedRunningSums]]'s
+    * partitioned two-pass prefix sum (range-partition, per-slice totals,
+    * broadcast offsets) — NO unpartitioned window anywhere, so even a
+    * score grid approaching corpus size never collapses onto one task;
+    * one more one-row aggregate finishes. Never a global sort of rows.
     */
   def aucRoc(
       df: DataFrame,
@@ -428,11 +651,10 @@ object Stats {
         sum(when(col("__l"), 1L).otherwise(0L)).as("__p"),
         count(lit(1)).as("__c")
       )
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("__s")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val ranked = byScore
-      .withColumn("__before", coalesce(sum("__c").over(w), lit(0L)))
+    // partitioned two-pass prefix sum — never an unpartitioned window,
+    // so a fine score grid cannot collapse the rank pass onto one task
+    val ranked = rangedRunningSums(byScore, Nil, "__s", Seq("__c"))
+      .withColumn("__before", col("__run___c") - col("__c"))
     // decimal BEFORE the multiply: p and before are each up to corpus
     // cardinality, so the product overflows long at multi-billion rows
     val dp = col("__p").cast("decimal(38,0)")
@@ -546,17 +768,16 @@ object Stats {
     * engine-identical, rounded to `scale`.
     *
     * Scale shape: one hash aggregate groups rows by (rounded) value —
-    * map-side combined, the only pass over the data; the running-count
-    * window then orders the DISTINCT-VALUE table (single-partition, the
-    * [[aucRoc]] shape), and one struct-max aggregate finishes. NOTE the
-    * distinct-value bound `range(value) * 10^valueDecimals` is what
-    * keeps that window small, and the default 6 only helps columns that
-    * are already coarse (probabilities, 2-dp currency): for a
-    * CONTINUOUS unbounded column the distinct table approaches corpus
-    * size and the window becomes a single-task bottleneck — LOWER
-    * `valueDecimals` (negative rounds to tens/hundreds) until the grid
-    * is bounded. KS on the quantized grid is still the exact KS of the
-    * quantized variable; both samples quantize identically, so no
+    * map-side combined, the only pass over the data; the running counts
+    * over the DISTINCT-VALUE table come from [[rangedRunningSums]]'s
+    * partitioned prefix sum (the [[aucRoc]] shape — no unpartitioned
+    * window, so a continuous column cannot collapse the rank pass onto
+    * one task), and one struct-max aggregate finishes. `valueDecimals`
+    * still bounds the distinct grid (`range(value) * 10^valueDecimals`)
+    * and remains worth lowering for CONTINUOUS unbounded columns — a
+    * smaller grid is cheaper everywhere even though it is no longer a
+    * single-task hazard. KS on the quantized grid is still the exact KS
+    * of the quantized variable; both samples quantize identically, so no
     * spurious drift is introduced. */
   def ksTwoSample(
       a: DataFrame,
@@ -578,12 +799,11 @@ object Stats {
         sum(col("__a").cast("long")).as("__ca"),
         sum(col("__b").cast("long")).as("__cb")
       )
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy("__v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val ranked = grouped
-      .withColumn("__ra", sum("__ca").over(w))
-      .withColumn("__rb", sum("__cb").over(w))
+    // partitioned two-pass prefix sums over the distinct-value table —
+    // never an unpartitioned window (the [[rangedRunningSums]] shape)
+    val ranked = rangedRunningSums(grouped, Nil, "__v", Seq("__ca", "__cb"))
+      .withColumn("__ra", col("__run___ca"))
+      .withColumn("__rb", col("__run___cb"))
     val totals = grouped.agg(
       sum("__ca").as("__na"),
       sum("__cb").as("__nb")
@@ -783,16 +1003,34 @@ object Stats {
     require(df.columns.contains(valueCol), s"no such column: $valueCol")
     val outName = if (outCol.nonEmpty) outCol else s"${valueCol}_bin"
     val pcts = (1 until nBins).map(i => i.toDouble / nBins)
-    // same exact-vs-sketch tradeoff as [[winsorize]]: exact percentile
-    // state is O(rows) in ONE global aggregation task (the scale wall),
-    // percentile_approx is O(accuracy) and mergeable — hence the default
-    val pctExpr =
-      if (exact) s"percentile($valueCol, array(${pcts.mkString(", ")}))"
-      else
-        s"transform(percentile_approx($valueCol, array(${pcts.mkString(", ")}), 10000), x -> cast(x as double))"
-    val bounds = df.agg(
-      expr(s"transform($pctExpr, x -> round(x, 6))").as("__bounds")
-    )
+    // same exact-vs-sketch tradeoff as [[winsorize]]: the approx default
+    // is the mergeable O(accuracy) sketch; exact = true uses
+    // [[exactPercentileBounds]] (distinct values + partitioned prefix
+    // sums) instead of the builtin `percentile`, whose O(rows) state in
+    // ONE global aggregation task is the scale wall
+    val bounds =
+      if (!exact)
+        df.agg(
+          expr(
+            s"transform(transform(percentile_approx($valueCol, array(${pcts
+                .mkString(", ")}), 10000), x -> cast(x as double)), x -> round(x, 6))"
+          ).as("__bounds")
+        )
+      else {
+        val pb = exactPercentileBounds(df, Nil, valueCol, pcts)
+          .select(
+            transform(col("__pcts"), x => round(x, 6)).as("__bounds"),
+            lit(1).as("__k")
+          )
+        // an all-NULL (or empty) column yields no percentile row; the
+        // builtin returns one row with a NULL array — reproduce that so
+        // the crossJoin below never silently drops the data side
+        df.sparkSession
+          .range(1)
+          .select(lit(1).as("__k"))
+          .join(pb, Seq("__k"), "left")
+          .drop("__k")
+      }
     df.crossJoin(broadcast(bounds))
       .withColumn(
         outName,

@@ -777,6 +777,36 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("rank-based stats plan NO unpartitioned WindowExec anywhere") {
+    // aucRoc/ksTwoSample/exact equi-depth & winsorize run their rank pass
+    // through Stats.rangedRunningSums (range-partition + per-slice totals
+    // + broadcast offsets); an unpartitioned Window over the distinct
+    // table would collapse it back onto one task at a fine value grid
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val self = p match {
+        case w: WindowExec => Seq(w)
+        case _             => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case _                        => p.children
+      }
+      self ++ kids.flatMap(windows)
+    }
+    Seq("q_auc", "q_ks_test", "q_equidepth", "q_winsorize").foreach { q =>
+      val exec =
+        SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
+      val bad = windows(exec).filter(_.partitionSpec.isEmpty)
+      assert(
+        bad.isEmpty,
+        s"$q plans ${bad.size} unpartitioned WindowExec node(s):\n$exec"
+      )
+    }
+  }
+
   test("domain reweight: only the domain aggregate shuffles, totals broadcast") {
     val p = plan("q_domain_reweight")
     assert(p.contains("partial_count"), s"expected map-side combine:\n$p")
