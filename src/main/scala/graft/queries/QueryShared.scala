@@ -325,7 +325,7 @@ private[graft] object QueryShared {
   /** Fixed BPE merge table for q_bpe_apply: rank-ordered (left, right)
     * rules inlined as literals into BOTH the Spark plan and the oracle's
     * recursive CTE, so min-rank merge application is SQL-expressible
-    * (training stays rows-gated under q_bpe — the iterative pair-count
+    * (training is ALSO fully oracled via [[duckBpeTrainCte]] — the round
     * argmax has no SQL form). Hand-chosen common-English pairs so the
     * rules actually fire on the fixture corpus, including one cascading
     * chain (t,h) -> (th,e) and the end-of-word rule (e,</w>). */
@@ -353,21 +353,103 @@ private[graft] object QueryShared {
     val values = BpeFixedMerges
       .map { case (r, a, b) => s"($r, '$a', '$b')" }
       .mkString(", ")
+    duckBpeApplyFrom(s"merges(rank, l, r) AS (\n  VALUES $values\n)")
+  }
+
+  /** BPE TRAINING rounds unrolled as chained CTEs — `bpeMerges` runs a
+    * FIXED number of rounds, so unlike iterative-until-convergence loops
+    * the whole training IS SQL-expressible: per round, adjacent symbol
+    * pairs of the cell-string dictionary (weighted by word frequency) are
+    * counted, the (count DESC, pair ASC) argmax picked, and one
+    * non-overlapping left-to-right `replace` applies the merge — exactly
+    * the operator's greedy fold. Defines `tr_occ`/`enc0..encN` and
+    * `best0..bestN-1`; compose with [[duckBpeTrainCte]] (the merge
+    * table itself) or a derived `merges` CTE feeding
+    * [[duckBpeApplyFrom]] (train->apply end-to-end). */
+  def duckBpeTrainRounds(numMerges: Int): String = {
+    def round(r: Int): String =
+      s""", syms$r AS (
+         |  SELECT string_split(substr(s, 2, len(s) - 2), chr(3) || chr(2)) AS y,
+         |         n
+         |  FROM enc$r
+         |), pairs$r AS (
+         |  SELECT y[CAST(i AS INT)] AS a, y[CAST(i AS INT) + 1] AS b,
+         |         SUM(n) AS total
+         |  FROM syms$r, unnest(range(1, len(y))) AS t(i)
+         |  GROUP BY 1, 2
+         |), best$r AS (
+         |  SELECT a, b, total FROM pairs$r ORDER BY total DESC, a, b LIMIT 1
+         |), enc${r + 1} AS (
+         |  SELECT replace(e.s, chr(2) || q.a || chr(3) || chr(2) || q.b || chr(3),
+         |                 chr(2) || q.a || q.b || chr(3)) AS s,
+         |         e.n
+         |  FROM enc$r e, best$r q
+         |)""".stripMargin
+    s"""tr_occ AS (
+       |  SELECT w, count(*) AS n FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents WHERE text IS NOT NULL
+       |  ) WHERE len(w) > 0 GROUP BY w
+       |), enc0 AS (
+       |  SELECT regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g')
+       |           || chr(2) || '</w>' || chr(3) AS s,
+       |         n
+       |  FROM tr_occ
+       |)""".stripMargin + (0 until numMerges).map(round).mkString
+  }
+
+  /** Standalone DuckDB oracle for q_bpe: the trained merge table
+    * (merge_rank, left, right, pair_count) from [[duckBpeTrainRounds]]. */
+  def duckBpeTrainCte(numMerges: Int): String = {
+    val union = (0 until numMerges)
+      .map(r => s"SELECT $r AS rank, a, b, total FROM best$r")
+      .mkString("\n  UNION ALL ")
+    // concat, NOT an outer stripMargin: the interpolated rounds contain
+    // `|| chr(2)` continuation lines whose leading pipe stripMargin would
+    // eat, corrupting the SQL
+    s"WITH ${duckBpeTrainRounds(numMerges)}\n" +
+      s"""SELECT CAST(rank AS INT) AS merge_rank, a AS "left", b AS "right",
+         |       CAST(total AS BIGINT) AS pair_count
+         |FROM (
+         |  __UNION__
+         |)
+         |ORDER BY merge_rank""".stripMargin.replace("__UNION__", union)
+  }
+
+  /** End-to-end train->apply oracle: [[duckBpeTrainRounds]] derives the
+    * merge table, then the [[duckBpeApplyFrom]] min-rank replay encodes
+    * the corpus under it — the composition that was previously only
+    * ScalaTest-gated. */
+  def duckBpeTrainApplyCte(numMerges: Int): String = {
+    val union = (0 until numMerges)
+      .map(r => s"SELECT $r AS rank, a AS l, b AS r FROM best$r")
+      .mkString("\n  UNION ALL ")
+    // concat, NOT stripMargin over the interpolated rounds (see
+    // duckBpeTrainCte note)
+    duckBpeApplyFrom(
+      duckBpeTrainRounds(numMerges) + s", merges AS (\n  $union\n)"
+    )
+  }
+
+  /** Shared min-rank BPE ENCODE replay (see [[duckBpeApplyCte]] doc):
+    * `mergesCte` must define `merges(rank, l, r)`. */
+  private def duckBpeApplyFrom(mergesCte: String): String = {
     // cell pattern for rule m: chr(2)||l||chr(3)||chr(2)||r||chr(3)
     def pat(m: String) =
       s"chr(2) || $m.l || chr(3) || chr(2) || $m.r || chr(3)"
-    s"""WITH RECURSIVE merges(rank, l, r) AS (
-       |  VALUES $values
-       |), words AS (
+    // __MERGES__ substituted AFTER stripMargin: an interpolated merges
+    // CTE can contain `|| chr(2)` continuation lines whose leading pipe
+    // stripMargin would eat
+    s"""WITH RECURSIVE __MERGES__, words AS (
        |  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS w
        |  FROM documents WHERE text IS NOT NULL
-       |), enc0 AS (
+       |), ap_enc AS (
        |  SELECT w,
        |         regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g')
        |           || chr(2) || '</w>' || chr(3) AS s
        |  FROM words WHERE len(w) > 0
        |), rec AS (
-       |  SELECT w, s FROM enc0
+       |  SELECT w, s FROM ap_enc
        |  UNION ALL
        |  SELECT x.w,
        |         replace(x.s, ${pat("m")},
@@ -402,7 +484,7 @@ private[graft] object QueryShared {
        |       coalesce(counts.bpe_tokens, 0) AS bpe_tokens
        |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
        |LEFT JOIN counts ON d.doc_id = counts.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |ORDER BY d.doc_id""".stripMargin.replace("__MERGES__", mergesCte)
   }
 
   /** Fixed unigram piece model for q_unigram_apply: (piece, logprob)

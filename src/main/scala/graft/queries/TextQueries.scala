@@ -328,18 +328,36 @@ private[graft] object TextQueries {
     }),
 
     // BPE merge-rule training on the corpus word dictionary (8 rounds).
-    // The greedy per-word merge fold is iterative and not SQL-expressible
-    // -> rows-only gate (same policy as q_equidepth_sketch); the merge
-    // sequence itself is hand-verified in ScaleSpec.
+    // Full hash oracle: the round count is FIXED, so the training loop —
+    // unlike iterative-until-convergence EM — unrolls into 8 chained
+    // DuckDB CTEs (pair count -> argmax -> left-to-right merge), each
+    // replaying the operator's round exactly (QueryShared
+    // .duckBpeTrainCte). The merge sequence is additionally hand-verified
+    // in ScaleSpec on the classic Sennrich example.
     "q_bpe" -> ((s, dir) => {
       TextAnalysis.bpeMerges(t(s, dir, "documents"), "text", numMerges = 8)
+    }),
+
+    // train -> apply END-TO-END: encode the corpus under the merges just
+    // trained on it. Previously only ScalaTest-gated; the oracle chains
+    // the unrolled training CTEs into the min-rank encode replay.
+    "q_bpe_train_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .bpeTokenCounts(
+          docs,
+          "doc_id",
+          "text",
+          TextAnalysis.bpeMerges(docs, "text", numMerges = 8)
+        )
+        .orderBy("doc_id")
     }),
 
     // true-BPE token counts under the FIXED literal merge table
     // (QueryShared.BpeFixedMerges): min-rank merge application over the
     // distinct-word dictionary IS SQL-expressible given the rules as
     // literals, so this carries a full recursive-CTE oracle. Training
-    // stays rows-gated under q_bpe, and the train->apply composition is
+    // is now fully oracled too (q_bpe), and the train->apply composition is
     // hand-verified in ScaleSpec on the classic Sennrich example.
     "q_bpe_apply" -> ((s, dir) => {
       import s.implicits._
@@ -1031,7 +1049,9 @@ private[graft] object TextQueries {
         |       coalesce(a.bm25, 0.0) AS bm25
         |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    "q_bpe" -> duckBpeTrainCte(8),
     "q_bpe_apply" -> duckBpeApplyCte,
+    "q_bpe_train_apply" -> duckBpeTrainApplyCte(8),
 
     "q_unigram_apply" -> duckUnigramApplyCte
   )
