@@ -237,14 +237,31 @@ object Streaming {
     * The first start initializes the store from `reference`'s signatures;
     * a restart finds the store populated and does NOT re-sign the
     * reference — accepted history carries over, the durable upgrade the
-    * in-memory variant documents. foreachBatch is at-least-once: a
-    * replayed batch can append its survivors' signatures a second time,
-    * which cannot flip any later dedup decision (a duplicate signature
-    * only collides with itself) — it costs storage; compact the store
-    * with [[graft.sources.Tables.compactParquetDir]] between drains if
-    * replays accumulate. The per-batch dataflow — and therefore the
+    * in-memory variant documents.
+    *
+    * ==Crash recovery==
+    * Pass a `checkpointDir` so a restarted drain resumes from the failed
+    * batch instead of re-reading the whole source. foreachBatch is
+    * at-least-once, and the per-batch order here is deliberate — EMIT to
+    * the sink, THEN append the survivors' signatures to the store — so
+    * both possible crash windows are benign:
+    *   - crash between emission and the append: the replayed batch finds
+    *     the store unchanged, recomputes the identical survivor set, and
+    *     re-emits it (a duplicate delivery, the standard at-least-once
+    *     contract) before appending once;
+    *   - crash between the append and the checkpoint commit: the replayed
+    *     batch's documents collide with their own stored signatures, so
+    *     the replay emits nothing and appends nothing — no duplicate
+    *     admissions.
+    * The REVERSED order would silently LOSE a batch (admitted to the
+    * store before the crash, dropped against its own signatures on
+    * replay, never delivered). Duplicate signature rows from replays cost
+    * only storage — compact with
+    * [[graft.sources.Tables.compactParquetDir]] between drains if they
+    * accumulate. The per-batch dataflow — and therefore the
     * accepted-document stream — is identical to [[nearDedupIngest]]
-    * (asserted batch-for-batch in the streaming suite's long drain).
+    * (asserted batch-for-batch in the streaming suite's long drain, and
+    * under a mid-drain crash + restart in the crash-recovery test).
     */
   def nearDedupIngestDurable(
       docs: DataFrame,
@@ -256,7 +273,8 @@ object Streaming {
       shingleK: Int = 1,
       numHashes: Int = 16,
       bands: Int = 4,
-      portable: Boolean = true
+      portable: Boolean = true,
+      checkpointDir: String = ""
   )(sink: DataFrame => Unit): Unit = {
     import graft.operators.Dedup
     val spark = docs.sparkSession
@@ -273,9 +291,12 @@ object Streaming {
       Dedup
         .minHashSignatures(reference, idCol, textCol, shingleK, numHashes, portable)
         .write.mode("overwrite").parquet(storePath)
-    val q = docs.writeStream
+    val writer = docs.writeStream
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
+    val q = (if (checkpointDir.nonEmpty)
+               writer.option("checkpointLocation", checkpointDir)
+             else writer)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val sigStore = spark.read.parquet(storePath)
@@ -287,10 +308,12 @@ object Streaming {
             // materialize BEFORE the store append: the survivors' plan
             // reads storePath, and their signatures are about to land there
             .localCheckpoint()
+          // emit BEFORE the append — crash-window analysis in the scaladoc:
+          // append-first would lose the batch on a crash between the two
+          sink(survivors)
           Dedup
             .minHashSignatures(survivors, idCol, textCol, shingleK, numHashes, portable)
             .write.mode("append").parquet(storePath)
-          sink(survivors)
         }
       }
       .start()

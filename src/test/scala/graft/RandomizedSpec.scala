@@ -421,6 +421,218 @@ class RandomizedSpec extends SparkSpec {
     assert(got.values.sum == 500L, "clamping must conserve the row count")
   }
 
+  // --- dedup/text family brute replays -------------------------------
+
+  /** Driver-side replay of the portable MinHash spec (md5 60-bit prefix
+    * seeds, 16 components mod 1e9+7) — an independent implementation of
+    * the documented hash contract, shared by the two MinHash tests. */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+
+  private val MinHashP = 1000000007L
+
+  private def bruteSignature(text: String, numHashes: Int): Vector[Long] = {
+    val toks = text.toLowerCase.split(" ", -1).toVector
+    (0 until numHashes).map { j =>
+      toks.map { t =>
+        val h = md5hex(t)
+        val a = java.lang.Long.parseLong(h.substring(0, 15), 16)
+        val b = java.lang.Long.parseLong(h.substring(15, 30), 16) % MinHashP
+        (a + j * b) % MinHashP
+      }.min
+    }.toVector
+  }
+
+  test("dedupNearMinHash equals the brute MinHash replay on random corpora") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(4242)
+    val vocab =
+      Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    // duplicate-heavy: tiny vocabulary + frequent copy/permute of earlier
+    // docs forces exact-signature clusters, near pairs, transitive chains
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val docs: Seq[(Long, String)] = (1 to 120).map { i =>
+      val text =
+        if (rnd.nextInt(6) == 0 && i > 1) null // null docs always retained
+        else if (rnd.nextInt(3) == 0 && texts.nonEmpty) {
+          val base = texts(rnd.nextInt(texts.size)).split(" ").toVector
+          val t = rnd.nextInt(3) match {
+            case 0 => rnd.shuffle(base).mkString(" ")         // permutation
+            case 1 => (base :+ vocab(rnd.nextInt(8))).mkString(" ")
+            case _ => base.mkString(" ")                       // exact copy
+          }
+          t
+        } else
+          (0 until (3 + rnd.nextInt(5)))
+            .map(_ => vocab(rnd.nextInt(8)))
+            .mkString(" ")
+      if (text != null) texts += text
+      (i.toLong, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+
+    val sigs = docs.collect { case (id, t) if t != null => id -> bruteSignature(t, 16) }
+    // band bucket key = the slice CONTENT (lshBands hashes only the slice,
+    // not the band index — cross-band equal slices share a bucket)
+    val buckets = sigs
+      .flatMap { case (id, s) =>
+        (0 until 4).map(b => s.slice(b * 4, b * 4 + 4).mkString("|") -> id)
+      }
+      .groupBy(_._1)
+      .values
+      .map(_.map(_._2).distinct.sorted)
+    val candPairs = buckets
+      .filter(_.size > 1)
+      .flatMap(ids => ids.tail.map(o => (ids.head, o)))
+      .toSet
+    val sigOf = sigs.toMap
+    def est(x: Long, y: Long): Double =
+      sigOf(x).zip(sigOf(y)).count { case (a, b) => a == b } / 16.0
+    val exactLosers = sigs
+      .groupBy(_._2)
+      .values
+      .flatMap(g => g.map(_._1).sorted.tail)
+      .toSet
+
+    for (threshold <- Seq(0.5, 0.9); transitive <- Seq(false, true)) {
+      val qual = candPairs.filter { case (a, b) => est(a, b) >= threshold }
+      val nearLosers =
+        if (!transitive) qual.map(_._2)
+        else {
+          // union-find over qualifying pairs; losers = id > component min
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            val p = parent.getOrElseUpdate(x, x)
+            if (p == x) x else { val r = find(p); parent(x) = r; r }
+          }
+          qual.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          parent.keys.filter(x => find(x) != x).toSet
+        }
+      val want = docs.map(_._1).toSet -- exactLosers -- nearLosers
+      val got = Dedup
+        .dedupNearMinHash(
+          df, "doc_id", "text", threshold,
+          shingleK = 1, numHashes = 16, bands = 4,
+          portable = true, transitive = transitive
+        )
+        .select("doc_id")
+        .collect()
+        .map(_.getLong(0))
+        .toSet
+      assert(
+        got == want,
+        s"threshold=$threshold transitive=$transitive: " +
+          s"extra=${got -- want} missing=${want -- got}"
+      )
+    }
+  }
+
+  test("spanDedup equals the brute L-gram keeper/coverage replay") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(909)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val L = 3
+    // highly repetitive docs so grams repeat within AND across documents;
+    // includes docs shorter than L (no grams -> nothing removable) and
+    // exact full-document duplicates
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val docs: Seq[(Long, String)] = (1 to 60).map { i =>
+      val text =
+        if (rnd.nextInt(5) == 0 && texts.nonEmpty)
+          texts(rnd.nextInt(texts.size)) // exact duplicate
+        else
+          (0 until (1 + rnd.nextInt(25)))
+            .map(_ => vocab(rnd.nextInt(vocab.size)))
+            .mkString(" ")
+      texts += text
+      (i.toLong, text)
+    }
+    val toksOf = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split(" ", -1).toVector
+    }.toMap
+    // gram occurrences -> keeper (min (id, pos)) -> covered positions
+    val occ = docs.flatMap { case (id, _) =>
+      val tk = toksOf(id)
+      if (tk.size < L) Seq.empty
+      else (0 to tk.size - L).map(p => (tk.slice(p, p + L).mkString(" "), id, p))
+    }
+    val covered = occ
+      .groupBy(_._1)
+      .values
+      .filter(_.size > 1)
+      .flatMap { os =>
+        val keeper = os.map(o => (o._2, o._3)).min
+        os.filter(o => (o._2, o._3) != keeper)
+          .flatMap(o => (o._3 until o._3 + L).map(p => (o._2, p)))
+      }
+      .toSet
+    val want = docs.map { case (id, _) =>
+      val tk = toksOf(id)
+      val kept = tk.indices.filterNot(p => covered((id, p))).map(tk)
+      (id, tk.size.toLong, (tk.size - kept.size).toLong,
+        md5hex(kept.mkString(" ")))
+    }.toSet
+    val got = TextAnalysis
+      .spanDedup(docs.toDF("doc_id", "text"), "doc_id", "text", spanTokens = L)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong, r.getString(3)))
+      .toSet
+    assert(got == want, s"extra=${got.diff(want)} missing=${want.diff(got)}")
+  }
+
+  test("stripBoilerplate equals the brute distinct-doc-frequency filter") {
+    import graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(31337)
+    val lines = Vector(
+      "copyright footer", "nav menu", "unique insight", "body text",
+      "subscribe now", "article content", "fresh paragraph", "data point"
+    )
+    val docs: Seq[(Long, String)] = (1 to 80).map { i =>
+      val n = 1 + rnd.nextInt(6)
+      // repeated units WITHIN a doc exercise the distinct-per-doc counting
+      val units = (0 until n).map(_ => lines(rnd.nextInt(lines.size)))
+      (i.toLong, units.mkString("\n"))
+    }
+    val n = docs.size.toLong
+    for ((maxDocs, frac) <- Seq((10L, 0.0), (5L, 0.25))) {
+      val threshold =
+        if (frac <= 0) maxDocs
+        else {
+          val ppm = math.round(frac * 1000000L)
+          math.max(maxDocs, (ppm * n + 999999L) / 1000000L)
+        }
+      val docFreq = docs
+        .flatMap { case (id, t) => t.split("\n", -1).distinct.map(_ -> id) }
+        .groupBy(_._1)
+        .map { case (u, xs) => u -> xs.size.toLong }
+      val hot = docFreq.filter(_._2 > threshold).keySet
+      val want = docs.map { case (id, t) =>
+        val units = t.split("\n", -1).toVector
+        val kept = units.filterNot(hot)
+        (id, kept.mkString("\n"), units.size, units.size - kept.size)
+      }.toSet
+      val got = TextAnalysis
+        .stripBoilerplate(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          maxDocs = maxDocs, maxDocFraction = frac
+        )
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+        .toSet
+      assert(
+        got == want,
+        s"maxDocs=$maxDocs frac=$frac diff=${got.diff(want)} / ${want.diff(got)}"
+      )
+    }
+  }
+
   test("hilbertIndex is a bijection on the full grid; consecutive codes are grid-adjacent") {
     val bits = 5 // full 32x32 grid = 1024 cells
     val grid = for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong)
