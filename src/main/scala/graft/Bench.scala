@@ -22,7 +22,9 @@ import org.apache.spark.sql.SparkSession
   *  - SPARK_GRAFT_WARM_DIR warmup data directory (default: sibling sf0.001
   *    of the SF dir's parent, falling back to the SF dir itself)
   *  - SPARK_GRAFT_NO_WARM  set to skip the per-query warmup pass
-  *  - SPARK_GRAFT_NO_THROUGHPUT set to skip the 10x pipeline entry
+  *  - SPARK_GRAFT_NO_THROUGHPUT set to skip the 10x pipeline entries
+  *  - SPARK_GRAFT_THROUGHPUT_RUNS interleaved passes per throughput entry
+  *    (default 3); the reported figure is the minimum-of-passes
   *  - SPARK_GRAFT_BENCH_OUT path for the full JSON artifact (default
   *    ./bench_full.json) — the stdout line gets tail-truncated by the
   *    driver's capture, the file keeps every per-query median
@@ -127,81 +129,124 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None, _) => v }.sum
     val totalMin = results.collect { case (_, _, None, samples) => samples.min }.sum
-    // throughput entry: ONE timed pass (the corpus is 10x, medians would
-    // triple the bench budget for a figure that is shuffle-bound, not
-    // scheduler-noise-bound)
-    val throughput =
-      if (sys.env.contains("SPARK_GRAFT_NO_THROUGHPUT")) "null"
-      else {
-        try {
-          import org.apache.spark.sql.functions.col
-          import graft.operators.{Decontam, Dedup, Splits, Stress, TextAnalysis}
-          val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-            .select("doc_id", "text")
-          val stressed = Stress
-            .selfUnionSkewed(docs, "doc_id", copies = 10, idStride = 1000000L,
-              hotId = 0L, hotCopies = 90)
-            .localCheckpoint() // charge the pipeline, not the amplification
-          val nRows = stressed.count()
-          val holdout = docs.filter(col("doc_id") % 10 === 0)
-          val t0 = System.nanoTime()
-          val deduped = Dedup.dedupNearMinHash(
-            stressed.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
-            threshold = 0.9, shingleK = 1, numHashes = 16, bands = 4)
-          val clean = Decontam.decontaminate(deduped, holdout, "doc_id", "text", n = 4)
-          val scored = TextAnalysis.qualityScore(clean, "text")
-            .filter(col("quality") >= 0.5)
-          val split = Splits.hashSplit(
-            scored, "doc_id", Seq("train" -> 0.8, "val" -> 0.1), defaultLabel = "test")
-          val out = Splits
-            .packSequences(split, "doc_id", "text", "split", blockTokens = 512)
-            .count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          s"""{"rows":$nRows,"out_rows":$out,"sec":$sec,"rows_per_s":${math.round(nRows / sec)}}"""
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] throughput entry failed: ${e.getMessage}")
-            "null"
-        }
-      }
+    // throughput entries: the round-over-round figures swung ~2x as single
+    // passes (one contention window = one poisoned artifact), so both
+    // pipelines now run SPARK_GRAFT_THROUGHPUT_RUNS (default 3) passes,
+    // INTERLEAVED with each other for the same reason the latency sweeps
+    // are — a window poisons at most one of each entry's samples — and the
+    // headline sec/rows_per_s is the MINIMUM (contention only adds time);
+    // all samples go to the artifact. The 10x self-union is checkpointed
+    // once OUTSIDE the timings: the pipeline is the product, not the
+    // amplification.
+    val tRuns = sys.env.getOrElse("SPARK_GRAFT_THROUGHPUT_RUNS", "3").toInt.max(1)
+    // setup closures so the two entries can interleave pass-by-pass below
+    def pipelineSetup(): (Long, () => Long) = {
+      import org.apache.spark.sql.functions.col
+      import graft.operators.{Decontam, Dedup, Splits, Stress, TextAnalysis}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val stressed = Stress
+        .selfUnionSkewed(docs, "doc_id", copies = 10, idStride = 1000000L,
+          hotId = 0L, hotCopies = 90)
+        .localCheckpoint()
+      val nRows = stressed.count()
+      val holdout = docs.filter(col("doc_id") % 10 === 0)
+      (nRows, () => {
+        val deduped = Dedup.dedupNearMinHash(
+          stressed.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+          threshold = 0.9, shingleK = 1, numHashes = 16, bands = 4)
+        val clean = Decontam.decontaminate(deduped, holdout, "doc_id", "text", n = 4)
+        val scored = TextAnalysis.qualityScore(clean, "text")
+          .filter(col("quality") >= 0.5)
+        val split = Splits.hashSplit(
+          scored, "doc_id", Seq("train" -> 0.8, "val" -> 0.1), defaultLabel = "test")
+        Splits
+          .packSequences(split, "doc_id", "text", "split", blockTokens = 512)
+          .count()
+      })
+    }
     // semantic-stack throughput: the cluster-then-curate path (train a
     // codebook, SemDeDup at 10x amplification, cluster-balanced sample)
-    // — one timed pass over the 10x vector corpus, same budget rationale
-    val semThroughput =
-      if (sys.env.contains("SPARK_GRAFT_NO_THROUGHPUT")) "null"
-      else {
-        try {
-          import org.apache.spark.sql.functions.col
-          import graft.operators.{Dedup, Similarity, Splits, Stress, TopN}
-          val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-            .select("vec_id", "embedding")
-          val stressed = Stress
-            .selfUnionSkewed(emb, "vec_id", copies = 10, idStride = 1000000L)
-            .localCheckpoint()
-          val nRows = stressed.count()
-          val k = 64
-          val t0 = System.nanoTime()
-          val deduped = Dedup.semDeDup(
-            stressed, "vec_id", "embedding", k = k, rounds = 2, threshold = 0.99)
-          val clustered = Similarity.kmeansAssign(
-            deduped, "embedding",
-            Similarity.kmeansTrain(deduped, "vec_id", "embedding", k = k))
-          val out = TopN
-            .firstRow(
-              clustered.withColumn("__bk", Splits.hashBucket(col("vec_id"))),
-              n = 16,
-              partitionBy = Seq(col("cluster")),
-              orderBy = Seq(col("__bk").asc, col("vec_id").asc)
-            )
-            .count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          s"""{"rows":$nRows,"out_rows":$out,"sec":$sec,"rows_per_s":${math.round(nRows / sec)}}"""
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] semantic throughput entry failed: ${e.getMessage}")
-            "null"
+    def semanticSetup(): (Long, () => Long) = {
+      import org.apache.spark.sql.functions.col
+      import graft.operators.{Dedup, Similarity, Splits, Stress, TopN}
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val stressed = Stress
+        .selfUnionSkewed(emb, "vec_id", copies = 10, idStride = 1000000L)
+        .localCheckpoint()
+      val nRows = stressed.count()
+      val k = 64
+      (nRows, () => {
+        val deduped = Dedup.semDeDup(
+          stressed, "vec_id", "embedding", k = k, rounds = 2, threshold = 0.99)
+        val clustered = Similarity.kmeansAssign(
+          deduped, "embedding",
+          Similarity.kmeansTrain(deduped, "vec_id", "embedding", k = k))
+        TopN
+          .firstRow(
+            clustered.withColumn("__bk", Splits.hashBucket(col("vec_id"))),
+            n = 16,
+            partitionBy = Seq(col("cluster")),
+            orderBy = Seq(col("__bk").asc, col("vec_id").asc)
+          )
+          .count()
+      })
+    }
+    var throughput = "null"
+    var semThroughput = "null"
+    if (!sys.env.contains("SPARK_GRAFT_NO_THROUGHPUT")) {
+      // interleave: setup both, then alternate timed passes
+      val pipe = try Some(pipelineSetup()) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] pipeline setup failed: ${e.getMessage}"); None
+      }
+      val sem = try Some(semanticSetup()) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] semantic setup failed: ${e.getMessage}"); None
+      }
+      var pipeOut = 0L
+      var semOut = 0L
+      val pipeSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val semSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var pipeErr = pipe.isEmpty
+      var semErr = sem.isEmpty
+      (1 to tRuns).foreach { _ =>
+        pipe.foreach { case (_, pass) =>
+          if (!pipeErr)
+            try {
+              val t0 = System.nanoTime()
+              pipeOut = pass()
+              pipeSamples += (System.nanoTime() - t0) / 1e9
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] pipeline pass failed: ${e.getMessage}")
+                pipeErr = true
+            }
+        }
+        sem.foreach { case (_, pass) =>
+          if (!semErr)
+            try {
+              val t0 = System.nanoTime()
+              semOut = pass()
+              semSamples += (System.nanoTime() - t0) / 1e9
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] semantic pass failed: ${e.getMessage}")
+                semErr = true
+            }
         }
       }
+      def render(nRows: Long, out: Long, samples: Seq[Double]): String = {
+        val sec = samples.min
+        s"""{"rows":$nRows,"out_rows":$out,"sec":$sec,"rows_per_s":${math
+          .round(nRows / sec)},"samples":[${samples.mkString(",")}]}"""
+      }
+      if (!pipeErr && pipeSamples.nonEmpty)
+        throughput = render(pipe.get._1, pipeOut, pipeSamples.toSeq)
+      if (!semErr && semSamples.nonEmpty)
+        semThroughput = render(sem.get._1, semOut, semSamples.toSeq)
+    }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"errors":$errs,"ok":${results.count(_._3.isEmpty)},"failed":${results.count(_._3.nonEmpty)},"runs":$runs,"throughput":$throughput,"semantic_throughput":$semThroughput,"sf":"$sfDir"}"""
     println(line)

@@ -64,6 +64,20 @@ object ScaleData {
         idCols: Seq[String],
         extra: (DataFrame, Column) => DataFrame = (d, _) => d
     ): DataFrame = {
+      // the int32-safety guard in main covers copies * Stride; the OTHER
+      // factor of the overflow bound is the premise that every INPUT id
+      // is < Stride. Re-amplifying already-amplified output (ids up to
+      // copies * Stride) would silently wrap int32 keys — fail loudly.
+      val maxAggs = idCols.map(c => max(col(c).cast("long")).as(c))
+      val maxRow = df.agg(maxAggs.head, maxAggs.tail: _*).head
+      val maxIn = idCols.indices
+        .map(i => if (maxRow.isNullAt(i)) -1L else maxRow.getLong(i))
+        .max
+      require(
+        maxIn < Stride,
+        s"input ids reach $maxIn >= stride $Stride — input looks already " +
+          "amplified; re-amplification would collide/wrap re-keyed ids"
+      )
       val tagged = df.crossJoin(
         broadcast(spark.range(copies).select(col("id").as("__copy")))
       )

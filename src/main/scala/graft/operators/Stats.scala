@@ -60,7 +60,20 @@ object Stats {
     * offsets come from a triangular self-join (never a window, so plans
     * stay free of unpartitioned WindowExec); (3) a per-slice local running
     * sum plus the broadcast offset. Results are exact integers, invariant
-    * to how the range sampler draws its boundaries.
+    * to WHERE the range sampler draws its boundaries — but only because
+    * the ranged frame is materialized exactly once (localCheckpoint below)
+    * before the plan branches: the totals aggregate and the final probe
+    * join both consume `__pid`, and without the materialization Catalyst's
+    * column pruning gives the two branches DIFFERENT exchange subtrees
+    * whose range samplers can each draw their own boundaries (seeded per
+    * physical RDD), so a probe row's `__pid` need not match the pid its
+    * offset was computed under — silent corruption, and only at the scale
+    * where the sampler stops seeing every row, exactly where tests can't
+    * reach. One shared physical shuffle makes pid assignment a fixed fact
+    * both branches read. The checkpoint also means a lost executor fails
+    * the job loudly (block not found) rather than re-sampling; callers
+    * pass distinct-value tables, so the materialized footprint is the
+    * reduced grid, not the corpus.
     *
     * `orderCol` must be unique within a group (callers pass pre-grouped
     * distinct-value tables, so it is). Adds `__run_<c>` = inclusive
@@ -85,9 +98,14 @@ object Stats {
           )
         )
     val rangeKeys = (grpCols :+ orderCol).map(col)
+    // materialize ONCE before branching: totals and the probe join must
+    // read the same physical pid assignment (scaladoc: boundary-divergence
+    // hazard). localCheckpoint (not persist) so cleanup is GC-driven — a
+    // library helper can't know when its caller is done with the result.
     val ranged = df
       .repartitionByRange(p, rangeKeys: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val totalAggs = sumCols.map(c => sum(col(c)).as(s"__t_$c"))
     val totals = ranged
       .groupBy((grpCols :+ "__pid").map(col): _*)
@@ -146,6 +164,15 @@ object Stats {
     * Returns one row per group: grpCols..., `__pcts` array<double> in
     * `probs` order (interpolation reproduces the builtin's
     * `lo*(hi-pos) + hi*(pos-lo)` evaluation order bit-for-bit).
+    *
+    * SCOPE BOUND (exact mode): the broadcast target/offset tables are
+    * O(groups x probs) and O(groups x min(parts, 1000)) rows, and the
+    * triangular offset join is O(groups x parts^2) pairs — fine for the
+    * oracle/profiling group cardinalities this path exists for (up to
+    * ~10^5 groups at default parts stays well under the broadcast
+    * threshold), but a HIGH-cardinality groupCols in exact mode will blow
+    * the broadcast; use the sketch-based default paths there (they have
+    * no such table).
     */
   private[graft] def exactPercentileBounds(
       df: DataFrame,

@@ -377,6 +377,22 @@ private[graft] object TpchQueries {
         .orderBy("column")
     }),
 
+    // the 100 TB path of the same profile: HyperLogLog++ distinct counts —
+    // one streaming pass, no Expand. Sketch estimates are implementation-
+    // defined (DuckDB's HLL lands on different values) -> no SQL oracle;
+    // the rows gate plus the suite's ±rsd bound assertion against the
+    // exact twin cover it, and this entry exists to PRICE the approx plan
+    // in the bench next to q_profile's exact Expand.
+    "q_profile_approx" -> ((s, dir) => {
+      Stats
+        .profile(
+          t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"),
+          approxDistinct = true
+        )
+        .orderBy("column")
+    }),
+
     // schema-on-read JSON extraction from the event-properties column,
     // aggregated per event type
     "q_json_extract" -> ((s, dir) => {

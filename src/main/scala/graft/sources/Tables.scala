@@ -399,10 +399,24 @@ object Tables {
       // success signal under that config.
       val success =
         new org.apache.hadoop.fs.Path(staging, "_SUCCESS")
-      val hasParts = fs.exists(success) ||
-        fs.listStatus(staging).exists(s =>
+      // marker-less committers: part files alone can't distinguish a
+      // fully committed staging dir from stale/partial output, so verify
+      // the staging dir actually reparses as parquet with the SAME row
+      // count as the source listing snapshot (footer counts only — no
+      // data scan) before trusting it.
+      val hasParts = fs.exists(success) || {
+        val partsPresent = fs.listStatus(staging).exists(s =>
           s.isFile && s.getPath.getName.startsWith("part-") &&
             s.getPath.getName.endsWith(".parquet"))
+        partsPresent && {
+          try {
+            spark.read.parquet(staging.toString).count() ==
+              spark.read
+                .parquet(dataFiles.map(_.getPath.toString): _*)
+                .count()
+          } catch { case scala.util.control.NonFatal(_) => false }
+        }
+      }
       if (!hasParts) {
         fs.delete(staging, true)
         throw new java.io.IOException(

@@ -402,6 +402,55 @@ class RandomizedSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("rangedRunningSums equals the brute per-group prefix sums at every parts") {
+    // direct gate for the helper that now carries AUC / KS / exact
+    // percentiles: random groups x unique-order values x two sum columns,
+    // swept across partition counts bracketing the row count (parts=1
+    // degenerate slice, parts >> rows so most slices are empty) — each
+    // must reproduce the driver-side inclusive prefix sums exactly
+    val rnd = new scala.util.Random(2718)
+    val groups = Seq("g1", "g2", "g3", "g4")
+    val rows = groups.flatMap { g =>
+      val nVals = 1 + rnd.nextInt(120) // includes a possible 1-row group
+      rnd.shuffle((0 until 400).toList).take(nVals).map { v =>
+        (g, v.toDouble, (rnd.nextInt(1000) - 200).toLong, rnd.nextInt(50).toLong)
+      }
+    }
+    val want = rows
+      .groupBy(_._1)
+      .flatMap { case (g, xs) =>
+        val sorted = xs.sortBy(_._2)
+        val runA = sorted.scanLeft(0L)(_ + _._3).tail
+        val runB = sorted.scanLeft(0L)(_ + _._4).tail
+        sorted.indices.map(i => (g, sorted(i)._2) -> ((runA(i), runB(i))))
+      }
+    for (parts <- Seq(1, 2, 3, 7, 64)) {
+      val got = graft.operators.Stats
+        .rangedRunningSums(
+          rows.toDF("g", "v", "a", "b"), Seq("g"), "v", Seq("a", "b"),
+          parts = parts
+        )
+        .select("g", "v", "__run_a", "__run_b")
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == want.toMap, s"prefix sums diverge at parts=$parts")
+    }
+    // ungrouped (global order) path, parts within row count
+    val uniq = rnd.shuffle((0 until 500).toList).take(200)
+      .map(v => (v.toDouble, rnd.nextInt(100).toLong))
+    val sortedU = uniq.sortBy(_._1)
+    val runU = sortedU.scanLeft(0L)(_ + _._2).tail
+    val wantU = sortedU.indices.map(i => sortedU(i)._1 -> runU(i)).toMap
+    val gotU = graft.operators.Stats
+      .rangedRunningSums(uniq.toDF("v", "a"), Nil, "v", Seq("a"), parts = 32)
+      .select("v", "__run_a")
+      .collect()
+      .map(r => r.getDouble(0) -> r.getLong(1))
+      .toMap
+    assert(gotU == wantU, "ungrouped prefix sums diverge")
+  }
+
   test("histogram equals the brute clamped fixed-width binning") {
     val rnd = new scala.util.Random(3)
     // values straddle the range so both edge clamps fire

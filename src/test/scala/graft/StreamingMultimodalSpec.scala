@@ -422,6 +422,149 @@ class StreamingMultimodalSpec extends SparkSpec {
       "restart must append survivors only — never re-sign the reference")
   }
 
+  /** Stage `batches` as one parquet file each (forced mod-time order) into
+    * a fresh stream dir; shared by the durable crash-recovery tests. */
+  private def stageBatchFiles(
+      tag: String,
+      batches: Seq[org.apache.spark.sql.DataFrame]
+  ): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val streamDir = Files.createTempDirectory(s"graft-crash-$tag").toString
+    val stageDir = Files.createTempDirectory(s"graft-crash-stage-$tag").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = s"$stageDir/g$i"
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = Paths.get(f"$streamDir/f$i%02d.parquet")
+      Files.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    streamDir
+  }
+
+  test("durable ingest crash recovery: crash after emit, before store append") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val reference = docs.filter(col("doc_id") % 12 === 0)
+    val batches = (1 to 6).map(k => docs.filter(col("doc_id") % 12 === k))
+    def stream(dir: String) = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    // ground truth: an uninterrupted durable drain over the same batches
+    val truthStore = Files.createTempDirectory("graft-crashA-truth").toString + "/sigs"
+    val truth = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    Streaming.nearDedupIngestDurable(
+      stream(stageBatchFiles("a-truth", batches)), reference, truthStore) { out =>
+      truth += out.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(truth.size == 6 && truth.forall(_.nonEmpty),
+      "fixture must yield 6 non-empty batches")
+    // crashing drain: the sink records its emission, THEN dies on batch 2 —
+    // the crash lands in the emit->append window (the store append and the
+    // checkpoint commit for batch 2 both never happen)
+    val storePath = Files.createTempDirectory("graft-crashA-store").toString + "/sigs"
+    val ckpt = Files.createTempDirectory("graft-crashA-ckpt").toString
+    val srcDir = stageBatchFiles("a-run", batches)
+    val beforeCrash = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streaming.nearDedupIngestDurable(
+        stream(srcDir), reference, storePath, checkpointDir = ckpt) { out =>
+        beforeCrash += out.select("doc_id").collect().map(_.getLong(0)).toSet
+        if (beforeCrash.size == 3) sys.error("injected crash")
+      }
+    }
+    assert(thrown.getMessage.contains("injected crash"))
+    assert(beforeCrash.size == 3, "crash must land on the third batch")
+    assert(spark.read.parquet(storePath).count() ==
+      reference.count() + truth.take(2).map(_.size).sum,
+      "crashed batch's signatures must NOT be in the store (append never ran)")
+    // restart from the same checkpoint: resumes AT the failed batch (no
+    // re-read of batches 0-1), re-emits it identically (at-least-once
+    // duplicate delivery), then drains the rest
+    val after = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    Streaming.nearDedupIngestDurable(
+      stream(srcDir), reference, storePath, checkpointDir = ckpt) { out =>
+      after += out.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(after.size == 4,
+      s"restart must resume at the failed batch, not re-read the source: ${after.size}")
+    assert(after(0) == truth(2), "replayed batch must recompute the identical survivor set")
+    (1 until 4).foreach { i =>
+      assert(after(i) == truth(2 + i), s"post-crash batch ${2 + i} diverges")
+    }
+    (0 until 2).foreach { i =>
+      assert(beforeCrash(i) == truth(i), s"pre-crash batch $i diverges")
+    }
+    // no duplicate admissions: every accepted doc's signature is stored
+    // exactly once, and the store equals the uninterrupted run's
+    val store = spark.read.parquet(storePath)
+    assert(store.count() == store.select("__id").distinct().count(),
+      "store must hold each accepted signature exactly once")
+    assert(store.count() == spark.read.parquet(truthStore).count(),
+      "post-recovery store must equal the uninterrupted run's")
+  }
+
+  test("durable ingest crash recovery: crash after append, before checkpoint commit") {
+    import java.nio.file.Files
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val reference = docs.filter(col("doc_id") % 12 === 0)
+    val batches = (1 to 6).map(k => docs.filter(col("doc_id") % 12 === k))
+    def stream(dir: String) = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val truthStore = Files.createTempDirectory("graft-crashB-truth").toString + "/sigs"
+    val truth = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    Streaming.nearDedupIngestDurable(
+      stream(stageBatchFiles("b-truth", batches)), reference, truthStore) { out =>
+      truth += out.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val storePath = Files.createTempDirectory("graft-crashB-store").toString + "/sigs"
+    val ckpt = Files.createTempDirectory("graft-crashB-ckpt").toString
+    val srcDir = stageBatchFiles("b-run", batches)
+    val beforeCrash = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Streaming.nearDedupIngestDurable(
+        stream(srcDir), reference, storePath, checkpointDir = ckpt) { out =>
+        beforeCrash += out.select("doc_id").collect().map(_.getLong(0)).toSet
+        if (beforeCrash.size == 3) sys.error("injected crash")
+      }
+    }
+    // manufacture the OTHER crash window: the batch-2 append ran but the
+    // checkpoint commit didn't — append the crashed batch's survivor
+    // signatures by hand, exactly what the interrupted foreachBatch body
+    // would have done next
+    Dedup.minHashSignatures(
+      docs.filter(col("doc_id").isInCollection(beforeCrash(2))),
+      "doc_id", "text", 1, 16, portable = true
+    ).write.mode("append").parquet(storePath)
+    // restart: the replayed batch collides with its own stored signatures,
+    // so the replay must emit NOTHING and admit nothing twice
+    val after = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    Streaming.nearDedupIngestDurable(
+      stream(srcDir), reference, storePath, checkpointDir = ckpt) { out =>
+      after += out.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(after.size == 4, s"restart must resume at the failed batch: ${after.size}")
+    assert(after(0).isEmpty,
+      "replayed batch must be swallowed by its own stored signatures")
+    (1 until 4).foreach { i =>
+      assert(after(i) == truth(2 + i), s"post-crash batch ${2 + i} diverges")
+    }
+    // the accepted-document stream (crash-run emissions + restart
+    // emissions, replay-deduplicated) equals the uninterrupted run's
+    val delivered = (beforeCrash ++ after).reduce(_ ++ _)
+    assert(delivered == truth.reduce(_ ++ _), "delivered set diverges from truth")
+    val store = spark.read.parquet(storePath)
+    assert(store.count() == store.select("__id").distinct().count(),
+      "store must hold each accepted signature exactly once")
+    assert(store.count() == spark.read.parquet(truthStore).count(),
+      "post-recovery store must equal the uninterrupted run's")
+  }
+
   test("stream-stream interval join equals the batch join") {
     val stream = Streaming.readEventsStream(spark, sfDir)
     val got = Streaming.runToMemorySink(
