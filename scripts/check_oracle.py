@@ -52,8 +52,14 @@ def canon(df: pd.DataFrame) -> list[tuple]:
 
 
 def main() -> int:
-    out_dir, sf_dir = Path(sys.argv[1]), Path(sys.argv[2])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json=")),
+        None,
+    )
+    out_dir, sf_dir = Path(args[0]), Path(args[1])
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    json_rows = {}
 
     con = duckdb.connect()
     for t in TABLES:
@@ -88,6 +94,14 @@ def main() -> int:
             results[name] = f"ROWCOUNT MISMATCH spark={len(got)} duck={len(want)}"
             continue
         g, w = canon(got), canon(want)
+        json_rows[name] = {
+            "rows_match": len(got) == len(want),
+            "schema_match": True,
+            "hash_match": g == w,
+            "spark_rows": len(got),
+            "oracle_rows": len(want),
+            "err": None,
+        }
         if g != w:
             diff = next(
                 (i, a, b) for i, (a, b) in enumerate(zip(g, w)) if a != b
@@ -100,6 +114,20 @@ def main() -> int:
     for name, status in results.items():
         print(f"{'PASS' if status.startswith('OK') else 'FAIL'} {name}: {status}")
     print(f"\n{len(results) - len(failures)}/{len(results)} queries match")
+    if json_out:
+        for name, status in results.items():
+            if name not in json_rows:  # missing/schema/rowcount failures
+                json_rows[name] = {
+                    "rows_match": False,
+                    "schema_match": not status.startswith("SCHEMA"),
+                    "hash_match": False,
+                    "spark_rows": None,
+                    "oracle_rows": None,
+                    "err": status.split("\n")[0],
+                }
+        Path(json_out).write_text(
+            json.dumps(dict(sorted(json_rows.items())), indent=2) + "\n"
+        )
     return 1 if failures else 0
 
 

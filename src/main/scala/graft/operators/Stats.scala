@@ -1251,7 +1251,8 @@ object Stats {
           .as("__contrib")
       )
       .groupBy("__rt", "__ct")
-      .agg(round(sum("__contrib").cast("double"), 6).as("psi"))
+      // DECIMAL-first rounding — see charEntropy's half-boundary note
+      .agg(round(sum("__contrib"), 6).cast("double").as("psi"))
       .select(col("__rt").as("n_ref"), col("__ct").as("n_cur"), col("psi"))
   }
 
@@ -1303,7 +1304,8 @@ object Stats {
         ).cast("decimal(22,10)").as("__contrib")
       )
       .groupBy("__rt", "__ct", "__ncat")
-      .agg(round(sum("__contrib").cast("double"), 6).as("psi"))
+      // DECIMAL-first rounding — see charEntropy's half-boundary note
+      .agg(round(sum("__contrib"), 6).cast("double").as("psi"))
       .select(
         col("__rt").as("n_ref"),
         col("__ct").as("n_cur"),

@@ -83,7 +83,13 @@ object TextAnalysis {
       // __t is functionally dependent on the id — grouping on both avoids
       // a first() pick and keeps the aggregate deterministic by shape
       .groupBy(col(idCol), col("__t"))
-      .agg(round(sum("__h").cast("double"), 6).as("char_entropy"))
+      // round the DECIMAL sum, THEN cast: rounding after the double cast
+      // is engine-divergent on exact decimal halves (a 9-decimal sum hits
+      // x.xxxxxx5 about 1/1000 rows; Spark's round works on the double's
+      // shortest decimal string, DuckDB's on its exact binary value, and
+      // they disagree on which side of the half such a double sits —
+      // caught by the sf0.1 oracle gate, 3/5000 docs)
+      .agg(round(sum("__h"), 6).cast("double").as("char_entropy"))
       .select(
         col(idCol),
         col("__t").cast("int").as("n_chars"),
@@ -173,11 +179,12 @@ object TextAnalysis {
       .select(
         col("n_tokens"),
         col("n_types"),
-        round(col("__h1").cast("double"), 6).as("unigram_entropy"),
+        // DECIMAL-first rounding — see charEntropy's half-boundary note
+        round(col("__h1"), 6).cast("double").as("unigram_entropy"),
         col("n_bigrams"),
         col("n_bigram_types"),
-        round(col("__h2").cast("double"), 6).as("bigram_entropy"),
-        round((col("__h2") - col("__h1")).cast("double"), 6).as("cond_entropy")
+        round(col("__h2"), 6).cast("double").as("bigram_entropy"),
+        round(col("__h2") - col("__h1"), 6).cast("double").as("cond_entropy")
       )
   }
 
@@ -1010,10 +1017,11 @@ object TextAnalysis {
       .agg(
         // count as decimal(10,0): the product type decimal(29,6) matches
         // the oracle's exactly, so sums agree to the last digit
+        // DECIMAL-first rounding — see charEntropy's half-boundary note
         round(
-          sum(col("__c").cast("decimal(10,0)") * col("__lr")).cast("double"),
+          sum(col("__c").cast("decimal(10,0)") * col("__lr")),
           6
-        ).as("log_weight")
+        ).cast("double").as("log_weight")
       )
   }
 
@@ -1514,6 +1522,21 @@ object TextAnalysis {
     * segmentations; the Viterbi variant is the standard hard-EM
     * simplification and keeps every step an exact integer count.)
     *
+    * ==Portable numerics==
+    * The M step quantizes every log-prob to the dyadic 2^-25 grid
+    * (`rint(lp * 2^25) / 2^25`, a ~3e-8 perturbation — meaningless for
+    * tokenization quality). This makes every Viterbi path sum EXACT in
+    * IEEE double (25 fractional bits + |lp| < 128 and words far shorter
+    * than 2^20 pieces leave headroom under the 53-bit mantissa), so
+    * segmentation argmaxes are decided by exact real arithmetic, never
+    * by float-addition noise. Two structural wins: duplication
+    * invariance stops depending on `log(kc)-log(kT)` landing on the same
+    * ulp as `log(c)-log(T)` (both now quantize to the same grid point),
+    * and the whole trainer becomes engine-portable — `java.lang.Math.log`
+    * and other libms disagree by 1 ulp on ~2e-5 of integer inputs
+    * (measured), which the grid absorbs — enabling the full DuckDB
+    * training oracle on q_unigram_lm / q_unigram_tokens.
+    *
     * Scale shape: the corpus is scanned ONCE into the (word, count)
     * dictionary; seeding, every E step, and every prune touch ONLY the
     * dictionary (distinct-words-sized) via mapPartitions with the
@@ -1573,10 +1596,13 @@ object TextAnalysis {
       .map(r => r.getString(0) -> r.getLong(1))
     val charSet = seeds.collect { case (p, _) if p.length == 1 => p }.toSet
 
+    // dyadic 2^-25 quantization — see the "Portable numerics" scaladoc
+    val QuantScale = 33554432.0 // 2^25, exact
     def mStep(counts: Seq[(String, Long)]): Map[String, Double] = {
       val total = counts.map(_._2).sum.toDouble
       counts.map { case (p, c) =>
-        p -> (math.log(c.toDouble) - math.log(total))
+        val lp = math.log(c.toDouble) - math.log(total)
+        p -> math.rint(lp * QuantScale) / QuantScale
       }.toMap
     }
 
@@ -1852,9 +1878,10 @@ object TextAnalysis {
       )
       .groupBy(col("__va"), col("__vb"), col("__vs"))
       .agg(
-        round(sum("__kab").cast("double"), 6).as("kl_ab"),
-        round(sum("__kba").cast("double"), 6).as("kl_ba"),
-        round(sum("__jsd").cast("double"), 6).as("jsd")
+        // DECIMAL-first rounding — see charEntropy's half-boundary note
+        round(sum("__kab"), 6).cast("double").as("kl_ab"),
+        round(sum("__kba"), 6).cast("double").as("kl_ba"),
+        round(sum("__jsd"), 6).cast("double").as("jsd")
       )
     sums.select(
       col("__va").as("n_vocab_a"),

@@ -111,7 +111,7 @@ private[graft] object QueryShared {
       |  SELECT doc_id, bk, CAST(count(*) AS DECIMAL(10,0)) AS c
       |  FROM b GROUP BY 1, 2
       |), w AS (
-      |  SELECT doc_id, ROUND(CAST(sum(c * lr) AS DOUBLE), 6) AS log_weight
+      |  SELECT doc_id, CAST(ROUND(sum(c * lr), 6) AS DOUBLE) AS log_weight
       |  FROM db JOIN r USING (bk) GROUP BY doc_id
       |)""".stripMargin
 
@@ -582,6 +582,285 @@ private[graft] object QueryShared {
        |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
        |LEFT JOIN counts ON d.doc_id = counts.doc_id
        |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ===== Unigram-LM TRAINING oracle (q_unigram_lm / q_unigram_tokens) =====
+  //
+  // Full DuckDB replay of TextAnalysis.unigramLM — seeding, Viterbi hard-EM,
+  // and the prune loop — made possible by the operator's dyadic 2^-25
+  // log-prob quantization (see unigramLM's "Portable numerics" scaladoc):
+  // counts are exact integers, quantized log-probs are exact dyadic doubles,
+  // so every Viterbi path sum is EXACT and every argmax is decided by exact
+  // real arithmetic that any IEEE engine reproduces bit-for-bit. The only
+  // cross-engine float channel left is ln() itself (JVM vs DuckDB libm
+  // disagree by 1 ulp on ~2e-5 of integer inputs — measured), which the
+  // quantization grid absorbs except when ln lands within 1 ulp of a
+  // half-grid boundary (~3e-7 per value; the hash gate would surface it
+  // loudly, never silently).
+  //
+  // The E step is a faithful Viterbi DP, not a segmentation enumeration:
+  // per (word, target position) a MATERIALIZED lookup row carries the
+  // log-probs of the up-to-8 pieces ending there, and the recursive CTE
+  // advances one position per iteration keeping the last 8 bests (b1..b8)
+  // plus the backpointer list — replicating unigramSegmentWord
+  // comparison-for-comparison (candidates scanned longest-piece-first,
+  // strict >, so ties keep the longest piece). A second recursive CTE walks
+  // the backpointers to emit the winning pieces. (Lookups must be a plain
+  // JOIN: DuckDB 1.0 mis-evaluates correlated scalar subqueries on the
+  // FIRST iteration of a recursive CTE.)
+  //
+  // The data-dependent prune loop (`while effSize > max(vocabSize,|chars|)`)
+  // is unrolled as GATED rounds: each round computes its own go-condition
+  // and passes counts through untouched once the loop would have exited, so
+  // over-unrolling is a structural no-op (the gated word source is empty —
+  // verified on a 5-prune-round synthetic corpus against a driver-side
+  // replay; the driver corpus converges in 0 rounds at every sf).
+
+  /** rint-half-even of DOUBLE expression `x` onto the 1/`scale` grid —
+    * exact emulation of java.lang.Math.rint(x*scale)/scale (frac
+    * comparisons are exact: y - floor(y) is Sterbenz-exact for |y| >= 1
+    * and trivially exact below). */
+  private def duckRint(x: String, scale: String): String = {
+    val y = s"(($x) * $scale)"
+    val f = s"floor($y)"
+    s"(CASE WHEN $y - $f > 0.5 THEN $f + 1 " +
+      s"WHEN $y - $f < 0.5 THEN $f " +
+      s"WHEN CAST($f AS BIGINT) % 2 = 0 THEN $f " +
+      s"ELSE $f + 1 END) / $scale"
+  }
+
+  /** M step: quantized log-probs over `inCts(p, c)` plus the -100 floor
+    * for corpus chars absent from the counts. */
+  private def duckUnigramModelCte(tag: String, inCts: String): String = {
+    val lp = duckRint(
+      s"ln(CAST(c AS DOUBLE)) - ln((SELECT CAST(sum(c) AS DOUBLE) FROM $inCts))",
+      "33554432.0")
+    s"""model$tag AS MATERIALIZED (
+       |  SELECT p AS piece, $lp AS lp FROM $inCts
+       |  UNION ALL
+       |  SELECT ch AS piece, CAST(-100.0 AS DOUBLE) AS lp FROM tr_chars
+       |  WHERE ch NOT IN (SELECT p FROM $inCts)
+       |)""".stripMargin
+  }
+
+  /** Per-(word, position t) piece-ending lookups for the Viterbi join:
+    * lK = log-prob of the length-K piece ending at t, NULL if absent. */
+  private def duckUnigramLkCte(tag: String, model: String): String = {
+    val cols = (1 to 8)
+      .map(k => s"max(CASE WHEN k = $k THEN lp END) AS l$k")
+      .mkString(", ")
+    s"""lk$tag AS MATERIALIZED (
+       |  SELECT w, t, $cols FROM (
+       |    SELECT e.w, e.t, e.k, m.lp
+       |    FROM (
+       |      SELECT w, CAST(t AS BIGINT) AS t, CAST(k AS BIGINT) AS k,
+       |             substr(w, CAST(t - k + 1 AS INT), CAST(k AS INT)) AS piece
+       |      FROM tr_words, unnest(range(1, len(w) + 1)) AS tt(t),
+       |           unnest(range(1, 9)) AS tk(k)
+       |      WHERE k <= t
+       |    ) e JOIN $model m ON m.piece = e.piece
+       |  ) GROUP BY w, t
+       |)""".stripMargin
+  }
+
+  private val duckNInf = "CAST('-infinity' AS DOUBLE)"
+
+  /** The Viterbi forward DP: one recursion step per word position; b1..b8
+    * are best(i)..best(i-7); candidate K (piece length, j = i+1-K) scanned
+    * K descending in the back CASE = j ascending in the operator = longest
+    * piece wins float-exact ties, matching unigramSegmentWord exactly. */
+  private def duckUnigramVitCte(tag: String, gate: Option[String]): String = {
+    val vals = (1 to 8)
+      .map(k => s"coalesce(b$k + lk.l$k, $duckNInf) AS v$k")
+      .mkString(",\n           ")
+    val mx = "greatest(v1, v2, v3, v4, v5, v6, v7, v8)"
+    val back = (8 to 1 by -1)
+      .map(k => s"WHEN v$k = $mx THEN i + 1 - $k")
+      .mkString(" ")
+    val shifts = (s"$mx AS nb1" +: (1 to 7).map(k => s"b$k AS nb${k + 1}"))
+      .mkString(", ")
+    val inits = (2 to 8).map(k => s"$duckNInf AS b$k").mkString(", ")
+    val g = gate.map(e => s" WHERE $e").getOrElse("")
+    s"""vit$tag AS (
+       |  SELECT w, n, CAST(0 AS BIGINT) AS i, CAST(0.0 AS DOUBLE) AS b1,
+       |         $inits,
+       |         CAST([] AS BIGINT[]) AS backs
+       |  FROM tr_words$g
+       |  UNION ALL
+       |  SELECT w, n, i + 1, $shifts,
+       |         list_append(backs, CAST(CASE $back END AS BIGINT))
+       |  FROM (
+       |    SELECT v.w, v.n, v.i, v.b1, v.b2, v.b3, v.b4, v.b5, v.b6, v.b7,
+       |           v.b8, v.backs,
+       |           $vals
+       |    FROM vit$tag v JOIN lk$tag lk ON lk.w = v.w AND lk.t = v.i + 1
+       |    WHERE v.i < len(v.w)
+       |  )
+       |)""".stripMargin
+  }
+
+  /** Backpointer walk: emits one row per winning piece per word. */
+  private def duckUnigramBtCte(tag: String): String = {
+    val bp = "backs[CAST(p AS INT)]"
+    s"""bt$tag AS (
+       |  SELECT w, n, CAST(len(w) AS BIGINT) AS p, backs,
+       |         CAST(NULL AS VARCHAR) AS piece
+       |  FROM vit$tag WHERE i = len(w)
+       |  UNION ALL
+       |  SELECT w, n, $bp, backs,
+       |         substr(w, CAST($bp AS INT) + 1, CAST(p - $bp AS INT))
+       |  FROM bt$tag WHERE p > 0
+       |)""".stripMargin
+  }
+
+  /** One full E step `inCts -> outCts`; `gate` empties the word source
+    * (and therefore the output) when the prune loop would have exited. */
+  private def duckUnigramEStep(
+      tag: String,
+      inCts: String,
+      outCts: String,
+      gate: Option[String]
+  ): String =
+    Seq(
+      duckUnigramModelCte(tag, inCts),
+      duckUnigramLkCte(tag, s"model$tag"),
+      duckUnigramVitCte(tag, gate),
+      duckUnigramBtCte(tag),
+      s"""$outCts AS MATERIALIZED (
+         |  SELECT piece AS p, CAST(sum(n) AS BIGINT) AS c FROM bt$tag
+         |  WHERE piece IS NOT NULL GROUP BY piece
+         |)""".stripMargin
+    ).mkString(",\n")
+
+  /** The full training chain: dictionary + substring seeding, 2 initial E
+    * steps, `gatedRounds` gated prune rounds (each: prune to
+    * max(120,|chars|, floor(0.75*effSize)) then 2 E steps), ending in
+    * `modelF`/`fullF`. vocabSize=120, maxPieceLen=8, seeds=480 — the
+    * q_unigram_lm configuration. */
+  private def duckUnigramTrainChain(gatedRounds: Int): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += s"""tr_words AS MATERIALIZED (
+       |  SELECT w, count(*) AS n FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents WHERE text IS NOT NULL
+       |  ) WHERE len(w) > 0 GROUP BY w
+       |)""".stripMargin
+    parts += s"""tr_chars AS MATERIALIZED (
+       |  SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS ch
+       |  FROM tr_words, unnest(range(1, len(w) + 1)) AS t(i)
+       |)""".stripMargin
+    parts += "tr_charcnt AS MATERIALIZED (SELECT count(*) AS c FROM tr_chars)"
+    parts += s"""tr_sub AS MATERIALIZED (
+       |  SELECT substr(w, CAST(s AS INT), CAST(l AS INT)) AS p, sum(n) AS c
+       |  FROM tr_words, unnest(range(1, len(w) + 1)) AS ts(s),
+       |       unnest(range(1, 9)) AS tl(l)
+       |  WHERE s + l - 1 <= len(w) GROUP BY 1
+       |)""".stripMargin
+    parts += s"""tr_cts0 AS MATERIALIZED (
+       |  SELECT p, CAST(c AS BIGINT) AS c FROM (
+       |    SELECT p, c FROM tr_sub WHERE len(p) > 1 ORDER BY c DESC, p LIMIT 480
+       |  )
+       |  UNION ALL SELECT p, CAST(c AS BIGINT) FROM tr_sub WHERE len(p) = 1
+       |)""".stripMargin
+    parts += duckUnigramEStep("e1", "tr_cts0", "tr_cts1", None)
+    parts += duckUnigramEStep("e2", "tr_cts1", "tr_cts2", None)
+    var cur = "tr_cts2"
+    (1 to gatedRounds).foreach { r =>
+      val t = s"r$r"
+      parts += s"""eff$t AS MATERIALIZED (
+         |  SELECT count(DISTINCT p) AS e FROM (
+         |    SELECT p FROM $cur UNION SELECT ch AS p FROM tr_chars
+         |  )
+         |)""".stripMargin
+      parts += s"go$t AS MATERIALIZED (SELECT e > greatest(120, " +
+        s"(SELECT c FROM tr_charcnt)) AS g FROM eff$t)"
+      parts += s"""tgt$t AS MATERIALIZED (
+         |  SELECT greatest(greatest(120, (SELECT c FROM tr_charcnt)),
+         |                  CAST(floor(e * 0.75) AS BIGINT)) AS t FROM eff$t
+         |)""".stripMargin
+      // Scala keeps target - keepAlways.size - missing prunable pieces;
+      // missing = |chars| - keepAlways.size, so the budget is exactly
+      // target - |chars| — single chars always pass through untouched.
+      parts += s"""pruned$t AS MATERIALIZED (
+         |  SELECT p, c FROM $cur WHERE len(p) = 1
+         |  UNION ALL
+         |  SELECT p, c FROM (
+         |    SELECT p, c, row_number() OVER (ORDER BY c DESC, p) AS rn
+         |    FROM $cur WHERE len(p) > 1
+         |  ) WHERE rn <= greatest(0, (SELECT t FROM tgt$t) - (SELECT c FROM tr_charcnt))
+         |)""".stripMargin
+      val gate = s"(SELECT g FROM go$t)"
+      parts += duckUnigramEStep(s"${t}a", s"pruned$t", s"cts${t}a", Some(gate))
+      parts += duckUnigramEStep(s"${t}b", s"cts${t}a", s"cts${t}b", Some(gate))
+      parts += s"""cts$t AS MATERIALIZED (
+         |  SELECT p, c FROM cts${t}b WHERE $gate
+         |  UNION ALL SELECT p, c FROM $cur WHERE NOT $gate
+         |)""".stripMargin
+      cur = s"cts$t"
+    }
+    val lpq = duckRint(
+      s"ln(CAST(c AS DOUBLE)) - ln((SELECT CAST(sum(c) AS DOUBLE) FROM $cur))",
+      "33554432.0")
+    parts += s"""modelF AS MATERIALIZED (
+       |  SELECT p AS piece, $lpq AS lp FROM $cur
+       |  UNION ALL
+       |  SELECT ch AS piece, CAST(-100.0 AS DOUBLE) AS lp FROM tr_chars
+       |  WHERE ch NOT IN (SELECT p FROM $cur)
+       |)""".stripMargin
+    parts += s"""fullF AS MATERIALIZED (
+       |  SELECT p, c FROM $cur
+       |  UNION ALL
+       |  SELECT ch AS p, CAST(0 AS BIGINT) AS c FROM tr_chars
+       |  WHERE ch NOT IN (SELECT p FROM $cur)
+       |)""".stripMargin
+    parts.mkString(",\n")
+  }
+
+  /** Standalone q_unigram_lm oracle: the trained
+    * (piece, piece_count, logprob) model, logprob rint'd to 6 decimals. */
+  def duckUnigramTrainCte(gatedRounds: Int = 8): String = {
+    val r6 = duckRint("m.lp", "1000000.0")
+    s"WITH RECURSIVE ${duckUnigramTrainChain(gatedRounds)}\n" +
+      s"""SELECT f.p AS piece, f.c AS piece_count, __R6__ AS logprob
+         |FROM fullF f JOIN modelF m ON m.piece = f.p
+         |ORDER BY piece_count DESC, piece""".stripMargin
+        .replace("__R6__", r6)
+  }
+
+  /** End-to-end q_unigram_tokens oracle: train, then segment every
+    * distinct word under the ROUNDED trained model (exactly the DataFrame
+    * unigramTokenCounts receives) and sum per-doc piece counts. */
+  def duckUnigramTrainTokensCte(gatedRounds: Int = 8): String = {
+    val r6 = duckRint("m.lp", "1000000.0")
+    val applyModel =
+      s"""applyModel AS MATERIALIZED (
+         |  SELECT f.p AS piece, __R6__ AS lp
+         |  FROM fullF f JOIN modelF m ON m.piece = f.p
+         |)""".stripMargin.replace("__R6__", r6)
+    s"WITH RECURSIVE ${duckUnigramTrainChain(gatedRounds)},\n" +
+      applyModel + ",\n" +
+      duckUnigramLkCte("Ap", "applyModel") + ",\n" +
+      duckUnigramVitCte("Ap", None) + ",\n" +
+      duckUnigramBtCte("Ap") + ",\n" +
+      s"""np AS MATERIALIZED (SELECT w, count(piece) AS np FROM btAp GROUP BY w),
+         |ap_occ AS MATERIALIZED (
+         |  SELECT doc_id, w, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+         |    FROM documents WHERE text IS NOT NULL
+         |  ) WHERE len(w) > 0 GROUP BY doc_id, w
+         |),
+         |ap_counts AS MATERIALIZED (
+         |  SELECT ap_occ.doc_id,
+         |         CAST(sum(ap_occ.c) AS INT) AS ws_tokens,
+         |         CAST(sum(ap_occ.c * np.np) AS INT) AS unigram_tokens
+         |  FROM ap_occ JOIN np ON ap_occ.w = np.w GROUP BY ap_occ.doc_id
+         |)
+         |SELECT d.doc_id,
+         |       coalesce(ap_counts.ws_tokens, 0) AS ws_tokens,
+         |       coalesce(ap_counts.unigram_tokens, 0) AS unigram_tokens
+         |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+         |LEFT JOIN ap_counts ON d.doc_id = ap_counts.doc_id
+         |ORDER BY d.doc_id""".stripMargin
   }
 
   /** DuckDB CTE chain replaying Similarity.kCenterSampleScalable at a

@@ -552,7 +552,7 @@ private[graft] object StatsQueries {
         |)
         |SELECT (SELECT rt FROM tot) AS n_ref, (SELECT ct FROM tot) AS n_cur,
         |       CAST((SELECT ncat FROM tot) AS INT) AS n_categories,
-        |       ROUND(CAST(sum(contrib) AS DOUBLE), 6) AS psi
+        |       CAST(ROUND(sum(contrib), 6) AS DOUBLE) AS psi
         |FROM terms""".stripMargin,
 
     "q_psi_drift" ->
@@ -587,7 +587,7 @@ private[graft] object StatsQueries {
         |  FROM j
         |)
         |SELECT rt AS n_ref, ct AS n_cur,
-        |       ROUND(CAST(sum(contrib) AS DOUBLE), 6) AS psi
+        |       CAST(ROUND(sum(contrib), 6) AS DOUBLE) AS psi
         |FROM terms GROUP BY 1, 2""".stripMargin,
 
     "q_kappa" -> {

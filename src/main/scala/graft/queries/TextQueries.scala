@@ -373,9 +373,11 @@ private[graft] object TextQueries {
 
     // SentencePiece-style unigram-LM tokenizer training (Kudo 2018):
     // 120-piece vocabulary learned by Viterbi hard-EM over the
-    // distinct-word dictionary. Iterative EM -> rows-only gate (same
-    // policy as q_bpe); segmentation semantics are hand-verified in
-    // ScaleSpec (reconstruction + planted-piece properties).
+    // distinct-word dictionary. FULLY oracled: the operator's dyadic
+    // 2^-25 log-prob quantization makes every Viterbi path sum exact, so
+    // seeding + EM + the (gated-unrolled) prune loop replay bit-for-bit
+    // in DuckDB (QueryShared.duckUnigramTrainCte); segmentation semantics
+    // additionally hand-verified in ScaleSpec.
     "q_unigram_lm" -> ((s, dir) => {
       TextAnalysis
         .unigramLM(t(s, dir, "documents"), "text", vocabSize = 120)
@@ -383,7 +385,9 @@ private[graft] object TextQueries {
     }),
 
     // true unigram token counts per document under the trained model —
-    // the q_bpe_apply shape with the Viterbi segmenter
+    // the q_bpe_apply shape with the Viterbi segmenter. Fully oracled
+    // end-to-end (train -> rint6 model -> segment -> per-doc counts) via
+    // QueryShared.duckUnigramTrainTokensCte.
     "q_unigram_tokens" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       TextAnalysis
@@ -395,12 +399,10 @@ private[graft] object TextQueries {
     }),
 
     // Viterbi segmentation token counts under the FIXED literal vocab
-    // (QueryShared.UnigramFixedVocab): given the pieces as literals the
-    // max-score segmentation IS SQL-expressible, so this carries a full
-    // recursive-CTE oracle incl. the longer-piece tie-break on three
-    // planted exact-score ties. Training stays rows-gated under
-    // q_unigram_lm; the train->apply composition is covered by
-    // q_unigram_tokens + ScaleSpec's reconstruction properties.
+    // (QueryShared.UnigramFixedVocab): a full recursive-CTE oracle incl.
+    // the longer-piece tie-break on three planted exact-score ties —
+    // pins the segmenter under hand-chosen dyadic logprobs independently
+    // of the trained path (which is now also fully oracled).
     "q_unigram_apply" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis
@@ -616,11 +618,11 @@ private[graft] object TextQueries {
         |)
         |SELECT CAST(tt.n AS BIGINT) AS n_tokens,
         |       CAST(tt.types AS BIGINT) AS n_types,
-        |       ROUND(CAST(th.h AS DOUBLE), 6) AS unigram_entropy,
+        |       CAST(ROUND(th.h, 6) AS DOUBLE) AS unigram_entropy,
         |       CAST(bt.n AS BIGINT) AS n_bigrams,
         |       CAST(bt.types AS BIGINT) AS n_bigram_types,
-        |       ROUND(CAST(bh.h AS DOUBLE), 6) AS bigram_entropy,
-        |       ROUND(CAST(bh.h - th.h AS DOUBLE), 6) AS cond_entropy
+        |       CAST(ROUND(bh.h, 6) AS DOUBLE) AS bigram_entropy,
+        |       CAST(ROUND(bh.h - th.h, 6) AS DOUBLE) AS cond_entropy
         |FROM tt, th, bt, bh""".stripMargin,
 
     "q_char_entropy" ->
@@ -634,9 +636,9 @@ private[graft] object TextQueries {
         |  SELECT doc_id, SUM(k) AS n FROM cc GROUP BY doc_id
         |)
         |SELECT cc.doc_id, CAST(t.n AS INT) AS n_chars,
-        |       ROUND(CAST(SUM(CAST(ROUND(
+        |       CAST(ROUND(SUM(CAST(ROUND(
         |         -(CAST(k AS DOUBLE) / n) * (ln(CAST(k AS DOUBLE) / n) / ln(2.0)),
-        |         9) AS DECIMAL(19,9))) AS DOUBLE), 6) AS char_entropy
+        |         9) AS DECIMAL(19,9))), 6) AS DOUBLE) AS char_entropy
         |FROM cc JOIN t USING (doc_id)
         |GROUP BY cc.doc_id, t.n ORDER BY doc_id""".stripMargin,
 
@@ -978,9 +980,9 @@ private[graft] object TextQueries {
         |)
         |SELECT CAST(va AS BIGINT) AS n_vocab_a, CAST(vb AS BIGINT) AS n_vocab_b,
         |       CAST(vs AS BIGINT) AS n_vocab_shared,
-        |       round(CAST(SUM(kab) AS DOUBLE), 6) AS kl_ab,
-        |       round(CAST(SUM(kba) AS DOUBLE), 6) AS kl_ba,
-        |       round(CAST(SUM(jt) AS DOUBLE), 6) AS jsd
+        |       CAST(round(SUM(kab), 6) AS DOUBLE) AS kl_ab,
+        |       CAST(round(SUM(kba), 6) AS DOUBLE) AS kl_ba,
+        |       CAST(round(SUM(jt), 6) AS DOUBLE) AS jsd
         |FROM terms GROUP BY 1, 2, 3""".stripMargin,
 
     "q_tfidf_pairs" ->
@@ -1053,6 +1055,8 @@ private[graft] object TextQueries {
     "q_bpe_apply" -> duckBpeApplyCte,
     "q_bpe_train_apply" -> duckBpeTrainApplyCte(8),
 
-    "q_unigram_apply" -> duckUnigramApplyCte
+    "q_unigram_apply" -> duckUnigramApplyCte,
+    "q_unigram_lm" -> duckUnigramTrainCte(),
+    "q_unigram_tokens" -> duckUnigramTrainTokensCte()
   )
 }

@@ -619,7 +619,8 @@ object Streaming {
         ).cast("decimal(22,10)").as("__contrib")
       )
       .groupBy("window_start", "__ct")
-      .agg(round(sum("__contrib").cast("double"), 6).as("psi"))
+      // DECIMAL-first rounding, matching the batch PSI exactly
+      .agg(round(sum("__contrib"), 6).cast("double").as("psi"))
       .select(
         col("window_start"),
         col("__ct").as("n_cur"),

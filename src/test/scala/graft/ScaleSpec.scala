@@ -2728,6 +2728,31 @@ class ScaleSpec extends SparkSpec {
     assert(!got.contains(4L) && !got.contains(5L))
   }
 
+  test("charEntropy: exact decimal-half sums round HALF_UP in decimal") {
+    // Regression for the sf0.1 oracle-gate catch: this character
+    // distribution's 9-decimal per-term sum is EXACTLY 4.1312275 — a
+    // perfect half at the 6-decimal boundary. The nearest double to
+    // 4.1312275 sits BELOW the half, so rounding the cast double (the old
+    // code) gives 4.131227 in engines that round the binary value and
+    // 4.131228 in engines that round the shortest decimal string —
+    // engine-divergent. Rounding the DECIMAL sum first is exact HALF_UP:
+    // 4.131228 everywhere. (~1/1000 docs hit such a half at corpus scale.)
+    val counts = Seq(
+      ' ' -> 74, 'a' -> 33, 'b' -> 6, 'c' -> 21, 'd' -> 9, 'e' -> 34,
+      'f' -> 6, 'g' -> 6, 'h' -> 10, 'i' -> 16, 'j' -> 2, 'k' -> 5,
+      'l' -> 27, 'm' -> 20, 'n' -> 17, 'o' -> 25, 'p' -> 7, 'q' -> 1,
+      'r' -> 35, 's' -> 26, 't' -> 31, 'u' -> 10, 'v' -> 5, 'w' -> 9,
+      'y' -> 2
+    )
+    val text = counts.map { case (c, k) => c.toString * k }.mkString
+    assert(text.length == 437)
+    val row = TextAnalysis
+      .charEntropy(Seq((1L, text)).toDF("id", "text"), "id", "text")
+      .collect()(0)
+    assert(row.getInt(1) == 437)
+    assert(row.getDouble(2) == 4.131228, s"got ${row.getDouble(2)}")
+  }
+
   test("mixtureAllocation caps, redistributes once, all-integer") {
     import spark.implicits._
     val avail = Seq(("a", 1000L), ("b", 10000L), ("c", 10000L))
