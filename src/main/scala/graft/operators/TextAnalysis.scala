@@ -1458,6 +1458,282 @@ object TextAnalysis {
       )
   }
 
+  /** Initial WordPiece symbol sequence of one word: the first character
+    * plain, every later character `##`-prefixed (the BERT continuation
+    * convention). */
+  private def wpInitSyms(w: Column): Column = {
+    val chars = filter(split(w, ""), s => length(s) > 0)
+    concat(
+      slice(chars, 1, 1),
+      transform(
+        // 1000000, not Int.MaxValue: slice's start+length-1 overflows int
+        // (the bpeMerges bound; observed returning EMPTY, not erroring)
+        slice(chars, 2, 1000000),
+        c => concat(lit("##"), c)
+      )
+    )
+  }
+
+  /** WordPiece merge-rule training (Schuster & Nakajima 2012 — the BERT
+    * tokenizer's vocabulary learner; reference scope:
+    * hds_functions has no tokenizer — north-star extension completing
+    * the trainer triad with [[bpeMerges]] and [[unigramLM]]). Words
+    * start as characters with the `##` continuation prefix on every
+    * non-initial symbol; each round scores every adjacent symbol pair by
+    * the likelihood-gain criterion
+    * `score(a,b) = count(ab) * N / (count(a) * count(b))` (`N` = total
+    * symbol occurrences that round), picks the argmax (ties:
+    * lexicographically smallest pair), and merges it greedily
+    * leftmost-first inside every word, the merged symbol dropping the
+    * right side's `##`. Including the (within-round constant) `N` factor
+    * makes the score DUPLICATION-INVARIANT: replicating the corpus k
+    * times scales `count(ab)` and `N` by k and the denominator by k^2,
+    * so every score — hence the whole merge sequence — is bit-identical.
+    *
+    * ENGINE-PORTABLE ARGMAX: scores are compared on a fixed 2^-16 grid —
+    * `score_q = (count(ab) * N * 65536) div (count(a) * count(b))` in
+    * exact DECIMAL(38,0) integer arithmetic (the DuckDB oracle replays
+    * the identical quotient in HUGEINT), so the per-round winner is an
+    * integer decision any engine reproduces bit-for-bit; pairs tied
+    * AFTER quantization break lexicographically by definition. Bound:
+    * the quotient is materialized as int64, so `N * 65536` must fit —
+    * N <= ~1.4e14 symbol occurrences; shrink the grid beyond that.
+    *
+    * Scale shape mirrors [[bpeMerges]]: one corpus scan builds the
+    * (word, count) dictionary; every round touches ONLY the dictionary
+    * (a pair-count and a symbol-count hash aggregate, both map-side
+    * combined; one tiny ordered argmax — `numMerges` driver actions by
+    * construction, documented EAGER like the CC/PageRank/BPE loops) and
+    * rewrites it with a per-word fold; `localCheckpoint` truncates the
+    * per-round lineage. Returns
+    * (merge_rank, left, right, merged, score_q, pair_count). */
+  def wordpieceTrain(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int
+  ): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy("__w")
+      .agg(count(lit(1)).as("__n"))
+      .select(wpInitSyms(col("__w")).as("__syms"), col("__n"))
+      .localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, String, Long, Long)]
+    var exhausted = false
+    var rank = 0
+    while (!exhausted && rank < numMerges) {
+      val syms = words
+        .select(explode(col("__syms")).as("__s"), col("__n"))
+        .groupBy("__s")
+        .agg(sum("__n").as("__c"))
+      val pairs = words
+        .select(
+          explode(
+            arrays_zip(
+              col("__syms").as("a"),
+              slice(col("__syms"), 2, 1000000).as("b")
+            )
+          ).as("__p"),
+          col("__n")
+        )
+        .filter(col("__p.b").isNotNull)
+        .groupBy(col("__p.a").as("__a"), col("__p.b").as("__b"))
+        .agg(sum("__n").as("__total"))
+      val nTotal = syms.agg(sum("__c").cast("decimal(38,0)").as("__N"))
+      val top = pairs
+        .join(
+          broadcast(syms.select(col("__s").as("__a"), col("__c").as("__ca"))),
+          Seq("__a")
+        )
+        .join(
+          broadcast(syms.select(col("__s").as("__b"), col("__c").as("__cb"))),
+          Seq("__b")
+        )
+        .crossJoin(broadcast(nTotal))
+        .withColumn(
+          "__sq",
+          expr(
+            "(CAST(__total AS DECIMAL(38,0)) * __N * 65536)" +
+              " div (CAST(__ca AS DECIMAL(38,0)) * CAST(__cb AS DECIMAL(38,0)))"
+          )
+        )
+        .orderBy(col("__sq").desc, col("__a"), col("__b"))
+        .limit(1)
+        .select("__a", "__b", "__sq", "__total")
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        val sq = top(0).getLong(2)
+        val total = top(0).getLong(3)
+        val mergedName = a + (if (b.startsWith("##")) b.drop(2) else b)
+        merges += ((rank, a, b, mergedName, sq, total))
+        // greedy leftmost merge inside each word (the bpeMerges fold;
+        // the merged name is a constant this round)
+        val mergedSyms = aggregate(
+          col("__syms"),
+          array().cast("array<string>"),
+          (acc, x) =>
+            when(
+              size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(
+                slice(acc, lit(1), size(acc) - 1),
+                array(lit(mergedName))
+              )
+            ).otherwise(concat(acc, array(x)))
+        )
+        words = words
+          .select(mergedSyms.as("__syms"), col("__n"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.toSeq
+      .toDF("merge_rank", "left", "right", "merged", "score_q", "pair_count")
+  }
+
+  /** The full WordPiece vocabulary implied by a trained merge table: the
+    * corpus alphabet (every initial symbol — first characters plain,
+    * continuations `##`-prefixed) plus one merged piece per rule. Feed
+    * into [[wordpieceTokenCounts]] for the train->apply composition; by
+    * construction every corpus character is in the alphabet, so encoding
+    * the training corpus under this vocabulary never emits `[UNK]`. */
+  def wordpieceVocab(
+      df: DataFrame,
+      textCol: String,
+      merges: DataFrame
+  ): DataFrame = {
+    val alphabet = df
+      .filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .distinct()
+      .select(explode(wpInitSyms(col("__w"))).as("piece"))
+      .distinct()
+    alphabet
+      .union(merges.select(col("merged").as("piece")))
+      .distinct()
+  }
+
+  /** WordPiece inference on one word: greedy LONGEST-match-first — at
+    * each position take the longest vocabulary piece matching the
+    * remaining text (`##`-prefixed lookups after position 0); if NO piece
+    * matches at some position, the WHOLE word becomes the single `[UNK]`
+    * token (the BERT convention). Driver/executor-local — called per
+    * DICTIONARY word, never per token occurrence (the [[bpeEncodeWord]]
+    * contract). Input words are assumed `#`-free (whitespace tokens of
+    * natural text); a literal leading `#` could spuriously match a
+    * continuation piece at position 0. */
+  private[graft] def wordpieceEncodeWord(
+      word: String,
+      vocab: Set[String]
+  ): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var pos = 0
+    while (pos < word.length) {
+      val prefix = if (pos == 0) "" else "##"
+      var end = word.length
+      var found = -1
+      while (end > pos && found < 0) {
+        if (vocab.contains(prefix + word.substring(pos, end))) found = end
+        else end -= 1
+      }
+      if (found < 0) return Vector("[UNK]")
+      out += prefix + word.substring(pos, found)
+      pos = found
+    }
+    out.result()
+  }
+
+  /** Encode the corpus' distinct-word dictionary with a WordPiece
+    * vocabulary ([[wordpieceVocab]] output or any (piece) table):
+    * returns (word, pieces, n_pieces, is_unk). The greedy longest-match
+    * loop — inherently imperative — runs ONLY over the dictionary via
+    * mapPartitions with the vocabulary broadcast (model-sized by
+    * construction, collected eagerly like every model table). */
+  def wordpieceEncodeTable(
+      df: DataFrame,
+      textCol: String,
+      vocab: DataFrame
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pieces = vocab.select("piece").collect().map(_.getString(0)).toSet
+    val bc = spark.sparkContext.broadcast(pieces)
+    df.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val v = bc.value
+        it.map { w =>
+          val ps = wordpieceEncodeWord(w, v)
+          (w, ps, ps.length, ps == Vector("[UNK]"))
+        }
+      }
+      .toDF("word", "pieces", "n_pieces", "is_unk")
+  }
+
+  /** WordPiece token counts per document under a vocabulary — the
+    * [[bpeTokenCounts]] shape with the greedy longest-match encoder:
+    * tokenize, encode every DISTINCT word once ([[wordpieceEncodeTable]]),
+    * sum per-word piece counts back over each document's occurrences.
+    * Returns one row per non-null-text document:
+    * (id, ws_tokens, wp_tokens, unk_words) — `unk_words` counts word
+    * OCCURRENCES that encoded to `[UNK]` (each also contributes exactly
+    * 1 to `wp_tokens`).
+    *
+    * Scale shape: one corpus scan into per-(doc, word) occurrence counts
+    * (map-side combined); the encoded dictionary joins on the word key
+    * (AQE broadcasts it when it fits); one per-doc aggregate. The greedy
+    * match loop never sees a token occurrence. */
+  def wordpieceTokenCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame
+  ): DataFrame = {
+    val base = df.filter(col(textCol).isNotNull)
+    val occ = base
+      .select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col(idCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val dict = wordpieceEncodeTable(df, textCol, vocab)
+      .select(
+        col("word").as("__w"),
+        col("n_pieces").as("__p"),
+        col("is_unk").cast("int").as("__u")
+      )
+    val counts = occ
+      .join(dict, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("__c").cast("int").as("ws_tokens"),
+        sum(col("__c") * col("__p")).cast("int").as("wp_tokens"),
+        sum(col("__c") * col("__u")).cast("int").as("unk_words")
+      )
+    base
+      .select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("ws_tokens"), lit(0)).as("ws_tokens"),
+        coalesce(col("wp_tokens"), lit(0)).as("wp_tokens"),
+        coalesce(col("unk_words"), lit(0)).as("unk_words")
+      )
+  }
+
   /** Viterbi segmentation of one word under a unigram piece model: the
     * highest-logprob split using only pieces present in `logprobs`
     * (single characters are guaranteed present by [[unigramLM]]; unknown

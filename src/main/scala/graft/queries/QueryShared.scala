@@ -487,6 +487,202 @@ private[graft] object QueryShared {
        |ORDER BY d.doc_id""".stripMargin.replace("__MERGES__", mergesCte)
   }
 
+  /** Fixed WordPiece vocabulary for q_wordpiece_apply: piece literals
+    * inlined into BOTH the Spark plan and the oracle so the greedy
+    * longest-match encoder is SQL-expressible independently of training.
+    * Chosen to exercise every inference branch on the corpus vocabulary:
+    * whole-word hits (hash, join), multi-piece greedy splits (batch,
+    * filter, sort), a LONGEST-match decision (scan has both `##c` and
+    * `##ca`; row has both `##o` and `##ow` — greedy must take the longer),
+    * a single-char word (a), a mid-word failure AFTER consuming pieces
+    * (small: `s` matches, `##m` doesn't -> whole word [UNK]), and plain
+    * unknown words. */
+  val WpFixedVocab: Seq[String] = Seq(
+    "a", "b", "f", "hash", "join", "r", "s",
+    "##a", "##at", "##c", "##ca", "##ch", "##il",
+    "##n", "##o", "##ow", "##rt", "##ter", "##w"
+  )
+
+  /** WordPiece TRAINING rounds unrolled as chained CTEs — like
+    * [[duckBpeTrainRounds]], `wordpieceTrain` runs a FIXED round count,
+    * so the whole trainer is SQL-expressible. Per round: symbol counts
+    * and adjacent-pair counts of the cell-string dictionary (weighted by
+    * word frequency), the likelihood-gain argmax on the operator's exact
+    * 2^-16 integer grid — `(count(ab) * N * 65536) // (count(a) *
+    * count(b))` in HUGEINT, bit-identical to the Spark DECIMAL(38,0)
+    * `div` — ties (count-quantized) broken (a, b) ascending, and one
+    * non-overlapping left-to-right `replace` merging the winner (the
+    * merged cell drops the right side's `##`). Defines `wp_occ`,
+    * `wenc0..encN` and `wbest0..bestN-1`; compose with
+    * [[duckWpTrainCte]] (the merge table) or [[duckWpTrainApplyCte]]
+    * (train->apply end-to-end). */
+  def duckWpTrainRounds(numMerges: Int): String = {
+    def round(r: Int): String =
+      s""", wsyms$r AS MATERIALIZED (
+         |  SELECT string_split(substr(s, 2, len(s) - 2), chr(3) || chr(2)) AS y,
+         |         n
+         |  FROM wenc$r
+         |), wsc$r AS MATERIALIZED (
+         |  SELECT sy AS sym, SUM(n) AS c FROM (
+         |    SELECT unnest(y) AS sy, n FROM wsyms$r
+         |  ) GROUP BY 1
+         |), wpairs$r AS MATERIALIZED (
+         |  SELECT y[CAST(i AS INT)] AS a, y[CAST(i AS INT) + 1] AS b,
+         |         SUM(n) AS total
+         |  FROM wsyms$r, unnest(range(1, len(y))) AS t(i)
+         |  GROUP BY 1, 2
+         |), wbest$r AS MATERIALIZED (
+         |  SELECT p.a, p.b, p.total,
+         |         p.a || CASE WHEN p.b LIKE '##%' THEN substr(p.b, 3)
+         |                     ELSE p.b END AS m,
+         |         CAST((CAST(p.total AS HUGEINT)
+         |                 * (SELECT SUM(c) FROM wsc$r) * 65536)
+         |           // (CAST(ca.c AS HUGEINT) * CAST(cb.c AS HUGEINT))
+         |           AS BIGINT) AS sq
+         |  FROM wpairs$r p
+         |  JOIN wsc$r ca ON ca.sym = p.a
+         |  JOIN wsc$r cb ON cb.sym = p.b
+         |  ORDER BY sq DESC, p.a, p.b LIMIT 1
+         |), wenc${r + 1} AS MATERIALIZED (
+         |  SELECT replace(e.s, chr(2) || q.a || chr(3) || chr(2) || q.b || chr(3),
+         |                 chr(2) || q.m || chr(3)) AS s,
+         |         e.n
+         |  FROM wenc$r e, wbest$r q
+         |)""".stripMargin
+    s"""wp_occ AS MATERIALIZED (
+       |  SELECT w, count(*) AS n FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents WHERE text IS NOT NULL
+       |  ) WHERE len(w) > 0 GROUP BY w
+       |), wenc0 AS MATERIALIZED (
+       |  SELECT chr(2) || substr(w, 1, 1) || chr(3) ||
+       |         CASE WHEN len(w) > 1
+       |              THEN regexp_replace(substr(w, 2), '(.)',
+       |                     chr(2) || '##' || '\\1' || chr(3), 'g')
+       |              ELSE '' END AS s,
+       |         n
+       |  FROM wp_occ
+       |)""".stripMargin + (0 until numMerges).map(round).mkString
+  }
+
+  /** Standalone DuckDB oracle for q_wordpiece: the trained merge table
+    * (merge_rank, left, right, merged, score_q, pair_count) from
+    * [[duckWpTrainRounds]]. */
+  def duckWpTrainCte(numMerges: Int): String = {
+    val union = (0 until numMerges)
+      .map(r => s"SELECT $r AS rank, a, b, m, sq, total FROM wbest$r")
+      .mkString("\n  UNION ALL ")
+    // concat, NOT an outer stripMargin (see duckBpeTrainCte note)
+    s"WITH ${duckWpTrainRounds(numMerges)}\n" +
+      s"""SELECT CAST(rank AS INT) AS merge_rank, a AS "left", b AS "right",
+         |       m AS merged, sq AS score_q, CAST(total AS BIGINT) AS pair_count
+         |FROM (
+         |  __UNION__
+         |)
+         |ORDER BY merge_rank""".stripMargin.replace("__UNION__", union)
+  }
+
+  /** Shared greedy longest-match WordPiece ENCODE replay: `vocabCte` must
+    * define `wpvocab(piece)`. NO correlated subqueries — DuckDB 1.0
+    * silently yields NULL for correlated scalar subqueries inside a
+    * recursive member when the referenced CTE chains through further
+    * CTEs (a flat VALUES vocab works; a derived one does not), so the
+    * longest match at every (word, position) is precomputed as a jump
+    * table by a flat join (`wnxt`: suffixes x vocab, content-matched with
+    * the `##` convention encoded as an `iscont` flag) and the recursion
+    * just WALKS the pointers. A position with no match collapses the
+    * whole word to one `[UNK]` token, exactly the operator's semantics.
+    * Per-doc counts then join the occurrence table like the BPE apply
+    * oracle. */
+  private def duckWpApplyFrom(vocabCte: String): String = {
+    // __VOCAB__ substituted AFTER stripMargin: an interpolated vocab CTE
+    // can contain `|| chr(2)` continuation lines whose leading pipe
+    // stripMargin would eat (the duckBpeApplyFrom precaution)
+    s"""WITH RECURSIVE __VOCAB__, wpv2 AS MATERIALIZED (
+       |  SELECT CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+       |              ELSE piece END AS body,
+       |         CAST(piece LIKE '##%' AS INT) AS iscont,
+       |         len(CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+       |                  ELSE piece END) AS blen
+       |  FROM wpvocab
+       |  WHERE len(CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+       |                 ELSE piece END) >= 1
+       |), wp_words AS MATERIALIZED (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents WHERE text IS NOT NULL
+       |  ) WHERE len(w) > 0
+       |), wsuf AS MATERIALIZED (
+       |  SELECT w, CAST(i AS INT) AS pos,
+       |         substr(w, CAST(i AS INT) + 1) AS rem,
+       |         CAST(i > 0 AS INT) AS started
+       |  FROM wp_words, unnest(range(0, len(w))) t(i)
+       |), wnxt AS MATERIALIZED (
+       |  SELECT s.w, s.pos, max(v.blen) AS L
+       |  FROM wsuf s JOIN wpv2 v
+       |    ON v.iscont = s.started AND substr(s.rem, 1, v.blen) = v.body
+       |  GROUP BY s.w, s.pos
+       |), wrec AS (
+       |  SELECT w, 0 AS pos, 0 AS np, 0 AS unk, len(w) AS wl FROM wp_words
+       |  UNION ALL
+       |  SELECT x.w,
+       |         CASE WHEN n.L IS NULL THEN x.wl
+       |              ELSE x.pos + CAST(n.L AS INT) END,
+       |         CASE WHEN n.L IS NULL THEN 1 ELSE x.np + 1 END,
+       |         CASE WHEN n.L IS NULL THEN 1 ELSE x.unk END,
+       |         x.wl
+       |  FROM wrec x LEFT JOIN wnxt n ON n.w = x.w AND n.pos = x.pos
+       |  WHERE x.pos < x.wl
+       |), wfix AS (
+       |  SELECT w, np, unk FROM wrec WHERE pos = wl
+       |), wocc AS (
+       |  SELECT doc_id, w, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents WHERE text IS NOT NULL
+       |  ) WHERE len(w) > 0 GROUP BY doc_id, w
+       |), wcounts AS (
+       |  SELECT wocc.doc_id,
+       |         CAST(SUM(wocc.c) AS INT) AS ws_tokens,
+       |         CAST(SUM(wocc.c * wfix.np) AS INT) AS wp_tokens,
+       |         CAST(SUM(wocc.c * wfix.unk) AS INT) AS unk_words
+       |  FROM wocc JOIN wfix ON wocc.w = wfix.w
+       |  GROUP BY wocc.doc_id
+       |)
+       |SELECT d.doc_id,
+       |       coalesce(wcounts.ws_tokens, 0) AS ws_tokens,
+       |       coalesce(wcounts.wp_tokens, 0) AS wp_tokens,
+       |       coalesce(wcounts.unk_words, 0) AS unk_words
+       |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+       |LEFT JOIN wcounts ON d.doc_id = wcounts.doc_id
+       |ORDER BY d.doc_id""".stripMargin.replace("__VOCAB__", vocabCte)
+  }
+
+  /** DuckDB oracle for q_wordpiece_apply: greedy longest-match encode
+    * under the FIXED [[WpFixedVocab]] literals. */
+  def duckWpApplyCte: String = {
+    val values = WpFixedVocab.map(p => s"('$p')").mkString(", ")
+    duckWpApplyFrom(s"wpvocab(piece) AS (\n  VALUES $values\n)")
+  }
+
+  /** End-to-end train->apply oracle for q_wordpiece_train_apply:
+    * [[duckWpTrainRounds]] derives the merge table, the vocabulary is the
+    * corpus alphabet (wenc0's symbols) plus the merged pieces, and the
+    * [[duckWpApplyFrom]] greedy replay encodes the corpus under it. */
+  def duckWpTrainApplyCte(numMerges: Int): String = {
+    val mergedUnion = (0 until numMerges)
+      .map(r => s"SELECT m AS piece FROM wbest$r")
+      .mkString("\n  UNION ") // UNION (not ALL): the vocab is a set
+    duckWpApplyFrom(
+      duckWpTrainRounds(numMerges) +
+        s""", wpvocab AS MATERIALIZED (
+           |  SELECT DISTINCT unnest(
+           |    string_split(substr(s, 2, len(s) - 2), chr(3) || chr(2))
+           |  ) AS piece FROM wenc0
+           |  UNION __MERGED__
+           |)""".stripMargin.replace("__MERGED__", mergedUnion)
+    )
+  }
+
   /** Fixed unigram piece model for q_unigram_apply: (piece, logprob)
     * literals inlined into BOTH the Spark plan and the oracle, so Viterbi
     * segmentation is SQL-expressible (training stays rows-gated under

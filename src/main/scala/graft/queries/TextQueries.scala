@@ -353,6 +353,53 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // WordPiece merge-rule training (8 rounds) — the BERT vocabulary
+    // learner completing the trainer triad (BPE, unigram-LM, WordPiece).
+    // Full hash oracle: the likelihood-gain argmax runs on the
+    // operator's exact 2^-16 integer grid, so the fixed-round loop
+    // unrolls into chained DuckDB CTEs replaying every round bit-for-bit
+    // (QueryShared.duckWpTrainCte); the score's N-normalization also
+    // makes the whole merge sequence duplication-invariant (stress-
+    // asserted in RandomizedSpec).
+    "q_wordpiece" -> ((s, dir) => {
+      TextAnalysis.wordpieceTrain(t(s, dir, "documents"), "text", numMerges = 8)
+    }),
+
+    // greedy longest-match WordPiece encode under the FIXED literal
+    // vocabulary (QueryShared.WpFixedVocab — covering whole-word hits,
+    // longest-match decisions, mid-word [UNK] collapse): per-doc
+    // (ws_tokens, wp_tokens, unk_words) with a full recursive-CTE oracle.
+    "q_wordpiece_apply" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis
+        .wordpieceTokenCounts(
+          t(s, dir, "documents"),
+          "doc_id",
+          "text",
+          WpFixedVocab.toDF("piece")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // train -> apply END-TO-END: encode the corpus under the vocabulary
+    // (alphabet + merged pieces) just trained on it; the oracle chains
+    // the unrolled training CTEs into the greedy encode replay.
+    "q_wordpiece_train_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .wordpieceTokenCounts(
+          docs,
+          "doc_id",
+          "text",
+          TextAnalysis.wordpieceVocab(
+            docs,
+            "text",
+            TextAnalysis.wordpieceTrain(docs, "text", numMerges = 8)
+          )
+        )
+        .orderBy("doc_id")
+    }),
+
     // true-BPE token counts under the FIXED literal merge table
     // (QueryShared.BpeFixedMerges): min-rank merge application over the
     // distinct-word dictionary IS SQL-expressible given the rules as
@@ -1054,6 +1101,10 @@ private[graft] object TextQueries {
     "q_bpe" -> duckBpeTrainCte(8),
     "q_bpe_apply" -> duckBpeApplyCte,
     "q_bpe_train_apply" -> duckBpeTrainApplyCte(8),
+
+    "q_wordpiece" -> duckWpTrainCte(8),
+    "q_wordpiece_apply" -> duckWpApplyCte,
+    "q_wordpiece_train_apply" -> duckWpTrainApplyCte(8),
 
     "q_unigram_apply" -> duckUnigramApplyCte,
     "q_unigram_lm" -> duckUnigramTrainCte(),

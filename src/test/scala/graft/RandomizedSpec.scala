@@ -402,6 +402,110 @@ class RandomizedSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("wordpieceTrain equals the brute likelihood-gain trainer on random corpora") {
+    import graft.operators.TextAnalysis
+    // brute reference: the exact published criterion — per round, score
+    // every adjacent pair (c_ab * N * 65536) / (ca * cb) in BigInt
+    // (truncating division == the operator's DECIMAL div), argmax with
+    // (a, b)-ascending tie-break, leftmost non-overlapping fold — over a
+    // word dictionary in plain Scala collections
+    def brute(
+        dict0: Seq[(String, Long)],
+        numMerges: Int
+    ): Seq[(Int, String, String, String, Long, Long)] = {
+      var words: Seq[(Vector[String], Long)] = dict0.map { case (w, n) =>
+        (w.head.toString +: w.tail.map(c => "##" + c).toVector, n)
+      }
+      val out = Seq.newBuilder[(Int, String, String, String, Long, Long)]
+      var rank = 0
+      var stop = false
+      while (rank < numMerges && !stop) {
+        val symC = words
+          .flatMap { case (ss, n) => ss.map(_ -> n) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        val pairC = words
+          .flatMap { case (ss, n) => ss.zip(ss.tail).map(_ -> n) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+        if (pairC.isEmpty) stop = true
+        else {
+          val bigN = BigInt(symC.values.sum)
+          val scored = pairC.toSeq.map { case ((a, b), c) =>
+            val sq = (BigInt(c) * bigN * 65536) / (BigInt(symC(a)) * symC(b))
+            ((a, b), c, sq.toLong)
+          }
+          val ((a, b), c, sq) = scored.minBy { case ((a, b), _, sq) =>
+            (-sq, a, b)
+          }
+          val merged = a + b.stripPrefix("##")
+          out += ((rank, a, b, merged, sq, c))
+          words = words.map { case (ss, n) =>
+            (
+              ss.foldLeft(Vector.empty[String])((acc, x) =>
+                if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ merged
+                else acc :+ x
+              ),
+              n
+            )
+          }
+          rank += 1
+        }
+      }
+      out.result()
+    }
+    for (seed <- Seq(7, 99, 4242)) {
+      val rnd = new scala.util.Random(seed)
+      // tiny alphabet -> heavy pair collisions, same-symbol runs ("aaaa")
+      // exercising the non-overlapping leftmost fold, and quantized ties
+      val dict = rnd
+        .shuffle(
+          (1 to 40).map(_ =>
+            (1 to (1 + rnd.nextInt(6)))
+              .map(_ => "ab" (rnd.nextInt(2)))
+              .mkString
+          )
+        )
+        .distinct
+        .map(w => (w, 1L + rnd.nextInt(20)))
+      val docs = dict.zipWithIndex.map { case ((w, n), i) =>
+        (i.toLong, Seq.fill(n.toInt)(w).mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = TextAnalysis
+        .wordpieceTrain(docs, "text", numMerges = 12)
+        .collect()
+        .map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+            r.getLong(4), r.getLong(5))
+        )
+        .toSeq
+      val want = brute(dict, 12)
+      assert(got == want, s"seed=$seed\n got=$got\nwant=$want")
+      // duplication invariance is STRUCTURAL (the N factor cancels the
+      // k^2 count scaling): 3 corpus replicas must reproduce the merge
+      // sequence AND every quantized score bit-for-bit; the raw
+      // pair_count is the one column that (correctly) triples
+      val docs3 = docs
+        .union(docs.withColumn("doc_id", col("doc_id") + 1000))
+        .union(docs.withColumn("doc_id", col("doc_id") + 2000))
+      val got3 = TextAnalysis
+        .wordpieceTrain(docs3, "text", numMerges = 12)
+        .collect()
+        .map(r =>
+          (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+            r.getLong(4), r.getLong(5))
+        )
+        .toSeq
+      assert(
+        got3.map(t => (t._1, t._2, t._3, t._4, t._5)) ==
+          got.map(t => (t._1, t._2, t._3, t._4, t._5)),
+        s"seed=$seed duplication changed the merges or scores"
+      )
+      assert(
+        got3.map(_._6) == got.map(_._6 * 3),
+        s"seed=$seed pair counts must scale exactly 3x"
+      )
+    }
+  }
+
   test("rangedRunningSums equals the brute per-group prefix sums at every parts") {
     // direct gate for the helper that now carries AUC / KS / exact
     // percentiles: random groups x unique-order values x two sum columns,

@@ -3551,6 +3551,99 @@ class ScaleSpec extends SparkSpec {
     )
   }
 
+  test("wordpieceTrain replays the hand-traced likelihood-gain sequence") {
+    // {low x5, lowest x2}: symbols l:7 ##o:7 ##w:7 ##e:2 ##s:2 ##t:2,
+    // N=27. score_q = (c_ab * N * 65536) div (ca * cb). Round 0: the
+    // chain pairs (l,##o)/(##o,##w)/(##w,##e) all quantize to 252781 but
+    // (##e,##s) and (##s,##t) hit 884736; tie breaks to ##e < ##s.
+    // Rounds 2-4 are three-way and two-way QUANTIZED ties (identical
+    // true scores), exercising the lexicographic tie-break; round 5
+    // exhausts after the last pair merges.
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lowest lowest")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .wordpieceTrain(docs, "text", numMerges = 10)
+      .collect()
+      .map(r =>
+        (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+          r.getLong(4), r.getLong(5))
+      )
+    val want = Seq(
+      (0, "##e", "##s", "##es", 884736L, 2L),
+      (1, "##es", "##t", "##est", 819200L, 2L),
+      (2, "##o", "##w", "##ow", 215332L, 7L),
+      (3, "##ow", "##est", "##owest", 149796L, 2L),
+      (4, "l", "##ow", "low", 131072L, 5L),
+      (5, "l", "##owest", "lowest", 294912L, 2L)
+    )
+    assert(got.toSeq == want, s"${got.mkString(";")}")
+  }
+
+  test("wordpieceEncodeWord is greedy longest-match with whole-word [UNK]") {
+    val vocab = Set("h", "s", "##a", "##sh", "##as", "hash", "ha")
+    // longest FIRST piece wins: "hash" whole-word beats "ha"+...
+    assert(TextAnalysis.wordpieceEncodeWord("hash", vocab) == Vector("hash"))
+    // greedy longest at each position: "hashs" -> hash? no ("hash" then
+    // "##s" missing -> the greedy path fails and the WHOLE word is [UNK],
+    // even though ha+##as+... also dies; h+##as+##... dies too
+    assert(
+      TextAnalysis.wordpieceEncodeWord("hashs", vocab) == Vector("[UNK]")
+    )
+    // multi-piece: "has" -> "ha" + "##s"? vocab has no "##s": fails;
+    // greedy tries "has"(no), "ha"(yes) then "##s"(no) -> [UNK]
+    assert(TextAnalysis.wordpieceEncodeWord("has", vocab) == Vector("[UNK]"))
+    // "sash" -> "s" + "##as"? longest at pos1 is "##ash"? absent; "##as"
+    // (len 2) beats "##a": s + ##as + ... pos 3 "h": "##h" absent -> [UNK]
+    assert(TextAnalysis.wordpieceEncodeWord("sash", vocab) == Vector("[UNK]"))
+    // successful multi-piece: "sa" -> s + ##a
+    assert(
+      TextAnalysis.wordpieceEncodeWord("sa", vocab) == Vector("s", "##a")
+    )
+    // and the longest-match preference: "sas" -> s + ##as (not ##a + ...)
+    assert(
+      TextAnalysis.wordpieceEncodeWord("sas", vocab) == Vector("s", "##as")
+    )
+  }
+
+  test("wordpiece vocab + token counts: train->apply round trip") {
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lowest lowest")
+    ).toDF("doc_id", "text")
+    val merges = TextAnalysis.wordpieceTrain(docs, "text", numMerges = 10)
+    val vocab = TextAnalysis.wordpieceVocab(docs, "text", merges)
+    val pieces = vocab.collect().map(_.getString(0)).toSet
+    // alphabet + one piece per merge
+    assert(
+      pieces == Set("l", "##o", "##w", "##e", "##s", "##t",
+        "##es", "##est", "##ow", "##owest", "low", "lowest"),
+      s"$pieces"
+    )
+    val enc = TextAnalysis
+      .wordpieceEncodeTable(docs, "text", vocab)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getSeq[String](1), r.getInt(2), r.getBoolean(3))))
+      .toMap
+    assert(enc("low") == ((Seq("low"), 1, false)), s"$enc")
+    assert(enc("lowest") == ((Seq("lowest"), 1, false)), s"$enc")
+    // trained alphabet covers every corpus char -> zero [UNK] by
+    // construction; an out-of-alphabet word under the same vocab is [UNK]
+    assert(
+      TextAnalysis.wordpieceEncodeWord("slow", pieces) == Vector("[UNK]")
+    )
+    val counts = TextAnalysis
+      .wordpieceTokenCounts(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(
+      counts.toSeq == Seq((1L, 5, 5, 0), (2L, 2, 2, 0)),
+      s"${counts.mkString(";")}"
+    )
+  }
+
   test("bpeEncodeWord property: pieces always reconstruct the word") {
     // whatever the merge table, BPE only ever glues adjacent symbols —
     // concatenating the pieces must reproduce the characters + </w>
