@@ -867,6 +867,104 @@ object Stats {
     )
   }
 
+  /** Exact two-sample 1-D Wasserstein-1 (earth mover's) distance — the
+    * L1 companion to [[ksTwoSample]]'s sup-norm: where KS reports the
+    * WORST CDF gap (one bad quantile dominates), W1 integrates
+    * |F_a - F_b| over the value axis, so it sees the TOTAL mass that
+    * moved — the drift score that keeps responding after the largest gap
+    * saturates, in the original units of the value column (for
+    * distribution-shift gates on score/length/price columns between
+    * corpus snapshots).
+    *
+    *   W1 = integral |F_a(v) - F_b(v)| dv
+    *      = sum_i |F_a(v_i) - F_b(v_i)| * (v_{i+1} - v_i)
+    *
+    * over the merged distinct-value grid. Values are quantized to
+    * `valueDecimals` micro-units FIRST (`round(v * 10^d)` as long — the
+    * [[ksTwoSample]] valueDecimals contract, half-away-from-zero in both
+    * engines; |v| must stay below ~9.2e12 at d=6), after which EVERYTHING
+    * is integer: per-value counts, prefix sums, the cross-multiplied gap
+    * |ra*nb - rb*na|, and the grid step — one exact DECIMAL sum, one
+    * division at the end. No float accumulation anywhere, so the result
+    * is engine-portable bit-for-bit.
+    *
+    * Scale shape: corpus reduces to the distinct-value grid in one
+    * map-side-combined aggregate; prefix sums ride
+    * [[rangedRunningSums]] (never an unpartitioned window); the
+    * "next value" comes from a rank self-join on the grid (the running
+    * count IS the rank), a grid-sized shuffle. Returns one row:
+    * (n_a, n_b, w1). Empty sides yield NULL w1. */
+  def wasserstein1(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      valueDecimals: Int = 6,
+      scale: Int = 6
+  ): DataFrame = {
+    val q = math.pow(10, valueDecimals)
+    def side(df: DataFrame, ca: Int, cb: Int) = ScanUtils
+      .withScanParallelism(
+        df.select(
+          round(col(valueCol).cast("double") * q).cast("long").as("__vq")
+        )
+      )
+      .filter(col("__vq").isNotNull)
+      .select(col("__vq"), lit(ca).as("__a"), lit(cb).as("__b"))
+    val grouped = side(a, 1, 0)
+      .unionByName(side(b, 0, 1))
+      .groupBy("__vq")
+      .agg(
+        sum(col("__a").cast("long")).as("__ca"),
+        sum(col("__b").cast("long")).as("__cb")
+      )
+      .withColumn("__one", lit(1L))
+    val ranked = rangedRunningSums(
+      grouped, Nil, "__vq", Seq("__ca", "__cb", "__one")
+    ).select(
+      col("__vq"),
+      col("__run___ca").as("__ra"),
+      col("__run___cb").as("__rb"),
+      col("__run___one").as("__rk")
+    )
+    // next grid value via the rank: ranks are dense 1..n by construction
+    // (the running count of a distinct-value table), so rank -> rank+1 is
+    // a 1:1 equi-join; the last value drops out (inner join), where the
+    // term is 0 anyway (both CDFs have reached 1)
+    val nxt = ranked.select(
+      (col("__rk") - 1).as("__rk"),
+      col("__vq").as("__nvq")
+    )
+    val totals = grouped.agg(
+      sum("__ca").as("__na"),
+      sum("__cb").as("__nb")
+    )
+    // decimal BEFORE the multiply (the ksTwoSample bound), and the grid
+    // step joins the product while still decimal — exact at any corpus
+    // size the micro-unit grid admits
+    val num = abs(
+      col("__ra").cast("decimal(38,0)") * col("__nb").cast("decimal(38,0)") -
+        col("__rb").cast("decimal(38,0)") * col("__na").cast("decimal(38,0)")
+    )
+    val term = num * (col("__nvq") - col("__vq")).cast("decimal(38,0)")
+    // totals ride their own aggregate: a single-distinct-value grid makes
+    // the rank join EMPTY (no segments -> W1 = 0), which must not null
+    // out n_a/n_b
+    val termSum = ranked
+      .join(nxt, Seq("__rk"))
+      .crossJoin(broadcast(totals))
+      .agg(sum(term).as("__s"))
+    val w1 = coalesce(col("__s"), lit(0).cast("decimal(38,0)"))
+      .cast("double") /
+      (col("__na").cast("double") * col("__nb").cast("double") * q)
+    totals
+      .crossJoin(termSum)
+      .select(
+        col("__na").as("n_a"),
+        col("__nb").as("n_b"),
+        round(when(col("__na") > 0 && col("__nb") > 0, w1), scale).as("w1")
+      )
+  }
+
   /** Reliability-curve calibration bins + expected calibration error —
     * the companion to [[thresholdSweep]]/[[aucRoc]] that checks whether a
     * quality classifier's scores can be TRUSTED as probabilities before a

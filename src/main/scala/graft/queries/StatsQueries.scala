@@ -252,6 +252,19 @@ private[graft] object StatsQueries {
       )
     }),
 
+    // exact 1-D Wasserstein drift on the same F-vs-O slice pair as
+    // q_ks_test: the L1 integral of the CDF gap in price units — integer
+    // micro-grid arithmetic end-to-end (one division at the end), so the
+    // oracle replays it bit-for-bit in HUGEINT
+    "q_wasserstein" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Stats.wasserstein1(
+        o.filter(col("o_orderstatus") === "F"),
+        o.filter(col("o_orderstatus") === "O"),
+        "o_totalprice"
+      )
+    }),
+
     // incremental distinct counting: corpus sketched once (doc_id < 250),
     // batch sketched separately, tables MERGED — the corpus rows are never
     // rescanned. Cardinalities here are sparse-mode small, so the HLL
@@ -639,6 +652,37 @@ private[graft] object StatsQueries {
          |         AS kappa
          |FROM t, s""".stripMargin
     },
+
+    "q_wasserstein" ->
+      """WITH u AS (
+        |  SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 1000000) AS BIGINT)
+        |           AS vq, 1 AS a, 0 AS b
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL
+        |  UNION ALL
+        |  SELECT CAST(ROUND(CAST(o_totalprice AS DOUBLE) * 1000000) AS BIGINT)
+        |           AS vq, 0 AS a, 1 AS b
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL
+        |), g AS (
+        |  SELECT vq, SUM(a) AS ca, SUM(b) AS cb FROM u GROUP BY vq
+        |), r AS (
+        |  SELECT vq,
+        |         SUM(ca) OVER (ORDER BY vq
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ra,
+        |         SUM(cb) OVER (ORDER BY vq
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rb,
+        |         LEAD(vq) OVER (ORDER BY vq) AS nvq
+        |  FROM g
+        |), t AS (
+        |  SELECT SUM(ca) AS na, SUM(cb) AS nb FROM g
+        |), s AS (
+        |  SELECT SUM(ABS(CAST(ra AS HUGEINT) * nb - CAST(rb AS HUGEINT) * na)
+        |             * CAST(nvq - vq AS HUGEINT)) AS s1
+        |  FROM r, t WHERE nvq IS NOT NULL
+        |)
+        |SELECT CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b,
+        |       ROUND(CAST(COALESCE(s.s1, 0) AS DOUBLE) /
+        |             (CAST(t.na AS DOUBLE) * t.nb * 1000000), 6) AS w1
+        |FROM t, s""".stripMargin,
 
     "q_ks_test" ->
       """WITH u AS (

@@ -796,7 +796,8 @@ class PlanSpec extends SparkSpec {
       }
       self ++ kids.flatMap(windows)
     }
-    Seq("q_auc", "q_ks_test", "q_equidepth", "q_winsorize").foreach { q =>
+    Seq("q_auc", "q_ks_test", "q_wasserstein", "q_equidepth", "q_winsorize")
+      .foreach { q =>
       val exec =
         SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
       val bad = windows(exec).filter(_.partitionSpec.isEmpty)

@@ -402,6 +402,60 @@ class RandomizedSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("wasserstein1 equals the CDF-integral brute force and the quantile identity") {
+    import graft.operators.Stats
+    def brute(xs: Seq[Double], ys: Seq[Double]): Double = {
+      val grid = (xs ++ ys).distinct.sorted
+      val na = xs.size.toDouble
+      val nb = ys.size.toDouble
+      grid
+        .zip(grid.tail)
+        .map { case (v, nv) =>
+          val fa = xs.count(_ <= v) / na
+          val fb = ys.count(_ <= v) / nb
+          math.abs(fa - fb) * (nv - v)
+        }
+        .sum
+    }
+    def w1(xs: Seq[Double], ys: Seq[Double]): (Long, Long, Option[Double]) = {
+      val r = Stats
+        .wasserstein1(xs.toDF("v"), ys.toDF("v"), "v")
+        .collect()(0)
+      (
+        if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      )
+    }
+    val rnd = new scala.util.Random(31337)
+    for (trial <- 1 to 3) {
+      // quarter-unit grid: values exact in double AND on the micro grid,
+      // with heavy duplicate collisions across the two samples
+      def sample(n: Int, lo: Double, hi: Double): Seq[Double] =
+        Seq.fill(n)(lo + math.round(rnd.nextDouble() * (hi - lo) * 4) / 4.0)
+      val xs = sample(150 + rnd.nextInt(100), 0, 50)
+      val ys = sample(120 + rnd.nextInt(150), -5, 55)
+      val (na, nb, got) = w1(xs, ys)
+      assert(na == xs.size && nb == ys.size)
+      val want = brute(xs, ys)
+      assert(
+        math.abs(got.get - want) < 2e-6,
+        s"trial=$trial got=$got want=$want"
+      )
+    }
+    // equal-size identity: W1 = mean |a_(i) - b_(i)| over sorted samples
+    val as = Seq.fill(200)(math.round(rnd.nextDouble() * 400) / 4.0)
+    val bs = Seq.fill(200)(math.round(rnd.nextDouble() * 400) / 4.0)
+    val viaQuantiles =
+      as.sorted.zip(bs.sorted).map { case (x, y) => math.abs(x - y) }.sum / 200
+    assert(math.abs(w1(as, bs)._3.get - viaQuantiles) < 2e-6)
+    // edges: identical samples -> 0; single shared distinct value -> 0
+    // with counts intact; an empty side -> NULL w1
+    assert(w1(as, as) == ((200L, 200L, Some(0.0))))
+    assert(w1(Seq(3.25, 3.25), Seq(3.25)) == ((2L, 1L, Some(0.0))))
+    assert(w1(as, Nil)._3.isEmpty)
+  }
+
   test("wordpieceTrain equals the brute likelihood-gain trainer on random corpora") {
     import graft.operators.TextAnalysis
     // brute reference: the exact published criterion — per round, score
