@@ -965,6 +965,78 @@ object Stats {
       )
   }
 
+  /** Mutual information between two categorical columns — the
+    * information-theoretic companion to [[chiSquareIndependence]]'s
+    * Cramer's V for feature/association screening (does `source` predict
+    * `lang`? is a split column leaking the label?): MI in bits via the
+    * entropy identity `MI = H(A) + H(B) - H(A,B)` (three count tables,
+    * one shared entropy shape — never the p_xy/(p_x p_y) ratio form,
+    * whose per-cell joins triple the shuffle count), plus the
+    * sqrt-normalized NMI in [0, 1].
+    *
+    * Exactness follows the corpusEntropy house pattern: each
+    * `-(c/n) log2(c/n)` term is rounded to 9 decimals and summed in
+    * DECIMAL (order-independent, engine-portable), the three entropy
+    * sums combine in DECIMAL, and NMI derives from the ALREADY-ROUNDED
+    * decimal entropies so both engines divide identical doubles.
+    *
+    * Scale shape: three map-side-combined hash aggregates over the same
+    * scan (category- / cell-bounded outputs), three one-row entropy
+    * reductions, broadcast-crossed into one row:
+    * (n_rows, h_a, h_b, h_ab, mi, nmi). NULL categories are excluded;
+    * an empty input yields the row with NULL entropies. */
+  def mutualInformation(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      scale: Int = 6
+  ): DataFrame = {
+    val base = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).as("__a"), col(colB).as("__b"))
+    def entropyOf(counts: DataFrame): DataFrame = {
+      val t = counts.agg(coalesce(sum("__c"), lit(0L)).as("__t"))
+      val p = col("__c").cast("double") / col("__t")
+      val hs = counts
+        .crossJoin(broadcast(t))
+        .select(
+          round(-p * (log(p) / log(lit(2.0))), 9)
+            .cast("decimal(19,9)")
+            .as("__h")
+        )
+        .agg(sum("__h").as("__hsum"))
+      t.crossJoin(hs)
+    }
+    val hA = entropyOf(base.groupBy("__a").agg(count(lit(1)).as("__c")))
+      .select(col("__t").as("__n"), col("__hsum").as("__ha"))
+    val hB = entropyOf(base.groupBy("__b").agg(count(lit(1)).as("__c")))
+      .select(col("__hsum").as("__hb"))
+    val hAB = entropyOf(
+      base.groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+    ).select(col("__hsum").as("__hab"))
+    val ha6 = round(col("__ha"), scale)
+    val hb6 = round(col("__hb"), scale)
+    val hab6 = round(col("__hab"), scale)
+    val mi6 = round(col("__ha") + col("__hb") - col("__hab"), scale)
+    hA.crossJoin(broadcast(hB))
+      .crossJoin(broadcast(hAB))
+      .select(
+        col("__n").as("n_rows"),
+        ha6.cast("double").as("h_a"),
+        hb6.cast("double").as("h_b"),
+        hab6.cast("double").as("h_ab"),
+        mi6.cast("double").as("mi"),
+        when(
+          ha6 > 0 && hb6 > 0,
+          round(
+            mi6.cast("double") /
+              sqrt(ha6.cast("double") * hb6.cast("double")),
+            scale
+          )
+        ).as("nmi")
+      )
+  }
+
   /** Reliability-curve calibration bins + expected calibration error —
     * the companion to [[thresholdSweep]]/[[aucRoc]] that checks whether a
     * quality classifier's scores can be TRUSTED as probabilities before a

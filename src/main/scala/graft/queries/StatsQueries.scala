@@ -157,6 +157,13 @@ private[graft] object StatsQueries {
       Stats.chiSquareIndependence(t(s, dir, "documents"), "lang", "source")
     }),
 
+    // mutual information on the same (lang, source) pair as q_chi_square:
+    // MI/NMI via the three-entropy identity with the corpusEntropy
+    // quantized-term pattern — fully hash-oracled
+    "q_mutual_info" -> ((s, dir) => {
+      Stats.mutualInformation(t(s, dir, "documents"), "lang", "source")
+    }),
+
     // equi-depth quartile binning without a global sort (exact percentiles
     // for the quantile_cont oracle; the operator default is the sketch)
     "q_equidepth" -> ((s, dir) => {
@@ -652,6 +659,46 @@ private[graft] object StatsQueries {
          |         AS kappa
          |FROM t, s""".stripMargin
     },
+
+    "q_mutual_info" ->
+      """WITH base AS (
+        |  SELECT lang AS a, source AS b FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL
+        |), nn AS (
+        |  SELECT COUNT(*) AS n FROM base
+        |), ca AS (
+        |  SELECT a, count(*) AS c FROM base GROUP BY a
+        |), cb AS (
+        |  SELECT b, count(*) AS c FROM base GROUP BY b
+        |), cab AS (
+        |  SELECT a, b, count(*) AS c FROM base GROUP BY a, b
+        |), ha AS (
+        |  SELECT SUM(CAST(ROUND(
+        |    -(CAST(c AS DOUBLE) / nn.n) *
+        |      (ln(CAST(c AS DOUBLE) / nn.n) / ln(2.0)),
+        |    9) AS DECIMAL(19,9))) AS h FROM ca, nn
+        |), hb AS (
+        |  SELECT SUM(CAST(ROUND(
+        |    -(CAST(c AS DOUBLE) / nn.n) *
+        |      (ln(CAST(c AS DOUBLE) / nn.n) / ln(2.0)),
+        |    9) AS DECIMAL(19,9))) AS h FROM cb, nn
+        |), hab AS (
+        |  SELECT SUM(CAST(ROUND(
+        |    -(CAST(c AS DOUBLE) / nn.n) *
+        |      (ln(CAST(c AS DOUBLE) / nn.n) / ln(2.0)),
+        |    9) AS DECIMAL(19,9))) AS h FROM cab, nn
+        |)
+        |SELECT CAST(nn.n AS BIGINT) AS n_rows,
+        |       CAST(ROUND(ha.h, 6) AS DOUBLE) AS h_a,
+        |       CAST(ROUND(hb.h, 6) AS DOUBLE) AS h_b,
+        |       CAST(ROUND(hab.h, 6) AS DOUBLE) AS h_ab,
+        |       CAST(ROUND(ha.h + hb.h - hab.h, 6) AS DOUBLE) AS mi,
+        |       CASE WHEN ROUND(ha.h, 6) > 0 AND ROUND(hb.h, 6) > 0 THEN
+        |         ROUND(CAST(ROUND(ha.h + hb.h - hab.h, 6) AS DOUBLE) /
+        |               sqrt(CAST(ROUND(ha.h, 6) AS DOUBLE) *
+        |                    CAST(ROUND(hb.h, 6) AS DOUBLE)), 6)
+        |       END AS nmi
+        |FROM nn, ha, hb, hab""".stripMargin,
 
     "q_wasserstein" ->
       """WITH u AS (

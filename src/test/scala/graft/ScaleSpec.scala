@@ -1330,6 +1330,44 @@ class ScaleSpec extends SparkSpec {
     assert(rd.getAs[Long]("n_rows") == 14L)
   }
 
+  test("mutualInformation: 0 on independence, NMI 1 on determinism, brute parity") {
+    // perfectly independent 2x2 uniform: MI = 0, NMI = 0
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val ri = Stats.mutualInformation(indep, "a", "b").collect()(0)
+    assert(ri.getAs[Double]("mi") == 0.0, ri.toString)
+    assert(ri.getAs[Double]("nmi") == 0.0, ri.toString)
+    // b determined by a, 50/50: H(A)=H(B)=H(AB)=1 bit -> MI=1, NMI=1
+    val dep = (for { a <- Seq("x", "y"); _ <- 1 to 7 }
+      yield (a, if (a == "x") "p" else "q")).toDF("a", "b")
+    val rd = Stats.mutualInformation(dep, "a", "b").collect()(0)
+    assert(rd.getAs[Long]("n_rows") == 14L)
+    assert(rd.getAs[Double]("h_a") == 1.0 && rd.getAs[Double]("h_ab") == 1.0)
+    assert(rd.getAs[Double]("mi") == 1.0 && rd.getAs[Double]("nmi") == 1.0)
+    // constant column: H(A)=0 -> MI=0, NMI NULL (undefined, not 0/0)
+    val const = Seq(("x", "p"), ("x", "q"), ("x", "p")).toDF("a", "b")
+    val rc = Stats.mutualInformation(const, "a", "b").collect()(0)
+    assert(rc.getAs[Double]("mi") == 0.0)
+    assert(rc.isNullAt(rc.fieldIndex("nmi")), rc.toString)
+    // brute parity on a random joint distribution (nulls excluded)
+    val rnd = new scala.util.Random(606)
+    val rows = Seq.fill(400)(
+      (s"a${rnd.nextInt(4)}", if (rnd.nextInt(10) == 0) null else s"b${rnd.nextInt(3)}")
+    )
+    val rb = Stats
+      .mutualInformation(rows.toDF("a", "b"), "a", "b")
+      .collect()(0)
+    val clean = rows.filter(_._2 != null)
+    val n = clean.size.toDouble
+    def h(groups: Map[_, Int]): Double =
+      -groups.values.map(c => c / n * (math.log(c / n) / math.log(2.0))).sum
+    val miBrute = h(clean.groupBy(_._1).view.mapValues(_.size).toMap) +
+      h(clean.groupBy(_._2).view.mapValues(_.size).toMap) -
+      h(clean.groupBy(identity).view.mapValues(_.size).toMap)
+    assert(rb.getAs[Long]("n_rows") == clean.size.toLong)
+    assert(math.abs(rb.getAs[Double]("mi") - miBrute) < 1e-5, rb.toString)
+  }
+
   test("chiSquareIndependence: degenerate 1xN table has dof 0 and NULL cramers_v") {
     val deg = Seq(("x", "p"), ("x", "q"), ("x", "p"), ("x", "q"))
       .toDF("a", "b")
