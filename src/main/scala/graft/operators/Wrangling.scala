@@ -176,4 +176,74 @@ object Wrangling {
     }
     if (dropSource) withFields.drop(column) else withFields
   }
+
+  /** Slowly-changing-dimension (SCD Type 2) history construction: collapse
+    * a table of per-key versioned rows (archive snapshots, change events,
+    * CDC extracts) into validity intervals — one row per RUN of
+    * consecutive versions whose tracked attributes are all unchanged
+    * (null-safe comparison), with `valid_from` = the run's first version,
+    * `valid_to` = the next run's `valid_from` (NULL on the latest run),
+    * `is_current`, and `n_versions` (rows collapsed into the run). The
+    * complement to `Tables.upsertArchive`/`getArchiveVersions`: those
+    * maintain versioned snapshots; this turns them into the interval
+    * form that as-of joins ([[Joins]]) consume.
+    *
+    * CONTRACT: `versionCol` must be unique within a key (archive writers
+    * guarantee it); ties are broken deterministically by the attribute
+    * values, but which tied row starts a run is then arbitrary. NULL
+    * versions are dropped.
+    *
+    * Scale shape: two windows and one aggregate, ALL partitioned by the
+    * key — no global ordering anywhere, so the plan scales with the
+    * per-key history length, not the table. */
+  def scd2History(
+      df: DataFrame,
+      keyCols: Seq[String],
+      attrCols: Seq[String],
+      versionCol: String
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(attrCols.nonEmpty, "attrCols must be non-empty")
+    import org.apache.spark.sql.expressions.Window
+    val order = col(versionCol) +: attrCols.map(col)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    // a row starts a new run iff it is the key's first version or any
+    // tracked attribute differs (null-safely) from the previous version
+    val changed = attrCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _) || lag(col(versionCol), 1).over(w).isNull
+    val runs = df
+      .filter(col(versionCol).isNotNull)
+      .withColumn("__chg", changed.cast("int"))
+      .withColumn(
+        "__run",
+        sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+      )
+    val grouped = runs
+      .groupBy((keyCols.map(col) :+ col("__run")): _*)
+      .agg(
+        (attrCols.map(c => first(col(c)).as(c)) ++ Seq(
+          min(col(versionCol)).as("valid_from"),
+          count(lit(1)).as("n_versions")
+        )).head,
+        (attrCols.map(c => first(col(c)).as(c)) ++ Seq(
+          min(col(versionCol)).as("valid_from"),
+          count(lit(1)).as("n_versions")
+        )).tail: _*
+      )
+    val w2 = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("valid_from"))
+    grouped
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(
+        keyCols.map(col) ++ attrCols.map(col) ++ Seq(
+          col("valid_from"),
+          col("valid_to"),
+          col("is_current"),
+          col("n_versions")
+        ): _*
+      )
+  }
 }

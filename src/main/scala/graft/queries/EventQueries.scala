@@ -27,6 +27,21 @@ private[graft] object EventQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // SCD2 validity intervals from the event stream read as per-user state
+    // history (key = user, tracked attr = event_type, version = ts):
+    // consecutive same-type events collapse into one interval row
+    "q_scd2" -> ((s, dir) => {
+      import graft.operators.Wrangling
+      Wrangling
+        .scd2History(
+          events(s, dir).select("user_id", "event_type", "ts"),
+          keyCols = Seq("user_id"),
+          attrCols = Seq("event_type"),
+          versionCol = "ts"
+        )
+        .orderBy("user_id", "valid_from")
+    }),
+
     // top-50 within-session 3-step event-type paths (sequential patterns)
     "q_session_paths" -> ((s, dir) => {
       Sessionize
@@ -295,6 +310,34 @@ private[graft] object EventQueries {
         |            THEN round((epoch_us(ts) - epoch_us(mt)) / 1000000.0, 6) END
         |         AS asof_age_seconds
         |FROM j ORDER BY event_id""".stripMargin,
+
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR lag(event_type) OVER w IS DISTINCT FROM event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+        |), r AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_type
+        |                           ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM o
+        |), g AS (
+        |  SELECT user_id, run, min(event_type) AS event_type,
+        |         min(ts) AS valid_from, count(*) AS n_versions
+        |  FROM r GROUP BY user_id, run
+        |), f AS (
+        |  SELECT user_id, event_type, valid_from,
+        |         lead(valid_from) OVER (PARTITION BY user_id
+        |                                ORDER BY valid_from) AS valid_to,
+        |         n_versions
+        |  FROM g
+        |)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |       valid_to IS NULL AS is_current,
+        |       CAST(n_versions AS BIGINT) AS n_versions
+        |FROM f ORDER BY user_id, valid_from""".stripMargin,
 
     "q_sessionize" ->
       """WITH o AS (

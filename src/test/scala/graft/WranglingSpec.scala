@@ -165,4 +165,49 @@ class WranglingSpec extends SparkSpec {
       Wrangling.parseJsonColumn(df, "nope", "k INT")
     }
   }
+
+  test("scd2History collapses unchanged runs into validity intervals") {
+    // key k1: gold -> gold -> silver -> gold (3 runs); key k2: one row;
+    // key k3: null attr run (null-safe compare keeps it ONE run), then a
+    // value; a NULL version row is dropped
+    val df = Seq(
+      ("k1", Some("gold"), Some(1L)),
+      ("k1", Some("gold"), Some(2L)),
+      ("k1", Some("silver"), Some(3L)),
+      ("k1", Some("gold"), Some(5L)),
+      ("k2", Some("basic"), Some(10L)),
+      ("k3", None, Some(1L)),
+      ("k3", None, Some(2L)),
+      ("k3", Some("basic"), Some(4L)),
+      ("k3", Some("dropped"), None)
+    ).toDF("k", "tier", "v")
+    val got = Wrangling
+      .scd2History(df, Seq("k"), Seq("tier"), "v")
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r =>
+        (r.getString(0), Option(r.getString(1)).getOrElse("-"),
+          r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          r.getBoolean(4), r.getLong(5))
+      )
+    val want = Seq(
+      ("k1", "gold", 1L, 3L, false, 2L),
+      ("k1", "silver", 3L, 5L, false, 1L),
+      ("k1", "gold", 5L, -1L, true, 1L),
+      ("k2", "basic", 10L, -1L, true, 1L),
+      ("k3", "-", 1L, 4L, false, 2L),
+      ("k3", "basic", 4L, -1L, true, 1L)
+    )
+    assert(got.toSeq == want, s"${got.mkString(";")}")
+    // exactly one current row per key
+    assert(got.count(_._5) == 3)
+    // empty attr/key lists rejected
+    intercept[IllegalArgumentException] {
+      Wrangling.scd2History(df, Nil, Seq("tier"), "v")
+    }
+    intercept[IllegalArgumentException] {
+      Wrangling.scd2History(df, Seq("k"), Nil, "v")
+    }
+  }
 }
