@@ -463,7 +463,7 @@ object Streaming {
     *
     * OUTPUT CONTRACT: this runs in COMPLETE output mode, so the sink
     * receives a CUMULATIVE snapshot — one row per window SEEN SO FAR
-    * (window_start, n_cur, psi) — on EVERY micro-batch; consume the LAST
+    * (window_start, n_cur, psi, w1) — on EVERY micro-batch; consume the LAST
     * snapshot, don't union them (a multi-batch drain delivers each
     * window's row once per batch). Complete mode is deliberate: a drift
     * monitor must report the newest (still-open) windows — exactly the
@@ -554,24 +554,36 @@ object Streaming {
         // append mode delivers empty flush batches — skip the sink call
         // rather than handing consumers a zero-row PSI frame
         if (outputMode == "complete" || !batch.isEmpty)
-          sink(psiOfWindowCounts(batch, ref, valueCol, nBins, eps, binOf))
+          sink(
+            psiOfWindowCounts(batch, ref, valueCol, nBins, eps, binOf,
+              widthPerBin)
+          )
       }
       .start()
     q.awaitTermination()
   }
 
-  /** PSI reduction over one batch of (window_start, bin, __n) counts
-    * against the static reference: fills the bin spine per window, joins
-    * the broadcast nBins-row reference share table, and sums
+  /** PSI + binned-W1 reduction over one batch of (window_start, bin, __n)
+    * counts against the static reference: fills the bin spine per window,
+    * joins the broadcast nBins-row reference share table, and sums
     * decimal-quantized contributions — touches only (windows x nBins)
-    * aggregated rows, never events. */
+    * aggregated rows, never events. The `w1` column is the earth-mover's
+    * distance between the BINNED distributions (sum of |cumulative share
+    * gap| x bin width, in value units — the streaming form of
+    * `Stats.wasserstein1` at bin resolution): PSI needs eps smoothing and
+    * explodes on empty-vs-occupied bins, W1 stays finite and
+    * unit-interpretable, so the pair separates "a bin appeared/vanished"
+    * from "how far the mass actually moved". The cumulative window is
+    * partitioned per window_start over nBins rows — bounded, never
+    * corpus-sized. */
   private def psiOfWindowCounts(
       batch: DataFrame,
       ref: DataFrame,
       valueCol: String,
       nBins: Int,
       eps: Double,
-      binOf: => Column
+      binOf: => Column,
+      widthPerBin: Double
   ): DataFrame = {
     val spark = batch.sparkSession
     val refShares = ref
@@ -602,9 +614,17 @@ object Streaming {
     val totals = full
       .groupBy("window_start")
       .agg(sum("__n").as("__ct"))
+    val wspec = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start")
+      .orderBy("bin")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0
+      )
     full
       .join(totals, Seq("window_start"))
       .join(broadcast(refShares), Seq("bin"), "left")
+      .withColumn("__cumn", sum("__n").over(wspec))
+      .withColumn("__cump", sum(coalesce(col("__p"), lit(0.0))).over(wspec))
       .select(
         col("window_start"),
         col("__ct"),
@@ -616,15 +636,25 @@ object Streaming {
                 greatest(col("__n").cast("double") / col("__ct"), lit(eps))
             ),
           10
-        ).cast("decimal(22,10)").as("__contrib")
+        ).cast("decimal(22,10)").as("__contrib"),
+        round(
+          abs(
+            col("__cump") - col("__cumn").cast("double") / col("__ct")
+          ) * lit(widthPerBin),
+          10
+        ).cast("decimal(22,10)").as("__w1c")
       )
       .groupBy("window_start", "__ct")
       // DECIMAL-first rounding, matching the batch PSI exactly
-      .agg(round(sum("__contrib"), 6).cast("double").as("psi"))
+      .agg(
+        round(sum("__contrib"), 6).cast("double").as("psi"),
+        round(sum("__w1c"), 6).cast("double").as("w1")
+      )
       .select(
         col("window_start"),
         col("__ct").as("n_cur"),
-        col("psi")
+        col("psi"),
+        col("w1")
       )
   }
 

@@ -83,14 +83,46 @@ class StreamingMultimodalSpec extends SparkSpec {
     ) { out => snaps += out.collect() }
     assert(snaps.nonEmpty && snaps.last.nonEmpty)
     val byWindow = snaps.last
-      .map(r => (r.getTimestamp(0), (r.getLong(1), r.getDouble(2))))
+      .map(r =>
+        (r.getTimestamp(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      )
       .toMap
-    val (nRef, psiRef) = byWindow(firstWindow)
+    val (nRef, psiRef, w1Ref) = byWindow(firstWindow)
     assert(psiRef == 0.0, s"self-reference window must have zero drift: $psiRef")
+    assert(w1Ref == 0.0, s"self-reference window must have zero W1: $w1Ref")
     assert(nRef == refWindow.filter(col("value").isNotNull).count())
     assert(byWindow.values.forall(_._2 >= 0.0))
+    assert(byWindow.values.forall(_._3 >= 0.0))
     val totalCounted = byWindow.values.map(_._1).sum
     assert(totalCounted == batchEvents.filter(col("value").isNotNull).count())
+  }
+
+  test("drift monitor W1: a full one-bin mass shift reports exactly one bin width") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // one window, 2 bins over [0, 100): stream mass entirely in bin 0,
+    // reference entirely in bin 1 -> cumulative share gap 1 across one
+    // bin boundary -> binned W1 = 1 * 50.0 exactly; PSI needs its eps
+    // floor (both bins empty on one side) and just reads "huge"
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val streamDir = Files.createTempDirectory("graft-drift-w1").toString
+    Seq((base, 10.0), (base, 20.0), (base, 30.0))
+      .toDF("ts", "value")
+      .coalesce(1).write.mode("overwrite").parquet(streamDir)
+    val ref = Seq((base, 60.0), (base, 90.0)).toDF("ts", "value")
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Array[org.apache.spark.sql.Row]]
+    Streaming.driftPerWindow(
+      stream, ref, "value", lo = 0.0, hi = 100.0, nBins = 2,
+      width = "1 hour", watermark = "1 hour"
+    ) { out => snaps += out.collect() }
+    val last = snaps.last
+    assert(last.length == 1)
+    assert(last(0).getLong(1) == 3)
+    assert(last(0).getDouble(3) == 50.0,
+      s"full cross-bin shift must cost exactly one bin width: ${last(0)}")
+    assert(last(0).getDouble(2) > 1.0, s"PSI should flag the shift: ${last(0)}")
   }
 
   test("append-mode drift monitor emits each closed window exactly once across a multi-batch drain") {
@@ -143,6 +175,7 @@ class StreamingMultimodalSpec extends SparkSpec {
     all.foreach { r =>
       assert(r.getLong(1) == 2, s"each closed window holds 2 events: $r")
       assert(r.getDouble(2) == 0.0, s"identical distribution must give PSI 0: $r")
+      assert(r.getDouble(3) == 0.0, s"identical distribution must give W1 0: $r")
     }
   }
 
@@ -210,6 +243,8 @@ class StreamingMultimodalSpec extends SparkSpec {
         s"closed window must hold all 3 events incl. the late one: $r")
       assert(r.getDouble(2) == 0.0,
         s"complete window matches the reference -> PSI 0: $r")
+      assert(r.getDouble(3) == 0.0,
+        s"complete window matches the reference -> W1 0: $r")
     }
   }
 
