@@ -214,8 +214,20 @@ object TextFunctions {
 
   /** Winnowing-style fingerprint: minimum shingle hash of the canonical
     * text's k-shingles (stable under small edits away from the minimum). */
-  def minShingleFingerprint(text: Column, k: Int): Column =
-    array_min(transform(shingles(canonicalText(text), k), s => md5(s)))
+  def minShingleFingerprint(text: Column, k: Int): Column = {
+    // native single-loop digest-min (graft.plans.MinShingleMd5Expr) —
+    // bit-identical to the composed
+    // array_min(transform(shingles(canonicalText, k), md5)) (asserted in
+    // ScaleSpec), which evaluated every md5 inside an interpreted
+    // transform lambda over a zip_with-built shingle array
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.plans.MinShingleMd5Expr(
+        GraftSqlBridge.expression(canonicalText(text)),
+        k
+      )
+    )
+  }
 
   /** Unicode canonical normalization (default NFC) via the codegen'd
     * [[graft.plans.UnicodeNormalizeExpr]]: composed and decomposed accent

@@ -525,6 +525,68 @@ object HashUtils {
     val digest = md.get().digest(s.getBytes)
     Array(prefix60(digest, 0), prefix60(digest, 15) % mod)
   }
+
+  private def compareUnsigned(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < a.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    0
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def hexLower(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      val b = d(i) & 0xff
+      out(i * 2) = HexDigits(b >> 4)
+      out(i * 2 + 1) = HexDigits(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Lexicographic minimum md5 hex over the word k-shingles of a text —
+    * bit-identical to
+    * `array_min(transform(shingles(lower-split text, k), s => md5(s)))`
+    * (lower + split-on-space keeping empty tokens, shingles joined with
+    * one space, lowercase hex, UTF8 binary min == unsigned digest min),
+    * without materializing the shingle array or running md5 inside an
+    * interpreted HOF lambda. Returns null when the text has fewer than
+    * `k` tokens (the empty-shingle-array `array_min` contract). */
+  def minShingleMd5(
+      s: org.apache.spark.unsafe.types.UTF8String,
+      k: Int
+  ): org.apache.spark.unsafe.types.UTF8String = {
+    val toks = s.toLowerCase.toString.split(" ", -1)
+    if (toks.length < k) return null
+    val digester = md.get()
+    val tb = new Array[Array[Byte]](toks.length)
+    var t = 0
+    while (t < toks.length) {
+      tb(t) = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      t += 1
+    }
+    var minD: Array[Byte] = null
+    var i = 0
+    val last = toks.length - k
+    while (i <= last) {
+      var j = 0
+      while (j < k) {
+        if (j > 0) digester.update(' '.toByte)
+        digester.update(tb(i + j))
+        j += 1
+      }
+      val d = digester.digest() // digest() resets the instance
+      if (minD == null || compareUnsigned(d, minD) < 0) minD = d
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(hexLower(minD))
+  }
 }
 
 /** 60-bit md5 digest prefix as a codegen'd long expression — bit-identical
@@ -663,4 +725,54 @@ case class UnicodeNormalizeExpr(child: Expression, form: String)
     copy(child = newChild)
 
   override def prettyName: String = "unicode_normalize"
+}
+
+/** Minimum-shingle md5 fingerprint as ONE codegen'd expression —
+  * bit-identical to
+  * `array_min(transform(shingles(text, k), s => md5(s)))`
+  * (asserted in ScaleSpec), the winnowing-style near-dup fingerprint of
+  * `TextAnalysis.fingerprints`. The composed form runs md5 inside an
+  * interpreted `transform` lambda after building the shingle array
+  * through k-1 chained zip_with's — per-row interpreted evaluation of
+  * ~tokens digests (the PERFORMANCE.md "interpreted HOFs are the silent
+  * killer" class). This expression is a single Java loop: split once,
+  * digest each shingle's bytes directly, track the unsigned-min digest,
+  * hex-encode once. NULL when the text has fewer than `k` tokens
+  * (matching `array_min` over the empty shingle array). */
+case class MinShingleMd5Expr(child: Expression, k: Int)
+    extends UnaryExpression
+    with Serializable {
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"min_shingle_md5 expects a string input, got $t"
+        )
+    }
+
+  override def dataType: DataType = StringType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    HashUtils.minShingleMd5(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      k
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = graft.plans.HashUtils.minShingleMd5($s, $k);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "min_shingle_md5"
 }

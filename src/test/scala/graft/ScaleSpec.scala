@@ -3589,6 +3589,40 @@ class ScaleSpec extends SparkSpec {
     )
   }
 
+  test("MinShingleMd5Expr is bit-identical to the composed HOF fingerprint") {
+    import graft.functions.TextFunctions.{canonicalText, minShingleFingerprint, shingles}
+    val rnd = new scala.util.Random(909)
+    val words = Seq("alpha", "beta", "g", "77", "Mixed", "Caé", "x-y.z", "")
+    val texts = (1 to 60).map { _ =>
+      (1 to rnd.nextInt(8))
+        .map(_ => words(rnd.nextInt(words.length)))
+        .mkString(sep = if (rnd.nextBoolean()) " " else "   ")
+    } ++ Seq("", "   ", "one two", "one two three four", null)
+    for (k <- Seq(1, 2, 3)) {
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val hof = array_min(
+        transform(shingles(canonicalText(col("text")), k), s => md5(s))
+      )
+      val rows = df
+        .select(
+          col("id"),
+          minShingleFingerprint(col("text"), k).as("native"),
+          hof.as("composed")
+        )
+        .collect()
+      rows.foreach { r =>
+        assert(
+          r.get(1) == r.get(2),
+          s"k=$k id=${r.get(0)}: native=${r.get(1)} composed=${r.get(2)}"
+        )
+      }
+      // non-degenerate coverage: some nulls (short texts) and some values
+      assert(rows.exists(_.get(1) == null) && rows.exists(_.get(1) != null))
+    }
+  }
+
   test("wordpieceTrain replays the hand-traced likelihood-gain sequence") {
     // {low x5, lowest x2}: symbols l:7 ##o:7 ##w:7 ##e:2 ##s:2 ##t:2,
     // N=27. score_q = (c_ab * N * 65536) div (ca * cb). Round 0: the
