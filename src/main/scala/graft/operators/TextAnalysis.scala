@@ -559,18 +559,23 @@ object TextAnalysis {
     // astronomically-unlikely hash collisions).
     // Docs shorter than spanTokens emit no grams (sequence(0, n-L) would run
     // BACKWARDS for n < L — Spark sequences descend when end < start).
-    def gramHash(g: Column): Column =
-      if (portable) md5(g) else xxhash64(g).cast("string")
+    // single codegen'd loop (graft.plans.GramHashesExpr) — bit-identical
+    // to transform(sequence(0, n-L), i => digest(array_join(slice)))
+    // (ScaleSpec parity, both hash modes), which ran an interpreted
+    // slice + join + digest per POSITION
+    def gramHashes(toks: Column): Column =
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.plans.GramHashesExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(toks),
+          spanTokens,
+          portable
+        )
+      )
     val occ = base
       .filter(size(col("__toks")) >= spanTokens)
       .select(
         col("__id"),
-        posexplode(
-          transform(
-            sequence(lit(0), size(col("__toks")) - spanTokens),
-            i => gramHash(array_join(slice(col("__toks"), i + 1, lit(spanTokens)), " "))
-          )
-        ).as(Seq("__gpos", "__gh"))
+        posexplode(gramHashes(col("__toks"))).as(Seq("__gpos", "__gh"))
       )
 
     val gstats = occ

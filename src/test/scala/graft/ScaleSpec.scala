@@ -3623,6 +3623,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("GramHashesExpr matches the composed slice+digest form in both hash modes") {
+    import org.apache.spark.sql.GraftSqlBridge
+    val rnd = new scala.util.Random(4242)
+    val toksCol = split(lower(col("text")), " ")
+    val texts = (1 to 50).map { _ =>
+      (1 to rnd.nextInt(14))
+        .map(_ => Seq("aa", "b", "ccc", "Dd", "")(rnd.nextInt(5)))
+        .mkString(" ")
+    } ++ Seq("", "one two three four five six seven eight nine ten")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (k <- Seq(2, 8); portable <- Seq(true, false)) {
+      def hash(g: org.apache.spark.sql.Column) =
+        if (portable) md5(g) else xxhash64(g).cast("string")
+      val composed = when(
+        size(toksCol) >= k,
+        transform(
+          sequence(lit(0), size(toksCol) - k),
+          i => hash(array_join(slice(toksCol, i + 1, lit(k)), " "))
+        )
+      ).otherwise(array().cast("array<string>"))
+      val native = GraftSqlBridge.column(
+        graft.plans.GramHashesExpr(GraftSqlBridge.expression(toksCol), k, portable)
+      )
+      df.select(col("id"), native.as("n"), composed.as("c"))
+        .collect()
+        .foreach { r =>
+          assert(
+            r.getSeq[String](1) == r.getSeq[String](2),
+            s"k=$k portable=$portable id=${r.get(0)}"
+          )
+        }
+    }
+  }
+
   test("wordpieceTrain replays the hand-traced likelihood-gain sequence") {
     // {low x5, lowest x2}: symbols l:7 ##o:7 ##w:7 ##e:2 ##s:2 ##t:2,
     // N=27. score_q = (c_ab * N * 65536) div (ca * cb). Round 0: the
