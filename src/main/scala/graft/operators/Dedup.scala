@@ -1358,13 +1358,23 @@ object Dedup {
     *
     * Output: (id_a, id_b, key_a, key_b, dist), id_a < id_b, each unordered
     * pair exactly once (ranks are unique in a block, every adjacency is
-    * generated from its lower-ranked end only). */
+    * generated from its lower-ranked end only).
+    *
+    * `maxDist >= 0` bounds the distance computation: `dist` uses the
+    * banded O(len x maxDist) levenshtein — exact for pairs within
+    * `maxDist`, `-1` beyond it — instead of the full O(len^2) matrix.
+    * Downstream verification always thresholds the distance anyway, so
+    * pass that threshold here and filter `dist BETWEEN 0 AND t` (or use
+    * `dist >= 0` as the agreement indicator); every surviving value is
+    * identical to the unbounded form. No pairs are dropped by the
+    * operator itself. */
   def sortedNeighborhoodPairs(
       df: DataFrame,
       idCol: String,
       keyCol: String,
       windowSize: Int = 5,
-      blockChars: Int = 3
+      blockChars: Int = 3,
+      maxDist: Int = -1
   ): DataFrame = {
     require(windowSize >= 1, "windowSize must be >= 1")
     require(blockChars >= 1, "blockChars must be >= 1")
@@ -1402,7 +1412,9 @@ object Dedup {
           .otherwise(col("__k_hi")).as("key_a"),
         when(col("__id_lo") <= col("__id_hi"), col("__k_hi"))
           .otherwise(col("__k_lo")).as("key_b"),
-        levenshtein(col("__k_lo"), col("__k_hi")).as("dist")
+        (if (maxDist >= 0)
+           levenshtein(col("__k_lo"), col("__k_hi"), maxDist)
+         else levenshtein(col("__k_lo"), col("__k_hi"))).as("dist")
       )
   }
   /** Fellegi-Sunter (1969) record-linkage match weight over candidate

@@ -150,7 +150,9 @@ private[graft] object DedupQueries {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.sortedNeighborhoodPairs(
         docs.select(col("doc_id"), substring(col("text"), 1, 40).as("head")),
-        "doc_id", "head", windowSize = 4, blockChars = 3
+        "doc_id", "head", windowSize = 4, blockChars = 3,
+        // agreement only needs dist <= 5: banded levenshtein (-1 beyond)
+        maxDist = 5
       )
       val attrs =
         docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -165,7 +167,7 @@ private[graft] object DedupQueries {
             col("source").as("__sb"), col("n_chars").as("__nb")),
           Seq("id_b")
         )
-        .withColumn("agree_head", col("dist") <= 5)
+        .withColumn("agree_head", col("dist").between(0, 5))
         .withColumn("agree_lang", col("__la") === col("__lb"))
         .withColumn("agree_source", col("__sa") === col("__sb"))
         .withColumn("agree_len", abs(col("__na") - col("__nb")) <= 20)
@@ -184,9 +186,11 @@ private[graft] object DedupQueries {
         .sortedNeighborhoodPairs(
           t(s, dir, "documents")
             .select(col("doc_id"), substring(col("text"), 1, 40).as("head")),
-          "doc_id", "head", windowSize = 4, blockChars = 3
+          "doc_id", "head", windowSize = 4, blockChars = 3,
+          // verification threshold doubles as the banded-levenshtein bound
+          maxDist = 12
         )
-        .filter(col("dist") <= 12)
+        .filter(col("dist").between(0, 12))
         .orderBy("id_a", "id_b")
     }),
 

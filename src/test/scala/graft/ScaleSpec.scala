@@ -1267,6 +1267,21 @@ class ScaleSpec extends SparkSpec {
     // a row never pairs beyond 2 sort positions away
     val appPairs = m.keys.count { case (a, _) => a <= 3 || a == 6 }
     assert(appPairs <= 5, m.toString)
+    // maxDist banding: same pair set, exact dist within the bound, -1
+    // beyond it — never a dropped pair
+    val banded = Dedup
+      .sortedNeighborhoodPairs(
+        df, "id", "title", windowSize = 2, blockChars = 3, maxDist = 2
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(4))
+      .toMap
+    assert(banded.keySet == m.keySet)
+    banded.foreach { case (k, d) =>
+      if (m(k) <= 2) assert(d == m(k), s"$k: banded=$d exact=${m(k)}")
+      else assert(d == -1, s"$k: expected -1 beyond maxDist, got $d")
+    }
+    assert(banded.values.exists(_ == -1) && banded.values.exists(_ >= 0))
   }
 
   test("vocabDivergence: symmetric under swap, zero for identical slices, bounded") {
