@@ -56,15 +56,24 @@ object TextAnalysis {
     * joined with the doc-length count. No windows, no sorts.
     */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // per-row pre-aggregated char counts (graft.plans.CharCountsExpr) —
+    // bit-identical totals to exploding every character through the
+    // (id, char) aggregate (ScaleSpec parity incl. surrogate pairs), but
+    // the explode ships one row per DISTINCT char per row (~40) instead
+    // of one per occurrence (~2.4k); the aggregate below still merges
+    // duplicate-id rows exactly as before
+    val charCounts = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.CharCountsExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(textCol))
+      )
+    )
     val counts = ScanUtils
       .withScanParallelism(df)
       .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
-      .select(
-        col(idCol),
-        explode(filter(split(col(textCol), ""), s => length(s) > 0)).as("__ch")
-      )
+      .select(col(idCol), explode(charCounts).as("__e"))
+      .select(col(idCol), col("__e.ch").as("__ch"), col("__e.c").as("__pc"))
       .groupBy(col(idCol), col("__ch"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(sum("__pc").as("__c"))
     val totals = counts
       .groupBy(col(idCol))
       .agg(sum("__c").as("__t"))

@@ -654,6 +654,36 @@ object HashUtils {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** Distinct code points of a string with their counts, first-occurrence
+    * order, as array<struct<ch, c>> data (see [[CharCountsExpr]]). */
+  def charCounts(
+      s: org.apache.spark.unsafe.types.UTF8String
+  ): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val str = s.toString
+    val m = new java.util.LinkedHashMap[String, Integer]()
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val ch = new String(Character.toChars(cp))
+      val prev = m.get(ch)
+      m.put(ch, if (prev == null) 1 else prev + 1)
+      i += Character.charCount(cp)
+    }
+    val out = new Array[AnyRef](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(e.getKey), e.getValue.intValue())
+        )
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** 60-bit md5 digest prefix as a codegen'd long expression — bit-identical
@@ -884,4 +914,50 @@ case class GramHashesExpr(child: Expression, k: Int, portable: Boolean)
     copy(child = newChild)
 
   override def prettyName: String = "gram_hashes"
+}
+
+/** Per-row character counts as ONE codegen'd expression — the pre-aggregated
+  * form of `explode(filter(split(text, ""), s => length(s) > 0))` followed
+  * by a count aggregate: returns array<struct<ch:string, c:int>> with one
+  * entry per DISTINCT code point (first-occurrence order), counts exact.
+  * The composed form ships one row per CHARACTER into the per-(id, char)
+  * hash aggregate (~2.4k rows/doc on this corpus); this expression ships
+  * one row per distinct char (~40/doc) — same downstream aggregate, ~60x
+  * fewer exploded rows. Code-point iteration matches the regex
+  * empty-pattern split (surrogate pairs stay whole; parity asserted in
+  * ScaleSpec). */
+case class CharCountsExpr(child: Expression)
+    extends UnaryExpression
+    with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"char_counts expects a string input, got $t"
+        )
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(
+      Seq(StructField("ch", StringType, false), StructField("c", IntegerType, false))
+    ),
+    containsNull = false
+  )
+
+  override def nullSafeEval(input: Any): Any =
+    HashUtils.charCounts(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = graft.plans.HashUtils.charCounts($s);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_counts"
 }

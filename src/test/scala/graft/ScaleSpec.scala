@@ -3672,6 +3672,47 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("CharCountsExpr matches the explode-every-char form, surrogates whole") {
+    import org.apache.spark.sql.GraftSqlBridge
+    // "a😀b😀" — the emoji is a surrogate PAIR: regex empty-split keeps it
+    // whole (code-point semantics), so the native loop must too
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, "aaa  bb"),
+      (3L, "a😀b😀"),
+      (4L, "x")
+    ).toDF("id", "text")
+    val native = GraftSqlBridge.column(
+      graft.plans.CharCountsExpr(GraftSqlBridge.expression(col("text")))
+    )
+    val got = df
+      .select(col("id"), explode(native).as("__e"))
+      .select(col("id"), col("__e.ch"), col("__e.c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getInt(2))
+      .toMap
+    val want = df
+      .select(
+        col("id"),
+        explode(filter(split(col("text"), ""), s => length(s) > 0)).as("__ch")
+      )
+      .groupBy("id", "__ch")
+      .count()
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2).toInt)
+      .toMap
+    assert(got == want, s"native=$got composed=$want")
+    assert(got((3L, "😀")) == 2, "surrogate pair must stay one char")
+    // charEntropy end-to-end stays deterministic on the tiny case
+    val h = TextAnalysis
+      .charEntropy(df, "id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    assert(h(4L) == ((1, 0.0)), h.toString)
+    assert(h(1L)._1 == 11)
+  }
+
   test("wordpieceTrain replays the hand-traced likelihood-gain sequence") {
     // {low x5, lowest x2}: symbols l:7 ##o:7 ##w:7 ##e:2 ##s:2 ##t:2,
     // N=27. score_q = (c_ab * N * 65536) div (ca * cb). Round 0: the
