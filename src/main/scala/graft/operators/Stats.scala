@@ -945,7 +945,12 @@ object Stats {
       col("__ra").cast("decimal(38,0)") * col("__nb").cast("decimal(38,0)") -
         col("__rb").cast("decimal(38,0)") * col("__na").cast("decimal(38,0)")
     )
-    val term = num * (col("__nvq") - col("__vq")).cast("decimal(38,0)")
+    // each operand casts to decimal BEFORE the subtraction: adjacent grid
+    // values near opposite ends of the +/-9.2e12 quantized bound would
+    // overflow a LONG subtraction silently (non-ANSI); decimal(38,0) is
+    // exact for any pair of longs
+    val term = num *
+      (col("__nvq").cast("decimal(38,0)") - col("__vq").cast("decimal(38,0)"))
     // totals ride their own aggregate: a single-distinct-value grid makes
     // the rank join EMPTY (no segments -> W1 = 0), which must not null
     // out n_a/n_b

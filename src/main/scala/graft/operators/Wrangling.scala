@@ -188,10 +188,15 @@ object Wrangling {
     * maintain versioned snapshots; this turns them into the interval
     * form that as-of joins ([[Joins]]) consume.
     *
-    * CONTRACT: `versionCol` must be unique within a key (archive writers
-    * guarantee it); ties are broken deterministically by the attribute
-    * values, but which tied row starts a run is then arbitrary. NULL
-    * versions are dropped.
+    * CONTRACT: `versionCol` SHOULD be unique within a key (archive
+    * writers guarantee it). When it is not, every ordering in here
+    * tie-breaks on the attribute values — run assignment AND the
+    * `valid_to` chaining — so tied versions still produce one
+    * deterministic history (runs that start at the same tied version
+    * necessarily differ in their attributes, making
+    * (valid_from, attrs...) a total order over a key's runs); intervals
+    * between tied runs are zero-width, which is the honest reading of a
+    * tie. NULL versions are dropped.
     *
     * Scale shape: two windows and one aggregate, ALL partitioned by the
     * key — no global ordering anywhere, so the plan scales with the
@@ -231,9 +236,12 @@ object Wrangling {
           count(lit(1)).as("n_versions")
         )).tail: _*
       )
+    // valid_from alone is not a total order when versions tie across
+    // runs; the attr tie-break (same columns, same order as the run
+    // window) pins the lead() chaining deterministically in both engines
     val w2 = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("valid_from"))
+      .orderBy(col("valid_from") +: attrCols.map(col): _*)
     grouped
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
       .withColumn("is_current", col("valid_to").isNull)

@@ -608,11 +608,18 @@ object HashUtils {
     val tb = new Array[Array[Byte]](n)
     var t = 0
     while (t < n) {
-      // a null token renders as the empty string, matching array_join's
-      // null-skipping only when callers never produce null tokens (split
-      // never does)
+      // null tokens are rejected outright: array_join SKIPS nulls, so
+      // rendering them as empty strings would silently diverge from the
+      // `md5(array_join(...))` contract — callers (split-produced token
+      // arrays) never emit nulls, and a loud failure keeps it that way
       val u = toks.getUTF8String(t)
-      tb(t) = if (u == null) Array.emptyByteArray else u.getBytes
+      if (u == null)
+        throw new IllegalArgumentException(
+          "gram_hashes: null token at index " + t +
+            " — token arrays must be null-free (array_join would skip " +
+            "nulls; this expression refuses to guess)"
+        )
+      tb(t) = u.getBytes
       t += 1
     }
     val out = new Array[AnyRef](n - k + 1)

@@ -330,7 +330,8 @@ private[graft] object EventQueries {
         |), f AS (
         |  SELECT user_id, event_type, valid_from,
         |         lead(valid_from) OVER (PARTITION BY user_id
-        |                                ORDER BY valid_from) AS valid_to,
+        |                                ORDER BY valid_from, event_type)
+        |           AS valid_to,
         |         n_versions
         |  FROM g
         |)

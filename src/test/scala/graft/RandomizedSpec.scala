@@ -487,9 +487,25 @@ class RandomizedSpec extends SparkSpec {
             val sq = (BigInt(c) * bigN * 65536) / (BigInt(symC(a)) * symC(b))
             ((a, b), c, sq.toLong)
           }
+          // tie-break in UTF-8 BYTE order (== code-point order), matching
+          // both the operator's UTF8String orderBy and DuckDB's binary
+          // collation — Java's default String ordering is UTF-16
+          // code-unit order, which diverges for supplementary-plane
+          // symbols vs BMP symbols in [U+E000, U+FFFF]
+          val utf8Ord: Ordering[String] = (x: String, y: String) => {
+            val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var i = 0
+            var r = 0
+            val n = math.min(a.length, b.length)
+            while (i < n && r == 0) {
+              r = (a(i) & 0xff) - (b(i) & 0xff); i += 1
+            }
+            if (r != 0) r else a.length - b.length
+          }
           val ((a, b), c, sq) = scored.minBy { case ((a, b), _, sq) =>
             (-sq, a, b)
-          }
+          }(Ordering.Tuple3(Ordering.Long, utf8Ord, utf8Ord))
           val merged = a + b.stripPrefix("##")
           out += ((rank, a, b, merged, sq, c))
           words = words.map { case (ss, n) =>

@@ -210,4 +210,38 @@ class WranglingSpec extends SparkSpec {
       Wrangling.scd2History(df, Seq("k"), Nil, "v")
     }
   }
+
+  test("scd2History is deterministic under tied versions") {
+    // three rows share version 1 with distinct attrs: the run window
+    // tie-breaks on the attr, producing runs a|b|c all with
+    // valid_from = 1; the valid_to chain must then follow the SAME attr
+    // tie-break (a -> b -> c, zero-width intervals), not an arbitrary
+    // window order — plus a later row extending the 'c' run's interval
+    val df = Seq(
+      ("k", "b", 1L),
+      ("k", "c", 1L),
+      ("k", "a", 1L),
+      ("k", "c", 5L)
+    ).toDF("k", "tier", "v")
+    def run() = Wrangling
+      .scd2History(df.repartition(7), Seq("k"), Seq("tier"), "v")
+      .orderBy("k", "valid_from", "tier")
+      .collect()
+      .map(r =>
+        (r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4),
+          r.getLong(5))
+      )
+      .toSeq
+    val want = Seq(
+      ("a", 1L, 1L, false, 1L),
+      ("b", 1L, 1L, false, 1L),
+      ("c", 1L, -1L, true, 2L)
+    )
+    val first = run()
+    assert(first == want, first.mkString(";"))
+    // stable across replays/partitionings (the nondeterminism the
+    // tie-break exists to kill)
+    (1 to 3).foreach(_ => assert(run() == want))
+  }
 }
