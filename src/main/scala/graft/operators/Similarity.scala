@@ -1108,4 +1108,197 @@ object Similarity {
       }
       .toDF(idCol, "rank", "mmr")
   }
+
+  // ===========================================================================
+  // Product quantization (PQ): the compressed-codes ANN tier between int8
+  // scalar quantization (4x) and IVF partition pruning — split each vector
+  // into `numSubspaces` contiguous subvectors, k-means each subspace
+  // independently, and store ONLY the per-subspace nearest-centroid ids.
+  // At 64 dims float32 -> 4 int codes that's 64x smaller than the raw
+  // vectors: the whole 100 TB corpus's codes fit where 1.6 TB of floats
+  // would, and search never touches the original vectors (asymmetric
+  // distance: per query, precompute the numSubspaces x k table of
+  // query-slice <-> centroid distances ONCE, then every candidate costs
+  // numSubspaces array lookups instead of a dim-length loop).
+  // ===========================================================================
+
+  /** Train PQ codebooks: one [[kmeansTrain]]-style deterministic Lloyd
+    * model PER SUBSPACE (md5-ranked seeds — the same k seed rows feed
+    * every subspace — floor-quantized integer centroid sums so the mean
+    * is order-independent, empty clusters carrying the previous
+    * centroid), all subspaces trained together in ONE corpus scan per
+    * round (the per-subspace assignment explodes to the same element
+    * volume a single full-width k-means round shuffles). Returns
+    * `codebooks(s)(c)` = centroid `c` of subspace `s`; vector width must
+    * divide evenly into `numSubspaces`.
+    *
+    * Driver actions are model-sized only: k seed vectors, then
+    * numSubspaces * k * subDim quantized sums per round. */
+  def pqTrain(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numSubspaces: Int,
+      k: Int,
+      rounds: Int = 2
+  ): Seq[Seq[Seq[Float]]] = {
+    require(numSubspaces >= 1, "numSubspaces must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 0, "rounds must be >= 0")
+    val src = df.filter(col(vecCol).isNotNull)
+    val seeds: Seq[Seq[Float]] = src
+      .select(col(idCol), col(vecCol))
+      .withColumn(
+        "__h",
+        graft.functions.TextFunctions.md5Prefix60(col(idCol).cast("string"))
+      )
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .select(col(vecCol))
+      .collect()
+      .map(_.getSeq[Float](0).toSeq)
+      .toSeq
+    require(seeds.nonEmpty, "no non-null vectors to train on")
+    val dim = seeds.head.length
+    require(
+      dim % numSubspaces == 0,
+      s"vector width $dim is not divisible into $numSubspaces subspaces"
+    )
+    val sub = dim / numSubspaces
+    var codebooks: Seq[Seq[Seq[Float]]] = (0 until numSubspaces).map(s =>
+      seeds.map(_.slice(s * sub, (s + 1) * sub))
+    )
+    for (_ <- 1 to rounds) {
+      // one scan: per row, one (subspace, cluster, subvector) struct per
+      // subspace, then positions — total elements exploded = dim per row,
+      // exactly what one full-width k-means round explodes
+      val assignStructs = (0 until numSubspaces).map { s =>
+        val sv = slice(col(vecCol), s * sub + 1, sub)
+        struct(
+          lit(s).as("s"),
+          nearestCentroid(sv, codebooks(s)).getField("cluster").as("cl"),
+          sv.as("sv")
+        )
+      }
+      val upd = src
+        .select(explode(array(assignStructs: _*)).as("__a"))
+        .select(
+          col("__a.s").as("__s"),
+          col("__a.cl").as("__cl"),
+          posexplode(col("__a.sv")).as(Seq("__pos", "__e"))
+        )
+        .groupBy("__s", "__cl", "__pos")
+        .agg(
+          sum(
+            floor(col("__e").cast("double") * lit(1000000.0))
+              .cast("decimal(38,0)")
+          ).as("__sum"),
+          count(lit(1)).as("__n")
+        )
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((s, cl), rows) =>
+          val v = new Array[Float](sub)
+          rows.foreach { r =>
+            require(
+              !r.isNullAt(3),
+              s"null embedding element in subspace $s cluster $cl dim " +
+                s"${r.getInt(2)}: PQ requires fully-populated vectors"
+            )
+            v(r.getInt(2)) =
+              (r.getDecimal(3).doubleValue() / 1000000.0 /
+                r.getLong(4).toLong.toDouble).toFloat
+          }
+          (s, cl) -> v.toSeq
+        }
+      codebooks = codebooks.zipWithIndex.map { case (cb, s) =>
+        cb.zipWithIndex.map { case (old, c) => upd.getOrElse((s, c), old) }
+      }
+    }
+    codebooks
+  }
+
+  /** Encode vectors to PQ codes: `outCol` = array<int> of length
+    * numSubspaces, element s = the nearest subspace-s centroid id (same
+    * argmin/tie rules as [[kmeansAssign]]). Pure per-row compute — one
+    * codegen'd [[nearestCentroid]] loop per subspace over the slice, no
+    * shuffle, no action; the column a 100 TB corpus persists instead of
+    * its float vectors. */
+  def pqEncode(
+      df: DataFrame,
+      vecCol: String,
+      codebooks: Seq[Seq[Seq[Float]]],
+      outCol: String = "pq_codes"
+  ): DataFrame = {
+    require(codebooks.nonEmpty, "need at least one subspace codebook")
+    val sub = codebooks.head.head.length
+    df.filter(col(vecCol).isNotNull)
+      .withColumn(
+        outCol,
+        array(codebooks.indices.map { s =>
+          nearestCentroid(slice(col(vecCol), s * sub + 1, sub), codebooks(s))
+            .getField("cluster")
+        }: _*)
+      )
+  }
+
+  /** Asymmetric-distance (ADC) top-k over a PQ-ENCODED corpus: for each
+    * query, precompute the numSubspaces x k lookup table of exact
+    * query-slice <-> centroid squared distances (per QUERY, not per
+    * candidate), broadcast the tiny lut table, and score every candidate
+    * as `lut_0[code_0] + lut_1[code_1] + ...` — numSubspaces array
+    * lookups per pair, never a dim-length loop, never the original
+    * vectors. Approximation error is the quantization residual; recall
+    * vs the exact scan is asserted in the suite.
+    *
+    * `db` needs (`dbIdCol`, `codesCol` from [[pqEncode]]); ranking is
+    * (adc_dist asc, neighbor_id) per query via `WindowGroupLimit` —
+    * the same no-global-sort shape as [[cosineTopK]]. Self-pairs (equal
+    * ids) are excluded. */
+  def pqTopK(
+      db: DataFrame,
+      dbIdCol: String,
+      codesCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      codebooks: Seq[Seq[Seq[Float]]],
+      k: Int
+  ): DataFrame = {
+    require(codebooks.nonEmpty, "need at least one subspace codebook")
+    require(k >= 1, "k must be >= 1")
+    val sub = codebooks.head.head.length
+    val m = codebooks.size
+    // per-query lut columns: element c of __lut_s = ||q_s - centroid_c||^2
+    // (sequential-fold double, the oracle-portable arithmetic). Queries
+    // are small by construction, so the per-element lambda re-evaluation
+    // of the slice is irrelevant; the candidate side never runs this.
+    val luts = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+      .select(
+        col("query_id") +: (0 until m).map { s =>
+          transform(
+            array(codebooks(s).map(c => typedlit(c.toArray)): _*),
+            cv => squaredDistance(slice(col("__qv"), s * sub + 1, sub), cv)
+          ).as(s"__lut_$s")
+        }: _*
+      )
+    val dist = (0 until m)
+      .map(s =>
+        element_at(col(s"__lut_$s"), col(codesCol).getItem(s) + 1)
+      )
+      .reduceLeft(_ + _) // fixed s-ascending add order: engine-portable
+    val scored = db
+      .select(col(dbIdCol).as("neighbor_id"), col(codesCol))
+      .join(broadcast(luts), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dist.as("adc_dist"))
+    TopN.firstRow(
+      scored,
+      n = k,
+      partitionBy = Seq(col("query_id")),
+      orderBy = Seq(col("adc_dist"), col("neighbor_id")),
+      returnIndexColumn = true,
+      indexColumnName = "rank"
+    )
+  }
 }

@@ -237,6 +237,80 @@ private[graft] object QueryShared {
     * (doc_id, simhash) — mirrors Dedup.simHashSignatures bit-for-bit: md5
     * split into two 32-bit halves, per-bit majority vote over tokens, bit 63
     * assembled as Long.MinValue to stay in signed-64 range. */
+  /** DuckDB expression for squared Euclidean distance between a SLICE of
+    * vector `a` (elements off+1 .. off+len, 1-based) and a len-element
+    * codebook subvector `b` — the subspace companion to [[duckSqDist]],
+    * same written-out d*d form and sequential list_sum fold, so it is
+    * bit-identical to `VectorFunctions.squaredDistance(slice(a), b)`. */
+  def duckSqDistSub(a: String, b: String, off: Int, len: Int): String =
+    s"""list_sum(list_transform(range(1, ${len + 1}),
+       | i -> (CAST($a[i + $off] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |    * (CAST($a[i + $off] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+      .replaceAll("\n", "")
+
+  /** DuckDB CTE chain replaying Similarity.pqTrain/pqEncode bit-for-bit:
+    * the shared md5-ranked seed ordering feeds every subspace, then each
+    * subspace runs its own [[duckKmeansCte]]-shaped Lloyd chain over its
+    * slice (floor-quantized integer sums, empty clusters carrying the
+    * previous centroid, ties to the lowest cluster). Requires an
+    * `e(vec_id, embedding)` CTE in scope. Ends with, per subspace s:
+    * `cb_$s(cl, cv)` = the final codebook and `af_$s(vec_id, cl)` = each
+    * vector's code. */
+  def duckPqCte(m: Int, k: Int, rounds: Int, dim: Int = 64): String = {
+    require(dim % m == 0, s"dim $dim not divisible by $m")
+    val sub = dim / m
+    val seed =
+      s"""sd AS (
+         |  SELECT vec_id, embedding,
+         |         ROW_NUMBER() OVER (
+         |           ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+         |                    vec_id) - 1 AS cl
+         |  FROM e
+         |)""".stripMargin
+    val chains = (0 until m).map { s =>
+      val off = s * sub
+      val c0 =
+        s""", c0_$s AS (
+           |  SELECT cl, embedding[${off + 1}:${off + sub}] AS cv
+           |  FROM sd WHERE cl < $k
+           |)""".stripMargin
+      val iters = (1 to rounds).map { r =>
+        val prev = s"c${r - 1}_$s"
+        s""", a${r}_$s AS (
+           |  SELECT vec_id, embedding, cl FROM (
+           |    SELECT e.vec_id, e.embedding, $prev.cl,
+           |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |             ORDER BY ${duckSqDistSub("e.embedding", s"$prev.cv", off, sub)}, $prev.cl) AS rn
+           |    FROM e CROSS JOIN $prev
+           |  ) WHERE rn = 1
+           |), u${r}_$s AS (
+           |  SELECT cl, i,
+           |         CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[i + $off] AS DOUBLE) * 1000000.0) AS BIGINT)) AS DOUBLE)
+           |              / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS FLOAT) AS v
+           |  FROM a${r}_$s CROSS JOIN range(1, ${sub + 1}) AS r(i)
+           |  GROUP BY cl, i
+           |), uc${r}_$s AS (
+           |  SELECT cl, list(v ORDER BY i) AS cv FROM u${r}_$s GROUP BY cl
+           |), c${r}_$s AS (
+           |  SELECT $prev.cl, COALESCE(uc${r}_$s.cv, $prev.cv) AS cv
+           |  FROM $prev LEFT JOIN uc${r}_$s USING (cl)
+           |)""".stripMargin
+      }.mkString
+      val fin = s"c${rounds}_$s"
+      s"""$c0$iters, cb_$s AS (
+         |  SELECT cl, cv FROM $fin
+         |), af_$s AS (
+         |  SELECT vec_id, cl FROM (
+         |    SELECT e.vec_id, cb_$s.cl,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckSqDistSub("e.embedding", s"cb_$s.cv", off, sub)}, cb_$s.cl) AS rn
+         |    FROM e CROSS JOIN cb_$s
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString
+    seed + chains
+  }
+
   def duckSimHashSig(where: String): String = {
     val votes = (0 until 64)
       .map { b =>

@@ -316,6 +316,66 @@ private[graft] object SimilarityQueries {
           k = 8, oversample = 2.0, rounds = 2
         )
         .orderBy("center_rank")
+    }),
+
+    // product-quantization codebooks (4 subspaces x 8 centroids over the
+    // 64-dim embeddings, 2 Lloyd rounds): the whole trained model dumped
+    // as (subspace, cluster, pos, value) rows — every float of every
+    // sub-centroid is oracle-checked, the strongest possible training gate
+    "q_pq_train" -> ((s, dir) => {
+      import s.implicits._
+      val cbs = Similarity.pqTrain(
+        t(s, dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id", "embedding", numSubspaces = 4, k = 8, rounds = 2
+      )
+      cbs.zipWithIndex
+        .flatMap { case (cb, sub) =>
+          cb.zipWithIndex.flatMap { case (cv, c) =>
+            cv.zipWithIndex.map { case (x, pos) => (sub, c, pos, x.toDouble) }
+          }
+        }
+        .toDF("subspace", "cluster", "pos", "value")
+        .orderBy("subspace", "cluster", "pos")
+    }),
+
+    // PQ encoding: each vector reduced to its 4 per-subspace nearest
+    // sub-centroid ids — the 64x-compressed representation a 100 TB
+    // corpus persists instead of its float vectors
+    "q_pq_encode" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cbs = Similarity
+        .pqTrain(e, "vec_id", "embedding", numSubspaces = 4, k = 8, rounds = 2)
+      Similarity
+        .pqEncode(e, "embedding", cbs)
+        .select(
+          col("vec_id") +:
+            (0 until 4).map(i => col("pq_codes").getItem(i).as(s"code_$i")): _*
+        )
+        .orderBy("vec_id")
+    }),
+
+    // asymmetric-distance PQ top-5: queries keep their float vectors, the
+    // corpus side is codes-only — per query one 4x8 lut, per candidate 4
+    // array lookups (never a dim-length loop, never the original vectors)
+    "q_pq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cbs = Similarity
+        .pqTrain(e, "vec_id", "embedding", numSubspaces = 4, k = 8, rounds = 2)
+      val db = Similarity
+        .pqEncode(e.filter(col("vec_id") >= 5), "embedding", cbs)
+      Similarity
+        .pqTopK(
+          db, "vec_id", "pq_codes",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          cbs, k = 5
+        )
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(col("adc_dist"), 6).as("adc_dist"),
+          col("rank")
+        )
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -720,6 +780,63 @@ private[graft] object SimilarityQueries {
          |ORDER BY center_rank""".stripMargin,
 
     // k = 8, perRound = ceil(oversample * k / rounds) = ceil(2.0*8/2) = 8
-    "q_kcenter_scalable" -> duckKCenterScalableCte(k = 8, perRound = 8.0)
+    "q_kcenter_scalable" -> duckKCenterScalableCte(k = 8, perRound = 8.0),
+
+    "q_pq_train" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |), ${duckPqCte(m = 4, k = 8, rounds = 2)}, cb AS (
+         |  SELECT 0 AS subspace, cl, cv FROM cb_0
+         |  UNION ALL SELECT 1, cl, cv FROM cb_1
+         |  UNION ALL SELECT 2, cl, cv FROM cb_2
+         |  UNION ALL SELECT 3, cl, cv FROM cb_3
+         |)
+         |SELECT CAST(subspace AS INT) AS subspace, CAST(cl AS INT) AS cluster,
+         |       CAST(i - 1 AS INT) AS pos, CAST(cv[i] AS DOUBLE) AS value
+         |FROM cb CROSS JOIN range(1, 17) AS r(i)
+         |ORDER BY subspace, cluster, pos""".stripMargin,
+
+    "q_pq_encode" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |), ${duckPqCte(m = 4, k = 8, rounds = 2)}
+         |SELECT e.vec_id,
+         |       CAST(af_0.cl AS INT) AS code_0, CAST(af_1.cl AS INT) AS code_1,
+         |       CAST(af_2.cl AS INT) AS code_2, CAST(af_3.cl AS INT) AS code_3
+         |FROM e JOIN af_0 USING (vec_id) JOIN af_1 USING (vec_id)
+         |       JOIN af_2 USING (vec_id) JOIN af_3 USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
+
+    "q_pq_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |), ${duckPqCte(m = 4, k = 8, rounds = 2)}, q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 5
+         |), en AS (
+         |  SELECT e.vec_id, af_0.cl AS c0, af_1.cl AS c1,
+         |         af_2.cl AS c2, af_3.cl AS c3
+         |  FROM e JOIN af_0 USING (vec_id) JOIN af_1 USING (vec_id)
+         |         JOIN af_2 USING (vec_id) JOIN af_3 USING (vec_id)
+         |  WHERE e.vec_id >= 5
+         |), d AS (
+         |  SELECT q.query_id, en.vec_id AS neighbor_id,
+         |         ${duckSqDistSub("q.qv", "cb0.cv", 0, 16)}
+         |       + ${duckSqDistSub("q.qv", "cb1.cv", 16, 16)}
+         |       + ${duckSqDistSub("q.qv", "cb2.cv", 32, 16)}
+         |       + ${duckSqDistSub("q.qv", "cb3.cv", 48, 16)} AS dist
+         |  FROM q CROSS JOIN en
+         |  JOIN cb_0 cb0 ON cb0.cl = en.c0
+         |  JOIN cb_1 cb1 ON cb1.cl = en.c1
+         |  JOIN cb_2 cb2 ON cb2.cl = en.c2
+         |  JOIN cb_3 cb3 ON cb3.cl = en.c3
+         |), r AS (
+         |  SELECT query_id, neighbor_id, dist,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY dist, neighbor_id) AS rn
+         |  FROM d
+         |)
+         |SELECT query_id, neighbor_id, ROUND(dist, 6) AS adc_dist,
+         |       CAST(rn AS INT) AS rank
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

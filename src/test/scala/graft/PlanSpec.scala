@@ -47,6 +47,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"expected top-k pushdown:\n$p")
   }
 
+  test("PQ search broadcasts the lut side, ranks via WindowGroupLimit; encode is shuffle-free") {
+    val p = plan("q_pq_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast lut join:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"expected top-k pushdown:\n$p")
+    // encoding is pure per-row compute: nothing in the plan may exchange
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cbs = graft.operators.Similarity
+      .pqTrain(e, "vec_id", "embedding", 4, 8, rounds = 0)
+    val pe = graft.operators.Similarity
+      .pqEncode(e, "embedding", cbs)
+      .queryExecution.executedPlan.toString
+    assert(!pe.contains("Exchange"), s"pqEncode must not shuffle:\n$pe")
+  }
+
   test("top-n query plans use WindowGroupLimit (rank filter pushdown)") {
     Seq("q_first_row", "q_first_rank", "q_first_dense_rank", "q_ann_quantized")
       .foreach { q =>

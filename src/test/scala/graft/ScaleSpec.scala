@@ -1160,6 +1160,76 @@ class ScaleSpec extends SparkSpec {
     assert(r >= 0.6, s"ivf recall@5 = $r, expected >= 0.6 (8 cells, 3 probes)")
   }
 
+  test("PQ: train is deterministic, codes are valid, ADC replays exactly, recall beats the coarse tier") {
+    import graft.functions.VectorFunctions.squaredDistance
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val db = e.filter(col("vec_id") >= 10)
+    val m = 16; val cbK = 16; val sub = 64 / m
+    val cbs = Similarity.pqTrain(e, "vec_id", "embedding", m, cbK, rounds = 2)
+    assert(cbs.size == m && cbs.forall(_.size == cbK) &&
+      cbs.forall(_.forall(_.size == sub)))
+    // training is invariant to physical layout (md5 seeds + quantized sums)
+    assert(Similarity.pqTrain(e.repartition(7), "vec_id", "embedding", m, cbK, 2) == cbs)
+    val enc = Similarity.pqEncode(db, "embedding", cbs)
+    val codes = enc.select("vec_id", "pq_codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(cs => cs.size == m && cs.forall(c => c >= 0 && c < cbK)))
+    val adc = Similarity
+      .pqTopK(enc, "vec_id", "pq_codes", q, "vec_id", "embedding", cbs, 10)
+      .collect()
+    // ADC distance replays exactly from codebooks + codes: a driver-side
+    // Scala fold over the same doubles must match the expression bit-for-bit
+    val qvecs = q.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    adc.foreach { r =>
+      val (qid, nid, d) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val expect = (0 until m).map { s =>
+        val cv = cbs(s)(codes(nid)(s))
+        val qs = qvecs(qid).slice(s * sub, (s + 1) * sub)
+        qs.zip(cv).foldLeft(0.0) { case (acc, (x, y)) =>
+          val diff = x.toDouble - y.toDouble; acc + diff * diff
+        }
+      }.reduceLeft(_ + _)
+      assert(d == expect, s"ADC dist $d != driver replay $expect for ($qid, $nid)")
+    }
+    // ranked 1..k per query, self-pairs excluded
+    adc.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq == (1 to rows.length),
+        s"ranks broken for query $qid")
+      assert(rows.forall(_.getLong(1) != qid))
+    }
+    // recall: 16x16 (64-bit codes) must hold a floor AND beat the coarse
+    // 4x8 config on the same (deterministic) data — the accuracy/size dial
+    // moving the right way is the property that matters
+    val exact = topKSets(
+      db.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+        .crossJoin(broadcast(q.select(col("vec_id").as("qid"), col("embedding").as("qv"))))
+        .select(col("qid"), col("nid"), squaredDistance(col("qv"), col("nv")).as("d"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("d"), col("nid"))))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("nid"))
+        .collect()
+    )
+    val fine = recallAt(exact, topKSets(adc.map(r =>
+      org.apache.spark.sql.Row(r.getLong(0), r.getLong(1)))))
+    val coarseCbs = Similarity.pqTrain(e, "vec_id", "embedding", 4, 8, 2)
+    val coarseEnc = Similarity.pqEncode(db, "embedding", coarseCbs)
+    val coarse = recallAt(exact, topKSets(
+      Similarity.pqTopK(coarseEnc, "vec_id", "pq_codes", q, "vec_id",
+        "embedding", coarseCbs, 10).collect()
+    ))
+    assert(fine >= 0.3, s"PQ 16x16 recall@10 = $fine, expected >= 0.3")
+    assert(fine > coarse,
+      s"finer codes must raise recall: 16x16 = $fine vs 4x8 = $coarse")
+    // invalid shapes rejected
+    intercept[IllegalArgumentException] {
+      Similarity.pqTrain(e, "vec_id", "embedding", numSubspaces = 7, k = 4)
+    }
+  }
+
   test("ivfTopK returns sane ranked neighbors from probed cells") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = e.filter(col("vec_id") < 2)
