@@ -237,6 +237,71 @@ private[graft] object QueryShared {
     * (doc_id, simhash) — mirrors Dedup.simHashSignatures bit-for-bit: md5
     * split into two 32-bit halves, per-bit majority vote over tokens, bit 63
     * assembled as Long.MinValue to stay in signed-64 range. */
+  /** Deterministic synthetic URL per document row — the documents table
+    * carries no URL column, so the URL-curation queries construct one from
+    * (doc_id, source, lang) with the SAME expression in both engines:
+    * multi-part-suffix hosts (co.uk), plain .com/.org hosts with and
+    * without a www/blog subdomain, a port every 7th row, a query string
+    * every 5th, and a malformed non-URL every 11th (exercising the NULL
+    * component path). The oracle checks the PARSER, not the construction —
+    * construction is shared verbatim. */
+  def syntheticUrl: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val id = col("doc_id")
+    when(
+      id % 11 === 0,
+      concat(lit("not a url "), id.cast("string"))
+    ).otherwise(
+      concat(
+        lit("https://"),
+        when(id % 3 === 0, concat(lit("www."), col("source"), lit(".co.uk")))
+          .when(id % 3 === 1, concat(col("source"), lit(".com")))
+          .otherwise(concat(lit("blog."), col("source"), lit(".org"))),
+        when(id % 7 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"),
+        id.cast("string"),
+        when(id % 5 === 0, concat(lit("?ref="), col("lang"))).otherwise(lit(""))
+      )
+    )
+  }
+
+  /** [[syntheticUrl]] as DuckDB SQL. */
+  val duckSyntheticUrl: String =
+    """CASE WHEN doc_id % 11 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+      |ELSE 'https://' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN 'www.' || source || '.co.uk'
+      |       WHEN doc_id % 3 = 1 THEN source || '.com'
+      |       ELSE 'blog.' || source || '.org' END ||
+      |  CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END ||
+      |  '/p/' || CAST(doc_id AS VARCHAR) ||
+      |  CASE WHEN doc_id % 5 = 0 THEN '?ref=' || lang ELSE '' END
+      |END""".stripMargin
+
+  /** DuckDB expression replaying Urls.registeredDomain over a host
+    * expression (already lowercased or NULL). */
+  def duckRegisteredDomain(host: String): String = {
+    val suffixes = graft.operators.Urls.MultiPartSuffixes
+      .map(s => s"'$s'")
+      .mkString("[", ", ", "]")
+    s"""CASE WHEN $host IS NULL THEN NULL
+       |     WHEN len(string_split($host, '.')) >= 3
+       |          AND list_contains($suffixes,
+       |                string_split($host, '.')[-2] || '.' ||
+       |                string_split($host, '.')[-1])
+       |       THEN string_split($host, '.')[-3] || '.' ||
+       |            string_split($host, '.')[-2] || '.' ||
+       |            string_split($host, '.')[-1]
+       |     WHEN len(string_split($host, '.')) >= 2
+       |       THEN string_split($host, '.')[-2] || '.' ||
+       |            string_split($host, '.')[-1]
+       |     ELSE $host END""".stripMargin
+  }
+
+  /** DuckDB expression for the lowercased host of a URL expression, NULL
+    * when unparseable — mirrors Urls.parseUrls' host component. */
+  def duckUrlHost(url: String): String =
+    s"lower(NULLIF(regexp_extract($url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1), ''))"
+
   /** DuckDB expression for squared Euclidean distance between a SLICE of
     * vector `a` (elements off+1 .. off+len, 1-based) and a len-element
     * codebook subvector `b` — the subspace companion to [[duckSqDist]],

@@ -460,6 +460,50 @@ private[graft] object TextQueries {
           UnigramFixedVocab.toDF("piece", "logprob")
         )
         .orderBy("doc_id")
+    }),
+
+    // URL parsing: every component of the synthetic per-doc URL (scheme,
+    // host, port, path, query string, registered domain incl. the co.uk
+    // multi-part suffix) — pure per-row regexps, malformed rows -> NULLs
+    "q_url_parse" -> ((s, dir) => {
+      import graft.operators.Urls
+      Urls
+        .parseUrls(
+          t(s, dir, "documents").withColumn("url", syntheticUrl),
+          "url"
+        )
+        .select(
+          "doc_id", "url_scheme", "url_host", "url_port",
+          "url_path", "url_query_string", "url_domain"
+        )
+        .orderBy("doc_id")
+    }),
+
+    // per-registered-domain cap at 3 docs, chosen by the deterministic
+    // md5 order — the anti-template-site guard before training
+    "q_domain_cap" -> ((s, dir) => {
+      import graft.operators.Urls
+      Urls
+        .domainCap(
+          t(s, dir, "documents")
+            .withColumn("url", syntheticUrl)
+            .select("doc_id", "url"),
+          "url", "doc_id", maxPerDomain = 3
+        )
+        .select("doc_id", "url_domain")
+        .orderBy("doc_id")
+    }),
+
+    // domain concentration report: docs + corpus share per registered
+    // domain (broadcast total, map-side-combined aggregate)
+    "q_domain_stats" -> ((s, dir) => {
+      import graft.operators.Urls
+      Urls
+        .domainStats(
+          t(s, dir, "documents").withColumn("url", syntheticUrl),
+          "url"
+        )
+        .orderBy(col("n_docs").desc, col("domain"))
     })
   )
 
@@ -1108,6 +1152,61 @@ private[graft] object TextQueries {
 
     "q_unigram_apply" -> duckUnigramApplyCte,
     "q_unigram_lm" -> duckUnigramTrainCte(),
-    "q_unigram_tokens" -> duckUnigramTrainTokensCte()
+    "q_unigram_tokens" -> duckUnigramTrainTokensCte(),
+
+    "q_url_parse" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, $duckSyntheticUrl AS url FROM documents
+         |), p AS (
+         |  SELECT doc_id,
+         |         lower(NULLIF(regexp_extract(url,
+         |           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS url_scheme,
+         |         ${duckUrlHost("url")} AS url_host,
+         |         CAST(NULLIF(regexp_extract(url,
+         |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1), '')
+         |           AS INT) AS url_port,
+         |         NULLIF(regexp_extract(url,
+         |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '')
+         |           AS url_path,
+         |         NULLIF(regexp_extract(url, '\\?([^#]*)', 1), '')
+         |           AS url_query_string
+         |  FROM u
+         |)
+         |SELECT doc_id, url_scheme, url_host, url_port, url_path,
+         |       url_query_string,
+         |       ${duckRegisteredDomain("url_host")} AS url_domain
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_domain_cap" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, $duckSyntheticUrl AS url FROM documents
+         |), d AS (
+         |  SELECT doc_id,
+         |         ${duckRegisteredDomain(duckUrlHost("url"))} AS url_domain,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |              AS BIGINT) % 10000 AS bk
+         |  FROM u
+         |), r AS (
+         |  SELECT doc_id, url_domain,
+         |         ROW_NUMBER() OVER (PARTITION BY url_domain
+         |                            ORDER BY bk, doc_id) AS rn
+         |  FROM d
+         |)
+         |SELECT doc_id, url_domain FROM r WHERE rn <= 3
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_domain_stats" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, $duckSyntheticUrl AS url FROM documents
+         |), d AS (
+         |  SELECT ${duckRegisteredDomain(duckUrlHost("url"))} AS domain
+         |  FROM u
+         |), g AS (
+         |  SELECT domain, count(*) AS n_docs FROM d GROUP BY domain
+         |)
+         |SELECT domain, n_docs,
+         |       ROUND(CAST(n_docs AS DOUBLE) /
+         |             (SELECT SUM(n_docs) FROM g), 6) AS share
+         |FROM g ORDER BY n_docs DESC, domain""".stripMargin
   )
 }

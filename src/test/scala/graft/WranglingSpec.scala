@@ -211,6 +211,78 @@ class WranglingSpec extends SparkSpec {
     }
   }
 
+  test("parseUrls extracts components, nulls the malformed, lowercases hosts") {
+    import graft.operators.Urls
+    val df = Seq(
+      (1L, "https://WWW.Example.CO.UK:8443/A/b?x=1&y=2#frag"),
+      (2L, "http://example.com"),
+      (3L, "ftp://files.example.org/pub/"),
+      (4L, "not a url"),
+      (5L, "//missing.scheme/path"),
+      (6L, null.asInstanceOf[String]),
+      (7L, "https://localhost:9000/x"),
+      (8L, "custom+v1.2://shop.example.co.za/item")
+    ).toDF("id", "url")
+    val got = Urls.parseUrls(df, "url")
+      .select("id", "url_scheme", "url_host", "url_port", "url_path",
+        "url_query_string", "url_domain")
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0),
+        Option(r.getString(1)).orNull, Option(r.getString(2)).orNull,
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        Option(r.getString(4)).orNull, Option(r.getString(5)).orNull,
+        Option(r.getString(6)).orNull))
+    val want = Seq(
+      (1L, "https", "www.example.co.uk", 8443, "/A/b", "x=1&y=2",
+        "example.co.uk"),
+      (2L, "http", "example.com", -1, null, null, "example.com"),
+      (3L, "ftp", "files.example.org", -1, "/pub/", null, "example.org"),
+      (4L, null, null, -1, null, null, null),
+      (5L, null, null, -1, null, null, null),
+      (6L, null, null, -1, null, null, null),
+      (7L, "https", "localhost", 9000, "/x", null, "localhost"),
+      (8L, "custom+v1.2", "shop.example.co.za", -1, "/item", null,
+        "example.co.za")
+    )
+    assert(got.toSeq == want, got.mkString(";"))
+    // custom suffixes extend the multi-part set
+    val custom = Urls
+      .parseUrls(
+        Seq((1L, "https://a.b.example.zz.xx/p")).toDF("id", "url"),
+        "url", extraSuffixes = Seq("zz.xx")
+      )
+      .select("url_domain").collect().head.getString(0)
+    assert(custom == "example.zz.xx")
+    intercept[IllegalArgumentException] {
+      Urls.parseUrls(df, "nope")
+    }
+  }
+
+  test("domainCap keeps at most N per registered domain, deterministically") {
+    import graft.operators.Urls
+    val rows = (0L until 40L).map { i =>
+      val host = if (i % 2 == 0) "big.example.com" else s"site$i.org"
+      (i, s"https://$host/p/$i")
+    } :+ (99L, "garbage")
+    val df = rows.toDF("id", "url")
+    def run() = Urls
+      .domainCap(df.repartition(5), "url", "id", maxPerDomain = 3)
+      .select("id", "url_domain").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).orNull)).sortBy(_._1)
+    val got = run()
+    val perDomain = got.groupBy(_._2)
+    // the 20-doc example.com group is capped at 3; singletons all survive;
+    // the unparseable row forms its own (capped) NULL group
+    assert(perDomain("example.com").length == 3)
+    assert(perDomain(null).map(_._1).toSeq == Seq(99L))
+    assert(got.length == 3 + 20 + 1)
+    assert(run().toSeq == got.toSeq, "cap must be layout-invariant")
+    intercept[IllegalArgumentException] {
+      Urls.domainCap(df, "url", "id", maxPerDomain = 0)
+    }
+  }
+
   test("scd2History is deterministic under tied versions") {
     // three rows share version 1 with distinct attrs: the run window
     // tie-breaks on the attr, producing runs a|b|c all with
