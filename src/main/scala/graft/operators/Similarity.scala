@@ -1301,4 +1301,160 @@ object Similarity {
       indexColumnName = "rank"
     )
   }
+
+  // ===========================================================================
+  // IVF-PQ: the two tiers composed the way a billion-scale index actually
+  // ships — a coarse quantizer routes each vector to a cell (search probes
+  // only nProbe cells: the IVF partition-pruning win), and PQ encodes the
+  // RESIDUAL vector - cellCentroid (residuals are tighter than raw vectors,
+  // so the same code budget quantizes finer). The index row is
+  // (id, cell, codes): bytes per vector, no floats anywhere at serve time.
+  // ===========================================================================
+
+  /** Residual of each vector against its nearest coarse centroid:
+    * `(id, cell, resCol)` where the residual is computed element-wise in
+    * double and truncated back to float (the storage/search width — and the
+    * form an oracle reproduces exactly). Pure per-row codegen'd compute. */
+  def ivfResiduals(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Seq[Seq[Float]],
+      resCol: String = "residual"
+  ): DataFrame = {
+    require(coarse.nonEmpty, "need at least one coarse centroid")
+    val cell = nearestCentroid(col(vecCol), coarse).getField("cluster")
+    val centroid =
+      element_at(array(coarse.map(c => typedlit(c.toArray)): _*), col("__cell") + 1)
+    df.filter(col(vecCol).isNotNull)
+      .withColumn("__cell", cell)
+      .withColumn(
+        resCol,
+        zip_with(
+          col(vecCol),
+          centroid,
+          (x, c) => (x.cast("double") - c.cast("double")).cast("float")
+        )
+      )
+      .withColumnRenamed("__cell", "cell")
+  }
+
+  /** Train the residual PQ codebooks for an IVF-PQ index: [[pqTrain]] on
+    * the [[ivfResiduals]] of the corpus. Same determinism contract —
+    * the model replays bit-for-bit from (ids, vectors, coarse). */
+  def ivfPqTrain(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Seq[Seq[Float]],
+      numSubspaces: Int,
+      k: Int,
+      rounds: Int = 2
+  ): Seq[Seq[Seq[Float]]] =
+    pqTrain(
+      ivfResiduals(df, idCol, vecCol, coarse).select(col(idCol), col("residual")),
+      idCol, "residual", numSubspaces, k, rounds
+    )
+
+  /** Build the IVF-PQ index rows `(idCol, cell, pq_codes)`: cell routing
+    * plus PQ codes of the residual. Per-row codegen'd compute only — at
+    * corpus scale this is the one full scan, and its output is the only
+    * thing search ever reads. Persist partitioned by `cell` (exactly
+    * [[writeIvfIndex]]'s layout) to make probes partition-pruned reads. */
+  def ivfPqIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]]
+  ): DataFrame =
+    pqEncode(
+      ivfResiduals(df, idCol, vecCol, coarse),
+      "residual", codebooks
+    ).select(col(idCol), col("cell"), col("pq_codes"))
+
+  /** IVF-PQ search: each query probes its `nProbe` nearest cells; within
+    * each probed cell the query's RESIDUAL against that cell's centroid
+    * feeds a per-(query, cell) ADC lookup table, and candidates cost
+    * numSubspaces array lookups — the index's floats are never read
+    * (there are none). The probed (query, cell, luts) table is broadcast;
+    * per-query ranking is (adc_dist asc, id) via `WindowGroupLimit`.
+    * Self-pairs are excluded. */
+  def ivfPqTopK(
+      index: DataFrame,
+      idCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      coarse: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]],
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    require(coarse.nonEmpty, "need at least one coarse centroid")
+    require(nProbe >= 1, "nProbe must be >= 1")
+    require(codebooks.nonEmpty, "need at least one subspace codebook")
+    val sub = codebooks.head.head.length
+    val m = codebooks.size
+    // probe: nProbe nearest cells per query (tiny window over queries)
+    val cellArr = array(coarse.map(c => typedlit(c.toArray)): _*)
+    val probed = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+      .withColumn(
+        "__cd",
+        array(coarse.map(c => squaredDistanceNative(col("__qv"), typedlit(c))): _*)
+      )
+      .select(
+        col("query_id"),
+        col("__qv"),
+        posexplode(col("__cd")).as(Seq("cell", "__qd"))
+      )
+      .withColumn(
+        "__rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id")
+            .orderBy(col("__qd"), col("cell"))
+        )
+      )
+      .filter(col("__rank") <= nProbe)
+      // the query's residual against the PROBED cell (not its own nearest):
+      // ADC distance approximates ||q - x|| = ||qres_cell - res_x|| inside
+      // that cell, so the lut must be built from the cell-local residual
+      .withColumn(
+        "__qres",
+        zip_with(
+          col("__qv"),
+          element_at(cellArr, col("cell") + 1),
+          (x, c) => (x.cast("double") - c.cast("double")).cast("float")
+        )
+      )
+      .select(
+        col("query_id") +: col("cell") +: (0 until m).map { s =>
+          transform(
+            array(codebooks(s).map(c => typedlit(c.toArray)): _*),
+            cv => squaredDistance(slice(col("__qres"), s * sub + 1, sub), cv)
+          ).as(s"__lut_$s")
+        }: _*
+      )
+    val dist = (0 until m)
+      .map(s => element_at(col(s"__lut_$s"), col("pq_codes").getItem(s) + 1))
+      .reduceLeft(_ + _)
+    val scored = index
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("pq_codes"))
+      .join(
+        broadcast(probed),
+        Seq("cell")
+      )
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), dist.as("adc_dist"))
+    TopN.firstRow(
+      scored,
+      n = k,
+      partitionBy = Seq(col("query_id")),
+      orderBy = Seq(col("adc_dist"), col("neighbor_id")),
+      returnIndexColumn = true,
+      indexColumnName = "rank"
+    )
+  }
 }

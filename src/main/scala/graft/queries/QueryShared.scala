@@ -376,6 +376,45 @@ private[graft] object QueryShared {
     seed + chains
   }
 
+  /** DuckDB CTE chain replaying the IVF-PQ index build bit-for-bit:
+    * modulo-chosen coarse centroids (`vec_id % 64 = 0`, cell = ascending
+    * vec_id rank), nearest-cell assignment, double-subtract/float-truncate
+    * residuals as the `e` table [[duckPqCte]] trains on, and `en(vec_id,
+    * cell, c0..c3)` = the finished index rows. Mirrors
+    * Similarity.ivfResiduals + ivfPqTrain + ivfPqIndex. */
+  def duckIvfPqCommon(m: Int = 4, k: Int = 8, rounds: Int = 2): String = {
+    val codeCols = (0 until m)
+      .map(s => s"af_$s.cl AS c$s")
+      .mkString(", ")
+    val codeJoins = (0 until m)
+      .map(s => s"JOIN af_$s ON af_$s.vec_id = a.vec_id")
+      .mkString(" ")
+    s"""cent AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
+       |         embedding AS cv
+       |  FROM embeddings WHERE vec_id % 64 = 0
+       |), ac AS (
+       |  SELECT emb.vec_id, emb.embedding, c.cell,
+       |         ${duckSqDist("emb.embedding", "c.cv")} AS cd
+       |  FROM embeddings emb CROSS JOIN cent c
+       |), assigned AS (
+       |  SELECT vec_id, embedding, cell FROM (
+       |    SELECT vec_id, embedding, cell,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rn
+       |    FROM ac
+       |  ) WHERE rn = 1
+       |), e AS (
+       |  SELECT a.vec_id,
+       |         list_transform(range(1, 65), i ->
+       |           CAST(CAST(a.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE) AS FLOAT))
+       |           AS embedding
+       |  FROM assigned a JOIN cent c USING (cell)
+       |), ${duckPqCte(m, k, rounds)}, en AS (
+       |  SELECT a.vec_id, a.cell, $codeCols
+       |  FROM assigned a $codeJoins
+       |)""".stripMargin
+  }
+
   def duckSimHashSig(where: String): String = {
     val votes = (0 until 64)
       .map { b =>

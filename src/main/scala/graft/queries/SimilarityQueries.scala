@@ -376,8 +376,61 @@ private[graft] object SimilarityQueries {
           col("rank")
         )
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ index build: modulo-chosen coarse cells + PQ codes of the
+    // cell residuals — every vector's routing AND compressed form checked
+    "q_ivfpq_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val coarse = ivfModCentroids(e)
+      val cbs = Similarity
+        .ivfPqTrain(e, "vec_id", "embedding", coarse,
+          numSubspaces = 4, k = 8, rounds = 2)
+      Similarity
+        .ivfPqIndex(e, "vec_id", "embedding", coarse, cbs)
+        .select(
+          col("vec_id") +: col("cell") +:
+            (0 until 4).map(i => col("pq_codes").getItem(i).as(s"code_$i")): _*
+        )
+        .orderBy("vec_id")
+    }),
+
+    // IVF-PQ search: 2 probed cells per query, per-(query, cell) residual
+    // ADC luts, candidates cost 4 array lookups — the composed
+    // partition-pruned + compressed serve path at any corpus size
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val coarse = ivfModCentroids(e)
+      val cbs = Similarity
+        .ivfPqTrain(e, "vec_id", "embedding", coarse,
+          numSubspaces = 4, k = 8, rounds = 2)
+      val index = Similarity.ivfPqIndex(e, "vec_id", "embedding", coarse, cbs)
+      Similarity
+        .ivfPqTopK(
+          index, "vec_id",
+          e.filter(col("vec_id") < 3), "vec_id", "embedding",
+          coarse, cbs, k = 5, nProbe = 2
+        )
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(col("adc_dist"), 6).as("adc_dist"),
+          col("rank")
+        )
+        .orderBy("query_id", "rank")
     })
   )
+
+  /** The deterministic modulo codebook shared by the oracle-checked IVF
+    * variants: corpus vectors at `vec_id % 64 == 0`, cell = ascending
+    * vec_id rank (8 cells at sf0.01). */
+  private def ivfModCentroids(e: DataFrame): Seq[Seq[Float]] = e
+    .filter(col("vec_id") % 64 === 0)
+    .orderBy("vec_id")
+    .select("embedding")
+    .collect()
+    .map(_.getAs[scala.collection.Seq[Float]](0).toSeq)
+    .toSeq
 
   val oracles: Map[String, String] = Map(
     "q_cosine_topk" ->
@@ -825,6 +878,47 @@ private[graft] object SimilarityQueries {
          |       + ${duckSqDistSub("q.qv", "cb2.cv", 32, 16)}
          |       + ${duckSqDistSub("q.qv", "cb3.cv", 48, 16)} AS dist
          |  FROM q CROSS JOIN en
+         |  JOIN cb_0 cb0 ON cb0.cl = en.c0
+         |  JOIN cb_1 cb1 ON cb1.cl = en.c1
+         |  JOIN cb_2 cb2 ON cb2.cl = en.c2
+         |  JOIN cb_3 cb3 ON cb3.cl = en.c3
+         |), r AS (
+         |  SELECT query_id, neighbor_id, dist,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY dist, neighbor_id) AS rn
+         |  FROM d
+         |)
+         |SELECT query_id, neighbor_id, ROUND(dist, 6) AS adc_dist,
+         |       CAST(rn AS INT) AS rank
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ivfpq_index" ->
+      s"""WITH ${duckIvfPqCommon()}
+         |SELECT vec_id, cell,
+         |       CAST(c0 AS INT) AS code_0, CAST(c1 AS INT) AS code_1,
+         |       CAST(c2 AS INT) AS code_2, CAST(c3 AS INT) AS code_3
+         |FROM en ORDER BY vec_id""".stripMargin,
+
+    "q_ivfpq_topk" ->
+      s"""WITH ${duckIvfPqCommon()}, probe AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, cell FROM (
+         |    SELECT vec_id, embedding, cell,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cd, cell) AS rn
+         |    FROM ac WHERE vec_id < 3
+         |  ) WHERE rn <= 2
+         |), qr AS (
+         |  SELECT p.query_id, p.cell,
+         |         list_transform(range(1, 65), i ->
+         |           CAST(CAST(p.qv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE) AS FLOAT))
+         |           AS qres
+         |  FROM probe p JOIN cent c USING (cell)
+         |), d AS (
+         |  SELECT qr.query_id, en.vec_id AS neighbor_id,
+         |         ${duckSqDistSub("qr.qres", "cb0.cv", 0, 16)}
+         |       + ${duckSqDistSub("qr.qres", "cb1.cv", 16, 16)}
+         |       + ${duckSqDistSub("qr.qres", "cb2.cv", 32, 16)}
+         |       + ${duckSqDistSub("qr.qres", "cb3.cv", 48, 16)} AS dist
+         |  FROM qr JOIN en ON en.cell = qr.cell AND en.vec_id <> qr.query_id
          |  JOIN cb_0 cb0 ON cb0.cl = en.c0
          |  JOIN cb_1 cb1 ON cb1.cl = en.c1
          |  JOIN cb_2 cb2 ON cb2.cl = en.c2

@@ -48,10 +48,13 @@ class PlanSpec extends SparkSpec {
   }
 
   test("PQ search broadcasts the lut side, ranks via WindowGroupLimit; encode is shuffle-free") {
+    Seq("q_pq_topk", "q_ivfpq_topk").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q: expected broadcast lut join:\n$p")
+      assert(p.contains("WindowGroupLimit"), s"$q: expected top-k pushdown:\n$p")
+    }
     val p = plan("q_pq_topk")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"expected broadcast lut join:\n$p")
-    assert(p.contains("WindowGroupLimit"), s"expected top-k pushdown:\n$p")
     // encoding is pure per-row compute: nothing in the plan may exchange
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cbs = graft.operators.Similarity

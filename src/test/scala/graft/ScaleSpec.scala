@@ -1230,6 +1230,84 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: residuals replay exactly, probes prune, recall holds, index is layout-invariant") {
+    import graft.functions.VectorFunctions.squaredDistance
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // 4 deterministic coarse cells from an arithmetic id subsequence
+    val coarse = e.filter(col("vec_id") % 12 === 0).orderBy("vec_id")
+      .limit(4).select("embedding")
+      .collect().map(_.getAs[scala.collection.Seq[Float]](0).toSeq).toSeq
+    assert(coarse.size == 4)
+    val m = 16; val cbK = 16
+    val cbs = Similarity.ivfPqTrain(e, "vec_id", "embedding", coarse, m, cbK, 2)
+    val index = Similarity.ivfPqIndex(e, "vec_id", "embedding", coarse, cbs)
+    // layout invariance of the whole build
+    val again = Similarity.ivfPqIndex(
+      e.repartition(7), "vec_id", "embedding",
+      coarse,
+      Similarity.ivfPqTrain(e.repartition(7), "vec_id", "embedding", coarse, m, cbK, 2)
+    )
+    val idxRows = index.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+    assert(again.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSeq == idxRows.toSeq)
+    assert(idxRows.forall { case (_, cell, codes) =>
+      cell >= 0 && cell < 4 && codes.size == m && codes.forall(c => c >= 0 && c < cbK)
+    })
+    // residual exactness: replay vec - coarse(cell) element-wise on the
+    // driver (double subtract, float truncate — the operator's contract)
+    val resRows = Similarity.ivfResiduals(e, "vec_id", "embedding", coarse)
+      .select("vec_id", "embedding", "cell", "residual")
+      .orderBy("vec_id").limit(20).collect()
+    resRows.foreach { r =>
+      val (vec, cell, res) =
+        (r.getSeq[Float](1), r.getInt(2), r.getSeq[Float](3))
+      val want = vec.zip(coarse(cell)).map { case (x, c) =>
+        (x.toDouble - c.toDouble).toFloat
+      }
+      assert(res == want, s"residual mismatch for vec ${r.getLong(0)}")
+    }
+    val q = e.filter(col("vec_id") < 10)
+    val db = index.filter(col("vec_id") >= 10)
+    // probe pruning: every returned neighbor's cell is among the query's
+    // nProbe nearest cells (driver replay of the probe ranking)
+    val cellOf = idxRows.map(r => r._1 -> r._2).toMap
+    val qvecs = q.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def sq(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        val d = x.toDouble - y.toDouble; acc + d * d
+      }
+    val got2 = Similarity
+      .ivfPqTopK(db, "vec_id", q, "vec_id", "embedding", coarse, cbs, 10, nProbe = 2)
+      .collect()
+    got2.foreach { r =>
+      val probed = coarse.indices
+        .sortBy(c => (sq(qvecs(r.getLong(0)), coarse(c)), c)).take(2).toSet
+      assert(probed.contains(cellOf(r.getLong(1))),
+        s"neighbor ${r.getLong(1)} outside query ${r.getLong(0)}'s probed cells")
+    }
+    // recall with all cells probed: the PQ-residual tier alone must hold a
+    // floor vs the exact float scan
+    val exact = topKSets(
+      e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("embedding").as("nv"))
+        .crossJoin(broadcast(q.select(col("vec_id").as("qid"), col("embedding").as("qv"))))
+        .select(col("qid"), col("nid"), squaredDistance(col("qv"), col("nv")).as("d"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qid")
+            .orderBy(col("d"), col("nid"))))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("nid"))
+        .collect()
+    )
+    val full = recallAt(exact, topKSets(
+      Similarity.ivfPqTopK(db, "vec_id", q, "vec_id", "embedding",
+        coarse, cbs, 10, nProbe = 4).collect()
+    ))
+    assert(full >= 0.3, s"IVF-PQ full-probe recall@10 = $full, expected >= 0.3")
+  }
+
   test("ivfTopK returns sane ranked neighbors from probed cells") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = e.filter(col("vec_id") < 2)
