@@ -372,7 +372,12 @@ object Similarity {
           sum(
             floor(col("__e").cast("double") * lit(1000000.0)).cast("decimal(38,0)")
           ).as("__s"),
-          count(lit(1)).as("__n")
+          count(lit(1)).as("__n"),
+          // sum() SKIPS nulls while count(1) counts every row, so a MIXED
+          // null/non-null (cluster, dim) would silently average over too
+          // many rows; the count mismatch catches both the mixed and the
+          // all-null case loudly
+          count(col("__e")).as("__nn")
         )
         .collect()
         .groupBy(_.getInt(0))
@@ -380,11 +385,10 @@ object Similarity {
           val dim = rows.map(_.getInt(1)).max + 1
           val v = new Array[Float](dim)
           rows.foreach { r =>
-            // a NULL element nulls the whole (cluster, dim) sum — name the
-            // culprit instead of NPE-ing deep in the driver loop
             require(
-              !r.isNullAt(2),
-              s"null embedding element in cluster $cl dim ${r.getInt(1)}: " +
+              r.getLong(3) == r.getLong(4),
+              s"null embedding element in cluster $cl dim ${r.getInt(1)} " +
+                s"(${r.getLong(3) - r.getLong(4)} of ${r.getLong(3)} rows): " +
                 "kmeans requires fully-populated vectors (null VECTORS are " +
                 "filtered; null ELEMENTS are data corruption)"
             )
@@ -1193,7 +1197,11 @@ object Similarity {
             floor(col("__e").cast("double") * lit(1000000.0))
               .cast("decimal(38,0)")
           ).as("__sum"),
-          count(lit(1)).as("__n")
+          count(lit(1)).as("__n"),
+          // non-null element count: sum() SKIPS nulls, so a mixed
+          // null/non-null position would otherwise average over too many
+          // rows silently — the count mismatch is the loud detector
+          count(col("__e")).as("__nn")
         )
         .collect()
         .groupBy(r => (r.getInt(0), r.getInt(1)))
@@ -1201,9 +1209,12 @@ object Similarity {
           val v = new Array[Float](sub)
           rows.foreach { r =>
             require(
-              !r.isNullAt(3),
+              r.getLong(4) == r.getLong(5),
               s"null embedding element in subspace $s cluster $cl dim " +
-                s"${r.getInt(2)}: PQ requires fully-populated vectors"
+                s"${r.getInt(2)} (${r.getLong(4) - r.getLong(5)} of " +
+                s"${r.getLong(4)} rows): PQ requires fully-populated " +
+                "vectors (null VECTORS are filtered; null ELEMENTS are " +
+                "data corruption)"
             )
             v(r.getInt(2)) =
               (r.getDecimal(3).doubleValue() / 1000000.0 /
@@ -1273,7 +1284,11 @@ object Similarity {
     // (sequential-fold double, the oracle-portable arithmetic). Queries
     // are small by construction, so the per-element lambda re-evaluation
     // of the slice is irrelevant; the candidate side never runs this.
+    // NULL query vectors are dropped here, not downstream: a NULL lut
+    // would rank NULLS FIRST under the ascending distance sort and hand
+    // the query k garbage neighbors instead of no rows
     val luts = queries
+      .filter(col(qVecCol).isNotNull)
       .select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
       .select(
         col("query_id") +: (0 until m).map { s =>
@@ -1398,7 +1413,10 @@ object Similarity {
     val m = codebooks.size
     // probe: nProbe nearest cells per query (tiny window over queries)
     val cellArr = array(coarse.map(c => typedlit(c.toArray)): _*)
+    // NULL query vectors dropped (same NULLS-FIRST hazard as pqTopK: the
+    // probe window would hand them cells 0..nProbe-1 and garbage ranks)
     val probed = queries
+      .filter(col(qVecCol).isNotNull)
       .select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
       .withColumn(
         "__cd",

@@ -40,14 +40,29 @@ object Urls {
     "co.kr", "or.kr", "co.za", "org.za"
   )
 
+  // every component anchors on a valid `scheme://` prefix so non-URLs
+  // yield NULL EVERYTHING (a bare '?x=1' in random text is not a query
+  // string); userinfo (`user:pw@`) is consumed greedily up to the LAST
+  // '@' in the authority and never reaches the host, port, or domain —
+  // varying credentials must not split one site into many cap groups
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
-  private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
-  private val PortRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)"
+  private val HostRe =
+    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)"
+  private val PortRe =
+    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?[^/:?#]+:([0-9]+)"
   private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)"
-  private val QueryRe = "\\?([^#]*)"
+  // the '?' must precede any '#': a '?' inside the fragment is not a query
+  private val QueryRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\\?([^#]*)"
 
   private def extractOrNull(c: Column, re: String): Column =
     nullif(regexp_extract(c, re, 1), lit(""))
+
+  /** Lowercased registered domain straight from a URL column — the one
+    * shared host→domain expression every operator here uses (a single
+    * definition keeps cap groups, stats keys, and parseUrls output
+    * consistent by construction). */
+  private def urlDomain(u: Column, extraSuffixes: Seq[String]): Column =
+    registeredDomain(lower(extractOrNull(u, HostRe)), extraSuffixes)
 
   /** Parse a URL column into `<prefix>scheme/host/port/path/query_string`
     * plus `<prefix>domain` ([[registeredDomain]] of the host). Absent
@@ -69,10 +84,7 @@ object Urls {
       .withColumn(s"${prefix}port", extractOrNull(u, PortRe).cast("int"))
       .withColumn(s"${prefix}path", extractOrNull(u, PathRe))
       .withColumn(s"${prefix}query_string", extractOrNull(u, QueryRe))
-      .withColumn(
-        s"${prefix}domain",
-        registeredDomain(host, extraSuffixes)
-      )
+      .withColumn(s"${prefix}domain", urlDomain(u, extraSuffixes))
   }
 
   /** Registered domain of an (already-lowercased) host: the last two
@@ -105,12 +117,13 @@ object Urls {
       idCol: String,
       maxPerDomain: Int,
       salt: String = "",
-      prefix: String = "url_"
+      prefix: String = "url_",
+      extraSuffixes: Seq[String] = Nil
   ): DataFrame = {
     require(maxPerDomain >= 1, "maxPerDomain must be >= 1")
     val withDomain = df.withColumn(
       s"${prefix}domain",
-      registeredDomain(lower(extractOrNull(col(urlCol), HostRe)))
+      urlDomain(col(urlCol), extraSuffixes)
     )
     TopN
       .firstRow(
@@ -130,12 +143,11 @@ object Urls {
     * millions of rows and must not funnel through one task). */
   def domainStats(
       df: DataFrame,
-      urlCol: String
+      urlCol: String,
+      extraSuffixes: Seq[String] = Nil
   ): DataFrame = {
-    val domain =
-      registeredDomain(lower(extractOrNull(col(urlCol), HostRe)))
     val perDomain = df
-      .select(domain.as("domain"))
+      .select(urlDomain(col(urlCol), extraSuffixes).as("domain"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"))
     val total = perDomain.agg(sum("n_docs").as("__total"))

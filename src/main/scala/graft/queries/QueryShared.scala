@@ -298,9 +298,11 @@ private[graft] object QueryShared {
   }
 
   /** DuckDB expression for the lowercased host of a URL expression, NULL
-    * when unparseable — mirrors Urls.parseUrls' host component. */
+    * when unparseable — mirrors Urls.parseUrls' host component (userinfo
+    * consumed before the capture, exactly as the operator's HostRe). */
   def duckUrlHost(url: String): String =
-    s"lower(NULLIF(regexp_extract($url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1), ''))"
+    s"lower(NULLIF(regexp_extract($url, " +
+      "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1), ''))"
 
   /** DuckDB expression for squared Euclidean distance between a SLICE of
     * vector `a` (elements off+1 .. off+len, 1-based) and a len-element

@@ -1163,12 +1163,13 @@ private[graft] object TextQueries {
          |           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS url_scheme,
          |         ${duckUrlHost("url")} AS url_host,
          |         CAST(NULLIF(regexp_extract(url,
-         |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1), '')
+         |           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?[^/:?#]+:([0-9]+)', 1), '')
          |           AS INT) AS url_port,
          |         NULLIF(regexp_extract(url,
          |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '')
          |           AS url_path,
-         |         NULLIF(regexp_extract(url, '\\?([^#]*)', 1), '')
+         |         NULLIF(regexp_extract(url,
+         |           '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\\?([^#]*)', 1), '')
          |           AS url_query_string
          |  FROM u
          |)

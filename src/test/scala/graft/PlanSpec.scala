@@ -54,7 +54,6 @@ class PlanSpec extends SparkSpec {
         s"$q: expected broadcast lut join:\n$p")
       assert(p.contains("WindowGroupLimit"), s"$q: expected top-k pushdown:\n$p")
     }
-    val p = plan("q_pq_topk")
     // encoding is pure per-row compute: nothing in the plan may exchange
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cbs = graft.operators.Similarity

@@ -1228,6 +1228,30 @@ class ScaleSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.pqTrain(e, "vec_id", "embedding", numSubspaces = 7, k = 4)
     }
+    // a MIXED null/non-null element position must fail loudly, not bias
+    // the centroid mean (sum skips nulls; count does not)
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Seq(1.0f, 2.0f, 3.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+      .union(
+        Seq(3L).toDF("vec_id").select(
+          col("vec_id"),
+          array(lit(1.0f), lit(null).cast("float"), lit(3.0f), lit(4.0f))
+            .as("embedding")
+        )
+      )
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqTrain(dirty, "vec_id", "embedding",
+        numSubspaces = 2, k = 1, rounds = 1)
+    }
+    assert(ex.getMessage.contains("null embedding element"))
+    // NULL-vector queries return no rows, never NULLS-FIRST garbage ranks
+    val nullQ = Seq(99999L).toDF("vec_id")
+      .select(col("vec_id"), lit(null).cast("array<float>").as("embedding"))
+    assert(Similarity.pqTopK(enc, "vec_id", "pq_codes",
+      nullQ, "vec_id", "embedding", cbs, 5).count() == 0)
   }
 
   test("IVF-PQ: residuals replay exactly, probes prune, recall holds, index is layout-invariant") {
