@@ -680,6 +680,38 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(assignments(got).size == emb.count())
   }
 
+  test("streaming PQ encoding equals the batch encoding") {
+    // train PQ on the batch snapshot, encode the stream under the frozen
+    // codebooks: pqEncode is stateless per-row compute (plan-asserted
+    // shuffle-free), so the compressed-ingest half of an IVF-PQ pipeline
+    // runs unchanged in append mode
+    import graft.operators.Similarity
+    val emb = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cbs = Similarity.pqTrain(emb, "vec_id", "embedding",
+      numSubspaces = 4, k = 8, rounds = 1)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$sfDir/embeddings.parquet").schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+      .select("vec_id", "embedding")
+    val got = Streaming.runToMemorySink(
+      spark,
+      Similarity.pqEncode(stream, "embedding", cbs),
+      "pq_stream",
+      outputMode = "append"
+    )
+    def codes(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "pq_codes")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+      .toMap
+    val batch = Similarity.pqEncode(emb, "embedding", cbs)
+    assert(codes(got) == codes(batch))
+    assert(codes(got).size == emb.count())
+  }
+
   test("streaming quality gate equals the batch classifier filter") {
     import graft.operators.TextAnalysis
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
