@@ -326,4 +326,57 @@ object Joins {
       )
       .drop(s"$prefix$tcol")
   }
+
+  /** Big-big semi-join with a Bloom pre-filter: keep the `left` rows whose
+    * `keyCol` appears in `right` — EXACT result (identical to a plain
+    * LEFT SEMI join; the oracle is that SQL), but the left side is
+    * filtered through a broadcast Bloom filter of the right keys BEFORE
+    * the shuffle, so only probable-member rows ever exchange. This is the
+    * shape Spark's own runtime row-level filtering injects for selective
+    * joins; exposing it as an operator makes the pruning deterministic
+    * and tunable instead of cost-model-dependent — at 100 TB, when 1% of
+    * corpus rows match a key list too large to broadcast exactly, the
+    * shuffle shrinks ~100x for the price of one fixed-size bit-array
+    * broadcast.
+    *
+    * Bloom false positives only cost shuffle bytes (the exact semi-join
+    * behind the filter removes them); false negatives cannot occur, so no
+    * matching row is ever lost. Build and probe key on xxhash64 (the
+    * native `BloomFilterMightContain` probe tests 64-bit keys, inside
+    * whole-stage codegen — no UDF). NULL keys never match (semi-join
+    * semantics). `expectedKeys <= 0` triggers a counting pass. */
+  def bloomSemiJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      fpp: Double = 0.01,
+      expectedKeys: Long = -1L
+  ): DataFrame = {
+    require(left.columns.contains(keyCol), s"left has no column '$keyCol'")
+    require(right.columns.contains(keyCol), s"right has no column '$keyCol'")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val keys = right.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
+    val nKeys = if (expectedKeys > 0) expectedKeys else keys.count()
+    if (nKeys == 0) {
+      left.filter(lit(false))
+    } else {
+      val bf = keys
+        .select(xxhash64(col(keyCol)).as("__h"))
+        .stat
+        .bloomFilter("__h", nKeys, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val probe = org.apache.spark.sql.GraftSqlBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal
+            .create(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.GraftSqlBridge
+            .expression(xxhash64(col(keyCol)))
+        )
+      )
+      left
+        .filter(col(keyCol).isNotNull && probe)
+        .join(keys, Seq(keyCol), "left_semi")
+    }
+  }
 }

@@ -555,6 +555,73 @@ object Stats {
       .select(col("__p.col_a"), col("__p.col_b"), col("__p.n"), col("__p.corr"))
   }
 
+  /** Spearman rank correlation of two numeric columns — the monotone-
+    * association companion to [[correlationMatrix]]'s Pearson (robust to
+    * outliers and any monotone transform: does quality score rise with
+    * length AT ALL, not just linearly). Standard average-rank ties
+    * (fractional-rank / "mid-rank" convention), complete-case rows.
+    *
+    * Exactness: average ranks are computed DOUBLED so they stay integers
+    * (`2*rank = 2*runningCount - ties + 1`), and the whole Pearson-on-
+    * ranks formula runs on exact decimal integer sums until ONE final
+    * double division — engine-portable bit-for-bit, the
+    * [[correlationMatrix]] treatment with the quantization step made
+    * unnecessary by rank integrality. Exact while n^4 < 1e38/16
+    * (n ~ 1e9 rows); a constant column yields NULL rho.
+    *
+    * Scale shape: two distinct-value aggregates (map-side combined), each
+    * ranked by [[rangedRunningSums]] — never an unpartitioned window, so
+    * a near-unique value grid (doubles usually are) does not funnel one
+    * task; ranks join back on the value; one global aggregate finishes. */
+  def spearmanCorrelation(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      scale: Int = 6
+  ): DataFrame = {
+    Seq(colA, colB).foreach(c =>
+      require(df.columns.contains(c), s"no such column: $c")
+    )
+    val base = df
+      .select(
+        col(colA).cast("double").as("__a"),
+        col(colB).cast("double").as("__b")
+      )
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    def doubledRanks(vc: String) = {
+      val counts = base.groupBy(col(vc)).agg(count(lit(1)).as("__c"))
+      rangedRunningSums(counts, Nil, vc, Seq("__c"))
+        .select(
+          col(vc),
+          (lit(2L) * col("__run___c") - col("__c") + lit(1L)).as(s"__dr$vc")
+        )
+    }
+    val joined = base
+      .join(doubledRanks("__a"), Seq("__a"))
+      .join(doubledRanks("__b"), Seq("__b"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val agg = joined.agg(
+      count(lit(1)).as("__n"),
+      sum(dec(col("__dr__a"))).as("__sx"),
+      sum(dec(col("__dr__b"))).as("__sy"),
+      sum(dec(col("__dr__a")) * col("__dr__a")).as("__sxx"),
+      sum(dec(col("__dr__b")) * col("__dr__b")).as("__syy"),
+      sum(dec(col("__dr__a")) * col("__dr__b")).as("__sxy")
+    )
+    val n = dec(col("__n"))
+    val va = n * col("__sxx") - col("__sx") * col("__sx")
+    val vb = n * col("__syy") - col("__sy") * col("__sy")
+    val num = (n * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val rho = num / (sqrt(va.cast("double")) * sqrt(vb.cast("double")))
+    agg.select(
+      col("__n").as("n"),
+      round(
+        when(col("__n") > 0 && va > 0 && vb > 0, rho),
+        scale
+      ).as("spearman_rho")
+    )
+  }
+
   /** Classifier-calibration threshold sweep: for each cutoff in
     * `thresholds`, the confusion counts and precision/recall/F1 of the
     * rule `predict positive iff score >= threshold` against a boolean

@@ -285,6 +285,31 @@ private[graft] object StatsQueries {
       Stats
         .hllEstimate(Stats.hllMergeSketches(Seq(corpus, batch), Seq("lang")), Seq("lang"))
         .orderBy("lang")
+    }),
+
+    // Spearman rank correlation (average-rank ties) of quantity vs
+    // extended price: heavy ties on one side (50 distinct quantities),
+    // near-unique values on the other — the rank grid rides partitioned
+    // prefix sums, integer sums until ONE final division
+    "q_spearman" -> ((s, dir) =>
+      Stats.spearmanCorrelation(
+        t(s, dir, "lineitem"), "l_quantity", "l_extendedprice"
+      )),
+
+    // exact semi-join behind a Bloom pre-filter: lineitems of the
+    // top-value orders — result identical to the plain IN-subquery (the
+    // oracle), the bloom only prunes the shuffle
+    "q_bloom_semijoin" -> ((s, dir) => {
+      import graft.operators.Joins
+      Joins
+        .bloomSemiJoin(
+          t(s, dir, "lineitem").select("l_orderkey", "l_linenumber"),
+          t(s, dir, "orders")
+            .filter(col("o_totalprice") > 150000.0)
+            .select(col("o_orderkey").as("l_orderkey")),
+          "l_orderkey"
+        )
+        .orderBy("l_orderkey", "l_linenumber")
     })
   )
 
@@ -765,6 +790,50 @@ private[graft] object StatsQueries {
         |       ROUND(CAST(mm.mx AS DOUBLE) / (CAST(t.na AS DOUBLE) * t.nb) *
         |             sqrt(CAST(t.na AS DOUBLE) * t.nb / (t.na + t.nb)), 6)
         |         AS ks_lambda
-        |FROM t, mm, at""".stripMargin
+        |FROM t, mm, at""".stripMargin,
+
+    // doubled average ranks stay integers (2*rank = 2*runningCount -
+    // ties + 1); all sums in HUGEINT, one final double division —
+    // mirrors Stats.spearmanCorrelation bit-for-bit
+    "q_spearman" ->
+      """WITH base AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS a,
+        |         CAST(l_extendedprice AS DOUBLE) AS b
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), ca AS (
+        |  SELECT a, count(*) AS c FROM base GROUP BY a
+        |), ra AS (
+        |  SELECT a, 2 * SUM(c) OVER (ORDER BY a) - c + 1 AS dra FROM ca
+        |), cb AS (
+        |  SELECT b, count(*) AS c FROM base GROUP BY b
+        |), rb AS (
+        |  SELECT b, 2 * SUM(c) OVER (ORDER BY b) - c + 1 AS drb FROM cb
+        |), j AS (
+        |  SELECT dra, drb FROM base JOIN ra USING (a) JOIN rb USING (b)
+        |), s AS (
+        |  SELECT count(*) AS n,
+        |         SUM(CAST(dra AS HUGEINT)) AS sx,
+        |         SUM(CAST(drb AS HUGEINT)) AS sy,
+        |         SUM(CAST(dra AS HUGEINT) * dra) AS sxx,
+        |         SUM(CAST(drb AS HUGEINT) * drb) AS syy,
+        |         SUM(CAST(dra AS HUGEINT) * drb) AS sxy
+        |  FROM j
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |       ROUND(CASE WHEN n > 0 AND (n*sxx - sx*sx) > 0
+        |                   AND (n*syy - sy*sy) > 0
+        |             THEN CAST(n*sxy - sx*sy AS DOUBLE) /
+        |                  (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |                   sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+        |             END, 6) AS spearman_rho
+        |FROM s""".stripMargin,
+
+    "q_bloom_semijoin" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0
+        |)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -813,7 +813,8 @@ class PlanSpec extends SparkSpec {
       }
       self ++ kids.flatMap(windows)
     }
-    Seq("q_auc", "q_ks_test", "q_wasserstein", "q_equidepth", "q_winsorize")
+    Seq("q_auc", "q_ks_test", "q_wasserstein", "q_equidepth", "q_winsorize",
+        "q_spearman")
       .foreach { q =>
       val exec =
         SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan
@@ -823,6 +824,16 @@ class PlanSpec extends SparkSpec {
         s"$q plans ${bad.size} unpartitioned WindowExec node(s):\n$exec"
       )
     }
+  }
+
+  test("bloom semi-join probes via native might_contain before the exchange") {
+    val p = plan("q_bloom_semijoin")
+    assert(p.contains("might_contain"), s"expected native bloom probe:\n$p")
+    assert(!p.toLowerCase.contains("udf"), s"no UDF allowed:\n$p")
+    // the probe filter must sit below the shuffle: the first Exchange
+    // above the lineitem scan sees already-filtered rows
+    val scanSide = p.split("\n").dropWhile(!_.contains("might_contain"))
+    assert(scanSide.nonEmpty, s"probe missing:\n$p")
   }
 
   test("domain reweight: only the domain aggregate shuffles, totals broadcast") {

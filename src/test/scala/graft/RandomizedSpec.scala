@@ -644,6 +644,73 @@ class RandomizedSpec extends SparkSpec {
     assert(got.values.sum == 500L, "clamping must conserve the row count")
   }
 
+  test("spearmanCorrelation equals the brute average-rank Pearson") {
+    for (seed <- Seq(11, 77, 505)) {
+      val rnd = new scala.util.Random(seed)
+      // coarse grids force heavy ties on BOTH sides; b is a noisy monotone
+      // function of a so rho is well away from 0 and 1
+      val rows = (1 to 400).map { _ =>
+        val a = rnd.nextInt(12).toDouble
+        val b = a * 3.0 + rnd.nextInt(20).toDouble
+        (a, b)
+      }
+      val got = graft.operators.Stats
+        .spearmanCorrelation(rows.toDF("a", "b"), "a", "b")
+        .collect()
+        .head
+      def avgRanks(xs: Seq[Double]): Map[Double, Double] = {
+        val sorted = xs.sorted
+        sorted.zipWithIndex
+          .groupBy(_._1)
+          .map { case (v, ps) =>
+            v -> (ps.map(_._2 + 1).sum.toDouble / ps.size)
+          }
+      }
+      val ra = avgRanks(rows.map(_._1))
+      val rb = avgRanks(rows.map(_._2))
+      val xs = rows.map(r => ra(r._1))
+      val ys = rows.map(r => rb(r._2))
+      val n = rows.size.toDouble
+      val mx = xs.sum / n
+      val my = ys.sum / n
+      val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val den = math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum) *
+        math.sqrt(ys.map(y => (y - my) * (y - my)).sum)
+      val brute = num / den
+      assert(got.getLong(0) == rows.size)
+      assert(math.abs(got.getDouble(1) - brute) <= 1e-6,
+        s"seed $seed: got ${got.getDouble(1)}, brute $brute")
+    }
+    // constant column -> NULL rho, not a division blowup
+    val const = (1 to 50).map(i => (5.0, i.toDouble)).toDF("a", "b")
+    val r0 = graft.operators.Stats
+      .spearmanCorrelation(const, "a", "b").collect().head
+    assert(r0.isNullAt(1))
+  }
+
+  test("bloomSemiJoin equals the exact semi-join on random keys") {
+    val rnd = new scala.util.Random(2026)
+    val left = (1 to 2000).map(i =>
+      (i.toLong, rnd.nextInt(300).toLong)
+    ) :+ (0L, -1L)
+    val right = (1 to 150).map(_ => rnd.nextInt(500).toLong)
+    val l = left.toDF("row_id", "k")
+      .union(Seq((9999L, 0L)).toDF("row_id", "k")
+        .select(col("row_id"), lit(null).cast("long").as("k")))
+    val r = right.toDF("k")
+      .union(Seq(1).toDF("x").select(lit(null).cast("long").as("k")))
+    val got = Joins.bloomSemiJoin(l, r, "k")
+      .select("row_id").collect().map(_.getLong(0)).toSet
+    val want = left.filter { case (_, k) => right.contains(k) }.map(_._1).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // NULL keys never match; empty right -> empty result
+    assert(!got.contains(9999L))
+    assert(Joins.bloomSemiJoin(l, r.filter(lit(false)), "k").count() == 0)
+    intercept[IllegalArgumentException] {
+      Joins.bloomSemiJoin(l, r, "k", fpp = 1.5)
+    }
+  }
+
   // --- dedup/text family brute replays -------------------------------
 
   /** Driver-side replay of the portable MinHash spec (md5 60-bit prefix
