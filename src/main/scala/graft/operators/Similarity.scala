@@ -1317,6 +1317,79 @@ object Similarity {
     )
   }
 
+  /** PQ tuning report — the ANN counterpart of
+    * [[Dedup.minHashRecallReport]]: on a deterministic md5-chosen sample
+    * of `numQueries` vectors, compare the EXACT squared-distance top-k
+    * against [[pqTopK]] over the PQ-encoded corpus and report one row:
+    * (n_docs, n_queries, n_true_pairs, n_hit, recall_at_k). Run it
+    * BEFORE shipping a compressed index to pick (numSubspaces, k) —
+    * recall is what the code budget buys.
+    *
+    * Scale shape: the exact-truth scan is the expensive part, and it is
+    * bounded by construction — `numQueries` broadcast query vectors
+    * against one corpus pass (O(numQueries * n), never n^2); the ADC side
+    * costs the serve path. All counts are one-row aggregates crossJoined
+    * back; the md5 query draw is engine-portable, so the whole report is
+    * oracle-checkable. */
+  def pqRecallAudit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Seq[Seq[Seq[Float]]],
+      k: Int,
+      numQueries: Int,
+      salt: String = ""
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(numQueries >= 1, "numQueries must be >= 1")
+    val base = df.filter(col(vecCol).isNotNull)
+    val qs = base
+      .withColumn(
+        "__h",
+        graft.functions.TextFunctions
+          .md5Prefix60(concat(col(idCol).cast("string"), lit(salt)))
+      )
+      .orderBy(col("__h"), col(idCol))
+      .limit(numQueries)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val exact = TopN.firstRow(
+      base
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+        .join(broadcast(qs), col("neighbor_id") =!= col("query_id"))
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          squaredDistanceNative(col("__qv"), col("__nv")).as("__d")
+        ),
+      n = k,
+      partitionBy = Seq(col("query_id")),
+      orderBy = Seq(col("__d"), col("neighbor_id"))
+    ).select("query_id", "neighbor_id")
+    val adc = pqTopK(
+      pqEncode(base, vecCol, codebooks), idCol, "pq_codes",
+      qs, "query_id", "__qv", codebooks, k
+    ).select("query_id", "neighbor_id")
+    val hit = exact.join(adc, Seq("query_id", "neighbor_id"), "left_semi")
+    val nd = base.agg(count(lit(1)).as("n_docs"))
+    val nq = qs.agg(count(lit(1)).as("n_queries"))
+    val nt = exact.agg(count(lit(1)).as("n_true_pairs"))
+    val nh = hit.agg(count(lit(1)).as("n_hit"))
+    nd.crossJoin(nq)
+      .crossJoin(nt)
+      .crossJoin(nh)
+      .select(
+        col("n_docs"),
+        col("n_queries"),
+        col("n_true_pairs"),
+        col("n_hit"),
+        round(
+          col("n_hit").cast("double") /
+            when(col("n_true_pairs") > 0, col("n_true_pairs")),
+          6
+        ).as("recall_at_k")
+      )
+  }
+
   // ===========================================================================
   // IVF-PQ: the two tiers composed the way a billion-scale index actually
   // ships — a coarse quantizer routes each vector to a cell (search probes

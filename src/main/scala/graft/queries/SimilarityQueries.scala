@@ -378,6 +378,17 @@ private[graft] object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ tuning report: exact top-10 vs ADC top-10 on 8 md5-chosen
+    // queries — the recall-vs-code-budget dial read before shipping a
+    // compressed index (mirrors the q_lsh_recall audit for dedup)
+    "q_pq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cbs = Similarity
+        .pqTrain(e, "vec_id", "embedding", numSubspaces = 4, k = 8, rounds = 2)
+      Similarity.pqRecallAudit(e, "vec_id", "embedding", cbs,
+        k = 10, numQueries = 8)
+    }),
+
     // IVF-PQ index build: modulo-chosen coarse cells + PQ codes of the
     // cell residuals — every vector's routing AND compressed form checked
     "q_ivfpq_index" -> ((s, dir) => {
@@ -891,6 +902,57 @@ private[graft] object SimilarityQueries {
          |SELECT query_id, neighbor_id, ROUND(dist, 6) AS adc_dist,
          |       CAST(rn AS INT) AS rank
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_pq_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |), ${duckPqCte(m = 4, k = 8, rounds = 2)}, qs AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM (
+         |    SELECT vec_id, embedding,
+         |           ROW_NUMBER() OVER (
+         |             ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+         |                      vec_id) AS rn
+         |    FROM e
+         |  ) WHERE rn <= 8
+         |), ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, e.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${duckSqDist("e.embedding", "q.qv")}, e.vec_id) AS rn
+         |    FROM qs q JOIN e ON e.vec_id <> q.query_id
+         |  ) WHERE rn <= 10
+         |), en AS (
+         |  SELECT e.vec_id, af_0.cl AS c0, af_1.cl AS c1,
+         |         af_2.cl AS c2, af_3.cl AS c3
+         |  FROM e JOIN af_0 USING (vec_id) JOIN af_1 USING (vec_id)
+         |         JOIN af_2 USING (vec_id) JOIN af_3 USING (vec_id)
+         |), ad AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, en.vec_id AS neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${duckSqDistSub("q.qv", "cb0.cv", 0, 16)}
+         |                    + ${duckSqDistSub("q.qv", "cb1.cv", 16, 16)}
+         |                    + ${duckSqDistSub("q.qv", "cb2.cv", 32, 16)}
+         |                    + ${duckSqDistSub("q.qv", "cb3.cv", 48, 16)},
+         |                      en.vec_id) AS rn
+         |    FROM qs q JOIN en ON en.vec_id <> q.query_id
+         |    JOIN cb_0 cb0 ON cb0.cl = en.c0
+         |    JOIN cb_1 cb1 ON cb1.cl = en.c1
+         |    JOIN cb_2 cb2 ON cb2.cl = en.c2
+         |    JOIN cb_3 cb3 ON cb3.cl = en.c3
+         |  ) WHERE rn <= 10
+         |), hit AS (
+         |  SELECT ex.query_id FROM ex
+         |  JOIN ad ON ad.query_id = ex.query_id
+         |         AND ad.neighbor_id = ex.neighbor_id
+         |)
+         |SELECT (SELECT count(*) FROM e) AS n_docs,
+         |       (SELECT count(*) FROM qs) AS n_queries,
+         |       (SELECT count(*) FROM ex) AS n_true_pairs,
+         |       (SELECT count(*) FROM hit) AS n_hit,
+         |       ROUND(CAST((SELECT count(*) FROM hit) AS DOUBLE) /
+         |             NULLIF((SELECT count(*) FROM ex), 0), 6)
+         |         AS recall_at_k""".stripMargin,
 
     "q_ivfpq_index" ->
       s"""WITH ${duckIvfPqCommon()}
