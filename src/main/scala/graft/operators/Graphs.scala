@@ -247,4 +247,70 @@ object Graphs {
       .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
       .select(col("n_vertices"), col("n_edges"), col("n_triangles"))
   }
+
+  /** Synchronous label propagation over the undirected edge graph — the
+    * community-detection companion to [[connectedComponentsByMinLabel]]:
+    * where CC answers "which rows are LINKED at all" (the dedup-cluster
+    * question), LPA answers "which rows cluster DENSELY" (near-dup
+    * families inside a weakly-connected blob, user cohorts in an
+    * interaction graph). Every vertex starts as its own label; each round
+    * every vertex adopts the most frequent label among its neighbors
+    * (ties: the smallest label — the deterministic variant of Raghavan et
+    * al. 2007's random tie-break, so runs, partitionings, and the SQL
+    * oracle all agree). A FIXED `rounds` rather than convergence: sync
+    * LPA can 2-cycle on bipartite-ish regions, so bounded rounds are the
+    * standard and the determinism contract.
+    *
+    * Returns (id, community) for every vertex that appears in an edge
+    * (same emit contract as CC; self-loops dropped).
+    *
+    * Scale shape: per round, ONE join of the edge list against the
+    * node-sized label table (shuffles on vertex keys only) + one
+    * map-side-combined (vertex, label) count + a `WindowGroupLimit`
+    * argmax — never an unpartitioned window, no driver actions in the
+    * loop; labels are lazily `localCheckpoint`ed so the iterated plan
+    * does not grow exponentially. */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int = 3
+  ): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val dir = edges
+      .select(
+        col(srcCol).cast("long").as("__a"),
+        col(dstCol).cast("long").as("__b")
+      )
+      .filter(
+        col("__a").isNotNull && col("__b").isNotNull && col("__a") =!= col("__b")
+      )
+    val und = dir
+      .union(dir.select(col("__b").as("__a"), col("__a").as("__b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und
+      .select(col("__a").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("community"))
+    for (_ <- 1 to rounds) {
+      val counts = und
+        .join(
+          labels.select(col("id").as("__b"), col("community").as("__nl")),
+          Seq("__b")
+        )
+        .groupBy(col("__a").as("id"), col("__nl").as("community"))
+        .agg(count(lit(1)).as("__c"))
+      labels = TopN
+        .firstRow(
+          counts,
+          n = 1,
+          partitionBy = Seq(col("id")),
+          orderBy = Seq(col("__c").desc, col("community"))
+        )
+        .select("id", "community")
+        .localCheckpoint(false)
+    }
+    labels
+  }
 }

@@ -176,6 +176,23 @@ private[graft] object EventQueries {
         .orderBy("id")
     }),
 
+    // 3-round deterministic label propagation (most-frequent neighbor
+    // label, ties to the smallest) over the same supplier-derived graph
+    // as q_pagerank — the community-detection layer over dedup/interaction
+    // graphs, fully unrollable so the whole labeling is oracle-checked
+    "q_label_prop" -> ((s, dir) => {
+      val base = t(s, dir, "supplier")
+        .select(
+          col("s_nationkey").cast("long").as("a"),
+          (col("s_suppkey") % 25).cast("long").as("b")
+        )
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      Graphs
+        .labelPropagation(base, "a", "b", rounds = 3)
+        .orderBy("id")
+    }),
+
     // nearest view (either direction in time) for each purchase per user
     "q_nearest_join" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -491,6 +508,36 @@ private[graft] object EventQueries {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_prior_ts
         |  FROM events
         |) WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_label_prop" -> {
+      val rounds = (1 to 3).map { r =>
+        s""", m$r AS (
+           |  SELECT und.a AS id, l.community, count(*) AS c
+           |  FROM und JOIN l${r - 1} l ON l.id = und.b
+           |  GROUP BY 1, 2
+           |), l$r AS (
+           |  SELECT id, community FROM (
+           |    SELECT id, community,
+           |           ROW_NUMBER() OVER (PARTITION BY id
+           |                              ORDER BY c DESC, community) AS rn
+           |    FROM m$r
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString
+      s"""WITH base AS (
+         |  SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS a,
+         |         CAST(s_suppkey % 25 AS BIGINT) AS b
+         |  FROM supplier
+         |  WHERE CAST(s_nationkey AS BIGINT) <> CAST(s_suppkey % 25 AS BIGINT)
+         |), und AS (
+         |  SELECT a, b FROM base
+         |  UNION
+         |  SELECT b AS a, a AS b FROM base
+         |), l0 AS (
+         |  SELECT DISTINCT a AS id, a AS community FROM und
+         |)$rounds
+         |SELECT id, community FROM l3 ORDER BY id""".stripMargin
+    },
 
     "q_pagerank" ->
       """WITH base AS (

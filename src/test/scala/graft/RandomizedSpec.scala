@@ -119,6 +119,39 @@ class RandomizedSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation equals the brute synchronous most-frequent/min-label replay") {
+    for (seed <- Seq(21, 22, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      // dense-ish with duplicates and self-loops: ties on neighbor-label
+      // counts are common, exercising the min-label tie-break every round
+      val edges = (1 to 80).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val rounds = 3
+      val got = Graphs
+        .labelPropagation(edges.toDF("a", "b"), "a", "b", rounds)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      // driver replay: symmetrize, drop self-loops, dedup; sync rounds
+      val und = edges
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .filter { case (a, b) => a != b }
+        .distinct
+      val adj = und.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      var labels: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+      (1 to rounds).foreach { _ =>
+        labels = adj.map { case (v, nbrs) =>
+          val counts = nbrs.map(labels).groupBy(identity)
+            .map { case (l, ls) => l -> ls.size }
+          // most frequent, ties to the smallest label
+          v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      assert(got == labels, s"seed=$seed")
+    }
+  }
+
   test("intervalOverlapJoin equals brute-force overlap pairs, each exactly once") {
     val rnd = new scala.util.Random(99)
     def ts(ms: Long) = new java.sql.Timestamp(ms)
