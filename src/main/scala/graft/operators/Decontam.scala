@@ -169,21 +169,15 @@ object Decontam {
     val numGrams = grams.count()
     if (numGrams == 0) train
     else {
-      // build over the same 64-bit keys the native probe tests: putLong on
-      // the build side <-> mightContainLong inside BloomFilterMightContain
-      val bf = grams
-        .select(xxhash64(col("__gram")).as("__h"))
-        .stat
-        .bloomFilter("__h", numGrams, fpp)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      val probe = org.apache.spark.sql.GraftSqlBridge.column(
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          org.apache.spark.sql.catalyst.expressions.Literal
-            .create(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
-          org.apache.spark.sql.GraftSqlBridge
-            .expression(xxhash64(col("__gram")))
-        )
+      // build over the same 64-bit keys the native probe tests (the
+      // putLong <-> mightContainLong contract lives in BloomUtils,
+      // shared with Joins.bloomSemiJoin); both sides hash StringType
+      // grams, so the type-identity requirement holds by construction
+      val probe = BloomUtils.probeColumn(
+        grams.select(xxhash64(col("__gram")).as("__h")),
+        numGrams,
+        fpp,
+        xxhash64(col("__gram"))
       )
       val hitIds = train
         .select(col(idCol), explode(shingles(col(textCol), n)).as("__gram"))

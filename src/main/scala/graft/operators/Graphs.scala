@@ -261,8 +261,12 @@ object Graphs {
     * LPA can 2-cycle on bipartite-ish regions, so bounded rounds are the
     * standard and the determinism contract.
     *
-    * Returns (id, community) for every vertex that appears in an edge
-    * (same emit contract as CC; self-loops dropped).
+    * Returns (id, community) for every vertex that appears in a NON-self-
+    * loop edge. NOTE one deliberate divergence from
+    * [[connectedComponentsByMinLabel]]'s emit contract: self-loops carry
+    * no label information here, so a vertex whose only edges are
+    * self-loops is NOT emitted (CC emits it as its own component) —
+    * callers joining the two outputs must outer-join on id.
     *
     * Scale shape: per round, ONE join of the edge list against the
     * node-sized label table (shuffles on vertex keys only) + one

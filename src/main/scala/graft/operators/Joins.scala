@@ -343,8 +343,15 @@ object Joins {
     * behind the filter removes them); false negatives cannot occur, so no
     * matching row is ever lost. Build and probe key on xxhash64 (the
     * native `BloomFilterMightContain` probe tests 64-bit keys, inside
-    * whole-stage codegen — no UDF). NULL keys never match (semi-join
-    * semantics). `expectedKeys <= 0` triggers a counting pass. */
+    * whole-stage codegen — no UDF; plumbing shared with the Bloom
+    * decontaminator via [[BloomUtils]]). xxhash64 is TYPE-sensitive
+    * (hash(42: INT) != hash(42: BIGINT)), so the key column must have the
+    * SAME Spark type on both sides — enforced loudly, because a silent
+    * type coercion would turn into silent false negatives. NULL keys
+    * never match (semi-join semantics). `expectedKeys <= 0` triggers a
+    * counting pass; the distinct key table is materialized once
+    * (`localCheckpoint`) and reused by the count, the filter build, and
+    * the final semi-join — one right-side pass, not three. */
   def bloomSemiJoin(
       left: DataFrame,
       right: DataFrame,
@@ -355,24 +362,28 @@ object Joins {
     require(left.columns.contains(keyCol), s"left has no column '$keyCol'")
     require(right.columns.contains(keyCol), s"right has no column '$keyCol'")
     require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
-    val keys = right.select(col(keyCol)).filter(col(keyCol).isNotNull).distinct()
+    val lt = left.schema(keyCol).dataType
+    val rt = right.schema(keyCol).dataType
+    require(
+      lt == rt,
+      s"key column '$keyCol' must have the same type on both sides " +
+        s"(left: $lt, right: $rt): xxhash64 is type-sensitive, so a " +
+        "coerced probe would silently drop matches — cast your keys first"
+    )
+    val keys = right
+      .select(col(keyCol))
+      .filter(col(keyCol).isNotNull)
+      .distinct()
+      .localCheckpoint()
     val nKeys = if (expectedKeys > 0) expectedKeys else keys.count()
     if (nKeys == 0) {
       left.filter(lit(false))
     } else {
-      val bf = keys
-        .select(xxhash64(col(keyCol)).as("__h"))
-        .stat
-        .bloomFilter("__h", nKeys, fpp)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      val probe = org.apache.spark.sql.GraftSqlBridge.column(
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          org.apache.spark.sql.catalyst.expressions.Literal
-            .create(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
-          org.apache.spark.sql.GraftSqlBridge
-            .expression(xxhash64(col(keyCol)))
-        )
+      val probe = BloomUtils.probeColumn(
+        keys.select(xxhash64(col(keyCol)).as("__h")),
+        nKeys,
+        fpp,
+        xxhash64(col(keyCol))
       )
       left
         .filter(col(keyCol).isNotNull && probe)

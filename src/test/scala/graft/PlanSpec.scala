@@ -826,14 +826,38 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("bloom semi-join probes via native might_contain before the exchange") {
+  test("bloom semi-join probes via native might_contain at the scan, pre-shuffle") {
     val p = plan("q_bloom_semijoin")
     assert(p.contains("might_contain"), s"expected native bloom probe:\n$p")
     assert(!p.toLowerCase.contains("udf"), s"no UDF allowed:\n$p")
-    // the probe filter must sit below the shuffle: the first Exchange
-    // above the lineitem scan sees already-filtered rows
-    val scanSide = p.split("\n").dropWhile(!_.contains("might_contain"))
-    assert(scanSide.nonEmpty, s"probe missing:\n$p")
+    // the probe filter must sit on the scan side BEFORE any shuffle of the
+    // left rows: walk the physical tree, find the filter carrying the
+    // probe, and assert its subtree reaches the source with no
+    // ShuffleExchange in between (otherwise the bloom saves nothing)
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def nodes(x: SparkPlan): Seq[SparkPlan] = {
+      val kids = x match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case _                        => x.children
+      }
+      x +: kids.flatMap(nodes)
+    }
+    val exec = SparkEntry
+      .queries("q_bloom_semijoin")(spark, sfDir)
+      .queryExecution.executedPlan
+    val probeFilters = nodes(exec).collect {
+      case f: FilterExec if f.condition.toString.contains("might_contain") => f
+    }
+    assert(probeFilters.nonEmpty, s"no might_contain FilterExec:\n$exec")
+    probeFilters.foreach { f =>
+      val below = nodes(f).drop(1)
+      assert(
+        !below.exists(_.isInstanceOf[ShuffleExchangeLike]),
+        s"bloom probe sits ABOVE a shuffle (saves nothing):\n$exec"
+      )
+    }
   }
 
   test("domain reweight: only the domain aggregate shuffles, totals broadcast") {

@@ -742,6 +742,13 @@ class RandomizedSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Joins.bloomSemiJoin(l, r, "k", fpp = 1.5)
     }
+    // mismatched key types are rejected loudly: xxhash64 is
+    // type-sensitive, so a coerced probe would silently drop matches
+    val rInt = right.map(_.toInt).toDF("k")
+    val ex = intercept[IllegalArgumentException] {
+      Joins.bloomSemiJoin(l, rInt, "k")
+    }
+    assert(ex.getMessage.contains("same type"))
   }
 
   // --- dedup/text family brute replays -------------------------------
