@@ -721,6 +721,84 @@ class RandomizedSpec extends SparkSpec {
     assert(r0.isNullAt(1))
   }
 
+  test("parseUrls components equal a brute java.net-free reference on random URLs") {
+    import graft.operators.Urls
+    val rnd = new scala.util.Random(808)
+    val schemes = Seq("http", "https", "ftp", "custom+v1.2")
+    val suffixes = Seq("com", "org", "co.uk", "com.au", "io", "co.jp")
+    val urls = (1 to 300).map { i =>
+      val scheme = schemes(rnd.nextInt(schemes.size))
+      val labels = (1 to 1 + rnd.nextInt(3))
+        .map(_ => s"h${rnd.nextInt(20)}")
+        .mkString(".")
+      val host = s"$labels.${suffixes(rnd.nextInt(suffixes.size))}"
+      val user = if (rnd.nextInt(4) == 0) s"u${rnd.nextInt(5)}:p${rnd.nextInt(5)}@" else ""
+      val port = if (rnd.nextInt(3) == 0) s":${1 + rnd.nextInt(65000)}" else ""
+      val path = if (rnd.nextInt(3) > 0) s"/p${rnd.nextInt(9)}/x" else ""
+      val query = if (rnd.nextInt(3) == 0) s"?a=${rnd.nextInt(9)}&b=1" else ""
+      val frag = if (rnd.nextInt(4) == 0) s"#f${rnd.nextInt(9)}?trap=1" else ""
+      val junk = if (rnd.nextInt(10) == 0) s"junk text $i?x=1" else ""
+      (i.toLong, if (junk.nonEmpty) junk else s"$scheme://$user$host$port$path$query$frag")
+    }
+    val got = Urls
+      .parseUrls(urls.toDF("id", "url"), "url")
+      .select("id", "url_scheme", "url_host", "url_port", "url_path",
+        "url_query_string", "url_domain")
+      .collect()
+      .map(r => r.getLong(0) -> (
+        Option(r.getString(1)).orNull, Option(r.getString(2)).orNull,
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        Option(r.getString(4)).orNull, Option(r.getString(5)).orNull,
+        Option(r.getString(6)).orNull))
+      .toMap
+    // brute reference: plain string surgery, no regex, no java.net
+    val multiPart = Urls.MultiPartSuffixes.toSet
+    urls.foreach { case (id, u) =>
+      val want =
+        if (!u.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"))
+          (null, null, -1, null, null, null)
+        else {
+          val afterScheme = u.substring(u.indexOf("://") + 3)
+          val scheme = u.substring(0, u.indexOf("://")).toLowerCase
+          val authEnd = afterScheme.indexWhere(c => "/?#".contains(c)) match {
+            case -1 => afterScheme.length
+            case x  => x
+          }
+          val auth = afterScheme.substring(0, authEnd)
+          val hostPort = auth.substring(auth.lastIndexOf('@') + 1)
+          val (host, port) = hostPort.indexOf(':') match {
+            case -1 => (hostPort.toLowerCase, -1)
+            case c  => (hostPort.substring(0, c).toLowerCase,
+                        hostPort.substring(c + 1).toInt)
+          }
+          val rest = afterScheme.substring(authEnd)
+          val beforeFrag = rest.indexOf('#') match {
+            case -1 => rest
+            case f  => rest.substring(0, f)
+          }
+          val path = beforeFrag.indexOf('?') match {
+            case -1 => if (beforeFrag.isEmpty) null else beforeFrag
+            case q  => if (q == 0) null else beforeFrag.substring(0, q)
+          }
+          val qs = beforeFrag.indexOf('?') match {
+            case -1 => null
+            case q  =>
+              val v = beforeFrag.substring(q + 1)
+              if (v.isEmpty) null else v
+          }
+          val labels = host.split("\\.")
+          val domain =
+            if (labels.length >= 3 &&
+                multiPart.contains(labels.takeRight(2).mkString(".")))
+              labels.takeRight(3).mkString(".")
+            else if (labels.length >= 2) labels.takeRight(2).mkString(".")
+            else host
+          (scheme, host, port, path, qs, domain)
+        }
+      assert(got(id) == want, s"id=$id url=$u got=${got(id)} want=$want")
+    }
+  }
+
   test("bloomSemiJoin equals the exact semi-join on random keys") {
     val rnd = new scala.util.Random(2026)
     val left = (1 to 2000).map(i =>
