@@ -25,6 +25,21 @@ private[operators] object BloomUtils {
       probeHash: Column
   ): Column = {
     val bf = hashes.stat.bloomFilter("__h", expected, fpp)
+    // a caller-supplied `expected` that grossly undercounts the true key
+    // cardinality stays EXACT (the semi-join behind the probe removes
+    // false positives) but silently degrades pruning; the built filter's
+    // observed fpp exposes exactly that saturation, so say so once here
+    val observedFpp = bf.expectedFpp()
+    if (observedFpp > math.min(0.9, fpp * 8)) {
+      org.slf4j.LoggerFactory
+        .getLogger(getClass)
+        .warn(
+          s"bloom filter sized for $expected keys is saturated " +
+            f"(observed fpp $observedFpp%.4f vs requested $fpp%.4f): " +
+            "the result stays exact but pre-shuffle pruning is degraded " +
+            "— pass a larger expectedKeys (or <= 0 for a counting pass)"
+        )
+    }
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     org.apache.spark.sql.GraftSqlBridge.column(

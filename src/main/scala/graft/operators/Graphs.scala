@@ -281,6 +281,22 @@ object Graphs {
       rounds: Int = 3
   ): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    // long-id contract, enforced loudly: a silent cast("long") on string
+    // ids would turn non-numeric vertices into NULLs and quietly drop
+    // them from the labeling — map string ids to longs (e.g. xxhash64)
+    // before calling, same contract as connectedComponentsByMinLabel
+    Seq(srcCol, dstCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = edges.schema(c).dataType
+      val integral = dt == ByteType || dt == ShortType ||
+        dt == IntegerType || dt == LongType
+      require(
+        integral,
+        s"vertex id column '$c' must be an integral type (got $dt): " +
+          "non-numeric ids would be silently dropped by the long cast — " +
+          "hash or dictionary-encode string ids to longs first"
+      )
+    }
     val dir = edges
       .select(
         col(srcCol).cast("long").as("__a"),

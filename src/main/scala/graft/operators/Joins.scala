@@ -351,7 +351,16 @@ object Joins {
     * never match (semi-join semantics). `expectedKeys <= 0` triggers a
     * counting pass; the distinct key table is materialized once
     * (`localCheckpoint`) and reused by the count, the filter build, and
-    * the final semi-join — one right-side pass, not three. */
+    * the final semi-join — one right-side pass, not three.
+    *
+    * EAGER: unlike a plain DataFrame transform, CALLING this runs jobs
+    * immediately (the key-table checkpoint, the optional count, and the
+    * Bloom build are driver actions) — construct it once and reuse the
+    * returned DataFrame, don't rebuild it per downstream branch. An
+    * `expectedKeys` that grossly undercounts the true key cardinality
+    * keeps the result exact but saturates the filter and degrades the
+    * pruning; the build logs a warning when the built filter's observed
+    * fpp is far above the requested `fpp`. */
   def bloomSemiJoin(
       left: DataFrame,
       right: DataFrame,

@@ -1242,6 +1242,11 @@ object Similarity {
       outCol: String = "pq_codes"
   ): DataFrame = {
     require(codebooks.nonEmpty, "need at least one subspace codebook")
+    require(
+      !df.columns.contains(outCol),
+      s"input already has a column '$outCol' — pqEncode would silently " +
+        "overwrite it; rename or drop it first (or pass a different outCol)"
+    )
     val sub = codebooks.head.head.length
     df.filter(col(vecCol).isNotNull)
       .withColumn(
@@ -1411,6 +1416,17 @@ object Similarity {
       resCol: String = "residual"
   ): DataFrame = {
     require(coarse.nonEmpty, "need at least one coarse centroid")
+    // the output claims 'cell' (and resCol) by contract; a pre-existing
+    // column of either name would survive the withColumnRenamed as a
+    // DUPLICATE column and poison every downstream select with an
+    // ambiguity error — reject it here, where the cause is nameable
+    Seq("cell", "__cell", resCol).foreach { c =>
+      require(
+        !df.columns.contains(c),
+        s"input already has a column '$c', which ivfResiduals produces — " +
+          "rename or drop it first"
+      )
+    }
     val cell = nearestCentroid(col(vecCol), coarse).getField("cluster")
     val centroid =
       element_at(array(coarse.map(c => typedlit(c.toArray)): _*), col("__cell") + 1)

@@ -210,7 +210,11 @@ object Wrangling {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(attrCols.nonEmpty, "attrCols must be non-empty")
     import org.apache.spark.sql.expressions.Window
-    val order = col(versionCol) +: attrCols.map(col)
+    // attr tie-breaks are EXPLICITLY NULLS FIRST: Spark's default asc is
+    // nulls-first but DuckDB's is nulls-last, so a SQL oracle over tied
+    // versions with NULL attrs would silently diverge unless both engines
+    // pin the same null placement (the oracle mirrors with `NULLS FIRST`)
+    val order = col(versionCol) +: attrCols.map(c => col(c).asc_nulls_first)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
     // a row starts a new run iff it is the key's first version or any
     // tracked attribute differs (null-safely) from the previous version
@@ -241,7 +245,7 @@ object Wrangling {
     // window) pins the lead() chaining deterministically in both engines
     val w2 = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("valid_from") +: attrCols.map(col): _*)
+      .orderBy(col("valid_from") +: attrCols.map(c => col(c).asc_nulls_first): _*)
     grouped
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
       .withColumn("is_current", col("valid_to").isNull)

@@ -335,9 +335,10 @@ private[graft] object EventQueries {
         |                OR lag(event_type) OVER w IS DISTINCT FROM event_type
         |              THEN 1 ELSE 0 END AS chg
         |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type NULLS FIRST)
         |), r AS (
-        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_type
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_type NULLS FIRST
         |                           ROWS UNBOUNDED PRECEDING) AS run
         |  FROM o
         |), g AS (
@@ -347,7 +348,8 @@ private[graft] object EventQueries {
         |), f AS (
         |  SELECT user_id, event_type, valid_from,
         |         lead(valid_from) OVER (PARTITION BY user_id
-        |                                ORDER BY valid_from, event_type)
+        |                                ORDER BY valid_from,
+        |                                         event_type NULLS FIRST)
         |           AS valid_to,
         |         n_versions
         |  FROM g
