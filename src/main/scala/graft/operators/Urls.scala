@@ -22,37 +22,40 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
-  /** Multi-part public suffixes recognized by [[registeredDomain]]: when a
-    * host's last TWO labels are one of these, the registered domain keeps
-    * three labels (`shop.example.co.uk` -> `example.co.uk`). A pragmatic
-    * short list of the high-traffic two-level suffixes — the full public
-    * suffix list is data, not code, and callers with one can pass their own
-    * via the `extraSuffixes` parameter. */
-  val MultiPartSuffixes: Seq[String] = Seq(
-    "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk", "net.uk",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.nz", "net.nz", "org.nz",
-    "co.in", "net.in", "org.in", "ac.in",
-    "com.br", "net.br", "org.br",
-    "com.cn", "net.cn", "org.cn", "edu.cn",
-    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
-    "co.kr", "or.kr", "co.za", "org.za"
-  )
-
   // every component anchors on a valid `scheme://` prefix so non-URLs
-  // yield NULL EVERYTHING (a bare '?x=1' in random text is not a query
+  // yield NULL components (a bare '?x=1' in random text is not a query
   // string); userinfo (`user:pw@`) is consumed greedily up to the LAST
   // '@' in the authority and never reaches the host, port, or domain —
-  // varying credentials must not split one site into many cap groups
+  // varying credentials must not split one site into many cap groups.
+  // The host alternation takes a bracketed IPv6 literal (`[2001:db8::1]`)
+  // whole — without it the ':' terminator would truncate the capture
+  // mid-address. All patterns are RE2-portable (no backrefs/lookaround),
+  // so the DuckDB oracle runs the IDENTICAL strings.
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
   private val HostRe =
-    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)"
+    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?(\\[[^\\]/?#]*\\]|[^/:?#]+)"
   private val PortRe =
-    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?[^/:?#]+:([0-9]+)"
+    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?" +
+      "(?:\\[[^\\]/?#]*\\]|[^/:?#]+):([0-9]+)"
   private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)"
   // the '?' must precede any '#': a '?' inside the fragment is not a query
   private val QueryRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\\?([^#]*)"
+
+  /** Portable duplicates of the component regexes for oracle construction
+    * (the DuckDB side must run the SAME patterns, and a re-typed copy is
+    * exactly the drift this export prevents). */
+  private[graft] val ComponentRes: Map[String, String] = Map(
+    "scheme" -> SchemeRe,
+    "host" -> HostRe,
+    "port" -> PortRe,
+    "path" -> PathRe,
+    "query" -> QueryRe
+  )
+
+  // hosts that are ADDRESSES, not names: IPv4 dotted-quads and bracketed
+  // IPv6 literals have no registered domain — they pass through whole
+  // (taking "the last two labels" of 192.168.0.1 would yield "0.1")
+  private[graft] val IpHostRe = "^([0-9]{1,3}(\\.[0-9]{1,3}){3}|\\[.*\\])$"
 
   private def extractOrNull(c: Column, re: String): Column =
     nullif(regexp_extract(c, re, 1), lit(""))
@@ -67,9 +70,15 @@ object Urls {
   /** Parse a URL column into `<prefix>scheme/host/port/path/query_string`
     * plus `<prefix>domain` ([[registeredDomain]] of the host). Absent
     * components are NULL (never empty strings), ports are INT, hosts and
-    * domains are lowercased; anything that doesn't look like
-    * `scheme://host...` yields NULL everything. Pure per-row codegen'd
-    * regexps — no shuffle, no action, column pruning unaffected. */
+    * domains are lowercased; anything without a `scheme://` prefix yields
+    * NULL for every component. Each component is extracted independently,
+    * so a DEGENERATE authority can yield a partial row: `https://:8080/x`
+    * (empty host) parses to a non-NULL scheme and path with NULL
+    * host/port/domain — downstream curation keys on the domain, so such
+    * rows land in the NULL-domain group either way. Bracketed IPv6 hosts
+    * are captured whole (`[2001:db8::1]`); IP-literal hosts pass through
+    * [[registeredDomain]] unchanged. Pure per-row codegen'd regexps — no
+    * shuffle, no action, column pruning unaffected. */
   def parseUrls(
       df: DataFrame,
       urlCol: String,
@@ -87,19 +96,66 @@ object Urls {
       .withColumn(s"${prefix}domain", urlDomain(u, extraSuffixes))
   }
 
-  /** Registered domain of an (already-lowercased) host: the last two
-    * labels, or the last three when the final two are a recognized
-    * multi-part suffix ([[MultiPartSuffixes]] plus `extraSuffixes`).
-    * Single-label hosts (`localhost`) and NULLs pass through unchanged. */
-  def registeredDomain(host: Column, extraSuffixes: Seq[String] = Nil): Column = {
-    val suffixes = (MultiPartSuffixes ++ extraSuffixes).map(_.toLowerCase)
+  /** Registered domain of an (already-lowercased) host under the embedded
+    * public-suffix list ([[PublicSuffixes.all]], ~2,000 entries incl. the
+    * private shared-hosting suffixes) plus `extraSuffixes`: the LONGEST
+    * matching suffix rule plus one label, so `shop.example.co.uk` ->
+    * `example.co.uk`, `alice.github.io` -> `alice.github.io` (distinct
+    * from `bob.github.io` — shared-hosting sites are separate cap
+    * groups), and `b.s3.eu-west-1.amazonaws.com` keeps all five labels.
+    * Suffix rules are exact (2–4 labels); wildcard/exception PSL rules
+    * are not modeled. Single-label hosts (`localhost`), IPv4 and
+    * bracketed-IPv6 literals, and NULLs pass through unchanged; a host
+    * that IS a bare public suffix degenerates to its last two labels
+    * (not a registrable site either way). Matching is per-row O(1) hash
+    * lookups (`InSet`), never a scan of the suffix table. Swap the whole
+    * list via `baseSuffixes` to run a different policy (e.g. the full
+    * upstream PSL read from a file). */
+  def registeredDomain(
+      host: Column,
+      extraSuffixes: Seq[String] = Nil,
+      baseSuffixes: Seq[String] = PublicSuffixes.all
+  ): Column = {
+    val byLen: Map[Int, Seq[String]] =
+      (baseSuffixes ++ extraSuffixes)
+        .map(_.toLowerCase)
+        .distinct
+        .groupBy(_.count(_ == '.') + 1)
+    require(
+      byLen.keys.forall(k => k >= 1 && k <= 4),
+      "suffix rules must have 1 to 4 labels"
+    )
+    def inSet(c: Column, vals: Seq[String]): Column =
+      if (vals.isEmpty) lit(false)
+      else
+        org.apache.spark.sql.GraftSqlBridge.column(
+          org.apache.spark.sql.catalyst.expressions.InSet(
+            org.apache.spark.sql.GraftSqlBridge.expression(c),
+            vals
+              .map(v =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(v): Any
+              )
+              .toSet
+          )
+        )
     val labels = split(host, "\\.")
     val n = size(labels)
-    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-    val last3 = concat_ws(".", element_at(labels, -3), last2)
-    when(host.isNull, lit(null).cast("string"))
-      .when(n >= 3 && array_contains(typedlit(suffixes), last2), last3)
-      .when(n >= 2, last2)
+    // lastK(k) is only ever evaluated under an n >= k guard (&& and
+    // CaseWhen both short-circuit), so element_at never goes out of
+    // bounds — ANSI-mode safe
+    def lastK(k: Int): Column =
+      concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
+    val base = when(host.isNull, lit(null).cast("string"))
+      .when(host.rlike(IpHostRe), host)
+    (4 to 1 by -1)
+      .foldLeft(base) { (acc, k) =>
+        byLen.get(k) match {
+          case Some(rules) =>
+            acc.when(n >= k + 1 && inSet(lastK(k), rules), lastK(k + 1))
+          case None => acc
+        }
+      }
+      .when(n >= 2, lastK(2))
       .otherwise(host)
   }
 

@@ -278,31 +278,45 @@ private[graft] object QueryShared {
       |END""".stripMargin
 
   /** DuckDB expression replaying Urls.registeredDomain over a host
-    * expression (already lowercased or NULL). */
+    * expression (already lowercased or NULL) — longest-match over the
+    * SAME embedded suffix table (PublicSuffixes.all, shared construction:
+    * the entries are interpolated into IN-lists here, so both engines
+    * consult one list by construction), with the IP-literal passthrough
+    * running the identical RE2 pattern. DuckDB's out-of-range negative
+    * list index yields NULL, so the label concatenations are safe even
+    * where the length guard is false. */
   def duckRegisteredDomain(host: String): String = {
-    val suffixes = graft.operators.Urls.MultiPartSuffixes
-      .map(s => s"'$s'")
-      .mkString("[", ", ", "]")
+    val byLen = graft.operators.PublicSuffixes.all
+      .groupBy(_.count(_ == '.') + 1)
+    def lastK(k: Int): String =
+      (k to 1 by -1)
+        .map(i => s"string_split($host, '.')[-$i]")
+        .mkString(" || '.' || ")
+    val whens = (4 to 2 by -1)
+      .flatMap { k =>
+        byLen.get(k).map { rules =>
+          val inList = rules.sorted.map(s => s"'$s'").mkString(", ")
+          s"""WHEN len(string_split($host, '.')) >= ${k + 1}
+             |          AND (${lastK(k)}) IN ($inList)
+             |       THEN ${lastK(k + 1)}""".stripMargin
+        }
+      }
+      .mkString("\n     ")
     s"""CASE WHEN $host IS NULL THEN NULL
-       |     WHEN len(string_split($host, '.')) >= 3
-       |          AND list_contains($suffixes,
-       |                string_split($host, '.')[-2] || '.' ||
-       |                string_split($host, '.')[-1])
-       |       THEN string_split($host, '.')[-3] || '.' ||
-       |            string_split($host, '.')[-2] || '.' ||
-       |            string_split($host, '.')[-1]
-       |     WHEN len(string_split($host, '.')) >= 2
-       |       THEN string_split($host, '.')[-2] || '.' ||
-       |            string_split($host, '.')[-1]
+       |     WHEN regexp_matches($host, '${graft.operators.Urls.IpHostRe}')
+       |       THEN $host
+       |     $whens
+       |     WHEN len(string_split($host, '.')) >= 2 THEN ${lastK(2)}
        |     ELSE $host END""".stripMargin
   }
 
   /** DuckDB expression for the lowercased host of a URL expression, NULL
-    * when unparseable — mirrors Urls.parseUrls' host component (userinfo
-    * consumed before the capture, exactly as the operator's HostRe). */
+    * when unparseable — runs the IDENTICAL pattern as Urls.parseUrls'
+    * host component (userinfo consumed before the capture, bracketed
+    * IPv6 taken whole), interpolated from the one shared definition. */
   def duckUrlHost(url: String): String =
     s"lower(NULLIF(regexp_extract($url, " +
-      "'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/:?#]+)', 1), ''))"
+      s"'${graft.operators.Urls.ComponentRes("host")}', 1), ''))"
 
   /** DuckDB expression for squared Euclidean distance between a SLICE of
     * vector `a` (elements off+1 .. off+len, 1-based) and a len-element

@@ -1160,16 +1160,17 @@ private[graft] object TextQueries {
          |), p AS (
          |  SELECT doc_id,
          |         lower(NULLIF(regexp_extract(url,
-         |           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS url_scheme,
+         |           '${graft.operators.Urls.ComponentRes("scheme")}', 1), ''))
+         |           AS url_scheme,
          |         ${duckUrlHost("url")} AS url_host,
          |         CAST(NULLIF(regexp_extract(url,
-         |           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?[^/:?#]+:([0-9]+)', 1), '')
+         |           '${graft.operators.Urls.ComponentRes("port")}', 1), '')
          |           AS INT) AS url_port,
          |         NULLIF(regexp_extract(url,
-         |           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1), '')
+         |           '${graft.operators.Urls.ComponentRes("path")}', 1), '')
          |           AS url_path,
          |         NULLIF(regexp_extract(url,
-         |           '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\\?([^#]*)', 1), '')
+         |           '${graft.operators.Urls.ComponentRes("query")}', 1), '')
          |           AS url_query_string
          |  FROM u
          |)

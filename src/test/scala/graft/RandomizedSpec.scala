@@ -725,13 +725,24 @@ class RandomizedSpec extends SparkSpec {
     import graft.operators.Urls
     val rnd = new scala.util.Random(808)
     val schemes = Seq("http", "https", "ftp", "custom+v1.2")
-    val suffixes = Seq("com", "org", "co.uk", "com.au", "io", "co.jp")
-    val urls = (1 to 300).map { i =>
+    // suffix mix spans every rule depth: plain TLDs, 2-label (co.uk),
+    // 3-label private (github.io is 2-label rule; s3.amazonaws.com is
+    // 3-label), and 4-label AWS regional rules
+    val suffixes = Seq(
+      "com", "org", "co.uk", "com.au", "io", "co.jp",
+      "github.io", "blogspot.com", "s3.amazonaws.com",
+      "s3.eu-west-1.amazonaws.com", "k12.ca.us"
+    )
+    val urls = (1 to 400).map { i =>
       val scheme = schemes(rnd.nextInt(schemes.size))
       val labels = (1 to 1 + rnd.nextInt(3))
         .map(_ => s"h${rnd.nextInt(20)}")
         .mkString(".")
-      val host = s"$labels.${suffixes(rnd.nextInt(suffixes.size))}"
+      val host = rnd.nextInt(12) match {
+        case 0 => s"${rnd.nextInt(256)}.${rnd.nextInt(256)}.0.${rnd.nextInt(256)}"
+        case 1 => s"[2001:db8::${rnd.nextInt(16)}]"
+        case _ => s"$labels.${suffixes(rnd.nextInt(suffixes.size))}"
+      }
       val user = if (rnd.nextInt(4) == 0) s"u${rnd.nextInt(5)}:p${rnd.nextInt(5)}@" else ""
       val port = if (rnd.nextInt(3) == 0) s":${1 + rnd.nextInt(65000)}" else ""
       val path = if (rnd.nextInt(3) > 0) s"/p${rnd.nextInt(9)}/x" else ""
@@ -752,7 +763,7 @@ class RandomizedSpec extends SparkSpec {
         Option(r.getString(6)).orNull))
       .toMap
     // brute reference: plain string surgery, no regex, no java.net
-    val multiPart = Urls.MultiPartSuffixes.toSet
+    val psl = graft.operators.PublicSuffixes.byLabelCount
     urls.foreach { case (id, u) =>
       val want =
         if (!u.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*"))
@@ -766,11 +777,19 @@ class RandomizedSpec extends SparkSpec {
           }
           val auth = afterScheme.substring(0, authEnd)
           val hostPort = auth.substring(auth.lastIndexOf('@') + 1)
-          val (host, port) = hostPort.indexOf(':') match {
-            case -1 => (hostPort.toLowerCase, -1)
-            case c  => (hostPort.substring(0, c).toLowerCase,
-                        hostPort.substring(c + 1).toInt)
-          }
+          val (host, port) =
+            if (hostPort.startsWith("[")) {
+              val close = hostPort.indexOf(']')
+              val h = hostPort.substring(0, close + 1).toLowerCase
+              val rest = hostPort.substring(close + 1)
+              if (rest.startsWith(":")) (h, rest.substring(1).toInt)
+              else (h, -1)
+            } else
+              hostPort.indexOf(':') match {
+                case -1 => (hostPort.toLowerCase, -1)
+                case c  => (hostPort.substring(0, c).toLowerCase,
+                            hostPort.substring(c + 1).toInt)
+              }
           val rest = afterScheme.substring(authEnd)
           val beforeFrag = rest.indexOf('#') match {
             case -1 => rest
@@ -787,12 +806,24 @@ class RandomizedSpec extends SparkSpec {
               if (v.isEmpty) null else v
           }
           val labels = host.split("\\.")
+          val ipLike = host.startsWith("[") ||
+            host.matches("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$")
           val domain =
-            if (labels.length >= 3 &&
-                multiPart.contains(labels.takeRight(2).mkString(".")))
-              labels.takeRight(3).mkString(".")
-            else if (labels.length >= 2) labels.takeRight(2).mkString(".")
-            else host
+            if (ipLike) host
+            else
+              (4 to 2 by -1)
+                .collectFirst {
+                  case k
+                      if labels.length >= k + 1 &&
+                        psl
+                          .getOrElse(k, Set.empty)
+                          .contains(labels.takeRight(k).mkString(".")) =>
+                    labels.takeRight(k + 1).mkString(".")
+                }
+                .getOrElse(
+                  if (labels.length >= 2) labels.takeRight(2).mkString(".")
+                  else host
+                )
           (scheme, host, port, path, qs, domain)
         }
       assert(got(id) == want, s"id=$id url=$u got=${got(id)} want=$want")

@@ -269,6 +269,55 @@ class WranglingSpec extends SparkSpec {
     }
   }
 
+  test("registeredDomain applies the embedded PSL with longest-match") {
+    import graft.operators.Urls
+    val cases = Seq(
+      // shared-hosting suffixes: every site is its OWN registered domain
+      "alice.github.io" -> "alice.github.io",
+      "bob.github.io" -> "bob.github.io",
+      "www.alice.github.io" -> "alice.github.io",
+      "foo.blogspot.com" -> "foo.blogspot.com",
+      "foo.blogspot.co.uk" -> "foo.blogspot.co.uk", // 3-label rule
+      "mybucket.s3.amazonaws.com" -> "mybucket.s3.amazonaws.com",
+      "b.s3.eu-west-1.amazonaws.com" -> "b.s3.eu-west-1.amazonaws.com", // 4-label
+      // ICANN hierarchies, incl. 3-label US state tiers
+      "shop.example.co.uk" -> "example.co.uk",
+      "school.k12.ca.us" -> "school.k12.ca.us",
+      "x.lib.tx.us" -> "x.lib.tx.us",
+      "www.city.nagoya.aichi.jp" -> "nagoya.aichi.jp",
+      // addresses and degenerates pass through
+      "192.168.0.1" -> "192.168.0.1",
+      "[2001:db8::1]" -> "[2001:db8::1]",
+      "localhost" -> "localhost",
+      "example.com" -> "example.com",
+      "github.io" -> "github.io"
+    )
+    val got = cases
+      .map(_._1)
+      .toDF("h")
+      .select(col("h"), Urls.registeredDomain(col("h")).as("d"))
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"host=$h got=${got(h)} want=$want")
+    }
+    // the curation consequence: distinct github.io sites form DISTINCT
+    // cap groups instead of being pruned collectively as one
+    val capped = Urls
+      .domainCap(
+        (1L to 6L)
+          .map(i => (i, s"https://site$i.github.io/p"))
+          .toDF("id", "url"),
+        "url", "id", maxPerDomain = 1
+      )
+    assert(capped.count() == 6)
+    assert(
+      graft.operators.PublicSuffixes.all.size > 2000,
+      "embedded suffix table unexpectedly small"
+    )
+  }
+
   test("domainCap keeps at most N per registered domain, deterministically") {
     import graft.operators.Urls
     val rows = (0L until 40L).map { i =>
