@@ -454,6 +454,60 @@ object TextAnalysis {
     df.withColumn(outCol, redacted)
   }
 
+  /** The ordered (pattern, replacement) stages of [[extractHtmlText]],
+    * exported for oracle construction (the DuckDB side folds the SAME
+    * strings into its regexp_replace chain, so both engines strip
+    * markup by one shared definition). RE2-portable: inline (?is)
+    * flags, non-greedy repetition, no backrefs/lookaround. */
+  private[graft] val HtmlStripStages: Seq[(String, String)] = Seq(
+    // structure first: comments and script/style BODIES go entirely
+    // (their content is code, not prose), then every remaining tag
+    "(?is)<!--.*?-->" -> " ",
+    "(?is)<script[^>]*>.*?</script>" -> " ",
+    "(?is)<style[^>]*>.*?</style>" -> " ",
+    "(?s)<[^>]*>" -> " ",
+    // the six high-frequency entities, named and numeric; &amp; decodes
+    // LAST so "&amp;lt;" correctly yields the literal text "&lt;"
+    // instead of double-decoding to "<"
+    "&nbsp;|&#160;" -> " ",
+    "&lt;|&#60;" -> "<",
+    "&gt;|&#62;" -> ">",
+    "&quot;|&#34;" -> "\"",
+    "&apos;|&#39;" -> "'",
+    "&amp;|&#38;" -> "&",
+    // collapse ALL whitespace runs (tag removal leaves plenty)
+    "\\s+" -> " "
+  )
+
+  /** HTML -> text extraction: strip comments, script/style blocks (body
+    * and all), every remaining tag, decode the six high-frequency
+    * entities, collapse whitespace, trim — the first stage of every
+    * crawl-shaped pipeline, feeding the quality / dedup / tokenizer
+    * operators which all assume extracted text. Deliberately a chain of
+    * RE2-portable `regexp_replace` (the [[redactPatterns]] shape): one
+    * per-row codegen'd expression, no shuffle, no UDF, no HTML parser
+    * dependency — at corpus scale a real DOM parse is a per-row object
+    * storm, and quality scoring downstream needs prose, not structure.
+    * Honest limits of the regex approach: exotic entities (`&eacute;`)
+    * are left verbatim, unclosed `<script` swallows to the next
+    * `</script>`, and CDATA is treated as text. NULL html -> NULL text;
+    * all-markup rows come back as empty strings (filter downstream). */
+  def extractHtmlText(
+      df: DataFrame,
+      htmlCol: String,
+      outCol: String = "text"
+  ): DataFrame = {
+    require(df.columns.contains(htmlCol), s"column '$htmlCol' does not exist")
+    require(
+      !df.columns.contains(outCol) || outCol == htmlCol,
+      s"output column '$outCol' already exists — drop it or pick another"
+    )
+    val stripped = HtmlStripStages.foldLeft(col(htmlCol)) {
+      case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+    }
+    df.withColumn(outCol, trim(stripped))
+  }
+
   /** C4-style cross-document chunk dedup: split each document into
     * fixed-size token chunks (the no-newline analog of C4's "remove any
     * line that occurs more than N times in the corpus"), count each

@@ -277,6 +277,77 @@ private[graft] object QueryShared {
       |  CASE WHEN doc_id % 5 = 0 THEN '?ref=' || lang ELSE '' END
       |END""".stripMargin
 
+  /** Deterministic synthetic HTML per document row — the documents table
+    * carries extracted text, so the HTML-extraction queries wrap it back
+    * into markup with the SAME expression in both engines: title/style
+    * head, a comment carrying the doc id, a script body containing both a
+    * raw `<` and a decoy `</p>` tag-in-string, the six supported
+    * entities (named and numeric), literal tab/newline whitespace, and —
+    * every 9th row — a pure-markup document that must extract to the
+    * empty string. NULL text stays NULL. The oracle checks the
+    * EXTRACTOR; construction is shared verbatim. */
+  def syntheticHtml: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val id = col("doc_id")
+    when(col("text").isNull, lit(null).cast("string"))
+      .when(
+        id % 9 === 0,
+        lit(
+          "<html><head><style>body { color: red }</style>" +
+            "<script src=\"x.js\"></script></head>" +
+            "<body><!-- only markup --></body></html>"
+        )
+      )
+      .otherwise(
+        concat(
+          lit(
+            "<html><head><title>Doc</title>" +
+              "<style type=\"text/css\">p{margin:0}</style></head>" +
+              "<body><!-- id "
+          ),
+          id.cast("string"),
+          lit(
+            " --><h1>Doc &amp; section</h1>\n" +
+              "<script>if (1 < 2) { emit(\"</p>\"); }</script><p>"
+          ),
+          col("text"),
+          lit(
+            "</p><div>tail &lt;raw&gt; &quot;quoted&quot; &apos;q&apos;" +
+              " &nbsp;&#160; &amp;lt; end</div>\t\n</body></html>"
+          )
+        )
+      )
+  }
+
+  /** [[syntheticHtml]] as DuckDB SQL (tab/newline via chr() — DuckDB
+    * single-quoted literals have no escapes). Concatenation operators sit
+    * at line ENDS: this fragment is interpolated into stripMargin'd query
+    * strings, where a line-leading `||` would be eaten as a margin. */
+  val duckSyntheticHtml: String =
+    """CASE WHEN text IS NULL THEN NULL
+      |WHEN doc_id % 9 = 0 THEN '<html><head><style>body { color: red }</style><script src="x.js"></script></head><body><!-- only markup --></body></html>'
+      |ELSE '<html><head><title>Doc</title><style type="text/css">p{margin:0}</style></head><body><!-- id ' ||
+      |  CAST(doc_id AS VARCHAR) ||
+      |  ' --><h1>Doc &amp; section</h1>' || chr(10) ||
+      |  '<script>if (1 < 2) { emit("</p>"); }</script><p>' ||
+      |  text ||
+      |  '</p><div>tail &lt;raw&gt; &quot;quoted&quot; &apos;q&apos; &nbsp;&#160; &amp;lt; end</div>' ||
+      |  chr(9) || chr(10) || '</body></html>'
+      |END""".stripMargin
+
+  /** DuckDB expression folding [[graft.operators.TextAnalysis.HtmlStripStages]]
+    * over `expr` — the IDENTICAL pattern/replacement chain the Spark
+    * operator runs, interpolated from the one shared definition. */
+  def duckHtmlExtract(expr: String): String = {
+    val folded = graft.operators.TextAnalysis.HtmlStripStages.foldLeft(expr) {
+      case (acc, (p, r)) =>
+        val pat = p.replace("'", "''")
+        val rep = r.replace("'", "''")
+        s"regexp_replace($acc, '$pat', '$rep', 'g')"
+    }
+    s"trim($folded)"
+  }
+
   /** DuckDB expression replaying Urls.registeredDomain over a host
     * expression (already lowercased or NULL) — longest-match over the
     * SAME embedded suffix table (PublicSuffixes.all, shared construction:

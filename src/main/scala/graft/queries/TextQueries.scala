@@ -462,6 +462,40 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // HTML -> text extraction over the synthetic markup wrap: comments,
+    // script/style bodies (incl. a decoy </p> inside a string literal),
+    // every tag, the six entities named AND numeric, tab/newline
+    // collapse; pure-markup rows extract to the empty string
+    "q_html_text" -> ((s, dir) => {
+      TextAnalysis
+        .extractHtmlText(
+          t(s, dir, "documents")
+            .withColumn("html", syntheticHtml)
+            .select("doc_id", "html"),
+          "html",
+          outCol = "extracted"
+        )
+        .select("doc_id", "extracted")
+        .orderBy("doc_id")
+    }),
+
+    // the first two stages of every crawl pipeline COMPOSED: markup ->
+    // extracted text -> quality score -> gate. Pure-markup rows (empty
+    // text) and NULL rows must fall at the gate in both engines.
+    "q_html_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("html", syntheticHtml)
+        .select("doc_id", "html")
+      TextAnalysis
+        .qualityScore(
+          TextAnalysis.extractHtmlText(docs, "html", outCol = "text"),
+          "text"
+        )
+        .filter(col("quality") >= 0.5)
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
+    }),
+
     // URL parsing: every component of the synthetic per-doc URL (scheme,
     // host, port, path, query string, registered domain incl. the co.uk
     // multi-part suffix) — pure per-row regexps, malformed rows -> NULLs
@@ -1153,6 +1187,38 @@ private[graft] object TextQueries {
     "q_unigram_apply" -> duckUnigramApplyCte,
     "q_unigram_lm" -> duckUnigramTrainCte(),
     "q_unigram_tokens" -> duckUnigramTrainTokensCte(),
+
+    "q_html_text" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, $duckSyntheticHtml AS html FROM documents
+         |)
+         |SELECT doc_id, ${duckHtmlExtract("html")} AS extracted
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_html_pipeline" -> {
+      val en = TextAnalysis.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH h AS (
+         |  SELECT doc_id, $duckSyntheticHtml AS html FROM documents
+         |), x AS (
+         |  SELECT doc_id, ${duckHtmlExtract("html")} AS text FROM h
+         |), q AS (
+         |  SELECT doc_id, CAST(nt AS INT) AS n_tokens,
+         |         ROUND(LEAST(1.0,
+         |           (CAST(stops AS DOUBLE) / nt) * 2.0 +
+         |           (CASE WHEN nt >= 20 AND nt <= 2000 THEN 0.5 ELSE 0.2 END) +
+         |           (CASE WHEN pc = 0 THEN 0.1 ELSE 0.0 END)), 6) AS quality
+         |  FROM (
+         |    SELECT doc_id, text,
+         |           len(string_split(lower(text), ' ')) AS nt,
+         |           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS pc,
+         |           len(list_filter(string_split(lower(text), ' '),
+         |               w -> list_contains([$en], w))) AS stops
+         |    FROM x
+         |  )
+         |)
+         |SELECT doc_id, n_tokens, quality FROM q
+         |WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin
+    },
 
     "q_url_parse" ->
       s"""WITH u AS (

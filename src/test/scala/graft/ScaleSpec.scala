@@ -2724,6 +2724,43 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("extractHtmlText strips structure, decodes entities, collapses space") {
+    val cases = Seq(
+      // comments, script/style bodies, tags, whitespace collapse
+      (1L, "<p>Hello <b>world</b></p>\n<!-- c --> <br/>bye", "Hello world bye"),
+      (2L, "<script>var a = 1 < 2; s = \"</p>\";</script>after", "after"),
+      (3L, "<style>p { color: red }</style>text", "text"),
+      (4L, "<SCRIPT>upper</SCRIPT>kept", "kept"), // (?i) on block tags
+      // entities: named, numeric, and the &amp;lt; no-double-decode case
+      (5L, "a &amp; b &lt;x&gt; &quot;q&quot; &apos;y&apos;&#39;z&#39; &nbsp;w", "a & b <x> \"q\" 'y''z' w"),
+      (6L, "stay: &amp;lt; &eacute;", "stay: &lt; &eacute;"),
+      (7L, "<div><ul><li>one</li><li>two</li></ul></div>", "one two"),
+      (8L, "   \t\n  ", ""), // all-whitespace -> empty
+      (9L, "<html><body><!-- only markup --></body></html>", "")
+    )
+    val got = graft.operators.TextAnalysis
+      .extractHtmlText(
+        cases.map(c => (c._1, c._2)).toDF("id", "html"), "html", "out")
+      .select("id", "out")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    cases.foreach { case (id, html, want) =>
+      assert(got(id) == want, s"id=$id html=$html got='${got(id)}'")
+    }
+    // NULL html -> NULL text
+    val n = graft.operators.TextAnalysis
+      .extractHtmlText(
+        Seq(1).toDF("x").select(lit(null).cast("string").as("html")),
+        "html", "out")
+      .select("out").collect().head
+    assert(n.isNullAt(0))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis
+        .extractHtmlText(Seq((1, "a", "b")).toDF("id", "html", "out"), "html", "out")
+    }
+  }
+
   test("gopherQualityFlags trips each rule independently") {
     import graft.operators.TextAnalysis
     val good = "the and quick brown foxes jumped over lazy dogs while " +
