@@ -1322,6 +1322,69 @@ object Similarity {
     )
   }
 
+  /** Two-stage PQ retrieval — ADC shortlist, then EXACT re-rank: take the
+    * [[pqTopK]] top-(k*expand) candidates per query, re-attach float
+    * vectors for the SHORTLIST only, exact-cosine re-rank to the final
+    * top-k. The standard production shape (FAISS's refine step): the
+    * compressed index does the heavy candidate generation over the whole
+    * corpus, and the one bounded join (|queries| * k * expand rows
+    * broadcast against the vector table — never a corpus-sized shuffle)
+    * buys back the quantization error, lifting recall@k from the ADC
+    * ~0.8 band toward ~1 for a fixed code budget (asserted vs
+    * [[pqRecallAudit]] in the suite).
+    *
+    * `db` is the codes-only index (`dbIdCol`, `codesCol`); `vectors`
+    * maps `vecIdCol` -> `vecCol` floats (usually the original corpus
+    * table — only shortlisted rows are ever fetched from it). Output is
+    * (query_id, neighbor_id, cosine, rank), ranking (cosine desc, id)
+    * per query via `WindowGroupLimit`. Self-pairs are excluded by the
+    * ADC stage; shortlisted ids missing from `vectors` are dropped
+    * (inner join) — feed the same corpus the codes came from. */
+  def pqTopKRefined(
+      db: DataFrame,
+      dbIdCol: String,
+      codesCol: String,
+      vectors: DataFrame,
+      vecIdCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      codebooks: Seq[Seq[Seq[Float]]],
+      k: Int,
+      expand: Int = 4
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(expand >= 1, "expand must be >= 1")
+    val shortlist = pqTopK(
+      db, dbIdCol, codesCol, queries, qIdCol, qVecCol, codebooks,
+      k * expand
+    ).select(col("query_id"), col("neighbor_id"))
+    val q = queries
+      .filter(col(qVecCol).isNotNull)
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
+    // broadcast the model-sized shortlist INTO the vector scan: the
+    // corpus table is read once, filtered to shortlist members by a
+    // broadcast hash join — no corpus shuffle, no second index
+    val rescored = vectors
+      .select(col(vecIdCol).as("neighbor_id"), col(vecCol).as("__nv"))
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(
+        col("query_id"),
+        col("neighbor_id"),
+        cosineSimilarityNative(col("__qv"), col("__nv")).as("cosine")
+      )
+    TopN.firstRow(
+      rescored,
+      n = k,
+      partitionBy = Seq(col("query_id")),
+      orderBy = Seq(col("cosine").desc, col("neighbor_id")),
+      returnIndexColumn = true,
+      indexColumnName = "rank"
+    )
+  }
+
   /** PQ tuning report — the ANN counterpart of
     * [[Dedup.minHashRecallReport]]: on a deterministic md5-chosen sample
     * of `numQueries` vectors, compare the EXACT squared-distance top-k

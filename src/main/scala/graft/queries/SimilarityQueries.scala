@@ -378,6 +378,32 @@ private[graft] object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // two-stage retrieval: ADC top-15 shortlist, float vectors
+    // re-attached for the shortlist only, exact-cosine re-rank to top-5
+    // — the refine step that buys back quantization error for one
+    // bounded join
+    "q_pq_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val cbs = Similarity
+        .pqTrain(e, "vec_id", "embedding", numSubspaces = 4, k = 8, rounds = 2)
+      val corpus = e.filter(col("vec_id") >= 5)
+      val db = Similarity.pqEncode(corpus, "embedding", cbs)
+      Similarity
+        .pqTopKRefined(
+          db, "vec_id", "pq_codes",
+          corpus, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          cbs, k = 5, expand = 3
+        )
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"),
+          col("rank")
+        )
+        .orderBy("query_id", "rank")
+    }),
+
     // PQ tuning report: exact top-10 vs ADC top-10 on 8 md5-chosen
     // queries — the recall-vs-code-budget dial read before shipping a
     // compressed index (mirrors the q_lsh_recall audit for dedup)
@@ -902,6 +928,51 @@ private[graft] object SimilarityQueries {
          |SELECT query_id, neighbor_id, ROUND(dist, 6) AS adc_dist,
          |       CAST(rn AS INT) AS rank
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_pq_rerank" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |), ${duckPqCte(m = 4, k = 8, rounds = 2)}, q AS (
+         |  SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 5
+         |), en AS (
+         |  SELECT e.vec_id, af_0.cl AS c0, af_1.cl AS c1,
+         |         af_2.cl AS c2, af_3.cl AS c3
+         |  FROM e JOIN af_0 USING (vec_id) JOIN af_1 USING (vec_id)
+         |         JOIN af_2 USING (vec_id) JOIN af_3 USING (vec_id)
+         |  WHERE e.vec_id >= 5
+         |), d AS (
+         |  SELECT q.query_id, en.vec_id AS neighbor_id,
+         |         ${duckSqDistSub("q.qv", "cb0.cv", 0, 16)}
+         |       + ${duckSqDistSub("q.qv", "cb1.cv", 16, 16)}
+         |       + ${duckSqDistSub("q.qv", "cb2.cv", 32, 16)}
+         |       + ${duckSqDistSub("q.qv", "cb3.cv", 48, 16)} AS dist
+         |  FROM q CROSS JOIN en
+         |  JOIN cb_0 cb0 ON cb0.cl = en.c0
+         |  JOIN cb_1 cb1 ON cb1.cl = en.c1
+         |  JOIN cb_2 cb2 ON cb2.cl = en.c2
+         |  JOIN cb_3 cb3 ON cb3.cl = en.c3
+         |), sl AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |                              ORDER BY dist, neighbor_id) AS rn
+         |    FROM d
+         |  ) WHERE rn <= 15
+         |), rr AS (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |         ${duckCosine("q.qv", "e.embedding")} AS c
+         |  FROM sl
+         |  JOIN e ON e.vec_id = sl.neighbor_id
+         |  JOIN q ON q.query_id = sl.query_id
+         |), rk AS (
+         |  SELECT query_id, neighbor_id, c,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY c DESC, neighbor_id) AS rn
+         |  FROM rr
+         |)
+         |SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine,
+         |       CAST(rn AS INT) AS rank
+         |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_pq_recall" ->
       s"""WITH e AS (

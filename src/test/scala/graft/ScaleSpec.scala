@@ -1254,6 +1254,51 @@ class ScaleSpec extends SparkSpec {
       nullQ, "vec_id", "embedding", cbs, 5).count() == 0)
   }
 
+  test("pqTopKRefined equals exact cosine at full expand and lifts recall at bounded expand") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 210).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    val db = e.filter(col("vec_id") >= 10) // 200 rows
+    val cbs = Similarity.pqTrain(e, "vec_id", "embedding", 4, 8, rounds = 2)
+    val enc = Similarity.pqEncode(db, "embedding", cbs)
+    def asTuples(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val exact = Similarity
+      .cosineTopK(db, q, "vec_id", "embedding", 10).collect()
+    // k*expand = 200 covers the whole corpus: the shortlist IS the corpus,
+    // so the re-rank must reproduce the exact cosine top-k bit-for-bit
+    val full = Similarity.pqTopKRefined(
+      enc, "vec_id", "pq_codes", db, "vec_id", "embedding",
+      q, "vec_id", "embedding", cbs, k = 10, expand = 20
+    ).collect()
+    assert(asTuples(full) == asTuples(exact),
+      "full-expand refine must equal the exact cosine top-k")
+    // bounded expand: re-ranking the ADC top-30 by true cosine can only
+    // improve (or tie) recall vs serving the ADC top-10 directly
+    val exactSets = topKSets(exact)
+    val adcSets = topKSets(Similarity
+      .pqTopK(enc, "vec_id", "pq_codes", q, "vec_id", "embedding", cbs, 10)
+      .collect())
+    val refSets = topKSets(Similarity.pqTopKRefined(
+      enc, "vec_id", "pq_codes", db, "vec_id", "embedding",
+      q, "vec_id", "embedding", cbs, k = 10, expand = 3
+    ).collect())
+    val (rAdc, rRef) = (recallAt(exactSets, adcSets), recallAt(exactSets, refSets))
+    assert(rRef >= rAdc, s"refine recall $rRef must be >= ADC recall $rAdc")
+    assert(rRef >= 0.4, s"refine recall $rRef unexpectedly low")
+    // widening the shortlist can only help: recall is monotone in expand
+    val refWide = recallAt(exactSets, topKSets(Similarity.pqTopKRefined(
+      enc, "vec_id", "pq_codes", db, "vec_id", "embedding",
+      q, "vec_id", "embedding", cbs, k = 10, expand = 8
+    ).collect()))
+    assert(refWide >= rRef,
+      s"expand=8 recall $refWide must be >= expand=3 recall $rRef")
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKRefined(enc, "vec_id", "pq_codes", db, "vec_id",
+        "embedding", q, "vec_id", "embedding", cbs, k = 10, expand = 0)
+    }
+  }
+
   test("IVF-PQ: residuals replay exactly, probes prune, recall holds, index is layout-invariant") {
     import graft.functions.VectorFunctions.squaredDistance
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
