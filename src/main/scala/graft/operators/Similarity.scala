@@ -1557,17 +1557,36 @@ object Similarity {
       codebooks: Seq[Seq[Seq[Float]]],
       k: Int,
       nProbe: Int
+  ): DataFrame =
+    ivfPqScore(
+      index, idCol,
+      ivfPqProbeLuts(queries, qIdCol, qVecCol, coarse, codebooks, nProbe),
+      codebooks, k
+    )
+
+  /** The probed (query_id, cell, __lut_0..__lut_{m-1}) table — the ONE
+    * definition of IVF-PQ query-side preparation, shared by [[ivfPqTopK]]
+    * and [[probeIvfPqIndex]] so in-memory and at-rest search are equal by
+    * construction: nProbe nearest cells per query (tiny window over
+    * queries), then a per-(query, cell) ADC lookup table built from the
+    * query's residual against the PROBED cell. */
+  private def ivfPqProbeLuts(
+      queries: DataFrame,
+      qIdCol: String,
+      qVecCol: String,
+      coarse: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]],
+      nProbe: Int
   ): DataFrame = {
     require(coarse.nonEmpty, "need at least one coarse centroid")
     require(nProbe >= 1, "nProbe must be >= 1")
     require(codebooks.nonEmpty, "need at least one subspace codebook")
     val sub = codebooks.head.head.length
     val m = codebooks.size
-    // probe: nProbe nearest cells per query (tiny window over queries)
     val cellArr = array(coarse.map(c => typedlit(c.toArray)): _*)
     // NULL query vectors dropped (same NULLS-FIRST hazard as pqTopK: the
     // probe window would hand them cells 0..nProbe-1 and garbage ranks)
-    val probed = queries
+    queries
       .filter(col(qVecCol).isNotNull)
       .select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))
       .withColumn(
@@ -1607,6 +1626,20 @@ object Similarity {
           ).as(s"__lut_$s")
         }: _*
       )
+  }
+
+  /** ADC scoring + per-query ranking over an IVF-PQ index against a
+    * [[ivfPqProbeLuts]] table: candidates cost m array lookups, the
+    * probed table is broadcast, ranking is (adc_dist, id) via
+    * `WindowGroupLimit`. Self-pairs excluded. */
+  private def ivfPqScore(
+      index: DataFrame,
+      idCol: String,
+      probed: DataFrame,
+      codebooks: Seq[Seq[Seq[Float]]],
+      k: Int
+  ): DataFrame = {
+    val m = codebooks.size
     val dist = (0 until m)
       .map(s => element_at(col(s"__lut_$s"), col("pq_codes").getItem(s) + 1))
       .reduceLeft(_ + _)
@@ -1626,5 +1659,62 @@ object Similarity {
       returnIndexColumn = true,
       indexColumnName = "rank"
     )
+  }
+
+  /** Persist an IVF-PQ index to disk: the [[ivfPqIndex]] rows written
+    * PARTITIONED BY cell — the layout [[writeIvfIndex]] uses, but holding
+    * CODES instead of float vectors (the at-rest form a billion-scale
+    * index actually ships: bytes per vector, directories per cell, no
+    * floats anywhere). Pair with [[probeIvfPqIndex]]. */
+  def writeIvfPqIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]],
+      path: String
+  ): Unit = {
+    require(
+      df.columns.contains(idCol),
+      s"idCol '$idCol' not in ${df.columns.mkString(", ")}"
+    )
+    ivfPqIndex(df, idCol, vecCol, coarse, codebooks)
+      .write
+      .mode("overwrite")
+      .partitionBy("cell")
+      .parquet(path)
+  }
+
+  /** Probe a [[writeIvfPqIndex]] index: the probed cell set is computed
+    * driver-side (model-sized: <= |queries| * nProbe cells) and pushed as
+    * a literal IN-list, so Catalyst prunes to the probed cell DIRECTORIES
+    * at the source (`PartitionFilters`, plan-asserted in the suite) and
+    * serve-time reads touch only codes — never a float, never an
+    * unprobed cell. Search semantics are EXACTLY [[ivfPqTopK]]'s (both
+    * run [[ivfPqProbeLuts]] + [[ivfPqScore]]). */
+  def probeIvfPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      idCol: String,
+      qIdCol: String,
+      qVecCol: String,
+      coarse: Seq[Seq[Float]],
+      codebooks: Seq[Seq[Seq[Float]]],
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    val probed =
+      ivfPqProbeLuts(queries, qIdCol, qVecCol, coarse, codebooks, nProbe)
+    val cells = probed
+      .select("cell")
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .sorted
+    val index = spark.read
+      .parquet(path)
+      .filter(col("cell").isin(cells.toIndexedSeq.map(Int.box): _*))
+    ivfPqScore(index, idCol, probed, codebooks, k)
   }
 }

@@ -2981,6 +2981,45 @@ class ScaleSpec extends SparkSpec {
     assert(canon(probe) == canon(expected))
   }
 
+  test("IVF-PQ disk index probes with partition pruning and equals in-memory search") {
+    val e = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val coarse = e.filter(col("vec_id") % 12 === 0).orderBy("vec_id")
+      .limit(4).select("embedding")
+      .collect().map(_.getAs[scala.collection.Seq[Float]](0).toSeq).toSeq
+    val cbs = Similarity.ivfPqTrain(e, "vec_id", "embedding", coarse, 8, 16, 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq")
+      .toString + "/idx"
+    Similarity.writeIvfPqIndex(e, "vec_id", "embedding", coarse, cbs, path)
+    // cell directories really are the layout, and the files hold CODES
+    // only — no float vectors at rest
+    val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("cell="))
+    assert(dirs.nonEmpty, "expected cell=N partition directories")
+    val stored = spark.read.parquet(path)
+    assert(stored.columns.sorted.toSeq == Seq("cell", "pq_codes", "vec_id"),
+      s"at-rest schema must be codes-only, got ${stored.columns.mkString(",")}")
+    val queries = e.filter(col("vec_id") < 3)
+    val probe = Similarity.probeIvfPqIndex(
+      spark, path, queries, "vec_id", "vec_id", "embedding",
+      coarse, cbs, k = 5, nProbe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected cell partition pruning:\n$plan")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val expected = Similarity.ivfPqTopK(
+      Similarity.ivfPqIndex(e, "vec_id", "embedding", coarse, cbs),
+      "vec_id", queries, "vec_id", "embedding", coarse, cbs,
+      k = 5, nProbe = 2)
+    assert(canon(probe) == canon(expected),
+      "disk probe must EXACTLY equal the in-memory IVF-PQ search")
+  }
+
   test("thresholdSweep computes exact confusion counts and P/R/F1") {
     import graft.operators.Stats
     // scores: positives at 0.9/0.7/0.2, negatives at 0.8/0.1; null excluded
