@@ -1346,17 +1346,9 @@ object TextAnalysis {
       df: DataFrame,
       textCol: String,
       numMerges: Int
-  ): DataFrame = {
-    require(numMerges >= 1, "numMerges must be >= 1")
-    val spark = df.sparkSession
-    import spark.implicits._
-    var words = df
-      .filter(col(textCol).isNotNull)
-      .select(explode(tokens(col(textCol))).as("__w"))
-      .filter(length(col("__w")) > 0)
-      .groupBy("__w")
-      .agg(count(lit(1)).as("__n"))
-      .select(
+  ): DataFrame =
+    bpeMergesLoop(
+      bpeDictionary(df, textCol).select(
         // split(w, "") may emit a trailing empty string depending on the
         // JDK split contract — drop empties defensively
         concat(
@@ -1364,8 +1356,65 @@ object TextAnalysis {
           array(lit("</w>"))
         ).as("__syms"),
         col("__n")
-      )
-      .localCheckpoint()
+      ),
+      numMerges
+    )
+
+  /** Byte-level BPE training (the GPT-2 base alphabet): identical merge
+    * loop to [[bpeMerges]], but the initial symbols are the word's UTF-8
+    * BYTES, each rendered as a 2-char lowercase hex string (an
+    * engine-portable stand-in for GPT-2's printable byte alphabet — hex
+    * pairs round-trip through SQL, parquet, and the DuckDB oracle with
+    * no escaping), plus the `</w>` end marker. Byte level means NO
+    * unknown symbols ever: any Unicode word decomposes into the 256-entry
+    * base alphabet, which is why production LLM tokenizers train this
+    * way. Multi-byte code points (e.g. `é` = c3 a9) start split across
+    * symbols and merge back only if the corpus earns it. */
+  def bbpeMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int
+  ): DataFrame =
+    bpeMergesLoop(
+      bpeDictionary(df, textCol).select(
+        concat(byteSyms(col("__w")), array(lit("</w>"))).as("__syms"),
+        col("__n")
+      ),
+      numMerges
+    )
+
+  /** (word, count) dictionary feeding both BPE trainers. */
+  private def bpeDictionary(df: DataFrame, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy("__w")
+      .agg(count(lit(1)).as("__n"))
+
+  /** UTF-8 bytes of a string column as an array of 2-char lowercase hex
+    * symbols — `café` -> [63, 61, 66, c3, a9]. Insert-separator-and-split
+    * (with a defensive empty filter) keeps the whole construction inside
+    * codegen'd string ops. */
+  private def byteSyms(c: Column): Column =
+    filter(
+      split(
+        regexp_replace(lower(hex(encode(c, "UTF-8"))), "(..)", "$1\u0001"),
+        "\u0001"
+      ),
+      s => length(s) > 0
+    )
+
+  /** The shared fixed-round merge loop over a (__syms, __n) dictionary —
+    * the ONE training definition behind [[bpeMerges]] (chars) and
+    * [[bbpeMerges]] (bytes); the loop never sees a token occurrence. */
+  private def bpeMergesLoop(
+      words0: DataFrame,
+      numMerges: Int
+  ): DataFrame = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    val spark = words0.sparkSession
+    import spark.implicits._
+    var words = words0.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     var rank = 0
@@ -1424,8 +1473,29 @@ object TextAnalysis {
   private[graft] def bpeEncodeWord(
       word: String,
       ranks: Map[(String, String), Int]
+  ): Vector[String] =
+    bpeEncodeSyms(word.map(_.toString).toVector :+ "</w>", ranks)
+
+  /** [[bpeEncodeWord]] on the byte-hex alphabet: the word's UTF-8 bytes
+    * as 2-char lowercase hex symbols + `</w>` (exactly [[bbpeMerges]]'
+    * initial sequence), merged under the trained ranks. */
+  private[graft] def bbpeEncodeWord(
+      word: String,
+      ranks: Map[(String, String), Int]
+  ): Vector[String] =
+    bpeEncodeSyms(
+      word
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .toVector
+        .map(b => f"${b & 0xff}%02x") :+ "</w>",
+      ranks
+    )
+
+  private def bpeEncodeSyms(
+      syms0: Vector[String],
+      ranks: Map[(String, String), Int]
   ): Vector[String] = {
-    var syms = word.map(_.toString).toVector :+ "</w>"
+    var syms = syms0
     var continue = syms.length > 1
     while (continue) {
       val best = syms.indices
@@ -1458,7 +1528,21 @@ object TextAnalysis {
     * billions of occurrences), via mapPartitions with the merge table
     * broadcast (model-sized by construction: numMerges rows, collected
     * eagerly like every model table). */
-  def bpeEncodeTable(df: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+  def bpeEncodeTable(df: DataFrame, textCol: String, merges: DataFrame): DataFrame =
+    bpeEncodeTableWith(df, textCol, merges, bpeEncodeWord)
+
+  /** [[bpeEncodeTable]] on the byte-hex alphabet ([[bbpeMerges]] models):
+    * pieces are concatenated hex symbols (`the</w>` as `746865</w>` when
+    * fully merged). Same dictionary-only scale shape. */
+  def bbpeEncodeTable(df: DataFrame, textCol: String, merges: DataFrame): DataFrame =
+    bpeEncodeTableWith(df, textCol, merges, bbpeEncodeWord)
+
+  private def bpeEncodeTableWith(
+      df: DataFrame,
+      textCol: String,
+      merges: DataFrame,
+      encode: (String, Map[(String, String), Int]) => Vector[String]
+  ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ranks = merges
@@ -1475,7 +1559,7 @@ object TextAnalysis {
       .mapPartitions { it =>
         val r = bc.value
         it.map { w =>
-          val pieces = bpeEncodeWord(w, r)
+          val pieces = encode(w, r)
           (w, pieces, pieces.length)
         }
       }
@@ -1500,6 +1584,26 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       merges: DataFrame
+  ): DataFrame =
+    bpeTokenCountsWith(df, idCol, textCol, bpeEncodeTable(df, textCol, merges))
+
+  /** [[bpeTokenCounts]] under a byte-level ([[bbpeMerges]]) model: token
+    * budgets in REAL byte-BPE subwords — the unit production LLM
+    * pipelines meter (GPT-2/tiktoken-style byte alphabets have no
+    * unknown tokens, so every document is countable, any script). */
+  def bbpeTokenCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: DataFrame
+  ): DataFrame =
+    bpeTokenCountsWith(df, idCol, textCol, bbpeEncodeTable(df, textCol, merges))
+
+  private def bpeTokenCountsWith(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      encoded: DataFrame
   ): DataFrame = {
     val base = df.filter(col(textCol).isNotNull)
     val occ = base
@@ -1507,7 +1611,7 @@ object TextAnalysis {
       .filter(length(col("__w")) > 0)
       .groupBy(col(idCol), col("__w"))
       .agg(count(lit(1)).as("__c"))
-    val dict = bpeEncodeTable(df, textCol, merges)
+    val dict = encoded
       .select(col("word").as("__w"), col("n_pieces").as("__p"))
     val counts = occ
       .join(dict, Seq("__w"))

@@ -631,7 +631,22 @@ private[graft] object QueryShared {
     * `best0..bestN-1`; compose with [[duckBpeTrainCte]] (the merge
     * table itself) or a derived `merges` CTE feeding
     * [[duckBpeApplyFrom]] (train->apply end-to-end). */
-  def duckBpeTrainRounds(numMerges: Int): String = {
+  /** Initial sentinel-cell encoding of a dictionary word for the BPE
+    * oracles: chars for classic BPE, 2-char lowercase hex UTF-8 bytes for
+    * byte-level — mirroring bpeMerges/bbpeMerges' initial symbols. */
+  private def duckBpeEnc0(byteLevel: Boolean): String =
+    if (byteLevel)
+      "regexp_replace(lower(hex(encode(w))), '(..)', chr(2) || '\\1' || chr(3), 'g')" +
+        " || chr(2) || '</w>' || chr(3)"
+    else
+      "regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g')" +
+        " || chr(2) || '</w>' || chr(3)"
+
+  def duckBpeTrainRounds(
+      numMerges: Int,
+      byteLevel: Boolean = false,
+      textExpr: String = "text"
+  ): String = {
     def round(r: Int): String =
       s""", syms$r AS (
          |  SELECT string_split(substr(s, 2, len(s) - 2), chr(3) || chr(2)) AS y,
@@ -652,15 +667,17 @@ private[graft] object QueryShared {
          |)""".stripMargin
     s"""tr_occ AS (
        |  SELECT w, count(*) AS n FROM (
-       |    SELECT unnest(string_split(lower(text), ' ')) AS w
-       |    FROM documents WHERE text IS NOT NULL
+       |    SELECT unnest(string_split(lower((__TEXT__)), ' ')) AS w
+       |    FROM documents WHERE (__TEXT__) IS NOT NULL
        |  ) WHERE len(w) > 0 GROUP BY w
        |), enc0 AS (
-       |  SELECT regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g')
-       |           || chr(2) || '</w>' || chr(3) AS s,
+       |  SELECT __ENC0__ AS s,
        |         n
        |  FROM tr_occ
-       |)""".stripMargin + (0 until numMerges).map(round).mkString
+       |)""".stripMargin
+      .replace("__TEXT__", textExpr)
+      .replace("__ENC0__", duckBpeEnc0(byteLevel)) +
+      (0 until numMerges).map(round).mkString
   }
 
   /** Standalone DuckDB oracle for q_bpe: the trained merge table
@@ -697,8 +714,14 @@ private[graft] object QueryShared {
   }
 
   /** Shared min-rank BPE ENCODE replay (see [[duckBpeApplyCte]] doc):
-    * `mergesCte` must define `merges(rank, l, r)`. */
-  private def duckBpeApplyFrom(mergesCte: String): String = {
+    * `mergesCte` must define `merges(rank, l, r)`. `byteLevel`/`textExpr`
+    * select the bbpe alphabet and an alternate document text expression
+    * (parenthesized at every use — it may contain `||`). */
+  private def duckBpeApplyFrom(
+      mergesCte: String,
+      byteLevel: Boolean = false,
+      textExpr: String = "text"
+  ): String = {
     // cell pattern for rule m: chr(2)||l||chr(3)||chr(2)||r||chr(3)
     def pat(m: String) =
       s"chr(2) || $m.l || chr(3) || chr(2) || $m.r || chr(3)"
@@ -706,12 +729,11 @@ private[graft] object QueryShared {
     // CTE can contain `|| chr(2)` continuation lines whose leading pipe
     // stripMargin would eat
     s"""WITH RECURSIVE __MERGES__, words AS (
-       |  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS w
-       |  FROM documents WHERE text IS NOT NULL
+       |  SELECT DISTINCT unnest(string_split(lower((__TEXT__)), ' ')) AS w
+       |  FROM documents WHERE (__TEXT__) IS NOT NULL
        |), ap_enc AS (
        |  SELECT w,
-       |         regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g')
-       |           || chr(2) || '</w>' || chr(3) AS s
+       |         __ENC0__ AS s
        |  FROM words WHERE len(w) > 0
        |), rec AS (
        |  SELECT w, s FROM ap_enc
@@ -734,8 +756,8 @@ private[graft] object QueryShared {
        |    SELECT 1 FROM merges m2 WHERE contains(x.s, ${pat("m2")}))
        |), occ AS (
        |  SELECT doc_id, w, count(*) AS c FROM (
-       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-       |    FROM documents WHERE text IS NOT NULL
+       |    SELECT doc_id, unnest(string_split(lower((__TEXT__)), ' ')) AS w
+       |    FROM documents WHERE (__TEXT__) IS NOT NULL
        |  ) WHERE len(w) > 0 GROUP BY doc_id, w
        |), counts AS (
        |  SELECT occ.doc_id,
@@ -747,9 +769,77 @@ private[graft] object QueryShared {
        |SELECT d.doc_id,
        |       coalesce(counts.ws_tokens, 0) AS ws_tokens,
        |       coalesce(counts.bpe_tokens, 0) AS bpe_tokens
-       |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+       |FROM (SELECT doc_id FROM documents WHERE (__TEXT__) IS NOT NULL) d
        |LEFT JOIN counts ON d.doc_id = counts.doc_id
-       |ORDER BY d.doc_id""".stripMargin.replace("__MERGES__", mergesCte)
+       |ORDER BY d.doc_id""".stripMargin
+      .replace("__MERGES__", mergesCte)
+      .replace("__TEXT__", textExpr)
+      .replace("__ENC0__", duckBpeEnc0(byteLevel))
+  }
+
+  /** Deterministic non-ASCII injection for the byte-level BPE queries:
+    * two accented words appended to every document's text, so multi-byte
+    * UTF-8 code points (c3 a9, c3 bc) flow through training AND apply in
+    * both engines. NULL text stays NULL (both engines: NULL || x = NULL,
+    * concat of a NULL column is NULL via the CASE guard). */
+  def bbpeText: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(
+      col("text").isNull,
+      lit(null).cast("string")
+    ).otherwise(concat(col("text"), lit(" caf\u00e9 z\u00fcrich")))
+  }
+
+  /** [[bbpeText]] as a DuckDB expression (accents via chr() — no literal
+    * escapes in DuckDB strings). Parenthesize at use sites. */
+  val duckBbpeText: String =
+    "text || ' caf' || chr(233) || ' z' || chr(252) || 'rich'"
+
+  /** Fixed byte-level merge table for q_bbpe_apply: hex-pair rules chosen
+    * to fire on the fixture corpus, including a depth-3 cascade
+    * (74,68)->(7468,65)->(746865,</w>) = "the</w>", an end-of-word rule,
+    * and the multi-byte-code-point pair (c3,a9) = 'é' plus its word
+    * cascade (63,61)->(6361,66) = "caf" — non-ASCII round-trip under
+    * byte symbols is exactly what byte-level buys. */
+  val BbpeFixedMerges: Seq[(Int, String, String)] = Seq(
+    (0, "74", "68"),
+    (1, "7468", "65"),
+    (2, "c3", "a9"),
+    (3, "61", "6e"),
+    (4, "65", "</w>"),
+    (5, "746865", "</w>"),
+    (6, "63", "61"),
+    (7, "6361", "66")
+  )
+
+  /** DuckDB oracle replaying TextAnalysis.bbpeTokenCounts under the FIXED
+    * [[BbpeFixedMerges]] table over the accent-injected text. */
+  def duckBbpeApplyCte: String = {
+    val values = BbpeFixedMerges
+      .map { case (r, a, b) => s"($r, '$a', '$b')" }
+      .mkString(", ")
+    duckBpeApplyFrom(
+      s"merges(rank, l, r) AS (\n  VALUES $values\n)",
+      byteLevel = true,
+      textExpr = duckBbpeText
+    )
+  }
+
+  /** Standalone DuckDB oracle for q_bbpe: byte-level training over the
+    * accent-injected text — [[duckBpeTrainCte]]'s shape on the hex-pair
+    * alphabet. */
+  def duckBbpeTrainCte(numMerges: Int): String = {
+    val union = (0 until numMerges)
+      .map(r => s"SELECT $r AS rank, a, b, total FROM best$r")
+      .mkString("\n  UNION ALL ")
+    // concat, NOT an outer stripMargin (see duckBpeTrainCte note)
+    s"WITH ${duckBpeTrainRounds(numMerges, byteLevel = true, textExpr = duckBbpeText)}\n" +
+      s"""SELECT CAST(rank AS INT) AS merge_rank, a AS "left", b AS "right",
+         |       CAST(total AS BIGINT) AS pair_count
+         |FROM (
+         |  __UNION__
+         |)
+         |ORDER BY merge_rank""".stripMargin.replace("__UNION__", union)
   }
 
   /** Fixed WordPiece vocabulary for q_wordpiece_apply: piece literals

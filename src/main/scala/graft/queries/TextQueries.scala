@@ -353,6 +353,32 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // byte-level BPE training (GPT-2-style base alphabet, 8 merges) over
+    // accent-injected text: every word decomposes into 2-char hex UTF-8
+    // byte symbols, so multi-byte code points (é = c3 a9) train through
+    // the SAME merge loop — no unknown symbols possible, any script
+    "q_bbpe" -> ((s, dir) => {
+      TextAnalysis.bbpeMerges(
+        t(s, dir, "documents").withColumn("btext", bbpeText),
+        "btext", numMerges = 8
+      )
+    }),
+
+    // byte-level encode under the FIXED hex-pair merge table (depth-3
+    // cascade to "the</w>", the é byte pair, the caf cascade): per-doc
+    // whitespace vs byte-BPE token counts — the unit LLM pipelines meter
+    "q_bbpe_apply" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis
+        .bbpeTokenCounts(
+          t(s, dir, "documents").withColumn("btext", bbpeText),
+          "doc_id",
+          "btext",
+          BbpeFixedMerges.toDF("merge_rank", "left", "right")
+        )
+        .orderBy("doc_id")
+    }),
+
     // WordPiece merge-rule training (8 rounds) — the BERT vocabulary
     // learner completing the trainer triad (BPE, unigram-LM, WordPiece).
     // Full hash oracle: the likelihood-gain argmax runs on the
@@ -1179,6 +1205,9 @@ private[graft] object TextQueries {
     "q_bpe" -> duckBpeTrainCte(8),
     "q_bpe_apply" -> duckBpeApplyCte,
     "q_bpe_train_apply" -> duckBpeTrainApplyCte(8),
+
+    "q_bbpe" -> duckBbpeTrainCte(8),
+    "q_bbpe_apply" -> duckBbpeApplyCte,
 
     "q_wordpiece" -> duckWpTrainCte(8),
     "q_wordpiece_apply" -> duckWpApplyCte,

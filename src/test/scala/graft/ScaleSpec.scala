@@ -4123,6 +4123,37 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("bbpeEncodeWord: byte pieces reconstruct any Unicode word's UTF-8 bytes") {
+    def hexOf(w: String): String = w
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02x").mkString
+    // non-ASCII round-trip: multi-byte code points start split across
+    // symbols and reassemble losslessly whatever the merge table
+    val words = Seq(
+      "caf\u00e9", "z\u00fcrich", "\u65e5\u672c", "na\u00efve", "ascii", "x'y")
+    val ranks = Map(("63", "61") -> 0, ("6361", "66") -> 1,
+      ("c3", "a9") -> 2, ("e6", "97") -> 3, ("65", "</w>") -> 4)
+    words.foreach { w =>
+      val pieces = graft.operators.TextAnalysis.bbpeEncodeWord(w, ranks)
+      assert(pieces.mkString == hexOf(w) + "</w>",
+        s"word=$w pieces=$pieces")
+      assert(pieces.last.endsWith("</w>"))
+    }
+    // with the (63,61)(6361,66)(c3,a9) cascade, café encodes to exactly
+    // [caf-bytes, é-bytes, marker]
+    assert(graft.operators.TextAnalysis.bbpeEncodeWord("caf\u00e9", ranks)
+      == Vector("636166", "c3a9", "</w>"))
+    // bbpeMerges' Spark-side byte alphabet agrees with the driver-side
+    // encoder's: train one merge on a single repeated non-ASCII word and
+    // the winning pair must be byte symbols from hexOf
+    val one = Seq((1L, "caf\u00e9 caf\u00e9 caf\u00e9")).toDF("id", "t")
+    val m = graft.operators.TextAnalysis.bbpeMerges(one, "t", numMerges = 1)
+      .collect().head
+    val (l, r) = (m.getString(1), m.getString(2))
+    assert(hexOf("caf\u00e9").contains(l + r) || (l + r).endsWith("</w>"),
+      s"merge ($l,$r) not a byte pair of the word")
+  }
+
   test("runChecks counts each violation type; order follows the check list") {
     import graft.operators.Checks
     import graft.operators.Checks._
