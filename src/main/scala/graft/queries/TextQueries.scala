@@ -554,6 +554,23 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // URL curation COMPOSED with near-dedup: parse -> per-domain cap ->
+    // MinHash dedup of the capped survivors. Guards the URL tier against
+    // cross-operator column collisions the same way q_pipeline_e2e
+    // guards the text tier; survivors carry their cap-group domain.
+    "q_domain_dedup" -> ((s, dir) => {
+      import graft.operators.Urls
+      val docs = t(s, dir, "documents").withColumn("url", syntheticUrl)
+      val capped = Urls.domainCap(docs, "url", "doc_id", maxPerDomain = 5)
+      Dedup
+        .dedupNearMinHash(
+          capped, "doc_id", "text",
+          threshold = 0.9, shingleK = 1, numHashes = 16, bands = 4
+        )
+        .select("doc_id", "url_domain")
+        .orderBy("doc_id")
+    }),
+
     // domain concentration report: docs + corpus share per registered
     // domain (broadcast total, map-side-combined aggregate)
     "q_domain_stats" -> ((s, dir) => {
@@ -1290,6 +1307,32 @@ private[graft] object TextQueries {
          |  FROM d
          |)
          |SELECT doc_id, url_domain FROM r WHERE rn <= 3
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_domain_dedup" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, $duckSyntheticUrl AS url FROM documents
+         |), dmn AS (
+         |  SELECT doc_id,
+         |         ${duckRegisteredDomain(duckUrlHost("url"))} AS url_domain,
+         |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |              AS BIGINT) % 10000 AS bk
+         |  FROM u
+         |), cap AS (
+         |  SELECT doc_id, url_domain FROM (
+         |    SELECT doc_id, url_domain,
+         |           ROW_NUMBER() OVER (PARTITION BY url_domain
+         |                              ORDER BY bk, doc_id) AS rn
+         |    FROM dmn
+         |  ) WHERE rn <= 5
+         |), ${duckMinHashCommonWhere(
+              " AND doc_id IN (SELECT doc_id FROM cap)")}, losers AS (
+         |  SELECT doc_id AS ib FROM ex WHERE doc_id > sig_min
+         |  UNION
+         |  SELECT ib FROM cl WHERE est >= 0.9
+         |)
+         |SELECT doc_id, url_domain FROM cap
+         |WHERE doc_id NOT IN (SELECT ib FROM losers)
          |ORDER BY doc_id""".stripMargin,
 
     "q_domain_stats" ->
