@@ -588,17 +588,37 @@ object Stats {
         col(colB).cast("double").as("__b")
       )
       .filter(col("__a").isNotNull && col("__b").isNotNull)
-    def doubledRanks(vc: String) = {
-      val counts = base.groupBy(col(vc)).agg(count(lit(1)).as("__c"))
-      rangedRunningSums(counts, Nil, vc, Seq("__c"))
-        .select(
-          col(vc),
-          (lit(2L) * col("__run___c") - col("__c") + lit(1L)).as(s"__dr$vc")
-        )
-    }
+    // ONE corpus scan and ONE ranged-running-sum pass for BOTH sides:
+    // each row contributes (side, value) twice, the count aggregate is
+    // keyed by (side, value) (map-side combined, same combined volume as
+    // two per-side aggregates), and the partitioned prefix-sum machinery
+    // runs once with the side as its group key — halving the passes of
+    // the previous per-side formulation without changing a single rank
+    // (sides are independent groups in rangedRunningSums).
+    val counts = base
+      .select(
+        explode(
+          array(
+            struct(lit("a").as("__side"), col("__a").as("__v")),
+            struct(lit("b").as("__side"), col("__b").as("__v"))
+          )
+        ).as("__sv")
+      )
+      .select(col("__sv.__side").as("__side"), col("__sv.__v").as("__v"))
+      .groupBy("__side", "__v")
+      .agg(count(lit(1)).as("__c"))
+    val ranks = rangedRunningSums(counts, Seq("__side"), "__v", Seq("__c"))
+      .select(
+        col("__side"),
+        col("__v"),
+        (lit(2L) * col("__run___c") - col("__c") + lit(1L)).as("__dr")
+      )
+    def sideRanks(side: String, vc: String) = ranks
+      .filter(col("__side") === side)
+      .select(col("__v").as(vc), col("__dr").as(s"__dr$vc"))
     val joined = base
-      .join(doubledRanks("__a"), Seq("__a"))
-      .join(doubledRanks("__b"), Seq("__b"))
+      .join(sideRanks("a", "__a"), Seq("__a"))
+      .join(sideRanks("b", "__b"), Seq("__b"))
     def dec(c: Column) = c.cast("decimal(38,0)")
     val agg = joined.agg(
       count(lit(1)).as("__n"),
