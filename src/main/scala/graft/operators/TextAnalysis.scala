@@ -454,6 +454,65 @@ object TextAnalysis {
     df.withColumn(outCol, redacted)
   }
 
+  /** Curated PII pattern pack for [[maskPii]]/[[piiReport]] — the
+    * Dolma/CCNet-style masking set every released corpus applies before
+    * training: (kind, RE2-portable regex, digit-free mask token). Ordered
+    * so earlier masks can't be re-matched by later patterns (emails
+    * before phones, IPs before phones — a phone pattern must never eat
+    * half an IP). Deliberately high-precision/US-centric on phones (the
+    * published trade-off: loose phone regexes shred numeric text);
+    * extend per call via the `patterns` parameter. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<<EMAIL>>"),
+    ("ipv4", "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<<IP>>"),
+    ("phone", "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<<PHONE>>")
+  )
+
+  /** Mask PII in `textCol` into `outCol`: every match of each pattern in
+    * `patterns` (default [[PiiPatterns]]) replaced by its mask token, in
+    * pack order — one chain of codegen'd `regexp_replace`, the
+    * [[redactPatterns]] shape with a curated, oracle-shared pack. */
+  def maskPii(
+      df: DataFrame,
+      textCol: String,
+      outCol: String = "masked",
+      patterns: Seq[(String, String, String)] = PiiPatterns
+  ): DataFrame = {
+    require(df.columns.contains(textCol), s"column '$textCol' does not exist")
+    require(patterns.nonEmpty, "at least one (kind, pattern, token) required")
+    redactPatterns(df, textCol, patterns.map(p => (p._2, p._3)), outCol)
+  }
+
+  /** Per-document PII occurrence counts, one INT column per pattern kind
+    * (`n_email`, `n_ipv4`, ...), plus `n_pii` total — the audit that
+    * decides whether a source needs masking at all and verifies the
+    * masked output counts zero. Counting runs on the SAME patterns as
+    * [[maskPii]] in the same order semantics (counts are independent
+    * per kind, so order only matters for masking). Pure per-row
+    * `regexp_count` codegen; NULL text -> zero counts. */
+  def piiReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[(String, String, String)] = PiiPatterns
+  ): DataFrame = {
+    require(df.columns.contains(idCol), s"column '$idCol' does not exist")
+    require(df.columns.contains(textCol), s"column '$textCol' does not exist")
+    require(patterns.nonEmpty, "at least one (kind, pattern, token) required")
+    val kinds = patterns.map(_._1)
+    require(kinds.distinct == kinds, "pattern kinds must be unique")
+    val counts = patterns.map { case (kind, pat, _) =>
+      coalesce(regexp_count(col(textCol), lit(pat)), lit(0))
+        .cast("int")
+        .as(s"n_$kind")
+    }
+    df.select(col(idCol) +: counts: _*)
+      .withColumn(
+        "n_pii",
+        kinds.map(k => col(s"n_$k")).reduceLeft(_ + _)
+      )
+  }
+
   /** The ordered (pattern, replacement) stages of [[extractHtmlText]],
     * exported for oracle construction (the DuckDB side folds the SAME
     * strings into its regexp_replace chain, so both engines strip

@@ -348,6 +348,58 @@ private[graft] object QueryShared {
     s"trim($folded)"
   }
 
+  /** Deterministic PII injection for the masking/report queries: emails
+    * on every 3rd row, an IPv4 on every 4th, two phone formats on every
+    * 5th (overlaps exercise multi-kind rows; most rows get none). NULL
+    * text stays NULL. Construction is shared verbatim — the oracle
+    * checks the DETECTORS. */
+  def piiText: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val id = col("doc_id")
+    when(col("text").isNull, lit(null).cast("string"))
+      .otherwise(
+        concat(
+          col("text"),
+          when(
+            id % 3 === 0,
+            concat(lit(" mail user"), id.cast("string"), lit("@example.org"))
+          ).otherwise(lit("")),
+          when(
+            id % 4 === 0,
+            concat(lit(" from 10."), (id % 256).cast("string"), lit(".0.9"))
+          ).otherwise(lit("")),
+          when(id % 5 === 0, lit(" call (555) 123-4567 or 555-123-4567"))
+            .otherwise(lit(""))
+        )
+      )
+  }
+
+  /** [[piiText]] as DuckDB SQL. */
+  val duckPiiText: String =
+    """CASE WHEN text IS NULL THEN NULL
+      |ELSE text ||
+      |  CASE WHEN doc_id % 3 = 0
+      |       THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.org'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 4 = 0
+      |       THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.9'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0
+      |       THEN ' call (555) 123-4567 or 555-123-4567'
+      |       ELSE '' END
+      |END""".stripMargin
+
+  /** DuckDB expression folding TextAnalysis.PiiPatterns' masking chain
+    * over `expr` — identical patterns/tokens/order by construction. */
+  def duckMaskPii(expr: String): String =
+    graft.operators.TextAnalysis.PiiPatterns.foldLeft(expr) {
+      case (acc, (_, p, t)) => s"regexp_replace($acc, '$p', '$t', 'g')"
+    }
+
+  /** DuckDB per-kind PII occurrence count over `expr`. */
+  def duckPiiCount(expr: String, pattern: String): String =
+    s"coalesce(len(regexp_extract_all($expr, '$pattern')), 0)"
+
   /** DuckDB expression replaying Urls.registeredDomain over a host
     * expression (already lowercased or NULL) — longest-match over the
     * SAME embedded suffix table (PublicSuffixes.all, shared construction:

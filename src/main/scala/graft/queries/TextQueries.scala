@@ -488,6 +488,33 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // PII masking over injected emails/IPs/phones (the Dolma-style pass
+    // every released corpus runs): mask tokens replace every match, in
+    // pack order, as one codegen'd regexp_replace chain
+    "q_pii_mask" -> ((s, dir) => {
+      TextAnalysis
+        .maskPii(
+          t(s, dir, "documents")
+            .withColumn("ptext", piiText)
+            .select("doc_id", "ptext"),
+          "ptext"
+        )
+        .select("doc_id", "masked")
+        .orderBy("doc_id")
+    }),
+
+    // per-doc PII occurrence audit: one count per kind + the total —
+    // the report that decides whether a source needs masking at all
+    "q_pii_report" -> ((s, dir) => {
+      TextAnalysis
+        .piiReport(
+          t(s, dir, "documents").withColumn("ptext", piiText),
+          "doc_id",
+          "ptext"
+        )
+        .orderBy("doc_id")
+    }),
+
     // HTML -> text extraction over the synthetic markup wrap: comments,
     // script/style bodies (incl. a decoy </p> inside a string literal),
     // every tag, the six entities named AND numeric, tab/newline
@@ -1233,6 +1260,33 @@ private[graft] object TextQueries {
     "q_unigram_apply" -> duckUnigramApplyCte,
     "q_unigram_lm" -> duckUnigramTrainCte(),
     "q_unigram_tokens" -> duckUnigramTrainTokensCte(),
+
+    "q_pii_mask" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, $duckPiiText AS ptext FROM documents
+         |)
+         |SELECT doc_id, ${duckMaskPii("ptext")} AS masked
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_pii_report" -> {
+      val pats = TextAnalysis.PiiPatterns
+      val counts = pats
+        .map { case (k, p, _) =>
+          s"CAST(${duckPiiCount("ptext", p)} AS INT) AS n_$k"
+        }
+        .mkString(",\n       ")
+      val total = pats.map(p => s"n_${p._1}").mkString(" + ")
+      s"""WITH p AS (
+         |  SELECT doc_id, $duckPiiText AS ptext FROM documents
+         |), c AS (
+         |  SELECT doc_id,
+         |       $counts
+         |  FROM p
+         |)
+         |SELECT doc_id, ${pats.map(p => s"n_${p._1}").mkString(", ")},
+         |       CAST($total AS INT) AS n_pii
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     "q_html_text" ->
       s"""WITH h AS (

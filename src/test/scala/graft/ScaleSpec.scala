@@ -2806,6 +2806,40 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("maskPii masks every detected occurrence; piiReport counts them") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "reach me at jane.doe+x@sub.example.co.uk today"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call (555) 123-4567 or 555-123-4567 now"),
+      (4L, "all three: a@b.io 1.2.3.4 555-123-4567"),
+      (5L, "clean text, no pii at all"),
+      (6L, "version 1.2.3 is not an ip; 12345-678 not a phone")
+    ).toDF("id", "t")
+    val rep = TextAnalysis.piiReport(df, "id", "t")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(rep(1L) == ((1, 0, 0, 1)))
+    assert(rep(2L) == ((0, 2, 0, 2)))
+    assert(rep(3L) == ((0, 0, 2, 2)))
+    assert(rep(4L) == ((1, 1, 1, 3)))
+    assert(rep(5L) == ((0, 0, 0, 0)))
+    assert(rep(6L) == ((0, 0, 0, 0)), s"false positives: ${rep(6L)}")
+    // masking removes exactly what the report detects: re-reporting the
+    // masked text must count zero for every kind
+    val masked = TextAnalysis.maskPii(df, "t")
+    assert(masked.filter(col("masked").contains("<<EMAIL>>")).count() == 2)
+    val post = TextAnalysis.piiReport(masked, "id", "masked")
+      .agg(sum("n_pii")).collect().head.getLong(0)
+    assert(post == 0L, s"masked text still reports $post PII occurrences")
+    // NULL text -> zero counts, NULL masked
+    val n = TextAnalysis.piiReport(
+      Seq(9L).toDF("id").select(col("id"), lit(null).cast("string").as("t")),
+      "id", "t").collect().head
+    assert(n.getInt(4) == 0)
+  }
+
   test("gopherQualityFlags trips each rule independently") {
     import graft.operators.TextAnalysis
     val good = "the and quick brown foxes jumped over lazy dogs while " +
