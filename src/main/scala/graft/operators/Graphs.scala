@@ -284,17 +284,24 @@ object Graphs {
     // long-id contract, enforced loudly: a silent cast("long") on string
     // ids would turn non-numeric vertices into NULLs and quietly drop
     // them from the labeling — map string ids to longs (e.g. xxhash64)
-    // before calling, same contract as connectedComponentsByMinLabel
+    // before calling. Accepted: every type whose long cast is lossless
+    // for ids (integrals and scale-0 decimals, the common JDBC/parquet
+    // extract shapes); rejected: strings (silent NULL drops) and
+    // floats (silent truncation).
     Seq(srcCol, dstCol).foreach { c =>
       import org.apache.spark.sql.types._
       val dt = edges.schema(c).dataType
-      val integral = dt == ByteType || dt == ShortType ||
-        dt == IntegerType || dt == LongType
+      val lossless = dt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType if d.scale == 0                => true
+        case _                                             => false
+      }
       require(
-        integral,
-        s"vertex id column '$c' must be an integral type (got $dt): " +
-          "non-numeric ids would be silently dropped by the long cast — " +
-          "hash or dictionary-encode string ids to longs first"
+        lossless,
+        s"vertex id column '$c' must be an integral (or scale-0 decimal) " +
+          s"type (got $dt): non-numeric ids would be silently dropped by " +
+          "the long cast — hash or dictionary-encode string ids to longs " +
+          "first"
       )
     }
     val dir = edges

@@ -1704,8 +1704,12 @@ object Similarity {
       k: Int,
       nProbe: Int
   ): DataFrame = {
+    // materialize the model-sized probe table ONCE: the cell-set collect
+    // and the broadcast inside ivfPqScore both read it — without the
+    // checkpoint the per-query window/centroid work runs twice
     val probed =
       ivfPqProbeLuts(queries, qIdCol, qVecCol, coarse, codebooks, nProbe)
+        .localCheckpoint()
     val cells = probed
       .select("cell")
       .distinct()

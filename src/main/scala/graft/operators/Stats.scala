@@ -569,10 +569,13 @@ object Stats {
     * unnecessary by rank integrality. Exact while n^4 < 1e38/16
     * (n ~ 1e9 rows); a constant column yields NULL rho.
     *
-    * Scale shape: two distinct-value aggregates (map-side combined), each
-    * ranked by [[rangedRunningSums]] — never an unpartitioned window, so
-    * a near-unique value grid (doubles usually are) does not funnel one
-    * task; ranks join back on the value; one global aggregate finishes. */
+    * Scale shape: ONE corpus scan feeds a single (side, value)-keyed
+    * distinct-value aggregate (map-side combined; each row contributes
+    * its value to both sides), and ONE [[rangedRunningSums]] pass ranks
+    * both sides with the side as its group key — never an unpartitioned
+    * window, so a near-unique value grid (doubles usually are) does not
+    * funnel one task; ranks join back on the value per side; one global
+    * aggregate finishes. */
   def spearmanCorrelation(
       df: DataFrame,
       colA: String,

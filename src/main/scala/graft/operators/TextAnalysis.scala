@@ -465,7 +465,10 @@ object TextAnalysis {
   val PiiPatterns: Seq[(String, String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<<EMAIL>>"),
     ("ipv4", "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b", "<<IP>>"),
-    ("phone", "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<<PHONE>>")
+    // boundary on BOTH ends (after the optional paren): without the
+    // leading \b the pattern would match mid-run inside longer digit
+    // strings ("1555-123-4567" -> "1<<PHONE>>")
+    ("phone", "\\(?\\b[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<<PHONE>>")
   )
 
   /** Mask PII in `textCol` into `outCol`: every match of each pattern in
@@ -479,6 +482,10 @@ object TextAnalysis {
       patterns: Seq[(String, String, String)] = PiiPatterns
   ): DataFrame = {
     require(df.columns.contains(textCol), s"column '$textCol' does not exist")
+    require(
+      !df.columns.contains(outCol) || outCol == textCol,
+      s"output column '$outCol' already exists — drop it or pick another"
+    )
     require(patterns.nonEmpty, "at least one (kind, pattern, token) required")
     redactPatterns(df, textCol, patterns.map(p => (p._2, p._3)), outCol)
   }
@@ -534,8 +541,11 @@ object TextAnalysis {
     "&quot;|&#34;" -> "\"",
     "&apos;|&#39;" -> "'",
     "&amp;|&#38;" -> "&",
-    // collapse ALL whitespace runs (tag removal leaves plenty)
-    "\\s+" -> " "
+    // collapse whitespace runs (tag removal leaves plenty) — an explicit
+    // class, NOT \s: Java's \s includes \x0B where RE2's does not, so \s
+    // is the one place "identical pattern strings" would not mean
+    // identical semantics across the two engines
+    "[ \\t\\n\\f\\r]+" -> " "
   )
 
   /** HTML -> text extraction: strip comments, script/style blocks (body

@@ -103,8 +103,9 @@ object Urls {
     * `example.co.uk`, `alice.github.io` -> `alice.github.io` (distinct
     * from `bob.github.io` — shared-hosting sites are separate cap
     * groups), and `b.s3.eu-west-1.amazonaws.com` keeps all five labels.
-    * Suffix rules are exact (2–4 labels); wildcard/exception PSL rules
-    * are not modeled. Single-label hosts (`localhost`), IPv4 and
+    * Suffix rules are exact, any depth (the embedded list carries 2-4
+    * labels; a swapped-in upstream PSL's 5-label rules work too);
+    * wildcard/exception PSL rules are not modeled. Single-label hosts (`localhost`), IPv4 and
     * bracketed-IPv6 literals, and NULLs pass through unchanged; a host
     * that IS a bare public suffix degenerates to its last two labels
     * (not a registrable site either way). Matching is per-row O(1) hash
@@ -121,10 +122,11 @@ object Urls {
         .map(_.toLowerCase)
         .distinct
         .groupBy(_.count(_ == '.') + 1)
-    require(
-      byLen.keys.forall(k => k >= 1 && k <= 4),
-      "suffix rules must have 1 to 4 labels"
-    )
+    // no rule-depth cap: the full upstream PSL has 5-label exact rules
+    // (s3.dualstack.<region>.amazonaws.com), and the advertised
+    // swap-in-your-own-list contract must accept them — the fold below
+    // sizes itself to the deepest rule present
+    val maxLen = if (byLen.isEmpty) 0 else byLen.keys.max
     def inSet(c: Column, vals: Seq[String]): Column =
       if (vals.isEmpty) lit(false)
       else
@@ -147,7 +149,7 @@ object Urls {
       concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
     val base = when(host.isNull, lit(null).cast("string"))
       .when(host.rlike(IpHostRe), host)
-    (4 to 1 by -1)
+    (maxLen to 1 by -1)
       .foldLeft(base) { (acc, k) =>
         byLen.get(k) match {
           case Some(rules) =>

@@ -209,6 +209,16 @@ private[graft] object QueryShared {
     * exactly as TextAnalysis.qualityScore / the q_quality oracle —
     * shared by the calibration oracles (q_threshold_sweep, q_auc) so the
     * formula lives in one place. */
+  /** The ROUND(LEAST(...)) quality formula over token/punct/stopword
+    * count expressions — the ONE definition of
+    * TextAnalysis.qualityScore's oracle arithmetic, shared by q_quality,
+    * q_html_pipeline, q_pipeline_e2e, and the calibration CTE so a
+    * formula tweak cannot silently drift between oracles. */
+  def duckQualityExpr(nt: String, pc: String, stops: String): String =
+    s"ROUND(LEAST(1.0, (CAST($stops AS DOUBLE) / $nt) * 2.0 + " +
+      s"(CASE WHEN $nt >= 20 AND $nt <= 2000 THEN 0.5 ELSE 0.2 END) + " +
+      s"(CASE WHEN $pc = 0 THEN 0.1 ELSE 0.0 END)), 6)"
+
   def duckQualityScoreCte: String = {
     val en = TextAnalysis.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
     s"""m AS (
@@ -219,10 +229,7 @@ private[graft] object QueryShared {
        |  FROM documents
        |), q AS (
        |  SELECT doc_id,
-       |         ROUND(LEAST(1.0,
-       |           (CAST(stops AS DOUBLE) / n_tokens) * 2.0 +
-       |           (CASE WHEN n_tokens >= 20 AND n_tokens <= 2000 THEN 0.5 ELSE 0.2 END) +
-       |           (CASE WHEN punct_count = 0 THEN 0.1 ELSE 0.0 END)), 6) AS s
+       |         ${duckQualityExpr("n_tokens", "punct_count", "stops")} AS s
        |  FROM m
        |)""".stripMargin
   }

@@ -367,10 +367,7 @@ private[graft] object SplitQueries {
          |  ) x JOIN te USING (gram)
          |), q AS (
          |  SELECT doc_id, text,
-         |         ROUND(LEAST(1.0,
-         |           (CAST(stops AS DOUBLE) / nt) * 2.0 +
-         |           (CASE WHEN nt >= 20 AND nt <= 2000 THEN 0.5 ELSE 0.2 END) +
-         |           (CASE WHEN pc = 0 THEN 0.1 ELSE 0.0 END)), 6) AS quality
+         |         ${QueryShared.duckQualityExpr("nt", "pc", "stops")} AS quality
          |  FROM (
          |    SELECT doc_id, text,
          |           len(string_split(lower(text), ' ')) AS nt,

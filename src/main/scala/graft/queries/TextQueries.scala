@@ -776,10 +776,7 @@ private[graft] object TextQueries {
          |       CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
          |       punct_count,
          |       CAST(stops AS DOUBLE) / n_tokens AS stopword_ratio,
-         |       ROUND(LEAST(1.0,
-         |         (CAST(stops AS DOUBLE) / n_tokens) * 2.0 +
-         |         (CASE WHEN n_tokens >= 20 AND n_tokens <= 2000 THEN 0.5 ELSE 0.2 END) +
-         |         (CASE WHEN punct_count = 0 THEN 0.1 ELSE 0.0 END)), 6) AS quality
+         |       ${duckQualityExpr("n_tokens", "punct_count", "stops")} AS quality
          |FROM m ORDER BY doc_id""".stripMargin
     },
 
@@ -1303,10 +1300,7 @@ private[graft] object TextQueries {
          |  SELECT doc_id, ${duckHtmlExtract("html")} AS text FROM h
          |), q AS (
          |  SELECT doc_id, CAST(nt AS INT) AS n_tokens,
-         |         ROUND(LEAST(1.0,
-         |           (CAST(stops AS DOUBLE) / nt) * 2.0 +
-         |           (CASE WHEN nt >= 20 AND nt <= 2000 THEN 0.5 ELSE 0.2 END) +
-         |           (CASE WHEN pc = 0 THEN 0.1 ELSE 0.0 END)), 6) AS quality
+         |         ${duckQualityExpr("nt", "pc", "stops")} AS quality
          |  FROM (
          |    SELECT doc_id, text,
          |           len(string_split(lower(text), ' ')) AS nt,

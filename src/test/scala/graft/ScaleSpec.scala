@@ -2814,7 +2814,10 @@ class ScaleSpec extends SparkSpec {
       (3L, "call (555) 123-4567 or 555-123-4567 now"),
       (4L, "all three: a@b.io 1.2.3.4 555-123-4567"),
       (5L, "clean text, no pii at all"),
-      (6L, "version 1.2.3 is not an ip; 12345-678 not a phone")
+      (6L, "version 1.2.3 is not an ip; 12345-678 not a phone"),
+      // a phone-shaped tail inside a longer digit run must NOT match
+      // (leading \b after the optional paren)
+      (7L, "ticket 1555-123-4567 open")
     ).toDF("id", "t")
     val rep = TextAnalysis.piiReport(df, "id", "t")
       .collect()
@@ -2826,6 +2829,7 @@ class ScaleSpec extends SparkSpec {
     assert(rep(4L) == ((1, 1, 1, 3)))
     assert(rep(5L) == ((0, 0, 0, 0)))
     assert(rep(6L) == ((0, 0, 0, 0)), s"false positives: ${rep(6L)}")
+    assert(rep(7L) == ((0, 0, 0, 0)), s"mid-digit-run phone match: ${rep(7L)}")
     // masking removes exactly what the report detects: re-reporting the
     // masked text must count zero for every kind
     val masked = TextAnalysis.maskPii(df, "t")

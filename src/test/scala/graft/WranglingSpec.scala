@@ -316,6 +316,16 @@ class WranglingSpec extends SparkSpec {
       graft.operators.PublicSuffixes.all.size > 2000,
       "embedded suffix table unexpectedly small"
     )
+    // the swap-in-the-full-PSL contract: 5-label exact rules (present in
+    // the real upstream list) must be honored, not rejected or ignored
+    val five = Seq("x.s3.dualstack.eu-west-1.amazonaws.com")
+      .toDF("h")
+      .select(Urls.registeredDomain(
+        col("h"),
+        extraSuffixes = Seq("s3.dualstack.eu-west-1.amazonaws.com")
+      ).as("d"))
+      .collect().head.getString(0)
+    assert(five == "x.s3.dualstack.eu-west-1.amazonaws.com")
   }
 
   test("domainCap keeps at most N per registered domain, deterministically") {
