@@ -526,6 +526,155 @@ object Dedup {
     newDocs.join(losers, newDocs(idCol) === col("__loser"), "left_anti")
   }
 
+  /** MinHash-LSH candidate pairs VERIFIED by exact shingle-set Jaccard —
+    * the two-stage production dedup shape (candidates cheap and recall-
+    * oriented, verification exact and precision-oriented). Candidates are
+    * the union of the identical-signature pairs (each doc vs its signature
+    * group's minimum id) and the bucket-minimum band pairs of
+    * [[minHashCandidatePairsFromSigs]] — O(bands) pairs per doc even under
+    * giant duplicate clusters — and EVERY candidate is then verified by
+    * exact Jaccard over the true distinct shingle sets, so unlike
+    * [[dedupNearMinHash]] (which trusts the 16-hash estimate) no false
+    * positive survives: est-vs-truth error costs only candidate-stage
+    * recall, never a wrongly dropped document.
+    *
+    * The threshold is quantized to ppm and compared in integers
+    * (`inter * 1e6 >= thrPpm * union`) so the decision is exact and
+    * engine-portable; the returned `jaccard` is the exact value.
+    *
+    * Scale shape: ONE shingle scan feeds both the signatures and the
+    * distinct-shingle inverted index; the intersection join touches only
+    * candidate pairs (bounded linear), shuffling skinny (id, shingle)
+    * rows. Docs with NULL/too-short text produce no shingles and are never
+    * candidates (always retained), mirroring [[dedupNearMinHash]]. */
+  def minHashVerifiedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleK: Int = 1,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      portable: Boolean = true
+  ): DataFrame = {
+    val thrPpm = math.round(threshold * 1e6)
+    val sets = df.select(
+      col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), shingleK)).as("__set")
+    )
+    // signatures from the DISTINCT shingle sets: min() is idempotent, so
+    // the signature equals minHashSignatures' over the raw shingle stream
+    // (asserted in DedupSpec) and the corpus text is scanned exactly once
+    // for both stages.
+    val exploded = ScanUtils
+      .withScanParallelism(sets)
+      .select(col("__id"), explode(col("__set")).as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigsFromShingleTable(exploded, numHashes, portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val sigMins = sigs.groupBy("__sig").agg(min("__id").as("__min"))
+    val exactCand = sigs
+      .join(sigMins, Seq("__sig"))
+      .filter(col("__id") > col("__min"))
+      .select(col("__min").as("id_a"), col("__id").as("id_b"))
+    val bandCand =
+      minHashCandidatePairsFromSigs(sigs, numHashes, bands, representativesOnly = true)
+        .select("id_a", "id_b")
+    val cand = exactCand.union(bandCand).distinct()
+
+    val sizes = exploded.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val inter = cand
+      .join(exploded.select(col("__id").as("id_a"), col("__s")), Seq("id_a"))
+      .join(exploded.select(col("__id").as("id_b"), col("__s")), Seq("id_b", "__s"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__i"))
+    val verified = inter
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .filter(
+        col("__i") * lit(1000000L) >=
+          lit(thrPpm) * (col("__na") + col("__nb") - col("__i"))
+      )
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
+          .as("jaccard")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.count() // EAGER off the cached shingle table, then release it
+    exploded.unpersist(blocking = false)
+    sigs.unpersist(blocking = false)
+    verified
+  }
+
+  /** Signature table from a pre-exploded (id, shingle) table — the shared
+    * core of [[minHashSignatures]] for callers that already hold the
+    * shingle stream. */
+  private def sigsFromShingleTable(
+      exploded: DataFrame,
+      numHashes: Int,
+      portable: Boolean
+  ): DataFrame = {
+    val (seeded, componentCol) =
+      if (portable) {
+        val seeds = org.apache.spark.sql.GraftSqlBridge.column(
+          graft.plans.MinHashSeedsExpr(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("__s")),
+            MinHashMod
+          )
+        )
+        val s = exploded
+          .select(col("__id"), seeds.as("__ab"))
+          .select(col("__id"), col("__ab.a").as("__a"), col("__ab.b").as("__b"))
+        (s, (j: Int) => (col("__a") + lit(j.toLong) * col("__b")) % MinHashMod)
+      } else {
+        (exploded, (j: Int) => xxhash64(lit(j), col("__s")))
+      }
+    val aggCols = (0 until numHashes).map(j => min(componentCol(j)).as(s"__h$j"))
+    seeded
+      .groupBy("__id")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(
+        col("__id"),
+        array((0 until numHashes).map(j => col(s"__h$j")): _*).as("__sig")
+      )
+  }
+
+  /** Near-dedup with exact verification: [[minHashVerifiedPairs]]
+    * candidates, drop every doc with a VERIFIED smaller-id near-duplicate
+    * (or, `transitive = true`, everything above its verified-cluster
+    * minimum). The GPT-3/RefinedWeb-documented policy where the LSH stage
+    * only proposes and exact Jaccard decides. Same EAGER contract as
+    * [[dedupNearMinHash]]. */
+  def dedupNearMinHashVerified(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      shingleK: Int = 1,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      portable: Boolean = true,
+      transitive: Boolean = false
+  ): DataFrame = {
+    val pairs = minHashVerifiedPairs(
+      df, idCol, textCol, threshold, shingleK, numHashes, bands, portable)
+    val losers =
+      (if (transitive) {
+         Graphs
+           .connectedComponentsByMinLabel(pairs.select("id_a", "id_b"), "id_a", "id_b")
+           .filter(col("id") > col("component"))
+           .select(col("id").as("__loser"))
+       } else {
+         pairs.select(col("id_b").as("__loser"))
+       }).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    losers.count()
+    df.join(losers, df(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Per-row 64-bit SimHash signatures (id, simhash), computed as
     * explode-tokens -> codegen'd hash aggregate with one bit-vote `sum`
     * column per signature bit — the same reformulation that took MinHash out

@@ -343,6 +343,56 @@ object TextAnalysis {
     )
   }
 
+  /** Corpus n-gram frequency table — the raw material of n-gram LM
+    * estimation (KenLM-style count files), collocation screens, and
+    * contamination gram stores: one row per distinct word n-gram with its
+    * collection frequency and document frequency, pruned at `minCount`
+    * (Katz-style count cutoff — at corpus scale the singleton tail IS the
+    * table, so the prune rides the aggregate, not a second pass).
+    *
+    * Scale shape: gram enumeration is the per-row codegen'd [[shingles]]
+    * fold (no O(len²) lambda re-evaluation); ONE map-side-combined
+    * aggregate keyed by the gram carries (count, partial doc count).
+    * `topK = 0` keeps every surviving gram (the LM-prep shape, write the
+    * result out); `topK > 0` ranks deterministically via TakeOrdered —
+    * never a global sort. */
+  def ngramCounts(
+      df: DataFrame,
+      textCol: String,
+      n: Int,
+      minCount: Long = 1L,
+      topK: Int = 0
+  ): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(minCount >= 1L, "minCount must be >= 1")
+    // doc identity BEFORE the explode: in the same projection as a
+    // generator, monotonically_increasing_id would number the generated
+    // rows (doc_freq would equal coll_freq)
+    val withDoc = ScanUtils
+      .withScanParallelism(df)
+      .select(monotonically_increasing_id().as("__doc"), col(textCol))
+    val exploded = withDoc.select(
+      col("__doc"),
+      explode(shingles(col(textCol), n)).as("ngram")
+    )
+    val counts = exploded
+      .groupBy("ngram")
+      .agg(
+        count(lit(1)).as("coll_freq"),
+        countDistinct("__doc").as("doc_freq")
+      )
+      .filter(col("coll_freq") >= minCount)
+    if (topK <= 0) counts
+    else
+      TopN.firstRow(
+        counts,
+        n = topK,
+        orderBy = Seq(col("coll_freq").desc, col("ngram")),
+        returnIndexColumn = true,
+        indexColumnName = "rank"
+      )
+  }
+
   /** Tokenizer vocabulary coverage: per document, the whitespace-token
     * count, how many of those tokens are OUT of the supplied vocabulary,
     * and the OOV fraction — the standard pre-training diagnostic for "does

@@ -112,6 +112,20 @@ object Urls {
     * lookups (`InSet`), never a scan of the suffix table. Swap the whole
     * list via `baseSuffixes` to run a different policy (e.g. the full
     * upstream PSL read from a file). */
+  private def inSet(c: Column, vals: Seq[String]): Column =
+    if (vals.isEmpty) lit(false)
+    else
+      org.apache.spark.sql.GraftSqlBridge.column(
+        org.apache.spark.sql.catalyst.expressions.InSet(
+          org.apache.spark.sql.GraftSqlBridge.expression(c),
+          vals
+            .map(v =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(v): Any
+            )
+            .toSet
+        )
+      )
+
   def registeredDomain(
       host: Column,
       extraSuffixes: Seq[String] = Nil,
@@ -127,19 +141,6 @@ object Urls {
     // swap-in-your-own-list contract must accept them — the fold below
     // sizes itself to the deepest rule present
     val maxLen = if (byLen.isEmpty) 0 else byLen.keys.max
-    def inSet(c: Column, vals: Seq[String]): Column =
-      if (vals.isEmpty) lit(false)
-      else
-        org.apache.spark.sql.GraftSqlBridge.column(
-          org.apache.spark.sql.catalyst.expressions.InSet(
-            org.apache.spark.sql.GraftSqlBridge.expression(c),
-            vals
-              .map(v =>
-                org.apache.spark.unsafe.types.UTF8String.fromString(v): Any
-              )
-              .toSet
-          )
-        )
     val labels = split(host, "\\.")
     val n = size(labels)
     // lastK(k) is only ever evaluated under an n >= k guard (&& and
@@ -159,6 +160,59 @@ object Urls {
       }
       .when(n >= 2, lastK(2))
       .otherwise(host)
+  }
+
+  /** True iff the (lowercased) host equals one of `entries` or is a
+    * subdomain of one — UT1-blocklist semantics, where listing
+    * `badsite.com` bans `badsite.com` AND `www.badsite.com`, and listing
+    * `blog.example.org` bans only that subtree. Per-row cost is one
+    * O(1) `InSet` hash lookup per DISTINCT entry depth (the
+    * [[registeredDomain]] fold shape), never a scan of the list; NULL
+    * hosts yield false. Entries are lowercased; list sizes in the
+    * millions stay a broadcast-task-binary concern, not a join. */
+  def hostMatchesDomains(host: Column, entries: Seq[String]): Column = {
+    val byLen: Map[Int, Seq[String]] =
+      entries.map(_.toLowerCase).distinct.groupBy(_.count(_ == '.') + 1)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    def lastK(k: Int): Column =
+      concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
+    byLen.toSeq
+      .sortBy(_._1)
+      .foldLeft(lit(false)) { case (acc, (k, vals)) =>
+        acc || (n >= k && inSet(lastK(k), vals))
+      } && host.isNotNull
+  }
+
+  /** Allow/block-list URL filtering — the crawl-curation gate that runs
+    * before any content-based scoring. Hosts are parsed with the shared
+    * [[parseUrls]] host pattern; matching is [[hostMatchesDomains]]
+    * (domain-or-subdomain). Policy:
+    *   - `allow` non-empty: a row survives iff its host matches `allow`
+    *     and does not match `block` (block overrides); unparseable URLs
+    *     (NULL host) are dropped — they cannot prove membership.
+    *   - `allow` empty: a row survives iff its host does not match
+    *     `block`; NULL hosts survive (they cannot match a ban entry) —
+    *     route them to [[domainCap]]'s NULL group or a quality gate
+    *     instead of silently losing them here.
+    * Pure per-row codegen (regexp + hash lookups) — no shuffle, no
+    * action; at 100 TB this is a free rider on the first corpus scan. */
+  def filterByDomains(
+      df: DataFrame,
+      urlCol: String,
+      block: Seq[String] = Nil,
+      allow: Seq[String] = Nil
+  ): DataFrame = {
+    require(df.columns.contains(urlCol), s"column '$urlCol' does not exist")
+    require(
+      block.nonEmpty || allow.nonEmpty,
+      "at least one of block/allow must be non-empty"
+    )
+    val host = lower(extractOrNull(col(urlCol), HostRe))
+    val blocked =
+      if (block.isEmpty) lit(false) else hostMatchesDomains(host, block)
+    if (allow.isEmpty) df.filter(!blocked)
+    else df.filter(hostMatchesDomains(host, allow) && !blocked)
   }
 
   /** Cap the documents kept per registered domain at `maxPerDomain`,

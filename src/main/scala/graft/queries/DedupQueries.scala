@@ -68,6 +68,26 @@ private[graft] object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // two-stage verified near-dedup: LSH proposes (bucket-min band pairs +
+    // identical-signature pairs), exact shingle-set Jaccard decides — no
+    // estimation error can drop a document. Integer ppm threshold compare.
+    "q_minhash_verified_pairs" -> ((s, dir) => {
+      Dedup
+        .minHashVerifiedPairs(
+          t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.8, shingleK = 1, numHashes = 16, bands = 4
+        )
+        .orderBy("id_a", "id_b")
+    }),
+    "q_dedup_minhash_verified" -> ((s, dir) => {
+      Dedup
+        .dedupNearMinHashVerified(
+          t(s, dir, "documents"), "doc_id", "text", threshold = 0.8
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // exact token-set Jaccard near-dup pairs via inverted index. The
     // synthetic corpus is a ~50-word vocabulary, so *every* doc pair shares
     // tokens and the true >=0.8 pair set itself grows quadratically with
@@ -322,6 +342,17 @@ private[graft] object DedupQueries {
          |)
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id NOT IN (SELECT ib FROM losers)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_verified_pairs" ->
+      s"""WITH $duckMinHashCommon, $duckMinHashVerify
+         |SELECT ia AS id_a, ib AS id_b, jaccard FROM vp
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_minhash_verified" ->
+      s"""WITH $duckMinHashCommon, $duckMinHashVerify
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id NOT IN (SELECT ib FROM vp)
          |ORDER BY doc_id""".stripMargin,
 
     "q_jaccard_pairs" ->

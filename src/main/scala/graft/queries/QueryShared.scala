@@ -440,6 +440,34 @@ private[graft] object QueryShared {
        |     ELSE $host END""".stripMargin
   }
 
+  /** Shared allow/block entry lists for q_url_filter — the SAME literals
+    * feed Urls.filterByDomains and the interpolated DuckDB predicate, so
+    * the oracle exercises the matcher, not the list. */
+  val UrlFilterAllow: Seq[String] =
+    Seq("src1.com", "src2.org", "src3.co.uk", "src4.com", "src5.org")
+  val UrlFilterBlock: Seq[String] = Seq("blog.src2.org")
+
+  /** DuckDB expression mirroring `Urls.hostMatchesDomains`: true iff the
+    * host equals an entry or is a subdomain of one — same grouped-by-depth
+    * label-suffix construction, interpolated from the same entry list the
+    * Spark side receives. */
+  def duckHostMatches(host: String, entries: Seq[String]): String = {
+    val byLen =
+      entries.map(_.toLowerCase).distinct.groupBy(_.count(_ == '.') + 1)
+    def lastK(k: Int): String =
+      (k to 1 by -1)
+        .map(i => s"string_split($host, '.')[-$i]")
+        .mkString(" || '.' || ")
+    val ors = byLen.toSeq
+      .sortBy(_._1)
+      .map { case (k, vals) =>
+        val inList = vals.sorted.map(v => s"'$v'").mkString(", ")
+        s"(len(string_split($host, '.')) >= $k AND (${lastK(k)}) IN ($inList))"
+      }
+      .mkString(" OR ")
+    s"($host IS NOT NULL AND ($ors))"
+  }
+
   /** DuckDB expression for the lowercased host of a URL expression, NULL
     * when unparseable — runs the IDENTICAL pattern as Urls.parseUrls'
     * host component (userinfo consumed before the capture, bracketed
@@ -636,6 +664,35 @@ private[graft] object QueryShared {
       |)""".stripMargin
 
   val duckMinHashCommon: String = duckMinHashCommonWhere("")
+
+  /** Exact-Jaccard verification stage over [[duckMinHashCommon]]'s
+    * candidates (band bucket-min pairs `pr` + identical-signature pairs
+    * from `ex`), mirroring `Dedup.minHashVerifiedPairs` at threshold 0.8:
+    * distinct token sets, candidate-only intersection counts, integer ppm
+    * threshold compare. Defines `vp(ia, ib, jaccard)`. */
+  val duckMinHashVerify: String =
+    """g AS (
+      |  SELECT DISTINCT doc_id, unnest(toks) AS tk FROM d
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+      |), cd AS (
+      |  SELECT ia, ib FROM pr
+      |  UNION
+      |  SELECT sig_min AS ia, doc_id AS ib FROM ex WHERE doc_id > sig_min
+      |), itr AS (
+      |  SELECT cd.ia, cd.ib, count(*) AS i
+      |  FROM cd
+      |  JOIN g a ON a.doc_id = cd.ia
+      |  JOIN g b ON b.doc_id = cd.ib AND b.tk = a.tk
+      |  GROUP BY cd.ia, cd.ib
+      |), vp AS (
+      |  SELECT itr.ia, itr.ib,
+      |         CAST(itr.i AS DOUBLE) / (sa.n + sb.n - itr.i) AS jaccard
+      |  FROM itr
+      |  JOIN sz sa ON sa.doc_id = itr.ia
+      |  JOIN sz sb ON sb.doc_id = itr.ib
+      |  WHERE itr.i * 1000000 >= 800000 * (sa.n + sb.n - itr.i)
+      |)""".stripMargin
 
   def duckBucketFor(planes: Seq[Seq[Double]]): String =
     planes.zipWithIndex

@@ -164,6 +164,14 @@ private[graft] object TextQueries {
         .orderBy("rank")
     }),
 
+    // corpus trigram count table (KenLM-prep shape): count-cutoff prune at
+    // 2, deterministic top-100 by collection frequency
+    "q_ngram_counts" -> ((s, dir) => {
+      TextAnalysis
+        .ngramCounts(t(s, dir, "documents"), "text", n = 3, minCount = 2, topK = 100)
+        .orderBy("rank")
+    }),
+
     // per-document top-3 TF-IDF terms (smooth ln(N/df), rounded to 6dp)
     "q_tfidf" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -598,6 +606,23 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // allow/block-list URL gate: allow five registered domains, ban the
+    // blog.src2.org subtree inside one of them (block overrides allow);
+    // unparseable URLs drop under an allowlist. Pure per-row codegen.
+    "q_url_filter" -> ((s, dir) => {
+      import graft.operators.Urls
+      Urls
+        .filterByDomains(
+          t(s, dir, "documents")
+            .withColumn("url", syntheticUrl)
+            .select("doc_id", "url"),
+          "url",
+          block = UrlFilterBlock,
+          allow = UrlFilterAllow
+        )
+        .orderBy("doc_id")
+    }),
+
     // domain concentration report: docs + corpus share per registered
     // domain (broadcast total, map-side-combined aggregate)
     "q_domain_stats" -> ((s, dir) => {
@@ -898,6 +923,30 @@ private[graft] object TextQueries {
         |)
         |SELECT term, coll_freq, doc_freq, rank FROM r
         |WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
+    "q_ngram_counts" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_transform(range(1, len(t) - 1),
+        |              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |         ELSE [] END) AS ngram
+        |  FROM tk
+        |), st AS (
+        |  SELECT ngram, count(*) AS coll_freq,
+        |         count(DISTINCT doc_id) AS doc_freq
+        |  FROM g GROUP BY ngram
+        |  HAVING count(*) >= 2
+        |), r AS (
+        |  SELECT ngram, coll_freq, doc_freq,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY coll_freq DESC, ngram) AS INT) AS rank
+        |  FROM st
+        |)
+        |SELECT ngram, coll_freq, doc_freq, rank FROM r
+        |WHERE rank <= 100 ORDER BY rank""".stripMargin,
 
     "q_tfidf" ->
       """WITH tok AS (
@@ -1382,6 +1431,17 @@ private[graft] object TextQueries {
          |SELECT doc_id, url_domain FROM cap
          |WHERE doc_id NOT IN (SELECT ib FROM losers)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_url_filter" -> {
+      val h = duckUrlHost("url")
+      s"""WITH u AS (
+         |  SELECT doc_id, $duckSyntheticUrl AS url FROM documents
+         |)
+         |SELECT doc_id, url FROM u
+         |WHERE ${duckHostMatches(h, UrlFilterAllow)}
+         |  AND NOT ${duckHostMatches(h, UrlFilterBlock)}
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_domain_stats" ->
       s"""WITH u AS (

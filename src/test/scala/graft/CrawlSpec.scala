@@ -1,0 +1,363 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis, Urls}
+import graft.sources.{Jsonl, Warc}
+import org.apache.spark.sql.functions._
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+/** Crawl-ingestion tier: WARC parsing, JSONL IO, URL allow/block gating,
+  * n-gram count tables, and exact-verified MinHash dedup. */
+class CrawlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tmp = Files.createTempDirectory("graft-crawl").toString
+
+  // ---------------------------------------------------------------- WARC
+
+  private def warcRecord(
+      headers: Seq[(String, String)],
+      payload: Array[Byte]
+  ): Array[Byte] = {
+    val head =
+      ("WARC/1.0" +: headers.map { case (k, v) => s"$k: $v" })
+        .mkString("\r\n") + "\r\n\r\n"
+    head.getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  private val htmlBody =
+    "<html><body>Hello crawl — ünïcode body</body></html>".getBytes("UTF-8")
+  private val httpPayload =
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      "Server: test\r\n\r\n").getBytes("ISO-8859-1") ++ htmlBody
+  private val infoPayload =
+    "software: graft-test\r\n".getBytes("ISO-8859-1")
+
+  private def sampleWarc: Array[Byte] =
+    warcRecord(
+      Seq(
+        "WARC-Type" -> "warcinfo",
+        "WARC-Record-ID" -> "<urn:uuid:info-1>",
+        "WARC-Date" -> "2026-08-16T00:00:00Z",
+        "Content-Type" -> "application/warc-fields",
+        "Content-Length" -> infoPayload.length.toString
+      ),
+      infoPayload
+    ) ++ warcRecord(
+      Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> "<urn:uuid:resp-1>",
+        "WARC-Target-URI" -> "https://example.com/page",
+        "WARC-Date" -> "2026-08-16T00:00:01Z",
+        "Content-Type" -> "application/http; msgtype=response",
+        "Content-Length" -> httpPayload.length.toString
+      ),
+      httpPayload
+    ) ++ warcRecord(
+      Seq(
+        "WARC-Type" -> "request",
+        "WARC-Record-ID" -> "<urn:uuid:req-1>",
+        "WARC-Target-URI" -> "https://example.com/page",
+        "WARC-Date" -> "2026-08-16T00:00:01Z",
+        "Content-Type" -> "application/http; msgtype=request",
+        "Content-Length" -> "2"
+      ),
+      "GT".getBytes("ISO-8859-1")
+    )
+
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  test("warc: plain file parses records, headers, and http payloads") {
+    val p = s"$tmp/plain.warc"
+    Files.write(Paths.get(p), sampleWarc)
+    val rows = Warc
+      .readWarc(spark, p)
+      .orderBy("record_index")
+      .collect()
+    assert(rows.length == 3)
+    val info = rows(0)
+    assert(info.getAs[String]("warc_type") == "warcinfo")
+    assert(info.getAs[String]("record_id") == "urn:uuid:info-1") // <> stripped
+    assert(info.isNullAt(info.fieldIndex("http_status")))
+    assert(new String(info.getAs[Array[Byte]]("body"), "ISO-8859-1")
+      .startsWith("software: graft-test"))
+
+    val resp = rows(1)
+    assert(resp.getAs[String]("warc_type") == "response")
+    assert(resp.getAs[String]("target_uri") == "https://example.com/page")
+    assert(resp.getAs[Int]("http_status") == 200)
+    assert(resp.getAs[String]("http_content_type") == "text/html; charset=utf-8")
+    assert(resp.getAs[Long]("content_length") == httpPayload.length.toLong)
+    assert(new String(resp.getAs[Array[Byte]]("body"), "UTF-8") ==
+      new String(htmlBody, "UTF-8"))
+
+    val req = rows(2)
+    assert(req.getAs[String]("warc_type") == "request")
+    // truncated/odd http payload (no header separator): whole payload back,
+    // no status — data, not an error
+    assert(req.isNullAt(req.fieldIndex("http_status")))
+    assert(new String(req.getAs[Array[Byte]]("body"), "ISO-8859-1") == "GT")
+  }
+
+  test("warc: per-record gzip members and whole-file gzip both parse") {
+    val perRecord = gzipBytes(
+      warcRecord(
+        Seq(
+          "WARC-Type" -> "warcinfo",
+          "WARC-Record-ID" -> "<urn:uuid:info-1>",
+          "Content-Type" -> "application/warc-fields",
+          "Content-Length" -> infoPayload.length.toString
+        ),
+        infoPayload
+      )
+    ) ++ gzipBytes(
+      warcRecord(
+        Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> "<urn:uuid:resp-1>",
+          "WARC-Target-URI" -> "https://example.com/page",
+          "Content-Type" -> "application/http; msgtype=response",
+          "Content-Length" -> httpPayload.length.toString
+        ),
+        httpPayload
+      )
+    )
+    val p1 = s"$tmp/members.warc.gz"
+    Files.write(Paths.get(p1), perRecord)
+    val r1 = Warc.readWarc(spark, p1).orderBy("record_index").collect()
+    assert(r1.length == 2)
+    assert(r1(1).getAs[Int]("http_status") == 200)
+
+    val p2 = s"$tmp/whole.warc.gz"
+    Files.write(Paths.get(p2), gzipBytes(sampleWarc))
+    val r2 = Warc.readWarc(spark, p2).collect()
+    assert(r2.length == 3)
+  }
+
+  test("warc: leading garbage skipped; missing Content-Length aborts file remainder") {
+    val broken =
+      "random junk line\r\n\r\n".getBytes("ISO-8859-1") ++
+        sampleWarc ++
+        ("WARC/1.0\r\nWARC-Type: response\r\n\r\n").getBytes("ISO-8859-1") ++
+        httpPayload
+    val p = s"$tmp/broken.warc"
+    Files.write(Paths.get(p), broken)
+    val rows = Warc.readWarc(spark, p).collect()
+    assert(rows.length == 3) // the lengthless tail record is dropped
+  }
+
+  test("warc: warcResponsesAsHtml keeps 200 text/html and decodes utf-8") {
+    val p = s"$tmp/resp.warc"
+    Files.write(Paths.get(p), sampleWarc)
+    val got = Warc.warcResponsesAsHtml(spark, p).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[String]("url") == "https://example.com/page")
+    assert(got(0).getAs[String]("html").contains("ünïcode body"))
+    // composes with the existing extraction tier
+    val text = TextAnalysis
+      .extractHtmlText(Warc.warcResponsesAsHtml(spark, p), "html", outCol = "text")
+      .select("text")
+      .collect()(0)
+      .getString(0)
+    assert(text == "Hello crawl — ünïcode body")
+  }
+
+  test("warc: streaming reader equals the batch reader over the same files") {
+    val dir = s"$tmp/stream_in"
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/a.warc"), sampleWarc)
+    Files.write(Paths.get(s"$dir/b.warc.gz"), gzipBytes(sampleWarc))
+    val q = Warc
+      .readWarcStream(spark, dir)
+      .drop("body") // memory sink rows compare on the scalar fields
+      .writeStream
+      .format("memory")
+      .queryName("warc_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("warc_stream")
+    val batch = Warc.readWarc(spark, s"$dir/*").drop("body")
+    checkAnswer(
+      streamed.orderBy("path", "record_index"),
+      batch.orderBy("path", "record_index")
+    )
+  }
+
+  // --------------------------------------------------------------- JSONL
+
+  test("jsonl: gzip round trip with explicit schema") {
+    val dir = s"$tmp/jsonl_rt"
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    Jsonl.writeJsonl(df, dir) // gzip default
+    assert(
+      Files.list(Paths.get(dir)).toArray.exists(_.toString.endsWith(".json.gz"))
+    )
+    val back = Jsonl.readJsonl(spark, dir, Some("id BIGINT, text STRING"))
+    checkRows(
+      back.filter(col("_corrupt_record").isNull).select("id", "text"),
+      df.collect().toSeq
+    )
+  }
+
+  test("jsonl: corrupt lines captured and reported, schema collision rejected") {
+    val p = s"$tmp/corrupt.jsonl"
+    Files.writeString(
+      Paths.get(p),
+      """{"id": 1, "text": "ok"}
+        |{definitely not json
+        |{"id": 3, "text": "fine"}
+        |""".stripMargin
+    )
+    val df = Jsonl.readJsonl(spark, p, Some("id BIGINT, text STRING"))
+    val rep = Jsonl.corruptLineReport(df).collect()(0)
+    assert(rep.getAs[Long]("n_lines") == 3L)
+    assert(rep.getAs[Long]("n_corrupt") == 1L)
+    assert(rep.getAs[Long]("corrupt_ppm") == 333333L)
+    val samples = rep.getSeq[String](rep.fieldIndex("corrupt_samples"))
+    assert(samples.toList == List("{definitely not json"))
+    assert(df.filter(col("id") === 1L).count() == 1L)
+    intercept[IllegalArgumentException](
+      Jsonl.readJsonl(spark, p, Some("id BIGINT, _corrupt_record STRING"))
+    )
+    intercept[IllegalArgumentException](
+      Jsonl.corruptLineReport(df.drop("_corrupt_record"))
+    )
+  }
+
+  // ----------------------------------------------------- URL allow/block
+
+  private lazy val urlDocs = Seq(
+    (1L, "https://www.badsite.com/x"),
+    (2L, "https://badsite.com/y"),
+    (3L, "https://goodsite.org/z"),
+    (4L, "https://blog.goodsite.org/post"),
+    (5L, "https://sub.blog.goodsite.org/deep"),
+    (6L, "not a url at all"),
+    (7L, "https://otherbadsite.com.evil.net/phish") // suffix must NOT match
+  ).toDF("id", "url")
+
+  test("filterByDomains: blocklist bans domain + subdomains, keeps null hosts") {
+    val kept = Urls
+      .filterByDomains(urlDocs, "url", block = Seq("badsite.com"))
+      .select("id")
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    assert(kept.toSeq == Seq(3L, 4L, 5L, 6L, 7L)) // 6 unparseable survives
+  }
+
+  test("filterByDomains: allowlist + block override, drops unparseable") {
+    val kept = Urls
+      .filterByDomains(
+        urlDocs,
+        "url",
+        block = Seq("blog.goodsite.org"),
+        allow = Seq("goodsite.org", "badsite.com")
+      )
+      .select("id")
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    // 4 and 5 are inside the banned blog.goodsite.org subtree; 6 has no
+    // host; 7 matches neither ("com.evil.net" is not "badsite.com")
+    assert(kept.toSeq == Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException](Urls.filterByDomains(urlDocs, "url"))
+  }
+
+  // -------------------------------------------------------- ngram counts
+
+  test("ngramCounts: exact trigram counts with prune and deterministic top-k") {
+    val docs = Seq(
+      "a b c a b c",
+      "a b c d",
+      "x y",
+      null.asInstanceOf[String]
+    ).toDF("text")
+    val got = TextAnalysis
+      .ngramCounts(docs, "text", n = 3, minCount = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // "a b c": doc1 twice + doc2 once = 3 over 2 docs; everything else
+    // occurs once and is pruned; "x y" and NULL contribute no trigrams
+    assert(got == Set(("a b c", 3L, 2L)))
+
+    val ranked = TextAnalysis
+      .ngramCounts(docs, "text", n = 3, minCount = 1, topK = 3)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Int]("rank")))
+    assert(ranked.head == ("a b c", 1)) // freq desc, then gram asc
+    assert(ranked.map(_._1).toSeq == ranked.map(_._1).toSeq.distinct)
+    assert(ranked.length == 3)
+  }
+
+  // ---------------------------------------------- verified MinHash dedup
+
+  test("minHashVerifiedPairs: every pair carries the exact jaccard") {
+    val docs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 150)
+    val verified = Dedup
+      .minHashVerifiedPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val exact = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", 1, 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // verified pairs are a SUBSET of the true >= 0.5 pair set (candidate
+    // recall is what LSH trades), and every jaccard is bit-exact
+    assert(verified.nonEmpty)
+    verified.foreach { case (k, j) =>
+      assert(exact.contains(k), s"verified pair $k not in the exact >=0.5 set")
+      assert(j == exact(k), s"pair $k: verified $j != exact ${exact(k)}")
+    }
+  }
+
+  test("dedupNearMinHashVerified: survivors have no verified smaller-id dup") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "dog lazy the over jumps fox brown quick the"), // same token set
+      (3L, "completely different content about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy cat"), // J = 7/9 < 0.9
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // bands = 16 (one hash per band): maximal candidate recall — any
+    // shared min-hash proposes the pair — because verification makes
+    // over-proposing free of false drops; this is exactly the "band
+    // aggressively, verify exactly" operating point the operator enables
+    val kept = Dedup
+      .dedupNearMinHashVerified(
+        docs, "doc_id", "text", threshold = 0.9, bands = 16
+      )
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    // 2 is an exact token-set dup of 1 (J=1.0, dropped); 4 IS proposed
+    // (it shares min-hashes with 1) but its true jaccard is 7/9 — BELOW
+    // 0.9 — so verification must keep it; nulls always survive
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+
+    val transitive = Dedup
+      .dedupNearMinHashVerified(
+        docs, "doc_id", "text", threshold = 0.7, bands = 16, transitive = true
+      )
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    // at 0.7 the 1-2 and 1-4 pairs both verify; transitive keeps minima
+    assert(transitive.toSeq == Seq(1L, 3L, 5L))
+  }
+}
