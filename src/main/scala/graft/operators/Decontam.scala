@@ -206,6 +206,98 @@ object Decontam {
     * partial aggregation. Nothing corpus-sized shuffles; for eval sets
     * too large to broadcast, pre-bucket both sides with
     * `Similarity.annTopKMultiBand`'s banks instead. */
+  /** Fuzzy (near-duplicate) contamination matches: training docs whose
+    * MinHash signature near-matches an eval doc — the rung between exact
+    * n-gram decontamination (verbatim leakage) and embedding-based
+    * semantic decontamination (paraphrase leakage): it catches lightly
+    * edited copies of benchmark items that share few exact n-grams but
+    * most of their token set. One row per (train id, matched eval id)
+    * with the estimated Jaccard (1.0 for identical signatures).
+    *
+    * Same candidate model as [[Dedup.dedupNearMinHashIncremental]]'s
+    * corpus passes — (a) identical signature: certain match; (b) per LSH
+    * band bucket, the train doc pairs with the MINIMUM-id eval doc
+    * sharing it, kept when full-signature agreement >= `threshold` — but
+    * WITHOUT the in-batch passes (decontamination never dedups the corpus
+    * against itself). The eval side is benchmark-sized; its signature and
+    * band tables are broadcastable, and the corpus is scanned exactly
+    * once (one shingle+digest pass). Train/eval ids may overlap — the
+    * pairing never mixes the two id spaces. */
+  def fuzzyContaminationMatches(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval_ : DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      threshold: Double = 0.8,
+      shingleK: Int = 1,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      portable: Boolean = true
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val trainSigs =
+      Dedup.minHashSignatures(train, idCol, textCol, shingleK, numHashes, portable)
+    val evalSigs =
+      Dedup.minHashSignatures(eval_, evalIdCol, evalTextCol, shingleK, numHashes, portable)
+
+    // (a) identical signatures: est = 1.0, matched to the min eval id per
+    // signature group (deterministic, one row per train doc per signature)
+    val evalSigMins = evalSigs.groupBy("__sig").agg(min("__id").as("eval_id"))
+    val exact = trainSigs
+      .join(evalSigMins, Seq("__sig"))
+      .select(col("__id").as("id"), col("eval_id"), lit(1.0).as("est_jaccard"))
+
+    // (b) banded: train bands meet the bucket-minimum eval doc per band
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(
+        col("__id"),
+        explode(lshBands(col("__sig"), bands, r)).as("__band")
+      )
+    val evalMins = banded(evalSigs).groupBy("__band").agg(min("__id").as("eval_id"))
+    val near = banded(trainSigs)
+      .join(evalMins, Seq("__band"))
+      .select("__id", "eval_id")
+      .distinct()
+      .join(trainSigs, Seq("__id"))
+      .join(
+        evalSigs.select(col("__id").as("eval_id"), col("__sig").as("__esig")),
+        Seq("eval_id")
+      )
+      .filter(minHashSimilarity(col("__sig"), col("__esig")) >= threshold)
+      .select(
+        col("__id").as("id"),
+        col("eval_id"),
+        minHashSimilarity(col("__sig"), col("__esig")).as("est_jaccard")
+      )
+
+    exact.union(near).distinct()
+  }
+
+  /** Drop every training doc with a [[fuzzyContaminationMatches]] row —
+    * near-duplicate decontamination against a benchmark set. */
+  def fuzzyDecontaminate(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval_ : DataFrame,
+      evalIdCol: String,
+      evalTextCol: String,
+      threshold: Double = 0.8,
+      shingleK: Int = 1,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      portable: Boolean = true
+  ): DataFrame = {
+    val matched = fuzzyContaminationMatches(
+      train, idCol, textCol, eval_, evalIdCol, evalTextCol,
+      threshold, shingleK, numHashes, bands, portable
+    ).select(col("id").as("__loser")).distinct()
+    train.join(matched, train(idCol) === col("__loser"), "left_anti")
+  }
+
   def semanticContaminationReport(
       train: DataFrame,
       eval: DataFrame,

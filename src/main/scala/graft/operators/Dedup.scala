@@ -557,21 +557,49 @@ object Dedup {
       bands: Int = 4,
       portable: Boolean = true
   ): DataFrame = {
-    val thrPpm = math.round(threshold * 1e6)
-    val sets = df.select(
-      col(idCol).as("__id"),
-      array_distinct(shingles(col(textCol), shingleK)).as("__set")
-    )
-    // signatures from the DISTINCT shingle sets: min() is idempotent, so
-    // the signature equals minHashSignatures' over the raw shingle stream
-    // (asserted in DedupSpec) and the corpus text is scanned exactly once
-    // for both stages.
-    val exploded = ScanUtils
-      .withScanParallelism(sets)
+    val exploded = verifiedShingleTable(df, idCol, textCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verified =
+      minHashVerifiedPairsPlan(exploded, threshold, numHashes, bands, portable)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.count() // EAGER off the cached shingle table, then release it
+    exploded.unpersist(blocking = false)
+    verified
+  }
+
+  /** Distinct (id, shingle) table feeding BOTH verified-dedup stages. */
+  private[graft] def verifiedShingleTable(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int
+  ): DataFrame =
+    ScanUtils
+      .withScanParallelism(
+        df.select(
+          col(idCol).as("__id"),
+          array_distinct(shingles(col(textCol), shingleK)).as("__set")
+        )
+      )
       .select(col("__id"), explode(col("__set")).as("__s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The LAZY verified-pairs plan over a pre-exploded distinct shingle
+    * table — split out so tests can assert the shuffle shape before the
+    * eager persist hides it. Signatures come from the same table (min() is
+    * idempotent, so they equal [[minHashSignatures]]' over the raw shingle
+    * stream) — the corpus text is scanned exactly once for both stages.
+    * The intersection join is keyed by the 16-byte md5 of the shingle
+    * (never the string — a 5-word shingle is ~3x wider), the
+    * [[TextAnalysis.spanDedup]] digest-exactness convention. */
+  private[graft] def minHashVerifiedPairsPlan(
+      exploded: DataFrame,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int,
+      portable: Boolean
+  ): DataFrame = {
+    val thrPpm = math.round(threshold * 1e6)
     val sigs = sigsFromShingleTable(exploded, numHashes, portable)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val sigMins = sigs.groupBy("__sig").agg(min("__id").as("__min"))
     val exactCand = sigs
@@ -583,13 +611,14 @@ object Dedup {
         .select("id_a", "id_b")
     val cand = exactCand.union(bandCand).distinct()
 
+    val grams = exploded.select(col("__id"), unhex(md5(col("__s"))).as("__g"))
     val sizes = exploded.groupBy("__id").agg(count(lit(1)).as("__n"))
     val inter = cand
-      .join(exploded.select(col("__id").as("id_a"), col("__s")), Seq("id_a"))
-      .join(exploded.select(col("__id").as("id_b"), col("__s")), Seq("id_b", "__s"))
+      .join(grams.select(col("__id").as("id_a"), col("__g")), Seq("id_a"))
+      .join(grams.select(col("__id").as("id_b"), col("__g")), Seq("id_b", "__g"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("__i"))
-    val verified = inter
+    inter
       .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
       .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
       .filter(
@@ -602,11 +631,6 @@ object Dedup {
         (col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
           .as("jaccard")
       )
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verified.count() // EAGER off the cached shingle table, then release it
-    exploded.unpersist(blocking = false)
-    sigs.unpersist(blocking = false)
-    verified
   }
 
   /** Signature table from a pre-exploded (id, shingle) table — the shared

@@ -248,6 +248,32 @@ private[graft] object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // fuzzy decontamination: training docs (>= 50) whose MinHash signature
+    // near-matches a benchmark doc (< 50) — identical-signature matches
+    // plus bucket-min banded matches at est >= 0.8; never dedups the
+    // training side against itself
+    "q_fuzzy_matches" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontam
+        .fuzzyContaminationMatches(
+          docs.filter(col("doc_id") >= 50), "doc_id", "text",
+          docs.filter(col("doc_id") < 50), "doc_id", "text",
+          threshold = 0.8
+        )
+        .orderBy("id", "eval_id", "est_jaccard")
+    }),
+    "q_fuzzy_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Decontam
+        .fuzzyDecontaminate(
+          docs.filter(col("doc_id") >= 50), "doc_id", "text",
+          docs.filter(col("doc_id") < 50), "doc_id", "text",
+          threshold = 0.8
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // cross-document boilerplate removal at word granularity: units in
     // >100 distinct docs are corpus chrome; only the rare 'dup' marker
     // survives, and all-boilerplate docs come back as empty strings
@@ -584,6 +610,17 @@ private[graft] object DedupQueries {
         |  ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 4
         |WHERE levenshtein(a.k, b.k) <= 12
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_fuzzy_matches" ->
+      s"""WITH $duckMinHashCommon, $duckFuzzyDecontam
+         |SELECT id, eval_id, est_jaccard FROM fm
+         |ORDER BY id, eval_id, est_jaccard""".stripMargin,
+
+    "q_fuzzy_decontam" ->
+      s"""WITH $duckMinHashCommon, $duckFuzzyDecontam
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT id FROM fm)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incremental" ->
       s"""WITH $duckMinHashCommon, cs AS (

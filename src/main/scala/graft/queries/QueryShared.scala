@@ -665,6 +665,47 @@ private[graft] object QueryShared {
 
   val duckMinHashCommon: String = duckMinHashCommonWhere("")
 
+  /** Fuzzy-decontamination stage over [[duckMinHashCommon]]'s signature
+    * table, mirroring `Decontam.fuzzyContaminationMatches` at threshold
+    * 0.8 with eval = doc_id < 50 and train = doc_id >= 50: identical-
+    * signature matches (est 1.0, min eval id per signature) plus
+    * bucket-minimum banded matches by full-signature agreement. Defines
+    * `fm(id, eval_id, est_jaccard)`. */
+  val duckFuzzyDecontam: String =
+    """es AS (
+      |  SELECT doc_id, sig FROM sg WHERE doc_id < 50
+      |), tsg AS (
+      |  SELECT doc_id, sig FROM sg WHERE doc_id >= 50
+      |), esm AS (
+      |  SELECT sig, min(doc_id) AS eval_id FROM es GROUP BY sig
+      |), fex AS (
+      |  SELECT t.doc_id AS id, e.eval_id, CAST(1.0 AS DOUBLE) AS est_jaccard
+      |  FROM tsg t JOIN esm e ON t.sig = e.sig
+      |), ebd AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+      |    md5(array_to_string(sig[b*4+1:b*4+4], '|')))) AS band FROM es
+      |), tbd AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+      |    md5(array_to_string(sig[b*4+1:b*4+4], '|')))) AS band FROM tsg
+      |), emn AS (
+      |  SELECT band, min(doc_id) AS eval_id FROM ebd GROUP BY band
+      |), tpair AS (
+      |  SELECT DISTINCT tb.doc_id, m.eval_id
+      |  FROM tbd tb JOIN emn m ON tb.band = m.band
+      |), fnear AS (
+      |  SELECT p.doc_id AS id, p.eval_id,
+      |         len(list_filter(range(1, 17), i -> t.sig[i] = e.sig[i])) / 16.0
+      |           AS est_jaccard
+      |  FROM tpair p
+      |  JOIN tsg t ON t.doc_id = p.doc_id
+      |  JOIN es e ON e.doc_id = p.eval_id
+      |  WHERE len(list_filter(range(1, 17), i -> t.sig[i] = e.sig[i])) / 16.0
+      |        >= 0.8
+      |), fm AS (
+      |  SELECT DISTINCT id, eval_id, est_jaccard
+      |  FROM (SELECT * FROM fex UNION ALL SELECT * FROM fnear)
+      |)""".stripMargin
+
   /** Exact-Jaccard verification stage over [[duckMinHashCommon]]'s
     * candidates (band bucket-min pairs `pr` + identical-signature pairs
     * from `ex`), mirroring `Dedup.minHashVerifiedPairs` at threshold 0.8:

@@ -121,6 +121,52 @@ object Warc {
       )
   }
 
+  /** Read a CDXJ capture index (the `cdx-*.gz` files Common Crawl
+    * publishes alongside its WARCs): each line is
+    * `<surt-urlkey> <timestamp14> <json-fields>`. Returns one row per
+    * capture with the two key columns split out plus the requested JSON
+    * fields (by default the ones needed to locate a capture inside a WARC:
+    * url, status, mime, digest, filename, offset, length). The idiomatic
+    * pre-fetch planning join: filter the index (by `Urls.filterByDomains`
+    * on `url`, by status/mime, dedup by digest) BEFORE touching any WARC
+    * bytes — the index is ~1000x smaller than the crawl.
+    *
+    * Scale shape: a plain text scan (gzip files parallelize per file,
+    * like the WARCs) + per-row regexp/from_json — no shuffle. Malformed
+    * lines yield NULL urlkey/timestamp and NULL fields rather than
+    * failing the read. */
+  def readCdxj(
+      spark: SparkSession,
+      pattern: String,
+      jsonFields: Map[String, String] = Map(
+        "url" -> "STRING",
+        "status" -> "STRING",
+        "mime" -> "STRING",
+        "digest" -> "STRING",
+        "filename" -> "STRING",
+        "offset" -> "STRING",
+        "length" -> "STRING"
+      )
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(jsonFields.nonEmpty, "jsonFields must not be empty")
+    val ddl =
+      jsonFields.toSeq.sortBy(_._1).map { case (k, t) => s"`$k` $t" }.mkString(", ")
+    val lineRe = "^(\\S+) ([0-9]{14}) (\\{.*\\})$"
+    spark.read
+      .text(pattern)
+      .select(
+        nullif(regexp_extract(col("value"), lineRe, 1), lit("")).as("urlkey"),
+        nullif(regexp_extract(col("value"), lineRe, 2), lit("")).as("timestamp"),
+        from_json(
+          nullif(regexp_extract(col("value"), lineRe, 3), lit("")),
+          org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        ).as("__j")
+      )
+      .select(col("urlkey") +: col("timestamp") +:
+        jsonFields.keys.toSeq.sorted.map(k => col(s"__j.`$k`").as(k)): _*)
+  }
+
   /** Parse one file's bytes (auto-detecting gzip) into a record iterator.
     * Exposed for tests and for callers holding bytes from elsewhere. */
   private[graft] def parseBytes(

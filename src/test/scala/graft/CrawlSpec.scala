@@ -190,6 +190,38 @@ class CrawlSpec extends SparkSpec {
     )
   }
 
+  test("cdxj: capture index parses keys and json fields, tolerates junk") {
+    val p = s"$tmp/index.cdxj"
+    Files.writeString(
+      Paths.get(p),
+      """com,example)/page 20260816000001 {"url": "https://example.com/page", "status": "200", "mime": "text/html", "digest": "AAAA", "filename": "seg-0.warc.gz", "offset": "123", "length": "456"}
+        |com,example)/other 20260816000002 {"url": "https://example.com/other", "status": "404", "mime": "text/html", "digest": "BBBB", "filename": "seg-0.warc.gz", "offset": "999", "length": "10"}
+        |this line is not cdxj
+        |""".stripMargin
+    )
+    val rows =
+      Warc.readCdxj(spark, p).orderBy(col("timestamp").asc_nulls_last).collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("urlkey") == "com,example)/page")
+    assert(rows(0).getAs[String]("timestamp") == "20260816000001")
+    assert(rows(0).getAs[String]("url") == "https://example.com/page")
+    assert(rows(0).getAs[String]("offset") == "123")
+    assert(rows(1).getAs[String]("status") == "404")
+    val junk = rows(2)
+    assert(junk.isNullAt(junk.fieldIndex("urlkey")))
+    assert(junk.isNullAt(junk.fieldIndex("url")))
+    // the planning join: index -> domain gate -> fetch list
+    val fetch = graft.operators.Urls
+      .filterByDomains(
+        Warc.readCdxj(spark, p).filter(col("status") === "200"),
+        "url",
+        allow = Seq("example.com")
+      )
+      .select("filename", "offset", "length")
+      .collect()
+    assert(fetch.length == 1 && fetch(0).getString(0) == "seg-0.warc.gz")
+  }
+
   // --------------------------------------------------------------- JSONL
 
   test("jsonl: gzip round trip with explicit schema") {
@@ -299,6 +331,39 @@ class CrawlSpec extends SparkSpec {
     assert(ranked.length == 3)
   }
 
+  // ------------------------------------------------ fuzzy decontamination
+
+  test("fuzzyDecontaminate: near-copies of eval docs drop, train never self-dedups") {
+    import graft.operators.Decontam
+    val eval_ = Seq(
+      (1L, "what is the capital of france paris is the capital")
+    ).toDF("qid", "question")
+    val train = Seq(
+      (1L, "capital the is paris france of capital the is what"), // same tokens, id COLLIDES with eval id
+      (2L, "a completely unrelated training document about engines"),
+      (3L, "a completely unrelated training document about engines"), // exact in-train dup: must SURVIVE decontam
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val matches = Decontam
+      .fuzzyContaminationMatches(
+        train, "doc_id", "text", eval_, "qid", "question", threshold = 0.8
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(matches.toSeq == Seq((1L, 1L, 1.0))) // identical token set -> est 1.0
+    val kept = Decontam
+      .fuzzyDecontaminate(
+        train, "doc_id", "text", eval_, "qid", "question", threshold = 0.8
+      )
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    // 1 drops (near-copy of the benchmark item); 2 AND 3 both survive —
+    // decontamination must not dedup the training side against itself
+    assert(kept.toSeq == Seq(2L, 3L, 4L))
+  }
+
   // ---------------------------------------------- verified MinHash dedup
 
   test("minHashVerifiedPairs: every pair carries the exact jaccard") {
@@ -322,6 +387,28 @@ class CrawlSpec extends SparkSpec {
       assert(exact.contains(k), s"verified pair $k not in the exact >=0.5 set")
       assert(j == exact(k), s"pair $k: verified $j != exact ${exact(k)}")
     }
+  }
+
+  test("verified pairs: shuffles carry ids/digests, never text or shingle strings") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exploded = Dedup.verifiedShingleTable(docs, "doc_id", "text", 1)
+    val p = Dedup
+      .minHashVerifiedPairsPlan(exploded, 0.8, 16, 4, portable = true)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!p.contains("CartesianProduct"), s"product join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    // the signature aggregate consumes shingles map-side; the intersection
+    // join is keyed by the 16-byte md5 — no exchange moves text or the
+    // raw shingle string
+    p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .foreach { l =>
+        assert(!l.contains("text#"), s"doc text shuffled: $l")
+        assert(!l.contains("__s#"), s"raw shingle shuffled (digest expected): $l")
+      }
+    assert(p.contains("unhex"), s"expected md5 digest gram key:\n$p")
   }
 
   test("dedupNearMinHashVerified: survivors have no verified smaller-id dup") {
