@@ -627,6 +627,103 @@ object TextAnalysis {
     df.withColumn(outCol, trim(stripped))
   }
 
+  /** Block-level tag alternation for [[extractMainContent]]'s segmentation
+    * — longest names first (RE2 alternation is leftmost-FIRST, so `p`
+    * before `pre` would split `<pre>` as a `p` tag with attrs `re`).
+    * Explicit whitespace class, not \\s (RE2/Java disagree on \\x0B). */
+  private[graft] val BlockTagRe: String =
+    "(?is)</?(figcaption|blockquote|fieldset|article|section|footer|header|" +
+      "figure|thead|tbody|title|table|aside|main|form|body|html|head|nav|" +
+      "pre|div|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|hr|br|p)" +
+      "([ \\t\\n\\f\\r][^>]*)?/?>"
+
+  /** Anchor inner-text pattern (group 1) for the link-density signal. */
+  private[graft] val AnchorRe: String = "(?is)<a[^>]*>(.*?)</a>"
+
+  /** Pre-clean stages run BEFORE block segmentation (comments and
+    * script/style bodies are code, and may contain block-tag text). */
+  private[graft] val HtmlPrecleanStages: Seq[(String, String)] =
+    HtmlStripStages.take(3)
+
+  /** Per-block clean stages (tag strip, entities, whitespace collapse). */
+  private[graft] val HtmlInlineStages: Seq[(String, String)] =
+    HtmlStripStages.drop(3)
+
+  /** Main-content extraction — the boilerplate-aware upgrade over
+    * [[extractHtmlText]], in the jusText/trafilatura family: segment the
+    * page into BLOCKS at block-level tags, score each block by cleaned
+    * text length and LINK DENSITY (chars inside `<a>` / total chars — the
+    * signal that separates navigation chrome, menus, and footers from
+    * prose), and keep only blocks with `length >= minChars` and
+    * `linkDensity <= maxLinkDensity`. Adds `outCol` (kept blocks joined
+    * by one space), `n_blocks` (non-empty blocks seen), and `kept_blocks`.
+    * NULL html stays NULL; an all-chrome page yields an empty string with
+    * `kept_blocks = 0`.
+    *
+    * The density compare is integer ppm (`anchor_len * 1e6 <= ppm *
+    * text_len`) — exact and engine-portable. Everything is ONE per-row
+    * codegen'd expression tree (pre-clean fold → split at [[BlockTagRe]]
+    * sentinels → per-block clean/measure lambdas → filter/join): no
+    * shuffle, no UDF, no DOM objects — at crawl scale this rides the
+    * first corpus scan like [[extractHtmlText]], and its honest limits
+    * are the same (regex, not a parser). */
+  def extractMainContent(
+      df: DataFrame,
+      htmlCol: String,
+      outCol: String = "main_text",
+      minChars: Int = 25,
+      maxLinkDensity: Double = 0.33
+  ): DataFrame = {
+    require(df.columns.contains(htmlCol), s"column '$htmlCol' does not exist")
+    require(minChars >= 1, "minChars must be >= 1")
+    require(
+      maxLinkDensity >= 0.0 && maxLinkDensity <= 1.0,
+      "maxLinkDensity must be in [0, 1]"
+    )
+    val conflicts =
+      Seq(outCol, "n_blocks", "kept_blocks").filter(df.columns.contains)
+    require(
+      conflicts.isEmpty,
+      s"output column(s) ${conflicts.mkString(", ")} already exist"
+    )
+    val ldPpm = math.round(maxLinkDensity * 1e6)
+    def cleanBlock(c: Column): Column =
+      trim(HtmlInlineStages.foldLeft(c) { case (x, (p, r)) =>
+        regexp_replace(x, p, r)
+      })
+    val pre = HtmlPrecleanStages.foldLeft(col(htmlCol)) { case (x, (p, r)) =>
+      regexp_replace(x, p, r)
+    }
+    val blocks = split(regexp_replace(pre, BlockTagRe, "\u0001"), "\u0001")
+    val scored = transform(
+      blocks,
+      b =>
+        struct(
+          cleanBlock(b).as("t"),
+          length(
+            cleanBlock(array_join(regexp_extract_all(b, lit(AnchorRe), lit(1)), " "))
+          ).as("la")
+        )
+    )
+    val kept = filter(
+      scored,
+      s =>
+        length(s.getField("t")) >= minChars &&
+          s.getField("la") * lit(1000000L) <=
+            lit(ldPpm) * length(s.getField("t"))
+    )
+    // explicit NULL guard: with ANSI off, size(NULL) is legacy -1, and a
+    // NULL page must yield NULL counts, not -1
+    def guarded(c: Column): Column =
+      when(col(htmlCol).isNull, lit(null).cast("int")).otherwise(c)
+    df.withColumn(outCol, array_join(transform(kept, _.getField("t")), " "))
+      .withColumn(
+        "n_blocks",
+        guarded(size(filter(scored, s => length(s.getField("t")) > 0)))
+      )
+      .withColumn("kept_blocks", guarded(size(kept)))
+  }
+
   /** C4-style cross-document chunk dedup: split each document into
     * fixed-size token chunks (the no-newline analog of C4's "remove any
     * line that occurs more than N times in the corpus"), count each

@@ -355,6 +355,108 @@ private[graft] object QueryShared {
     s"trim($folded)"
   }
 
+  /** Deterministic synthetic full PAGE per document row for the
+    * main-content queries: nav/breadcrumb/footer chrome (high link
+    * density), a script carrying a decoy anchor (must die in pre-clean),
+    * the document text as the main block, a too-short block every 4th
+    * row, and a link-farm "related" block every 6th (long enough, but
+    * over the density cap). NULL text stays NULL. Construction is shared
+    * verbatim — the oracle checks the EXTRACTOR. */
+  def syntheticPageHtml: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val id = col("doc_id")
+    when(col("text").isNull, lit(null).cast("string"))
+      .otherwise(
+        concat(
+          lit(
+            "<html><head><title>Page</title>" +
+              "<script>var x = 1; // <a href=\"/x\">fake anchor</a></script>" +
+              "</head><body>" +
+              "<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> " +
+              "<a href=\"/contact\">Contact</a></nav>" +
+              "<div class=\"crumbs\"><a href=\"/\">Home</a> &gt; " +
+              "<a href=\"/sec\">Section</a></div><p>"
+          ),
+          col("text"),
+          lit("</p>"),
+          when(id % 4 === 0, lit("<p>Too short.</p>")).otherwise(lit("")),
+          when(
+            id % 6 === 0,
+            lit(
+              "<div>Related: <a href=\"/a\">first related article</a> " +
+                "<a href=\"/b\">second related article</a></div>"
+            )
+          ).otherwise(lit("")),
+          lit(
+            "<footer><a href=\"/privacy\">Privacy</a> " +
+              "<a href=\"/terms\">Terms</a> &#169; Example</footer>" +
+              "</body></html>"
+          )
+        )
+      )
+  }
+
+  /** [[syntheticPageHtml]] as DuckDB SQL. */
+  val duckSyntheticPageHtml: String =
+    """CASE WHEN text IS NULL THEN NULL ELSE
+      |'<html><head><title>Page</title>' ||
+      |'<script>var x = 1; // <a href="/x">fake anchor</a></script>' ||
+      |'</head><body>' ||
+      |'<nav><a href="/">Home</a> <a href="/about">About us</a> ' ||
+      |'<a href="/contact">Contact</a></nav>' ||
+      |'<div class="crumbs"><a href="/">Home</a> &gt; ' ||
+      |'<a href="/sec">Section</a></div><p>' || text || '</p>' ||
+      |CASE WHEN doc_id % 4 = 0 THEN '<p>Too short.</p>' ELSE '' END ||
+      |CASE WHEN doc_id % 6 = 0
+      |     THEN '<div>Related: <a href="/a">first related article</a> ' ||
+      |          '<a href="/b">second related article</a></div>'
+      |     ELSE '' END ||
+      |'<footer><a href="/privacy">Privacy</a> ' ||
+      |'<a href="/terms">Terms</a> &#169; Example</footer>' ||
+      |'</body></html>'
+      |END""".stripMargin
+
+  private def duckFoldStages(
+      stages: Seq[(String, String)],
+      expr: String
+  ): String =
+    stages.foldLeft(expr) { case (acc, (p, r)) =>
+      s"regexp_replace($acc, '${p.replace("'", "''")}', '${r.replace("'", "''")}', 'g')"
+    }
+
+  /** DuckDB CTE mirroring `TextAnalysis.extractMainContent` over a CTE `h`
+    * with (doc_id, page): pre-clean fold, block split at the chr(1)
+    * sentinel, per-block clean + anchor-length struct, ppm density filter.
+    * Defines `mc(doc_id, main_text, n_blocks, kept_blocks)`. */
+  def duckMainContentCte(minChars: Int, ldPpm: Long): String = {
+    import graft.operators.TextAnalysis.{AnchorRe, BlockTagRe, HtmlInlineStages, HtmlPrecleanStages}
+    def clean(e: String): String = s"trim(${duckFoldStages(HtmlInlineStages, e)})"
+    val pre = duckFoldStages(HtmlPrecleanStages, "page")
+    val anch = s"array_to_string(regexp_extract_all(b, '$AnchorRe', 1), ' ')"
+    val keepCond =
+      s"length(s.t) >= $minChars AND s.la * 1000000 <= $ldPpm * length(s.t)"
+    // coalesce the two spots where DuckDB's array_to_string of an EMPTY
+    // list yields NULL while Spark's array_join yields '': anchor-less
+    // blocks (la = 0) and pages with zero kept blocks (main_text = '')
+    s"""sc AS (
+       |  SELECT doc_id, list_transform(
+       |    string_split(regexp_replace($pre, '$BlockTagRe', chr(1), 'g'), chr(1)),
+       |    b -> struct_pack(t := ${clean("b")},
+       |                     la := coalesce(length(${clean(anch)}), 0))
+       |  ) AS sc
+       |  FROM h
+       |), mc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN sc IS NULL THEN NULL
+       |         ELSE coalesce(array_to_string(list_transform(
+       |                list_filter(sc, s -> $keepCond), s -> s.t), ' '), '')
+       |    END AS main_text,
+       |    CAST(len(list_filter(sc, s -> length(s.t) > 0)) AS INT) AS n_blocks,
+       |    CAST(len(list_filter(sc, s -> $keepCond)) AS INT) AS kept_blocks
+       |  FROM sc
+       |)""".stripMargin
+  }
+
   /** Deterministic PII injection for the masking/report queries: emails
     * on every 3rd row, an IPv4 on every 4th, two phone formats on every
     * 5th (overlaps exercise multi-kind rows; most rows get none). NULL

@@ -557,6 +557,22 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // main-content extraction over the synthetic full page: nav/crumbs/
+    // footer chrome and the link-farm block die by link density, the
+    // too-short block by minChars, the script decoy in pre-clean; the
+    // document text survives as the main block
+    "q_main_content" -> ((s, dir) => {
+      TextAnalysis
+        .extractMainContent(
+          t(s, dir, "documents")
+            .withColumn("page", syntheticPageHtml)
+            .select("doc_id", "page"),
+          "page"
+        )
+        .select("doc_id", "n_blocks", "kept_blocks", "main_text")
+        .orderBy("doc_id")
+    }),
+
     // URL parsing: every component of the synthetic per-doc URL (scheme,
     // host, port, path, query string, registered domain incl. the co.uk
     // multi-part suffix) — pure per-row regexps, malformed rows -> NULLs
@@ -1362,6 +1378,13 @@ private[graft] object TextQueries {
          |SELECT doc_id, n_tokens, quality FROM q
          |WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin
     },
+
+    "q_main_content" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, $duckSyntheticPageHtml AS page FROM documents
+         |), ${duckMainContentCte(25, 330000L)}
+         |SELECT doc_id, n_blocks, kept_blocks, main_text FROM mc
+         |ORDER BY doc_id""".stripMargin,
 
     "q_url_parse" ->
       s"""WITH u AS (

@@ -331,6 +331,56 @@ class CrawlSpec extends SparkSpec {
     assert(ranked.length == 3)
   }
 
+  // -------------------------------------------------------- main content
+
+  test("extractMainContent: chrome dies by density, stubs by length, prose survives") {
+    val prose =
+      "This is the actual article body with more than enough characters to pass."
+    val page =
+      "<html><head><title>T</title><script>var x = 1; // <a href=\"/f\">fake</a></script></head>" +
+        "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">About page</a> <a href=\"/c\">Contact page now</a></nav>" +
+        s"<p>$prose</p>" +
+        "<p>Too short.</p>" +
+        "<div>Related reading: <a href=\"/x\">a very long related article title</a> <a href=\"/y\">another very long related article title</a></div>" +
+        "<footer><a href=\"/p\">Privacy</a> &#169; Corp</footer></body></html>"
+    val got = graft.operators.TextAnalysis
+      .extractMainContent(
+        Seq((1L, page), (2L, null.asInstanceOf[String])).toDF("id", "html"),
+        "html"
+      )
+      .orderBy("id")
+      .collect()
+    assert(got(0).getAs[String]("main_text") == prose)
+    assert(got(0).getAs[Int]("kept_blocks") == 1)
+    // non-empty blocks: title, nav, prose, stub, related, footer
+    assert(got(0).getAs[Int]("n_blocks") == 6)
+    assert(got(1).isNullAt(got(1).fieldIndex("main_text")))
+    assert(got(1).isNullAt(got(1).fieldIndex("n_blocks")))
+    assert(got(1).isNullAt(got(1).fieldIndex("kept_blocks")))
+    intercept[IllegalArgumentException](
+      graft.operators.TextAnalysis.extractMainContent(
+        Seq((1L, page, "x")).toDF("id", "html", "main_text"),
+        "html"
+      )
+    )
+  }
+
+  test("extractMainContent: density dial — lambda 1.0 keeps the link farm") {
+    val farm =
+      "<div><a href=\"/x\">a very long related article title here</a> and some words</div>"
+    val keptAtDefault = graft.operators.TextAnalysis
+      .extractMainContent(Seq((1L, farm)).toDF("id", "html"), "html")
+      .collect()(0)
+      .getAs[Int]("kept_blocks")
+    val keptAtOne = graft.operators.TextAnalysis
+      .extractMainContent(
+        Seq((1L, farm)).toDF("id", "html"), "html", maxLinkDensity = 1.0
+      )
+      .collect()(0)
+      .getAs[Int]("kept_blocks")
+    assert(keptAtDefault == 0 && keptAtOne == 1)
+  }
+
   // ------------------------------------------------ fuzzy decontamination
 
   test("fuzzyDecontaminate: near-copies of eval docs drop, train never self-dedups") {
