@@ -573,6 +573,27 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // the crawl tier END-TO-END: full page -> main-content extraction ->
+    // quality gate -> exact-verified near-dedup. Guards the new tier
+    // against cross-operator column collisions the way q_pipeline_e2e
+    // guards the text tier; NULL pages and all-chrome pages must fall at
+    // the gate in both engines.
+    "q_crawl_pipeline" -> ((s, dir) => {
+      val pages = t(s, dir, "documents")
+        .withColumn("page", syntheticPageHtml)
+        .select("doc_id", "page")
+      val gated = TextAnalysis
+        .qualityScore(
+          TextAnalysis.extractMainContent(pages, "page", outCol = "text"),
+          "text"
+        )
+        .filter(col("quality") >= 0.5)
+      Dedup
+        .dedupNearMinHashVerified(gated, "doc_id", "text", threshold = 0.8)
+        .select("doc_id", "n_tokens", "quality")
+        .orderBy("doc_id")
+    }),
+
     // URL parsing: every component of the synthetic per-doc URL (scheme,
     // host, port, path, query string, registered domain incl. the co.uk
     // multi-part suffix) — pure per-row regexps, malformed rows -> NULLs
@@ -1377,6 +1398,36 @@ private[graft] object TextQueries {
          |)
          |SELECT doc_id, n_tokens, quality FROM q
          |WHERE quality >= 0.5 ORDER BY doc_id""".stripMargin
+    },
+
+    "q_crawl_pipeline" -> {
+      val en = TextAnalysis.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
+      // the dedup chain reads documents.text directly: for gated rows the
+      // extracted main block IS the document text verbatim (the synthetic
+      // corpus carries no markup/entities/whitespace runs), so the shared
+      // MinHash CTE applies with the gate as its corpus restriction — the
+      // final hash compare would catch any divergence
+      s"""WITH h AS (
+         |  SELECT doc_id, $duckSyntheticPageHtml AS page FROM documents
+         |), ${duckMainContentCte(25, 330000L)}, q AS (
+         |  SELECT doc_id, CAST(nt AS INT) AS n_tokens,
+         |         ${duckQualityExpr("nt", "pc", "stops")} AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |           len(string_split(lower(main_text), ' ')) AS nt,
+         |           length(main_text) -
+         |             length(regexp_replace(main_text, '[.,!?;:]', '', 'g')) AS pc,
+         |           len(list_filter(string_split(lower(main_text), ' '),
+         |               w -> list_contains([$en], w))) AS stops
+         |    FROM mc
+         |  )
+         |), gt AS (
+         |  SELECT doc_id, n_tokens, quality FROM q WHERE quality >= 0.5
+         |), ${duckMinHashCommonWhere(
+              " AND doc_id IN (SELECT doc_id FROM gt)")}, $duckMinHashVerify
+         |SELECT doc_id, n_tokens, quality FROM gt
+         |WHERE doc_id NOT IN (SELECT ib FROM vp)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q_main_content" ->
