@@ -194,6 +194,16 @@ object Warc {
     private def advance(): Unit = {
       nextRec = null
       if (done) return
+      try advanceUnsafe()
+      catch {
+        // a corrupt member (bad gzip trailer, truncated stream) abandons
+        // THIS file's remainder — at 100k files per job, one rotten
+        // segment must not fail the stage
+        case _: java.io.IOException => done = true
+      }
+    }
+
+    private def advanceUnsafe(): Unit = {
       // scan to the next WARC/ version line (skips inter-record blank
       // lines and any leading garbage)
       var line = readLine(in)
@@ -201,10 +211,15 @@ object Warc {
       if (line == null) { done = true; return }
 
       val headers = readHeaders(in)
-      val lenOpt = headers.get("content-length").flatMap(_.toLongOption)
+      val lenOpt = headers
+        .get("content-length")
+        .flatMap(_.toLongOption)
+        // an absurd length is corruption, not data: re-syncing past it is
+        // impossible and allocating it is an OOM — abandon the file
+        .filter(l => l >= 0 && l <= MaxRecordBytes)
       lenOpt match {
         case None =>
-          // cannot re-sync without a length; abandon the file's remainder
+          // cannot re-sync without a trustworthy length
           done = true
         case Some(len) =>
           val payload = readFully(in, len)
@@ -317,11 +332,12 @@ object Warc {
     sb.toString
   }
 
+  /** Per-record payload cap — far above any real WARC record (CC caps
+    * fetches around 1 MB; 1 GiB leaves room for outliers) and far below
+    * an executor-killing allocation from a corrupt Content-Length. */
+  private val MaxRecordBytes: Long = 1L << 30
+
   private def readFully(in: InputStream, len: Long): Array[Byte] = {
-    require(
-      len <= Int.MaxValue - 8,
-      s"record payload of $len bytes exceeds the per-record limit"
-    )
     val out = new Array[Byte](len.toInt)
     var off = 0
     try {

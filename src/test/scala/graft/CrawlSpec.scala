@@ -152,6 +152,24 @@ class CrawlSpec extends SparkSpec {
     assert(rows.length == 3) // the lengthless tail record is dropped
   }
 
+  test("warc: absurd Content-Length and corrupt gzip abandon the file, not the job") {
+    val absurd =
+      sampleWarc ++
+        ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999999999\r\n\r\n")
+          .getBytes("ISO-8859-1")
+    val p1 = s"$tmp/absurd.warc"
+    Files.write(Paths.get(p1), absurd)
+    assert(Warc.readWarc(spark, p1).count() == 3) // earlier records intact
+
+    val gz = gzipBytes(sampleWarc)
+    val corrupt = gz.take(gz.length - 6) ++ Array[Byte](0, 1, 2, 3, 4, 5)
+    val p2 = s"$tmp/corrupt.warc.gz"
+    Files.write(Paths.get(p2), corrupt)
+    // records decoded before the broken trailer survive; no exception
+    val n = Warc.readWarc(spark, p2).count()
+    assert(n <= 3)
+  }
+
   test("warc: warcResponsesAsHtml keeps 200 text/html and decodes utf-8") {
     val p = s"$tmp/resp.warc"
     Files.write(Paths.get(p), sampleWarc)
