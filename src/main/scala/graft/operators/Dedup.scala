@@ -526,17 +526,19 @@ object Dedup {
     newDocs.join(losers, newDocs(idCol) === col("__loser"), "left_anti")
   }
 
-  /** MinHash-LSH candidate pairs VERIFIED by exact shingle-set Jaccard —
-    * the two-stage production dedup shape (candidates cheap and recall-
-    * oriented, verification exact and precision-oriented). Candidates are
-    * the union of the identical-signature pairs (each doc vs its signature
-    * group's minimum id) and the bucket-minimum band pairs of
-    * [[minHashCandidatePairsFromSigs]] — O(bands) pairs per doc even under
-    * giant duplicate clusters — and EVERY candidate is then verified by
-    * exact Jaccard over the true distinct shingle sets, so unlike
-    * [[dedupNearMinHash]] (which trusts the 16-hash estimate) no false
-    * positive survives: est-vs-truth error costs only candidate-stage
-    * recall, never a wrongly dropped document.
+  /** Near-duplicate pairs VERIFIED by exact shingle-set Jaccard — the
+    * two-stage production dedup shape (candidates cheap and recall-
+    * oriented, verification exact and precision-oriented). Two tiers:
+    * (a) CERTAIN duplicates — docs grouped by a canonical digest of the
+    * sorted distinct shingle set, paired with the group minimum: Jaccard
+    * 1.0 by construction, no verification, no pair enumeration even for
+    * giant clusters; (b) near-misses — bucket-minimum MinHash band pairs
+    * ([[minHashCandidatePairsFromSigs]], O(bands) pairs per doc), each
+    * verified by exact Jaccard over the true distinct shingle sets. So
+    * unlike [[dedupNearMinHash]] (which trusts the 16-hash estimate) no
+    * false positive survives: est-vs-truth error costs only candidate-
+    * stage recall on the NEAR-MISS tier, never a wrongly dropped document
+    * — and certain duplicates are immune to it entirely.
     *
     * The threshold is quantized to ppm and compared in integers
     * (`inter * 1e6 >= thrPpm * union`) so the decision is exact and
@@ -557,59 +559,81 @@ object Dedup {
       bands: Int = 4,
       portable: Boolean = true
   ): DataFrame = {
-    val exploded = verifiedShingleTable(df, idCol, textCol, shingleK)
+    val sets = verifiedSetTable(df, idCol, textCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verified =
-      minHashVerifiedPairsPlan(exploded, threshold, numHashes, bands, portable)
+      minHashVerifiedPairsPlan(sets, threshold, numHashes, bands, portable)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verified.count() // EAGER off the cached shingle table, then release it
-    exploded.unpersist(blocking = false)
+    verified.count() // EAGER off the cached set table, then release it
+    sets.unpersist(blocking = false)
     verified
   }
 
-  /** Distinct (id, shingle) table feeding BOTH verified-dedup stages. */
-  private[graft] def verifiedShingleTable(
+  /** Distinct-shingle-set table (id, set) feeding every verified-dedup
+    * stage off ONE corpus text scan. */
+  private[graft] def verifiedSetTable(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleK: Int
   ): DataFrame =
-    ScanUtils
-      .withScanParallelism(
-        df.select(
-          col(idCol).as("__id"),
-          array_distinct(shingles(col(textCol), shingleK)).as("__set")
-        )
+    ScanUtils.withScanParallelism(
+      df.select(
+        col(idCol).as("__id"),
+        array_distinct(shingles(col(textCol), shingleK)).as("__set")
       )
-      .select(col("__id"), explode(col("__set")).as("__s"))
+    )
 
-  /** The LAZY verified-pairs plan over a pre-exploded distinct shingle
-    * table — split out so tests can assert the shuffle shape before the
-    * eager persist hides it. Signatures come from the same table (min() is
-    * idempotent, so they equal [[minHashSignatures]]' over the raw shingle
-    * stream) — the corpus text is scanned exactly once for both stages.
-    * The intersection join is keyed by the 16-byte md5 of the shingle
-    * (never the string — a 5-word shingle is ~3x wider), the
-    * [[TextAnalysis.spanDedup]] digest-exactness convention. */
+  /** The LAZY verified-pairs plan over a pre-computed distinct-set table —
+    * split out so tests can assert the shuffle shape before the eager
+    * persist hides it.
+    *
+    * The certain-duplicate pass groups docs by a CANONICAL SET DIGEST
+    * (md5 of the sorted distinct shingles): identical sets are Jaccard
+    * 1.0 by construction, so these pairs need no verification AND never
+    * depend on minhash-signature collisions — the failure mode where a
+    * sig group's minimum is a false positive, verification kills that one
+    * proposed pair, and the group's true duplicates (who were paired only
+    * with the minimum) silently survive. Banded candidates (bucket-min,
+    * O(bands)/doc) cover the near-miss range and are verified by exact
+    * intersection counts keyed by the 16-byte shingle md5 (never the
+    * string — a 5-word shingle is ~3x wider), the
+    * [[TextAnalysis.spanDedup]] digest-exactness convention. Signatures
+    * come from exploding the same cached set table (min() is idempotent,
+    * so they equal [[minHashSignatures]]' over the raw shingle stream). */
   private[graft] def minHashVerifiedPairsPlan(
-      exploded: DataFrame,
+      sets: DataFrame,
       threshold: Double,
       numHashes: Int,
       bands: Int,
       portable: Boolean
   ): DataFrame = {
     val thrPpm = math.round(threshold * 1e6)
+    val exploded = sets.select(col("__id"), explode(col("__set")).as("__s"))
     val sigs = sigsFromShingleTable(exploded, numHashes, portable)
 
-    val sigMins = sigs.groupBy("__sig").agg(min("__id").as("__min"))
-    val exactCand = sigs
-      .join(sigMins, Seq("__sig"))
+    // certain dups: canonical set digest, group-min drop — exact by
+    // construction, giant identical clusters cost one groupBy
+    val digests = sets
+      .filter(col("__set").isNotNull)
+      .select(
+        col("__id"),
+        md5(concat_ws("\u0001", array_sort(col("__set")))).as("__d")
+      )
+    val digMins = digests.groupBy("__d").agg(min("__id").as("__min"))
+    val exactPairs = digests
+      .join(digMins, Seq("__d"))
       .filter(col("__id") > col("__min"))
-      .select(col("__min").as("id_a"), col("__id").as("id_b"))
-    val bandCand =
+      .select(
+        col("__min").as("id_a"),
+        col("__id").as("id_b"),
+        lit(1.0).as("jaccard")
+      )
+
+    val cand =
       minHashCandidatePairsFromSigs(sigs, numHashes, bands, representativesOnly = true)
         .select("id_a", "id_b")
-    val cand = exactCand.union(bandCand).distinct()
+        .distinct()
 
     val grams = exploded.select(col("__id"), unhex(md5(col("__s"))).as("__g"))
     val sizes = exploded.groupBy("__id").agg(count(lit(1)).as("__n"))
@@ -618,7 +642,7 @@ object Dedup {
       .join(grams.select(col("__id").as("id_b"), col("__g")), Seq("id_b", "__g"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("__i"))
-    inter
+    val verifiedBand = inter
       .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
       .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
       .filter(
@@ -631,6 +655,7 @@ object Dedup {
         (col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")))
           .as("jaccard")
       )
+    verifiedBand.union(exactPairs).distinct()
   }
 
   /** Signature table from a pre-exploded (id, shingle) table — the shared

@@ -808,26 +808,33 @@ private[graft] object QueryShared {
       |  FROM (SELECT * FROM fex UNION ALL SELECT * FROM fnear)
       |)""".stripMargin
 
-  /** Exact-Jaccard verification stage over [[duckMinHashCommon]]'s
-    * candidates (band bucket-min pairs `pr` + identical-signature pairs
-    * from `ex`), mirroring `Dedup.minHashVerifiedPairs` at threshold 0.8:
-    * distinct token sets, candidate-only intersection counts, integer ppm
-    * threshold compare. Defines `vp(ia, ib, jaccard)`. */
+  /** Exact-Jaccard verification stage over [[duckMinHashCommon]], mirroring
+    * `Dedup.minHashVerifiedPairs` at threshold 0.8: canonical set-digest
+    * groups give the certain-duplicate pairs (jaccard 1.0 by
+    * construction); band bucket-min pairs `pr` are verified by distinct-
+    * token intersection counts with the integer ppm threshold compare.
+    * Defines `vp(ia, ib, jaccard)`. */
   val duckMinHashVerify: String =
     """g AS (
       |  SELECT DISTINCT doc_id, unnest(toks) AS tk FROM d
       |), sz AS (
       |  SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
-      |), cd AS (
-      |  SELECT ia, ib FROM pr
-      |  UNION
-      |  SELECT sig_min AS ia, doc_id AS ib FROM ex WHERE doc_id > sig_min
+      |), sd AS (
+      |  SELECT doc_id,
+      |         md5(array_to_string(list_sort(list_distinct(toks)), chr(1)))
+      |           AS sdig
+      |  FROM d
+      |), sdm AS (
+      |  SELECT sdig, min(doc_id) AS dmin FROM sd GROUP BY sdig
+      |), sde AS (
+      |  SELECT m.dmin AS ia, s.doc_id AS ib
+      |  FROM sd s JOIN sdm m ON s.sdig = m.sdig AND s.doc_id > m.dmin
       |), itr AS (
-      |  SELECT cd.ia, cd.ib, count(*) AS i
-      |  FROM cd
-      |  JOIN g a ON a.doc_id = cd.ia
-      |  JOIN g b ON b.doc_id = cd.ib AND b.tk = a.tk
-      |  GROUP BY cd.ia, cd.ib
+      |  SELECT pr.ia, pr.ib, count(*) AS i
+      |  FROM pr
+      |  JOIN g a ON a.doc_id = pr.ia
+      |  JOIN g b ON b.doc_id = pr.ib AND b.tk = a.tk
+      |  GROUP BY pr.ia, pr.ib
       |), vp AS (
       |  SELECT itr.ia, itr.ib,
       |         CAST(itr.i AS DOUBLE) / (sa.n + sb.n - itr.i) AS jaccard
@@ -835,6 +842,8 @@ private[graft] object QueryShared {
       |  JOIN sz sa ON sa.doc_id = itr.ia
       |  JOIN sz sb ON sb.doc_id = itr.ib
       |  WHERE itr.i * 1000000 >= 800000 * (sa.n + sb.n - itr.i)
+      |  UNION
+      |  SELECT ia, ib, CAST(1.0 AS DOUBLE) AS jaccard FROM sde
       |)""".stripMargin
 
   def duckBucketFor(planes: Seq[Seq[Double]]): String =

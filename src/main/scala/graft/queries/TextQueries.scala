@@ -164,6 +164,21 @@ private[graft] object TextQueries {
         .orderBy("rank")
     }),
 
+    // stupid-backoff trigram scoring of the newer corpus slice against a
+    // model trained on the older slice — unseen trigrams back off to
+    // alpha * bigram, unseen bigrams to alpha^2 * add-one unigram
+    "q_stupid_backoff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .stupidBackoffLogProb(
+          docs.filter(col("doc_id") < 300),
+          docs.filter(col("doc_id") >= 300),
+          "doc_id",
+          "text"
+        )
+        .orderBy("doc_id")
+    }),
+
     // corpus trigram count table (KenLM-prep shape): count-cutoff prune at
     // 2, deterministic top-100 by collection frequency
     "q_ngram_counts" -> ((s, dir) => {
@@ -960,6 +975,72 @@ private[graft] object TextQueries {
         |)
         |SELECT term, coll_freq, doc_freq, rank FROM r
         |WHERE rank <= 25 ORDER BY rank""".stripMargin,
+
+    "q_stupid_backoff" -> {
+      val a1 = 0.4
+      val a2 = a1 * a1
+      val c1 = s"CAST($a1 AS DOUBLE)"
+      val c2l = s"CAST($a2 AS DOUBLE)"
+      s"""WITH mt AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL AND doc_id < 300
+         |), st AS (
+         |  SELECT doc_id, string_split(lower(text), ' ') AS t
+         |  FROM documents WHERE text IS NOT NULL AND doc_id >= 300
+         |), m1 AS (
+         |  SELECT w, count(*) AS c1
+         |  FROM (SELECT unnest(t) AS w FROM mt) GROUP BY w
+         |), tot AS (
+         |  SELECT sum(c1) AS n, count(*) AS v FROM m1
+         |), m2 AS (
+         |  SELECT g, count(*) AS c2 FROM (
+         |    SELECT unnest(list_transform(range(1, len(t)),
+         |           i -> t[i] || chr(1) || t[i+1])) AS g FROM mt
+         |  ) GROUP BY g
+         |), m3 AS (
+         |  SELECT g, count(*) AS c3 FROM (
+         |    SELECT unnest(CASE WHEN len(t) >= 3
+         |      THEN list_transform(range(1, len(t) - 1),
+         |           i -> t[i] || chr(1) || t[i+1] || chr(1) || t[i+2])
+         |      ELSE [] END) AS g FROM mt
+         |  ) GROUP BY g
+         |), occ AS (
+         |  SELECT doc_id, o.pos, o.w, o.p1, o.p2,
+         |         o.p2 || chr(1) || o.p1 || chr(1) || o.w AS g3,
+         |         o.p1 || chr(1) || o.w AS g2,
+         |         o.p2 || chr(1) || o.p1 AS ctx2
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+         |      i -> struct_pack(pos := i - 1, w := t[i],
+         |                       p1 := CASE WHEN i >= 2 THEN t[i-1] END,
+         |                       p2 := CASE WHEN i >= 3 THEN t[i-2] END))) AS o
+         |    FROM st
+         |  )
+         |), sc AS (
+         |  SELECT occ.doc_id,
+         |    CASE WHEN m3.c3 IS NOT NULL THEN CAST(m3.c3 AS DOUBLE) / mc.c2
+         |         WHEN m2.c2 IS NOT NULL THEN
+         |           (CASE WHEN least(3, occ.pos + 1) = 3 THEN $c1
+         |                 ELSE CAST(1.0 AS DOUBLE) END)
+         |             * CAST(m2.c2 AS DOUBLE) / mp.c1
+         |         ELSE
+         |           (CASE WHEN least(3, occ.pos + 1) = 3 THEN $c2l
+         |                 WHEN least(3, occ.pos + 1) = 2 THEN $c1
+         |                 ELSE CAST(1.0 AS DOUBLE) END)
+         |             * CAST(coalesce(m1.c1, 0) + 1 AS DOUBLE) / (tot.n + tot.v)
+         |    END AS s
+         |  FROM occ
+         |  LEFT JOIN m3 ON m3.g = occ.g3
+         |  LEFT JOIN m2 ON m2.g = occ.g2
+         |  LEFT JOIN m2 mc ON mc.g = occ.ctx2
+         |  LEFT JOIN m1 ON m1.w = occ.w
+         |  LEFT JOIN m1 mp ON mp.w = occ.p1
+         |  CROSS JOIN tot
+         |)
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+         |       ROUND(avg(ln(s)), 6) AS avg_logprob
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "q_ngram_counts" ->
       """WITH tk AS (

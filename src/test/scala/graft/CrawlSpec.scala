@@ -399,6 +399,35 @@ class CrawlSpec extends SparkSpec {
     assert(keptAtDefault == 0 && keptAtOne == 1)
   }
 
+  // ------------------------------------------- stupid-backoff LM scoring
+
+  test("stupidBackoffLogProb: hand-computed backoff ladder") {
+    val model = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b c"), // trigram seen: full-order path
+      (11L, "a b z"), // unseen trigram AND bigram at pos 2: alpha^2 unigram
+      (12L, "x"),     // single OOV token: add-one unigram, no alpha
+      (13L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .stupidBackoffLogProb(model, score, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    // model: c1(a)=2 b=2 c=1 d=1, N=6 V=4; c2(a b)=2 (b c)=1 (b d)=1;
+    // c3(a b c)=1 (a b d)=1
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lp10 = (math.log(3.0 / 10) + math.log(2.0 / 2) + math.log(1.0 / 2)) / 3
+    // association mirrors the implementation: ((alpha^2 * 1.0) / 10)
+    val lp11 = (math.log(3.0 / 10) + math.log(2.0 / 2) +
+      math.log(0.4 * 0.4 * 1.0 / 10)) / 3
+    val lp12 = math.log(1.0 / 10)
+    assert(got(10L) == ((3, r6(lp10))))
+    assert(got(11L) == ((3, r6(lp11))))
+    assert(got(12L) == ((1, r6(lp12))))
+    assert(!got.contains(13L)) // NULL text: nothing to score
+  }
+
   // ------------------------------------------------ fuzzy decontamination
 
   test("fuzzyDecontaminate: near-copies of eval docs drop, train never self-dedups") {
@@ -459,9 +488,9 @@ class CrawlSpec extends SparkSpec {
 
   test("verified pairs: shuffles carry ids/digests, never text or shingle strings") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val exploded = Dedup.verifiedShingleTable(docs, "doc_id", "text", 1)
+    val sets = Dedup.verifiedSetTable(docs, "doc_id", "text", 1)
     val p = Dedup
-      .minHashVerifiedPairsPlan(exploded, 0.8, 16, 4, portable = true)
+      .minHashVerifiedPairsPlan(sets, 0.8, 16, 4, portable = true)
       .queryExecution
       .executedPlan
       .toString

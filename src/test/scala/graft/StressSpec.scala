@@ -187,6 +187,37 @@ class StressSpec extends SparkSpec {
       s"extra survivors: ${(stressed -- orig).take(5)}; lost: ${(orig -- stressed).take(5)}")
   }
 
+  test("verified dedup survivors on the 10x corpus equal the original corpus survivors") {
+    val orig = timed("dedupNearMinHashVerified on the original corpus") {
+      Dedup
+        .dedupNearMinHashVerified(origDocs, "doc_id", "text", threshold = 0.8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    val stressed = timed("dedupNearMinHashVerified on the 10x corpus") {
+      Dedup
+        .dedupNearMinHashVerified(stressedDocs, "doc_id", "text", threshold = 0.8)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    // bucket minima are original ids (copy 0 keeps them), candidates for
+    // original ids are therefore unchanged, and exact-Jaccard verification
+    // is a pure pair function — amplification must not flip any decision
+    assert(stressed == orig,
+      s"extra survivors: ${(stressed -- orig).take(5)}; lost: ${(orig -- stressed).take(5)}")
+  }
+
+  test("verified pair count stays O((bands + 1) x docs) under the hot cluster") {
+    val pairs = timed("minHashVerifiedPairs on the 10x corpus") {
+      Dedup
+        .minHashVerifiedPairs(stressedDocs, "doc_id", "text", threshold = 0.8)
+        .count()
+    }
+    val n = stressedDocs.count()
+    // each doc is the ib of at most `bands` bucket-min pairs plus one
+    // identical-signature pair; verification only removes pairs. The hot
+    // 100-member clique must NOT produce clique^2 pairs.
+    assert(pairs <= 5L * n, s"pairs=$pairs for n=$n — quadratic blowup")
+  }
+
   test("simhash dedup survivors on the 10x corpus equal the original corpus survivors") {
     val orig = timed("dedupNearSimHash on the original corpus") {
       Dedup
