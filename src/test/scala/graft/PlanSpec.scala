@@ -877,4 +877,16 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("stupid backoff: totals broadcast, no product join, text never shuffles") {
+    val p = plan("q_stupid_backoff")
+    assert(!p.contains("CartesianProduct"), s"product join:\n$p")
+    // the (N, V) totals ride a one-row broadcast
+    assert(p.contains("BroadcastExchange"), s"expected totals broadcast:\n$p")
+    // every hash exchange carries gram keys / ids / counts — never the
+    // document text column
+    p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text#"), s"doc text shuffled: $l"))
+  }
+
 }
