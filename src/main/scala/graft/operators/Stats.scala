@@ -1205,6 +1205,79 @@ object Stats {
       )
   }
 
+  /** Exact Gini concentration coefficient of a non-negative value column
+    * (optionally per group) — the one-number inequality summary for the
+    * concentration dashboards [[graft.operators.Urls.domainStats]] and
+    * mixture planning feed: 0 = evenly spread corpus, -> 1 = one domain /
+    * source owns everything. Uses the rank identity
+    * `G = (2*sum(rank_i * x_i) - (n+1)*sum(x)) / (n * sum(x))` with
+    * tie-invariant rank sums computed per DISTINCT value
+    * (`c*C_before + c*(c+1)/2` — arbitrary rank assignment among equal
+    * values cannot change the sum, so the result is exact and
+    * order-independent).
+    *
+    * Values are quantized to `valueDecimals` micro-units first (the
+    * [[wasserstein1]] grid treatment; Gini is scale-invariant, so the
+    * grid only sets rounding granularity). All sums ride decimal(38,0)
+    * until ONE final double division ([[aucRoc]] discipline) — the
+    * envelope `max|v| * 10^d * n^2 < 1e38` holds for any real
+    * concentration table. NULL values are excluded; negative values are
+    * the caller's contract violation (Gini is undefined there).
+    *
+    * Scale shape: one map-side-combined aggregate onto the distinct-value
+    * grid, [[rangedRunningSums]]' partitioned two-pass prefix sum (never
+    * an unpartitioned window), one final aggregate per group. Never a
+    * global sort of rows. */
+  def giniCoefficient(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String] = Nil,
+      valueDecimals: Int = 6,
+      scale: Int = 12
+  ): DataFrame = {
+    require(valueDecimals >= 0 && valueDecimals <= 9, "valueDecimals in [0, 9]")
+    val q = math.pow(10.0, valueDecimals)
+    val byVal = ScanUtils
+      .withScanParallelism(
+        df.select(
+          groupCols.map(col) :+
+            round(col(valueCol).cast("double") * q).cast("long").as("__v"): _*
+        )
+      )
+      .filter(col("__v").isNotNull)
+      .groupBy((groupCols :+ "__v").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val ranked = rangedRunningSums(byVal, groupCols, "__v", Seq("__c"))
+      .withColumn("__before", col("__run___c") - col("__c"))
+    def d(c: Column): Column = c.cast("decimal(38,0)")
+    // sum of ranks over one distinct value's block: c*C_before + c(c+1)/2
+    // (kept doubled — 2*rankSum = 2cC + c(c+1) — to stay in integers)
+    val rank2 = d(col("__c")) * (lit(2).cast("decimal(38,0)") *
+      d(col("__before")) + d(col("__c")) + lit(1).cast("decimal(38,0)"))
+    val aggs = Seq(
+      sum(col("__c")).as("__n"),
+      sum(d(col("__v")) * d(col("__c"))).as("__s1"),
+      sum(d(col("__v")) * rank2).as("__sr2")
+    )
+    val agg =
+      if (groupCols.isEmpty) ranked.agg(aggs.head, aggs.tail: _*)
+      else ranked.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val n = d(col("__n"))
+    agg.select(
+      groupCols.map(col) ++ Seq(
+        col("__n").as("n_values"),
+        round(
+          when(
+            col("__n") > 0 && col("__s1") > 0,
+            (col("__sr2") - (n + lit(1)) * col("__s1")).cast("double") /
+              (n * col("__s1")).cast("double")
+          ),
+          scale
+        ).as("gini")
+      ): _*
+    )
+  }
+
   /** Per-group quantile bucketing — the CCNet head/middle/tail split
     * (Wenzek et al. 2020) generalized: within each `groupCols` group
     * (e.g. language), compute the exact `probs` quantiles of `valueCol`

@@ -27,6 +27,20 @@ private[graft] object StatsQueries {
         .orderBy("threshold")
     }),
 
+    // exact per-language Gini concentration of document lengths — the
+    // inequality summary for concentration dashboards; tie-invariant
+    // integer rank sums over the distinct-value grid, one final division
+    "q_gini" -> ((s, dir) => {
+      Stats
+        .giniCoefficient(
+          t(s, dir, "documents"),
+          "n_chars",
+          groupCols = Seq("lang"),
+          valueDecimals = 0
+        )
+        .orderBy("lang")
+    }),
+
     // exact tie-aware ROC AUC of the same score/label pair: integer
     // rank sums (ties counted half), one grouped pass + a distinct-score
     // window — threshold-free ranking power of the quality filter
@@ -382,6 +396,32 @@ private[graft] object StatsQueries {
          |FROM bb, t
          |ORDER BY bin""".stripMargin
     },
+
+    "q_gini" ->
+      """WITH v AS (
+        |  SELECT lang,
+        |         CAST(round(CAST(n_chars AS DOUBLE) * 1.0) AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), g AS (
+        |  SELECT lang, v, count(*) AS c FROM v GROUP BY lang, v
+        |), r AS (
+        |  SELECT lang, v, c,
+        |         sum(c) OVER (PARTITION BY lang ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |           AS before
+        |  FROM g
+        |), a AS (
+        |  SELECT lang,
+        |         sum(c) AS n,
+        |         sum(CAST(v AS HUGEINT) * c) AS s1,
+        |         sum(CAST(v AS HUGEINT) * c *
+        |             (2 * CAST(before AS HUGEINT) + c + 1)) AS sr2
+        |  FROM r GROUP BY lang
+        |)
+        |SELECT lang, CAST(n AS BIGINT) AS n_values,
+        |       ROUND(CAST(sr2 - (n + 1) * s1 AS DOUBLE) /
+        |             CAST(n * s1 AS DOUBLE), 12) AS gini
+        |FROM a ORDER BY lang""".stripMargin,
 
     "q_auc" -> {
       s"""WITH $duckQualityScoreCte, j AS (

@@ -3174,6 +3174,39 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("giniCoefficient: exact textbook cases, tie- and partition-invariant") {
+    import graft.operators.Stats
+    // perfectly even -> 0
+    val even = Seq(10.0, 10.0, 10.0, 10.0).toDF("x")
+    assert(Stats.giniCoefficient(even, "x").collect().head.getDouble(1) == 0.0)
+    // one owner of everything among n=4 -> (n-1)/n = 0.75
+    val one = Seq(0.0, 0.0, 0.0, 100.0).toDF("x")
+    val r1 = Stats.giniCoefficient(one, "x").collect().head
+    assert(r1.getLong(0) == 4L && r1.getDouble(1) == 0.75)
+    // hand case [1,2,3,4]: G = (2*(1+4+9+16) - 5*10) / (4*10) = 0.25
+    val hand = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    assert(Stats.giniCoefficient(hand, "x").collect().head.getDouble(1) == 0.25)
+    // ties + partitioning cannot change the integer rank sums
+    val tied = Seq(1.0, 1.0, 2.0, 2.0, 4.0).toDF("x")
+    val a = Stats.giniCoefficient(tied, "x").collect().head.getDouble(1)
+    val b = Stats
+      .giniCoefficient(tied.repartition(7), "x")
+      .collect().head.getDouble(1)
+    assert(a == b)
+    // per-group: each group computed independently
+    val grouped = Seq(("a", 5.0), ("a", 5.0), ("b", 0.0), ("b", 10.0))
+      .toDF("g", "x")
+    val byG = Stats
+      .giniCoefficient(grouped, "x", groupCols = Seq("g"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(2))
+      .toMap
+    assert(byG("a") == 0.0 && byG("b") == 0.5)
+    // all-zero mass -> NULL gini (undefined)
+    val zeros = Seq(0.0, 0.0).toDF("x")
+    assert(Stats.giniCoefficient(zeros, "x").collect().head.isNullAt(1))
+  }
+
   test("aucRoc computes exact tie-aware AUC, NULL on single-class input") {
     import graft.operators.Stats
     // scores: pos {0.9, 0.5, 0.3}, neg {0.5, 0.1} — one tie at 0.5.
