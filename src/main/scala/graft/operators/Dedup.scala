@@ -613,9 +613,13 @@ object Dedup {
     val sigs = sigsFromShingleTable(exploded, numHashes, portable)
 
     // certain dups: canonical set digest, group-min drop — exact by
-    // construction, giant identical clusters cost one groupBy
+    // construction, giant identical clusters cost one groupBy. EMPTY sets
+    // (NULL text, or fewer than shingleK tokens) must be excluded here:
+    // they all share md5("") and would be emitted as jaccard-1.0 pairs,
+    // silently dropping every short/NULL doc but one — the documented
+    // contract is that shingle-less docs are never candidates.
     val digests = sets
-      .filter(col("__set").isNotNull)
+      .filter(col("__set").isNotNull && size(col("__set")) > 0)
       .select(
         col("__id"),
         md5(concat_ws("\u0001", array_sort(col("__set")))).as("__d")

@@ -637,8 +637,16 @@ object TextAnalysis {
       "pre|div|h[1-6]|li|ul|ol|dl|dt|dd|tr|td|th|hr|br|p)" +
       "([ \\t\\n\\f\\r][^>]*)?/?>"
 
-  /** Anchor inner-text pattern (group 1) for the link-density signal. */
-  private[graft] val AnchorRe: String = "(?is)<a[^>]*>(.*?)</a>"
+  /** Anchor inner-text pattern (group 1) for the link-density signal.
+    * The tag name is boundary-anchored (`<a` followed by whitespace+attrs
+    * or `>` directly) so non-anchor tags starting with 'a' that survive
+    * block segmentation (`<abbr>`, `<address>`, `<audio>`, `<area>`) are
+    * not matched — a bare `<a[^>]*>` would match them and the lazy group
+    * would over-capture up to the next real `</a>`, inflating link
+    * density and discarding prose blocks. RE2-portable (shared verbatim
+    * with the DuckDB oracle via QueryShared). */
+  private[graft] val AnchorRe: String =
+    "(?is)<a(?:[ \\t\\n\\f\\r][^>]*)?>(.*?)</a>"
 
   /** Pre-clean stages run BEFORE block segmentation (comments and
     * script/style bodies are code, and may contain block-tag text). */

@@ -732,9 +732,17 @@ private[graft] object QueryShared {
     * restricts the corpus (e.g. the pipeline query dedups only its
     * training slice). */
   def duckMinHashCommonWhere(extraWhere: String): String =
+    duckMinHashCommonFrom(s"documents WHERE text IS NOT NULL$extraWhere")
+
+  /** [[duckMinHashCommonWhere]] over an arbitrary relation exposing
+    * `(doc_id, text)` — lets composed-pipeline oracles dedup the SAME
+    * strings the Spark side dedups (e.g. the extracted `main_text`
+    * restricted to gated ids) instead of relying on the synthetic
+    * extraction being an identity over `documents.text`. */
+  def duckMinHashCommonFrom(fromSql: String): String =
     s"""d AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS toks
-      |  FROM documents WHERE text IS NOT NULL$extraWhere
+      |  FROM $fromSql
       |), pre AS (
       |  SELECT doc_id,
       |         list_transform(toks, s -> [

@@ -1483,11 +1483,10 @@ private[graft] object TextQueries {
 
     "q_crawl_pipeline" -> {
       val en = TextAnalysis.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
-      // the dedup chain reads documents.text directly: for gated rows the
-      // extracted main block IS the document text verbatim (the synthetic
-      // corpus carries no markup/entities/whitespace runs), so the shared
-      // MinHash CTE applies with the gate as its corpus restriction — the
-      // final hash compare would catch any divergence
+      // the dedup chain reads the EXTRACTED main_text (restricted to
+      // gated ids), exactly the strings the Spark side dedups — so a
+      // future change to the synthetic page or corpus text shows up as an
+      // operator divergence, not a silently-invalidated oracle
       s"""WITH h AS (
          |  SELECT doc_id, $duckSyntheticPageHtml AS page FROM documents
          |), ${duckMainContentCte(25, 330000L)}, q AS (
@@ -1504,8 +1503,10 @@ private[graft] object TextQueries {
          |  )
          |), gt AS (
          |  SELECT doc_id, n_tokens, quality FROM q WHERE quality >= 0.5
-         |), ${duckMinHashCommonWhere(
-              " AND doc_id IN (SELECT doc_id FROM gt)")}, $duckMinHashVerify
+         |), ${duckMinHashCommonFrom(
+              "(SELECT doc_id, main_text AS text FROM mc " +
+                "WHERE doc_id IN (SELECT doc_id FROM gt)) " +
+                "WHERE text IS NOT NULL")}, $duckMinHashVerify
          |SELECT doc_id, n_tokens, quality FROM gt
          |WHERE doc_id NOT IN (SELECT ib FROM vp)
          |ORDER BY doc_id""".stripMargin

@@ -1,8 +1,9 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, InputStream}
+import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, InputStream, PushbackInputStream}
 import java.util.zip.GZIPInputStream
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** WARC (Web ARChive, ISO 28500) reader — the container format web crawls
@@ -20,11 +21,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scale shape: gzip is not block-splittable, so the unit of parallelism is
   * the FILE — exactly how production crawl jobs run (Common Crawl segments
   * are sized ~1 GB for this reason; a 100 TB crawl is ~100k files, far more
-  * splits than executors). Each task parses its files as a STREAM: records
-  * are decoded one at a time through a bounded iterator, so task memory
-  * holds one record body, not one file, beyond the `binaryFile` source's
-  * own per-file buffer. No shuffle — rows flow straight into downstream
-  * per-row operators.
+  * splits than executors). The `binaryFile` source supplies ONLY the
+  * listing (glob expansion, per-file splits, small-file packing by
+  * `maxPartitionBytes`): the scan projects just `path`, which binaryFile
+  * serves from file status without reading a byte — so neither its 2 GB
+  * per-file cap nor its whole-file `content` buffer applies. Each task then
+  * opens a Hadoop `FileSystem` stream per file and decodes records one at a
+  * time through a bounded iterator: task memory holds ONE record body
+  * (≤ [[MaxRecordBytes]]) plus a 64 KB read buffer — never the file. At 32
+  * concurrent tasks over ~1 GB segments that is ~2 MB of input buffers, not
+  * ~32 GB. No shuffle — rows flow straight into downstream per-row
+  * operators. Streams close at iterator end AND via a task-completion
+  * listener, so early-terminating plans (limits, failures) leak nothing.
+  *
+  * For gated access patterns, [[fetchWarcRecords]] composes with
+  * [[readCdxj]]: filter the (~1000x smaller) capture index first, then
+  * range-read ONLY the gated records' gzip members by (filename, offset,
+  * length) — the production Common Crawl pattern that avoids decompressing
+  * whole segments for a sparse selection.
   *
   * Parsing is deliberately tolerant: leading garbage before the next
   * `WARC/` magic is skipped, a record with a missing/invalid
@@ -55,19 +69,22 @@ object Warc {
 
   /** Read WARC files (plain or gzip, incl. per-record-member gzip) into a
     * DataFrame of [[WarcRecord]] rows. `pattern` is any path/glob the
-    * `binaryFile` source accepts. */
+    * `binaryFile` source accepts — but only the LISTING comes from
+    * binaryFile (see the object doc): record bytes stream through a
+    * per-file `FileSystem` open, one record in memory at a time. */
   def readWarc(
       spark: SparkSession,
       pattern: String,
       parseHttp: Boolean = true
   ): DataFrame = {
     import spark.implicits._
+    val confEntries = hadoopConfEntries(spark)
     spark.read
       .format("binaryFile")
       .load(pattern)
-      .select("path", "content")
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) => parseBytes(path, bytes, parseHttp) }
+      .select("path")
+      .as[String]
+      .flatMap(path => openAndParse(path, confEntries, parseHttp))
       .toDF()
   }
 
@@ -91,13 +108,16 @@ object Warc {
         StructField("content", BinaryType)
       )
     )
+    val confEntries = hadoopConfEntries(spark)
+    // same path-only projection as the batch reader: binaryFile is the
+    // file-arrival tracker, never the byte source
     spark.readStream
       .format("binaryFile")
       .schema(fileSchema)
       .load(dir)
-      .select("path", "content")
-      .as[(String, Array[Byte])]
-      .flatMap { case (path, bytes) => parseBytes(path, bytes, parseHttp) }
+      .select("path")
+      .as[String]
+      .flatMap(path => openAndParse(path, confEntries, parseHttp))
       .toDF()
   }
 
@@ -165,6 +185,201 @@ object Warc {
       )
       .select(col("urlkey") +: col("timestamp") +:
         jsonFields.keys.toSeq.sorted.map(k => col(s"__j.`$k`").as(k)): _*)
+  }
+
+  /** Range-fetch WARC records located by a capture index: for each
+    * (filename, offset, length) row — the fields [[readCdxj]] surfaces —
+    * read EXACTLY that byte range (one gzip member in Common Crawl WARCs,
+    * auto-detected; plain ranges also parse) and emit its records. This is
+    * the index→gate→fetch composition: filter the ~1000x-smaller CDXJ
+    * first, then touch only the gated members, never decompressing whole
+    * segments.
+    *
+    * Scale shape: captures are hash-partitioned by filename and sorted by
+    * offset within the partition, so each task opens each of its files
+    * ONCE and issues monotonically increasing positioned reads
+    * (`FSDataInputStream.readFully(pos, buf)` — readahead-friendly, and
+    * the seek pointer is untouched). Memory per task is one member
+    * (`length` bytes, capped at [[MaxRecordBytes]]); rows with a
+    * non-positive/absurd length or an unreadable range are SKIPPED, not
+    * failures — a stale index entry must not kill a 100k-file job.
+    *
+    * `warcRoot` resolves relative `filename`s (CDXJ carries segment-
+    * relative names); absolute filenames pass through. `record_index` is
+    * the index WITHIN the fetched range (a CC member holds one record), so
+    * join fetched rows back to the index by (path, offset) semantics
+    * rather than by record_index. */
+  def fetchWarcRecords(
+      captures: DataFrame,
+      warcRoot: String,
+      filenameCol: String = "filename",
+      offsetCol: String = "offset",
+      lengthCol: String = "length",
+      parseHttp: Boolean = true
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = captures.sparkSession
+    import spark.implicits._
+    Seq(filenameCol, offsetCol, lengthCol).foreach { c =>
+      require(captures.columns.contains(c), s"column '$c' does not exist")
+    }
+    val confEntries = hadoopConfEntries(spark)
+    val root = warcRoot
+    captures
+      .select(
+        col(filenameCol).cast("string").as("__f"),
+        col(offsetCol).cast("long").as("__o"),
+        col(lengthCol).cast("long").as("__l")
+      )
+      .filter(col("__f").isNotNull && col("__o").isNotNull && col("__l").isNotNull)
+      .repartition(col("__f"))
+      .sortWithinPartitions("__f", "__o")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        new Iterator[WarcRecord] {
+          private val conf = rebuildConf(confEntries)
+          private var curPath: String = null
+          private var curIn: org.apache.hadoop.fs.FSDataInputStream = null
+          private var recs: Iterator[WarcRecord] = Iterator.empty
+          Option(TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => closeCur())
+          )
+          private def closeCur(): Unit = {
+            if (curIn != null) { try curIn.close() catch { case _: Exception => () } }
+            curIn = null
+          }
+          private def fetchNext(): Unit = {
+            while (!recs.hasNext && it.hasNext) {
+              val (f, off, len) = it.next()
+              if (off >= 0 && len > 0 && len <= MaxRecordBytes) {
+                val p = resolveWarcPath(root, f)
+                val pathStr = p.toString
+                try {
+                  if (pathStr != curPath) {
+                    closeCur()
+                    curIn = p.getFileSystem(conf).open(p)
+                    curPath = pathStr
+                  }
+                  val buf = new Array[Byte](len.toInt)
+                  curIn.readFully(off, buf)
+                  recs = parseBytes(pathStr, buf, parseHttp)
+                } catch {
+                  // unreadable range / missing segment: skip the capture
+                  case _: java.io.IOException => recs = Iterator.empty
+                }
+              }
+            }
+            if (!recs.hasNext) closeCur()
+          }
+          override def hasNext: Boolean = { fetchNext(); recs.hasNext }
+          override def next(): WarcRecord = {
+            fetchNext()
+            if (!recs.hasNext) throw new NoSuchElementException("end of fetch")
+            recs.next()
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** One-range convenience over [[fetchWarcRecords]]: the records inside
+    * the `length` bytes at `offset` of `path` — e.g. a single CDXJ capture
+    * member. Same row schema as [[readWarc]]. */
+  def readWarcRecords(
+      spark: SparkSession,
+      path: String,
+      offset: Long,
+      length: Long,
+      parseHttp: Boolean = true
+  ): DataFrame = {
+    import spark.implicits._
+    require(offset >= 0, "offset must be >= 0")
+    require(length > 0, "length must be > 0")
+    val captures = Seq((path, offset, length)).toDF("filename", "offset", "length")
+    fetchWarcRecords(captures, warcRoot = "", parseHttp = parseHttp)
+  }
+
+  /** Resolve a capture `filename` against the WARC root; absolute paths
+    * and full URIs pass through. */
+  private def resolveWarcPath(
+      root: String,
+      filename: String
+  ): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(filename)
+    if (root.isEmpty || p.isAbsolute || filename.contains("://")) p
+    else new org.apache.hadoop.fs.Path(root, filename)
+  }
+
+  /** Effective Hadoop conf as plain serializable entries — rebuilt on the
+    * executor by [[rebuildConf]]. Carries cluster fs settings (s3a creds,
+    * endpoints) without touching any Spark-private serialization helper. */
+  private def hadoopConfEntries(spark: SparkSession): Array[(String, String)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val it = conf.iterator()
+    val b = Array.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+    b.result()
+  }
+
+  private def rebuildConf(
+      entries: Array[(String, String)]
+  ): org.apache.hadoop.conf.Configuration = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+
+  /** Open one WARC file as a record-streaming iterator: Hadoop
+    * `FileSystem` stream, 64 KB buffer, gzip auto-detected from the magic
+    * bytes. The stream closes at iterator end and on task completion; an
+    * unreadable file yields zero records (one rotten segment in a
+    * 100k-file job is data loss to log, not a stage failure). */
+  private[graft] def openAndParse(
+      pathStr: String,
+      confEntries: Array[(String, String)],
+      parseHttp: Boolean
+  ): Iterator[WarcRecord] = {
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    var raw: InputStream = null
+    try {
+      raw = p.getFileSystem(rebuildConf(confEntries)).open(p)
+      val toClose = raw
+      Option(TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ =>
+          try toClose.close() catch { case _: Exception => () })
+      )
+      val pb = new PushbackInputStream(new BufferedInputStream(raw, 1 << 16), 2)
+      val b1 = pb.read(); val b2 = pb.read()
+      if (b2 >= 0) pb.unread(b2)
+      if (b1 >= 0) pb.unread(b1)
+      val in: InputStream =
+        if (b1 == 0x1f && b2 == 0x8b)
+          new BufferedInputStream(new GZIPInputStream(pb))
+        else pb
+      closeAtEnd(parseStream(pathStr, in, parseHttp), toClose)
+    } catch {
+      case _: java.io.IOException =>
+        if (raw != null) { try raw.close() catch { case _: Exception => () } }
+        Iterator.empty
+    }
+  }
+
+  /** Close `resource` the moment the iterator is exhausted (the task-
+    * completion listener is the backstop for early termination). */
+  private def closeAtEnd(
+      it: Iterator[WarcRecord],
+      resource: java.io.Closeable
+  ): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+    private var closed = false
+    override def hasNext: Boolean = {
+      val h = it.hasNext
+      if (!h && !closed) {
+        closed = true
+        try resource.close() catch { case _: Exception => () }
+      }
+      h
+    }
+    override def next(): WarcRecord = it.next()
   }
 
   /** Parse one file's bytes (auto-detecting gzip) into a record iterator.

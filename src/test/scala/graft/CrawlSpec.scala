@@ -240,6 +240,118 @@ class CrawlSpec extends SparkSpec {
     assert(fetch.length == 1 && fetch(0).getString(0) == "seg-0.warc.gz")
   }
 
+  test("warc: CDXJ-offset range fetch equals the full scan for the fetched members") {
+    // a per-record-member gzip WARC plus its member (offset, length) index
+    // — the Common Crawl layout where the CDXJ locates each record's gzip
+    // member by byte range
+    val members = (0 until 5).map { i =>
+      val body =
+        (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          s"<html><body>doc $i content ${"x" * (100 + i)}</body></html>")
+          .getBytes("ISO-8859-1")
+      gzipBytes(
+        warcRecord(
+          Seq(
+            "WARC-Type" -> "response",
+            "WARC-Record-ID" -> s"<urn:uuid:resp-$i>",
+            "WARC-Target-URI" -> s"https://example.com/p$i",
+            "Content-Type" -> "application/http; msgtype=response",
+            "Content-Length" ->
+              ((s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+                s"<html><body>doc $i content ${"x" * (100 + i)}</body></html>")
+                .length).toString
+          ),
+          body
+        )
+      )
+    }
+    val dir = s"$tmp/segments"
+    Files.createDirectories(Paths.get(dir))
+    val p = s"$dir/seg-fetch.warc.gz"
+    Files.write(Paths.get(p), members.flatten.toArray)
+    val offsets = members.scanLeft(0L)((acc, m) => acc + m.length).init
+    val index = members.indices
+      .map(i => (p, offsets(i), members(i).length.toLong))
+      .toDF("filename", "offset", "length")
+
+    // fetch a gated subset (records 1 and 3) by byte range
+    val gated = index.filter(col("offset").isin(offsets(1), offsets(3)))
+    val fetched = Warc
+      .fetchWarcRecords(gated, warcRoot = "")
+      .orderBy("target_uri")
+      .collect()
+    assert(fetched.length == 2)
+    assert(fetched.map(_.getAs[String]("target_uri")).toSeq ==
+      Seq("https://example.com/p1", "https://example.com/p3"))
+    assert(fetched.forall(_.getAs[Int]("http_status") == 200))
+    // parity with the full scan on every field except record_index (which
+    // is per-fetched-range by contract)
+    def comparable(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("body_str", decode(col("body"), "ISO-8859-1"))
+        .drop("body", "record_index", "path")
+        .orderBy("target_uri")
+    val full = Warc
+      .readWarc(spark, p)
+      .filter(col("target_uri").isin(
+        "https://example.com/p1", "https://example.com/p3"))
+    checkAnswer(comparable(Warc.fetchWarcRecords(gated, warcRoot = "")), comparable(full))
+
+    // single-range convenience: one member, one record
+    val one = Warc
+      .readWarcRecords(spark, p, offsets(2), members(2).length.toLong)
+      .collect()
+    assert(one.length == 1)
+    assert(one(0).getAs[String]("target_uri") == "https://example.com/p2")
+
+    // relative filenames resolve against warcRoot
+    val rel = Seq(("seg-fetch.warc.gz", offsets(4), members(4).length.toLong))
+      .toDF("filename", "offset", "length")
+    val viaRoot = Warc.fetchWarcRecords(rel, warcRoot = dir).collect()
+    assert(viaRoot.length == 1)
+    assert(viaRoot(0).getAs[String]("target_uri") == "https://example.com/p4")
+
+    // stale index entries (absurd length, bad offset, missing segment) are
+    // skipped, never failures
+    val stale = Seq(
+      (p, offsets(0), members(0).length.toLong), // good
+      (p, 7L, 11L),                              // mid-member garbage range
+      (p, offsets(1), -5L),                      // non-positive length
+      (s"$dir/gone.warc.gz", 0L, 100L)           // missing file
+    ).toDF("filename", "offset", "length")
+    val tolerant = Warc.fetchWarcRecords(stale, warcRoot = "").collect()
+    assert(tolerant.length == 1)
+    assert(tolerant(0).getAs[String]("target_uri") == "https://example.com/p0")
+  }
+
+  test("warc: multi-megabyte file streams record-at-a-time through the FileSystem reader") {
+    // ~6 MB across 60 records — well past any single-record buffer, parsed
+    // through the per-file stream (the old whole-file binaryFile row would
+    // have held all bytes in one task row)
+    val blob = "payload-" * 12000 // ~96 KB
+    val recs = (0 until 60).map { i =>
+      val body = s"record $i $blob".getBytes("ISO-8859-1")
+      warcRecord(
+        Seq(
+          "WARC-Type" -> "resource",
+          "WARC-Record-ID" -> s"<urn:uuid:big-$i>",
+          "WARC-Target-URI" -> s"https://example.com/big/$i",
+          "Content-Type" -> "text/plain",
+          "Content-Length" -> body.length.toString
+        ),
+        body
+      )
+    }
+    val p = s"$tmp/big.warc.gz"
+    Files.write(Paths.get(p), gzipBytes(recs.flatten.toArray))
+    val got = Warc.readWarc(spark, p)
+      .select("record_index", "target_uri", "content_length")
+      .orderBy("record_index")
+      .collect()
+    assert(got.length == 60)
+    assert(got(59).getAs[String]("target_uri") == "https://example.com/big/59")
+    assert(got.forall(_.getAs[Long]("content_length") > 96000L))
+  }
+
   // --------------------------------------------------------------- JSONL
 
   test("jsonl: gzip round trip with explicit schema") {
@@ -543,5 +655,36 @@ class CrawlSpec extends SparkSpec {
       .sorted
     // at 0.7 the 1-2 and 1-4 pairs both verify; transitive keeps minima
     assert(transitive.toSeq == Seq(1L, 3L, 5L))
+  }
+
+  test("verified dedup at shingleK>=2: empty shingle sets are never paired") {
+    // regression: with shingleK = 3, docs with NULL text or fewer than 3
+    // tokens produce an EMPTY (not NULL) shingle array; the certain-dup
+    // digest pass must not group them under md5("") and emit them as
+    // jaccard-1.0 pairs — the contract is that shingle-less docs are
+    // always retained
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // true exact dup of 1
+      (3L, "just two"),                            // < 3 tokens -> empty set
+      (4L, "one"),                                 // < 3 tokens -> empty set
+      (5L, null.asInstanceOf[String]),             // NULL -> empty set
+      (6L, "")                                     // empty -> empty set
+    ).toDF("doc_id", "text")
+    val pairs = Dedup
+      .minHashVerifiedPairs(docs, "doc_id", "text", threshold = 0.8, shingleK = 3)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+    assert(pairs.toSeq == Seq((1L, 2L)), s"spurious empty-set pairs: ${pairs.toSeq}")
+    val kept = Dedup
+      .dedupNearMinHashVerified(docs, "doc_id", "text", threshold = 0.8, shingleK = 3)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .sorted
+    // only the true dup (2) drops; every short/NULL doc survives
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L, 6L))
   }
 }
