@@ -11,21 +11,58 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
 
   /** Marker stopwords per language for the n-gram/stopword heuristic.
-    * Deliberately small & explicit so the oracle SQL can embed them. */
+    * Deliberately small & explicit so the oracle SQL can embed them.
+    * Twelve Latin-script languages; cross-language collisions (es/fr both
+    * carry "de", nl shares "de" with de) are fine because the argmax
+    * breaks ties by LIST ORDER, mirrored exactly in the oracle's CASE
+    * chain. Script-exclusive languages (CJK, Cyrillic, Arabic, …) have no
+    * useful whitespace-token markers and route through [[ScriptLangs]]. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is"),
     "es" -> Seq("el", "la", "de", "que", "y", "los"),
     "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
-    "fr" -> Seq("le", "la", "de", "et", "les", "des")
+    "fr" -> Seq("le", "la", "de", "et", "les", "des"),
+    "it" -> Seq("il", "che", "di", "per", "con", "una"),
+    "pt" -> Seq("o", "os", "uma", "não", "são", "com"),
+    "nl" -> Seq("het", "een", "van", "niet", "zijn", "voor"),
+    "pl" -> Seq("się", "na", "jest", "nie", "z", "do"),
+    "sv" -> Seq("och", "att", "det", "som", "på", "för"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "da", "ile"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk"),
+    "ro" -> Seq("și", "cu", "este", "pentru", "care", "din")
+  )
+
+  /** Script-exclusive fallback languages for [[langId]], in PRIORITY
+    * order, each with the Unicode ranges (literal characters, so the same
+    * class string drives Java regex and — rendered as `\x{…}` — RE2 in
+    * the oracle) that are near-unique to the language's script. A
+    * language fires when its script covers >= 20% of the characters
+    * (integer ppm-style compare `5 * count >= n_chars` — exact in both
+    * engines); kana before Han means Japanese text (kana-rich) routes to
+    * `ja` while kana-free Han text routes to `zh`. Coverage, not
+    * presence: one stray CJK char in Latin junk must not flag `ja`. */
+  val ScriptLangs: Seq[(String, String)] = Seq(
+    "ja" -> "\u3040-\u30FF", // hiragana + katakana
+    "zh" -> "\u4E00-\u9FFF", // CJK unified ideographs
+    "ko" -> "\uAC00-\uD7AF\u1100-\u11FF", // hangul syllables + jamo
+    "ru" -> "\u0400-\u04FF", // cyrillic
+    "ar" -> "\u0600-\u06FF", // arabic
+    "hi" -> "\u0900-\u097F", // devanagari
+    "el" -> "\u0370-\u03FF", // greek
+    "he" -> "\u0590-\u05FF", // hebrew
+    "th" -> "\u0E00-\u0E7F" // thai
   )
 
   private def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
 
   /** Language-ID heuristic: count marker-stopword hits per language, pick
-    * the argmax (first in LangMarkers order on ties), 'unknown' when no
-    * marker hits at all. Adds `lang_pred` plus per-language score columns
-    * `score_<lang>`. */
+    * the argmax (first in LangMarkers order on ties); when NO marker hits
+    * at all, fall back to the [[ScriptLangs]] script-coverage routing
+    * (the [[scriptProfile]] signal composed into a decision), and
+    * 'unknown' only when neither tier fires. Adds `lang_pred` plus
+    * per-language score columns `score_<lang>` for the marker languages.
+    * Still one per-row codegen'd expression tree — no shuffle, no UDF. */
   def langId(df: DataFrame, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     val scored = LangMarkers.foldLeft(df) { case (d, (lang, words)) =>
@@ -33,8 +70,16 @@ object TextAnalysis {
     }
     val scores = LangMarkers.map { case (lang, _) => col(s"score_$lang") }
     val best = scores.reduce((a, b) => greatest(a, b))
+    val n = length(col(textCol))
+    def scriptCount(ranges: String): Column =
+      n - length(regexp_replace(col(textCol), s"[$ranges]", ""))
+    val scriptPred = ScriptLangs
+      .foldRight(lit("unknown"): Column) { case ((lang, ranges), rest) =>
+        when(n > 0 && scriptCount(ranges) * lit(5) >= n, lit(lang))
+          .otherwise(rest)
+      }
     val pred = LangMarkers
-      .foldRight(lit("unknown"): Column) { case ((lang, _), rest) =>
+      .foldRight(scriptPred) { case ((lang, _), rest) =>
         when(col(s"score_$lang") === best && best > 0, lit(lang)).otherwise(rest)
       }
     scored.withColumn("lang_pred", pred)
@@ -1741,10 +1786,50 @@ object TextAnalysis {
       numMerges
     )
 
-  /** (word, count) dictionary feeding both BPE trainers. */
-  private def bpeDictionary(df: DataFrame, textCol: String): DataFrame =
+  /** GPT-2-style pre-tokenization pattern: contractions, letter runs,
+    * number runs, punctuation runs — the category split production BPE
+    * pipelines put in FRONT of merge learning so merges never cross a
+    * letter/number/punct boundary ("don't" → don | 't; "x2!" → x | 2 |
+    * !). Deliberately RE2-portable (no lookahead — GPT-2's trailing
+    * `\s+(?!\S)` alternative is dropped; whitespace is a separator here,
+    * not a token), so the SAME string drives Spark's Java regex and the
+    * DuckDB oracle. Alternation is leftmost-FIRST in both engines, so
+    * contractions beat the punct class on `'s`. */
+  val BbpePretokRe: String =
+    "'(?:s|t|re|ve|m|ll|d)|\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"
+
+  /** Pre-token array of a text column under [[BbpePretokRe]] (lowercased,
+    * like [[tokens]]). One codegen'd per-row expression. */
+  def bbpePretokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit(BbpePretokRe), lit(0))
+
+  /** [[bbpeMerges]] over the [[BbpePretokRe]] pre-tokenized dictionary —
+    * byte-level training where the units entering the merge loop are
+    * regex categories, not whitespace words. Same dictionary-only scale
+    * shape: the corpus is scanned once into (pre-token, count). */
+  def bbpeMergesPretok(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int
+  ): DataFrame =
+    bpeMergesLoop(
+      bpeDictionary(df, textCol, bbpePretokens).select(
+        concat(byteSyms(col("__w")), array(lit("</w>"))).as("__syms"),
+        col("__n")
+      ),
+      numMerges
+    )
+
+  /** (word, count) dictionary feeding the BPE trainers; `splitter` is the
+    * text→unit-array expression (whitespace [[tokens]] by default,
+    * [[bbpePretokens]] for the GPT-2-style category split). */
+  private def bpeDictionary(
+      df: DataFrame,
+      textCol: String,
+      splitter: Column => Column = tokens(_)
+  ): DataFrame =
     df.filter(col(textCol).isNotNull)
-      .select(explode(tokens(col(textCol))).as("__w"))
+      .select(explode(splitter(col(textCol))).as("__w"))
       .filter(length(col("__w")) > 0)
       .groupBy("__w")
       .agg(count(lit(1)).as("__n"))
@@ -1895,11 +1980,21 @@ object TextAnalysis {
   def bbpeEncodeTable(df: DataFrame, textCol: String, merges: DataFrame): DataFrame =
     bpeEncodeTableWith(df, textCol, merges, bbpeEncodeWord)
 
+  /** [[bbpeEncodeTable]] over the [[BbpePretokRe]] pre-token dictionary
+    * (models trained by [[bbpeMergesPretok]]). */
+  def bbpePretokEncodeTable(
+      df: DataFrame,
+      textCol: String,
+      merges: DataFrame
+  ): DataFrame =
+    bpeEncodeTableWith(df, textCol, merges, bbpeEncodeWord, bbpePretokens)
+
   private def bpeEncodeTableWith(
       df: DataFrame,
       textCol: String,
       merges: DataFrame,
-      encode: (String, Map[(String, String), Int]) => Vector[String]
+      encode: (String, Map[(String, String), Int]) => Vector[String],
+      splitter: Column => Column = tokens(_)
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -1910,7 +2005,7 @@ object TextAnalysis {
       .toMap
     val bc = spark.sparkContext.broadcast(ranks)
     df.filter(col(textCol).isNotNull)
-      .select(explode(tokens(col(textCol))).as("__w"))
+      .select(explode(splitter(col(textCol))).as("__w"))
       .filter(length(col("__w")) > 0)
       .distinct()
       .as[String]
@@ -1957,15 +2052,30 @@ object TextAnalysis {
   ): DataFrame =
     bpeTokenCountsWith(df, idCol, textCol, bbpeEncodeTable(df, textCol, merges))
 
+  /** [[bbpeTokenCounts]] under a pre-tokenized ([[bbpeMergesPretok]])
+    * model: occurrences AND the encoded dictionary both keyed by the
+    * [[BbpePretokRe]] category pre-tokens. `ws_tokens` counts pre-token
+    * units here. */
+  def bbpePretokTokenCounts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: DataFrame
+  ): DataFrame =
+    bpeTokenCountsWith(
+      df, idCol, textCol,
+      bbpePretokEncodeTable(df, textCol, merges), bbpePretokens)
+
   private def bpeTokenCountsWith(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      encoded: DataFrame
+      encoded: DataFrame,
+      splitter: Column => Column = tokens(_)
   ): DataFrame = {
     val base = df.filter(col(textCol).isNotNull)
     val occ = base
-      .select(col(idCol), explode(tokens(col(textCol))).as("__w"))
+      .select(col(idCol), explode(splitter(col(textCol))).as("__w"))
       .filter(length(col("__w")) > 0)
       .groupBy(col(idCol), col("__w"))
       .agg(count(lit(1)).as("__c"))

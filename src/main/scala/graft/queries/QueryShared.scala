@@ -854,6 +854,55 @@ private[graft] object QueryShared {
       |  SELECT ia, ib, CAST(1.0 AS DOUBLE) AS jaccard FROM sde
       |)""".stripMargin
 
+  /** Render a Java-regex char-class body (literal Unicode chars) as its
+    * RE2 equivalent for DuckDB: non-ASCII code points become `\x{...}`,
+    * ASCII (incl. the range dash) passes through. */
+  def duckCharClass(ranges: String): String =
+    ranges.map { c =>
+      if (c < 0x80) c.toString else f"\\x{${c.toInt}%04X}"
+    }.mkString
+
+  /** Marker-score column names for the langId oracles, in LangMarkers
+    * order. */
+  val duckLangScoreNames: Seq[String] =
+    TextAnalysis.LangMarkers.map(l => s"score_${l._1}")
+
+  /** Shared language-ID CTE chain mirroring `TextAnalysis.langId`: the
+    * 12-language marker argmax (list-order tie break) with the
+    * script-coverage fallback tier (20% integer compare, ranges rendered
+    * `\x{…}` for RE2). Defines `lp(doc_id, score_<lang>…, lang_pred)`. */
+  val duckLangPred: String = {
+    def score(words: Seq[String]): String =
+      s"CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains([${words.map(w => s"'$w'").mkString(", ")}], t))) AS INT)"
+    val scoreCols = TextAnalysis.LangMarkers
+      .map { case (l, ws) => s"${score(ws)} AS score_$l" }
+      .mkString(",\n       ")
+    val markerCases = TextAnalysis.LangMarkers
+      .map { case (l, _) => s"WHEN best > 0 AND score_$l = best THEN '$l'" }
+      .mkString("\n    ")
+    val scriptCases = TextAnalysis.ScriptLangs
+      .map { case (l, r) =>
+        s"WHEN nc > 0 AND 5 * (nc - length(regexp_replace(text, " +
+          s"'[${duckCharClass(r)}]', '', 'g'))) >= nc THEN '$l'"
+      }
+      .mkString("\n    ")
+    s"""lsc AS (
+       |  SELECT doc_id, text, length(text) AS nc,
+       |       $scoreCols
+       |  FROM documents
+       |), lb AS (
+       |  SELECT *, greatest(${duckLangScoreNames.mkString(", ")}) AS best FROM lsc
+       |), lp AS (
+       |  SELECT doc_id, ${duckLangScoreNames.mkString(", ")},
+       |  CASE
+       |    $markerCases
+       |    $scriptCases
+       |    ELSE 'unknown'
+       |  END AS lang_pred
+       |  FROM lb
+       |)""".stripMargin
+  }
+
   def duckBucketFor(planes: Seq[Seq[Double]]): String =
     planes.zipWithIndex
       .map { case (p, i) =>
@@ -918,10 +967,23 @@ private[graft] object QueryShared {
       "regexp_replace(w, '(.)', chr(2) || '\\1' || chr(3), 'g')" +
         " || chr(2) || '</w>' || chr(3)"
 
+  /** [[TextAnalysis.BbpePretokRe]] as a DuckDB regex literal (quote
+    * doubled; the \p classes and leftmost-first alternation behave
+    * identically in Java regex and RE2). */
+  val duckPretokRe: String = TextAnalysis.BbpePretokRe.replace("'", "''")
+
+  /** Text→unit-array extraction for the BPE oracles: whitespace split or
+    * the GPT-2-style category pre-tokenizer, mirroring the operator's
+    * `splitter` parameter. */
+  private def duckBpeWords(textExpr: String, pretok: Boolean): String =
+    if (pretok) s"regexp_extract_all(lower(($textExpr)), '$duckPretokRe')"
+    else s"string_split(lower(($textExpr)), ' ')"
+
   def duckBpeTrainRounds(
       numMerges: Int,
       byteLevel: Boolean = false,
-      textExpr: String = "text"
+      textExpr: String = "text",
+      pretok: Boolean = false
   ): String = {
     def round(r: Int): String =
       s""", syms$r AS (
@@ -943,7 +1005,7 @@ private[graft] object QueryShared {
          |)""".stripMargin
     s"""tr_occ AS (
        |  SELECT w, count(*) AS n FROM (
-       |    SELECT unnest(string_split(lower((__TEXT__)), ' ')) AS w
+       |    SELECT unnest(__WORDS__) AS w
        |    FROM documents WHERE (__TEXT__) IS NOT NULL
        |  ) WHERE len(w) > 0 GROUP BY w
        |), enc0 AS (
@@ -951,6 +1013,7 @@ private[graft] object QueryShared {
        |         n
        |  FROM tr_occ
        |)""".stripMargin
+      .replace("__WORDS__", duckBpeWords(textExpr, pretok))
       .replace("__TEXT__", textExpr)
       .replace("__ENC0__", duckBpeEnc0(byteLevel)) +
       (0 until numMerges).map(round).mkString
@@ -996,7 +1059,8 @@ private[graft] object QueryShared {
   private def duckBpeApplyFrom(
       mergesCte: String,
       byteLevel: Boolean = false,
-      textExpr: String = "text"
+      textExpr: String = "text",
+      pretok: Boolean = false
   ): String = {
     // cell pattern for rule m: chr(2)||l||chr(3)||chr(2)||r||chr(3)
     def pat(m: String) =
@@ -1005,7 +1069,7 @@ private[graft] object QueryShared {
     // CTE can contain `|| chr(2)` continuation lines whose leading pipe
     // stripMargin would eat
     s"""WITH RECURSIVE __MERGES__, words AS (
-       |  SELECT DISTINCT unnest(string_split(lower((__TEXT__)), ' ')) AS w
+       |  SELECT DISTINCT unnest(__WORDS__) AS w
        |  FROM documents WHERE (__TEXT__) IS NOT NULL
        |), ap_enc AS (
        |  SELECT w,
@@ -1032,7 +1096,7 @@ private[graft] object QueryShared {
        |    SELECT 1 FROM merges m2 WHERE contains(x.s, ${pat("m2")}))
        |), occ AS (
        |  SELECT doc_id, w, count(*) AS c FROM (
-       |    SELECT doc_id, unnest(string_split(lower((__TEXT__)), ' ')) AS w
+       |    SELECT doc_id, unnest(__WORDS__) AS w
        |    FROM documents WHERE (__TEXT__) IS NOT NULL
        |  ) WHERE len(w) > 0 GROUP BY doc_id, w
        |), counts AS (
@@ -1049,6 +1113,7 @@ private[graft] object QueryShared {
        |LEFT JOIN counts ON d.doc_id = counts.doc_id
        |ORDER BY d.doc_id""".stripMargin
       .replace("__MERGES__", mergesCte)
+      .replace("__WORDS__", duckBpeWords(textExpr, pretok))
       .replace("__TEXT__", textExpr)
       .replace("__ENC0__", duckBpeEnc0(byteLevel))
   }
@@ -1116,6 +1181,43 @@ private[graft] object QueryShared {
          |  __UNION__
          |)
          |ORDER BY merge_rank""".stripMargin.replace("__UNION__", union)
+  }
+
+  /** Standalone DuckDB oracle for q_bbpe_pretok: byte-level training over
+    * the accent-injected text with the GPT-2-style category PRE-TOKENIZER
+    * in front of merge learning ([[duckPretokRe]] — mirrors
+    * `TextAnalysis.bbpeMergesPretok`). */
+  def duckBbpePretokTrainCte(numMerges: Int): String = {
+    val union = (0 until numMerges)
+      .map(r => s"SELECT $r AS rank, a, b, total FROM best$r")
+      .mkString("\n  UNION ALL ")
+    // concat, NOT an outer stripMargin (see duckBpeTrainCte note)
+    s"WITH ${duckBpeTrainRounds(numMerges, byteLevel = true, textExpr = duckBbpeText, pretok = true)}\n" +
+      s"""SELECT CAST(rank AS INT) AS merge_rank, a AS "left", b AS "right",
+         |       CAST(total AS BIGINT) AS pair_count
+         |FROM (
+         |  __UNION__
+         |)
+         |ORDER BY merge_rank""".stripMargin.replace("__UNION__", union)
+  }
+
+  /** End-to-end pretok train→apply oracle for q_bbpe_pretok_apply:
+    * [[duckBbpePretokTrainCte]]'s rounds derive the merge table, then the
+    * min-rank replay counts per-doc pieces over the SAME pre-token units
+    * — mirrors `TextAnalysis.bbpePretokTokenCounts` under
+    * `bbpeMergesPretok`. */
+  def duckBbpePretokTrainApplyCte(numMerges: Int): String = {
+    val union = (0 until numMerges)
+      .map(r => s"SELECT $r AS rank, a AS l, b AS r FROM best$r")
+      .mkString("\n  UNION ALL ")
+    duckBpeApplyFrom(
+      duckBpeTrainRounds(
+        numMerges, byteLevel = true, textExpr = duckBbpeText, pretok = true
+      ) + s", merges AS (\n  $union\n)",
+      byteLevel = true,
+      textExpr = duckBbpeText,
+      pretok = true
+    )
   }
 
   /** Fixed WordPiece vocabulary for q_wordpiece_apply: piece literals

@@ -676,29 +676,12 @@ private[graft] object StatsQueries {
         |FROM terms GROUP BY 1, 2""".stripMargin,
 
     "q_kappa" -> {
-      def score(words: Seq[String]): String =
-        s"CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains([${words
-          .map(w => s"'$w'")
-          .mkString(", ")}], t))) AS INT)"
-      val Seq(en, es, de, fr) = TextAnalysis.LangMarkers.map(_._2)
-      s"""WITH sc AS (
-         |  SELECT doc_id,
-         |         ${score(en)} AS s_en, ${score(es)} AS s_es,
-         |         ${score(de)} AS s_de, ${score(fr)} AS s_fr
-         |  FROM documents
-         |), pred AS (
-         |  SELECT doc_id,
-         |    CASE
-         |      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
-         |      WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
-         |      WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
-         |      WHEN s_fr > 0 THEN 'fr'
-         |      ELSE 'unknown'
-         |    END AS a
-         |  FROM sc
-         |), j AS (
-         |  SELECT p.a, d.lang AS b FROM pred p JOIN documents d USING (doc_id)
-         |  WHERE p.a IS NOT NULL AND d.lang IS NOT NULL
+      // rater A = the shared langId oracle chain (12-language argmax +
+      // script fallback), rater B = the table's lang label
+      s"""WITH $duckLangPred, j AS (
+         |  SELECT p.lang_pred AS a, d.lang AS b
+         |  FROM lp p JOIN documents d USING (doc_id)
+         |  WHERE p.lang_pred IS NOT NULL AND d.lang IS NOT NULL
          |), t AS (
          |  SELECT COUNT(*) AS n,
          |         SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree

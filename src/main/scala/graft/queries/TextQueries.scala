@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
 private[graft] object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // language-ID heuristic scores + argmax
+    // language-ID heuristic scores + argmax over the 12 marker languages,
+    // with the script-coverage fallback tier for script-exclusive ones
     "q_lang_id" -> ((s, dir) => {
+      val cols = "doc_id" +:
+        TextAnalysis.LangMarkers.map("score_" + _._1) :+ "lang_pred"
       TextAnalysis
         .langId(t(s, dir, "documents"), "text")
-        .select("doc_id", "score_en", "score_es", "score_de", "score_fr", "lang_pred")
+        .select(cols.head, cols.tail: _*)
         .orderBy("doc_id")
     }),
 
@@ -398,6 +401,29 @@ private[graft] object TextQueries {
           "doc_id",
           "btext",
           BbpeFixedMerges.toDF("merge_rank", "left", "right")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // byte-level training with the GPT-2-style regex PRE-TOKENIZER in
+    // front of merge learning: contractions / letter runs / number runs /
+    // punct runs enter the dictionary instead of whitespace words, so no
+    // merge ever crosses a category boundary
+    "q_bbpe_pretok" -> ((s, dir) => {
+      TextAnalysis.bbpeMergesPretok(
+        t(s, dir, "documents").withColumn("btext", bbpeText),
+        "btext", numMerges = 8
+      )
+    }),
+
+    // pretok train→apply END-TO-END: per-doc pre-token vs byte-BPE piece
+    // counts under the model trained on the same pre-tokenized corpus
+    "q_bbpe_pretok_apply" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("btext", bbpeText)
+      TextAnalysis
+        .bbpePretokTokenCounts(
+          docs, "doc_id", "btext",
+          TextAnalysis.bbpeMergesPretok(docs, "btext", numMerges = 8)
         )
         .orderBy("doc_id")
     }),
@@ -816,28 +842,10 @@ private[graft] object TextQueries {
         |    '\b(the|a|and)\b', '[W]', 'g')) AS redacted_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q_lang_id" -> {
-      def score(words: Seq[String]): String =
-        s"CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains([${words.map(w => s"'$w'").mkString(", ")}], t))) AS INT)"
-      val Seq(en, es, de, fr) = TextAnalysis.LangMarkers.map(_._2)
-      s"""WITH sc AS (
-         |  SELECT doc_id,
-         |         ${score(en)} AS score_en,
-         |         ${score(es)} AS score_es,
-         |         ${score(de)} AS score_de,
-         |         ${score(fr)} AS score_fr
-         |  FROM documents
-         |)
-         |SELECT doc_id, score_en, score_es, score_de, score_fr,
-         |  CASE
-         |    WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
-         |    WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
-         |    WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
-         |    WHEN score_fr > 0 THEN 'fr'
-         |    ELSE 'unknown'
-         |  END AS lang_pred
-         |FROM sc ORDER BY doc_id""".stripMargin
-    },
+    "q_lang_id" ->
+      s"""WITH $duckLangPred
+         |SELECT doc_id, ${duckLangScoreNames.mkString(", ")}, lang_pred
+         |FROM lp ORDER BY doc_id""".stripMargin,
 
     "q_quality" -> {
       val en = TextAnalysis.LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
@@ -1416,6 +1424,8 @@ private[graft] object TextQueries {
 
     "q_bbpe" -> duckBbpeTrainCte(8),
     "q_bbpe_apply" -> duckBbpeApplyCte,
+    "q_bbpe_pretok" -> duckBbpePretokTrainCte(8),
+    "q_bbpe_pretok_apply" -> duckBbpePretokTrainApplyCte(8),
 
     "q_wordpiece" -> duckWpTrainCte(8),
     "q_wordpiece_apply" -> duckWpApplyCte,

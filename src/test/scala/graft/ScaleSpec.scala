@@ -1949,7 +1949,11 @@ class ScaleSpec extends SparkSpec {
     val df = Seq(
       (1L, "the cat and the dog of a house"),
       (2L, "el perro de la casa que ladra y los gatos"),
-      (3L, "xyz abc nothing matching")
+      (3L, "xyz abc nothing matching"),
+      (4L, "il gatto che dorme di giorno con una coperta per terra"),
+      (5L, "het huis een hond van niet zijn voor"),
+      (6L, "och att det som på för en dag"),
+      (7L, "yang dan di itu dengan untuk kita")
     ).toDF("doc_id", "text")
     val got = TextAnalysis
       .langId(df, "text")
@@ -1960,6 +1964,47 @@ class ScaleSpec extends SparkSpec {
     assert(got(1L) == "en")
     assert(got(2L) == "es")
     assert(got(3L) == "unknown")
+    assert(got(4L) == "it")
+    assert(got(5L) == "nl")
+    assert(got(6L) == "sv")
+    assert(got(7L) == "id")
+  }
+
+  test("langId falls back to script coverage for script-exclusive languages") {
+    val df = Seq(
+      (1L, "これは日本語のテキストです"), // kana-rich -> ja (before zh)
+      (2L, "这是一段中文文本没有假名"), // pure Han -> zh
+      (3L, "한국어 텍스트 입니다"), // hangul -> ko
+      (4L, "это русский текст без маркеров"), // cyrillic -> ru
+      (5L, "هذا نص عربي"), // arabic -> ar
+      (6L, "यह हिंदी पाठ है"), // devanagari -> hi
+      (7L, "αυτό είναι ελληνικό κείμενο"), // greek -> el
+      (8L, "זהו טקסט בעברית"), // hebrew -> he
+      (9L, "นี่คือข้อความภาษาไทย"), // thai -> th
+      // ONE stray CJK char inside Latin junk: coverage < 20%, stays unknown
+      (10L, "qqq zzz 中 xxx yyy junk tokens"),
+      // markers beat scripts: an English sentence with a CJK quote
+      (11L, "the story of the 中文 sign and the door"),
+      (12L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .langId(df, "text")
+      .select("doc_id", "lang_pred")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(got(1L) == "ja")
+    assert(got(2L) == "zh")
+    assert(got(3L) == "ko")
+    assert(got(4L) == "ru")
+    assert(got(5L) == "ar")
+    assert(got(6L) == "hi")
+    assert(got(7L) == "el")
+    assert(got(8L) == "he")
+    assert(got(9L) == "th")
+    assert(got(10L) == "unknown")
+    assert(got(11L) == "en")
+    assert(got(12L) == "unknown")
   }
 
   test("qualityScore computes ratios and composite") {
@@ -3934,6 +3979,54 @@ class ScaleSpec extends SparkSpec {
     // round1 (a,b)=2; round2 (ab,</w>)=2; round3: no pairs left -> stop
     val short = TextAnalysis.bpeMerges(tiny, "text", numMerges = 10).collect()
     assert(short.length == 2, s"expected exhaustion at 2 merges, got ${short.length}")
+  }
+
+  test("bbpe pretok: category split + hand-verified byte merge sequence") {
+    // the GPT-2-style pre-tokenizer: contractions split off, categories
+    // never mix
+    val pt = Seq((1L, "Don't stop, it's 42x!"))
+      .toDF("id", "t")
+      .select(TextAnalysis.bbpePretokens(col("t")))
+      .collect()(0)
+      .getSeq[String](0)
+    assert(pt == Seq("don", "'t", "stop", ",", "it", "'s", "42", "x", "!"), s"$pt")
+
+    // corpus: don x3, 't x3, it, 's, x, 1, ! — hand-computed byte pairs:
+    // round 0: (74,</w>) = 3('t) + 1(it) = 4 wins outright
+    // round 1: max 3 tie among (27,74</w>), (64,6f), (6e,</w>), (6f,6e):
+    //          "27" is lexicographically smallest -> 't fully merges
+    // round 2: (64,6f) beats (6e,</w>)/(6f,6e) lexicographically
+    // round 3: (646f,6e): "646f" < "6e" (char 2: '4' < 'e')
+    val docs = Seq(
+      (1L, "don't don't don't"),
+      (2L, "it's x1!")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .bbpeMergesPretok(docs, "text", numMerges = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0, "74", "</w>", 4L),
+      (1, "27", "74</w>", 3L),
+      (2, "64", "6f", 3L),
+      (3, "646f", "6e", 3L)
+    ), s"${got.mkString(";")}")
+    // no learned rule crosses the n|' category boundary (6e27) — the
+    // whole point of pre-tokenizing before merge learning
+    assert(!got.exists { case (_, a, b, _) => (a + b).contains("6e27") })
+
+    // train→apply: don -> 646f6e + </w> (2 pieces), 't -> 1 piece,
+    // it -> 69 + 74</w> (2), 's -> 3, x/1/! -> 2 each
+    val merges = TextAnalysis.bbpeMergesPretok(docs, "text", numMerges = 4)
+    val counts = TextAnalysis
+      .bbpePretokTokenCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(
+      counts.toSeq == Seq((1L, 6, 9), (2L, 5, 11)),
+      s"${counts.mkString(";")}"
+    )
   }
 
   test("bpeEncodeTable and bpeTokenCounts apply merges Sennrich-style") {
