@@ -620,17 +620,14 @@ private[graft] object TextQueries {
     // guards the text tier; NULL pages and all-chrome pages must fall at
     // the gate in both engines.
     "q_crawl_pipeline" -> ((s, dir) => {
-      val pages = t(s, dir, "documents")
-        .withColumn("page", syntheticPageHtml)
-        .select("doc_id", "page")
-      val gated = TextAnalysis
-        .qualityScore(
-          TextAnalysis.extractMainContent(pages, "page", outCol = "text"),
-          "text"
+      graft.operators.Pipelines
+        .crawlCurate(
+          t(s, dir, "documents")
+            .withColumn("page", syntheticPageHtml)
+            .select("doc_id", "page"),
+          "doc_id", "page",
+          minQuality = 0.5, dedupThreshold = 0.8
         )
-        .filter(col("quality") >= 0.5)
-      Dedup
-        .dedupNearMinHashVerified(gated, "doc_id", "text", threshold = 0.8)
         .select("doc_id", "n_tokens", "quality")
         .orderBy("doc_id")
     }),

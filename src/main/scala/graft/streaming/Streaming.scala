@@ -135,16 +135,27 @@ object Streaming {
   /** Streaming ingest-time decontamination: drop streamed documents that
     * share any word n-gram with a STATIC held-out set — the streaming
     * counterpart of `Decontam.decontaminate`. The eval gram set is small
-    * by construction, so it is collected ONCE at plan-build time and the
-    * whole filter becomes a stateless per-row `arrays_overlap` against a
+    * by construction (benchmark suites are thousands of items, not
+    * millions), so it is collected ONCE at plan-build time and the whole
+    * filter becomes a stateless per-row `arrays_overlap` against a
     * literal array: no per-batch join, no state store, no watermark.
     * Documents with NULL text have no n-grams and are retained (matching
-    * the batch anti-join semantics). */
+    * the batch anti-join semantics).
+    *
+    * AT-SCALE BOUND: the gram set is embedded in the PLAN as a
+    * `typedlit` literal — every task ships and holds it, and a
+    * multi-million-gram eval corpus would bloat plan serialization
+    * instead of using a broadcast. A `require` caps the set at
+    * [[MaxLiteralGrams]] (~1M grams ≈ tens of MB of plan); for anything
+    * larger, use [[Streaming.decontaminateStreamBloom]] — the Bloom
+    * filter is built once, broadcast-sized by construction, and is the
+    * documented at-scale path. */
   def decontaminateStream(
       docs: DataFrame,
       staticTest: DataFrame,
       textCol: String = "text",
-      n: Int = 3
+      n: Int = 3,
+      maxLiteralGrams: Int = MaxLiteralGrams
   ): DataFrame = {
     import graft.functions.TextFunctions.shingles
     val testGrams: Seq[String] = staticTest
@@ -153,6 +164,11 @@ object Streaming {
       .collect()
       .map(_.getString(0))
       .toSeq
+    require(
+      testGrams.size <= maxLiteralGrams,
+      s"eval gram set has ${testGrams.size} grams > $maxLiteralGrams — " +
+        "too large to embed as a plan literal; use decontaminateStreamBloom"
+    )
     if (testGrams.isEmpty) docs
     else
       docs.filter(
@@ -161,6 +177,44 @@ object Streaming {
           lit(true)
         )
       )
+  }
+
+  /** Default bound on [[decontaminateStream]]'s literal gram set (~1M
+    * grams is tens of MB of serialized plan — already generous; beyond
+    * it the Bloom gate is strictly better). */
+  val MaxLiteralGrams: Int = 1000000
+
+  /** The at-scale streaming decontamination gate: the eval grams are
+    * compiled ONCE into a fixed-size Bloom filter
+    * ([[graft.operators.Decontam.bloomContaminationProbe]] — the same
+    * build/probe contract as the batch `bloomDecontaminate`) and each
+    * streamed document is dropped when ANY of its n-grams probes
+    * probable-member. Stateless per-row `exists()` over the native
+    * codegen'd probe: no per-batch join, no state store, and the filter
+    * is constant-size no matter how many eval grams exist — use this
+    * whenever the eval corpus exceeds [[decontaminateStream]]'s literal
+    * bound. No false negatives (every truly contaminated doc drops);
+    * false positives over-drop ~fpp of clean docs — the safe direction.
+    * NULL-text documents have no grams and are retained. */
+  def decontaminateStreamBloom(
+      docs: DataFrame,
+      staticTest: DataFrame,
+      textCol: String = "text",
+      n: Int = 3,
+      fpp: Double = 0.001
+  ): DataFrame = {
+    import graft.functions.TextFunctions.shingles
+    graft.operators.Decontam
+      .bloomContaminationProbe(staticTest, textCol, n, fpp) match {
+      case None => docs
+      case Some(probe) =>
+        docs.filter(
+          coalesce(
+            !exists(shingles(col(textCol), n), g => probe(g)),
+            lit(true)
+          )
+        )
+    }
   }
 
   /** Streaming ingest-time NEAR-dedup against a growing reference: each

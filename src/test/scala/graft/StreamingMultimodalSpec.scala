@@ -649,6 +649,43 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(gotIds.nonEmpty && gotIds.size < 450) // some dropped, some kept
   }
 
+  test("streaming Bloom decontamination equals the batch Bloom gate; literal bound guards") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val staticTest = docs.filter(col("doc_id") % 10 === 0)
+    val stream = Streaming
+      .readDocumentsStream(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 0)
+    val got = Streaming.runToMemorySink(
+      spark,
+      Streaming.decontaminateStreamBloom(stream, staticTest, "text", n = 3),
+      "decontam_bloom_stream",
+      outputMode = "append"
+    )
+    // same filter bytes + same per-gram probe -> the stateless exists()
+    // gate keeps EXACTLY the batch Bloom survivors
+    val batch = graft.operators.Decontam.bloomDecontaminate(
+      docs.filter(col("doc_id") % 10 =!= 0), staticTest, "doc_id", "text", n = 3
+    )
+    val gotIds = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds == batchIds, s"stream kept ${gotIds.size}, batch ${batchIds.size}")
+    // no false negatives: the Bloom survivors are a subset of the exact
+    // literal gate's survivors
+    val exact = Streaming
+      .decontaminateStream(
+        docs.filter(col("doc_id") % 10 =!= 0), staticTest, "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotIds.subsetOf(exact))
+
+    // the literal-plan gate refuses an eval set beyond its bound and
+    // points at the Bloom path
+    val e = intercept[IllegalArgumentException] {
+      Streaming.decontaminateStream(
+        docs, staticTest, "text", n = 3, maxLiteralGrams = 10)
+    }
+    assert(e.getMessage.contains("decontaminateStreamBloom"))
+  }
+
   test("streaming k-means assignment equals the batch assignment") {
     // train on the batch snapshot, apply the frozen codebook to the
     // stream: kmeansAssign is stateless per-row compute, so it runs
