@@ -28,6 +28,9 @@ import org.apache.spark.sql.SparkSession
   *  - SPARK_GRAFT_BENCH_OUT path for the full JSON artifact (default
   *    ./bench_full.json) — the stdout line gets tail-truncated by the
   *    driver's capture, the file keeps every per-query median
+  *  - SPARK_GRAFT_ONLY      comma-separated query names: restrict the
+  *    latency sweeps to that subset (isolation measurements / regression
+  *    triage); warmup and throughput entries are unaffected
   */
 object Bench {
   /** Timed materialization: write to the DSv2 `noop` sink, which evaluates
@@ -91,7 +94,12 @@ object Bench {
     // single window inflating every q_c*-q_d* median 10-20x while the rest
     // of the alphabet ran clean). With sweeps ~minutes apart, a window can
     // poison at most one of a query's three samples and the median holds.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val only = sys.env
+      .get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val sweeps: Seq[Map[String, (Double, Option[String])]] =
       (1 to runs).map { _ =>
         ordered.map { case (name, fn) =>
