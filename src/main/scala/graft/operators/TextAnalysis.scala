@@ -338,6 +338,50 @@ object TextAnalysis {
       )
   }
 
+  /** Blockword report — the C4-style "bad word list" gate (C4 drops any
+    * page containing a word from a public profanity list; the same shape
+    * filters medical/PII/spam vocabularies). Counts TOKEN matches against
+    * the lowercased list (whole-token equality — `class` never matches
+    * `classic`, the failure mode of substring blocklists) and adds
+    * `n_blockword_tokens` (occurrence count) + `has_blockword`. NULL text
+    * yields NULL count and false flag (no tokens — nothing to match).
+    *
+    * Per-row cost is one `InSet`-compiled membership probe per token
+    * (list sizes in the thousands are a task-binary constant, never a
+    * join); pure codegen, no shuffle — a free rider on the first corpus
+    * scan, like every gate in this object. */
+  def blockwordReport(
+      df: DataFrame,
+      textCol: String,
+      words: Seq[String]
+  ): DataFrame = {
+    require(words.nonEmpty, "blockword list must not be empty")
+    val lowered = words.map(_.toLowerCase).distinct
+    val hits = size(filter(tokens(col(textCol)), t => t.isin(lowered: _*)))
+    df.withColumn(
+        "n_blockword_tokens",
+        when(col(textCol).isNull, lit(null).cast("int")).otherwise(hits)
+      )
+      .withColumn("has_blockword", coalesce(hits > 0, lit(false)))
+  }
+
+  /** Drop every document containing a blockword ([[blockwordReport]]
+    * semantics); NULL-text rows survive — they cannot match. */
+  def filterBlockwords(
+      df: DataFrame,
+      textCol: String,
+      words: Seq[String]
+  ): DataFrame = {
+    require(words.nonEmpty, "blockword list must not be empty")
+    val lowered = words.map(_.toLowerCase).distinct
+    // explicit NULL guard: under legacy sizeOfNull, size(NULL) is -1, and
+    // a NULL-text row must survive regardless of that config
+    df.filter(
+      col(textCol).isNull ||
+        size(filter(tokens(col(textCol)), t => t.isin(lowered: _*))) === 0
+    )
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single other chars). */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame = {

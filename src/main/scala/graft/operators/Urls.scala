@@ -162,6 +162,64 @@ object Urls {
       .otherwise(host)
   }
 
+  /** SURT (Sort-friendly URI Reordering Transform) canonical URL key —
+    * the web-archive convention CDXJ indexes key captures by
+    * (`com,example)/p/1?x=2`), so crawl URLs can be joined against a
+    * capture index (or sorted so one site's pages are contiguous, the
+    * property CC's index files exploit). The canonicalization subset
+    * implemented (documented — full wayback "massaging" also strips
+    * session params etc.):
+    *   - scheme, userinfo, and fragment dropped; host lowercased
+    *   - one leading `www.` label stripped (the CC urlkey convention)
+    *   - host labels REVERSED and comma-joined (`example.com` →
+    *     `com,example`); IPv4/bracketed-IPv6 literals stay unreversed
+    *   - a port survives as `:port` ONLY when non-default for the scheme
+    *     (http:80 / https:443 drop)
+    *   - `)` then the path (empty path → `/`)
+    *   - query `k=v` pairs sorted lexicographically, `?`-joined; empty
+    *     query drops
+    * Non-URLs (NULL host) yield NULL. Pure per-row codegen'd
+    * string/array ops — RE2-portable, no UDF, no shuffle. */
+  def surtKey(u: Column): Column = {
+    val scheme = lower(extractOrNull(u, SchemeRe))
+    val host0 = lower(extractOrNull(u, HostRe))
+    val host = regexp_replace(host0, "^www\\.", "")
+    val hostKey = when(host.rlike(IpHostRe), host)
+      .otherwise(array_join(reverse(split(host, "\\.")), ","))
+    val port = extractOrNull(u, PortRe).cast("int")
+    val defaultPort =
+      (scheme === "http" && port === 80) ||
+        (scheme === "https" && port === 443)
+    val portPart = when(
+      port.isNotNull && !defaultPort,
+      concat(lit(":"), port.cast("string"))
+    ).otherwise(lit(""))
+    val path = coalesce(extractOrNull(u, PathRe), lit("/"))
+    val query = extractOrNull(u, QueryRe)
+    val queryPart = when(
+      query.isNotNull,
+      concat(lit("?"), array_join(array_sort(split(query, "&")), "&"))
+    ).otherwise(lit(""))
+    when(
+      host.isNotNull && length(host) > 0,
+      concat(hostKey, portPart, lit(")"), path, queryPart)
+    )
+  }
+
+  /** [[surtKey]] as a new column over a URL column. */
+  def withSurtKey(
+      df: DataFrame,
+      urlCol: String,
+      outCol: String = "urlkey"
+  ): DataFrame = {
+    require(df.columns.contains(urlCol), s"column '$urlCol' does not exist")
+    require(
+      !df.columns.contains(outCol),
+      s"output column '$outCol' already exists"
+    )
+    df.withColumn(outCol, surtKey(col(urlCol)))
+  }
+
   /** True iff the (lowercased) host equals one of `entries` or is a
     * subdomain of one — UT1-blocklist semantics, where listing
     * `badsite.com` bans `badsite.com` AND `www.badsite.com`, and listing

@@ -272,6 +272,11 @@ private[graft] object QueryShared {
     )
   }
 
+  /** Blockword list for q_blockwords — ordinary corpus words stand in
+    * for a profanity list (the fixture corpus is benign); the OPERATOR
+    * under test is whole-token InSet matching, not the vocabulary. */
+  val BlockwordFixture: Seq[String] = Seq("spark", "shuffle", "dup", "engine")
+
   /** [[syntheticUrl]] as DuckDB SQL. */
   val duckSyntheticUrl: String =
     """CASE WHEN doc_id % 11 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)

@@ -649,6 +649,31 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // SURT canonical URL keys over the synthetic URLs: reversed comma-
+    // joined host labels, www-strip, non-default port kept, sorted query
+    // — the CDXJ urlkey form crawl URLs join a capture index on
+    "q_surt_key" -> ((s, dir) => {
+      import graft.operators.Urls
+      Urls
+        .withSurtKey(
+          t(s, dir, "documents")
+            .withColumn("url", syntheticUrl)
+            .select("doc_id", "url"),
+          "url"
+        )
+        .select("doc_id", "urlkey")
+        .orderBy("doc_id")
+    }),
+
+    // C4-style blockword gate: whole-token matches against a fixed list,
+    // count + flag per document
+    "q_blockwords" -> ((s, dir) => {
+      TextAnalysis
+        .blockwordReport(t(s, dir, "documents"), "text", BlockwordFixture)
+        .select("doc_id", "n_blockword_tokens", "has_blockword")
+        .orderBy("doc_id")
+    }),
+
     // per-registered-domain cap at 3 docs, chosen by the deterministic
     // md5 order — the anti-template-site guard before training
     "q_domain_cap" -> ((s, dir) => {
@@ -1550,6 +1575,53 @@ private[graft] object TextQueries {
          |       url_query_string,
          |       ${duckRegisteredDomain("url_host")} AS url_domain
          |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_surt_key" -> {
+      import graft.operators.Urls
+      s"""WITH u AS (
+         |  SELECT doc_id, $duckSyntheticUrl AS url FROM documents
+         |), p AS (
+         |  SELECT doc_id,
+         |    lower(NULLIF(regexp_extract(url,
+         |      '${Urls.ComponentRes("scheme")}', 1), '')) AS sch,
+         |    regexp_replace(lower(NULLIF(regexp_extract(url,
+         |      '${Urls.ComponentRes("host")}', 1), '')), '^www\\.', '') AS h,
+         |    CAST(NULLIF(regexp_extract(url,
+         |      '${Urls.ComponentRes("port")}', 1), '') AS INT) AS prt,
+         |    COALESCE(NULLIF(regexp_extract(url,
+         |      '${Urls.ComponentRes("path")}', 1), ''), '/') AS pth,
+         |    NULLIF(regexp_extract(url,
+         |      '${Urls.ComponentRes("query")}', 1), '') AS q
+         |  FROM u
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN h IS NOT NULL AND length(h) > 0 THEN
+         |    (CASE WHEN regexp_matches(h, '${Urls.IpHostRe}') THEN h
+         |          ELSE array_to_string(list_reverse(string_split(h, '.')), ',')
+         |     END)
+         |    || (CASE WHEN prt IS NOT NULL AND NOT
+         |               ((sch = 'http' AND prt = 80) OR
+         |                (sch = 'https' AND prt = 443))
+         |             THEN ':' || CAST(prt AS VARCHAR) ELSE '' END)
+         |    || ')' || pth
+         |    || (CASE WHEN q IS NOT NULL
+         |             THEN '?' ||
+         |               array_to_string(list_sort(string_split(q, '&')), '&')
+         |             ELSE '' END)
+         |  END AS urlkey
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    "q_blockwords" -> {
+      val ws = BlockwordFixture.map(w => s"'$w'").mkString(", ")
+      val hits =
+        s"len(list_filter(string_split(lower(text), ' '), t -> list_contains([$ws], t)))"
+      s"""SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN NULL
+         |       ELSE CAST($hits AS INT) END AS n_blockword_tokens,
+         |  COALESCE($hits > 0, FALSE) AS has_blockword
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q_domain_cap" ->
       s"""WITH u AS (

@@ -282,6 +282,67 @@ object Warc {
       .toDF()
   }
 
+  /** The production Common Crawl access pattern in ONE call:
+    * index → gate → range-fetch. Reads the CDXJ capture index
+    * ([[readCdxj]]), gates it by HTTP status, MIME prefix, and
+    * allow/block domain lists ([[graft.operators.Urls.filterByDomains]]
+    * on the capture `url` — all before touching a WARC byte; the index
+    * is ~1000x smaller than the crawl), optionally keeps one capture per
+    * content digest (the CC revisit-dedup: identical payloads fetched
+    * once), then [[fetchWarcRecords]] range-reads only the surviving
+    * members. Returns [[WarcRecord]] rows.
+    *
+    * Scale shape: the gate is per-row index compute (no shuffle beyond
+    * the digest dedup's aggregate, which ships only digest + location
+    * columns); fetches are file-partitioned with offset-ordered
+    * positioned reads. The whole-segment decompression a naive
+    * readWarc-then-filter would pay never happens. */
+  def cdxjGatedFetch(
+      spark: SparkSession,
+      cdxjPattern: String,
+      warcRoot: String,
+      statuses: Seq[String] = Seq("200"),
+      mimePrefixes: Seq[String] = Seq("text/html"),
+      allowDomains: Seq[String] = Nil,
+      blockDomains: Seq[String] = Nil,
+      dedupByDigest: Boolean = true,
+      parseHttp: Boolean = true
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    var idx = readCdxj(spark, cdxjPattern)
+    if (statuses.nonEmpty) idx = idx.filter(col("status").isin(statuses: _*))
+    if (mimePrefixes.nonEmpty)
+      idx = idx.filter(
+        mimePrefixes.map(p => col("mime").startsWith(p)).reduce(_ || _)
+      )
+    if (allowDomains.nonEmpty || blockDomains.nonEmpty)
+      idx = graft.operators.Urls
+        .filterByDomains(idx, "url", block = blockDomains, allow = allowDomains)
+        .filter(col("url").isNotNull)
+    if (dedupByDigest) {
+      // one fetch per payload digest: deterministic first capture by
+      // (filename, offset) — a skinny aggregate over location columns
+      idx = idx
+        .filter(col("digest").isNotNull)
+        .groupBy("digest")
+        .agg(
+          min(struct(col("filename"), col("offset").cast("long").as("offset")))
+            .as("__loc")
+        )
+        .select(col("__loc.filename").as("filename"), col("__loc.offset").as("offset"))
+        .join(
+          idx.select(
+            col("filename"),
+            col("offset").cast("long").as("offset"),
+            col("length")
+          ),
+          Seq("filename", "offset")
+        )
+        .dropDuplicates("filename", "offset")
+    }
+    fetchWarcRecords(idx, warcRoot, parseHttp = parseHttp)
+  }
+
   /** One-range convenience over [[fetchWarcRecords]]: the records inside
     * the `length` bytes at `offset` of `path` — e.g. a single CDXJ capture
     * member. Same row schema as [[readWarc]]. */

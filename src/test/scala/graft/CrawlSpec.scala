@@ -323,6 +323,105 @@ class CrawlSpec extends SparkSpec {
     assert(tolerant(0).getAs[String]("target_uri") == "https://example.com/p0")
   }
 
+  test("warc: reader schema is pinned to the WarcRecord contract") {
+    // the streaming rewrite must not drift the row schema: every consumer
+    // (and the fetch-path parity tests) keys on these exact names/types
+    val p = s"$tmp/schema.warc"
+    Files.write(Paths.get(p), sampleWarc)
+    val expected = Seq(
+      "path" -> "StringType",
+      "record_index" -> "IntegerType",
+      "warc_type" -> "StringType",
+      "record_id" -> "StringType",
+      "target_uri" -> "StringType",
+      "warc_date" -> "StringType",
+      "content_type" -> "StringType",
+      "content_length" -> "LongType",
+      "http_status" -> "IntegerType",
+      "http_content_type" -> "StringType",
+      "body" -> "BinaryType"
+    )
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => f.name -> f.dataType.toString).toSeq
+    assert(shape(Warc.readWarc(spark, p)) == expected)
+    assert(shape(Warc.readWarcRecords(spark, p, 0L, sampleWarc.length.toLong)) == expected)
+  }
+
+  test("warc: cdxjGatedFetch gates on status/mime/domain/digest before range-reading") {
+    val urls = Seq(
+      "https://good.com/p0", // kept (digest DUP, first capture)
+      "https://good.com/p1", // kept
+      "https://bad.com/p2",  // domain-blocked
+      "https://good.com/p3", // mime-gated (image/png in the index)
+      "https://good.com/p4", // digest dup of p0 (later offset) -> not fetched
+      "https://good.com/p5"  // status-gated (404 in the index)
+    )
+    val members = urls.map { u =>
+      val body =
+        (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          s"<html><body>page $u</body></html>").getBytes("ISO-8859-1")
+      gzipBytes(
+        warcRecord(
+          Seq(
+            "WARC-Type" -> "response",
+            "WARC-Record-ID" -> s"<urn:uuid:$u>",
+            "WARC-Target-URI" -> u,
+            "Content-Type" -> "application/http; msgtype=response",
+            "Content-Length" -> body.length.toString
+          ),
+          body
+        )
+      )
+    }
+    val dir = s"$tmp/gated"
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(s"$dir/seg-gate.warc.gz"), members.flatten.toArray)
+    val offsets = members.scanLeft(0L)((acc, m) => acc + m.length).init
+    val meta = Seq( // (status, mime, digest) per capture, as the INDEX sees them
+      ("200", "text/html", "DUP"),
+      ("200", "text/html", "B1"),
+      ("200", "text/html", "B2"),
+      ("200", "image/png", "B3"),
+      ("200", "text/html", "DUP"),
+      ("404", "text/html", "B5")
+    )
+    val lines = urls.indices.map { i =>
+      val (st, mime, dig) = meta(i)
+      val host = urls(i).split("/")(2).split("\\.").reverse.mkString(",")
+      s"""$host)/p$i 2026081600000$i {"url": "${urls(i)}", "status": "$st", "mime": "$mime", "digest": "$dig", "filename": "seg-gate.warc.gz", "offset": "${offsets(i)}", "length": "${members(i).length}"}"""
+    }
+    Files.writeString(Paths.get(s"$dir/index.cdxj"), lines.mkString("\n") + "\n")
+
+    val got = Warc
+      .cdxjGatedFetch(
+        spark,
+        s"$dir/index.cdxj",
+        warcRoot = dir,
+        blockDomains = Seq("bad.com")
+      )
+      .select("target_uri")
+      .collect()
+      .map(_.getString(0))
+      .sorted
+    assert(got.toSeq == Seq("https://good.com/p0", "https://good.com/p1"), s"${got.toSeq}")
+
+    // digest dedup off: the DUP revisit is fetched too
+    val all = Warc
+      .cdxjGatedFetch(
+        spark,
+        s"$dir/index.cdxj",
+        warcRoot = dir,
+        blockDomains = Seq("bad.com"),
+        dedupByDigest = false
+      )
+      .select("target_uri")
+      .collect()
+      .map(_.getString(0))
+      .sorted
+    assert(all.toSeq ==
+      Seq("https://good.com/p0", "https://good.com/p1", "https://good.com/p4"))
+  }
+
   test("warc: multi-megabyte file streams record-at-a-time through the FileSystem reader") {
     // ~6 MB across 60 records — well past any single-record buffer, parsed
     // through the per-file stream (the old whole-file binaryFile row would
@@ -571,6 +670,59 @@ class CrawlSpec extends SparkSpec {
     // 1 drops (near-copy of the benchmark item); 2 AND 3 both survive —
     // decontamination must not dedup the training side against itself
     assert(kept.toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("surtKey: canonical web-archive urlkeys") {
+    val urls = Seq(
+      1L -> "https://www.Example.COM/a/b?z=2&a=1",   // www strip, lower, sorted query
+      2L -> "http://example.com:80/x",                // default port drops
+      3L -> "https://example.com:8443/x",             // non-default port kept
+      4L -> "https://sub.example.co.uk",              // empty path -> '/'
+      5L -> "https://192.168.0.1/admin",              // IP literal unreversed
+      6L -> "http://user:pw@example.org/p#frag?notq", // userinfo + fragment dropped
+      7L -> "not a url at all",                       // NULL key
+      8L -> "https://example.com/p?"                  // empty query drops
+    )
+    val got = graft.operators.Urls
+      .withSurtKey(urls.toDF("id", "url"), "url")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2)))
+      .toMap
+    assert(got(1L) == Some("com,example)/a/b?a=1&z=2"))
+    assert(got(2L) == Some("com,example)/x"))
+    assert(got(3L) == Some("com,example:8443)/x"))
+    assert(got(4L) == Some("uk,co,example,sub)/"))
+    assert(got(5L) == Some("192.168.0.1)/admin"))
+    assert(got(6L) == Some("org,example)/p"))
+    assert(got(7L) == None)
+    assert(got(8L) == Some("com,example)/p"))
+  }
+
+  test("blockwords: whole-token gate counts and filters, NULL text survives") {
+    val docs = Seq(
+      (1L, "the spark engine shuffles data"),   // 'spark' + 'engine' = 2 hits
+      (2L, "sparkling classics only"),          // substrings never match
+      (3L, "dup dup dup"),                      // multiplicity counted
+      (4L, null.asInstanceOf[String]),
+      (5L, "perfectly clean prose here")
+    ).toDF("doc_id", "text")
+    val words = Seq("Spark", "engine", "dup") // list is lowercased internally
+    val rep = TextAnalysis
+      .blockwordReport(docs, "text", words)
+      .orderBy("doc_id")
+      .collect()
+      .map(r =>
+        (r.getLong(0),
+         if (r.isNullAt(r.fieldIndex("n_blockword_tokens"))) -1
+         else r.getInt(r.fieldIndex("n_blockword_tokens")),
+         r.getBoolean(r.fieldIndex("has_blockword"))))
+    assert(rep.toSeq == Seq(
+      (1L, 2, true), (2L, 0, false), (3L, 3, true), (4L, -1, false), (5L, 0, false)
+    ), s"${rep.mkString(";")}")
+    val kept = TextAnalysis
+      .filterBlockwords(docs, "text", words)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 4L, 5L))
   }
 
   // ---------------------------------------------- verified MinHash dedup
