@@ -360,6 +360,111 @@ object Warc {
     fetchWarcRecords(captures, warcRoot = "", parseHttp = parseHttp)
   }
 
+  /** Write documents back out as WARC (per-record-member gzip, the
+    * Common Crawl convention — each record its own gzip member, so the
+    * resulting files range-fetch with [[fetchWarcRecords]] and
+    * concatenate freely): one `part-NNNNN.warc.gz` per partition, rows
+    * become `resource` records (URI + date + content type + body). This
+    * is the interchange sink for curated subsets — after gating/dedup,
+    * re-shard the survivors into the same container format the crawl
+    * arrived in.
+    *
+    * Required columns: `uriCol` (string), `bodyCol` (binary); optional
+    * `dateCol` (string, ISO-8601 — a constant epoch stamp when absent,
+    * so output is deterministic) and `contentTypeCol`. Record ids are
+    * deterministic md5-derived urn:uuid values (re-running the write
+    * yields byte-identical records given the same partitioning).
+    *
+    * Scale shape: one streaming pass per partition through a Hadoop
+    * `FileSystem` output stream — one record in memory at a time; size
+    * output files by partitioning the input (`repartition(n)` for ~even
+    * shards). EAGER (the write happens before this returns, like every
+    * sink); returns the manifest (path, n_records, bytes) — one
+    * file-sized row per written file. */
+  def writeWarc(
+      df: DataFrame,
+      dir: String,
+      uriCol: String = "url",
+      bodyCol: String = "body",
+      dateCol: Option[String] = None,
+      contentTypeCol: Option[String] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(uriCol, bodyCol).foreach { c =>
+      require(df.columns.contains(c), s"column '$c' does not exist")
+    }
+    val confEntries = hadoopConfEntries(spark)
+    val rows = df.select(
+      col(uriCol).cast("string").as("__u"),
+      col(bodyCol).cast("binary").as("__b"),
+      dateCol
+        .map(c => col(c).cast("string"))
+        .getOrElse(lit("1970-01-01T00:00:00Z"))
+        .as("__d"),
+      contentTypeCol
+        .map(c => col(c).cast("string"))
+        .getOrElse(lit("application/octet-stream"))
+        .as("__ct")
+    )
+    rows
+      .as[(String, Array[Byte], String, String)]
+      .mapPartitions { it =>
+        val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
+        if (!it.hasNext) Iterator.empty
+        else {
+          val conf = rebuildConf(confEntries)
+          val p = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc.gz")
+          val fs = p.getFileSystem(conf)
+          val out = fs.create(p, true)
+          var n = 0L
+          try {
+            it.foreach { case (uri, body, date, ct) =>
+              val b = if (body == null) Array.emptyByteArray else body
+              val digest = java.security.MessageDigest
+                .getInstance("MD5")
+                .digest((s"$uri|$n|$pid").getBytes("UTF-8"))
+              val id = digest.map(x => f"${x & 0xff}%02x").mkString
+              val head =
+                ("WARC/1.0" +:
+                  Seq(
+                    "WARC-Type" -> "resource",
+                    "WARC-Record-ID" -> s"<urn:uuid:$id>",
+                    "WARC-Target-URI" -> Option(uri).getOrElse(""),
+                    "WARC-Date" -> Option(date).getOrElse(""),
+                    "Content-Type" -> Option(ct).getOrElse(""),
+                    "Content-Length" -> b.length.toString
+                  ).map { case (k, v) => s"$k: $v" })
+                  .mkString("\r\n") + "\r\n\r\n"
+              // one gzip member per record: open/finish a deflater per row
+              val gz = new java.util.zip.GZIPOutputStream(
+                new NonClosingOutputStream(out), 1 << 16)
+              gz.write(head.getBytes("ISO-8859-1"))
+              gz.write(b)
+              gz.write("\r\n\r\n".getBytes("ISO-8859-1"))
+              gz.finish()
+              n += 1
+            }
+          } finally out.close()
+          val len = fs.getFileStatus(p).getLen
+          Iterator.single((p.toString, n, len))
+        }
+      }
+      .collect() // EAGER: one row per file — model-sized by construction
+      .toSeq
+      .toDF("path", "n_records", "bytes")
+  }
+
+  /** Wrapper that swallows close() so per-record GZIPOutputStream members
+    * can finish() without closing the shared file stream. */
+  private class NonClosingOutputStream(out: java.io.OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      out.write(b, off, len)
+    override def close(): Unit = flush()
+  }
+
   /** Resolve a capture `filename` against the WARC root; absolute paths
     * and full URIs pass through. */
   private def resolveWarcPath(

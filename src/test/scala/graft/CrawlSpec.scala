@@ -672,6 +672,58 @@ class CrawlSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 3L, 4L))
   }
 
+  test("warc: writeWarc round-trips through readWarc, per-record gzip members") {
+    val docs = (0 until 25)
+      .map { i =>
+        (s"https://example.com/doc/$i",
+         s"body of document $i — ünïcode ok".getBytes("UTF-8"),
+         "2026-08-16T00:00:00Z",
+         "text/plain; charset=utf-8")
+      }
+      .toDF("url", "body", "fetched", "ct")
+    val dir = s"$tmp/written"
+    val manifest = Warc.writeWarc(
+      docs.repartition(3), dir,
+      uriCol = "url", bodyCol = "body",
+      dateCol = Some("fetched"), contentTypeCol = Some("ct")
+    )
+    val files = manifest.collect()
+    assert(files.length == 3)
+    assert(files.map(_.getLong(1)).sum == 25L)
+    assert(files.forall(_.getString(0).endsWith(".warc.gz")))
+
+    val back = Warc.readWarc(spark, s"$dir/*.warc.gz")
+    assert(back.count() == 25)
+    val rows = back
+      .select(
+        col("target_uri"),
+        decode(col("body"), "UTF-8").as("btext"),
+        col("warc_type"), col("warc_date"), col("content_type")
+      )
+      .collect()
+    assert(rows.forall(_.getString(2) == "resource"))
+    assert(rows.forall(_.getString(3) == "2026-08-16T00:00:00Z"))
+    assert(rows.forall(_.getString(4) == "text/plain; charset=utf-8"))
+    val byUri = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    (0 until 25).foreach { i =>
+      assert(byUri(s"https://example.com/doc/$i") ==
+        s"body of document $i — ünïcode ok")
+    }
+    // per-record gzip members: a mid-file record boundary is a member
+    // boundary, so the SECOND member of a multi-record file range-fetches
+    val multi = files.filter(_.getLong(1) >= 2).head
+    val bytes = Files.readAllBytes(Paths.get(
+      new java.net.URI(multi.getString(0)).getPath))
+    // find the second gzip magic (members are back-to-back)
+    val second = (1 until bytes.length - 1).find(i =>
+      (bytes(i) & 0xff) == 0x1f && (bytes(i + 1) & 0xff) == 0x8b).get
+    val one = Warc
+      .readWarcRecords(spark, multi.getString(0), second.toLong,
+        (bytes.length - second).toLong)
+      .count()
+    assert(one == multi.getLong(1) - 1) // all members after the first
+  }
+
   test("surtKey: canonical web-archive urlkeys") {
     val urls = Seq(
       1L -> "https://www.Example.COM/a/b?z=2&a=1",   // www strip, lower, sorted query
