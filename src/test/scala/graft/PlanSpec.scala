@@ -889,4 +889,24 @@ class PlanSpec extends SparkSpec {
       .foreach(l => assert(!l.contains("text#"), s"doc text shuffled: $l"))
   }
 
+  test("surt keys and blockword gate are shuffle-free per-row projections") {
+    // both ride the first corpus scan at 100 TB: the only allowed
+    // exchange is the final presentation ORDER BY's range partitioning
+    // (the plan prints pre-execution under AQE, so codegen spans aren't
+    // visible — the Exchange/aggregate absence is the load-bearing check)
+    for (q <- Seq("q_surt_key", "q_blockwords")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q shuffles:\n$p")
+      assert(!p.contains("BroadcastExchange"), s"$q joins:\n$p")
+      assert(!p.contains("HashAggregate"), s"$q aggregates:\n$p")
+      assert(p.contains("FileScan parquet"), s"$q scan missing:\n$p")
+    }
+  }
+
+  test("langId script fallback stays one per-row projection, no shuffle") {
+    val p = plan("q_lang_id")
+    assert(!p.contains("Exchange hashpartitioning"), s"q_lang_id shuffles:\n$p")
+    assert(!p.contains("HashAggregate"), s"q_lang_id aggregates:\n$p")
+  }
+
 }
