@@ -380,14 +380,26 @@ object Warc {
     * output files by partitioning the input (`repartition(n)` for ~even
     * shards). EAGER (the write happens before this returns, like every
     * sink); returns the manifest (path, n_records, bytes) — one
-    * file-sized row per written file. */
+    * file-sized row per written file.
+    *
+    * `withCdxj` (default true) also writes a sibling `part-NNNNN.cdxj`
+    * capture index per shard — one line per record with the SURT urlkey
+    * ([[graft.operators.Urls.surtKey]] semantics), a 14-digit timestamp
+    * from the record date, and the (filename, offset, length) of the
+    * record's gzip member plus url/mime/digest (md5 hex of the body) —
+    * so the output supports the full index→gate→fetch pattern
+    * ([[readCdxj]] → [[cdxjGatedFetch]] / [[fetchWarcRecords]]) without
+    * ever scanning a segment. Member offsets come from the output
+    * stream position around each gzip member, so the index is exact by
+    * construction (asserted by the round-trip suite). */
   def writeWarc(
       df: DataFrame,
       dir: String,
       uriCol: String = "url",
       bodyCol: String = "body",
       dateCol: Option[String] = None,
-      contentTypeCol: Option[String] = None
+      contentTypeCol: Option[String] = None,
+      withCdxj: Boolean = true
   ): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
@@ -415,9 +427,18 @@ object Warc {
         if (!it.hasNext) Iterator.empty
         else {
           val conf = rebuildConf(confEntries)
-          val p = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc.gz")
+          val warcName = f"part-$pid%05d.warc.gz"
+          val p = new org.apache.hadoop.fs.Path(dir, warcName)
           val fs = p.getFileSystem(conf)
           val out = fs.create(p, true)
+          val idx: java.io.Writer =
+            if (withCdxj)
+              new java.io.OutputStreamWriter(
+                fs.create(
+                  new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.cdxj"),
+                  true),
+                "UTF-8")
+            else null
           var n = 0L
           try {
             it.foreach { case (uri, body, date, ct) =>
@@ -438,15 +459,42 @@ object Warc {
                   ).map { case (k, v) => s"$k: $v" })
                   .mkString("\r\n") + "\r\n\r\n"
               // one gzip member per record: open/finish a deflater per row
+              val memberStart = out.getPos
               val gz = new java.util.zip.GZIPOutputStream(
                 new NonClosingOutputStream(out), 1 << 16)
               gz.write(head.getBytes("ISO-8859-1"))
               gz.write(b)
               gz.write("\r\n\r\n".getBytes("ISO-8859-1"))
               gz.finish()
+              if (idx != null) {
+                val memberLen = out.getPos - memberStart
+                val urlkey = graft.operators.Urls
+                  .surtKeyScala(uri)
+                  .getOrElse("-")
+                val ts = Option(date)
+                  .getOrElse("")
+                  .filter(_.isDigit)
+                  .take(14)
+                  .padTo(14, '0')
+                val bodyMd5 = java.security.MessageDigest
+                  .getInstance("MD5")
+                  .digest(b)
+                  .map(x => f"${x & 0xff}%02x")
+                  .mkString
+                def j(s: String): String =
+                  s.replace("\\", "\\\\").replace("\"", "\\\"")
+                idx.write(
+                  s"""$urlkey $ts {"url": "${j(Option(uri).getOrElse(""))}", """ +
+                    s""""mime": "${j(Option(ct).getOrElse(""))}", """ +
+                    s""""digest": "$bodyMd5", "filename": "$warcName", """ +
+                    s""""offset": "$memberStart", "length": "$memberLen"}""" + "\n")
+              }
               n += 1
             }
-          } finally out.close()
+          } finally {
+            out.close()
+            if (idx != null) idx.close()
+          }
           val len = fs.getFileStatus(p).getLen
           Iterator.single((p.toString, n, len))
         }

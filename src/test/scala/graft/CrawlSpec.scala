@@ -722,6 +722,41 @@ class CrawlSpec extends SparkSpec {
         (bytes.length - second).toLong)
       .count()
     assert(one == multi.getLong(1) - 1) // all members after the first
+
+    // the emitted CDXJ index closes the loop: index -> gate -> range
+    // fetch over our OWN output, never scanning a segment
+    val idx = Warc.readCdxj(spark, s"$dir/*.cdxj")
+    assert(idx.count() == 25)
+    assert(idx.filter(col("urlkey").startsWith("com,example)/doc/")).count() == 25)
+    assert(idx.filter(col("timestamp") === "20260816000000").count() == 25)
+    val fetched = Warc
+      .cdxjGatedFetch(
+        spark, s"$dir/*.cdxj", warcRoot = dir,
+        statuses = Nil, mimePrefixes = Seq("text/plain")
+      )
+      .select(col("target_uri"), decode(col("body"), "UTF-8").as("btext"))
+      .collect()
+    assert(fetched.length == 25)
+    val fetchedByUri = fetched.map(r => r.getString(0) -> r.getString(1)).toMap
+    (0 until 25).foreach { i =>
+      assert(fetchedByUri(s"https://example.com/doc/$i") ==
+        s"body of document $i — ünïcode ok")
+    }
+  }
+
+  test("surtKeyScala mirrors the surtKey column over the synthetic URL corpus") {
+    val urls = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .withColumn("url", graft.QueryShared.syntheticUrl)
+      .select("url")
+    val both = urls
+      .withColumn("colkey", graft.operators.Urls.surtKey(col("url")))
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))))
+    assert(both.nonEmpty)
+    both.foreach { case (u, colKey) =>
+      assert(graft.operators.Urls.surtKeyScala(u) == colKey, s"diverged on $u")
+    }
   }
 
   test("surtKey: canonical web-archive urlkeys") {
