@@ -382,6 +382,144 @@ object TextAnalysis {
     )
   }
 
+  /** C4-style line-level page cleaning (the T5 paper's recipe): keep only
+    * lines that END IN TERMINAL PUNCTUATION (period/!/?/closing quote),
+    * carry at least `minWordsPerLine` words, and do not mention
+    * "javascript" (the cookie/JS-warning boilerplate tell); then flag the
+    * page KEEP-able iff the cleaned text still has >= `minSentences`
+    * terminal marks, the original contains no `{` (code tell), and no
+    * "lorem ipsum" (template tell). Adds `outCol` (kept lines joined by
+    * newline), `n_lines`, `kept_lines`, `n_sentences`, `c4_keep`. NULL
+    * text -> NULL outputs, `c4_keep` false. Span-level dedup (the
+    * recipe's other half) is [[spanDedup]]/[[chunkDedup]].
+    *
+    * One per-row codegen'd split→filter→join expression tree —
+    * RE2-portable, no UDF, no shuffle: rides the first corpus scan. */
+  def c4LineFilter(
+      df: DataFrame,
+      textCol: String,
+      minWordsPerLine: Int = 5,
+      minSentences: Int = 3,
+      outCol: String = "clean_text"
+  ): DataFrame = {
+    require(minWordsPerLine >= 1, "minWordsPerLine must be >= 1")
+    require(minSentences >= 0, "minSentences must be >= 0")
+    val conflicts = Seq(outCol, "n_lines", "kept_lines", "n_sentences", "c4_keep")
+      .filter(df.columns.contains)
+    require(conflicts.isEmpty, s"output column(s) ${conflicts.mkString(", ")} already exist")
+    val text = col(textCol)
+    val lines = split(text, "\n")
+    def lineOk(l: Column): Column = {
+      val t = trim(l)
+      t.rlike("[.!?\"']$") &&
+        regexp_count(t, lit("\\S+")) >= minWordsPerLine &&
+        !lower(t).contains("javascript")
+    }
+    val kept = filter(lines, lineOk(_))
+    val clean = array_join(kept, "\n")
+    def guardInt(c: Column): Column =
+      when(text.isNull, lit(null).cast("int")).otherwise(c.cast("int"))
+    df.withColumn(outCol, when(text.isNull, lit(null).cast("string")).otherwise(clean))
+      .withColumn("n_lines", guardInt(size(lines)))
+      .withColumn("kept_lines", guardInt(size(kept)))
+      .withColumn("n_sentences", guardInt(regexp_count(clean, lit("[.!?]"))))
+      .withColumn(
+        "c4_keep",
+        coalesce(
+          regexp_count(clean, lit("[.!?]")) >= minSentences &&
+            !text.contains("{") &&
+            !lower(text).contains("lorem ipsum"),
+          lit(false)
+        )
+      )
+  }
+
+  /** Character-class body (literal chars) of the invisible/format
+    * characters [[stripInvisibles]] removes: zero-width space/joiner/
+    * non-joiner, word joiner, BOM/ZWNBSP, soft hyphen, and the C0/DEL
+    * controls except tab/newline/carriage-return (which are real
+    * whitespace structure). Shared with the oracle via
+    * `QueryShared.duckCharClass`. */
+  val InvisiblesClass: String =
+    "\u200B\u200C\u200D\u2060\uFEFF\u00AD" +
+      "\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F"
+
+  /** Strip invisible/format characters — the crawl-cleaning step that
+    * catches zero-width-joined spam, soft-hyphenated words that break
+    * tokenization, BOM residue, and raw control bytes decoded into text.
+    * Adds `outCol` (cleaned text) and `n_invisibles` (characters
+    * removed). NULL text stays NULL with NULL count. One per-row
+    * codegen'd regexp_replace — no shuffle. */
+  def stripInvisibles(
+      df: DataFrame,
+      textCol: String,
+      outCol: String = "stripped"
+  ): DataFrame = {
+    require(df.columns.contains(textCol), s"column '$textCol' does not exist")
+    require(
+      !df.columns.contains(outCol) && !df.columns.contains("n_invisibles"),
+      "output columns already exist"
+    )
+    val cleaned = regexp_replace(col(textCol), s"[$InvisiblesClass]", "")
+    df.withColumn(outCol, cleaned)
+      .withColumn(
+        "n_invisibles",
+        (length(col(textCol)) - length(cleaned)).cast("int")
+      )
+  }
+
+  /** Phrase blocklist — the multi-token upgrade over [[blockwordReport]]:
+    * each phrase is normalized to its lowercase token sequence and
+    * matched as a WHOLE k-shingle (token-boundary exact, never a
+    * substring), counting occurrences with multiplicity. Adds
+    * `n_blocked_spans` + `has_blocked_phrase`; NULL text yields NULL
+    * count and false flag. Per-row cost is one shingle pass per DISTINCT
+    * phrase length with an InSet probe per shingle — phrase lists in the
+    * thousands stay task-binary constants. */
+  def blockPhraseReport(
+      df: DataFrame,
+      textCol: String,
+      phrases: Seq[String]
+  ): DataFrame = {
+    val total = blockedSpanCount(col(textCol), phrases)
+    df.withColumn(
+        "n_blocked_spans",
+        when(col(textCol).isNull, lit(null).cast("int"))
+          .otherwise(total.cast("int"))
+      )
+      .withColumn(
+        "has_blocked_phrase",
+        coalesce(col(textCol).isNotNull && total > 0, lit(false))
+      )
+  }
+
+  /** Drop every document containing a blocked phrase
+    * ([[blockPhraseReport]] semantics); NULL-text rows survive. */
+  def filterBlockPhrases(
+      df: DataFrame,
+      textCol: String,
+      phrases: Seq[String]
+  ): DataFrame = {
+    val total = blockedSpanCount(col(textCol), phrases)
+    df.filter(col(textCol).isNull || total === 0)
+  }
+
+  private def blockedSpanCount(text: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "phrase list must not be empty")
+    val byLen: Map[Int, Seq[String]] = phrases
+      .map(_.toLowerCase.trim.split("\\s+").mkString(" "))
+      .filter(_.nonEmpty)
+      .distinct
+      .groupBy(_.split(" ").length)
+    require(byLen.nonEmpty, "phrase list is empty after normalization")
+    byLen.toSeq
+      .sortBy(_._1)
+      .map { case (k, ps) =>
+        size(filter(shingles(text, k), g => g.isin(ps: _*)))
+      }
+      .reduce(_ + _)
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single other chars). */
   def tokenCounts(df: DataFrame, textCol: String): DataFrame = {

@@ -277,6 +277,69 @@ private[graft] object QueryShared {
     * under test is whole-token InSet matching, not the vocabulary. */
   val BlockwordFixture: Seq[String] = Seq("spark", "shuffle", "dup", "engine")
 
+  /** Phrase blocklist for q_block_phrases: two corpus-frequent bigrams, a
+    * unigram, and a trigram — exercising every distinct-length shingle
+    * pass of the operator. */
+  val PhraseFixture: Seq[String] =
+    Seq("table hash", "customer join", "spark", "big order scan")
+
+  /** Deterministic invisible-character injection for q_strip_invisibles:
+    * zero-widths, a soft hyphen, a BOM, and a BEL control appended (and
+    * one zero-width SPLICED between the first two chars) so the strip has
+    * real work in every row. NULL text stays NULL. */
+  def syntheticInvisibleText: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(col("text").isNull, lit(null).cast("string")).otherwise(
+      concat(
+        substring(col("text"), 1, 1),
+        lit("\u200B"),
+        substring(col("text"), 2, 1000000),
+        lit("\u200Czero\u200Dwidth\u2060run\uFEFF soft\u00ADhyphen\u0007bell")
+      )
+    )
+  }
+
+  /** [[syntheticInvisibleText]] as DuckDB SQL (chars via chr()). */
+  val duckSyntheticInvisibleText: String =
+    "CASE WHEN text IS NULL THEN NULL ELSE " +
+      "substr(text, 1, 1) || chr(8203) || substr(text, 2) || " +
+      "chr(8204) || 'zero' || chr(8205) || 'width' || chr(8288) || 'run' || " +
+      "chr(65279) || ' soft' || chr(173) || 'hyphen' || chr(7) || 'bell' END"
+
+  /** Deterministic multi-line page per document for the C4 line-filter
+    * query: sentence boundaries become newlines, plus planted junk lines
+    * exercising every rule — a no-punct line, a "javascript" line, a
+    * too-short line — a good closing line, and (every 13th doc) a `{`
+    * code marker that must kill the page flag. Same expression in both
+    * engines; NULL text stays NULL. */
+  def syntheticLinesPage: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(col("text").isNull, lit(null).cast("string")).otherwise(
+      concat(
+        replace(col("text"), lit(". "), lit(".\n")),
+        lit("\nshort line no punct\n"),
+        lit("this javascript line should die right here.\n"),
+        lit("tiny line.\n"),
+        lit("a good closing sentence is right here."),
+        when(col("doc_id") % 13 === 0, lit("\ncode marker { lurks here always."))
+          .otherwise(lit(""))
+      )
+    )
+  }
+
+  /** [[syntheticLinesPage]] as DuckDB SQL (newlines via chr(10)). */
+  val duckSyntheticLinesPage: String =
+    """CASE WHEN text IS NULL THEN NULL ELSE
+      |  replace(text, '. ', '.' || chr(10)) || chr(10) ||
+      |  'short line no punct' || chr(10) ||
+      |  'this javascript line should die right here.' || chr(10) ||
+      |  'tiny line.' || chr(10) ||
+      |  'a good closing sentence is right here.' ||
+      |  CASE WHEN doc_id % 13 = 0
+      |       THEN chr(10) || 'code marker { lurks here always.'
+      |       ELSE '' END
+      |END""".stripMargin
+
   /** [[syntheticUrl]] as DuckDB SQL. */
   val duckSyntheticUrl: String =
     """CASE WHEN doc_id % 11 = 0 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
@@ -860,11 +923,13 @@ private[graft] object QueryShared {
       |)""".stripMargin
 
   /** Render a Java-regex char-class body (literal Unicode chars) as its
-    * RE2 equivalent for DuckDB: non-ASCII code points become `\x{...}`,
-    * ASCII (incl. the range dash) passes through. */
+    * RE2 equivalent for DuckDB: non-ASCII code points AND ASCII control
+    * characters become `\x{...}` (a raw NUL/BEL in a SQL literal is
+    * invalid or invisible), printable ASCII (incl. the range dash)
+    * passes through. */
   def duckCharClass(ranges: String): String =
     ranges.map { c =>
-      if (c < 0x80) c.toString else f"\\x{${c.toInt}%04X}"
+      if (c >= 0x20 && c < 0x7f) c.toString else f"\\x{${c.toInt}%04X}"
     }.mkString
 
   /** Marker-score column names for the langId oracles, in LangMarkers

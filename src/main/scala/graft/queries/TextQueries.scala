@@ -665,6 +665,50 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // C4 line-level cleaning over a planted multi-line page: terminal-
+    // punct / min-words / javascript line rules, then the page-level
+    // >=3-sentence + no-'{' + no-lorem-ipsum keep flag
+    "q_c4_lines" -> ((s, dir) => {
+      TextAnalysis
+        .c4LineFilter(
+          t(s, dir, "documents")
+            .withColumn("page", syntheticLinesPage)
+            .select("doc_id", "page"),
+          "page"
+        )
+        .select(
+          col("doc_id"), col("n_lines"), col("kept_lines"),
+          col("n_sentences"), col("c4_keep"),
+          md5(col("clean_text")).as("clean_md5")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // invisible/format-character strip over injected zero-widths, soft
+    // hyphen, BOM, and a BEL control — count + cleaned-text digest
+    "q_strip_invisibles" -> ((s, dir) => {
+      TextAnalysis
+        .stripInvisibles(
+          t(s, dir, "documents")
+            .withColumn("itext", syntheticInvisibleText)
+            .select("doc_id", "itext"),
+          "itext"
+        )
+        .select(
+          col("doc_id"), col("n_invisibles"),
+          md5(col("stripped")).as("stripped_md5")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // phrase blocklist: whole-shingle matches for 1/2/3-token phrases
+    "q_block_phrases" -> ((s, dir) => {
+      TextAnalysis
+        .blockPhraseReport(t(s, dir, "documents"), "text", PhraseFixture)
+        .select("doc_id", "n_blocked_spans", "has_blocked_phrase")
+        .orderBy("doc_id")
+    }),
+
     // C4-style blockword gate: whole-token matches against a fixed list,
     // count + flag per document
     "q_blockwords" -> ((s, dir) => {
@@ -1610,6 +1654,73 @@ private[graft] object TextQueries {
          |             ELSE '' END)
          |  END AS urlkey
          |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    "q_c4_lines" ->
+      s"""WITH pg AS (
+         |  SELECT doc_id, $duckSyntheticLinesPage AS page FROM documents
+         |), l AS (
+         |  SELECT doc_id, page, string_split(page, chr(10)) AS lines FROM pg
+         |), k AS (
+         |  SELECT doc_id, page, lines,
+         |    list_filter(lines, x ->
+         |      regexp_matches(trim(x), '[.!?"'']$$') AND
+         |      len(regexp_extract_all(trim(x), '\\S+')) >= 5 AND
+         |      NOT contains(lower(trim(x)), 'javascript')) AS kept
+         |  FROM l
+         |), c AS (
+         |  SELECT doc_id, page, lines, kept,
+         |         array_to_string(kept, chr(10)) AS clean
+         |  FROM k
+         |)
+         |SELECT doc_id,
+         |  CAST(len(lines) AS INT) AS n_lines,
+         |  CAST(len(kept) AS INT) AS kept_lines,
+         |  CAST(len(regexp_extract_all(clean, '[.!?]')) AS INT) AS n_sentences,
+         |  COALESCE(len(regexp_extract_all(clean, '[.!?]')) >= 3 AND
+         |           NOT contains(page, '{') AND
+         |           NOT contains(lower(page), 'lorem ipsum'), FALSE) AS c4_keep,
+         |  md5(clean) AS clean_md5
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_strip_invisibles" -> {
+      val cls = duckCharClass(TextAnalysis.InvisiblesClass)
+      s"""WITH i AS (
+         |  SELECT doc_id, $duckSyntheticInvisibleText AS itext FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(length(itext) -
+         |       length(regexp_replace(itext, '[$cls]', '', 'g')) AS INT)
+         |    AS n_invisibles,
+         |  md5(regexp_replace(itext, '[$cls]', '', 'g')) AS stripped_md5
+         |FROM i ORDER BY doc_id""".stripMargin
+    },
+
+    "q_block_phrases" -> {
+      val byLen = PhraseFixture
+        .map(_.toLowerCase.trim.split("\\s+").mkString(" "))
+        .distinct
+        .groupBy(_.split(" ").length)
+      val terms = byLen.toSeq.sortBy(_._1).map { case (k, ps) =>
+        val lst = ps.map(p => s"'$p'").mkString(", ")
+        val grams =
+          if (k == 1) "t"
+          else
+            s"list_transform(range(1, len(t) - ${k - 2}), " +
+              s"i -> array_to_string(t[i:i+${k - 1}], ' '))"
+        s"len(list_filter($grams, g -> list_contains([$lst], g)))"
+      }
+      val total = terms.mkString(" + ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, text, string_split(lower(text), ' ') AS t
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN text IS NULL THEN NULL
+         |       ELSE CAST($total AS INT) END AS n_blocked_spans,
+         |  COALESCE(text IS NOT NULL AND ($total) > 0, FALSE)
+         |    AS has_blocked_phrase
+         |FROM tk ORDER BY doc_id""".stripMargin
     },
 
     "q_blockwords" -> {

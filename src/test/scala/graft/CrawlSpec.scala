@@ -785,6 +785,49 @@ class CrawlSpec extends SparkSpec {
     assert(got(8L) == Some("com,example)/p"))
   }
 
+  test("c4LineFilter: every line rule and the page-level keep flag") {
+    val docs = Seq(
+      (1L, "good first sentence right over here.\nno punct line here\n" +
+        "this has javascript inside it.\nshort.\n" +
+        "another proper sentence sits here fine!\n" +
+        "third full sentence completes the page?"),
+      (2L, "only one full sentence lives here."), // < 3 sentences
+      (3L, "code page with brace { in it. more sentences here fine. and a third one too."),
+      (4L, "lorem ipsum dolor sit amet sentence one. sentence two is right here now. three more words arrive!"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .c4LineFilter(docs, "text")
+      .orderBy("doc_id")
+      .collect()
+      .map { r =>
+        (r.getLong(0),
+         if (r.isNullAt(r.fieldIndex("n_lines"))) -1 else r.getInt(r.fieldIndex("n_lines")),
+         if (r.isNullAt(r.fieldIndex("kept_lines"))) -1 else r.getInt(r.fieldIndex("kept_lines")),
+         if (r.isNullAt(r.fieldIndex("n_sentences"))) -1 else r.getInt(r.fieldIndex("n_sentences")),
+         r.getBoolean(r.fieldIndex("c4_keep")))
+      }
+    // doc 1: no-punct, javascript, and <5-word lines die; 3 survivors
+    assert(got(0) == ((1L, 6, 3, 3, true)), s"${got.mkString(";")}")
+    // doc 2: the line survives but the page has < 3 sentences
+    assert(got(1) == ((2L, 1, 1, 1, false)))
+    // doc 3: line kept (it ends in '.') but '{' kills the page
+    assert(got(2) == ((3L, 1, 1, 3, false)))
+    // doc 4: 'lorem ipsum' kills the page despite 3 sentences
+    assert(got(3) == ((4L, 1, 1, 3, false)))
+    // NULL text: NULL counts, flag false
+    assert(got(4) == ((5L, -1, -1, -1, false)))
+    // cleaned text carries only the surviving lines
+    val clean1 = TextAnalysis
+      .c4LineFilter(docs, "text")
+      .filter(col("doc_id") === 1)
+      .select("clean_text").head().getString(0)
+    assert(clean1 ==
+      "good first sentence right over here.\n" +
+        "another proper sentence sits here fine!\n" +
+        "third full sentence completes the page?")
+  }
+
   test("blockwords: whole-token gate counts and filters, NULL text survives") {
     val docs = Seq(
       (1L, "the spark engine shuffles data"),   // 'spark' + 'engine' = 2 hits
@@ -810,6 +853,57 @@ class CrawlSpec extends SparkSpec {
       .filterBlockwords(docs, "text", words)
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept.toSeq == Seq(2L, 4L, 5L))
+  }
+
+  test("stripInvisibles: zero-widths, soft hyphen, BOM, controls removed; tab/newline kept") {
+    val docs = Seq(
+      (1L, "zero\u200Bwidth\u200Cjoin\u200D\u2060here"),
+      (2L, "soft\u00ADhyphen and\u0007bell\u0000nul"),
+      (3L, "keep\tstructure\nlines\rintact"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "clean already")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .stripInvisibles(docs, "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r =>
+        (r.getLong(0), Option(r.getString(2)),
+         if (r.isNullAt(3)) -1 else r.getInt(3)))
+    assert(got(0) == ((1L, Some("zerowidthjoinhere"), 4)))
+    assert(got(1) == ((2L, Some("softhyphen andbellnul"), 3)))
+    assert(got(2) == ((3L, Some("keep\tstructure\nlines\rintact"), 0)))
+    assert(got(3) == ((4L, None, -1)))
+    assert(got(4) == ((5L, Some("clean already"), 0)))
+  }
+
+  test("blockPhraseReport: whole-shingle phrase matches, multiplicity, NULL survives") {
+    val docs = Seq(
+      (1L, "the table hash join beats the table hash scan"), // 2x "table hash"
+      (2L, "a hash table is not a table hash reversed"),     // 1x
+      (3L, "tablehash glued never matches"),                 // substring never
+      (4L, "one two big order scan three"),                  // trigram hit
+      (5L, null.asInstanceOf[String]),
+      (6L, "nothing relevant here at all")
+    ).toDF("doc_id", "text")
+    val phrases = Seq("Table Hash", "big order scan")
+    val got = TextAnalysis
+      .blockPhraseReport(docs, "text", phrases)
+      .orderBy("doc_id")
+      .collect()
+      .map(r =>
+        (r.getLong(0),
+         if (r.isNullAt(r.fieldIndex("n_blocked_spans"))) -1
+         else r.getInt(r.fieldIndex("n_blocked_spans")),
+         r.getBoolean(r.fieldIndex("has_blocked_phrase"))))
+    assert(got.toSeq == Seq(
+      (1L, 2, true), (2L, 1, true), (3L, 0, false),
+      (4L, 1, true), (5L, -1, false), (6L, 0, false)
+    ), s"${got.mkString(";")}")
+    val kept = TextAnalysis
+      .filterBlockPhrases(docs, "text", phrases)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(3L, 5L, 6L))
   }
 
   // ---------------------------------------------- verified MinHash dedup
