@@ -744,6 +744,83 @@ class CrawlSpec extends SparkSpec {
     }
   }
 
+  test("crawl engine end-to-end: WARC in -> curate -> WARC out with index") {
+    // the whole tier composed through public APIs only: response records
+    // -> html -> main-content + quality gate + verified dedup
+    // (Pipelines.crawlCurate) -> blockword gate -> writeWarc with CDXJ —
+    // then the OUTPUT is range-fetched through its own index and checked.
+    val inDir = s"$tmp/e2e_in"
+    Files.createDirectories(Paths.get(inDir))
+    def page(i: Int, body: String) = {
+      val html =
+        (s"<html><head><title>p$i</title></head><body>" +
+          "<div><a href='/'>home</a> <a href='/x'>nav</a> <a href='/y'>menu</a></div>" +
+          s"<p>$body</p>" +
+          "<div><a href='/a'>f1</a> <a href='/b'>f2</a> <a href='/c'>f3</a></div>" +
+          "</body></html>").getBytes("UTF-8")
+      val payload =
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n").getBytes("ISO-8859-1") ++ html
+      warcRecord(
+        Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> s"<urn:uuid:e2e-$i>",
+          "WARC-Target-URI" -> s"https://site$i.test/page",
+          "WARC-Date" -> "2026-08-16T00:00:00Z",
+          "Content-Type" -> "application/http; msgtype=response",
+          "Content-Length" -> payload.length.toString
+        ),
+        payload
+      )
+    }
+    val prose =
+      "the quick brown fox jumps over the lazy dog and the story continues " +
+        "with many more ordinary words in a long flowing sentence about the " +
+        "weather, the harvest, and the quiet village by the river."
+    val records =
+      page(0, prose) ++
+        page(1, prose) ++ // exact near-dup of 0: must be dropped
+        page(2, "a completely different article is here, discussing the " +
+          "construction of the new bridge across the valley and the years " +
+          "of planning that the council spent on it before the final vote.") ++
+        page(3, "forbidden gadget reviews: the gadget is the best gadget " +
+          "of all the gadgets that the gadget factory ever made for the " +
+          "gadget lovers of this gadget town in gadget county today.")
+    Files.write(Paths.get(s"$inDir/seg-e2e.warc.gz"), gzipBytes(records))
+
+    val html = Warc.warcResponsesAsHtml(spark, s"$inDir/*.warc.gz")
+    assert(html.count() == 4)
+    val curated = graft.operators.Pipelines
+      .crawlCurate(html, idCol = "url", htmlCol = "html",
+        minQuality = 0.3, dedupThreshold = 0.8)
+    val gated = TextAnalysis.filterBlockwords(curated, "text", Seq("gadget"))
+    val out = gated.select(
+      col("url"),
+      encode(col("text"), "UTF-8").as("body"),
+      date_format(col("fetch_time"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("d")
+    )
+    val outDir = s"$tmp/e2e_out"
+    val manifest = Warc.writeWarc(
+      out.repartition(2), outDir,
+      uriCol = "url", bodyCol = "body", dateCol = Some("d"),
+      contentTypeCol = None
+    )
+    // survivors: page0 (page1 is its verified dup), page2; page3 dies at
+    // the blockword gate
+    assert(manifest.agg(sum("n_records")).head().getLong(0) == 2L)
+    val fetched = Warc
+      .cdxjGatedFetch(spark, s"$outDir/*.cdxj", warcRoot = outDir,
+        statuses = Nil, mimePrefixes = Nil)
+      .select(col("target_uri"), decode(col("body"), "UTF-8").as("text"))
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .toMap
+    assert(fetched.keySet == Set("https://site0.test/page", "https://site2.test/page"))
+    // the curated text is the MAIN CONTENT (chrome died by link density)
+    assert(fetched("https://site0.test/page").contains("quick brown fox"))
+    assert(!fetched("https://site0.test/page").contains("home"))
+    assert(fetched("https://site2.test/page").contains("bridge across the valley"))
+  }
+
   test("surtKeyScala mirrors the surtKey column over the synthetic URL corpus") {
     val urls = spark.read
       .parquet(s"$sfDir/documents.parquet")
