@@ -226,7 +226,11 @@ object Urls {
     host.map { h =>
       val hostKey =
         if (h.matches(IpHostRe)) h
-        else h.split("\\.").reverse.mkString(",")
+        // limit -1 keeps trailing empty labels (a trailing-dot FQDN like
+        // "example.com." → ",com,example"), matching Spark's split()
+        // semantics in the surtKey column — limit 0 would drop them and
+        // break the by-construction parity
+        else h.split("\\.", -1).reverse.mkString(",")
       val port = ext(PortRe).flatMap(_.toIntOption)
       val defaultPort = port.exists(p =>
         (scheme.contains("http") && p == 80) ||

@@ -48,6 +48,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Warc {
 
+  @transient private lazy val warcLog =
+    org.slf4j.LoggerFactory.getLogger("graft.sources.Warc")
+
+  /** Per-SparkContext named accumulators counting silently-skipped inputs —
+    * the observability channel for the reader's deliberate skip-don't-fail
+    * policy (one rotten segment in a 100k-file job must not kill the stage,
+    * but the loss has to be countable). `skipped_files` counts whole files
+    * the batch/stream readers could not open (after one retry for
+    * transient, non-FileNotFound IO errors); `skipped_captures` counts
+    * index captures [[fetchWarcRecords]] could not range-read. Named, so
+    * they also surface in the Spark UI per job. Weak keys: a stopped
+    * context's accumulators are collectable. */
+  private val skipAccs =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        org.apache.spark.SparkContext,
+        (org.apache.spark.util.LongAccumulator,
+         org.apache.spark.util.LongAccumulator)]())
+
+  private def accPair(spark: SparkSession)
+      : (org.apache.spark.util.LongAccumulator,
+         org.apache.spark.util.LongAccumulator) = {
+    val sc = spark.sparkContext
+    skipAccs.synchronized {
+      var p = skipAccs.get(sc)
+      if (p == null) {
+        p = (sc.longAccumulator("graft.warc.skipped_files"),
+             sc.longAccumulator("graft.warc.skipped_captures"))
+        skipAccs.put(sc, p)
+      }
+      p
+    }
+  }
+
+  /** Count of WARC files skipped as unreadable by this session's readers
+    * (see [[skippedCaptures]] for the range-fetch equivalent). */
+  def skippedFiles(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    accPair(spark)._1
+
+  /** Count of CDXJ captures [[fetchWarcRecords]] skipped as unreadable. */
+  def skippedCaptures(spark: SparkSession): org.apache.spark.util.LongAccumulator =
+    accPair(spark)._2
+
   /** One parsed WARC record. `payload` is the raw record block; for
     * `application/http` records (and `parseHttp = true`), `http_status` /
     * `http_content_type` come from the embedded HTTP message and `body` is
@@ -79,12 +122,13 @@ object Warc {
   ): DataFrame = {
     import spark.implicits._
     val confEntries = hadoopConfEntries(spark)
+    val skipped = skippedFiles(spark)
     spark.read
       .format("binaryFile")
       .load(pattern)
       .select("path")
       .as[String]
-      .flatMap(path => openAndParse(path, confEntries, parseHttp))
+      .flatMap(path => openAndParse(path, confEntries, parseHttp, skipped))
       .toDF()
   }
 
@@ -109,6 +153,7 @@ object Warc {
       )
     )
     val confEntries = hadoopConfEntries(spark)
+    val skipped = skippedFiles(spark)
     // same path-only projection as the batch reader: binaryFile is the
     // file-arrival tracker, never the byte source
     spark.readStream
@@ -117,7 +162,7 @@ object Warc {
       .load(dir)
       .select("path")
       .as[String]
-      .flatMap(path => openAndParse(path, confEntries, parseHttp))
+      .flatMap(path => openAndParse(path, confEntries, parseHttp, skipped))
       .toDF()
   }
 
@@ -224,6 +269,7 @@ object Warc {
       require(captures.columns.contains(c), s"column '$c' does not exist")
     }
     val confEntries = hadoopConfEntries(spark)
+    val skipped = skippedCaptures(spark)
     val root = warcRoot
     captures
       .select(
@@ -264,8 +310,14 @@ object Warc {
                   curIn.readFully(off, buf)
                   recs = parseBytes(pathStr, buf, parseHttp)
                 } catch {
-                  // unreadable range / missing segment: skip the capture
-                  case _: java.io.IOException => recs = Iterator.empty
+                  // unreadable range / missing segment: skip the capture —
+                  // logged and counted (graft.warc.skipped_captures), so a
+                  // stale index shows up as a metric, not silent loss
+                  case e: java.io.IOException =>
+                    warcLog.warn(
+                      s"skipping unreadable capture $pathStr@$off+$len: $e")
+                    skipped.add(1L)
+                    recs = Iterator.empty
                 }
               }
             }
@@ -386,7 +438,8 @@ object Warc {
     * capture index per shard — one line per record with the SURT urlkey
     * ([[graft.operators.Urls.surtKey]] semantics), a 14-digit timestamp
     * from the record date, and the (filename, offset, length) of the
-    * record's gzip member plus url/mime/digest (md5 hex of the body) —
+    * record's gzip member plus url/status ("200" — curated content, so
+    * the default status gate passes)/mime/digest (md5 hex of the body) —
     * so the output supports the full index→gate→fetch pattern
     * ([[readCdxj]] → [[cdxjGatedFetch]] / [[fetchWarcRecords]]) without
     * ever scanning a segment. Member offsets come from the output
@@ -483,8 +536,15 @@ object Warc {
                   .mkString
                 def j(s: String): String =
                   s.replace("\\", "\\\\").replace("\"", "\\\"")
+                // status "200": written records represent successfully
+                // curated content, and emitting the field keeps
+                // cdxjGatedFetch's DEFAULT status gate (statuses=["200"])
+                // working over self-written indexes — a status-less line
+                // would make the advertised index→gate→fetch round trip
+                // silently return zero rows with default arguments
                 idx.write(
                   s"""$urlkey $ts {"url": "${j(Option(uri).getOrElse(""))}", """ +
+                    s""""status": "200", """ +
                     s""""mime": "${j(Option(ct).getOrElse(""))}", """ +
                     s""""digest": "$bodyMd5", "filename": "$warcName", """ +
                     s""""offset": "$memberStart", "length": "$memberLen"}""" + "\n")
@@ -492,8 +552,11 @@ object Warc {
               n += 1
             }
           } finally {
-            out.close()
-            if (idx != null) idx.close()
+            // close each stream independently: a failing out.close() must
+            // not leak the index writer (or leave a truncated .cdxj beside
+            // a complete .warc.gz)
+            try out.close()
+            finally if (idx != null) idx.close()
           }
           val len = fs.getFileStatus(p).getLen
           Iterator.single((p.toString, n, len))
@@ -527,7 +590,7 @@ object Warc {
   /** Effective Hadoop conf as plain serializable entries — rebuilt on the
     * executor by [[rebuildConf]]. Carries cluster fs settings (s3a creds,
     * endpoints) without touching any Spark-private serialization helper. */
-  private def hadoopConfEntries(spark: SparkSession): Array[(String, String)] = {
+  private[graft] def hadoopConfEntries(spark: SparkSession): Array[(String, String)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val it = conf.iterator()
     val b = Array.newBuilder[(String, String)]
@@ -547,34 +610,61 @@ object Warc {
     * `FileSystem` stream, 64 KB buffer, gzip auto-detected from the magic
     * bytes. The stream closes at iterator end and on task completion; an
     * unreadable file yields zero records (one rotten segment in a
-    * 100k-file job is data loss to log, not a stage failure). */
+    * 100k-file job is data loss, not a stage failure) — but never a
+    * SILENT zero: the skip is logged with the path and counted in the
+    * session's `graft.warc.skipped_files` accumulator
+    * ([[skippedFiles]]), and a transient (non-FileNotFound) open failure
+    * is retried once first, since an S3 throttle or HDFS hiccup is
+    * recoverable where a deleted file is not. */
   private[graft] def openAndParse(
       pathStr: String,
       confEntries: Array[(String, String)],
-      parseHttp: Boolean
+      parseHttp: Boolean,
+      skipped: org.apache.spark.util.LongAccumulator = null
   ): Iterator[WarcRecord] = {
-    val p = new org.apache.hadoop.fs.Path(pathStr)
-    var raw: InputStream = null
-    try {
-      raw = p.getFileSystem(rebuildConf(confEntries)).open(p)
-      val toClose = raw
-      Option(TaskContext.get()).foreach(
-        _.addTaskCompletionListener[Unit](_ =>
-          try toClose.close() catch { case _: Exception => () })
-      )
-      val pb = new PushbackInputStream(new BufferedInputStream(raw, 1 << 16), 2)
-      val b1 = pb.read(); val b2 = pb.read()
-      if (b2 >= 0) pb.unread(b2)
-      if (b1 >= 0) pb.unread(b1)
-      val in: InputStream =
-        if (b1 == 0x1f && b2 == 0x8b)
-          new BufferedInputStream(new GZIPInputStream(pb))
-        else pb
-      closeAtEnd(parseStream(pathStr, in, parseHttp), toClose)
-    } catch {
-      case _: java.io.IOException =>
-        if (raw != null) { try raw.close() catch { case _: Exception => () } }
+    def attempt(): Iterator[WarcRecord] = {
+      val p = new org.apache.hadoop.fs.Path(pathStr)
+      var raw: InputStream = null
+      try {
+        raw = p.getFileSystem(rebuildConf(confEntries)).open(p)
+        val pb = new PushbackInputStream(new BufferedInputStream(raw, 1 << 16), 2)
+        val b1 = pb.read(); val b2 = pb.read()
+        if (b2 >= 0) pb.unread(b2)
+        if (b1 >= 0) pb.unread(b1)
+        // the close target is the OUTERMOST stream, so the gzip path ends
+        // its Inflater's native buffers promptly at iterator end instead
+        // of leaving them to the finalizer (a task walking thousands of
+        // gzip files would otherwise accumulate un-end()ed inflaters)
+        val in: InputStream =
+          if (b1 == 0x1f && b2 == 0x8b)
+            new BufferedInputStream(new GZIPInputStream(pb))
+          else pb
+        Option(TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: Exception => () })
+        )
+        closeAtEnd(parseStream(pathStr, in, parseHttp), in)
+      } catch {
+        case e: java.io.IOException =>
+          if (raw != null) { try raw.close() catch { case _: Exception => () } }
+          throw e
+      }
+    }
+    try attempt()
+    catch {
+      case e: java.io.FileNotFoundException =>
+        warcLog.warn(s"skipping missing WARC file $pathStr: $e")
+        if (skipped != null) skipped.add(1L)
         Iterator.empty
+      case _: java.io.IOException =>
+        // transient IO (throttle, hiccup): one retry before giving up
+        try attempt()
+        catch {
+          case e2: java.io.IOException =>
+            warcLog.warn(s"skipping unreadable WARC file $pathStr (after retry): $e2")
+            if (skipped != null) skipped.add(1L)
+            Iterator.empty
+        }
     }
   }
 
@@ -627,8 +717,10 @@ object Warc {
       catch {
         // a corrupt member (bad gzip trailer, truncated stream) abandons
         // THIS file's remainder — at 100k files per job, one rotten
-        // segment must not fail the stage
-        case _: java.io.IOException => done = true
+        // segment must not fail the stage; logged so the loss is visible
+        case e: java.io.IOException =>
+          warcLog.warn(s"abandoning WARC remainder of $path after record $idx: $e")
+          done = true
       }
     }
 

@@ -729,10 +729,13 @@ class CrawlSpec extends SparkSpec {
     assert(idx.count() == 25)
     assert(idx.filter(col("urlkey").startsWith("com,example)/doc/")).count() == 25)
     assert(idx.filter(col("timestamp") === "20260816000000").count() == 25)
+    // written indexes carry status "200", so the DEFAULT status gate works
+    // over self-written output (no statuses = Nil escape hatch needed)
+    assert(idx.filter(col("status") === "200").count() == 25)
     val fetched = Warc
       .cdxjGatedFetch(
         spark, s"$dir/*.cdxj", warcRoot = dir,
-        statuses = Nil, mimePrefixes = Seq("text/plain")
+        mimePrefixes = Seq("text/plain")
       )
       .select(col("target_uri"), decode(col("body"), "UTF-8").as("btext"))
       .collect()
@@ -807,9 +810,11 @@ class CrawlSpec extends SparkSpec {
     // survivors: page0 (page1 is its verified dup), page2; page3 dies at
     // the blockword gate
     assert(manifest.agg(sum("n_records")).head().getLong(0) == 2L)
+    // default status gate passes over self-written indexes (status "200");
+    // mime stays ungated — this write used the octet-stream default
     val fetched = Warc
       .cdxjGatedFetch(spark, s"$outDir/*.cdxj", warcRoot = outDir,
-        statuses = Nil, mimePrefixes = Nil)
+        mimePrefixes = Nil)
       .select(col("target_uri"), decode(col("body"), "UTF-8").as("text"))
       .collect()
       .map(r => r.getString(0) -> r.getString(1))
@@ -860,6 +865,48 @@ class CrawlSpec extends SparkSpec {
     assert(got(6L) == Some("org,example)/p"))
     assert(got(7L) == None)
     assert(got(8L) == Some("com,example)/p"))
+  }
+
+  test("surtKey: trailing-dot FQDN hosts keep the empty label in BOTH forms") {
+    // Scala mirror must split with limit -1 like the Spark column does —
+    // limit 0 would drop the trailing empty label and silently break the
+    // writeWarc-CDXJ ⇄ withSurtKey join-key parity on 'example.com.' hosts
+    val urls = Seq(
+      "https://example.com./x",
+      "http://www.sub.example.org./p?b=2&a=1",
+      "https://example.com/x" // control: no trailing dot
+    )
+    val colKeys = graft.operators.Urls
+      .withSurtKey(urls.toDF("url"), "url")
+      .collect()
+      .map(r => r.getString(0) -> Option(r.getString(1)))
+      .toMap
+    assert(colKeys("https://example.com./x") == Some(",com,example)/x"))
+    assert(colKeys("https://example.com/x") == Some("com,example)/x"))
+    urls.foreach { u =>
+      assert(graft.operators.Urls.surtKeyScala(u) == colKeys(u),
+        s"scala mirror diverged on $u")
+    }
+  }
+
+  test("warc: unreadable inputs are counted, not silently dropped") {
+    // a capture pointing at a missing segment: fetch yields zero rows AND
+    // bumps the skipped_captures accumulator (stale-index observability)
+    val capAcc = Warc.skippedCaptures(spark)
+    val before = capAcc.value
+    val stale = Seq((s"$tmp/never-written.warc.gz", 0L, 128L))
+      .toDF("filename", "offset", "length")
+    assert(Warc.fetchWarcRecords(stale, warcRoot = "").count() == 0)
+    assert(capAcc.value == before + 1)
+
+    // a missing FILE skips with a count through the file-open path
+    val fileAcc = Warc.skippedFiles(spark)
+    val fBefore = fileAcc.value
+    val it = Warc.openAndParse(
+      s"$tmp/also-never-written.warc", Warc.hadoopConfEntries(spark),
+      parseHttp = true, skipped = fileAcc)
+    assert(it.isEmpty)
+    assert(fileAcc.value == fBefore + 1)
   }
 
   test("c4LineFilter: every line rule and the page-level keep flag") {
