@@ -167,10 +167,14 @@ object Warc {
   }
 
   /** The crawl-pipeline entry composition: keep `response` records with an
-    * HTTP 200 and a text/html payload, decode the body as UTF-8
-    * (malformed sequences replaced, per the usual crawl practice), and
+    * HTTP 200 and a text/html payload, decode the body CHARSET-AWARE
+    * ([[decodeHtmlColumn]]: BOM → HTTP `Content-Type` charset → meta-tag
+    * sniff → UTF-8, with the WHATWG latin-1→cp1252 alias and a
+    * valid-UTF-8 mislabel guard; malformed sequences replaced), and
     * return (url, fetch_time, html) ready for
-    * `TextAnalysis.extractHtmlText` → quality → dedup. */
+    * `TextAnalysis.extractHtmlText` → quality → dedup. Real crawls are
+    * ~20-30% legacy encodings — an unconditional UTF-8 read mojibakes
+    * those pages and silently degrades every downstream signal. */
   def warcResponsesAsHtml(spark: SparkSession, pattern: String): DataFrame = {
     import org.apache.spark.sql.functions._
     readWarc(spark, pattern, parseHttp = true)
@@ -182,8 +186,26 @@ object Warc {
       .select(
         col("target_uri").as("url"),
         col("warc_date").cast("timestamp").as("fetch_time"),
-        decode(col("body"), "UTF-8").as("html")
+        decodeHtmlColumn(col("body"), col("http_content_type")).as("html")
       )
+  }
+
+  /** Charset-aware HTML payload decode as a Column — the
+    * [[graft.plans.DecodeHtmlExpr]] native expression over (binary body,
+    * HTTP Content-Type string; NULL header treated as absent). Per-row
+    * codegen, no UDF, no shuffle. */
+  def decodeHtmlColumn(
+      body: org.apache.spark.sql.Column,
+      httpContentType: org.apache.spark.sql.Column
+  ): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      graft.plans.DecodeHtmlExpr(
+        GraftSqlBridge.expression(body.cast("binary")),
+        GraftSqlBridge.expression(coalesce(httpContentType, lit("")))
+      )
+    )
   }
 
   /** Read a CDXJ capture index (the `cdx-*.gz` files Common Crawl

@@ -186,6 +186,84 @@ class CrawlSpec extends SparkSpec {
     assert(text == "Hello crawl — ünïcode body")
   }
 
+  test("warc: charset-aware decode honors header, meta sniff, BOM, and mislabels") {
+    // one response record per charset scenario, driven through the public
+    // warcResponsesAsHtml path
+    def response(uri: String, ct: String, body: Array[Byte]): Array[Byte] = {
+      val http =
+        (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n").getBytes("ISO-8859-1") ++ body
+      warcRecord(
+        Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> s"<urn:uuid:$uri>",
+          "WARC-Target-URI" -> uri,
+          "WARC-Date" -> "2026-08-16T00:00:01Z",
+          "Content-Type" -> "application/http; msgtype=response",
+          "Content-Length" -> http.length.toString
+        ),
+        http
+      )
+    }
+    val cases = Seq(
+      // 1. header-declared windows-1252 (cp1252-only 0x92 ' and 0x96 –)
+      response("https://t.test/cp1252",
+        "text/html; charset=windows-1252",
+        "<html>it’s café – résumé</html>".getBytes("windows-1252")),
+      // 2. header-declared Shift_JIS
+      response("https://t.test/sjis",
+        "text/html; charset=Shift_JIS",
+        "<html>こんにちは</html>".getBytes("Shift_JIS")),
+      // 3. meta-tag-declared GBK, header carries no charset
+      response("https://t.test/gbk", "text/html",
+        "<html><head><meta charset=gbk></head>你好世界</html>"
+          .getBytes("GBK")),
+      // 4. meta http-equiv form, EUC-KR
+      response("https://t.test/euckr", "text/html",
+        ("<html><head><meta http-equiv=\"Content-Type\" " +
+          "content=\"text/html; charset=euc-kr\"></head>안녕</html>")
+          .getBytes("EUC-KR")),
+      // 5. WHATWG alias: declared iso-8859-1 really means cp1252 on the web
+      response("https://t.test/latin1-alias",
+        "text/html; charset=iso-8859-1",
+        "<html>smart ‘quotes’</html>".getBytes("windows-1252")),
+      // 6. MISLABEL: declared latin-1 but the body is valid UTF-8 —
+      //    the valid-UTF-8 guard must pick UTF-8, not mojibake it
+      response("https://t.test/mislabel",
+        "text/html; charset=iso-8859-1",
+        "<html>naïve résumé — utf8</html>".getBytes("UTF-8")),
+      // 7. UTF-8 BOM beats a WRONG header declaration, and is stripped
+      response("https://t.test/bom",
+        "text/html; charset=shift_jis",
+        Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+          "<html>böm wins</html>".getBytes("UTF-8")),
+      // 8. unknown declared charset falls through to UTF-8-replace
+      response("https://t.test/unknown",
+        "text/html; charset=x-no-such-charset",
+        "<html>plain ascii</html>".getBytes("UTF-8"))
+    )
+    val p = s"$tmp/charsets.warc"
+    Files.write(Paths.get(p), cases.reduce(_ ++ _))
+    val got = Warc
+      .warcResponsesAsHtml(spark, p)
+      .collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("html"))
+      .toMap
+    assert(got.size == 8)
+    assert(got("https://t.test/cp1252") ==
+      "<html>it’s café – résumé</html>")
+    assert(got("https://t.test/sjis") ==
+      "<html>こんにちは</html>")
+    assert(got("https://t.test/gbk").contains("你好世界"))
+    assert(got("https://t.test/euckr").contains("안녕"))
+    assert(got("https://t.test/latin1-alias") ==
+      "<html>smart ‘quotes’</html>")
+    assert(got("https://t.test/mislabel") ==
+      "<html>naïve résumé — utf8</html>")
+    assert(got("https://t.test/bom") == "<html>böm wins</html>")
+    assert(!got("https://t.test/bom").contains("\uFEFF"))
+    assert(got("https://t.test/unknown") == "<html>plain ascii</html>")
+  }
+
   test("warc: streaming reader equals the batch reader over the same files") {
     val dir = s"$tmp/stream_in"
     Files.createDirectories(Paths.get(dir))
