@@ -468,6 +468,51 @@ object TextAnalysis {
       )
   }
 
+  /** Mojibake repair (ftfy-lite) — undo UTF-8-read-as-windows-1252/latin-1
+    * double encoding ("Ã©" → "é", "â€™" → "'"), the artifact that
+    * survives even CORRECT decoding of pages whose bytes were mislabeled
+    * upstream of the crawl. The standard cleaning stage between HTML
+    * extraction and quality scoring: without it, mojibake'd pages get
+    * scored, language-ID'd, and deduped on garbage characters.
+    *
+    * Semantics (graft.plans.EncodingUtils.fixEncoding): gate on a
+    * lead-byte+continuation-byte mojibake PAIR (U+00C2-U+00F4 followed by
+    * a char a UTF-8 continuation byte misreads to — genuine "café" never
+    * forms the pair), then inverse-map the WHOLE string to its
+    * windows-1252/latin-1 bytes and strictly re-decode as UTF-8;
+    * any unmappable char or malformed byte aborts the repair and returns
+    * the input unchanged. Runs to a fixed point (≤4 rounds), so
+    * doubly-double-encoded text repairs fully and the operator is
+    * idempotent. NULL stays NULL.
+    *
+    * Implementation tier: a native codegen'd Expression, not
+    * mapPartitions — the repair is a pure per-row function with no model
+    * or codec state to amortize, so the expression tier keeps it inside
+    * whole-stage codegen with zero per-partition setup; built-ins can't
+    * express it (Spark's decode/encode error on malformed bytes and
+    * can't do the conditional byte-level inverse mapping). No shuffle. */
+  def fixEncodingColumn(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.FixEncodingExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(text)
+      )
+    )
+
+  /** [[fixEncodingColumn]] over a DataFrame: adds `outCol` with the
+    * repaired text (unchanged when no mojibake is detected). */
+  def fixEncoding(
+      df: DataFrame,
+      textCol: String,
+      outCol: String = "fixed_text"
+  ): DataFrame = {
+    require(df.columns.contains(textCol), s"column '$textCol' does not exist")
+    require(
+      !df.columns.contains(outCol),
+      s"output column '$outCol' already exists"
+    )
+    df.withColumn(outCol, fixEncodingColumn(col(textCol)))
+  }
+
   /** Phrase blocklist — the multi-token upgrade over [[blockwordReport]]:
     * each phrase is normalized to its lowercase token sequence and
     * matched as a WHOLE k-shingle (token-boundary exact, never a

@@ -306,6 +306,48 @@ private[graft] object QueryShared {
       "chr(8204) || 'zero' || chr(8205) || 'width' || chr(8288) || 'run' || " +
       "chr(65279) || ' soft' || chr(173) || 'hyphen' || chr(7) || 'bell' END"
 
+  /** Deterministic accented text for the fix-encoding query: common vowels
+    * become a two-byte (é U+00E9, ö U+00F6) and a three-byte (' U+2019)
+    * UTF-8 character. The corpus is pure ASCII (TestdataCanarySpec), so
+    * the replace chain is exact and identical in both engines. */
+  def syntheticAccentedText: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    replace(
+      replace(
+        replace(col("text"), lit("a"), lit("é")),
+        lit("o"), lit("ö")),
+      lit("u"), lit("’"))
+  }
+
+  /** [[syntheticAccentedText]] read back as windows-1252 — the classic
+    * double-encoding mojibake (é → Ã©, ö → Ã¶, ' → â€™), built by
+    * replacing each accented char with its cp1252 misread so the synth is
+    * engine-identical. The REPAIR side (TextAnalysis.fixEncoding) is the
+    * real byte-level re-decode; this synth only has to produce genuine
+    * double-encodings for it to undo. */
+  def syntheticMojibakeText: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    Seq(
+      "é" -> "Ã©",        // é  = C3 A9  -> Ã©
+      "ö" -> "Ã¶",        // ö  = C3 B6  -> Ã¶
+      "’" -> "â€™"   // '  = E2 80 99 -> â€™
+    ).foldLeft(syntheticAccentedText) { case (c, (good, moji)) =>
+      replace(c, lit(good), lit(moji))
+    }
+  }
+
+  /** [[syntheticAccentedText]] as DuckDB SQL (chars via chr()). */
+  val duckSyntheticAccentedText: String =
+    "replace(replace(replace(text, 'a', chr(233)), 'o', chr(246)), " +
+      "'u', chr(8217))"
+
+  /** [[syntheticMojibakeText]] as DuckDB SQL. */
+  val duckSyntheticMojibakeText: String =
+    s"replace(replace(replace($duckSyntheticAccentedText, " +
+      "chr(233), chr(195) || chr(169)), " +
+      "chr(246), chr(195) || chr(182)), " +
+      "chr(8217), chr(226) || chr(8364) || chr(8482))"
+
   /** Deterministic multi-line page per document for the C4 line-filter
     * query: sentence boundaries become newlines, plus planted junk lines
     * exercising every rule — a no-punct line, a "javascript" line, a

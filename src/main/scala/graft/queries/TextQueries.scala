@@ -701,6 +701,29 @@ private[graft] object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // mojibake repair: every 3rd document is deterministically
+    // double-encoded (UTF-8 read as cp1252: é→Ã©, ö→Ã¶, '→â€™); the
+    // REAL byte-level repair must recover exactly the accented original,
+    // and must leave the clean documents untouched — the oracle knows
+    // only the expected OUTPUT, so an identity (or over-eager) repair
+    // hash-mismatches
+    "q_fix_encoding" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn(
+          "mtext",
+          when(col("doc_id") % 3 === 0, syntheticMojibakeText)
+            .otherwise(col("text"))
+        )
+      TextAnalysis
+        .fixEncoding(docs, "mtext", outCol = "fixed")
+        .select(
+          col("doc_id"),
+          md5(col("fixed")).as("fixed_md5"),
+          (col("doc_id") % 3 === 0).as("was_mojibaked")
+        )
+        .orderBy("doc_id")
+    }),
+
     // phrase blocklist: whole-shingle matches for 1/2/3-token phrases
     "q_block_phrases" -> ((s, dir) => {
       TextAnalysis
@@ -1695,6 +1718,16 @@ private[graft] object TextQueries {
          |  md5(regexp_replace(itext, '[$cls]', '', 'g')) AS stripped_md5
          |FROM i ORDER BY doc_id""".stripMargin
     },
+
+    // the oracle states the EXPECTED repair output directly: mojibaked
+    // docs must come back as the accented text, clean docs unchanged
+    "q_fix_encoding" ->
+      s"""SELECT doc_id,
+         |  md5(CASE WHEN doc_id % 3 = 0
+         |      THEN $duckSyntheticAccentedText
+         |      ELSE text END) AS fixed_md5,
+         |  doc_id % 3 = 0 AS was_mojibaked
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_block_phrases" -> {
       val byLen = PhraseFixture

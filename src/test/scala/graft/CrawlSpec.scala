@@ -1108,6 +1108,46 @@ class CrawlSpec extends SparkSpec {
     assert(kept.toSeq == Seq(3L, 5L, 6L))
   }
 
+  test("fixEncoding: repairs cp1252 and latin-1 double encodings, leaves clean text alone") {
+    val original = "it’s café – naïve über ©2026 — done"
+    def mojibake(s: String, as: String): String =
+      new String(s.getBytes("UTF-8"), as)
+    val cp1252Moji = mojibake(original, "windows-1252")
+    val latin1Moji = mojibake(original, "ISO-8859-1")
+    val doubleMoji = mojibake(cp1252Moji, "windows-1252") // encoded TWICE
+    val fixtures = Seq(
+      (1L, cp1252Moji, original),          // classic Ã©-class artifacts
+      (2L, latin1Moji, original),          // C1-control flavored misread
+      (3L, doubleMoji, original),          // fixed-point: repairs fully
+      (4L, original, original),            // genuine accents: no pair, untouched
+      (5L, "plain ascii text", "plain ascii text"),
+      // unmappable char aborts the whole-string repair: NOT repaired
+      (6L, cp1252Moji + " ✓", cp1252Moji + " ✓"),
+      (7L, null.asInstanceOf[String], null.asInstanceOf[String])
+    )
+    val got = TextAnalysis
+      .fixEncoding(
+        fixtures.map(f => (f._1, f._2)).toDF("id", "text"), "text")
+      .orderBy("id")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2)))
+      .toMap
+    fixtures.foreach { case (id, _, want) =>
+      assert(got(id) == Option(want), s"fixture $id: got ${got(id)}")
+    }
+    // idempotence: a second pass is the identity on every repaired output
+    val twice = TextAnalysis
+      .fixEncoding(
+        fixtures.map(f => (f._1, got(f._1).orNull)).toDF("id", "text"),
+        "text")
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2)))
+      .toMap
+    fixtures.foreach { case (id, _, _) =>
+      assert(twice(id) == got(id), s"not idempotent on fixture $id")
+    }
+  }
+
   // ---------------------------------------------- verified MinHash dedup
 
   test("minHashVerifiedPairs: every pair carries the exact jaccard") {
