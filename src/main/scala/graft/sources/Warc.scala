@@ -107,6 +107,7 @@ object Warc {
       content_length: Long,
       http_status: Option[Int],
       http_content_type: Option[String],
+      warc_refers_to: String,
       body: Array[Byte]
   )
 
@@ -475,11 +476,71 @@ object Warc {
       dateCol: Option[String] = None,
       contentTypeCol: Option[String] = None,
       withCdxj: Boolean = true
+  ): DataFrame =
+    writeRecords(df, dir, uriCol, bodyCol, dateCol, contentTypeCol,
+      refersToCol = None, recordType = "resource", withCdxj = withCdxj)
+
+  /** WET-style extracted-text interchange sink: like [[writeWarc]] but
+    * rows become `conversion` records (the Common Crawl WET convention
+    * for text EXTRACTED from a capture, rather than original `resource`
+    * payloads), bodies are the UTF-8 encoding of `textCol`, the content
+    * type is `text/plain`, and `refersToCol` (when given) becomes each
+    * record's `WARC-Refers-To` header — the back-pointer to the source
+    * capture's record id that lets external WET consumers join extracted
+    * text to its crawl record. Same per-record-gzip-member layout, CDXJ
+    * sibling index, determinism, and scale shape as [[writeWarc]];
+    * [[readWet]] (or any WET-aware tool) reads the output back. */
+  def writeWet(
+      df: DataFrame,
+      dir: String,
+      uriCol: String = "url",
+      textCol: String = "text",
+      dateCol: Option[String] = None,
+      refersToCol: Option[String] = None,
+      withCdxj: Boolean = true
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(df.columns.contains(textCol), s"column '$textCol' does not exist")
+    val withBody = df.withColumn("__wet_body", encode(col(textCol), "UTF-8"))
+      .withColumn("__wet_ct", lit("text/plain"))
+    writeRecords(withBody, dir, uriCol, "__wet_body", dateCol,
+      Some("__wet_ct"), refersToCol, recordType = "conversion",
+      withCdxj = withCdxj)
+  }
+
+  /** Read WET-style extracted-text files back: `conversion` records from
+    * any WARC-container input (our [[writeWet]] output or external WET
+    * shards), with the body decoded as UTF-8 text. Returns
+    * (url, fetch_time, refers_to, text) — `refers_to` is the source
+    * capture's record id ("" when the producer emitted none). Same
+    * file-at-a-time streaming scale shape as [[readWarc]]. */
+  def readWet(spark: SparkSession, pattern: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    readWarc(spark, pattern, parseHttp = false)
+      .filter(col("warc_type") === "conversion")
+      .select(
+        col("target_uri").as("url"),
+        col("warc_date").cast("timestamp").as("fetch_time"),
+        col("warc_refers_to").as("refers_to"),
+        decode(col("body"), "UTF-8").as("text")
+      )
+  }
+
+  private def writeRecords(
+      df: DataFrame,
+      dir: String,
+      uriCol: String,
+      bodyCol: String,
+      dateCol: Option[String],
+      contentTypeCol: Option[String],
+      refersToCol: Option[String],
+      recordType: String,
+      withCdxj: Boolean
   ): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
     import spark.implicits._
-    Seq(uriCol, bodyCol).foreach { c =>
+    (Seq(uriCol, bodyCol) ++ refersToCol).foreach { c =>
       require(df.columns.contains(c), s"column '$c' does not exist")
     }
     val confEntries = hadoopConfEntries(spark)
@@ -493,10 +554,14 @@ object Warc {
       contentTypeCol
         .map(c => col(c).cast("string"))
         .getOrElse(lit("application/octet-stream"))
-        .as("__ct")
+        .as("__ct"),
+      refersToCol
+        .map(c => col(c).cast("string"))
+        .getOrElse(lit(null).cast("string"))
+        .as("__ref")
     )
     rows
-      .as[(String, Array[Byte], String, String)]
+      .as[(String, Array[Byte], String, String, String)]
       .mapPartitions { it =>
         val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(0)
         if (!it.hasNext) Iterator.empty
@@ -516,22 +581,27 @@ object Warc {
             else null
           var n = 0L
           try {
-            it.foreach { case (uri, body, date, ct) =>
+            it.foreach { case (uri, body, date, ct, ref) =>
               val b = if (body == null) Array.emptyByteArray else body
               val digest = java.security.MessageDigest
                 .getInstance("MD5")
                 .digest((s"$uri|$n|$pid").getBytes("UTF-8"))
               val id = digest.map(x => f"${x & 0xff}%02x").mkString
+              val refersTo = Option(ref).filter(_.nonEmpty).map { r =>
+                val v = if (r.startsWith("<")) r else s"<$r>"
+                "WARC-Refers-To" -> v
+              }
               val head =
                 ("WARC/1.0" +:
-                  Seq(
-                    "WARC-Type" -> "resource",
+                  (Seq(
+                    "WARC-Type" -> recordType,
                     "WARC-Record-ID" -> s"<urn:uuid:$id>",
                     "WARC-Target-URI" -> Option(uri).getOrElse(""),
-                    "WARC-Date" -> Option(date).getOrElse(""),
+                    "WARC-Date" -> Option(date).getOrElse("")
+                  ) ++ refersTo ++ Seq(
                     "Content-Type" -> Option(ct).getOrElse(""),
                     "Content-Length" -> b.length.toString
-                  ).map { case (k, v) => s"$k: $v" })
+                  )).map { case (k, v) => s"$k: $v" })
                   .mkString("\r\n") + "\r\n\r\n"
               // one gzip member per record: open/finish a deflater per row
               val memberStart = out.getPos
@@ -783,6 +853,7 @@ object Warc {
             content_length = len,
             http_status = status,
             http_content_type = httpCt,
+            warc_refers_to = stripAngles(headers.getOrElse("warc-refers-to", "")),
             body = body
           )
           idx += 1

@@ -417,6 +417,7 @@ class CrawlSpec extends SparkSpec {
       "content_length" -> "LongType",
       "http_status" -> "IntegerType",
       "http_content_type" -> "StringType",
+      "warc_refers_to" -> "StringType",
       "body" -> "BinaryType"
     )
     def shape(df: org.apache.spark.sql.DataFrame) =
@@ -823,6 +824,50 @@ class CrawlSpec extends SparkSpec {
       assert(fetchedByUri(s"https://example.com/doc/$i") ==
         s"body of document $i — ünïcode ok")
     }
+  }
+
+  test("wet: writeWet round-trips through readWet and cross-reads as conversion records") {
+    val docs = (0 until 12)
+      .map { i =>
+        (s"https://example.com/p$i",
+         s"extracted text $i — ünïcode",
+         "2026-08-16T00:00:00Z",
+         s"urn:uuid:src-$i")
+      }
+      .toDF("url", "text", "d", "src_id")
+    val dir = s"$tmp/wet_out"
+    val manifest = Warc.writeWet(
+      docs.repartition(2), dir, dateCol = Some("d"),
+      refersToCol = Some("src_id"))
+    assert(manifest.agg(sum("n_records")).head().getLong(0) == 12L)
+
+    // parity: readWet returns exactly what was written, with the
+    // refers-to back-pointer intact (angle brackets normalized)
+    val back = Warc
+      .readWet(spark, s"$dir/*.warc.gz")
+      .collect()
+      .map(r => r.getAs[String]("url") ->
+        ((r.getAs[String]("refers_to"), r.getAs[String]("text"))))
+      .toMap
+    assert(back.size == 12)
+    (0 until 12).foreach { i =>
+      assert(back(s"https://example.com/p$i") ==
+        ((s"urn:uuid:src-$i", s"extracted text $i — ünïcode")))
+    }
+
+    // cross-read: the generic reader sees well-formed conversion records
+    val raw = Warc.readWarc(spark, s"$dir/*.warc.gz").collect()
+    assert(raw.length == 12)
+    assert(raw.forall(_.getAs[String]("warc_type") == "conversion"))
+    assert(raw.forall(_.getAs[String]("content_type") == "text/plain"))
+    assert(raw.forall(_.getAs[String]("warc_refers_to").startsWith("urn:uuid:src-")))
+
+    // the sibling CDXJ closes the index->gate->fetch loop over WET output
+    val fetched = Warc
+      .cdxjGatedFetch(spark, s"$dir/*.cdxj", warcRoot = dir,
+        mimePrefixes = Seq("text/plain"))
+      .count()
+    assert(fetched == 12L)
   }
 
   test("crawl engine end-to-end: WARC in -> curate -> WARC out with index") {
