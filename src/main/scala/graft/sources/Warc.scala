@@ -133,6 +133,28 @@ object Warc {
       .toDF()
   }
 
+  /** [[readWarc]] over an EXPLICIT file listing instead of a glob — the
+    * composition point for resumable batch ingest:
+    * `Ingest.pendingFiles(...)` → readWarcFor → sink →
+    * `Ingest.commitFiles(...)`. Same record schema, streaming shape, and
+    * skip accounting as [[readWarc]]. */
+  def readWarcFor(
+      files: DataFrame,
+      pathCol: String = "path",
+      parseHttp: Boolean = true
+  ): DataFrame = {
+    require(files.columns.contains(pathCol), s"column '$pathCol' does not exist")
+    val spark = files.sparkSession
+    import spark.implicits._
+    val confEntries = hadoopConfEntries(spark)
+    val skipped = skippedFiles(spark)
+    files
+      .select(org.apache.spark.sql.functions.col(pathCol).cast("string"))
+      .as[String]
+      .flatMap(path => openAndParse(path, confEntries, parseHttp, skipped))
+      .toDF()
+  }
+
   /** Streaming [[readWarc]]: new `.warc`/`.warc.gz` files landing in `dir`
     * become record rows — crawl ingestion is file-arrival-driven, and the
     * per-file parse is stateless, so the stream composes directly with the

@@ -826,6 +826,56 @@ class CrawlSpec extends SparkSpec {
     }
   }
 
+  test("ingest ledger: a re-run touches only unprocessed and touched files") {
+    import graft.sources.Ingest
+    val dir = s"$tmp/ledger_in"
+    val ledgerDir = s"$tmp/ledger_state"
+    Files.createDirectories(Paths.get(dir))
+    def writeShard(name: String, stampSec: Long): Unit = {
+      Files.write(Paths.get(s"$dir/$name"), sampleWarc)
+      // explicit mtimes: same-millisecond writes must not alias
+      Files.setLastModifiedTime(
+        Paths.get(s"$dir/$name"),
+        java.nio.file.attribute.FileTime.fromMillis(stampSec * 1000))
+    }
+    writeShard("s0.warc", 1000L)
+    writeShard("s1.warc", 1000L)
+    writeShard("s2.warc", 1000L)
+
+    // run 1: everything is pending; process and commit with counts
+    val pending1 = Ingest.pendingFiles(spark, s"$dir/*.warc", ledgerDir)
+    assert(pending1.count() == 3)
+    val recs1 = Warc.readWarcFor(pending1)
+    assert(recs1.count() == 9) // 3 records per sample shard
+    val counts1 = recs1.groupBy("path").count()
+      .withColumnRenamed("count", "n_records")
+    Ingest.commitFiles(pending1, ledgerDir, batchId = 1L, counts = Some(counts1))
+
+    // run 2 with nothing new: pending is EMPTY — the kill-and-resume
+    // property (a second run touches no already-committed file)
+    assert(Ingest.pendingFiles(spark, s"$dir/*.warc", ledgerDir).count() == 0)
+
+    // a new shard lands and an old shard is rewritten (mtime changes):
+    // exactly those two re-qualify
+    writeShard("s3.warc", 2000L)
+    writeShard("s1.warc", 3000L)
+    val pending2 = Ingest.pendingFiles(spark, s"$dir/*.warc", ledgerDir)
+    val pendingNames = pending2.collect().map(_.getString(0)).sorted
+    assert(pendingNames.length == 2)
+    assert(pendingNames(0).endsWith("s1.warc"))
+    assert(pendingNames(1).endsWith("s3.warc"))
+    Ingest.commitFiles(pending2, ledgerDir, batchId = 2L)
+    assert(Ingest.pendingFiles(spark, s"$dir/*.warc", ledgerDir).count() == 0)
+
+    // ledger audit surface: per-file n_records from run 1, -1 where the
+    // caller supplied no counts, batch ids distinguish the runs
+    val led = Ingest.ledger(spark, ledgerDir).collect()
+    assert(led.length == 5)
+    assert(led.count(_.getAs[Long]("n_records") == 3L) == 3)
+    assert(led.count(_.getAs[Long]("n_records") == -1L) == 2)
+    assert(led.map(_.getAs[Long]("batch_id")).toSet == Set(1L, 2L))
+  }
+
   test("wet: writeWet round-trips through readWet and cross-reads as conversion records") {
     val docs = (0 until 12)
       .map { i =>
