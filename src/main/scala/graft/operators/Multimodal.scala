@@ -531,4 +531,108 @@ object Multimodal {
       }
     }.toDF("media_id", "frame_index", "frame")
   }
+
+  /** One capability-report row: can payloads of `format` be decoded for
+    * REAL on this JVM (vs. falling back to the stub kernel), and by what
+    * engine. */
+  case class CodecSupport(format: String, real: Boolean, engine: String)
+
+  /** Machine-readable decode-capability report — the codec honesty banner
+    * as DATA, so pipelines can route unsupported media to the stub kernel
+    * DELIBERATELY (see [[withDecodePath]]) instead of discovering the
+    * boundary per-row. Image entries probe the installed ImageIO readers;
+    * the audio and video entries run tiny in-memory fixtures through the
+    * SAME private kernels [[extractFeatures]] uses, so the report matches
+    * decode behavior by construction — if an audio/video SPI ever appears
+    * on the classpath, the report flips with it. Driver-side, a few
+    * milliseconds, no Spark job. */
+  def supportedCodecs(): Seq[CodecSupport] = {
+    def imgReader(mime: String): Boolean =
+      javax.imageio.ImageIO.getImageReadersByMIMEType(mime).hasNext
+    val sound = "javax.sound.sampled (16-bit PCM only)"
+    val none = "none in the JDK; coursier-offline environment, no ffmpeg"
+    Seq(
+      CodecSupport("image/png", imgReader("image/png"), "javax.imageio"),
+      CodecSupport("image/jpeg", imgReader("image/jpeg"), "javax.imageio"),
+      CodecSupport("image/bmp", imgReader("image/bmp"), "javax.imageio"),
+      CodecSupport("image/gif", imgReader("image/gif"), "javax.imageio"),
+      CodecSupport("image/tiff", imgReader("image/tiff"), "javax.imageio"),
+      CodecSupport("image/webp", imgReader("image/webp"), "javax.imageio"),
+      CodecSupport("audio/wav", decodeAudioFeatures(probeWav).isDefined, sound),
+      CodecSupport("audio/mpeg", decodeAudioFeatures(probeMp3).isDefined, none),
+      CodecSupport(
+        "video/x-msvideo",
+        decodeVideoFeatures(probeMjpegAvi).isDefined,
+        "RIFF demux + javax.imageio JPEG frames (MJPEG-AVI only)"),
+      CodecSupport("video/mp4", decodeVideoFeatures(probeMp4).isDefined, none),
+      CodecSupport("video/webm", decodeVideoFeatures(probeWebm).isDefined, none)
+    )
+  }
+
+  /** Adds `decode_real`: whether this row's `meta.format` routes to a
+    * REAL decoder per [[supportedCodecs]] — the deliberate routing column
+    * (filter real rows into decode stages, send the rest to stubs or a
+    * quarantine sink). Per-row InSet probe, no shuffle. */
+  def withDecodePath(media: DataFrame): DataFrame = {
+    val real = supportedCodecs().filter(_.real).map(_.format)
+    media.withColumn("decode_real", col("meta.format").isin(real: _*))
+  }
+
+  /** Minimal 16-bit PCM mono WAV (4 samples) for the capability probe. */
+  private def probeWav: Array[Byte] = {
+    val samples = Array[Short](0, 8000, -8000, 16000)
+    val data = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = data.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit =
+      data.write(Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte))
+    def le16(v: Int): Unit = data.write(Array[Byte](v.toByte, (v >> 8).toByte))
+    val nBytes = samples.length * 2
+    ascii("RIFF"); le32(36 + nBytes); ascii("WAVE")
+    ascii("fmt "); le32(16); le16(1); le16(1); le32(8000); le32(16000)
+    le16(2); le16(16)
+    ascii("data"); le32(nBytes)
+    samples.foreach(s => le16(s.toInt & 0xffff))
+    data.toByteArray
+  }
+
+  /** An MPEG-1 Layer III frame-sync header + silence — enough for any
+    * installed mp3 SPI to accept, rejected by the bare JDK. */
+  private def probeMp3: Array[Byte] =
+    Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00) ++
+      new Array[Byte](413)
+
+  /** One-frame MJPEG AVI (RIFF/AVI movi list with a single 00dc JPEG
+    * chunk) for the capability probe — same builder shape as the demux
+    * suite's fixtures. */
+  private def probeMjpegAvi: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(128, 128, 128))
+    g.fillRect(0, 0, 8, 8)
+    g.dispose()
+    val jpg = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    javax.imageio.ImageIO.write(img, "jpg", jpg)
+    def le32(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def chunk(fourcc: String, body: Array[Byte]): Array[Byte] = {
+      val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+      fourcc.getBytes("US-ASCII") ++ le32(body.length) ++ padded
+    }
+    val movi = "movi".getBytes("US-ASCII") ++ chunk("00dc", jpg.toByteArray)
+    val riffBody = "AVI ".getBytes("US-ASCII") ++ chunk("LIST", movi)
+    "RIFF".getBytes("US-ASCII") ++ le32(riffBody.length) ++ riffBody
+  }
+
+  /** Minimal ISO-BMFF `ftyp` box — a syntactically real MP4 head the
+    * RIFF demux must NOT claim. */
+  private def probeMp4: Array[Byte] =
+    Array[Byte](0, 0, 0, 20) ++ "ftypisom".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 2, 0) ++ "isom".getBytes("US-ASCII")
+
+  /** Minimal EBML head (the WebM/Matroska magic). */
+  private def probeWebm: Array[Byte] =
+    Array[Byte](0x1A, 0x45.toByte, 0xDF.toByte, 0xA3.toByte) ++
+      new Array[Byte](16)
 }

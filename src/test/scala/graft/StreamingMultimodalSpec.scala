@@ -1207,4 +1207,79 @@ class StreamingMultimodalSpec extends SparkSpec {
       assert(r.getAs[Array[Byte]](2).length <= 16)
     }
   }
+
+  test("supportedCodecs: the capability report matches actual decode behavior") {
+    import spark.implicits._
+    val report = Multimodal.supportedCodecs().map(c => c.format -> c.real).toMap
+    // this JDK's expected boundary: ImageIO readers minus webp, 16-bit PCM
+    // audio, MJPEG-AVI only for video
+    assert(report("image/png") && report("image/jpeg") &&
+      report("image/bmp") && report("image/gif"))
+    assert(!report("image/webp"))
+    assert(report("audio/wav") && !report("audio/mpeg"))
+    assert(report("video/x-msvideo") && !report("video/mp4") &&
+      !report("video/webm"))
+
+    // image parity: every writable real=true format round-trips through
+    // the PUBLIC imageDHash tier; a webp-magic payload yields nothing
+    Seq("image/png" -> "png", "image/jpeg" -> "jpg",
+        "image/bmp" -> "bmp", "image/gif" -> "gif").foreach {
+      case (mime, fmt) =>
+        val img = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        (0 until 16).foreach(x => (0 until 16).foreach(y =>
+          img.setRGB(x, y, (x * 16) << 16 | (y * 16) << 8)))
+        val bos = new java.io.ByteArrayOutputStream()
+        assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+        val media = Seq(Multimodal.MediaRow(
+          1L, bos.toByteArray,
+          Multimodal.MediaMeta(mime, 16, 16, bos.size.toLong))).toDF()
+        assert((Multimodal.imageDHash(media).count() == 1L) == report(mime), mime)
+    }
+    val webp = "RIFF0000WEBPVP8 not really".getBytes("US-ASCII")
+    val webpDf = Seq(Multimodal.MediaRow(
+      9L, webp, Multimodal.MediaMeta("image/webp", 0, 0, webp.length.toLong))).toDF()
+    assert((Multimodal.imageDHash(webpDf).count() == 1L) == report("image/webp"))
+
+    // audio parity: the real route yields the hand-computed PCM features;
+    // an mp3 payload's features equal the explicit stub route's over the
+    // same bytes (fallback confirmed), per the report
+    val wav = squareWav(nSamples = 800, halfPeriod = 8)
+    val wavDf = Seq(Multimodal.MediaRow(
+      2L, wav, Multimodal.MediaMeta("audio/wav", 0, 0, wav.length.toLong))).toDF()
+    val wf = Multimodal.extractFeatures(wavDf).collect()(0)
+    assert((math.abs(wf.brightness - 32767.0 / 32768.0) < 1e-9) ==
+      report("audio/wav"))
+    val mp3 = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00) ++
+      Array.tabulate(413)(i => (i % 251).toByte)
+    def feats(fmt: String) = Multimodal
+      .extractFeatures(Seq(Multimodal.MediaRow(
+        3L, mp3, Multimodal.MediaMeta(fmt, 0, 0, mp3.length.toLong))).toDF())
+      .collect()(0)
+    val viaMpeg = feats("audio/mpeg")
+    val viaStub = feats("application/octet-stream")
+    assert((viaMpeg.brightness == viaStub.brightness &&
+      viaMpeg.edge_density == viaStub.edge_density) == !report("audio/mpeg"))
+
+    // video parity: MJPEG-AVI hashes through the public videoDHash tier,
+    // mp4/webm magic yields no row
+    val avi = mjpegAvi(Seq(100))
+    val aviDf = Seq(Multimodal.MediaRow(
+      4L, avi, Multimodal.MediaMeta("video/x-msvideo", 0, 0, avi.length.toLong))).toDF()
+    assert((Multimodal.videoDHash(aviDf).count() == 1L) == report("video/x-msvideo"))
+    val mp4 = Array[Byte](0, 0, 0, 20) ++ "ftypisom".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 2, 0) ++ "isom".getBytes("US-ASCII")
+    val mp4Df = Seq(Multimodal.MediaRow(
+      5L, mp4, Multimodal.MediaMeta("video/mp4", 0, 0, mp4.length.toLong))).toDF()
+    assert((Multimodal.videoDHash(mp4Df).count() == 0L) == !report("video/mp4"))
+
+    // the routing column: real formats flagged true, stub routes false
+    val routed = Multimodal
+      .withDecodePath(wavDf.unionByName(mp4Df))
+      .select("media_id", "decode_real")
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1))
+      .toMap
+    assert(routed == Map(2L -> true, 5L -> false))
+  }
 }
