@@ -12,12 +12,15 @@ import org.apache.spark.storage.StorageLevel
 object Pipelines {
 
   /** The crawl curation chain END-TO-END: page HTML → main-content
-    * extraction ([[TextAnalysis.extractMainContent]]) → quality gate
+    * extraction ([[TextAnalysis.extractMainContent]]) → mojibake repair
+    * ([[TextAnalysis.fixEncoding]], `fixEncodings = true` by default — a
+    * per-row no-op on clean text, and without it double-encoded pages get
+    * quality-scored and deduped on Ã©-class garbage) → quality gate
     * ([[TextAnalysis.qualityScore]] `>= minQuality`) → exact-verified
     * near-dedup ([[Dedup.dedupNearMinHashVerified]]). Returns the
     * surviving documents with the extraction/quality columns attached
-    * (`text` = extracted main content, `n_blocks`, `kept_blocks`,
-    * `n_tokens`, `quality`, …).
+    * (`text` = extracted main content after repair, `n_blocks`,
+    * `kept_blocks`, `n_tokens`, `quality`, …).
     *
     * `persistGated` (default true) caches the gated slice before dedup:
     * the dedup stage consumes its input TWICE — once to build the
@@ -42,14 +45,19 @@ object Pipelines {
       shingleK: Int = 1,
       numHashes: Int = 16,
       bands: Int = 4,
-      persistGated: Boolean = true
+      persistGated: Boolean = true,
+      fixEncodings: Boolean = true
   ): DataFrame = {
     require(minQuality >= 0.0 && minQuality <= 1.0, "minQuality in [0, 1]")
+    val extracted =
+      TextAnalysis.extractMainContent(pages, htmlCol, outCol = "text")
+    val repaired =
+      if (fixEncodings)
+        extracted.withColumn(
+          "text", TextAnalysis.fixEncodingColumn(col("text")))
+      else extracted
     val gated = TextAnalysis
-      .qualityScore(
-        TextAnalysis.extractMainContent(pages, htmlCol, outCol = "text"),
-        "text"
-      )
+      .qualityScore(repaired, "text")
       .filter(col("quality") >= minQuality)
     val slice =
       if (persistGated) gated.persist(StorageLevel.MEMORY_AND_DISK) else gated

@@ -960,11 +960,19 @@ class CrawlSpec extends SparkSpec {
           "of planning that the council spent on it before the final vote.") ++
         page(3, "forbidden gadget reviews: the gadget is the best gadget " +
           "of all the gadgets that the gadget factory ever made for the " +
-          "gadget lovers of this gadget town in gadget county today.")
+          "gadget lovers of this gadget town in gadget county today.") ++
+        // page 4 was double-encoded UPSTREAM of the crawl (the page itself
+        // serves literal Ã©-class bytes): the pipeline's fixEncoding stage
+        // must repair it before quality/dedup
+        page(4, new String(
+          ("the café in québec served the naïve visitors a détour of " +
+            "pastries and the story of the river and the long—remembered " +
+            "winters that the town still talks about today.")
+            .getBytes("UTF-8"), "windows-1252"))
     Files.write(Paths.get(s"$inDir/seg-e2e.warc.gz"), gzipBytes(records))
 
     val html = Warc.warcResponsesAsHtml(spark, s"$inDir/*.warc.gz")
-    assert(html.count() == 4)
+    assert(html.count() == 5)
     val curated = graft.operators.Pipelines
       .crawlCurate(html, idCol = "url", htmlCol = "html",
         minQuality = 0.3, dedupThreshold = 0.8)
@@ -980,9 +988,9 @@ class CrawlSpec extends SparkSpec {
       uriCol = "url", bodyCol = "body", dateCol = Some("d"),
       contentTypeCol = None
     )
-    // survivors: page0 (page1 is its verified dup), page2; page3 dies at
-    // the blockword gate
-    assert(manifest.agg(sum("n_records")).head().getLong(0) == 2L)
+    // survivors: page0 (page1 is its verified dup), page2, and the
+    // repaired page4; page3 dies at the blockword gate
+    assert(manifest.agg(sum("n_records")).head().getLong(0) == 3L)
     // default status gate passes over self-written indexes (status "200");
     // mime stays ungated — this write used the octet-stream default
     val fetched = Warc
@@ -992,11 +1000,16 @@ class CrawlSpec extends SparkSpec {
       .collect()
       .map(r => r.getString(0) -> r.getString(1))
       .toMap
-    assert(fetched.keySet == Set("https://site0.test/page", "https://site2.test/page"))
+    assert(fetched.keySet == Set(
+      "https://site0.test/page", "https://site2.test/page",
+      "https://site4.test/page"))
     // the curated text is the MAIN CONTENT (chrome died by link density)
     assert(fetched("https://site0.test/page").contains("quick brown fox"))
     assert(!fetched("https://site0.test/page").contains("home"))
     assert(fetched("https://site2.test/page").contains("bridge across the valley"))
+    // the mojibake'd page came out REPAIRED end-to-end
+    assert(fetched("https://site4.test/page").contains("café in québec"))
+    assert(!fetched("https://site4.test/page").contains("Ã"))
   }
 
   test("surtKeyScala mirrors the surtKey column over the synthetic URL corpus") {
