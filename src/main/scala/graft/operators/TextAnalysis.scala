@@ -572,7 +572,25 @@ object TextAnalysis {
     df.filter(col(textCol).isNull || total === 0)
   }
 
-  private def blockedSpanCount(text: Column, phrases: Seq[String]): Column = {
+  /** One-pass native phrase-span count (graft.plans.BlockedSpansExpr) —
+    * replaced the per-distinct-length `size(filter(shingles(text, k),
+    * isin))` HOF chains, which interpreted-built every k-shingle string
+    * of the document (ScaleSpec asserts count parity with that form;
+    * q_block_phrases oracle unchanged). */
+  private def blockedSpanCount(text: Column, phrases: Seq[String]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.BlockedSpansExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(text),
+        phrases
+      )
+    )
+
+  /** The composed-HOF form of [[blockedSpanCount]], kept as the parity
+    * ground truth the native expression is asserted against (ScaleSpec). */
+  private[graft] def blockedSpanCountHof(
+      text: Column,
+      phrases: Seq[String]
+  ): Column = {
     require(phrases.nonEmpty, "phrase list must not be empty")
     val byLen: Map[Int, Seq[String]] = phrases
       .map(_.toLowerCase.trim.split("\\s+").mkString(" "))

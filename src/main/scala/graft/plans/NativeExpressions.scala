@@ -751,6 +751,41 @@ object HashUtils {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
   }
+
+  /** Whole-shingle blocked-phrase span count in one tokenize pass (see
+    * [[BlockedSpansExpr]]): lowercase once, split on single spaces with
+    * empty tokens preserved (the `split(lower(text), " ")` sequence), at
+    * each position probe the first-word table and compare candidate
+    * tails token-by-token. */
+  def blockedSpans(
+      s: org.apache.spark.unsafe.types.UTF8String,
+      table: java.util.HashMap[String, Array[Array[String]]]
+  ): Int = {
+    val toks = s.toLowerCase.toString.split(" ", -1)
+    var count = 0
+    var i = 0
+    while (i < toks.length) {
+      val cands = table.get(toks(i))
+      if (cands != null) {
+        var c = 0
+        while (c < cands.length) {
+          val ph = cands(c)
+          if (i + ph.length <= toks.length) {
+            var ok = true
+            var j = 1
+            while (ok && j < ph.length) {
+              ok = toks(i + j) == ph(j)
+              j += 1
+            }
+            if (ok) count += 1
+          }
+          c += 1
+        }
+      }
+      i += 1
+    }
+    count
+  }
 }
 
 /** 60-bit md5 digest prefix as a codegen'd long expression — bit-identical
@@ -1164,4 +1199,79 @@ case class MarkerScoresExpr(child: Expression, wordLists: Seq[Seq[String]])
     copy(child = newChild)
 
   override def prettyName: String = "marker_scores"
+}
+
+/** Whole-shingle phrase-blocklist span count in ONE tokenize pass:
+  * `blocked_spans(text) -> int`, the number of token positions where a
+  * blocked phrase matches as a whole k-shingle, counted with multiplicity.
+  * Replaces the per-distinct-phrase-length
+  * `size(filter(shingles(text, k), g.isin(...)))` HOF chains — each of
+  * which interpreted-builds every k-shingle STRING of the document —
+  * with a first-token index: tokenize once (the same
+  * `split(lower(text), " ")` token sequence, empty tokens from repeated
+  * spaces preserved, so a phrase still never matches across a double
+  * space), then at each position look up the token in a
+  * first-word → phrase-tails table and compare the few candidate tails
+  * token-by-token. No shingle strings are ever materialized. Phrase
+  * normalization (lowercase, whitespace-split, single-space join,
+  * distinct) matches `TextAnalysis.blockedSpanCount` exactly; the DuckDB
+  * oracle's list-comprehension grams remain the ground truth. */
+case class BlockedSpansExpr(child: Expression, phrases: Seq[String])
+    extends UnaryExpression
+    with Serializable {
+  require(phrases.nonEmpty, "phrase list must not be empty")
+
+  /** first token → the normalized token sequences starting with it. */
+  @transient private lazy val table: java.util.HashMap[String, Array[Array[String]]] = {
+    val normalized = phrases
+      .map(_.toLowerCase.trim.split("\\s+").toSeq)
+      .filter(_.exists(_.nonEmpty))
+      .map(_.filter(_.nonEmpty))
+      .map(_.mkString(" "))
+      .distinct
+    require(normalized.nonEmpty, "phrase list is empty after normalization")
+    val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Array[String]]]()
+    normalized.foreach { p =>
+      val toks = p.split(" ")
+      val b = m.get(toks(0))
+      if (b == null) {
+        val nb = new scala.collection.mutable.ArrayBuffer[Array[String]]()
+        nb += toks
+        m.put(toks(0), nb)
+      } else b += toks
+    }
+    val out = new java.util.HashMap[String, Array[Array[String]]]()
+    m.forEach((k, v) => out.put(k, v.toArray))
+    out
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"blocked_spans expects a string input, got $t"
+        )
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    HashUtils.blockedSpans(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      table
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef =
+      ctx.addReferenceObj("phraseTable", table, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = graft.plans.HashUtils.blockedSpans($s, $tableRef);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "blocked_spans"
 }

@@ -2007,6 +2007,49 @@ class ScaleSpec extends SparkSpec {
     assert(got(12L) == "unknown")
   }
 
+  test("blockedSpans: fused one-pass count equals the shingle-HOF form") {
+    val phrases = Seq("Table Hash", "big order scan", "window", "the the")
+    // corpus sweep + edge fixtures: double spaces (a phrase must NOT match
+    // across them, exactly like the shingle form), overlap, repetition
+    val docs = spark.read
+      .parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (100001L, "table hash big order scan table hash"),
+        (100002L, "big  order scan"), // double space: no match
+        (100003L, "the the the"),     // overlapping spans count at 1 and 2
+        (100004L, "window window window"),
+        (100005L, null.asInstanceOf[String])
+      ).toDF("doc_id", "text"))
+    val rows = docs
+      .select(
+        col("doc_id"),
+        graft.operators.TextAnalysis
+          .blockedSpanCountHof(col("text"), phrases).as("hof"),
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.plans.BlockedSpansExpr(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
+            phrases)).as("fused")
+      )
+      .collect()
+    rows.foreach { r =>
+      val hof = if (r.isNullAt(1)) null else Integer.valueOf(r.getInt(1))
+      val fused = if (r.isNullAt(2)) null else Integer.valueOf(r.getInt(2))
+      // NULL text: HOF yields the legacy size(NULL) sentinel sum, the
+      // native form yields NULL — both are gated by the text IS NULL
+      // guards in every public caller, so parity is over non-null text
+      if (!r.isNullAt(1) && hof.intValue() >= 0)
+        assert(hof == fused, s"diverged on doc ${r.getLong(0)}: $hof vs $fused")
+    }
+    val planted = rows.filter(_.getLong(0) >= 100001L).map(r =>
+      r.getLong(0) -> (if (r.isNullAt(2)) -999 else r.getInt(2))).toMap
+    assert(planted(100001L) == 3) // "table hash" x2 + "big order scan" x1
+    assert(planted(100002L) == 0) // the double space breaks the shingle
+    assert(planted(100003L) == 2) // overlapping "the the" at positions 0, 1
+    assert(planted(100004L) == 3)
+    assert(planted(100005L) == -999) // NULL text -> NULL count
+  }
+
   test("scriptRangeCounts: fused one-pass counts equal the 9 regex scans") {
     // the fusion that replaced langId's per-script regexp_replace passes
     // must count EXACTLY like them — code points, surrogate pairs once,
