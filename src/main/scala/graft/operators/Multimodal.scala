@@ -572,10 +572,15 @@ object Multimodal {
   /** Adds `decode_real`: whether this row's `meta.format` routes to a
     * REAL decoder per [[supportedCodecs]] — the deliberate routing column
     * (filter real rows into decode stages, send the rest to stubs or a
-    * quarantine sink). Per-row InSet probe, no shuffle. */
+    * quarantine sink). Per-row InSet probe, no shuffle. A NULL
+    * `meta.format` routes FALSE (stub/quarantine), not NULL — a bare
+    * `isin` would yield NULL there, and such rows would vanish from BOTH
+    * `filter(decode_real)` and `filter(!decode_real)`. */
   def withDecodePath(media: DataFrame): DataFrame = {
     val real = supportedCodecs().filter(_.real).map(_.format)
-    media.withColumn("decode_real", col("meta.format").isin(real: _*))
+    media.withColumn(
+      "decode_real",
+      coalesce(col("meta.format").isin(real: _*), lit(false)))
   }
 
   /** Minimal 16-bit PCM mono WAV (4 samples) for the capability probe. */

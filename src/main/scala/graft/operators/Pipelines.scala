@@ -61,12 +61,18 @@ object Pipelines {
       .filter(col("quality") >= minQuality)
     val slice =
       if (persistGated) gated.persist(StorageLevel.MEMORY_AND_DISK) else gated
-    Dedup.dedupNearMinHashVerified(
+    val out = Dedup.dedupNearMinHashVerified(
       slice, idCol, "text",
       threshold = dedupThreshold,
       shingleK = shingleK,
       numHashes = numHashes,
       bands = bands
     )
+    // surface any WARC-ingest losses feeding this curate (one log line;
+    // counts are session-cumulative as of the actions run so far — dedup's
+    // eager pair materialization has already executed the ingest scan by
+    // this point when the pages came from readWarc/cdxjGatedFetch)
+    graft.sources.Warc.logSkipReport(pages.sparkSession, "crawlCurate")
+    out
   }
 }

@@ -21,8 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen like the rest of the crawl tier.
   *
   * Charset resolution follows browser/WHATWG practice (documented subset):
-  *   1. a byte-order mark is authoritative (UTF-8 / UTF-16LE / UTF-16BE,
-  *      stripped from the output);
+  *   1. a byte-order mark is authoritative (UTF-8 / UTF-32LE / UTF-32BE /
+  *      UTF-16LE / UTF-16BE — the 4-byte UTF-32 marks checked before the
+  *      2-byte UTF-16 ones they contain; stripped from the output);
   *   2. the `charset` parameter of the HTTP `Content-Type` header;
   *   3. a `<meta charset=…>` / `http-equiv Content-Type` sniff over the
   *      first 2048 bytes;
@@ -132,6 +133,15 @@ object EncodingUtils {
     if (body.length >= 3 && (body(0) & 0xff) == 0xEF &&
         (body(1) & 0xff) == 0xBB && (body(2) & 0xff) == 0xBF) {
       cs = StandardCharsets.UTF_8; off = 3
+    } else if (body.length >= 4 && (body(0) & 0xff) == 0xFF &&
+        (body(1) & 0xff) == 0xFE && body(2) == 0 && body(3) == 0) {
+      // the 4-byte UTF-32 BOMs MUST be ruled out before the 2-byte UTF-16
+      // ones: FF FE 00 00 starts with the UTF-16LE mark, and a UTF-16LE
+      // read of a UTF-32LE body is NUL-interleaved mojibake
+      cs = Charset.forName("UTF-32LE"); off = 4
+    } else if (body.length >= 4 && body(0) == 0 && body(1) == 0 &&
+        (body(2) & 0xff) == 0xFE && (body(3) & 0xff) == 0xFF) {
+      cs = Charset.forName("UTF-32BE"); off = 4
     } else if (body.length >= 2 && (body(0) & 0xff) == 0xFF &&
         (body(1) & 0xff) == 0xFE) {
       cs = StandardCharsets.UTF_16LE; off = 2

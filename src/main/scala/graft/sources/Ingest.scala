@@ -61,17 +61,29 @@ object Ingest {
 
   /** Files matching `pattern` that the ledger has NOT committed at their
     * current mtime: new files and touched/regrown files. The re-run entry
-    * point — process these, then [[commitFiles]] them. */
+    * point — process these, then [[commitFiles]] them.
+    *
+    * The result is EAGERLY MATERIALIZED (localCheckpoint): the listing and
+    * anti-join run exactly once, here, and every later use — the
+    * processing read AND the [[commitFiles]] append — sees this frozen
+    * snapshot. Without the pin, a lazy plan would re-list the pattern at
+    * commit time, so files that land (or are touched) between the sink
+    * action and the commit would be marked committed without ever being
+    * processed, silently breaking the at-least-once guarantee. The
+    * checkpoint is session-local and file-metadata-sized; a crash before
+    * commit just re-lists on the next run. */
   def pendingFiles(
       spark: SparkSession,
       pattern: String,
       ledgerDir: String
   ): DataFrame =
-    listFiles(spark, pattern).join(
-      ledger(spark, ledgerDir).select("path", "mtime_ms"),
-      Seq("path", "mtime_ms"),
-      "left_anti"
-    )
+    listFiles(spark, pattern)
+      .join(
+        ledger(spark, ledgerDir).select("path", "mtime_ms"),
+        Seq("path", "mtime_ms"),
+        "left_anti"
+      )
+      .localCheckpoint(true)
 
   /** Append a processed batch to the ledger. `files` is a
     * (path, mtime_ms, length) listing (what [[pendingFiles]] returned);

@@ -59,7 +59,14 @@ object Warc {
     * transient, non-FileNotFound IO errors); `skipped_captures` counts
     * index captures [[fetchWarcRecords]] could not range-read. Named, so
     * they also surface in the Spark UI per job. Weak keys: a stopped
-    * context's accumulators are collectable. */
+    * context's accumulators are collectable.
+    *
+    * PRECISION: the updates happen inside transformations (the readers are
+    * mapPartitions/flatMap iterators), and Spark guarantees exactly-once
+    * accumulator updates only in ACTIONS — a retried or speculatively
+    * re-executed task re-counts its skips. Read these as an UPPER BOUND on
+    * loss: exact on a clean run, and an over-count never hides a loss.
+    * Turn `spark.speculation` off when the exact tally matters. */
   private val skipAccs =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[
@@ -90,6 +97,33 @@ object Warc {
   /** Count of CDXJ captures [[fetchWarcRecords]] skipped as unreadable. */
   def skippedCaptures(spark: SparkSession): org.apache.spark.util.LongAccumulator =
     accPair(spark)._2
+
+  /** The skip counters as a one-row DataFrame
+    * `(skipped_files BIGINT, skipped_captures BIGINT)` — the pipeline-
+    * facing view of the accumulators above (no accumulator names to know,
+    * joinable/unionable into a job's own health report). Values are
+    * SESSION-CUMULATIVE as of the actions that have completed when this is
+    * called, and approximate under task retries/speculation (upper bound —
+    * see the accumulator doc). Read it AFTER the ingest action, not before.
+    */
+  def skipReport(spark: SparkSession): DataFrame = {
+    val (files, captures) = accPair(spark)
+    import spark.implicits._
+    Seq((files.value.longValue, captures.value.longValue))
+      .toDF("skipped_files", "skipped_captures")
+  }
+
+  /** Log [[skipReport]] at WARN when any input was skipped (INFO when the
+    * tally is clean) — the zero-setup observability hook pipelines call
+    * after their ingest action. `context` names the caller in the line. */
+  def logSkipReport(spark: SparkSession, context: String): Unit = {
+    val (files, captures) = accPair(spark)
+    val f = files.value.longValue
+    val c = captures.value.longValue
+    val msg = s"[$context] WARC skip tally (session-cumulative, upper " +
+      s"bound under retries): skipped_files=$f skipped_captures=$c"
+    if (f > 0 || c > 0) warcLog.warn(msg) else warcLog.info(msg)
+  }
 
   /** One parsed WARC record. `payload` is the raw record block; for
     * `application/http` records (and `parseHttp = true`), `http_status` /
@@ -771,7 +805,14 @@ object Warc {
         if (skipped != null) skipped.add(1L)
         Iterator.empty
       case _: java.io.IOException =>
-        // transient IO (throttle, hiccup): one retry before giving up
+        // transient IO (throttle, hiccup): one retry before giving up.
+        // Back off briefly first — the motivating failures (object-store
+        // throttle, HDFS hiccup) persist for tens to hundreds of ms, so a
+        // back-to-back reopen mostly re-hits the same condition. The delay
+        // is deterministic per path (no Random; tasks retrying the same
+        // file back off identically) and spread across 100-500ms so a
+        // whole stage hitting one throttled prefix doesn't retry in sync.
+        Thread.sleep(100L + (pathStr.hashCode & 0x7fffffff) % 400L)
         try attempt()
         catch {
           case e2: java.io.IOException =>

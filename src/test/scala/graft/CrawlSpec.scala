@@ -239,7 +239,16 @@ class CrawlSpec extends SparkSpec {
       // 8. unknown declared charset falls through to UTF-8-replace
       response("https://t.test/unknown",
         "text/html; charset=x-no-such-charset",
-        "<html>plain ascii</html>".getBytes("UTF-8"))
+        "<html>plain ascii</html>".getBytes("UTF-8")),
+      // 9. UTF-32LE BOM (FF FE 00 00) must NOT be misread as the UTF-16LE
+      //    mark it starts with — that read is NUL-interleaved mojibake
+      response("https://t.test/utf32le", "text/html",
+        Array[Byte](0xFF.toByte, 0xFE.toByte, 0, 0) ++
+          "<html>u32le ré</html>".getBytes("UTF-32LE")),
+      // 10. UTF-32BE BOM
+      response("https://t.test/utf32be", "text/html",
+        Array[Byte](0, 0, 0xFE.toByte, 0xFF.toByte) ++
+          "<html>u32be ré</html>".getBytes("UTF-32BE"))
     )
     val p = s"$tmp/charsets.warc"
     Files.write(Paths.get(p), cases.reduce(_ ++ _))
@@ -248,7 +257,7 @@ class CrawlSpec extends SparkSpec {
       .collect()
       .map(r => r.getAs[String]("url") -> r.getAs[String]("html"))
       .toMap
-    assert(got.size == 8)
+    assert(got.size == 10)
     assert(got("https://t.test/cp1252") ==
       "<html>it’s café – résumé</html>")
     assert(got("https://t.test/sjis") ==
@@ -262,6 +271,8 @@ class CrawlSpec extends SparkSpec {
     assert(got("https://t.test/bom") == "<html>böm wins</html>")
     assert(!got("https://t.test/bom").contains("\uFEFF"))
     assert(got("https://t.test/unknown") == "<html>plain ascii</html>")
+    assert(got("https://t.test/utf32le") == "<html>u32le ré</html>")
+    assert(got("https://t.test/utf32be") == "<html>u32be ré</html>")
   }
 
   test("warc: streaming reader equals the batch reader over the same files") {
@@ -867,13 +878,26 @@ class CrawlSpec extends SparkSpec {
     Ingest.commitFiles(pending2, ledgerDir, batchId = 2L)
     assert(Ingest.pendingFiles(spark, s"$dir/*.warc", ledgerDir).count() == 0)
 
+    // the pending listing is a MATERIALIZED snapshot: a file that lands
+    // between the listing and the commit is NOT swept into the commit
+    // (a lazy plan would re-list at commit time and mark it committed
+    // without ever processing it — the at-least-once violation)
+    writeShard("s4.warc", 4000L)
+    val pending3 = Ingest.pendingFiles(spark, s"$dir/*.warc", ledgerDir)
+    assert(pending3.count() == 1) // s4 only
+    writeShard("s5.warc", 5000L)  // lands AFTER the listing, BEFORE commit
+    Ingest.commitFiles(pending3, ledgerDir, batchId = 3L)
+    val pending4 = Ingest.pendingFiles(spark, s"$dir/*.warc", ledgerDir)
+    val late = pending4.collect().map(_.getString(0))
+    assert(late.length == 1 && late(0).endsWith("s5.warc"))
+
     // ledger audit surface: per-file n_records from run 1, -1 where the
     // caller supplied no counts, batch ids distinguish the runs
     val led = Ingest.ledger(spark, ledgerDir).collect()
-    assert(led.length == 5)
+    assert(led.length == 6)
     assert(led.count(_.getAs[Long]("n_records") == 3L) == 3)
-    assert(led.count(_.getAs[Long]("n_records") == -1L) == 2)
-    assert(led.map(_.getAs[Long]("batch_id")).toSet == Set(1L, 2L))
+    assert(led.count(_.getAs[Long]("n_records") == -1L) == 3)
+    assert(led.map(_.getAs[Long]("batch_id")).toSet == Set(1L, 2L, 3L))
   }
 
   test("wet: writeWet round-trips through readWet and cross-reads as conversion records") {
@@ -1093,6 +1117,15 @@ class CrawlSpec extends SparkSpec {
       parseHttp = true, skipped = fileAcc)
     assert(it.isEmpty)
     assert(fileAcc.value == fBefore + 1)
+
+    // the pipeline-facing view: skipReport reflects both counters without
+    // the caller knowing any accumulator names (and logSkipReport doesn't
+    // throw — the crawlCurate hook)
+    val report = Warc.skipReport(spark).collect()
+    assert(report.length == 1)
+    assert(report(0).getAs[Long]("skipped_files") == fBefore + 1)
+    assert(report(0).getAs[Long]("skipped_captures") == before + 1)
+    Warc.logSkipReport(spark, "unit")
   }
 
   test("c4LineFilter: every line rule and the page-level keep flag") {

@@ -1273,13 +1273,17 @@ class StreamingMultimodalSpec extends SparkSpec {
       5L, mp4, Multimodal.MediaMeta("video/mp4", 0, 0, mp4.length.toLong))).toDF()
     assert((Multimodal.videoDHash(mp4Df).count() == 0L) == !report("video/mp4"))
 
-    // the routing column: real formats flagged true, stub routes false
+    // the routing column: real formats flagged true, stub routes false,
+    // and a NULL format routes FALSE (not NULL — a null would vanish from
+    // both sides of the real-vs-stub split)
+    val nullFmtDf = Seq(Multimodal.MediaRow(
+      6L, Array[Byte](1, 2, 3), Multimodal.MediaMeta(null, 0, 0, 3L))).toDF()
     val routed = Multimodal
-      .withDecodePath(wavDf.unionByName(mp4Df))
+      .withDecodePath(wavDf.unionByName(mp4Df).unionByName(nullFmtDf))
       .select("media_id", "decode_real")
       .collect()
       .map(r => r.getLong(0) -> r.getBoolean(1))
       .toMap
-    assert(routed == Map(2L -> true, 5L -> false))
+    assert(routed == Map(2L -> true, 5L -> false, 6L -> false))
   }
 }
