@@ -883,47 +883,77 @@ object TextAnalysis {
       )
   }
 
-  /** The ordered (pattern, replacement) stages of [[extractHtmlText]],
-    * exported for oracle construction (the DuckDB side folds the SAME
-    * strings into its regexp_replace chain, so both engines strip
-    * markup by one shared definition). RE2-portable: inline (?is)
-    * flags, non-greedy repetition, no backrefs/lookaround. */
-  private[graft] val HtmlStripStages: Seq[(String, String)] = Seq(
-    // structure first: comments and script/style BODIES go entirely
-    // (their content is code, not prose), then every remaining tag
+  /** Structural strip stages: comments and script/style BODIES go
+    * entirely (their content is code, not prose), then every remaining
+    * tag. RE2-portable: inline (?is) flags, non-greedy repetition, no
+    * backrefs/lookaround. */
+  private[graft] val HtmlTagStages: Seq[(String, String)] = Seq(
     "(?is)<!--.*?-->" -> " ",
     "(?is)<script[^>]*>.*?</script>" -> " ",
     "(?is)<style[^>]*>.*?</style>" -> " ",
-    "(?s)<[^>]*>" -> " ",
-    // the six high-frequency entities, named and numeric; &amp; decodes
-    // LAST so "&amp;lt;" correctly yields the literal text "&lt;"
-    // instead of double-decoding to "<"
-    "&nbsp;|&#160;" -> " ",
-    "&lt;|&#60;" -> "<",
-    "&gt;|&#62;" -> ">",
-    "&quot;|&#34;" -> "\"",
-    "&apos;|&#39;" -> "'",
-    "&amp;|&#38;" -> "&",
-    // collapse whitespace runs (tag removal leaves plenty) — an explicit
-    // class, NOT \s: Java's \s includes \x0B where RE2's does not, so \s
-    // is the one place "identical pattern strings" would not mean
-    // identical semantics across the two engines
-    "[ \\t\\n\\f\\r]+" -> " "
+    "(?s)<[^>]*>" -> " "
   )
 
+  /** Whitespace collapse (tag removal leaves plenty) — an explicit
+    * class, NOT \s: Java's \s includes \x0B where RE2's does not, so \s
+    * is the one place "identical pattern strings" would not mean
+    * identical semantics across the two engines. */
+  private[graft] val HtmlWsStage: (String, String) =
+    "[ \\t\\n\\f\\r]+" -> " "
+
+  /** The ordered (pattern, replacement) stages of [[extractHtmlText]],
+    * exported for oracle construction (the DuckDB side folds the SAME
+    * strings into its regexp_replace chain, so both engines strip
+    * markup by one shared definition): tags, then the full
+    * [[graft.plans.HtmlEntities]] table (HTML4's 252 names + `apos`,
+    * named + decimal + hex forms, `&amp;` LAST so "&amp;lt;" yields the
+    * literal text "&lt;" instead of double-decoding to "<"), then
+    * whitespace collapse. The SPARK side does not fold the 253 entity
+    * regexes — [[extractHtmlText]] runs the equivalent one-pass native
+    * [[graft.plans.DecodeHtmlEntitiesExpr]] instead (equivalence argued
+    * at [[graft.plans.HtmlEntities.Stages]], asserted in ScaleSpec). */
+  private[graft] val HtmlStripStages: Seq[(String, String)] =
+    HtmlTagStages ++ graft.plans.HtmlEntities.Stages :+ HtmlWsStage
+
+  /** The full-table entity decode as a Column (one codegen'd pass). */
+  def decodeHtmlEntities(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.plans.DecodeHtmlEntitiesExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(c)
+      )
+    )
+
+  /** Tag strip -> entity decode -> whitespace collapse over a single
+    * column — the Spark-side equivalent of folding [[HtmlStripStages]]
+    * (entity chain replaced by the native scanner). */
+  private def htmlToText(c: Column): Column = {
+    val tagless = HtmlTagStages.foldLeft(c) { case (x, (p, r)) =>
+      regexp_replace(x, p, r)
+    }
+    regexp_replace(
+      decodeHtmlEntities(tagless),
+      HtmlWsStage._1,
+      HtmlWsStage._2
+    )
+  }
+
   /** HTML -> text extraction: strip comments, script/style blocks (body
-    * and all), every remaining tag, decode the six high-frequency
-    * entities, collapse whitespace, trim — the first stage of every
-    * crawl-shaped pipeline, feeding the quality / dedup / tokenizer
-    * operators which all assume extracted text. Deliberately a chain of
-    * RE2-portable `regexp_replace` (the [[redactPatterns]] shape): one
-    * per-row codegen'd expression, no shuffle, no UDF, no HTML parser
-    * dependency — at corpus scale a real DOM parse is a per-row object
-    * storm, and quality scoring downstream needs prose, not structure.
-    * Honest limits of the regex approach: exotic entities (`&eacute;`)
-    * are left verbatim, unclosed `<script` swallows to the next
-    * `</script>`, and CDATA is treated as text. NULL html -> NULL text;
-    * all-markup rows come back as empty strings (filter downstream). */
+    * and all), every remaining tag, decode the full HTML4 entity table
+    * (named, decimal, and hex numeric forms —
+    * [[graft.plans.HtmlEntities]]), collapse whitespace, trim — the
+    * first stage of every crawl-shaped pipeline, feeding the quality /
+    * dedup / tokenizer operators which all assume extracted text.
+    * Tag stripping is RE2-portable `regexp_replace` (the
+    * [[redactPatterns]] shape) and entity decode is one native scan
+    * ([[graft.plans.DecodeHtmlEntitiesExpr]]): one per-row codegen'd
+    * expression tree, no shuffle, no UDF, no HTML parser dependency —
+    * at corpus scale a real DOM parse is a per-row object storm, and
+    * quality scoring downstream needs prose, not structure. Honest
+    * limits of the regex approach: HTML5-only names (`&notin;`) and
+    * numerics outside the table (`&#x1F4A9;`) are left verbatim,
+    * unclosed `<script` swallows to the next `</script>`, and CDATA is
+    * treated as text. NULL html -> NULL text; all-markup rows come back
+    * as empty strings (filter downstream). */
   def extractHtmlText(
       df: DataFrame,
       htmlCol: String,
@@ -934,10 +964,7 @@ object TextAnalysis {
       !df.columns.contains(outCol) || outCol == htmlCol,
       s"output column '$outCol' already exists — drop it or pick another"
     )
-    val stripped = HtmlStripStages.foldLeft(col(htmlCol)) {
-      case (c, (pat, rep)) => regexp_replace(c, pat, rep)
-    }
-    df.withColumn(outCol, trim(stripped))
+    df.withColumn(outCol, trim(htmlToText(col(htmlCol))))
   }
 
   /** Block-level tag alternation for [[extractMainContent]]'s segmentation
@@ -1009,10 +1036,19 @@ object TextAnalysis {
       s"output column(s) ${conflicts.mkString(", ")} already exist"
     )
     val ldPpm = math.round(maxLinkDensity * 1e6)
+    // per-block tag strip -> native entity decode -> ws collapse: the
+    // Spark-side equivalent of folding HtmlInlineStages (which the
+    // DuckDB oracle does fold, 253 entity stages and all)
     def cleanBlock(c: Column): Column =
-      trim(HtmlInlineStages.foldLeft(c) { case (x, (p, r)) =>
-        regexp_replace(x, p, r)
-      })
+      trim(
+        regexp_replace(
+          decodeHtmlEntities(
+            regexp_replace(c, HtmlTagStages.last._1, HtmlTagStages.last._2)
+          ),
+          HtmlWsStage._1,
+          HtmlWsStage._2
+        )
+      )
     val pre = HtmlPrecleanStages.foldLeft(col(htmlCol)) { case (x, (p, r)) =>
       regexp_replace(x, p, r)
     }

@@ -786,6 +786,89 @@ object HashUtils {
     }
     count
   }
+
+  /** Single-pass HTML entity decode over [[HtmlEntities]] — the scanner
+    * equivalent of folding [[HtmlEntities.Stages]] (see the equivalence
+    * argument there). At `&`: the candidate token is everything up to the
+    * FIRST `;` within 31 chars (every decodable form fits in 30 — entity
+    * patterns contain no inner `;`, so regex matches end at the first
+    * `;` too); a token that decodes emits its replacement and the scan
+    * continues AFTER the `;` without rescanning the output (= amp-last,
+    * no double decode); anything else emits the `&` verbatim and
+    * re-examines from the next char (so `&&lt;` still decodes its tail).
+    * Strings without `&` return the input object unchanged. */
+  def decodeHtmlEntities(
+      s: org.apache.spark.unsafe.types.UTF8String,
+      names: java.util.HashMap[String, String],
+      cps: java.util.HashMap[Integer, String]
+  ): org.apache.spark.unsafe.types.UTF8String = {
+    val str = s.toString
+    if (str.indexOf('&') < 0) return s
+    val n = str.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c == '&') {
+        var semi = -1
+        var j = i + 1
+        val lim = math.min(n, i + 32)
+        while (semi < 0 && j < lim) {
+          if (str.charAt(j) == ';') semi = j
+          j += 1
+        }
+        var rep: String = null
+        if (semi > i + 1) {
+          val tok = str.substring(i + 1, semi)
+          rep =
+            if (tok.charAt(0) == '#') numericEntity(tok, cps)
+            else names.get(tok)
+        }
+        if (rep != null) { sb.append(rep); i = semi + 1 }
+        else { sb.append('&'); i += 1 }
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  /** Numeric-reference decode for a `#…` token (no `&`/`;`). Mirrors the
+    * regex forms exactly: `#0{0,24}<decimal>` / `(?i)#x0{0,24}<hex>` —
+    * more than 24 leading zeros fails on both sides, the significant
+    * digits must parse to a table code point, and hex is case-blind.
+    * Returns null when the token is not a decodable reference. */
+  private def numericEntity(
+      tok: String,
+      cps: java.util.HashMap[Integer, String]
+  ): String = {
+    val len = tok.length
+    val hex = len > 1 && (tok.charAt(1) == 'x' || tok.charAt(1) == 'X')
+    var p = if (hex) 2 else 1
+    var zeros = 0
+    while (p < len && tok.charAt(p) == '0') { p += 1; zeros += 1 }
+    // regex forms consume at most 24 zeros, and the significant digits
+    // never start with 0 — so >24 zeros means no match there either
+    if (zeros > 24 || p == len) {
+      // all-zero tokens ("#0000") have no significant digits: cp 0 is
+      // not in the table, so fail (the regex can't match them either)
+      return null
+    }
+    val radix = if (hex) 16 else 10
+    // table code points are <= 0x2666: more than 6 significant digits
+    // cannot be a table entry (and would overflow Int in the extreme)
+    if (len - p > 6) return null
+    var cp = 0
+    var k = p
+    while (k < len) {
+      val d = Character.digit(tok.charAt(k), radix)
+      if (d < 0) return null
+      cp = cp * radix + d
+      k += 1
+    }
+    cps.get(Int.box(cp))
+  }
 }
 
 /** 60-bit md5 digest prefix as a codegen'd long expression — bit-identical
@@ -1274,4 +1357,57 @@ case class BlockedSpansExpr(child: Expression, phrases: Seq[String])
     copy(child = newChild)
 
   override def prettyName: String = "blocked_spans"
+}
+
+/** Single-pass HTML entity decode over the full [[HtmlEntities]] table
+  * (HTML4's 252 names + `apos`, each also by decimal / hex numeric
+  * reference) — ONE codegen'd scan per row with two constant hash maps,
+  * replacing what would be a 253-stage regexp_replace chain on the hot
+  * path (the oracle side DOES fold that chain — [[HtmlEntities.Stages]]
+  * is shared verbatim — and ScaleSpec asserts the two forms agree on
+  * adversarial entity soup). The no-double-decode guarantee (`&amp;lt;`
+  * -> literal `&lt;`) falls out of the scanner never rescanning its
+  * output. Unknown names and out-of-table numerics stay verbatim. */
+case class DecodeHtmlEntitiesExpr(child: Expression)
+    extends UnaryExpression
+    with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t =>
+        TypeCheckResult.TypeCheckFailure(
+          s"decode_html_entities expects a string input, got $t"
+        )
+    }
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    HashUtils.decodeHtmlEntities(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      HtmlEntities.NameMap,
+      HtmlEntities.CpMap
+    )
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val namesRef = ctx.addReferenceObj(
+      "entityNames",
+      HtmlEntities.NameMap,
+      "java.util.HashMap"
+    )
+    val cpsRef = ctx.addReferenceObj(
+      "entityCps",
+      HtmlEntities.CpMap,
+      "java.util.HashMap"
+    )
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = graft.plans.HashUtils.decodeHtmlEntities($s, $namesRef, $cpsRef);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "decode_html_entities"
 }

@@ -398,10 +398,13 @@ private[graft] object QueryShared {
     * carries extracted text, so the HTML-extraction queries wrap it back
     * into markup with the SAME expression in both engines: title/style
     * head, a comment carrying the doc id, a script body containing both a
-    * raw `<` and a decoy `</p>` tag-in-string, the six supported
-    * entities (named and numeric), literal tab/newline whitespace, and —
-    * every 9th row — a pure-markup document that must extract to the
-    * empty string. NULL text stays NULL. The oracle checks the
+    * raw `<` and a decoy `</p>` tag-in-string, an entity battery
+    * (the six classics plus full-table typography: `&mdash;` `&rsquo;`
+    * `&eacute;` `&hellip;` named, `&#x2019;`/`&#X2014;` hex incl. a case
+    * variant, `&#0233;` leading-zero decimal, and the HTML5-only
+    * `&nleq;` that must stay VERBATIM), literal tab/newline whitespace,
+    * and — every 9th row — a pure-markup document that must extract to
+    * the empty string. NULL text stays NULL. The oracle checks the
     * EXTRACTOR; construction is shared verbatim. */
   def syntheticHtml: org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
@@ -430,7 +433,10 @@ private[graft] object QueryShared {
           col("text"),
           lit(
             "</p><div>tail &lt;raw&gt; &quot;quoted&quot; &apos;q&apos;" +
-              " &nbsp;&#160; &amp;lt; end</div>\t\n</body></html>"
+              " &nbsp;&#160; &amp;lt; end</div>" +
+              "<p>typo&mdash;graphy &rsquo;tis caf&eacute; wait&hellip;" +
+              " it&#x2019;s &#X2014; caf&#0233; &nleq; done</p>" +
+              "\t\n</body></html>"
           )
         )
       )
@@ -449,20 +455,75 @@ private[graft] object QueryShared {
       |  '<script>if (1 < 2) { emit("</p>"); }</script><p>' ||
       |  text ||
       |  '</p><div>tail &lt;raw&gt; &quot;quoted&quot; &apos;q&apos; &nbsp;&#160; &amp;lt; end</div>' ||
+      |  '<p>typo&mdash;graphy &rsquo;tis caf&eacute; wait&hellip; it&#x2019;s &#X2014; caf&#0233; &nleq; done</p>' ||
       |  chr(9) || chr(10) || '</body></html>'
       |END""".stripMargin
 
-  /** DuckDB expression folding [[graft.operators.TextAnalysis.HtmlStripStages]]
-    * over `expr` — the IDENTICAL pattern/replacement chain the Spark
-    * operator runs, interpolated from the one shared definition. */
-  def duckHtmlExtract(expr: String): String = {
-    val folded = graft.operators.TextAnalysis.HtmlStripStages.foldLeft(expr) {
-      case (acc, (p, r)) =>
-        val pat = p.replace("'", "''")
-        val rep = r.replace("'", "''")
-        s"regexp_replace($acc, '$pat', '$rep', 'g')"
+  /** The generic entity-candidate span: every decodable form of the
+    * [[graft.plans.HtmlEntities]] table matches one alternative (names
+    * are alpha-led, <= 8 chars; numerics carry <= 24 leading zeros and
+    * <= 6 significant digits, all within the 30-char bound), and — the
+    * property the whole construction rests on — no alternative can
+    * contain an interior `&` or `;`, so a match never swallows a later
+    * decodable span. Spans that match but are NOT in the table decode
+    * to THEMSELVES (see [[duckEntityFold]]), so over-matching is
+    * harmless by construction. */
+  private val DuckEntSpanRe: String =
+    "&[A-Za-z][A-Za-z0-9]{0,30};|&#[0-9]{1,30};|(?i:&#x[0-9a-f]{1,30};)"
+
+  /** DuckDB decode of the full [[graft.plans.HtmlEntities]] table over
+    * `expr`. A 253-stage nested regexp_replace chain overflows DuckDB's
+    * 128-frame binder recursion, and a list_reduce over the stages
+    * recompiles every regex per row (non-constant patterns) — so this
+    * takes the split/decode/reassemble route instead: split `expr` at
+    * [[DuckEntSpanRe]], decode each matched span via two flat MAP
+    * literals (name -> replacement; code point -> replacement, the
+    * numeric significand extracted by regexes that mirror the scanner's
+    * rules exactly: first-`;` termination, <= 24 leading zeros, non-zero
+    * <= 6-digit significand, hex case-blind), emit unknown spans
+    * VERBATIM, and interleave parts and decoded spans back together.
+    * Equivalent to the Spark scanner ([[graft.plans
+    * .DecodeHtmlEntitiesExpr]]) and to folding [[graft.plans
+    * .HtmlEntities.Stages]]: matched spans contain no interior `&`, so
+    * span-at-a-time decode-or-verbatim commutes with the amp-last chain
+    * (parity asserted in ScaleSpec on adversarial soup, and the oracle
+    * battery plants every written form). NULL in -> NULL out; the
+    * empty-list array_to_string is coalesced (DuckDB yields NULL where
+    * Spark yields ''). */
+  def duckEntityFold(expr: String): String = {
+    val named = graft.plans.HtmlEntities.Named
+    def q(s: String): String = s.replace("'", "''")
+    val rep = graft.plans.HtmlEntities.replacement _
+    val nameKeys = named.map { case (n, _) => s"'${q(n)}'" }.mkString(", ")
+    val cpKeys = named.map(_._2).mkString(", ")
+    val reps = named.map { case (_, cp) => s"'${q(rep(cp))}'" }.mkString(", ")
+    def dec(e: String): String = {
+      val hexSig =
+        s"nullif(regexp_extract($e, '(?i:^&#x0{0,24}([1-9a-f][0-9a-f]{0,5});$$)', 1), '')"
+      val decSig =
+        s"nullif(regexp_extract($e, '^&#0{0,24}([1-9][0-9]{0,5});$$', 1), '')"
+      val cp =
+        s"CASE WHEN $hexSig IS NOT NULL THEN CAST(('0x' || $hexSig) AS BIGINT) " +
+          s"ELSE TRY_CAST($decSig AS BIGINT) END"
+      s"CASE WHEN substr($e, 2, 1) = '#' " +
+        s"THEN coalesce(map([$cpKeys], [$reps])[$cp][1], $e) " +
+        s"ELSE coalesce(map([$nameKeys], [$reps])[substr($e, 2, length($e) - 2)][1], $e) END"
     }
-    s"trim($folded)"
+    val parts = s"regexp_split_to_array($expr, '$DuckEntSpanRe')"
+    val ents = s"regexp_extract_all($expr, '$DuckEntSpanRe')"
+    s"(coalesce(array_to_string(list_transform(range(1, len($ents) + 1), " +
+      s"i -> $parts[i] || ${dec(s"$ents[i]")}), ''), '') || $parts[len($parts)])"
+  }
+
+  /** DuckDB expression mirroring `TextAnalysis.extractHtmlText` over
+    * `expr` — the IDENTICAL stage definitions the Spark operator runs
+    * (tag strip, full entity table, whitespace collapse), interpolated
+    * from the one shared definition. */
+  def duckHtmlExtract(expr: String): String = {
+    import graft.operators.TextAnalysis.{HtmlTagStages, HtmlWsStage}
+    val tagless = duckFoldStages(HtmlTagStages, expr)
+    val ws = duckFoldStages(Seq(HtmlWsStage), duckEntityFold(tagless))
+    s"trim($ws)"
   }
 
   /** Deterministic synthetic full PAGE per document row for the
@@ -488,7 +549,7 @@ private[graft] object QueryShared {
               "<a href=\"/sec\">Section</a></div><p>"
           ),
           col("text"),
-          lit("</p>"),
+          lit(" &mdash; from the caf&eacute;&#x2019;s archive&hellip;</p>"),
           when(id % 4 === 0, lit("<p>Too short.</p>")).otherwise(lit("")),
           when(
             id % 6 === 0,
@@ -515,7 +576,8 @@ private[graft] object QueryShared {
       |'<nav><a href="/">Home</a> <a href="/about">About us</a> ' ||
       |'<a href="/contact">Contact</a></nav>' ||
       |'<div class="crumbs"><a href="/">Home</a> &gt; ' ||
-      |'<a href="/sec">Section</a></div><p>' || text || '</p>' ||
+      |'<a href="/sec">Section</a></div><p>' || text ||
+      |' &mdash; from the caf&eacute;&#x2019;s archive&hellip;</p>' ||
       |CASE WHEN doc_id % 4 = 0 THEN '<p>Too short.</p>' ELSE '' END ||
       |CASE WHEN doc_id % 6 = 0
       |     THEN '<div>Related: <a href="/a">first related article</a> ' ||
@@ -539,8 +601,14 @@ private[graft] object QueryShared {
     * sentinel, per-block clean + anchor-length struct, ppm density filter.
     * Defines `mc(doc_id, main_text, n_blocks, kept_blocks)`. */
   def duckMainContentCte(minChars: Int, ldPpm: Long): String = {
-    import graft.operators.TextAnalysis.{AnchorRe, BlockTagRe, HtmlInlineStages, HtmlPrecleanStages}
-    def clean(e: String): String = s"trim(${duckFoldStages(HtmlInlineStages, e)})"
+    import graft.operators.TextAnalysis.{AnchorRe, BlockTagRe, HtmlPrecleanStages, HtmlTagStages, HtmlWsStage}
+    // per-block inline clean: tag strip -> entity decode (flat
+    // list_reduce — see duckEntityFold) -> ws collapse, the same split
+    // the Spark side runs natively
+    def clean(e: String): String = {
+      val tagless = duckFoldStages(Seq(HtmlTagStages.last), e)
+      s"trim(${duckFoldStages(Seq(HtmlWsStage), duckEntityFold(tagless))})"
+    }
     val pre = duckFoldStages(HtmlPrecleanStages, "page")
     val anch = s"array_to_string(regexp_extract_all(b, '$AnchorRe', 1), ' ')"
     val keepCond =

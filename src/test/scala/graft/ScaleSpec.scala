@@ -2897,7 +2897,15 @@ class ScaleSpec extends SparkSpec {
       (4L, "<SCRIPT>upper</SCRIPT>kept", "kept"), // (?i) on block tags
       // entities: named, numeric, and the &amp;lt; no-double-decode case
       (5L, "a &amp; b &lt;x&gt; &quot;q&quot; &apos;y&apos;&#39;z&#39; &nbsp;w", "a & b <x> \"q\" 'y''z' w"),
-      (6L, "stay: &amp;lt; &eacute;", "stay: &lt; &eacute;"),
+      (6L, "stay: &amp;lt; &eacute;", "stay: &lt; é"),
+      // full-table typography: named, hex (case-blind), leading-zero
+      // decimal; HTML5-only names and out-of-table numerics verbatim
+      (10L, "a&mdash;b &rsquo;tis&hellip; it&#x2019;s &#X2014; caf&#0233;",
+        "a—b ’tis… it’s — café"),
+      (11L, "&nleq; &#x1F4A9; &fake; &#00000000000000000000000000233; &lt",
+        "&nleq; &#x1F4A9; &fake; &#00000000000000000000000000233; &lt"),
+      // case-SENSITIVE names (HTML4: Eacute != eacute), && re-scan
+      (12L, "&Eacute;&eacute; &&gt; &EACUTE;", "Éé &> &EACUTE;"),
       (7L, "<div><ul><li>one</li><li>two</li></ul></div>", "one two"),
       (8L, "   \t\n  ", ""), // all-whitespace -> empty
       (9L, "<html><body><!-- only markup --></body></html>", "")
@@ -2923,6 +2931,73 @@ class ScaleSpec extends SparkSpec {
       graft.operators.TextAnalysis
         .extractHtmlText(Seq((1, "a", "b")).toDF("id", "html", "out"), "html", "out")
     }
+  }
+
+  test("native entity decode equals the shared regex stage chain on entity soup") {
+    // THE parity that makes the oracle exact: the DuckDB side folds
+    // HtmlEntities.Stages verbatim, the Spark side runs the one-pass
+    // scanner — so fold the SAME stages through Spark's regexp_replace
+    // and demand equality on adversarial soup (valid/invalid names,
+    // case variants, zero-padded decimals, hex case, truncations,
+    // adjacent/nested ampersands, out-of-table numerics).
+    val rnd = new scala.util.Random(42)
+    val names = graft.plans.HtmlEntities.Named.map(_._1)
+    val cps = graft.plans.HtmlEntities.Named.map(_._2)
+    def piece(): String = rnd.nextInt(14) match {
+      case 0 => s"&${names(rnd.nextInt(names.size))};"
+      case 1 =>
+        val cp = cps(rnd.nextInt(cps.size))
+        s"&#${"0" * rnd.nextInt(27)}$cp;"
+      case 2 =>
+        val cp = cps(rnd.nextInt(cps.size))
+        val h = Integer.toHexString(cp)
+        val hh = if (rnd.nextBoolean()) h.toUpperCase else h
+        s"&#${if (rnd.nextBoolean()) "x" else "X"}${"0" * rnd.nextInt(27)}$hh;"
+      case 3 => s"&${names(rnd.nextInt(names.size))}" // missing ;
+      case 4 => "&"
+      case 5 => "&;"
+      case 6 => s"&amp;${names(rnd.nextInt(names.size))};" // no double decode
+      case 7 => s"&#${rnd.nextInt(200000)};" // mostly out of table
+      case 8 => s"&#x${Integer.toHexString(rnd.nextInt(200000))};"
+      case 9 => s"&${names(rnd.nextInt(names.size)).toUpperCase};"
+      case 10 => s"&bogus${rnd.nextInt(10)};"
+      case 11 => "plain text "
+      case 12 => s"&&${names(rnd.nextInt(names.size))};"
+      case 13 => s"&#${"0" * (20 + rnd.nextInt(12))};" // all zeros
+    }
+    val docs = (0 until 300).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(12))).map(_ => piece()).mkString)
+    }
+    val df = docs.toDF("id", "s")
+    val chain = graft.plans.HtmlEntities.Stages.foldLeft(col("s")) {
+      case (c, (p, r)) => regexp_replace(c, p, r)
+    }
+    val mismatches = df
+      .select(
+        col("id"),
+        col("s"),
+        chain.as("chain"),
+        graft.operators.TextAnalysis.decodeHtmlEntities(col("s")).as("native")
+      )
+      .filter(col("chain") =!= col("native"))
+      .collect()
+    assert(
+      mismatches.isEmpty,
+      mismatches.take(5).map(r => s"'${r.getString(1)}': chain='${r.getString(2)}' native='${r.getString(3)}'").mkString("\n")
+    )
+    // every table entry round-trips through all three written forms
+    val all = graft.plans.HtmlEntities.Named.map { case (n, cp) =>
+      (s"&$n;&#$cp;&#x${Integer.toHexString(cp)};",
+        graft.plans.HtmlEntities.replacement(cp) * 3)
+    }.toDF("s", "want")
+    val bad = all
+      .select(
+        col("want"),
+        graft.operators.TextAnalysis.decodeHtmlEntities(col("s")).as("got")
+      )
+      .filter(col("want") =!= col("got"))
+      .count()
+    assert(bad == 0L, s"$bad entities failed the three-form round trip")
   }
 
   test("maskPii masks every detected occurrence; piiReport counts them") {
