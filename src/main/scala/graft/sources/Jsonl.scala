@@ -31,42 +31,184 @@ object Jsonl {
     * with every schema field NULL and the raw line in `corruptCol`;
     * well-formed lines have a NULL `corruptCol`. Pass `schemaDdl = None`
     * only for exploration: it costs a full inference pass and cannot
-    * capture corrupt lines (they just widen the inferred schema). */
+    * capture corrupt lines (they just widen the inferred schema).
+    *
+    * `.zst` patterns (the Dolma/RedPajama shard convention) route
+    * through [[zstLines]]: Hadoop has no zstd codec without native libs,
+    * so lines are streamed per file through zstd-jni and parsed by the
+    * SAME schema'd PERMISSIVE json read — corrupt-LINE capture is
+    * identical to the gzip path by construction, and a corrupt FRAME
+    * fails its task with the file named (exactly what a truncated .gz
+    * does on the built-in path). Like gzip, zstd JSONL is read
+    * file-at-a-time (parallelism = shard count — the corpus layout
+    * already shard-sizes files). */
   def readJsonl(
       spark: SparkSession,
       path: String,
       schemaDdl: Option[String],
       corruptCol: String = "_corrupt_record"
-  ): DataFrame =
-    schemaDdl match {
-      case Some(ddl) =>
-        val schema = StructType.fromDDL(ddl)
-        require(
-          !schema.fieldNames.contains(corruptCol),
-          s"schema already contains the corrupt-record column '$corruptCol'"
-        )
-        spark.read
-          .schema(schema.add(corruptCol, StringType))
-          .option("mode", "PERMISSIVE")
-          .option("columnNameOfCorruptRecord", corruptCol)
-          .json(path)
-      case None =>
-        spark.read.json(path)
+  ): DataFrame = {
+    def parse(read: org.apache.spark.sql.DataFrameReader => DataFrame): DataFrame =
+      schemaDdl match {
+        case Some(ddl) =>
+          val schema = StructType.fromDDL(ddl)
+          require(
+            !schema.fieldNames.contains(corruptCol),
+            s"schema already contains the corrupt-record column '$corruptCol'"
+          )
+          read(
+            spark.read
+              .schema(schema.add(corruptCol, StringType))
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", corruptCol)
+          )
+        case None => read(spark.read)
+      }
+    if (path.endsWith(".zst")) {
+      val lines = zstLines(spark, path)
+      parse(_.json(lines))
+    } else parse(_.json(path))
+  }
+
+  /** One decompressed text line per row from `.jsonl.zst` shards:
+    * binaryFile supplies only the LISTING (the [[Warc]] reader split);
+    * bytes stream per file through zstd-jni's `ZstdInputStream` over a
+    * Hadoop `FileSystem` stream — one 64 KB buffer and one line in task
+    * memory, never a whole shard. Streams close on task completion and
+    * on exhaustion. */
+  private def zstLines(
+      spark: SparkSession,
+      pattern: String
+  ): org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    val confEntries = Warc.hadoopConfEntries(spark)
+    spark.read
+      .format("binaryFile")
+      .load(pattern)
+      .select("path")
+      .as[String]
+      .flatMap(p => zstLineIterator(p, confEntries))
+  }
+
+  private def zstLineIterator(
+      path: String,
+      confEntries: Array[(String, String)]
+  ): Iterator[String] = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val raw = p.getFileSystem(conf).open(p)
+    val reader =
+      try
+        new java.io.BufferedReader(
+          new java.io.InputStreamReader(
+            new com.github.luben.zstd.ZstdInputStream(
+              new java.io.BufferedInputStream(raw, 1 << 16)),
+            java.nio.charset.StandardCharsets.UTF_8),
+          1 << 16)
+      catch {
+        case e: Throwable =>
+          try raw.close()
+          catch { case _: Exception => () }
+          throw e
+      }
+    var closed = false
+    def close(): Unit = if (!closed) {
+      closed = true
+      try reader.close()
+      catch { case _: Exception => () }
     }
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => close())
+    )
+    new Iterator[String] {
+      private var nextLine: String = null
+      private def fetch(): Unit =
+        if (nextLine == null && !closed) {
+          nextLine =
+            try reader.readLine()
+            catch {
+              case e: java.io.IOException =>
+                close()
+                throw new java.io.IOException(
+                  s"corrupt zstd frame in $path: ${e.getMessage}", e)
+            }
+          if (nextLine == null) close()
+        }
+      override def hasNext: Boolean = { fetch(); nextLine != null }
+      override def next(): String = {
+        fetch()
+        if (nextLine == null) throw new NoSuchElementException(path)
+        val l = nextLine
+        nextLine = null
+        l
+      }
+    }
+  }
 
   /** Write a DataFrame as JSONL. `compression = None` writes plain text;
-    * the default gzip matches the usual corpus-release layout. Column
-    * `corruptCol` left over from a permissive read is NOT dropped
-    * automatically — filter/inspect it first; writing a corpus with its
-    * corrupt column still attached is almost always a bug. */
+    * the default gzip matches the usual corpus-release layout, and
+    * `Some("zstd")` writes `.jsonl.zst` shards (the current Dolma /
+    * RedPajama convention) through zstd-jni — Hadoop's own zstd codec
+    * needs native libs, so the built-in json sink cannot. The zstd path
+    * serializes rows with the SAME machinery as the built-in sink
+    * (`df.toJSON` = JacksonGenerator) and writes one
+    * `part-NNNNN.jsonl.zst` per non-empty partition via a streaming
+    * `FileSystem` output — size shards by partitioning the input. Only
+    * `error` and `overwrite` modes there (the append/ignore family is
+    * the built-in committer's business). Column `corruptCol` left over
+    * from a permissive read is NOT dropped automatically —
+    * filter/inspect it first; writing a corpus with its corrupt column
+    * still attached is almost always a bug. */
   def writeJsonl(
       df: DataFrame,
       path: String,
       compression: Option[String] = Some("gzip"),
       mode: String = "error"
-  ): Unit = {
-    val w = df.write.mode(mode)
-    compression.fold(w)(c => w.option("compression", c)).json(path)
+  ): Unit =
+    if (compression.exists(c => c.equalsIgnoreCase("zstd") || c.equalsIgnoreCase("zst"))) {
+      writeJsonlZst(df, path, mode)
+    } else {
+      val w = df.write.mode(mode)
+      compression.fold(w)(c => w.option("compression", c)).json(path)
+    }
+
+  private def writeJsonlZst(df: DataFrame, path: String, mode: String): Unit = {
+    val spark = df.sparkSession
+    val confEntries = Warc.hadoopConfEntries(spark)
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = {
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confEntries.foreach { case (k, v) => conf.set(k, v) }
+      dirPath.getFileSystem(conf)
+    }
+    mode match {
+      case "overwrite" => if (fs.exists(dirPath)) fs.delete(dirPath, true)
+      case "error" | "errorifexists" =>
+        require(!fs.exists(dirPath), s"path $path already exists (mode=error)")
+      case m =>
+        throw new IllegalArgumentException(
+          s"zstd writer supports modes error/overwrite, got '$m'")
+    }
+    fs.mkdirs(dirPath)
+    df.toJSON.foreachPartition { (it: Iterator[String]) =>
+      if (it.hasNext) {
+        val pid = Option(org.apache.spark.TaskContext.get())
+          .map(_.partitionId())
+          .getOrElse(0)
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val p = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.jsonl.zst")
+        val out = p.getFileSystem(conf).create(p, true)
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(
+            new com.github.luben.zstd.ZstdOutputStream(out),
+            java.nio.charset.StandardCharsets.UTF_8),
+          1 << 16)
+        try it.foreach { line => w.write(line); w.write('\n') }
+        finally w.close()
+      }
+    }
   }
 
   /** One-row read-health report over a permissive [[readJsonl]] result:

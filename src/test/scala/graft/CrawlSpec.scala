@@ -582,6 +582,79 @@ class CrawlSpec extends SparkSpec {
     )
   }
 
+  test("jsonl: zstd round trip, corrupt-line parity, multi-shard, mode gates") {
+    val dir = s"$tmp/jsonl_zst"
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "γάμμα")).toDF("id", "text")
+    Jsonl.writeJsonl(df.repartition(2), dir, compression = Some("zstd"))
+    val shards = Files
+      .list(Paths.get(dir))
+      .toArray
+      .map(_.toString)
+      .filter(_.endsWith(".jsonl.zst"))
+    assert(shards.length == 2, s"expected 2 shards, got ${shards.toList}")
+    // the bytes really are zstd frames (magic 28 B5 2F FD)
+    val magic = Files.readAllBytes(Paths.get(shards.head)).take(4)
+    assert(
+      magic.sameElements(Array(0x28, 0xb5, 0x2f, 0xfd).map(_.toByte)),
+      s"not a zstd frame: ${magic.map(b => f"${b & 0xff}%02x").mkString(" ")}")
+    val back =
+      Jsonl.readJsonl(spark, s"$dir/*.jsonl.zst", Some("id BIGINT, text STRING"))
+    checkRows(
+      back.filter(col("_corrupt_record").isNull).select("id", "text"),
+      df.collect().toSeq
+    )
+    // mode=error refuses an existing dir; overwrite replaces it
+    intercept[IllegalArgumentException](
+      Jsonl.writeJsonl(df, dir, compression = Some("zstd"))
+    )
+    Jsonl.writeJsonl(df.coalesce(1), dir, Some("zstd"), mode = "overwrite")
+    assert(
+      Jsonl
+        .readJsonl(spark, s"$dir/*.jsonl.zst", Some("id BIGINT, text STRING"))
+        .count() == 3L)
+
+    // corrupt-LINE capture parity with the gzip path: hand-build a shard
+    // with a rotten middle line
+    val corrupt = s"$tmp/jsonl_zst_corrupt"
+    Files.createDirectories(Paths.get(corrupt))
+    val zo = new com.github.luben.zstd.ZstdOutputStream(
+      new java.io.FileOutputStream(s"$corrupt/bad.jsonl.zst"))
+    zo.write(
+      "{\"id\": 1, \"text\": \"ok\"}\n{definitely not json\n{\"id\": 3, \"text\": \"fine\"}\n"
+        .getBytes("UTF-8"))
+    zo.close()
+    val dfc = Jsonl
+      .readJsonl(spark, s"$corrupt/*.zst", Some("id BIGINT, text STRING"))
+    val rep = Jsonl.corruptLineReport(dfc).collect()(0)
+    assert(rep.getAs[Long]("n_lines") == 3L)
+    assert(rep.getAs[Long]("n_corrupt") == 1L)
+    assert(
+      rep.getSeq[String](rep.fieldIndex("corrupt_samples")).toList ==
+        List("{definitely not json"))
+
+    // a corrupt FRAME fails loudly with the file named (not silent loss)
+    val broken = s"$tmp/jsonl_zst_frame"
+    Files.createDirectories(Paths.get(broken))
+    val full = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+      z.write(("{\"id\": 1}\n" * 2000).getBytes("UTF-8"))
+      z.close()
+      bos.toByteArray
+    }
+    Files.write(
+      Paths.get(s"$broken/trunc.jsonl.zst"),
+      full.take(full.length / 2))
+    val e = intercept[org.apache.spark.SparkException](
+      Jsonl
+        .readJsonl(spark, s"$broken/*.zst", Some("id BIGINT"))
+        .count())
+    assert(
+      e.getMessage.contains("trunc.jsonl.zst") ||
+        Option(e.getCause).exists(_.getMessage.contains("trunc.jsonl.zst")),
+      s"frame error does not name the file: ${e.getMessage}")
+  }
+
   // ----------------------------------------------------- URL allow/block
 
   private lazy val urlDocs = Seq(
