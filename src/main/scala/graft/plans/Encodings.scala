@@ -235,14 +235,82 @@ object EncodingUtils {
     out
   }
 
-  /** The [[FixEncodingExpr]] kernel: detect-and-undo UTF-8-read-as-
-    * windows-1252/latin-1 double encoding ("Ã©" → "é", "â€™" → "'").
-    * Gate: at least one lead+continuation mojibake pair. Validation: the
-    * WHOLE string must inverse-map to single bytes AND those bytes must be
-    * strictly valid UTF-8 — random legacy text virtually never passes
-    * both, so clean text (including genuine "café", which has no pair) is
-    * untouched. Runs to a fixed point (≤ 4 rounds) so doubly-double-
-    * encoded text repairs fully and the operator is idempotent. */
+  /** The CJK double-encoding inverse charsets. Resolved lazily so a JVM
+    * without the extended-charsets module degrades to latin-only repair
+    * instead of failing class init. */
+  private lazy val GbkCharset: Charset =
+    try Charset.forName("GBK")
+    catch { case _: Exception => null }
+  private lazy val SjisCharset: Charset =
+    try Charset.forName("Shift_JIS")
+    catch { case _: Exception => null }
+
+  /** Cheap pre-gate for the CJK repair attempt: UTF-8-read-as-GBK /
+    * Shift_JIS mojibake is dominated by CJK ideographs plus kana /
+    * half-width forms ("涓枃", "繧偵リ"), so a string with none of those
+    * was never a CJK misread. */
+  private def hasCjkChar(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 0x2E80 && c <= 0x9FFF) ||
+        (c >= 0xF900 && c <= 0xFAFF) ||
+        (c >= 0xFF00 && c <= 0xFFEF)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Strict whole-string encode in `cs`; null when ANY char is
+    * unmappable — the abort-on-unmappable discipline of
+    * [[inverseSingleByte]] applied to a multi-byte charset. */
+  private def inverseBytes(s: String, cs: Charset): Array[Byte] = {
+    if (cs == null) return null
+    val enc = cs
+      .newEncoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try {
+      val bb = enc.encode(java.nio.CharBuffer.wrap(s))
+      val out = new Array[Byte](bb.remaining())
+      bb.get(out)
+      out
+    } catch { case _: Exception => null }
+  }
+
+  /** One CJK-family repair attempt: inverse-encode the WHOLE string in
+    * `cs`, accept only a strictly-valid-UTF-8 decode that SHRINKS the
+    * string. The shrink guard is load-bearing: a genuine CJK string
+    * whose 2-bytes-per-char encoding happens to align to 2-byte UTF-8
+    * sequences would round-trip length-preserving (e.g. "为十" → GBK
+    * CE AA CA AE → "Ϊʮ"), while a true UTF-8 misread always shrinks
+    * (3 bytes of a CJK char became ≥ 1.5 chars). */
+  private def tryCjkInverse(s: String, cs: Charset): String = {
+    val bytes = inverseBytes(s, cs)
+    if (bytes == null) return null
+    val dec = strictUtf8(bytes, 0)
+    if (dec != null && dec != s && dec.length < s.length) dec else null
+  }
+
+  /** The [[FixEncodingExpr]] kernel: detect-and-undo double encoding —
+    * UTF-8 read as windows-1252/latin-1 ("Ã©" → "é", "â€™" → "'"), and
+    * the CJK misread families, UTF-8 read as GBK ("涓枃" → "中文") or as
+    * Shift_JIS ("譌･譛ｬ" → "日本"). Per family, same strict discipline:
+    * a cheap signature gate (lead+continuation pair for the single-byte
+    * family; presence of CJK/kana/width-forms chars AND ≥ 8 chars of
+    * evidence for the CJK ones — below that, a coincidental alignment
+    * is not distinguishable from a misread), whole-string inverse that
+    * ABORTS if any char is unmappable, and strict-UTF-8 validation of
+    * the inverse bytes — random legacy text virtually never passes, so
+    * clean text (genuine "café" or "中文", which fail pair-gate or
+    * validation) is untouched. The single-byte family is tried first;
+    * GBK before Shift_JIS (the validation step disambiguates — a
+    * both-valid collision is astronomically rare and the order makes it
+    * deterministic). Honest limit: Shift_JIS's NEC/IBM dual code points
+    * re-encode to the canonical alternative, so a misread through the
+    * non-canonical zone repairs to equivalent-but-different bytes. Runs
+    * to a fixed point (≤ 4 rounds) so doubly-double-encoded text
+    * repairs fully and the operator is idempotent. */
   def fixEncoding(u: UTF8String): UTF8String = {
     if (u == null) return null
     var s = u.toString
@@ -251,17 +319,20 @@ object EncodingUtils {
     var go = true
     while (go && rounds < 4) {
       go = false
+      var dec: String = null
       if (hasMojibakePair(s)) {
         val bytes = inverseSingleByte(s)
-        if (bytes != null) {
-          val dec = strictUtf8(bytes, 0)
-          if (dec != null && dec != s) {
-            s = dec
-            changed = true
-            go = true
-            rounds += 1
-          }
-        }
+        if (bytes != null) dec = strictUtf8(bytes, 0)
+      }
+      if ((dec == null || dec == s) && s.length >= 8 && hasCjkChar(s)) {
+        dec = tryCjkInverse(s, GbkCharset)
+        if (dec == null) dec = tryCjkInverse(s, SjisCharset)
+      }
+      if (dec != null && dec != s) {
+        s = dec
+        changed = true
+        go = true
+        rounds += 1
       }
     }
     if (changed) UTF8String.fromString(s) else u

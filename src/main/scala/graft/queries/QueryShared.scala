@@ -348,6 +348,39 @@ private[graft] object QueryShared {
       "chr(246), chr(195) || chr(182)), " +
       "chr(8217), chr(226) || chr(8364) || chr(8482))"
 
+  /** Planted CJK originals for the q_fix_encoding CJK tiers — chosen so
+    * their UTF-8 bytes decode LOSSLESSLY under the misread charset (a
+    * misread that hits an unassigned code point would replace bytes with
+    * U+FFFD and be unrepairable by anyone). The mojibake forms are
+    * computed through the REAL Java charsets at class init — the same
+    * tables the repair kernel inverts — and the round trip is asserted,
+    * so a JDK charset-table change fails loudly here instead of
+    * producing a silently-stale fixture. */
+  val CjkGbkGood: String = "为十进但样有"
+  val CjkGbkMoji: String = new String(
+    CjkGbkGood.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    java.nio.charset.Charset.forName("GBK")
+  )
+  val CjkSjisGood: String = "な処本タ語る"
+  val CjkSjisMoji: String = new String(
+    CjkSjisGood.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    java.nio.charset.Charset.forName("Shift_JIS")
+  )
+  require(
+    new String(
+      CjkGbkMoji.getBytes(java.nio.charset.Charset.forName("GBK")),
+      java.nio.charset.StandardCharsets.UTF_8
+    ) == CjkGbkGood,
+    "GBK mojibake fixture is not lossless"
+  )
+  require(
+    new String(
+      CjkSjisMoji.getBytes(java.nio.charset.Charset.forName("Shift_JIS")),
+      java.nio.charset.StandardCharsets.UTF_8
+    ) == CjkSjisGood,
+    "Shift_JIS mojibake fixture is not lossless"
+  )
+
   /** Deterministic multi-line page per document for the C4 line-filter
     * query: sentence boundaries become newlines, plus planted junk lines
     * exercising every rule — a no-punct line, a "javascript" line, a

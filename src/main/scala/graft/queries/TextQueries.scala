@@ -702,16 +702,25 @@ private[graft] object TextQueries {
     }),
 
     // mojibake repair: every 3rd document is deterministically
-    // double-encoded (UTF-8 read as cp1252: é→Ã©, ö→Ã¶, '→â€™); the
-    // REAL byte-level repair must recover exactly the accented original,
-    // and must leave the clean documents untouched — the oracle knows
-    // only the expected OUTPUT, so an identity (or over-eager) repair
-    // hash-mismatches
+    // double-encoded — the %9==0 tier as UTF-8-read-as-GBK, the %9==3
+    // tier as UTF-8-read-as-Shift_JIS (whole-document CJK misreads: per
+    // family, computed through the real Java charsets in QueryShared),
+    // the rest of the %3==0 docs as UTF-8-read-as-cp1252 (é→Ã©, ö→Ã¶,
+    // '→â€™); the REAL byte-level repair must recover exactly the
+    // original per family, and must leave the clean documents
+    // untouched — the oracle knows only the expected OUTPUT, so an
+    // identity (or over-eager, or wrong-family) repair hash-mismatches
     "q_fix_encoding" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn(
           "mtext",
-          when(col("doc_id") % 3 === 0, syntheticMojibakeText)
+          when(
+            col("doc_id") % 9 === 0,
+            concat(lit(CjkGbkMoji + " doc "), col("doc_id").cast("string"))
+          ).when(
+            col("doc_id") % 9 === 3,
+            concat(lit(CjkSjisMoji + " doc "), col("doc_id").cast("string"))
+          ).when(col("doc_id") % 3 === 0, syntheticMojibakeText)
             .otherwise(col("text"))
         )
       TextAnalysis
@@ -1720,10 +1729,15 @@ private[graft] object TextQueries {
     },
 
     // the oracle states the EXPECTED repair output directly: mojibaked
-    // docs must come back as the accented text, clean docs unchanged
+    // docs must come back as the per-family original (GBK / Shift_JIS
+    // tiers included), clean docs unchanged
     "q_fix_encoding" ->
       s"""SELECT doc_id,
-         |  md5(CASE WHEN doc_id % 3 = 0
+         |  md5(CASE WHEN doc_id % 9 = 0
+         |      THEN '$CjkGbkGood doc ' || CAST(doc_id AS VARCHAR)
+         |      WHEN doc_id % 9 = 3
+         |      THEN '$CjkSjisGood doc ' || CAST(doc_id AS VARCHAR)
+         |      WHEN doc_id % 3 = 0
          |      THEN $duckSyntheticAccentedText
          |      ELSE text END) AS fixed_md5,
          |  doc_id % 3 = 0 AS was_mojibaked

@@ -1362,6 +1362,51 @@ class CrawlSpec extends SparkSpec {
     }
   }
 
+  test("fixEncoding: repairs GBK and Shift_JIS CJK misreads, leaves genuine CJK alone") {
+    def mojibake(s: String, as: String): String =
+      new String(s.getBytes("UTF-8"), as)
+    // longer realistic originals (lossless under the misread — asserted
+    // for the shared fixtures in QueryShared; these reuse those chars)
+    val cn = graft.QueryShared.CjkGbkGood + " 2026 " +
+      graft.QueryShared.CjkGbkGood
+    val cnMoji = mojibake(cn, "GBK")
+    val jp = graft.QueryShared.CjkSjisGood + " abc " +
+      graft.QueryShared.CjkSjisGood
+    val jpMoji = mojibake(jp, "Shift_JIS")
+    val fixtures = Seq(
+      (1L, cnMoji, cn),                       // UTF-8 read as GBK
+      (2L, jpMoji, jp),                       // UTF-8 read as Shift_JIS
+      (4L, cn, cn),                           // genuine Chinese: untouched
+      (5L, jp, jp),                           // genuine Japanese: untouched
+      // coincidental 2-char alignment ("为十" -> GBK CE AA CA AE, valid
+      // UTF-8 "Ϊʮ"): the >= 8 chars evidence gate must refuse
+      (6L, "为十", "为十"),
+      (7L, "plain ascii stays put", "plain ascii stays put"),
+      // latin family still works through the same ladder
+      (8L, mojibake("it’s café", "windows-1252"), "it’s café")
+    )
+    val got = TextAnalysis
+      .fixEncoding(
+        fixtures.map(f => (f._1, f._2)).toDF("id", "text"), "text")
+      .orderBy("id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+      .toMap
+    fixtures.foreach { case (id, in, want) =>
+      assert(got(id) == want, s"fixture $id in='$in': got '${got(id)}'")
+    }
+    // idempotence across the repaired outputs
+    val twice = TextAnalysis
+      .fixEncoding(
+        fixtures.map(f => (f._1, got(f._1))).toDF("id", "text"), "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+      .toMap
+    fixtures.foreach { case (id, _, _) =>
+      assert(twice(id) == got(id), s"not idempotent on fixture $id")
+    }
+  }
+
   // ---------------------------------------------- verified MinHash dedup
 
   test("minHashVerifiedPairs: every pair carries the exact jaccard") {
