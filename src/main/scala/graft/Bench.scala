@@ -7,7 +7,11 @@ import org.apache.spark.sql.SparkSession
   * plus a contention self-report ("sweep_totals", "sweep_spread",
   * "contended": true when the interleaved sweeps' totals disagree by
   * >15%) so an artifact that caught one of this VM's contention windows
-  * says so itself.
+  * says so itself — and a self-heal: a contended initial set triggers
+  * ONE relief sweep, after which the worst sweep by ok-query total is
+  * discarded ("resweeps"/"discarded_sweep_total" record the
+  * substitution; a still-true "contended" after relief is honest).
+  * Disable with SPARK_GRAFT_NO_RESWEEP when measuring the noise itself.
   *
   * Besides the per-query latency medians, ONE throughput-shaped entry runs
   * the end-to-end pipeline (near-dedup -> decontaminate -> quality gate ->
@@ -104,20 +108,57 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq
       .sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val sweeps: Seq[Map[String, (Double, Option[String])]] =
-      (1 to runs).map { _ =>
-        ordered.map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          val err =
-            try { materialize(fn(spark, sfDir)); None }
-            catch { case e: Throwable => Some(e.getClass.getSimpleName + ": " + e.getMessage) }
-          name -> (((System.nanoTime() - t0) / 1e9, err))
-        }.toMap
+    def runSweep(): Map[String, (Double, Option[String])] =
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err =
+          try { materialize(fn(spark, sfDir)); None }
+          catch { case e: Throwable => Some(e.getClass.getSimpleName + ": " + e.getMessage) }
+        name -> (((System.nanoTime() - t0) / 1e9, err))
+      }.toMap
+    var sweeps: Seq[Map[String, (Double, Option[String])]] =
+      (1 to runs).map(_ => runSweep())
+    def deriveResults(sw: Seq[Map[String, (Double, Option[String])]]) =
+      ordered.map { case (name, _) =>
+        val samples = sw.map(_(name))
+        val err = samples.collectFirst { case (_, Some(e)) => e }
+        (name, median(samples.map(_._1)), err, samples.map(_._1))
       }
-    val results = ordered.map { case (name, _) =>
-      val samples = sweeps.map(_(name))
-      val err = samples.collectFirst { case (_, Some(e)) => e }
-      (name, median(samples.map(_._1)), err, samples.map(_._1))
+    def sweepStats(
+        sw: Seq[Map[String, (Double, Option[String])]],
+        okNames: Set[String]
+    ): (Seq[Double], Double) = {
+      val totals = sw.map(s =>
+        s.collect { case (k, (t, _)) if okNames.contains(k) => t }.sum)
+      val spread =
+        if (totals.nonEmpty && totals.min > 0) totals.max / totals.min else 1.0
+      (totals, spread)
+    }
+    var results = deriveResults(sweeps)
+    // when the initial sweeps caught a contention window (spread > 15%),
+    // run ONE relief sweep and drop the worst sweep by ok-query total —
+    // contention only ever ADDS time, so discarding the slowest sweep and
+    // keeping `runs` clean(er) ones de-poisons the medians; the discarded
+    // total and the resweep count stay in the artifact so the substitution
+    // is visible, and a still-contended flag after the relief is honest.
+    var resweeps = 0
+    var discardedTotal = "null"
+    locally {
+      val okNames = results.collect { case (k, _, None, _) => k }.toSet
+      val (_, spread0) = sweepStats(sweeps, okNames)
+      if (runs >= 2 && spread0 > 1.15 &&
+        sys.env.get("SPARK_GRAFT_NO_RESWEEP").isEmpty) {
+        System.err.println(
+          f"[bench] contended sweeps (spread $spread0%.3f) — running one relief sweep")
+        val all = sweeps :+ runSweep()
+        val okAll = deriveResults(all).collect { case (k, _, None, _) => k }.toSet
+        val (totalsAll, _) = sweepStats(all, okAll)
+        val worst = totalsAll.indexOf(totalsAll.max)
+        discardedTotal = totalsAll(worst).toString
+        sweeps = all.patch(worst, Nil, 1)
+        results = deriveResults(sweeps)
+        resweeps = 1
+      }
     }
     val qs = results
       .collect { case (k, v, None, _) => s"\"" + k + "\":" + v }
@@ -148,16 +189,12 @@ object Bench {
     // totals — so a reader (or the driver's judge) sees "this run caught a
     // window" in the JSON itself instead of having to diff two artifacts.
     val okNames = results.collect { case (k, _, None, _) => k }.toSet
-    val sweepTotals = sweeps.map(s =>
-      s.collect { case (k, (t, _)) if okNames.contains(k) => t }.sum)
-    val sweepSpread =
-      if (sweepTotals.nonEmpty && sweepTotals.min > 0)
-        sweepTotals.max / sweepTotals.min
-      else 1.0
+    val (sweepTotals, sweepSpread) = sweepStats(sweeps, okNames)
     val contended = runs >= 2 && sweepSpread > 1.15
     val contentionJson =
       s""""sweep_totals":[${sweepTotals.mkString(",")}],""" +
-        s""""sweep_spread":$sweepSpread,"contended":$contended"""
+        s""""sweep_spread":$sweepSpread,"contended":$contended,""" +
+        s""""resweeps":$resweeps,"discarded_sweep_total":$discardedTotal"""
     // throughput entries: the round-over-round figures swung ~2x as single
     // passes (one contention window = one poisoned artifact), so both
     // pipelines now run SPARK_GRAFT_THROUGHPUT_RUNS (default 3) passes,
