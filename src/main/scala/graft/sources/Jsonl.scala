@@ -70,6 +70,48 @@ object Jsonl {
     } else parse(_.json(path))
   }
 
+  /** Explicit-listing [[readJsonl]] — the composition point for
+    * resumable batch ingest over JSONL corpora:
+    * `Ingest.pendingFiles(...)` → readJsonlFor → sink →
+    * `Ingest.commitFiles(...)` (the [[Warc.readWarcFor]] split applied
+    * to the dominant corpus format). Every listed file streams through
+    * a per-file reader with the codec sniffed from MAGIC BYTES (zstd
+    * 28 B5 2F FD, gzip 1F 8B, else plain text) — extension-agnostic,
+    * so a mislabeled shard still reads; the lines feed the same
+    * schema'd PERMISSIVE parse as [[readJsonl]]. Tradeoff vs the
+    * glob-based read: plain-text files lose within-file splitting
+    * (parallelism = files) — irrelevant for shard-sized corpus files,
+    * which is what an ingest ledger lists. */
+  def readJsonlFor(
+      files: DataFrame,
+      schemaDdl: Option[String],
+      corruptCol: String = "_corrupt_record",
+      pathCol: String = "path"
+  ): DataFrame = {
+    require(files.columns.contains(pathCol), s"column '$pathCol' does not exist")
+    val spark = files.sparkSession
+    import spark.implicits._
+    val confEntries = Warc.hadoopConfEntries(spark)
+    val lines = files
+      .select(org.apache.spark.sql.functions.col(pathCol).cast("string"))
+      .as[String]
+      .flatMap(p => lineIterator(p, confEntries))
+    schemaDdl match {
+      case Some(ddl) =>
+        val schema = StructType.fromDDL(ddl)
+        require(
+          !schema.fieldNames.contains(corruptCol),
+          s"schema already contains the corrupt-record column '$corruptCol'"
+        )
+        spark.read
+          .schema(schema.add(corruptCol, StringType))
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", corruptCol)
+          .json(lines)
+      case None => spark.read.json(lines)
+    }
+  }
+
   /** One decompressed text line per row from `.jsonl.zst` shards:
     * binaryFile supplies only the LISTING (the [[Warc]] reader split);
     * bytes stream per file through zstd-jni's `ZstdInputStream` over a
@@ -87,10 +129,13 @@ object Jsonl {
       .load(pattern)
       .select("path")
       .as[String]
-      .flatMap(p => zstLineIterator(p, confEntries))
+      .flatMap(p => lineIterator(p, confEntries))
   }
 
-  private def zstLineIterator(
+  /** Per-file streaming line iterator, codec sniffed from magic bytes:
+    * zstd (28 B5 2F FD) and gzip (1F 8B) decompress through the
+    * matching stream, anything else reads as plain UTF-8 text. */
+  private def lineIterator(
       path: String,
       confEntries: Array[(String, String)]
   ): Iterator[String] = {
@@ -99,14 +144,26 @@ object Jsonl {
     val p = new org.apache.hadoop.fs.Path(path)
     val raw = p.getFileSystem(conf).open(p)
     val reader =
-      try
+      try {
+        val buffered = new java.io.BufferedInputStream(raw, 1 << 16)
+        buffered.mark(4)
+        val magic = new Array[Int](4)
+        var i = 0
+        while (i < 4) { magic(i) = buffered.read(); i += 1 }
+        buffered.reset()
+        val decoded: java.io.InputStream =
+          if (magic(0) == 0x28 && magic(1) == 0xb5 && magic(2) == 0x2f &&
+            magic(3) == 0xfd)
+            new com.github.luben.zstd.ZstdInputStream(buffered)
+          else if (magic(0) == 0x1f && magic(1) == 0x8b)
+            new java.util.zip.GZIPInputStream(buffered, 1 << 16)
+          else buffered
         new java.io.BufferedReader(
           new java.io.InputStreamReader(
-            new com.github.luben.zstd.ZstdInputStream(
-              new java.io.BufferedInputStream(raw, 1 << 16)),
+            decoded,
             java.nio.charset.StandardCharsets.UTF_8),
           1 << 16)
-      catch {
+      } catch {
         case e: Throwable =>
           try raw.close()
           catch { case _: Exception => () }
@@ -131,7 +188,7 @@ object Jsonl {
               case e: java.io.IOException =>
                 close()
                 throw new java.io.IOException(
-                  s"corrupt zstd frame in $path: ${e.getMessage}", e)
+                  s"corrupt compressed stream in $path: ${e.getMessage}", e)
             }
           if (nextLine == null) close()
         }
@@ -144,6 +201,61 @@ object Jsonl {
         l
       }
     }
+  }
+
+  /** Streaming [[readJsonl]]: new JSONL shards landing in `dir` become
+    * parsed rows — corpus ingestion is file-arrival-driven, and the
+    * per-file parse is stateless, so the stream composes directly with
+    * the streaming dedup/quality/decontamination gates. Same per-file
+    * magic-sniffed codec handling as [[readJsonlFor]] (zstd / gzip /
+    * plain), same PERMISSIVE corrupt-line capture (via `from_json` —
+    * the streaming-side twin of the batch reader's parse, identical
+    * semantics, asserted in the suite). A schema is REQUIRED: inference
+    * over an unbounded stream is not a thing. */
+  def readJsonlStream(
+      spark: SparkSession,
+      dir: String,
+      schemaDdl: String,
+      corruptCol: String = "_corrupt_record"
+  ): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType.fromDDL(schemaDdl)
+    require(
+      !schema.fieldNames.contains(corruptCol),
+      s"schema already contains the corrupt-record column '$corruptCol'"
+    )
+    val full = schema.add(corruptCol, StringType)
+    val fileSchema = StructType(
+      Seq(
+        StructField("path", StringType),
+        StructField("modificationTime", TimestampType),
+        StructField("length", LongType),
+        StructField("content", BinaryType)
+      )
+    )
+    val confEntries = Warc.hadoopConfEntries(spark)
+    // path-only projection: binaryFile is the file-arrival tracker,
+    // never the byte source (the Warc streaming-reader split)
+    spark.readStream
+      .format("binaryFile")
+      .schema(fileSchema)
+      .load(dir)
+      .select("path")
+      .as[String]
+      .flatMap(p => lineIterator(p, confEntries))
+      .select(
+        from_json(
+          col("value"),
+          full,
+          Map(
+            "mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> corruptCol
+          )
+        ).as("__j")
+      )
+      .select(full.fieldNames.map(f => col(s"__j.`$f`")): _*)
   }
 
   /** Write a DataFrame as JSONL. `compression = None` writes plain text;

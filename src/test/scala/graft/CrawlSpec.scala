@@ -655,6 +655,57 @@ class CrawlSpec extends SparkSpec {
       s"frame error does not name the file: ${e.getMessage}")
   }
 
+  test("jsonl: readJsonlFor sniffs codecs by magic across a mixed listing") {
+    val dir = s"$tmp/jsonl_for"
+    Files.createDirectories(Paths.get(dir))
+    // three shards, three codecs — every EXTENSION LIES on purpose: the
+    // reader must route by magic bytes, not names
+    Files.writeString(
+      Paths.get(s"$dir/a.jsonl.zst"), // plain text despite .zst name
+      "{\"id\": 1, \"text\": \"plain\"}\n")
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/b.jsonl")) // gzip despite bare name
+    gz.write("{\"id\": 2, \"text\": \"gzipped\"}\n{not json\n".getBytes("UTF-8"))
+    gz.close()
+    val zo = new com.github.luben.zstd.ZstdOutputStream(
+      new java.io.FileOutputStream(s"$dir/c.jsonl.gz")) // zstd despite .gz name
+    zo.write("{\"id\": 3, \"text\": \"zstded\"}\n".getBytes("UTF-8"))
+    zo.close()
+    val listing = graft.sources.Ingest.listFiles(spark, s"$dir/*")
+    assert(listing.count() == 3)
+    val got = Jsonl.readJsonlFor(listing, Some("id BIGINT, text STRING"))
+    assert(got.count() == 4) // 3 good + 1 corrupt line
+    assert(
+      got.filter(col("_corrupt_record").isNull)
+        .orderBy("id")
+        .select("text")
+        .collect()
+        .map(_.getString(0))
+        .toSeq == Seq("plain", "gzipped", "zstded"))
+    assert(got.filter(col("_corrupt_record").isNotNull).count() == 1)
+    // the resumable-ingest composition: pending -> read -> commit -> no
+    // pending left; a NEW shard is the only pending on the next cycle
+    val ledgerDir = s"$tmp/jsonl_for_ledger"
+    val pending = graft.sources.Ingest.pendingFiles(spark, s"$dir/*", ledgerDir)
+    assert(pending.count() == 3)
+    val n = Jsonl.readJsonlFor(pending, Some("id BIGINT, text STRING")).count()
+    assert(n == 4)
+    graft.sources.Ingest.commitFiles(pending, ledgerDir, batchId = 1L)
+    assert(graft.sources.Ingest.pendingFiles(spark, s"$dir/*", ledgerDir).count() == 0)
+    Files.writeString(
+      Paths.get(s"$dir/d.jsonl"),
+      "{\"id\": 4, \"text\": \"late\"}\n")
+    val p2 = graft.sources.Ingest.pendingFiles(spark, s"$dir/*", ledgerDir)
+    assert(p2.count() == 1)
+    assert(
+      Jsonl
+        .readJsonlFor(p2, Some("id BIGINT, text STRING"))
+        .select("text")
+        .collect()
+        .map(_.getString(0))
+        .toSeq == Seq("late"))
+  }
+
   // ----------------------------------------------------- URL allow/block
 
   private lazy val urlDocs = Seq(
@@ -933,11 +984,11 @@ class CrawlSpec extends SparkSpec {
     assert(recs1.count() == 9) // 3 records per sample shard
     val counts1 = recs1.groupBy("path").count()
       .withColumnRenamed("count", "n_records")
-    Ingest.commitFiles(pending1, ledgerDir, batchId = 1L, counts = Some(counts1))
+    graft.sources.Ingest.commitFiles(pending1, ledgerDir, batchId = 1L, counts = Some(counts1))
 
     // run 2 with nothing new: pending is EMPTY — the kill-and-resume
     // property (a second run touches no already-committed file)
-    assert(Ingest.pendingFiles(spark, s"$dir/*.warc", ledgerDir).count() == 0)
+    assert(graft.sources.Ingest.pendingFiles(spark, s"$dir/*.warc", ledgerDir).count() == 0)
 
     // a new shard lands and an old shard is rewritten (mtime changes):
     // exactly those two re-qualify
@@ -948,8 +999,8 @@ class CrawlSpec extends SparkSpec {
     assert(pendingNames.length == 2)
     assert(pendingNames(0).endsWith("s1.warc"))
     assert(pendingNames(1).endsWith("s3.warc"))
-    Ingest.commitFiles(pending2, ledgerDir, batchId = 2L)
-    assert(Ingest.pendingFiles(spark, s"$dir/*.warc", ledgerDir).count() == 0)
+    graft.sources.Ingest.commitFiles(pending2, ledgerDir, batchId = 2L)
+    assert(graft.sources.Ingest.pendingFiles(spark, s"$dir/*.warc", ledgerDir).count() == 0)
 
     // the pending listing is a MATERIALIZED snapshot: a file that lands
     // between the listing and the commit is NOT swept into the commit
@@ -959,7 +1010,7 @@ class CrawlSpec extends SparkSpec {
     val pending3 = Ingest.pendingFiles(spark, s"$dir/*.warc", ledgerDir)
     assert(pending3.count() == 1) // s4 only
     writeShard("s5.warc", 5000L)  // lands AFTER the listing, BEFORE commit
-    Ingest.commitFiles(pending3, ledgerDir, batchId = 3L)
+    graft.sources.Ingest.commitFiles(pending3, ledgerDir, batchId = 3L)
     val pending4 = Ingest.pendingFiles(spark, s"$dir/*.warc", ledgerDir)
     val late = pending4.collect().map(_.getString(0))
     assert(late.length == 1 && late(0).endsWith("s5.warc"))

@@ -1286,4 +1286,33 @@ class StreamingMultimodalSpec extends SparkSpec {
       .toMap
     assert(routed == Map(2L -> true, 5L -> false, 6L -> false))
   }
+
+  test("streaming JSONL ingest equals the batch read over mixed-codec shards") {
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_stream").toString
+    // one zstd shard, one plain shard carrying a corrupt line
+    val zo = new com.github.luben.zstd.ZstdOutputStream(
+      new java.io.FileOutputStream(s"$dir/a.jsonl.zst"))
+    zo.write("{\"id\": 1, \"text\": \"uno\"}\n{\"id\": 2, \"text\": \"dos\"}\n".getBytes("UTF-8"))
+    zo.close()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/b.jsonl"),
+      "{\"id\": 3, \"text\": \"tres\"}\n{nope\n")
+    val got = Streaming.runToMemorySink(
+      spark,
+      graft.sources.Jsonl.readJsonlStream(spark, dir, "id BIGINT, text STRING"),
+      "jsonl_stream_sink",
+      outputMode = "append"
+    )
+    val batch = graft.sources.Jsonl.readJsonlFor(
+      graft.sources.Ingest.listFiles(spark, s"$dir/*"),
+      Some("id BIGINT, text STRING"))
+    assert(got.count() == 4)
+    assert(
+      got.orderBy("id").collect().map(r => (Option(r.get(0)), r.getString(1))).toSeq ==
+        batch.orderBy("id").collect().map(r => (Option(r.get(0)), r.getString(1))).toSeq)
+    assert(got.filter(col("_corrupt_record") === "{nope").count() == 1)
+    // schema collision rejected, streams demand a schema by signature
+    intercept[IllegalArgumentException](
+      graft.sources.Jsonl.readJsonlStream(spark, dir, "id BIGINT, _corrupt_record STRING"))
+  }
 }
