@@ -80,8 +80,16 @@ object Bench {
         if (sibling.isDirectory) sibling.getPath else sfDir
       }
     )
+    // SPARK_GRAFT_ONLY also restricts the warmup: an isolation run of a few
+    // queries shouldn't pay (and contend with) a 200+-query warmup sweep.
+    // Unset (the driver's full-bench invocation) nothing changes.
+    val onlyWarm = sys.env
+      .get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     if (new java.io.File(warmDir).isDirectory && sys.env.get("SPARK_GRAFT_NO_WARM").isEmpty)
-      SparkEntry.queries.foreach { case (name, fn) =>
+      SparkEntry.queries
+        .filter { case (name, _) => onlyWarm.forall(_.contains(name)) }
+        .foreach { case (name, fn) =>
         try materialize(fn(spark, warmDir))
         catch {
           case e: Throwable =>

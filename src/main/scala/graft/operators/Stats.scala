@@ -85,7 +85,22 @@ object Stats {
       orderCol: String,
       sumCols: Seq[String],
       parts: Int = 0
-  ): DataFrame = {
+  ): DataFrame =
+    rangedRunningSumsWithTotals(df, grpCols, orderCol, sumCols, parts)._1
+
+  /** [[rangedRunningSums]] plus the per-slice totals table it builds
+    * internally (columns: grpCols..., `__pid`, `__t_<c>` per sumCol) —
+    * callers that also need per-group grand totals (e.g.
+    * [[exactPercentileBounds]]' target-rank table) aggregate THIS tiny
+    * (groups x slices)-row table instead of re-scanning the corpus for a
+    * second `groupBy(grp).sum` — one fewer full pass over the data. */
+  private[graft] def rangedRunningSumsWithTotals(
+      df: DataFrame,
+      grpCols: Seq[String],
+      orderCol: String,
+      sumCols: Seq[String],
+      parts: Int = 0
+  ): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val p =
       if (parts > 0) parts
@@ -145,9 +160,10 @@ object Stats {
     val runs = sumCols.map(c =>
       (col(s"__off_$c") + sum(col(c)).over(w)).as(s"__run_$c")
     )
-    ranged
+    val out = ranged
       .join(broadcast(offsets), backCond)
       .select(df.columns.map(col) ++ runs: _*)
+    (out, totals)
   }
 
   /** Exact per-group percentiles with Spark `percentile` semantics
@@ -190,11 +206,16 @@ object Stats {
     val counts = base
       .groupBy((grpCols :+ "__v").map(col): _*)
       .agg(count(lit(1)).as("__c"))
-    val runs = rangedRunningSums(counts, grpCols, "__v", Seq("__c"))
-      .withColumn("__lo_rank", col("__run___c") - col("__c"))
-    val ntab = counts
+    val (runs0, totals) =
+      rangedRunningSumsWithTotals(counts, grpCols, "__v", Seq("__c"))
+    val runs = runs0.withColumn("__lo_rank", col("__run___c") - col("__c"))
+    // per-group n from the (groups x slices) totals table the prefix pass
+    // already built — NOT a second corpus-wide groupBy(grp).sum, which
+    // would re-scan and re-aggregate the full input (guide §2.4: remove
+    // shuffles outright; this one's answer already exists in a tiny table)
+    val ntab = totals
       .groupBy(grpCols.map(col): _*)
-      .agg(sum("__c").as("__n"))
+      .agg(sum("__t___c").as("__n"))
     val probEntries = probs.zipWithIndex.map { case (pr, i) =>
       struct(lit(i).as("__i"), lit(pr).as("__p"))
     }
@@ -213,39 +234,71 @@ object Stats {
       )
       .withColumn("__klo", floor(col("__pos")).cast("long"))
       .withColumn("__khi", ceil(col("__pos")).cast("long"))
-    def rankJoin(rank: Column, out: String): DataFrame = {
-      val tg = targets.select(
-        grpCols.zipWithIndex.map { case (c, i) => col(c).as(s"__tg_$i") } ++
-          Seq(col("__i"), col("__pos"), col("__klo"), col("__khi")): _*
-      )
-      val cond = grpCols.indices
-        .map(i => runs(grpCols(i)) <=> tg(s"__tg_$i"))
-        .foldLeft(
-          runs("__lo_rank") <= rank && rank < runs("__run___c")
-        )(_ && _)
-      runs
-        .join(broadcast(tg), cond)
-        .select(
-          grpCols.indices.map(i => tg(s"__tg_$i").as(s"__g_$i")) ++ Seq(
-            tg("__i").as("__i"),
-            tg("__pos").as("__pos"),
-            tg("__klo").as("__klo"),
-            tg("__khi").as("__khi"),
-            runs("__v").as(out)
-          ): _*
-        )
-    }
-    val loSide = rankJoin(col("__klo"), "__vlo")
-    val hiSide = rankJoin(col("__khi"), "__vhi")
+    // ONE probe of the running-sum grid for BOTH order statistics: each
+    // (group, prob) target explodes to its two ranks (floor side 0, ceil
+    // side 1 — identical when __pos is integral), the broadcast join finds
+    // the owning distinct-value row per rank in a single pass, and a tiny
+    // (groups x probs)-row pivot reassembles (vlo, vhi). The previous
+    // formulation probed the grid twice (two broadcast joins, each
+    // re-evaluating the offsets aggregate + window sort above) and then
+    // joined the two probe outputs — guide §2.4: two operations keyed the
+    // same way share one pass.
+    val tg = targets
       .select(
-        grpCols.indices.map(i => col(s"__g_$i").as(s"__h_$i")) ++
-          Seq(col("__i").as("__hi_i"), col("__vhi")): _*
+        grpCols.zipWithIndex.map { case (c, i) => col(c).as(s"__tg_$i") } ++
+          Seq(
+            col("__i"),
+            col("__pos"),
+            col("__klo"),
+            col("__khi"),
+            explode(
+              array(
+                struct(col("__klo").as("__rank"), lit(0).as("__side")),
+                struct(col("__khi").as("__rank"), lit(1).as("__side"))
+              )
+            ).as("__rs")
+          ): _*
       )
-    val pairCond = grpCols.indices
-      .map(i => loSide(s"__g_$i") <=> hiSide(s"__h_$i"))
-      .foldLeft(loSide("__i") === hiSide("__hi_i"))(_ && _)
-    val interp = loSide
-      .join(hiSide, pairCond)
+      .select(
+        grpCols.indices.map(i => col(s"__tg_$i")) ++ Seq(
+          col("__i"),
+          col("__pos"),
+          col("__klo"),
+          col("__khi"),
+          col("__rs.__rank").as("__rank"),
+          col("__rs.__side").as("__side")
+        ): _*
+      )
+    val cond = grpCols.indices
+      .map(i => runs(grpCols(i)) <=> tg(s"__tg_$i"))
+      .foldLeft(
+        runs("__lo_rank") <= tg("__rank") && tg("__rank") < runs("__run___c")
+      )(_ && _)
+    val hits = runs
+      .join(broadcast(tg), cond)
+      .select(
+        grpCols.indices.map(i => tg(s"__tg_$i").as(s"__g_$i")) ++ Seq(
+          tg("__i").as("__i"),
+          tg("__pos").as("__pos"),
+          tg("__klo").as("__klo"),
+          tg("__khi").as("__khi"),
+          tg("__side").as("__side"),
+          runs("__v").as("__hv")
+        ): _*
+      )
+    // exactly one grid row owns each rank, so each (group, i, side) has one
+    // hit; max/min over the singleton are pure reassembly, not tie-breaks
+    val interp = hits
+      .groupBy(
+        (grpCols.indices.map(i => col(s"__g_$i")) :+ col("__i")): _*
+      )
+      .agg(
+        max(col("__pos")).as("__pos"),
+        max(col("__klo")).as("__klo"),
+        max(col("__khi")).as("__khi"),
+        max(when(col("__side") === 0, col("__hv"))).as("__vlo"),
+        max(when(col("__side") === 1, col("__hv"))).as("__vhi")
+      )
       .select(
         grpCols.indices.map(i => col(s"__g_$i")) ++ Seq(
           col("__i"),
@@ -343,11 +396,20 @@ object Stats {
     * total rows, null count, distinct count, and min/max rendered as
     * strings (so heterogeneous column types share one schema).
     *
-    * `approxDistinct = false` uses exact `count(distinct)` — Spark plans
-    * the multi-column distinct through an Expand (input multiplied by
-    * |cols|+1), which is exact but costs a wide shuffle. At corpus scale
-    * pass `approxDistinct = true`: HyperLogLog++ sketches merge map-side,
-    * profiling any number of columns in ONE streaming pass with no Expand
+    * `approxDistinct = false` is exact. It does NOT use the builtin
+    * multi-column `count(distinct)`, which Spark plans through an Expand —
+    * every input row is replicated |cols|+1 times into ONE wide shuffle
+    * whose final merge funnels through a single aggregation task. Instead
+    * each column gets its own two-level distinct aggregate
+    * (`groupBy(col) -> count`): partial aggregation collapses repeats
+    * map-side, so the shuffle carries each column's per-partition DISTINCT
+    * values instead of |cols|+1 corpus copies, the scans read exactly one
+    * parquet column each (pruned ReadSchema), and the per-column counts
+    * merge in parallel rather than in one Expand sink. The tiny one-row
+    * results are broadcast-joined back onto the base stats row. Exact
+    * integers either way — output values are identical to the Expand plan.
+    * At corpus scale pass `approxDistinct = true`: HyperLogLog++ sketches
+    * merge map-side, profiling any number of columns in ONE streaming pass
     * (~2% default relative error, asserted in tests). */
   def profile(
       df: DataFrame,
@@ -358,18 +420,28 @@ object Stats {
     cols.foreach(c =>
       require(df.columns.contains(c), s"no such column: $c")
     )
-    def nd(c: String) =
-      if (approxDistinct) approx_count_distinct(col(c))
-      else countDistinct(col(c))
-    val aggCols = count(lit(1)).as("__n") +: cols.flatMap(c =>
+    val baseAggCols = count(lit(1)).as("__n") +: cols.flatMap(c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        nd(c).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c")
-      )
+      ) ++ (if (approxDistinct)
+              Seq(approx_count_distinct(col(c)).as(s"__nd_$c"))
+            else Nil)
     )
-    val agg = df.agg(aggCols.head, aggCols.tail: _*)
+    val baseAgg = df.agg(baseAggCols.head, baseAggCols.tail: _*)
+    val agg =
+      if (approxDistinct) baseAgg
+      else
+        cols.foldLeft(baseAgg) { (acc, c) =>
+          // countDistinct semantics: distinct NON-NULL values
+          val nd = df
+            .select(col(c).as("__dv"))
+            .filter(col("__dv").isNotNull)
+            .distinct()
+            .agg(count(lit(1)).as(s"__nd_$c"))
+          acc.crossJoin(broadcast(nd))
+        }
     val entries = array(
       cols.map(c =>
         struct(
@@ -610,12 +682,22 @@ object Stats {
       .select(col("__sv.__side").as("__side"), col("__sv.__v").as("__v"))
       .groupBy("__side", "__v")
       .agg(count(lit(1)).as("__c"))
+    // materialize the (side, value, doubled-rank) grid ONCE: it is probed
+    // twice below (side a, side b), and without the checkpoint each probe
+    // re-evaluates the whole prefix-sum chain above it — the per-slice
+    // totals aggregate, the triangular offset join and the window sort all
+    // run twice for identical results (guide §2.4 / §5: cache a reused
+    // intermediate whose recompute costs more than its footprint; the grid
+    // is distinct-value-sized, not corpus-sized). Lazy, so materialization
+    // rides the consuming job; also gives AQE an exact size for the two
+    // rank joins instead of a lineage estimate.
     val ranks = rangedRunningSums(counts, Seq("__side"), "__v", Seq("__c"))
       .select(
         col("__side"),
         col("__v"),
         (lit(2L) * col("__run___c") - col("__c") + lit(1L)).as("__dr")
       )
+      .localCheckpoint(false)
     def sideRanks(side: String, vc: String) = ranks
       .filter(col("__side") === side)
       .select(col("__v").as(vc), col("__dr").as(s"__dr$vc"))
