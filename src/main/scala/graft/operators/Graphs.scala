@@ -46,10 +46,17 @@ object Graphs {
       .distinct()
       .localCheckpoint()
 
+    // Seed with the FIRST propagation round fused into initialization:
+    // from identity labels, round 1 computes min(id, neighbor ids) and its
+    // pointer-jump is a no-op (label(component) == component under
+    // identity), so labels_0 = groupBy(src).min(least(src, dst)) is
+    // EXACTLY the post-round-1 state — one map-side-combined aggregate
+    // replaces the init distinct AND the first 3-join round (the loop's
+    // per-round job is the dominant cost on shallow LSH candidate graphs,
+    // which converge in 1-2 effective rounds).
     var labels = sym
-      .select(col("src").as("id"))
-      .distinct()
-      .withColumn("component", col("id"))
+      .groupBy(col("src").as("id"))
+      .agg(min(least(col("src"), col("dst"))).as("component"))
       .localCheckpoint(false)
     var prevSum = checksum(labels) // materializes the lazy checkpoint
 

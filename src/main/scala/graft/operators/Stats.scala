@@ -1000,12 +1000,17 @@ object Stats {
       )
     // partitioned two-pass prefix sums over the distinct-value table —
     // never an unpartitioned window (the [[rangedRunningSums]] shape)
-    val ranked = rangedRunningSums(grouped, Nil, "__v", Seq("__ca", "__cb"))
+    val (ranked0, sliceTotals) =
+      rangedRunningSumsWithTotals(grouped, Nil, "__v", Seq("__ca", "__cb"))
+    val ranked = ranked0
       .withColumn("__ra", col("__run___ca"))
       .withColumn("__rb", col("__run___cb"))
-    val totals = grouped.agg(
-      sum("__ca").as("__na"),
-      sum("__cb").as("__nb")
+    // grand totals from the prefix pass's per-slice totals (a <= parts-row
+    // table off the checkpointed grid) — NOT a second union+aggregate over
+    // both input corpora (guide §2.4: the answer already exists)
+    val totals = sliceTotals.agg(
+      sum("__t___ca").as("__na"),
+      sum("__t___cb").as("__nb")
     )
     // decimal BEFORE the multiply: the cross products overflow long at
     // multi-billion-row samples
@@ -1090,14 +1095,21 @@ object Stats {
         sum(col("__b").cast("long")).as("__cb")
       )
       .withColumn("__one", lit(1L))
-    val ranked = rangedRunningSums(
+    val (ranked0, sliceTotals) = rangedRunningSumsWithTotals(
       grouped, Nil, "__vq", Seq("__ca", "__cb", "__one")
-    ).select(
-      col("__vq"),
-      col("__run___ca").as("__ra"),
-      col("__run___cb").as("__rb"),
-      col("__run___one").as("__rk")
     )
+    // materialized ONCE (lazy — rides the consuming job): the grid is
+    // probed twice below (ranked + its rank-shifted self `nxt`), and each
+    // probe would otherwise re-run the offsets aggregate + window sort
+    // above it for identical results (the spearman pattern)
+    val ranked = ranked0
+      .select(
+        col("__vq"),
+        col("__run___ca").as("__ra"),
+        col("__run___cb").as("__rb"),
+        col("__run___one").as("__rk")
+      )
+      .localCheckpoint(false)
     // next grid value via the rank: ranks are dense 1..n by construction
     // (the running count of a distinct-value table), so rank -> rank+1 is
     // a 1:1 equi-join; the last value drops out (inner join), where the
@@ -1106,9 +1118,11 @@ object Stats {
       (col("__rk") - 1).as("__rk"),
       col("__vq").as("__nvq")
     )
-    val totals = grouped.agg(
-      sum("__ca").as("__na"),
-      sum("__cb").as("__nb")
+    // grand totals from the prefix pass's per-slice totals — not a second
+    // union+aggregate over both input corpora
+    val totals = sliceTotals.agg(
+      sum("__t___ca").as("__na"),
+      sum("__t___cb").as("__nb")
     )
     // decimal BEFORE the multiply (the ksTwoSample bound), and the grid
     // step joins the product while still decimal — exact at any corpus
