@@ -1289,15 +1289,19 @@ object TextAnalysis {
     * (ln differs in the last ulp across libms).
     *
     * Scale shape: one explode -> hash aggregate builds the vocabulary
-    * (at most |vocab| rows — tiny next to the corpus), the total token
-    * count rides a one-row broadcast cross join, and scoring joins each
-    * token to the broadcast vocabulary — no shuffle of the corpus beyond
-    * the per-document aggregate. */
+    * (at most |vocab| rows — tiny next to the corpus), lazily
+    * materialized (localCheckpoint) because it feeds TWO branches (the
+    * model projection and the grand total) — without it each branch
+    * re-runs the corpus explode. The total rides a one-row broadcast
+    * cross join, and scoring joins each token to the broadcast
+    * vocabulary — no shuffle of the corpus beyond the per-document
+    * aggregate. */
   def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val exploded = df
       .filter(col(textCol).isNotNull)
       .select(col(idCol), explode(tokens(col(textCol))).as("__term"))
     val vocab = exploded.groupBy("__term").agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(false)
     val total = vocab.agg(sum("__cnt").as("__total"))
     val model = vocab
       .crossJoin(broadcast(total))
@@ -1317,12 +1321,16 @@ object TextAnalysis {
 
   /** Per-document top-n TF-IDF terms (smooth IDF: ln(N / df)).
     *
-    * Two hash aggregates — term frequency per (doc, term), document
-    * frequency per term — a broadcast-size join of df stats when the
-    * vocabulary is small (Catalyst decides), and a WindowGroupLimit top-n
-    * per doc. The docCount is taken as a parameter so the caller controls
-    * the (single, cheap) count action. Scores are rounded to 6 decimals:
-    * ln() may differ in the last ulp across engines/libms. */
+    * One explode + one hash aggregate builds the (doc, term, tf) table,
+    * which is materialized once (localCheckpoint) and serves BOTH sides:
+    * document frequency per term is just its per-term row count (tf rows
+    * are exactly the distinct (doc, term) pairs), so the corpus is never
+    * exploded a second time for the old distinct-pairs pass. The df stats
+    * join broadcasts when the vocabulary is small (Catalyst decides), and
+    * a WindowGroupLimit takes the top-n per doc. The docCount is taken as
+    * a parameter so the caller controls the (single, cheap) count action.
+    * Scores are rounded to 6 decimals: ln() may differ in the last ulp
+    * across engines/libms. */
   def tfIdfTopTerms(
       df: DataFrame,
       idCol: String,
@@ -1335,9 +1343,8 @@ object TextAnalysis {
       explode(tokens(col(textCol))).as("term")
     )
     val tf = exploded.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = exploded
-      .select("doc_id", "term")
-      .distinct()
+      .localCheckpoint(false)
+    val dfreq = tf
       .groupBy("term")
       .agg(count(lit(1)).as("df"))
     val scored = tf
@@ -1521,21 +1528,28 @@ object TextAnalysis {
     * word-salad scores very negative. Single-token and NULL documents are
     * dropped (no bigrams to score).
     *
-    * Scale shape: one shuffle on the doc id for the lag window that forms
-    * bigram occurrences, two hash aggregates for the model counts, and a
-    * shuffle join of occurrences against the bigram model (vocab^2 can
-    * exceed broadcast size — Catalyst broadcasts when it fits). ln() is
-    * per-row; the mean is rounded to 6 decimals (last-ulp libm variance).
+    * Scale shape: bigram occurrences are formed WITHOUT a window — the
+    * previous token is read out of the still-in-scope token array with
+    * `element_at` inside the explode's codegen stage (posexplode positions
+    * are 0-based, element_at is 1-based, so element_at(toks, pos) is
+    * exactly lag(cur, 1) over (doc, pos)), so the corpus never pays a
+    * doc-keyed shuffle+sort. Two hash aggregates build the model counts,
+    * and occurrences shuffle-join against the bigram model (vocab^2 can
+    * exceed broadcast size — Catalyst broadcasts when it fits). The
+    * bigram table is deliberately NOT materialized: it is
+    * distinct-bigram-sized (near corpus-sized for diverse text), and
+    * storing it measures slower than re-running the window-free
+    * explode+aggregate for the context sums. ln() is per-row; the mean is
+    * rounded to 6 decimals (last-ulp libm variance).
     */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("__pos"))
     val occ = ScanUtils
       .withScanParallelism(df)
       .filter(col(textCol).isNotNull)
-      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__cur")))
-      .withColumn("__prev", lag("__cur", 1).over(w))
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), col("__toks"), posexplode(col("__toks")).as(Seq("__pos", "__cur")))
+      .withColumn("__prev", when(col("__pos") >= 1, element_at(col("__toks"), col("__pos"))))
+      .drop("__toks")
       .filter(col("__prev").isNotNull)
     val bigrams = occ.groupBy("__prev", "__cur").agg(count(lit(1)).as("__bc"))
     val contexts = bigrams.groupBy("__prev").agg(sum("__bc").as("__cc"))
@@ -1572,12 +1586,19 @@ object TextAnalysis {
     * (last-ulp libm variance, the [[bigramLogProb]] discipline).
     *
     * Scale shape: model counts are three map-side-combined hash
-    * aggregates over one model scan; scoring is one posexplode + one lag
-    * window (doc-keyed) + LEFT joins against the count tables on gram
-    * keys. The trigram table is bounded by distinct observed trigrams —
-    * potentially corpus-sized, so that join is a shuffled equi-join on
-    * the gram key (the irreducible cost of n-gram scoring); vocab-sized
-    * tables broadcast when they fit. Totals ride a one-row broadcast. */
+    * aggregates over window-free occurrence projections; scoring is one
+    * posexplode + LEFT joins against the count tables on gram keys. The
+    * token contexts (lag-1 / lag-2) are read straight out of the
+    * still-in-scope token array with `element_at` inside the same codegen
+    * stage as the explode — NO doc-keyed window, so neither the model nor
+    * the scored corpus pays a shuffle+sort just to see its previous
+    * tokens. The unigram count table is consumed by three branches
+    * (totals + two join keys) and is vocab-sized, so it is lazily
+    * materialized (localCheckpoint); the bigram/trigram tables are
+    * bounded by distinct observed grams — potentially corpus-sized, so
+    * those joins are shuffled equi-joins on the gram key (the
+    * irreducible cost of n-gram scoring); vocab-sized tables broadcast
+    * when they fit. Totals ride a one-row broadcast. */
   def stupidBackoffLogProb(
       model: DataFrame,
       df: DataFrame,
@@ -1592,28 +1613,36 @@ object TextAnalysis {
     def gram3(a: Column, b: Column, c: Column): Column =
       when(a.isNotNull, concat_ws(sep, a, b, c))
 
-    // model counts: unigrams (+ vocab/total), bigrams, trigrams
-    val mtoks = ScanUtils
-      .withScanParallelism(model)
+    // posexplode positions are 0-based, element_at is 1-based, so
+    // element_at(toks, pos) IS the previous token and
+    // element_at(toks, pos - 1) the one before it — identical to
+    // lag("__w", 1/2) over (doc, pos) without the window's shuffle+sort;
+    // the array column stays in scope inside the same codegen stage as
+    // the explode and is dropped before anything shuffles
+    def withLags(src: DataFrame, keep: Column*): DataFrame = src
       .filter(col(textCol).isNotNull)
-      .select(posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
-    val m1 = mtoks.groupBy("__w").agg(count(lit(1)).as("__c1"))
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(
+        keep :+ col("__toks") :+
+          posexplode(col("__toks")).as(Seq("__pos", "__w")): _*
+      )
+      .withColumn("__p1", when(col("__pos") >= 1, element_at(col("__toks"), col("__pos"))))
+      .withColumn("__p2", when(col("__pos") >= 2, element_at(col("__toks"), col("__pos") - 1)))
+      .drop("__toks")
+
+    // model counts: unigrams (+ vocab/total), bigrams, trigrams — one
+    // map-side-combined aggregate each over a window-free projection.
+    // m1 feeds three consumers (totals, __w join, __p1 join) and is
+    // vocab-sized: checkpoint so it is computed once. m2/m3 are
+    // gram-vocabulary-sized (too big to be worth storing — re-running
+    // the window-free aggregate measures cheaper than materializing).
+    val mocc = withLags(ScanUtils.withScanParallelism(model))
+    val m1 = mocc.groupBy("__w").agg(count(lit(1)).as("__c1"))
+      .localCheckpoint(false)
     val totals = m1.agg(
       sum("__c1").as("__n"),
       count(lit(1)).as("__v")
     )
-    val mw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__mid"))
-      .orderBy(col("__pos"))
-    val mocc = ScanUtils
-      .withScanParallelism(model)
-      .filter(col(textCol).isNotNull)
-      .select(
-        col(idCol).as("__mid"),
-        posexplode(tokens(col(textCol))).as(Seq("__pos", "__w"))
-      )
-      .withColumn("__p1", lag("__w", 1).over(mw))
-      .withColumn("__p2", lag("__w", 2).over(mw))
     val m2 = mocc
       .filter(col("__p1").isNotNull)
       .groupBy(gram2(col("__p1"), col("__w")).as("__g2"))
@@ -1623,16 +1652,8 @@ object TextAnalysis {
       .groupBy(gram3(col("__p2"), col("__p1"), col("__w")).as("__g3"))
       .agg(count(lit(1)).as("__c3"))
 
-    // scored occurrences with their context grams
-    val sw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("__pos"))
-    val occ = ScanUtils
-      .withScanParallelism(df)
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__w")))
-      .withColumn("__p1", lag("__w", 1).over(sw))
-      .withColumn("__p2", lag("__w", 2).over(sw))
+    // scored occurrences with their context grams (window-free, as above)
+    val occ = withLags(ScanUtils.withScanParallelism(df), col(idCol))
       .withColumn("__g3", gram3(col("__p2"), col("__p1"), col("__w")))
       .withColumn("__g2", gram2(col("__p1"), col("__w")))
       .withColumn("__ctx2", gram2(col("__p2"), col("__p1")))
@@ -1759,8 +1780,10 @@ object TextAnalysis {
       .select(bucketOf(col("__g"), numBuckets, portable).as("__b"))
     // featurize the corpus ONCE: per-doc bucket counts feed both the
     // corpus-level counts (sum over docs) and the final per-doc scoring —
-    // the shared (id, bucket) shuffle is reused (ReuseExchange), so the
-    // expensive explode+md5 pass over the corpus runs a single time
+    // the shared (id, bucket) shuffle is reused (ReuseExchange at runtime,
+    // plan-guarded in PlanSpec), so the expensive explode+digest pass over
+    // the corpus runs a single time; an explicit materialization measured
+    // no faster than the reused exchange and was dropped (r14)
     val docBuckets = ScanUtils.withScanParallelism(corpus)
       .filter(col(textCol).isNotNull)
       .select(col(idCol), explode(rawGrams(textCol)).as("__g"))
@@ -1864,7 +1887,10 @@ object TextAnalysis {
     * Scale shape: each side is one explode -> hash aggregate down to at
     * most D rows (map-side combine absorbs repeats); totals ride one-row
     * broadcast cross joins — no driver action. The model is D rows,
-    * broadcastable by construction.
+    * broadcastable by construction. Each side's bucket-count table is
+    * lazily materialized (localCheckpoint) before the plan branches into
+    * the per-bucket join and the totals aggregate — without it both
+    * branches re-run the corpus explode pass, doubling every scan.
     */
   def trainTokenClassifier(
       positive: DataFrame,
@@ -1880,6 +1906,7 @@ object TextAnalysis {
       .select(tokenBucket(col("__tok"), numBuckets, portable).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as(cnt))
+      .localCheckpoint(false)
     val pos = bucketCounts(positive, "__pos")
     val neg = bucketCounts(negative, "__neg")
     val posT = pos.agg(coalesce(sum("__pos"), lit(0L)).as("__pos_total"))
@@ -2473,6 +2500,11 @@ object TextAnalysis {
     var exhausted = false
     var rank = 0
     while (!exhausted && rank < numMerges) {
+      // consumed three times per round (grand total + two denominator
+      // joins) but NOT checkpointed: the three consumers share one
+      // identical aggregate subtree, which AQE's exchange reuse dedupes at
+      // runtime — an explicit localCheckpoint measured ~10% SLOWER per
+      // round (materialization barrier vs. free reuse; r14)
       val syms = words
         .select(explode(col("__syms")).as("__s"), col("__n"))
         .groupBy("__s")
