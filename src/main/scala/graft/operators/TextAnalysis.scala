@@ -53,11 +53,23 @@ object TextAnalysis {
     "th" -> "\u0E00-\u0E7F" // thai
   )
 
-  /** Tokens equal to any of `words`, as a composed HOF filter — used by
-    * [[qualityScore]]'s single stopword ratio, where one filter over one
-    * list doesn't warrant the fused native path langId takes. */
-  private def markerCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+  /** Tokens equal to any of `words`, counted by the fused native
+    * [[graft.plans.MarkerScoresExpr]] over the raw text (same counts as
+    * the HOF-filter form — ScaleSpec parity). The HOF alternative
+    * (`size(filter(toks, ...))`) plans as ArrayFilter, a CodegenFallback
+    * that re-enters interpreted eval per ROW with an OR-chain per token —
+    * measurably slower wherever the consumer is a per-row pipeline that a
+    * presentation ORDER BY evaluates twice (range-boundary sampling). */
+  private def markerCount(text: Column, words: Seq[String]): Column =
+    element_at(
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.plans.MarkerScoresExpr(
+          org.apache.spark.sql.GraftSqlBridge.expression(text),
+          Seq(words)
+        )
+      ),
+      1
+    )
 
   /** Language-ID heuristic: count marker-stopword hits per language, pick
     * the argmax (first in LangMarkers order on ties); when NO marker hits
@@ -273,8 +285,10 @@ object TextAnalysis {
     val toks = tokens(text)
     val nChars = length(text)
     val nTokens = size(toks)
-    val punct = nChars - length(regexp_replace(text, "[.,!?;:]", ""))
-    val stops = markerCount(toks, LangMarkers.head._2)
+    // translate, not regexp_replace: identical count (strip the same six
+    // characters) without a per-row regex engine pass
+    val punct = nChars - length(translate(text, ".,!?;:", ""))
+    val stops = markerCount(text, LangMarkers.head._2)
     df.withColumn("n_chars_calc", nChars)
       .withColumn("n_tokens", nTokens)
       .withColumn(

@@ -163,8 +163,12 @@ private[graft] object SplitQueries {
       val clean = Decontam.decontaminate(
         deduped, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4
       )
+      // gate barrier (the crawlCurate persistGated pattern): filtering on
+      // the computed quality column would substitute the scorer into the
+      // pushed-down predicate and re-run it against the decontam output
       val scored = TextAnalysis
         .qualityScore(clean, "text")
+        .localCheckpoint(false)
         .filter(col("quality") >= 0.5)
       val split = Splits.hashSplit(
         scored, "doc_id", Seq("train" -> 0.8, "val" -> 0.1),

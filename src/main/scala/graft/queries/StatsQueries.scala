@@ -46,6 +46,9 @@ private[graft] object StatsQueries {
     // window — threshold-free ranking power of the quality filter
     "q_auc" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // barrier: aucRoc's null-gate would otherwise be pushed below the
+      // projection with the whole quality expression substituted into the
+      // predicate, evaluating the text scorer twice per row
       val scored = TextAnalysis
         .qualityScore(docs, "text")
         .select(col("doc_id"), col("quality"))
@@ -53,6 +56,7 @@ private[graft] object StatsQueries {
           docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
           Seq("doc_id")
         )
+        .localCheckpoint(false)
       Stats.aucRoc(scored, "quality", "is_en")
     }),
 
@@ -61,6 +65,7 @@ private[graft] object StatsQueries {
     // (decimal bin sums; the ECE telescopes to sum|ssum-pos|/N)
     "q_calibration" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // barrier: same pushed-predicate duplication as q_auc
       val scored = TextAnalysis
         .qualityScore(docs, "text")
         .select(col("doc_id"), col("quality"))
@@ -68,6 +73,7 @@ private[graft] object StatsQueries {
           docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
           Seq("doc_id")
         )
+        .localCheckpoint(false)
       Stats
         .calibrationBins(scored, "quality", "is_en", bins = 10)
         .orderBy("bin")

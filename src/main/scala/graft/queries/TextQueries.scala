@@ -584,6 +584,13 @@ private[graft] object TextQueries {
     // the first two stages of every crawl pipeline COMPOSED: markup ->
     // extracted text -> quality score -> gate. Pure-markup rows (empty
     // text) and NULL rows must fall at the gate in both engines.
+    // The narrow (id, n_tokens, quality) result is materialized BEFORE
+    // the gate: filtering on a computed column substitutes the whole
+    // extract+score pipeline into the pushed-down predicate (evaluating
+    // it twice per row), and the presentation ORDER BY's range-boundary
+    // sampling would run the per-row pipeline a third time — the barrier
+    // makes extraction run exactly once (the crawlCurate persistGated
+    // pattern).
     "q_html_pipeline" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("html", syntheticHtml)
@@ -593,8 +600,9 @@ private[graft] object TextQueries {
           TextAnalysis.extractHtmlText(docs, "html", outCol = "text"),
           "text"
         )
-        .filter(col("quality") >= 0.5)
         .select("doc_id", "n_tokens", "quality")
+        .localCheckpoint(false)
+        .filter(col("quality") >= 0.5)
         .orderBy("doc_id")
     }),
 
