@@ -115,15 +115,23 @@ object Decontam {
     val trainGrams =
       grams.filter(col(splitCol) === trainSplit).select("__gk").distinct()
     val heldOut = grams.filter(col(splitCol) =!= trainSplit)
-    val leaked = heldOut
-      .join(trainGrams, Seq("__gk"), "left_semi")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_leaked"))
+    // ONE pass over the held-out grams: a left join against the DISTINCT
+    // train-gram keys (at most one match per key, so row counts are
+    // preserved exactly) feeds a single aggregate computing both the gram
+    // total and the leaked count — the previous semi-join + second count
+    // aggregate + re-join evaluated the held-out explode lineage twice
+    // and shuffled it three times
     heldOut
+      .join(
+        trainGrams.withColumn("__hit", lit(1L)),
+        Seq("__gk"),
+        "left"
+      )
       .groupBy(col(idCol), col(splitCol))
-      .agg(count(lit(1)).as("n_grams"))
-      .join(leaked, Seq(idCol), "left")
-      .withColumn("n_leaked", coalesce(col("n_leaked"), lit(0L)))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_leaked")
+      )
       .withColumn(
         "leak_frac",
         round(col("n_leaked").cast("double") / col("n_grams"), 6)
@@ -267,10 +275,17 @@ object Decontam {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // both signature tables feed THREE divergently-shaped consumers (the
+    // exact-signature join, the band explode, and the verify join-back),
+    // so each is lazily materialized — without it the corpus pays the
+    // shingle+digest pass three times (the dedupNearMinHash persist
+    // discipline, lazy here because no driver action follows)
     val trainSigs =
       Dedup.minHashSignatures(train, idCol, textCol, shingleK, numHashes, portable)
+        .localCheckpoint(false)
     val evalSigs =
       Dedup.minHashSignatures(eval_, evalIdCol, evalTextCol, shingleK, numHashes, portable)
+        .localCheckpoint(false)
 
     // (a) identical signatures: est = 1.0, matched to the min eval id per
     // signature group (deterministic, one row per train doc per signature)

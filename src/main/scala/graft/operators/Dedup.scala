@@ -282,11 +282,17 @@ object Dedup {
     val sampled =
       if (thr >= RecallAuditBuckets) base
       else base.filter(fineBucket < thr)
+    // both pair lists feed TWO divergent consumers each (the recall
+    // semi-join and a grand count — no shared exchange between them), so
+    // each is lazily materialized: without the checkpoint the exact
+    // PPJoin self-join and the LSH banding pass both run twice
     val truth = ngramJaccardPairs(sampled, idCol, textCol, shingleK, threshold)
       .select("id_a", "id_b")
+      .localCheckpoint(false)
     val cand = minHashCandidatePairs(
       sampled, idCol, textCol, shingleK, numHashes, bands, portable = true
     ).select("id_a", "id_b")
+      .localCheckpoint(false)
     val hit = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
     val nd = sampled.agg(count(lit(1)).as("n_docs"))
     val nt = truth.agg(count(lit(1)).as("n_true_pairs"))

@@ -40,6 +40,10 @@ object Graphs {
       dstCol: String,
       maxIterations: Int = 20
   ): DataFrame = {
+    // NOTE (r14): pre-partitioning sym by the per-round join key before
+    // the checkpoint was tried and reverted — localCheckpoint loses the
+    // physical partitioning (`Scan ExistingRDD ... UnknownPartitioning`
+    // in the executed plan), so the extra exchange bought nothing.
     val sym = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .union(edges.select(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))

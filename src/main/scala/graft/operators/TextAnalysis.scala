@@ -1251,47 +1251,41 @@ object TextAnalysis {
           col("__keeper.__gpos") === col("__gpos"))
       )
 
-    val covered = dupOcc
+    // covered POSITIONS per document — ints, and only for documents that
+    // actually contain a removed occurrence (clean corpora ship nothing)
+    val coveredSet = dupOcc
       .select(
         col("__id"),
         explode(sequence(col("__gpos"), col("__gpos") + (spanTokens - 1)))
           .as("__pos")
       )
-      .distinct()
-
-    val tokTable = base.select(
-      col("__id"),
-      posexplode(col("__toks")).as(Seq("__pos", "__tok"))
-    )
-
-    val rebuilt = tokTable
-      .join(covered, Seq("__id", "__pos"), "left_anti")
       .groupBy("__id")
-      .agg(
-        count(lit(1)).as("__kept"),
-        md5(
-          array_join(
-            transform(
-              array_sort(collect_list(struct(col("__pos"), col("__tok")))),
-              x => x.getField("__tok")
-            ),
-            " "
-          )
-        ).as("clean_md5")
-      )
+      .agg(collect_set(col("__pos")).as("__cut"))
 
-    // slim the left side to (id, token count) BEFORE the final join — the
-    // id-keyed shuffle must never carry the token arrays
+    // reassemble ARRAY-SIDE: join the (id -> cut positions) table back to
+    // the still-tokenized document and drop covered positions with one
+    // positional filter over the token array. The previous formulation
+    // posexploded EVERY token into a (id, pos, tok) table, anti-joined it
+    // against the covered positions and collect_list'ed the survivors —
+    // i.e. it shuffled every token STRING twice (once for the anti-join,
+    // once doc-keyed for reassembly); now only integer positions of
+    // duplicated docs cross the wire and md5/array_join run in the same
+    // per-row projection. Output identical: the positional filter keeps
+    // ascending-position order, exactly what array_sort over (pos, tok)
+    // structs produced.
+    val kept = when(
+      col("__cut").isNull,
+      col("__toks")
+    ).otherwise(
+      filter(col("__toks"), (_, i) => !array_contains(col("__cut"), i))
+    )
     base
-      .select(col("__id"), size(col("__toks")).as("__n"))
-      .join(rebuilt, Seq("__id"), "left")
+      .join(coveredSet, Seq("__id"), "left")
       .select(
         col("__id").as(idCol),
-        col("__n").as("n_tokens"),
-        (col("__n") - coalesce(col("__kept"), lit(0L)))
-          .cast("int")
-          .as("removed_tokens"),
-        coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5")
+        size(col("__toks")).as("n_tokens"),
+        (size(col("__toks")) - size(kept)).as("removed_tokens"),
+        md5(array_join(kept, " ")).as("clean_md5")
       )
   }
 
