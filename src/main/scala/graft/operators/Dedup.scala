@@ -830,8 +830,14 @@ object Dedup {
       portable: Boolean = true,
       representativesOnly: Boolean = false
   ): DataFrame = {
+    // (id, 64-bit signature) — a compact proxy consumed by FOUR divergent
+    // branches (the band explode feeds two, plus the two signature
+    // attach joins): materialize once or the tokenize+digest+vote pass
+    // over the corpus runs four times (the dedupNearSimHash persist
+    // discipline, lazy here because no driver action follows)
     val sigs = simHashSignatures(df, idCol, textCol, portable)
       .select(col(idCol).as("__id"), col("simhash"))
+      .localCheckpoint(false)
     val banded = sigs.withColumn(
       "__band",
       explode(simHashQuarterBands(col("simhash")))

@@ -1118,11 +1118,16 @@ object TextAnalysis {
     *
     * Scale shape: chunking is per-row codegen'd; the corpus frequency
     * table is one hash aggregate keyed by the chunk's md5 (map-side
-    * combine absorbs within-partition repeats), and the join back ships
-    * only the 32-char digest as key. Reassembly is a hash aggregate per
-    * document; per-doc chunk lists are small (doc_tokens / chunkTokens),
-    * so collect_list stays bounded. At 100 TB the only large shuffles are
-    * keyed by chunk-hash and doc id — both well distributed.
+    * combine absorbs within-partition repeats); only (id, chunk_id,
+    * digest) rows ever shuffle — never chunk TEXT. Dropped chunk
+    * POSITIONS (ints, and only for documents that actually lose a chunk)
+    * aggregate to one row per affected doc and join back to the
+    * still-chunked document, where a positional array filter reassembles
+    * the surviving text inside one per-row projection — the reassembly
+    * ships no strings at all, where the previous formulation shuffled
+    * every chunk string through the frequency join AND a doc-keyed
+    * collect_list. At 100 TB the only large shuffles are keyed by
+    * chunk-hash and doc id — both well distributed.
     */
   def chunkDedup(
       df: DataFrame,
@@ -1134,41 +1139,42 @@ object TextAnalysis {
     require(chunkTokens >= 1, "chunkTokens must be >= 1")
     require(maxFreq >= 1, "maxFreq must be >= 1")
     val toks = tokens(col(textCol))
-    val chunked = df
+    def chunkArr(t: Column): Column = transform(
+      sequence(
+        lit(0),
+        ceil(size(t).cast("double") / chunkTokens).cast("int") - 1
+      ),
+      i => array_join(slice(t, i * chunkTokens + 1, lit(chunkTokens)), " ")
+    )
+    // materialized once: the chunk-array build is a transform() lambda
+    // (CodegenFallback — interpreted per row) and base feeds two
+    // divergently-shaped consumers (the digest explode and the final
+    // reassembly join); without the checkpoint the chunking runs 3x
+    val base = df
       .filter(col(textCol).isNotNull)
+      .select(col(idCol), chunkArr(toks).as("__chunks"))
+      .localCheckpoint(false)
+    // occurrence table carries only the digest — chunk text never shuffles
+    val occ = base.select(
+      col(idCol),
+      posexplode(col("__chunks")).as(Seq("chunk_id", "chunk"))
+    ).select(col(idCol), col("chunk_id"), md5(col("chunk")).as("__h"))
+    val freq = occ.groupBy("__h").agg(count(lit(1)).as("__freq"))
+    val droppedSet = occ
+      .join(freq.filter(col("__freq") > maxFreq), Seq("__h"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("chunk_id")).as("__cut"))
+    val kept = when(col("__cut").isNull, col("__chunks"))
+      .otherwise(
+        filter(col("__chunks"), (_, i) => !array_contains(col("__cut"), i))
+      )
+    base
+      .join(droppedSet, Seq(idCol), "left")
       .select(
         col(idCol),
-        posexplode(
-          transform(
-            sequence(
-              lit(0),
-              ceil(size(toks).cast("double") / chunkTokens).cast("int") - 1
-            ),
-            i =>
-              array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")
-          )
-        ).as(Seq("chunk_id", "chunk"))
-      )
-      .withColumn("__h", md5(col("chunk")))
-    val freq = chunked.groupBy("__h").agg(count(lit(1)).as("__freq"))
-    chunked
-      .join(freq, "__h")
-      .withColumn("__keep", col("__freq") <= maxFreq)
-      .groupBy(col(idCol))
-      .agg(
-        sum(when(col("__keep"), 1).otherwise(0)).cast("int").as("kept_chunks"),
-        sum(when(col("__keep"), 0).otherwise(1)).cast("int").as("dropped_chunks"),
-        array_join(
-          transform(
-            array_sort(
-              collect_list(
-                when(col("__keep"), struct(col("chunk_id"), col("chunk")))
-              )
-            ),
-            x => x.getField("chunk")
-          ),
-          " "
-        ).as("clean_text")
+        size(kept).cast("int").as("kept_chunks"),
+        (size(col("__chunks")) - size(kept)).cast("int").as("dropped_chunks"),
+        array_join(kept, " ").as("clean_text")
       )
   }
 

@@ -18,6 +18,9 @@ private[graft] object TextQueries {
       TextAnalysis
         .langId(t(s, dir, "documents"), "text")
         .select(cols.head, cols.tail: _*)
+        // barrier: shuffle-free per-row pipeline; without it the sort's
+        // range-boundary sampling re-executes it from the scan
+        .localCheckpoint(false)
         .orderBy("doc_id")
     }),
 
@@ -49,12 +52,16 @@ private[graft] object TextQueries {
     // Gopher-rule quality flags (minTokens lowered to 20 so the synthetic
     // docs, mostly 20-60 tokens, exercise both sides of every rule)
     "q_gopher" -> ((s, dir) => {
+      // barrier before the presentation sort (same rationale as
+      // q_main_content: shuffle-free per-row rule battery, which the
+      // sort's boundary sampling would otherwise evaluate twice)
       TextAnalysis
         .gopherQualityFlags(t(s, dir, "documents"), "text", minTokens = 20)
         .select(
           "doc_id", "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
           "alpha_ratio_ok", "stopword_ok", "gopher_keep"
         )
+        .localCheckpoint(false)
         .orderBy("doc_id")
     }),
 
@@ -549,6 +556,8 @@ private[graft] object TextQueries {
           "ptext"
         )
         .select("doc_id", "masked")
+        // barrier: shuffle-free per-row regex chain (see q_main_content)
+        .localCheckpoint(false)
         .orderBy("doc_id")
     }),
 
@@ -578,6 +587,8 @@ private[graft] object TextQueries {
           outCol = "extracted"
         )
         .select("doc_id", "extracted")
+        // barrier: shuffle-free per-row extractor (see q_main_content)
+        .localCheckpoint(false)
         .orderBy("doc_id")
     }),
 
@@ -611,6 +622,10 @@ private[graft] object TextQueries {
     // too-short block by minChars, the script decoy in pre-clean; the
     // document text survives as the main block
     "q_main_content" -> ((s, dir) => {
+      // barrier before the presentation sort: the extractor is a
+      // shuffle-free per-row pipeline (~16 regexes per block), and the
+      // range partitioner's boundary-sampling pass would otherwise
+      // re-execute it from the scan (no shuffle boundary to reuse)
       TextAnalysis
         .extractMainContent(
           t(s, dir, "documents")
@@ -619,6 +634,7 @@ private[graft] object TextQueries {
           "page"
         )
         .select("doc_id", "n_blocks", "kept_blocks", "main_text")
+        .localCheckpoint(false)
         .orderBy("doc_id")
     }),
 
@@ -654,6 +670,8 @@ private[graft] object TextQueries {
           "doc_id", "url_scheme", "url_host", "url_port",
           "url_path", "url_query_string", "url_domain"
         )
+        // barrier: shuffle-free per-row regexps (see q_main_content)
+        .localCheckpoint(false)
         .orderBy("doc_id")
     }),
 
@@ -689,6 +707,8 @@ private[graft] object TextQueries {
           col("n_sentences"), col("c4_keep"),
           md5(col("clean_text")).as("clean_md5")
         )
+        // barrier: shuffle-free per-row line rules (see q_main_content)
+        .localCheckpoint(false)
         .orderBy("doc_id")
     }),
 
@@ -706,6 +726,8 @@ private[graft] object TextQueries {
           col("doc_id"), col("n_invisibles"),
           md5(col("stripped")).as("stripped_md5")
         )
+        // barrier: shuffle-free per-row strip (see q_main_content)
+        .localCheckpoint(false)
         .orderBy("doc_id")
     }),
 

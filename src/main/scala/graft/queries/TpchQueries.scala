@@ -364,6 +364,9 @@ private[graft] object TpchQueries {
           md5(col("norm")).as("norm_md5"),
           length(col("norm")).as("n_chars_norm")
         )
+        // barrier: shuffle-free per-row normalization; without it the
+        // sort's range-boundary sampling re-executes it from the scan
+        .localCheckpoint(false)
         .orderBy("doc_id")
     }),
 
