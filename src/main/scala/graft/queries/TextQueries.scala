@@ -105,6 +105,10 @@ private[graft] object TextQueries {
           n = 3
         )
         .select("doc_id", "n_shared_grams", "contaminated")
+        // barrier: the report is a broadcast-join pipeline with no shuffle
+        // boundary, so the sort's range sampling would re-run it from the
+        // scan (see q_main_content)
+        .localCheckpoint(false)
         .orderBy("doc_id")
     }),
 
@@ -802,7 +806,13 @@ private[graft] object TextQueries {
     "q_domain_dedup" -> ((s, dir) => {
       import graft.operators.Urls
       val docs = t(s, dir, "documents").withColumn("url", syntheticUrl)
-      val capped = Urls.domainCap(docs, "url", "doc_id", maxPerDomain = 5)
+      // gated-slice barrier (the crawlCurate persistGated pattern):
+      // dedupNearMinHash scans its input twice by contract (signatures +
+      // the final anti-join), so without the barrier the URL-parse +
+      // per-domain cap window re-runs for every consumer
+      val capped = Urls
+        .domainCap(docs, "url", "doc_id", maxPerDomain = 5)
+        .localCheckpoint(false)
       Dedup
         .dedupNearMinHash(
           capped, "doc_id", "text",
