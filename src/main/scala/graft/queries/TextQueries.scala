@@ -105,10 +105,10 @@ private[graft] object TextQueries {
           n = 3
         )
         .select("doc_id", "n_shared_grams", "contaminated")
-        // barrier: the report is a broadcast-join pipeline with no shuffle
-        // boundary, so the sort's range sampling would re-run it from the
-        // scan (see q_main_content)
-        .localCheckpoint(false)
+        // NO barrier here (unlike q_main_content): it measured par — the
+        // gram aggregate below the broadcast join is a shuffle boundary the
+        // sort sampling reuses — and the PlanSpec broadcast-gram-join guard
+        // reads this query's static plan
         .orderBy("doc_id")
     }),
 
