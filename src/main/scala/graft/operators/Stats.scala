@@ -113,6 +113,13 @@ object Stats {
           )
         )
     val rangeKeys = (grpCols :+ orderCol).map(col)
+    // NOTE (measured, do not re-try): lazily checkpointing the INPUT here
+    // to spare the range partitioner's boundary sampler a re-run of the
+    // caller's grid lineage makes things WORSE under AQE — the sampler's
+    // child is the already-materialized exchange stage of the caller's
+    // aggregate, so the "re-run" is only shuffle-read + final agg, while
+    // the checkpoint pays a full store+read of the grid (probe: winsorize
+    // input bytes 183->240 MB, wall 3.7->5.8 s; gini 1.6->3.2 s at sf0.1).
     // materialize ONCE before branching: totals and the probe join must
     // read the same physical pid assignment (scaladoc: boundary-divergence
     // hazard). localCheckpoint (not persist) so cleanup is GC-driven — a
@@ -663,25 +670,29 @@ object Stats {
         col(colB).cast("double").as("__b")
       )
       .filter(col("__a").isNotNull && col("__b").isNotNull)
-    // ONE corpus scan and ONE ranged-running-sum pass for BOTH sides:
-    // each row contributes (side, value) twice, the count aggregate is
-    // keyed by (side, value) (map-side combined, same combined volume as
-    // two per-side aggregates), and the partitioned prefix-sum machinery
-    // runs once with the side as its group key — halving the passes of
-    // the previous per-side formulation without changing a single rank
-    // (sides are independent groups in rangedRunningSums).
-    val counts = base
-      .select(
-        explode(
-          array(
-            struct(lit("a").as("__side"), col("__a").as("__v")),
-            struct(lit("b").as("__side"), col("__b").as("__v"))
-          )
-        ).as("__sv")
-      )
-      .select(col("__sv.__side").as("__side"), col("__sv.__v").as("__v"))
-      .groupBy("__side", "__v")
+    // ONE corpus pass total: the (a, b) PAIR grid with multiplicities.
+    // Every downstream quantity is a weighted sum over this grid — the
+    // per-side value counts derive from grid-sized aggregates of it, the
+    // rank tables join back onto IT (grid-sized joins) instead of onto
+    // the corpus (the previous shape re-scanned the corpus for the rank
+    // join-back and shuffled it twice, once per side — guide §8: decide
+    // with small rows; §2.3: aggregate before you shuffle). Materialized
+    // once: three divergently-shaped consumers (two side aggregates +
+    // the final rank join) would otherwise re-run the corpus aggregate.
+    val pairs = base
+      .groupBy("__a", "__b")
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val counts = pairs
+      .groupBy(col("__a").as("__v"))
+      .agg(sum(col("__c")).as("__c"))
+      .select(lit("a").as("__side"), col("__v"), col("__c"))
+      .unionByName(
+        pairs
+          .groupBy(col("__b").as("__v"))
+          .agg(sum(col("__c")).as("__c"))
+          .select(lit("b").as("__side"), col("__v"), col("__c"))
+      )
     // materialize the (side, value, doubled-rank) grid ONCE: it is probed
     // twice below (side a, side b), and without the checkpoint each probe
     // re-evaluates the whole prefix-sum chain above it — the per-slice
@@ -701,17 +712,21 @@ object Stats {
     def sideRanks(side: String, vc: String) = ranks
       .filter(col("__side") === side)
       .select(col("__v").as(vc), col("__dr").as(s"__dr$vc"))
-    val joined = base
+    // grid-sized rank join-back: each pair row carries its multiplicity,
+    // so the moment sums weight by __c — identical integers to the
+    // per-row formulation (decimal sums are exact and order-independent)
+    val joined = pairs
       .join(sideRanks("a", "__a"), Seq("__a"))
       .join(sideRanks("b", "__b"), Seq("__b"))
     def dec(c: Column) = c.cast("decimal(38,0)")
+    val cw = dec(col("__c"))
     val agg = joined.agg(
-      count(lit(1)).as("__n"),
-      sum(dec(col("__dr__a"))).as("__sx"),
-      sum(dec(col("__dr__b"))).as("__sy"),
-      sum(dec(col("__dr__a")) * col("__dr__a")).as("__sxx"),
-      sum(dec(col("__dr__b")) * col("__dr__b")).as("__syy"),
-      sum(dec(col("__dr__a")) * col("__dr__b")).as("__sxy")
+      sum(col("__c")).as("__n"),
+      sum(cw * col("__dr__a")).as("__sx"),
+      sum(cw * col("__dr__b")).as("__sy"),
+      sum(cw * col("__dr__a") * col("__dr__a")).as("__sxx"),
+      sum(cw * col("__dr__b") * col("__dr__b")).as("__syy"),
+      sum(cw * col("__dr__a") * col("__dr__b")).as("__sxy")
     )
     val n = dec(col("__n"))
     val va = n * col("__sxx") - col("__sx") * col("__sx")
