@@ -67,17 +67,19 @@ object Graphs {
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      val neighborMin = sym
+      // one join + one aggregate for the label step: the edge-propagated
+      // labels UNION the current labels feed a single min aggregate —
+      // identical to the old "neighborMin left-joined back onto labels"
+      // (every src is in labels, and min(own, neighbor mins) is the same
+      // min over the union), but one join and one exchange cheaper per
+      // round (the join output was re-shuffled for its groupBy and then
+      // joined against labels again; now the union rides ONE groupBy)
+      val stepped = sym
         .join(labels, sym("dst") === labels("id"))
-        .groupBy("src")
-        .agg(min("component").as("__nmin"))
-      val stepped = labels
-        .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(
-          labels("id").as("id"),
-          least(col("component"), coalesce(col("__nmin"), col("component")))
-            .as("component")
-        )
+        .select(sym("src").as("id"), col("component"))
+        .unionByName(labels)
+        .groupBy("id")
+        .agg(min("component").as("component"))
       // pointer jumping: also replace each label by ITS label (labels are
       // vertex ids, so the label table doubles as a parent table). This
       // shortcuts label chains, squaring propagation distance per round —
